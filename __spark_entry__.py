@@ -1,38 +1,611 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` is an operator from SURVEY.md §2 implemented by
+the yupana_spark engine (typed Query IR -> DataFrame compiler); the matching
+``oracle_sql()`` entry is the ANSI-SQL equivalent DuckDB runs on the same
+parquet.  Aggregates over non-integral DOUBLE columns are cast to DECIMAL
+before summing on BOTH sides so results are order-independent and hash-stable.
 """
 
 from __future__ import annotations
 
+import datetime as dt
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from yupana_spark import E, Tsdb, default_schema, query
+from yupana_spark import types as yt
+
+FROM = dt.datetime(1995, 1, 1)
+TO = dt.datetime(2002, 1, 1)
+EV_FROM = dt.datetime(2024, 1, 1)
+EV_TO = dt.datetime(2024, 2, 1)
+
+_TB = "l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '2002-01-01'"
+_TB_O = "o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '2002-01-01'"
+_TB_E = "ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'"
+
+
+def _tsdb(spark: SparkSession, sf_dir: str) -> Tsdb:
+    return Tsdb(spark, default_schema(), sf_dir)
+
+
+def _dec(col: str) -> E.Cast:
+    """Sum doubles through DECIMAL(18,4): order-independent + the scale-4
+    rounding makes Spark (shortest-repr) and DuckDB (exact binary expansion)
+    double->decimal casts agree."""
+    return E.Cast(E.Field(col), yt.decimal(18, 4))
+
+
+def _cur(col: str) -> E.Cast:
+    return E.Cast(E.Field(col), yt.CURRENCY)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregation / §2.2 projection-filter / §2.8 functions
+# ---------------------------------------------------------------------------
+def q_day_rollup(spark, sf_dir):
+    """Flagship: time-bucket rollup (≙ receipt_by_day, ReceiptRollups.scala)."""
+    q = query(
+        "lineitem", FROM, TO,
+        fields=[
+            (E.trunc("day", E.time()), "d"),
+            (E.Field("l_returnflag"), "l_returnflag"),
+            (E.sum_(_dec("l_quantity")), "sum_qty"),
+            (E.sum_(_dec("l_extendedprice")), "sum_price"),
+            (E.count(E.Field("l_quantity")), "cnt"),
+        ],
+        group_by=[E.trunc("day", E.time()), E.Field("l_returnflag")],
+    )
+    return _tsdb(spark, sf_dir).query(q)
+
+
+def q_projection_filter(spark, sf_dir):
+    q = query(
+        "lineitem", FROM, TO,
+        fields=[
+            (E.Field("l_orderkey"), "l_orderkey"),
+            (E.Field("l_linenumber"), "l_linenumber"),
+            (E.Field("l_quantity"), "l_quantity"),
+        ],
+        filter=E.and_(
+            E.eq(E.Field("l_returnflag"), E.const("A")),
+            E.between(E.Field("l_quantity"), 10.0, 12.0),
+        ),
+    )
+    return _tsdb(spark, sf_dir).query(q)
+
+
+def q_case_in(spark, sf_dir):
+    q = query(
+        "lineitem", FROM, TO,
+        fields=[
+            (E.Field("l_linestatus"), "l_linestatus"),
+            (E.sum_(E.Case(
+                ((E.In(E.Field("l_returnflag"), ("A", "R")), _dec("l_quantity")),),
+                E.Cast(E.const(0), yt.decimal(18, 4)))), "qty_ar"),
+        ],
+        group_by=[E.Field("l_linestatus")],
+    )
+    return _tsdb(spark, sf_dir).query(q)
+
+
+def q_extracts(spark, sf_dir):
+    q = query(
+        "lineitem", FROM, TO,
+        fields=[
+            (E.extract("year", E.time()), "y"),
+            (E.extract("quarter", E.time()), "q"),
+            (E.extract("month", E.time()), "m"),
+            (E.count(E.Field("l_orderkey")), "cnt"),
+        ],
+        group_by=[E.extract("year", E.time()), E.extract("quarter", E.time()),
+                  E.extract("month", E.time())],
+    )
+    return _tsdb(spark, sf_dir).query(q)
+
+
+def q_trunc_units(spark, sf_dir):
+    q = query(
+        "events", EV_FROM, EV_TO,
+        fields=[
+            (E.trunc("week", E.time()), "w"),
+            (E.trunc("hour", E.time()), "h"),
+            (E.count(E.Field("event_id")), "cnt"),
+        ],
+        group_by=[E.trunc("week", E.time()), E.trunc("hour", E.time())],
+    )
+    return _tsdb(spark, sf_dir).query(q)
+
+
+def q_extract_dhms(spark, sf_dir):
+    q = query(
+        "events", EV_FROM, EV_TO,
+        fields=[
+            (E.extract("day", E.time()), "dd"),
+            (E.extract("hour", E.time()), "hh"),
+            (E.extract("minute", E.time()), "mi"),
+            (E.extract("second", E.time()), "ss"),
+            (E.Field("event_id"), "event_id"),
+        ],
+        filter=E.eq(E.Field("event_type"), E.const("signup")),
+    )
+    return _tsdb(spark, sf_dir).query(q)
+
+
+def q_having(spark, sf_dir):
+    q = query(
+        "orders", FROM, TO,
+        fields=[
+            (E.Field("o_custkey"), "o_custkey"),
+            (E.count(E.Field("o_orderkey")), "cnt"),
+        ],
+        group_by=[E.Field("o_custkey")],
+        having=E.gt(E.count(E.Field("o_orderkey")), E.const(15)),
+    )
+    return _tsdb(spark, sf_dir).query(q)
+
+
+def q_post_agg_arith(spark, sf_dir):
+    """sum(a)*max(b)/2-style post-aggregation arithmetic (TsdbBase.scala:269-272)."""
+    q = query(
+        "lineitem", FROM, TO,
+        fields=[
+            (E.Field("l_returnflag"), "l_returnflag"),
+            (E.Cast(E.BinaryOp(
+                "/",
+                E.Cast(E.sum_(_dec("l_quantity")), yt.DOUBLE),
+                E.Cast(E.count(E.Field("l_quantity")), yt.DOUBLE),
+            ), yt.CURRENCY), "avg_qty"),
+            (E.min_(E.Field("l_quantity")), "min_qty"),
+            (E.max_(E.Field("l_quantity")), "max_qty"),
+        ],
+        group_by=[E.Field("l_returnflag")],
+    )
+    return _tsdb(spark, sf_dir).query(q)
+
+
+def q_avg(spark, sf_dir):
+    # avg over integral-valued doubles is order-independent (exact in IEEE)
+    q = query(
+        "lineitem", FROM, TO,
+        fields=[
+            (E.Field("l_linestatus"), "l_linestatus"),
+            (E.Cast(E.avg(E.Field("l_quantity")), yt.decimal(18, 6)), "avg_qty"),
+        ],
+        group_by=[E.Field("l_linestatus")],
+    )
+    return _tsdb(spark, sf_dir).query(q)
+
+
+def q_distinct_count(spark, sf_dir):
+    q = query(
+        "lineitem", FROM, TO,
+        fields=[
+            (E.Field("l_returnflag"), "l_returnflag"),
+            (E.distinct_count(E.Field("l_partkey")), "dc_part"),
+            (E.distinct_count(E.Field("l_suppkey")), "dc_supp"),
+        ],
+        group_by=[E.Field("l_returnflag")],
+    )
+    return _tsdb(spark, sf_dir).query(q)
+
+
+def q_hll_count(spark, sf_dir):
+    """hll_count -> approx_count_distinct; approximate => rows-only check."""
+    q = query(
+        "lineitem", FROM, TO,
+        fields=[
+            (E.Field("l_returnflag"), "l_returnflag"),
+            (E.hll_count(E.Field("l_partkey"), 0.05), "hll_part"),
+        ],
+        group_by=[E.Field("l_returnflag")],
+    )
+    return _tsdb(spark, sf_dir).query(q)
+
+
+def q_distinct_random(spark, sf_dir):
+    # deterministic variant: the distinct set per group is a singleton
+    q = query(
+        "lineitem", FROM, TO,
+        fields=[
+            (E.Field("l_returnflag"), "l_returnflag"),
+            (E.distinct_random(E.Fun("lower", (E.Field("l_returnflag"),))), "dr"),
+        ],
+        group_by=[E.Field("l_returnflag")],
+    )
+    return _tsdb(spark, sf_dir).query(q)
+
+
+def q_lag_window(spark, sf_dir):
+    """lag + HAVING-after-window (TSDB.scala:73-138, select.md:71-84)."""
+    q = query(
+        "lineitem", dt.datetime(1995, 1, 1), dt.datetime(1995, 3, 1),
+        fields=[
+            (E.Field("l_orderkey"), "l_orderkey"),
+            (E.Field("l_linenumber"), "l_linenumber"),
+            (E.time(), "t"),
+            (E.lag(E.time()), "prev_t"),
+        ],
+        group_by=[E.Field("l_returnflag")],
+        having=E.IsNull(E.lag(E.time()), negated=True),
+    )
+    return _tsdb(spark, sf_dir).query(q)
+
+
+def q_arith_currency(spark, sf_dir):
+    """CURRENCY guard rules: sum(cur), cur*num -> cur, cur/cur -> double."""
+    q = query(
+        "lineitem", FROM, TO,
+        fields=[
+            (E.Field("l_returnflag"), "l_returnflag"),
+            (E.sum_(_cur("l_extendedprice")), "rev"),
+            (E.BinaryOp("/", E.sum_(_cur("l_extendedprice")),
+                        E.sum_(_cur("l_quantity"))), "price_per_unit"),
+        ],
+        group_by=[E.Field("l_returnflag")],
+    )
+    return _tsdb(spark, sf_dir).query(q)
+
+
+def q_string_fns(spark, sf_dir):
+    q = query(
+        "orders", FROM, TO,
+        fields=[
+            (E.Fun("lower", (E.Field("o_orderpriority"),)), "lo"),
+            (E.Fun("upper", (E.Field("o_orderpriority"),)), "up"),
+            (E.Fun("length", (E.Field("o_orderpriority"),)), "len"),
+            (E.count(E.Field("o_orderkey")), "cnt"),
+        ],
+        group_by=[E.Fun("lower", (E.Field("o_orderpriority"),)),
+                  E.Fun("upper", (E.Field("o_orderpriority"),)),
+                  E.Fun("length", (E.Field("o_orderpriority"),))],
+    )
+    return _tsdb(spark, sf_dir).query(q)
+
+
+def q_concat_plus(spark, sf_dir):
+    """String '+' = concat (PlusGuard)."""
+    q = query(
+        "orders", FROM, TO,
+        fields=[
+            (E.BinaryOp("+", E.Field("o_orderstatus"),
+                        E.BinaryOp("+", E.const("-"), E.Field("o_orderpriority"))), "tag"),
+            (E.count(E.Field("o_orderkey")), "cnt"),
+        ],
+        group_by=[E.BinaryOp("+", E.Field("o_orderstatus"),
+                             E.BinaryOp("+", E.const("-"), E.Field("o_orderpriority")))],
+    )
+    return _tsdb(spark, sf_dir).query(q)
+
+
+def q_in_tuple(spark, sf_dir):
+    """Tuple-valued IN (DataType.scala:78-98, conditions only)."""
+    q = query(
+        "lineitem", FROM, TO,
+        fields=[(E.count(E.Field("l_orderkey")), "cnt")],
+        filter=E.In(E.Tuple2(E.Field("l_returnflag"), E.Field("l_linestatus")),
+                    (("A", "F"), ("R", "F"))),
+    )
+    return _tsdb(spark, sf_dir).query(q)
+
+
+def q_not_in(spark, sf_dir):
+    q = query(
+        "lineitem", FROM, TO,
+        fields=[
+            (E.Field("l_returnflag"), "l_returnflag"),
+            (E.count(E.Field("l_orderkey")), "cnt"),
+        ],
+        filter=E.In(E.Field("l_returnflag"), ("N",), negated=True),
+        group_by=[E.Field("l_returnflag")],
+    )
+    return _tsdb(spark, sf_dir).query(q)
+
+
+def q_integral_div(spark, sf_dir):
+    """Integral / integral -> integral division (DivGuard ladder)."""
+    q = query(
+        "lineitem", FROM, TO,
+        fields=[
+            (E.Cast(E.BinaryOp("/", E.Field("l_orderkey"), E.const(1000)), yt.LONG),
+             "k_bucket"),
+            (E.count(E.Field("l_orderkey")), "cnt"),
+        ],
+        group_by=[E.Cast(E.BinaryOp("/", E.Field("l_orderkey"), E.const(1000)), yt.LONG)],
+    )
+    return _tsdb(spark, sf_dir).query(q)
+
+
+# ---------------------------------------------------------------------------
+# §2.3 external links (joins)
+# ---------------------------------------------------------------------------
+def q_link_enrich(spark, sf_dir):
+    """Enrichment: link field as projection + group key -> broadcast join."""
+    q = query(
+        "orders", FROM, TO,
+        fields=[
+            (E.LinkField("CustomerLink", "c_mktsegment"), "seg"),
+            (E.count(E.Field("o_orderkey")), "cnt"),
+            (E.sum_(E.Cast(E.Field("o_totalprice"), yt.decimal(18, 4))), "revenue"),
+        ],
+        group_by=[E.LinkField("CustomerLink", "c_mktsegment")],
+    )
+    return _tsdb(spark, sf_dir).query(q)
+
+
+def q_link_semijoin(spark, sf_dir):
+    """Link predicate -> semi-join (ExternalLinkUtils.scala:41-148)."""
+    q = query(
+        "orders", FROM, TO,
+        fields=[
+            (E.Field("o_orderstatus"), "o_orderstatus"),
+            (E.count(E.Field("o_orderkey")), "cnt"),
+        ],
+        filter=E.eq(E.LinkField("CustomerLink", "c_mktsegment"), E.const("BUILDING")),
+        group_by=[E.Field("o_orderstatus")],
+    )
+    return _tsdb(spark, sf_dir).query(q)
+
+
+def q_link_antijoin(spark, sf_dir):
+    q = query(
+        "orders", FROM, TO,
+        fields=[(E.count(E.Field("o_orderkey")), "cnt")],
+        filter=E.In(E.LinkField("CustomerLink", "c_mktsegment"),
+                    ("BUILDING", "MACHINERY"), negated=True),
+    )
+    return _tsdb(spark, sf_dir).query(q)
+
+
+def q_link_two_hop(spark, sf_dir):
+    """Two links on one fact (part + supplier on lineitem)."""
+    q = query(
+        "lineitem", FROM, TO,
+        fields=[
+            (E.LinkField("PartLink", "p_brand"), "brand"),
+            (E.count(E.Field("l_orderkey")), "cnt"),
+        ],
+        filter=E.gt(E.LinkField("SupplierLink", "s_acctbal"), E.const(5000.0)),
+        group_by=[E.LinkField("PartLink", "p_brand")],
+    )
+    return _tsdb(spark, sf_dir).query(q)
+
+
+# ---------------------------------------------------------------------------
+# misc surface
+# ---------------------------------------------------------------------------
+def q_tableless(spark, sf_dir):
+    from yupana_spark.operators.tableless import select_constants
+
+    return select_constants(spark, [
+        (E.const(2), "two"),
+        (E.BinaryOp("+", E.const("a"), E.const("b")), "ab"),
+        (E.Fun("upper", (E.const("x"),)), "ux"),
+        (E.Fun("abs", (E.const(-5),)), "a5"),
+    ])
+
+
+def q_union(spark, sf_dir):
+    tsdb = _tsdb(spark, sf_dir)
+
+    def part(from_t, to_t):
+        return tsdb.query(query(
+            "lineitem", from_t, to_t,
+            fields=[
+                (E.trunc("year", E.time()), "y"),
+                (E.count(E.Field("l_orderkey")), "cnt"),
+            ],
+            group_by=[E.trunc("year", E.time())],
+        ))
+
+    return part(dt.datetime(1995, 1, 1), dt.datetime(1997, 1, 1)).unionAll(
+        part(dt.datetime(1999, 1, 1), dt.datetime(2001, 1, 1)))
+
+
+def q_limit(spark, sf_dir):
+    # filter yields < limit rows -> deterministic under LIMIT
+    q = query(
+        "orders", FROM, TO,
+        fields=[(E.Field("o_orderkey"), "o_orderkey")],
+        filter=E.eq(E.Field("o_custkey"), E.const(7)),
+        limit=100000,
+    )
+    return _tsdb(spark, sf_dir).query(q)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_day_rollup(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q_day_rollup": q_day_rollup,
+        "q_projection_filter": q_projection_filter,
+        "q_case_in": q_case_in,
+        "q_extracts": q_extracts,
+        "q_trunc_units": q_trunc_units,
+        "q_extract_dhms": q_extract_dhms,
+        "q_having": q_having,
+        "q_post_agg_arith": q_post_agg_arith,
+        "q_avg": q_avg,
+        "q_distinct_count": q_distinct_count,
+        "q_hll_count": q_hll_count,
+        "q_distinct_random": q_distinct_random,
+        "q_lag_window": q_lag_window,
+        "q_arith_currency": q_arith_currency,
+        "q_string_fns": q_string_fns,
+        "q_concat_plus": q_concat_plus,
+        "q_in_tuple": q_in_tuple,
+        "q_not_in": q_not_in,
+        "q_integral_div": q_integral_div,
+        "q_link_enrich": q_link_enrich,
+        "q_link_semijoin": q_link_semijoin,
+        "q_link_antijoin": q_link_antijoin,
+        "q_link_two_hop": q_link_two_hop,
+        "q_tableless": q_tableless,
+        "q_union": q_union,
+        "q_limit": q_limit,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_day_rollup": f"""
+            SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS d, l_returnflag,
+                   sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_price,
+                   count(l_quantity) AS cnt
+            FROM lineitem WHERE {_TB} GROUP BY 1, 2
+        """,
+        "q_projection_filter": f"""
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE {_TB} AND l_returnflag = 'A' AND l_quantity BETWEEN 10 AND 12
+        """,
+        "q_case_in": f"""
+            SELECT l_linestatus,
+                   sum(CASE WHEN l_returnflag IN ('A','R')
+                            THEN CAST(l_quantity AS DECIMAL(18,4))
+                            ELSE CAST(0 AS DECIMAL(18,4)) END) AS qty_ar
+            FROM lineitem WHERE {_TB} GROUP BY 1
+        """,
+        "q_extracts": f"""
+            SELECT CAST(extract(year FROM l_shipdate) AS INTEGER) AS y,
+                   CAST(extract(quarter FROM l_shipdate) AS INTEGER) AS q,
+                   CAST(extract(month FROM l_shipdate) AS INTEGER) AS m,
+                   count(l_orderkey) AS cnt
+            FROM lineitem WHERE {_TB} GROUP BY 1, 2, 3
+        """,
+        "q_trunc_units": f"""
+            SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS w,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+                   count(event_id) AS cnt
+            FROM events WHERE {_TB_E} GROUP BY 1, 2
+        """,
+        "q_extract_dhms": f"""
+            SELECT CAST(extract(day FROM ts) AS INTEGER) AS dd,
+                   CAST(extract(hour FROM ts) AS INTEGER) AS hh,
+                   CAST(extract(minute FROM ts) AS INTEGER) AS mi,
+                   CAST(extract(second FROM ts) AS INTEGER) AS ss,
+                   event_id
+            FROM events WHERE {_TB_E} AND event_type = 'signup'
+        """,
+        "q_having": f"""
+            SELECT o_custkey, count(o_orderkey) AS cnt
+            FROM orders WHERE {_TB_O}
+            GROUP BY 1 HAVING count(o_orderkey) > 15
+        """,
+        "q_post_agg_arith": f"""
+            SELECT l_returnflag,
+                   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                        / CAST(count(l_quantity) AS DOUBLE) AS DECIMAL(18,2)) AS avg_qty,
+                   min(l_quantity) AS min_qty,
+                   max(l_quantity) AS max_qty
+            FROM lineitem WHERE {_TB} GROUP BY 1
+        """,
+        "q_avg": f"""
+            SELECT l_linestatus,
+                   CAST(avg(l_quantity) AS DECIMAL(18,6)) AS avg_qty
+            FROM lineitem WHERE {_TB} GROUP BY 1
+        """,
+        "q_distinct_count": f"""
+            SELECT l_returnflag,
+                   CAST(count(DISTINCT l_partkey) AS INTEGER) AS dc_part,
+                   CAST(count(DISTINCT l_suppkey) AS INTEGER) AS dc_supp
+            FROM lineitem WHERE {_TB} GROUP BY 1
+        """,
+        # q_hll_count: approximate -> rows-only check (no oracle)
+        "q_distinct_random": f"""
+            SELECT l_returnflag, max(lower(l_returnflag)) AS dr
+            FROM lineitem WHERE {_TB} GROUP BY 1
+        """,
+        "q_lag_window": """
+            SELECT * FROM (
+                SELECT l_orderkey, l_linenumber, l_shipdate AS t,
+                       lag(l_shipdate) OVER (
+                           PARTITION BY l_returnflag
+                           ORDER BY l_shipdate, l_orderkey, l_partkey,
+                                    l_suppkey, l_linenumber) AS prev_t
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                  AND l_shipdate < TIMESTAMP '1995-03-01'
+            ) WHERE prev_t IS NOT NULL
+        """,
+        "q_arith_currency": f"""
+            SELECT l_returnflag,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS price_per_unit
+            FROM lineitem WHERE {_TB} GROUP BY 1
+        """,
+        "q_string_fns": f"""
+            SELECT lower(o_orderpriority) AS lo, upper(o_orderpriority) AS up,
+                   CAST(length(o_orderpriority) AS INTEGER) AS len,
+                   count(o_orderkey) AS cnt
+            FROM orders WHERE {_TB_O} GROUP BY 1, 2, 3
+        """,
+        "q_concat_plus": f"""
+            SELECT o_orderstatus || '-' || o_orderpriority AS tag,
+                   count(o_orderkey) AS cnt
+            FROM orders WHERE {_TB_O} GROUP BY 1
+        """,
+        "q_in_tuple": f"""
+            SELECT count(l_orderkey) AS cnt FROM lineitem
+            WHERE {_TB} AND (l_returnflag, l_linestatus) IN (('A','F'), ('R','F'))
+        """,
+        "q_not_in": f"""
+            SELECT l_returnflag, count(l_orderkey) AS cnt
+            FROM lineitem WHERE {_TB} AND l_returnflag NOT IN ('N')
+            GROUP BY 1
+        """,
+        "q_integral_div": f"""
+            SELECT CAST(l_orderkey // 1000 AS BIGINT) AS k_bucket,
+                   count(l_orderkey) AS cnt
+            FROM lineitem WHERE {_TB} GROUP BY 1
+        """,
+        "q_link_enrich": f"""
+            SELECT c.c_mktsegment AS seg, count(o.o_orderkey) AS cnt,
+                   sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS revenue
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE {_TB_O} GROUP BY 1
+        """,
+        "q_link_semijoin": f"""
+            SELECT o_orderstatus, count(o_orderkey) AS cnt
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE {_TB_O} AND c.c_mktsegment = 'BUILDING'
+            GROUP BY 1
+        """,
+        "q_link_antijoin": f"""
+            SELECT count(o_orderkey) AS cnt
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE {_TB_O} AND c.c_mktsegment NOT IN ('BUILDING','MACHINERY')
+        """,
+        "q_link_two_hop": f"""
+            SELECT p.p_brand AS brand, count(l.l_orderkey) AS cnt
+            FROM lineitem l
+            LEFT JOIN part p ON l.l_partkey = p.p_partkey
+            LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE {_TB} AND s.s_acctbal > 5000.0
+            GROUP BY 1
+        """,
+        "q_tableless": """
+            SELECT 2 AS two, 'a' || 'b' AS ab, upper('x') AS ux, abs(-5) AS a5
+        """,
+        "q_union": """
+            SELECT CAST(date_trunc('year', l_shipdate) AS TIMESTAMP) AS y, count(l_orderkey) AS cnt
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1
+            UNION ALL
+            SELECT CAST(date_trunc('year', l_shipdate) AS TIMESTAMP) AS y, count(l_orderkey) AS cnt
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_shipdate < TIMESTAMP '2001-01-01'
+            GROUP BY 1
+        """,
+        "q_limit": f"""
+            SELECT o_orderkey FROM orders WHERE {_TB_O} AND o_custkey = 7
+        """,
+    }

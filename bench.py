@@ -1,0 +1,66 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {...}, "sf": ...}.  Each query is timed as a full
+plan+execute+collect cycle after a warm-up pass over the inputs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q_day_rollup",
+    "q_having",
+    "q_post_agg_arith",
+    "q_distinct_count",
+    "q_lag_window",
+    "q_arith_currency",
+    "q_link_enrich",
+    "q_link_two_hop",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as ent
+    from yupana_spark.session import get_spark
+
+    spark = get_spark("yupana-bench")
+    qs = ent.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in qs if n.startswith("dp_") and n in qs
+    ]
+
+    # warm-up: JVM + parquet footer caches (excluded from timings)
+    for n in names[:2]:
+        qs[n](spark, SF_DIR).count()
+
+    timings = {}
+    total = 0.0
+    for n in names:
+        t0 = time.time()
+        df = qs[n](spark, SF_DIR)
+        cnt = df.count()
+        dt_ = time.time() - t0
+        timings[n] = round(dt_, 3)
+        total += dt_
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

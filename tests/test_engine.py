@@ -1,0 +1,211 @@
+"""End-to-end engine tests against sf0.001 (≙ reference TsdbTest.scala:
+full-pipeline queries with typed row assertions)."""
+
+import datetime as dt
+
+import pytest
+
+from yupana_spark import E, query
+from yupana_spark.expressions import InvalidQueryError
+
+FROM = dt.datetime(1995, 1, 1)
+TO = dt.datetime(2002, 1, 1)
+
+
+def test_agg_by_flag(tsdb):
+    q = query(
+        "lineitem", FROM, TO,
+        fields=[
+            (E.Field("l_returnflag"), "l_returnflag"),
+            (E.sum_(E.Field("l_quantity")), "sum_qty"),
+            (E.count(E.Field("l_quantity")), "cnt"),
+        ],
+        group_by=[E.Field("l_returnflag")],
+    )
+    rows = {r["l_returnflag"]: r for r in tsdb.query(q).collect()}
+    assert set(rows) == {"A", "N", "R"}
+    assert all(r["cnt"] > 0 for r in rows.values())
+
+
+def test_count_ignores_nulls_and_zero_if_all_null(tsdb):
+    # count(NULL-typed const) -> 0 semantics via a metric filtered to none
+    q = query(
+        "lineitem", FROM, TO,
+        fields=[
+            (E.count(E.Case(((E.lt(E.Field("l_quantity"), E.const(-1.0)),
+                              E.Field("l_quantity")),), E.const(None))), "c"),
+        ],
+    )
+    assert tsdb.query(q).collect()[0]["c"] == 0
+
+
+def test_mandatory_time_bounds(tsdb):
+    q = query(
+        "lineitem", FROM, TO,
+        fields=[(E.Field("l_returnflag"), "f")],
+    )
+    # strip the filter -> must fail validation
+    from yupana_spark.query import Query
+
+    bad = Query(table=q.table, fields=q.fields, filter=None)
+    with pytest.raises(InvalidQueryError):
+        tsdb.query(bad)
+
+
+def test_or_branch_needs_time_bounds(tsdb):
+    # OR branch without time bound must be rejected (FlatAndCondition)
+    from yupana_spark.query import Query, QueryField
+
+    bad = Query(
+        table="lineitem",
+        fields=(QueryField(E.Field("l_returnflag"), "f"),),
+        filter=E.or_(
+            E.and_(E.ge(E.time(), E.const(FROM)), E.lt(E.time(), E.const(TO))),
+            E.eq(E.Field("l_returnflag"), E.const("A")),
+        ),
+    )
+    with pytest.raises(InvalidQueryError):
+        tsdb.query(bad)
+
+
+def test_window_and_agg_cannot_mix(tsdb):
+    q = query(
+        "lineitem", FROM, TO,
+        fields=[
+            (E.sum_(E.Field("l_quantity")), "s"),
+            (E.lag(E.Field("l_quantity")), "lq"),
+        ],
+        group_by=[E.Field("l_returnflag")],
+    )
+    with pytest.raises(InvalidQueryError):
+        tsdb.query(q)
+
+
+def test_post_aggregate_arithmetic(tsdb):
+    # sum(a) / count(a) style derived column (TsdbBase evaluatePostAggregateExprs)
+    q = query(
+        "lineitem", FROM, TO,
+        fields=[
+            (E.Field("l_returnflag"), "f"),
+            (E.BinaryOp("/", E.sum_(E.Field("l_quantity")),
+                        E.Cast(E.count(E.Field("l_quantity")), "DOUBLE")), "avg_qty"),
+        ],
+        group_by=[E.Field("l_returnflag")],
+    )
+    rows = tsdb.query(q).collect()
+    assert all(0 < r["avg_qty"] < 100 for r in rows)
+
+
+def test_lag_window(tsdb):
+    q = query(
+        "lineitem", FROM, dt.datetime(1995, 3, 1),
+        fields=[
+            (E.Field("l_orderkey"), "k"),
+            (E.time(), "t"),
+            (E.lag(E.time()), "prev_t"),
+        ],
+        group_by=[E.Field("l_returnflag")],
+    )
+    rows = tsdb.query(q).collect()
+    assert any(r["prev_t"] is not None for r in rows)
+    assert all(r["prev_t"] is None or r["prev_t"] <= r["t"] for r in rows)
+
+
+def test_link_enrichment(tsdb):
+    q = query(
+        "orders", FROM, TO,
+        fields=[
+            (E.LinkField("CustomerLink", "c_mktsegment"), "seg"),
+            (E.count(E.Field("o_totalprice")), "cnt"),
+        ],
+        group_by=[E.LinkField("CustomerLink", "c_mktsegment")],
+    )
+    rows = tsdb.query(q).collect()
+    assert len(rows) >= 3
+    assert all(r["seg"] is not None for r in rows)
+
+
+def test_link_predicate_semijoin(tsdb):
+    q = query(
+        "orders", FROM, TO,
+        fields=[(E.count(E.Field("o_orderkey")), "cnt")],
+        filter=E.eq(E.LinkField("CustomerLink", "c_mktsegment"), E.const("BUILDING")),
+    )
+    all_q = query(
+        "orders", FROM, TO,
+        fields=[(E.count(E.Field("o_orderkey")), "cnt")],
+    )
+    filtered = tsdb.query(q).collect()[0]["cnt"]
+    total = tsdb.query(all_q).collect()[0]["cnt"]
+    assert 0 < filtered < total
+
+
+def test_case_in_between_isnull(tsdb):
+    q = query(
+        "lineitem", FROM, TO,
+        fields=[
+            (E.sum_(E.Case(((E.In(E.Field("l_returnflag"), ("A", "R")),
+                             E.Field("l_quantity")),), E.const(0.0))), "s_ar"),
+        ],
+        filter=E.and_(
+            E.between(E.Field("l_quantity"), 1.0, 50.0),
+            E.IsNull(E.Field("l_extendedprice"), negated=True),
+        ),
+    )
+    assert tsdb.query(q).collect()[0]["s_ar"] > 0
+
+
+def test_tableless_select(tsdb):
+    # SELECT <const exprs> with no FROM yields one row (TsdbBase.scala:192-207)
+    df = tsdb.spark.range(1).select()
+    from yupana_spark.operators.tableless import select_constants
+
+    out = select_constants(tsdb.spark, [(E.const(2), "two"), (E.const("x"), "s")])
+    row = out.collect()[0]
+    assert row["two"] == 2 and row["s"] == "x"
+
+
+def test_string_and_time_functions(tsdb):
+    q = query(
+        "orders", FROM, TO,
+        fields=[
+            (E.Fun("lower", (E.Field("o_orderstatus"),)), "st"),
+            (E.extract("year", E.time()), "y"),
+            (E.Fun("length", (E.Field("o_orderpriority"),)), "plen"),
+        ],
+        limit=10,
+    )
+    rows = tsdb.query(q).collect()
+    assert all(r["st"] in ("o", "f", "p") for r in rows)
+    assert all(1995 <= r["y"] <= 2001 for r in rows)
+
+
+def test_array_functions(tsdb):
+    from yupana_spark.operators.tableless import select_constants
+
+    arr = E.ArrayExpr((E.const("a"), E.const("b"), E.const("b")))
+    out = select_constants(
+        tsdb.spark,
+        [
+            (E.Fun("length", (arr,)), "alen"),
+            (E.Fun("array_to_string", (arr,)), "astr"),
+            (E.Fun("contains", (arr, E.const("a"))), "has_a"),
+            (E.Fun("contains_all", (arr, E.ArrayExpr((E.const("a"),)))), "all_a"),
+            (E.Fun("contains_any", (arr, E.ArrayExpr((E.const("z"), E.const("b"))))), "any_zb"),
+            (E.Fun("contains_same", (arr, E.ArrayExpr((E.const("b"), E.const("a"))))), "same_ab"),
+        ],
+    )
+    r = out.collect()[0]
+    assert r["alen"] == 3 and r["astr"] == "a, b, b"
+    assert r["has_a"] and r["all_a"] and r["any_zb"] and r["same_ab"]
+
+
+def test_placeholders(tsdb):
+    q = query(
+        "lineitem", FROM, TO,
+        fields=[(E.count(E.Field("l_orderkey")), "cnt")],
+        filter=E.eq(E.Field("l_returnflag"), E.Placeholder(1, "VARCHAR")),
+    )
+    c_a = tsdb.query(q, params=["A"]).collect()[0]["cnt"]
+    c_r = tsdb.query(q, params=["R"]).collect()[0]["cnt"]
+    assert c_a > 0 and c_r > 0

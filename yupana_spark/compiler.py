@@ -1,0 +1,479 @@
+"""Query IR -> DataFrame compiler.
+
+Replaces the reference's 6-stage JIT pipeline (yupana-core/.../TsdbBase.scala:
+101-291 + jit/JIT.scala:27-361): scan -> enrich links -> filter -> project ->
+hash-aggregate (fold/combine/post) -> window -> having -> limit.  On Spark the
+whole physical layer (columnar batches, whole-stage codegen, partial/final
+hash aggregation, shuffle, pushdown, spill) is Catalyst/Tungsten built-ins, so
+this module only translates semantics:
+
+- external links      -> broadcast left joins (ExternalLinkUtils.scala:150-220)
+- aggregation         -> groupBy().agg() with post-aggregate Column algebra
+                         (TsdbBase.scala:241-272)
+- lag window          -> Window.partitionBy(groupBy).orderBy(time)
+                         (TSDB.scala:73-138; partition = GROUP BY exprs,
+                          order = time ascending, implicit)
+- HAVING              -> filter after agg/window (TsdbBase.scala:274-283)
+- LIMIT               -> df.limit (TsdbBase.scala:285-288)
+
+Everything compiles to built-in pyspark.sql.functions (JVM-side, inside
+whole-stage codegen); the only Python UDF is ``tokens`` (the RU stemmer).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field
+from decimal import Decimal
+from typing import Any, Dict, List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import expressions as E
+from . import types as yt
+from .expressions import Expr, InvalidQueryError
+from .query import Query, validate
+from .schema import Schema, Table
+
+
+@dataclass
+class _Ctx:
+    """Compilation context for expr -> Column."""
+
+    post_agg: bool = False
+    group_map: Dict[str, str] = field(default_factory=dict)  # expr key -> col
+    agg_map: Dict[str, str] = field(default_factory=dict)
+    window_spec: Any = None
+
+
+def _lit(v: Any, dtype: str) -> Column:
+    if v is None:
+        return F.lit(None)
+    if isinstance(v, (list, tuple)):
+        return F.array(*[_lit(x, yt.element_type(dtype)) for x in v])
+    if isinstance(v, Decimal):
+        return F.lit(v).cast(yt.spark_type(dtype))
+    if isinstance(v, _dt.timedelta):
+        return F.expr(f"INTERVAL '{v.total_seconds()}' SECOND")
+    return F.lit(v)
+
+
+class ExpressionCompiler:
+    """Expr tree -> pyspark Column (the reference's ExpressionCalculator JIT,
+    jit/codegen/expressions/**, replaced by Catalyst codegen)."""
+
+    def __init__(self, table: Optional[Table] = None):
+        self.table = table
+
+    def col(self, e: Expr, ctx: _Ctx) -> Column:
+        if ctx.post_agg:
+            k = e.key()
+            if k in ctx.group_map:
+                return F.col(ctx.group_map[k])
+            if k in ctx.agg_map:
+                return F.col(ctx.agg_map[k])
+            if isinstance(e, (E.Field, E.TimeField, E.LinkField)):
+                raise InvalidQueryError(
+                    f"expression '{k}' is neither aggregated nor grouped"
+                )
+        return self._dispatch(e, ctx)
+
+    # -- dispatch ----------------------------------------------------------
+    def _dispatch(self, e: Expr, ctx: _Ctx) -> Column:
+        if isinstance(e, E.Const):
+            return _lit(e.value, e.dtype)
+        if isinstance(e, E.Now):
+            # substituted at bind time; reaching here means unbound
+            return F.current_timestamp()
+        if isinstance(e, E.TimeField):
+            return F.col("time")
+        if isinstance(e, E.Field):
+            return F.col(e.name)
+        if isinstance(e, E.LinkField):
+            return F.col(e.out_name)
+        if isinstance(e, E.Placeholder):
+            raise InvalidQueryError(f"unbound placeholder ?{e.index}")
+        if isinstance(e, E.BinaryOp):
+            return self._binary(e, ctx)
+        if isinstance(e, E.And):
+            out = self.col(e.conditions[0], ctx)
+            for c in e.conditions[1:]:
+                out = out & self.col(c, ctx)
+            return out
+        if isinstance(e, E.Or):
+            out = self.col(e.conditions[0], ctx)
+            for c in e.conditions[1:]:
+                out = out | self.col(c, ctx)
+            return out
+        if isinstance(e, E.Not):
+            return ~self.col(e.expr, ctx)
+        if isinstance(e, E.In):
+            return self._in(e, ctx)
+        if isinstance(e, E.IsNull):
+            c = self.col(e.expr, ctx)
+            return c.isNotNull() if e.negated else c.isNull()
+        if isinstance(e, E.Case):
+            out = F.when(
+                self.col(e.branches[0][0], ctx), self.col(e.branches[0][1], ctx)
+            )
+            for cond, val in e.branches[1:]:
+                out = out.when(self.col(cond, ctx), self.col(val, ctx))
+            return out.otherwise(self.col(e.otherwise, ctx))
+        if isinstance(e, E.Fun):
+            return self._fun(e, ctx)
+        if isinstance(e, E.ArrayExpr):
+            return F.array(*[self.col(i, ctx) for i in e.items])
+        if isinstance(e, E.Cast):
+            return self.col(e.expr, ctx).cast(yt.spark_type(e.target))
+        if isinstance(e, E.Tuple2):
+            return F.struct(
+                self.col(e.a, ctx).alias("_1"), self.col(e.b, ctx).alias("_2")
+            )
+        if isinstance(e, E.AggExpr):
+            return self._agg(e, ctx)
+        if isinstance(e, E.WindowExpr):
+            if ctx.window_spec is None:
+                raise InvalidQueryError("window function outside window context")
+            return F.lag(self.col(e.expr, ctx), 1).over(ctx.window_spec)
+        raise InvalidQueryError(f"cannot compile {type(e).__name__}")
+
+    def _binary(self, e: E.BinaryOp, ctx: _Ctx) -> Column:
+        l, r = self.col(e.left, ctx), self.col(e.right, ctx)
+        lt, rt = e.left.dtype, e.right.dtype
+        op = e.op
+        if op == "=":
+            return l == r
+        if op == "<>":
+            return l != r
+        if op == "<":
+            return l < r
+        if op == ">":
+            return l > r
+        if op == "<=":
+            return l <= r
+        if op == ">=":
+            return l >= r
+        if op == "+":
+            if lt == yt.STRING and rt == yt.STRING:
+                return F.concat(l, r)  # string '+' = concat (PlusGuard)
+            return l + r
+        if op == "-":
+            return l - r
+        if op == "*":
+            out = l * r
+            if e.dtype == yt.CURRENCY:
+                out = out.cast(yt.spark_type(yt.CURRENCY))
+            return out
+        if op == "/":
+            if lt == yt.CURRENCY and rt == yt.CURRENCY:
+                # cur/cur -> DOUBLE; divide in double space (not decimal) so
+                # the result is plain IEEE division
+                return l.cast(T.DoubleType()) / r.cast(T.DoubleType())
+            if lt == yt.CURRENCY:
+                return (l / r).cast(yt.spark_type(yt.CURRENCY))
+            if lt in yt.INTEGRAL and rt in yt.INTEGRAL:
+                # integral division (Scala Long/Long -> Long)
+                return (l / r).cast(yt.spark_type(e.dtype))
+            return l / r
+        raise InvalidQueryError(f"unknown operator {op}")
+
+    def _in(self, e: E.In, ctx: _Ctx) -> Column:
+        if isinstance(e.expr, E.Tuple2):
+            # tuple IN -> OR of AND pairs (isin over structs is brittle)
+            a, b = self.col(e.expr.a, ctx), self.col(e.expr.b, ctx)
+            cond = F.lit(False)
+            for va, vb in e.values:
+                cond = cond | ((a == F.lit(va)) & (b == F.lit(vb)))
+            return ~cond if e.negated else cond
+        c = self.col(e.expr, ctx).isin(*list(e.values))
+        return ~c if e.negated else c
+
+    def _fun(self, e: E.Fun, ctx: _Ctx) -> Column:
+        n = e.name
+        args = [self.col(a, ctx) for a in e.args]
+        a0t = e.args[0].dtype if e.args else None
+        if n == "length":
+            return F.size(args[0]) if yt.is_array(a0t) else F.length(args[0])
+        if n == "lower":
+            return F.lower(args[0])
+        if n == "upper":
+            return F.upper(args[0])
+        if n == "split":
+            # split on non-letter/digit runs, drop empties (Tokenizer semantics)
+            parts = F.split(args[0], r"[^a-zA-Z0-9а-яА-ЯёЁ]+")
+            return F.filter(parts, lambda x: x != F.lit(""))
+        if n == "tokens":
+            from .functions.tokenizer import tokens_column
+
+            if yt.is_array(a0t):
+                return tokens_column(args[0], is_array=True)
+            return tokens_column(args[0])
+        if n == "abs":
+            return F.abs(args[0])
+        if n == "-":
+            return -args[0]
+        if n.startswith("extract_"):
+            unit = n[len("extract_"):]
+            return {
+                "year": F.year,
+                "quarter": F.quarter,
+                "month": F.month,
+                "day": F.dayofmonth,
+                "hour": F.hour,
+                "minute": F.minute,
+                "second": F.second,
+            }[unit](args[0]).cast(T.IntegerType())
+        if n.startswith("trunc_"):
+            unit = n[len("trunc_"):]
+            return F.date_trunc(unit, args[0])
+        if n == "array_to_string":
+            return F.array_join(args[0], ", ")
+        if n == "contains":
+            return F.array_contains(args[0], args[1])
+        if n == "contains_all":
+            # all elements of b present in a
+            return F.size(F.array_except(args[1], args[0])) == 0
+        if n == "contains_any":
+            return F.arrays_overlap(args[0], args[1])
+        if n == "contains_same":
+            return F.array_sort(F.array_distinct(args[0])) == F.array_sort(
+                F.array_distinct(args[1])
+            )
+        if n == "id":
+            # internal dimension id -> stable surrogate hash (Dimension.scala)
+            return F.xxhash64(args[0])
+        if n == "database":
+            return F.lit("Yupana")
+        raise InvalidQueryError(f"unknown function {n}")
+
+    def _agg(self, e: E.AggExpr, ctx: _Ctx) -> Column:
+        inner_ctx = _Ctx()  # aggregate input is always row-mode
+        c = self.col(e.expr, inner_ctx)
+        it = e.expr.dtype
+        n = e.name
+        if n == "sum":
+            if it in (yt.BYTE, yt.SHORT):
+                c = c.cast(T.IntegerType())
+            out = F.sum(c)
+            if it == yt.CURRENCY:
+                out = out.cast(T.DecimalType(38, 2))
+            return out
+        if n == "min":
+            return F.min(c)
+        if n == "max":
+            return F.max(c)
+        if n == "count":
+            return F.count(c)  # ignores nulls, 0 if all null
+        if n == "avg":
+            return F.avg(c).cast(T.DecimalType(38, 18))
+        if n == "distinct_count":
+            return F.countDistinct(c).cast(T.IntegerType())
+        if n == "hll_count":
+            return F.approx_count_distinct(c, rsd=e.param)
+        if n == "distinct_random":
+            return F.first(c, ignorenulls=True)
+        raise InvalidQueryError(f"unknown aggregate {n}")
+
+
+class Tsdb:
+    """Engine facade ≙ reference TSDB / TsdbSparkBase.
+
+    Usage::
+
+        tsdb = Tsdb(spark, schema, sf_dir)
+        df = tsdb.query(q)           # typed Query IR
+        df = tsdb.sql("SELECT ...")  # YupanaQL string
+    """
+
+    def __init__(self, spark: SparkSession, schema: Schema, sf_dir: str):
+        self.spark = spark
+        self.schema = schema
+        self.sf_dir = sf_dir
+
+    # -- binding (TsdbBase.fillPlaceholders:293-309) -------------------------
+    def _bind(self, e: Expr, params: Optional[Sequence[Any]]) -> Expr:
+        now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+
+        def fn(x: Expr) -> Expr:
+            if isinstance(x, E.Now):
+                return E.Const(now, yt.TIMESTAMP)
+            if isinstance(x, E.Placeholder):
+                if params is None or x.index > len(params):
+                    raise InvalidQueryError(f"no value for placeholder ?{x.index}")
+                return E.Const(params[x.index - 1])
+            return x
+
+        return E.transform(e, fn)
+
+    def _resolve(self, e: Expr, table: Table) -> Expr:
+        """Resolve Field/LinkField dtypes against the table schema."""
+
+        def fn(x: Expr) -> Expr:
+            if isinstance(x, E.Field):
+                return E.Field(x.name, table.column_type(x.name))
+            if isinstance(x, E.LinkField):
+                link = table.link(x.link)
+                return E.LinkField(x.link, x.field_name, link.field_type(x.field_name))
+            return x
+
+        return E.transform(e, fn)
+
+    def _prepare(self, q: Query, params: Optional[Sequence[Any]]) -> Query:
+        table = self.schema.table(q.table)
+
+        def prep(e: Optional[Expr]) -> Optional[Expr]:
+            if e is None:
+                return None
+            return self._resolve(self._bind(e, params), table)
+
+        from .query import QueryField
+
+        return Query(
+            table=q.table,
+            fields=tuple(QueryField(prep(f.expr), f.name) for f in q.fields),
+            filter=prep(q.filter),
+            group_by=tuple(prep(g) for g in q.group_by),
+            having=prep(q.having),
+            limit=q.limit,
+        )
+
+    # -- main entry ----------------------------------------------------------
+    def query(
+        self,
+        q: Query,
+        params: Optional[Sequence[Any]] = None,
+        require_time_bounds: bool = True,
+    ) -> DataFrame:
+        q = self._prepare(q, params)
+        validate(q, require_time_bounds=require_time_bounds)
+        table = self.schema.table(q.table)
+        ec = ExpressionCompiler(table)
+
+        df = self.schema.load(self.spark, self.sf_dir, q.table)
+        df = self._join_links(df, q, table)
+
+        ctx = _Ctx()
+        if q.filter is not None:
+            df = df.filter(ec.col(q.filter, ctx))
+
+        has_agg = any(f.expr.contains_agg() for f in q.fields) or (
+            q.having is not None and q.having.contains_agg()
+        )
+        has_window = any(f.expr.contains_window() for f in q.fields)
+
+        if has_window:
+            df = self._compile_window(df, q, table, ec)
+        elif has_agg:
+            df = self._compile_agg(df, q, ec)
+        else:
+            cols = [ec.col(f.expr, ctx).alias(f.name) for f in q.fields]
+            df = df.select(*cols)
+            if q.group_by:
+                df = df.distinct()
+            if q.having is not None:
+                df = df.filter(ec.col(q.having, ctx))
+
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        return df
+
+    def sql(self, text: str, params: Optional[Sequence[Any]] = None) -> DataFrame:
+        from .sql.parser import parse
+        from .sql.analyzer import analyze
+
+        stmt = parse(text)
+        q = analyze(stmt, self.schema)
+        return self.query(q, params=params)
+
+    # -- external links (TsdbBase.scala:311-347) ------------------------------
+    def _join_links(self, df: DataFrame, q: Query, table: Table) -> DataFrame:
+        used: Dict[str, set] = {}
+        exprs: List[Expr] = [f.expr for f in q.fields] + list(q.group_by)
+        if q.filter is not None:
+            exprs.append(q.filter)
+        if q.having is not None:
+            exprs.append(q.having)
+        for e in exprs:
+            for lf in E.collect(e, lambda x: isinstance(x, E.LinkField)):
+                used.setdefault(lf.link, set()).add(lf.field_name)
+        for link_name, fields in used.items():
+            link = table.link(link_name)
+            src = link.source(self.spark, self.sf_dir)
+            key = f"__lk_{link_name}"
+            sel = [F.col(link.key_column).alias(key)] + [
+                F.col(f).alias(f"{link_name}_{f}") for f in sorted(fields)
+            ]
+            dim_df = src.select(*sel)
+            # links are small by construction -> broadcast (BASELINE.md)
+            df = df.join(
+                F.broadcast(dim_df), df[link.dimension] == dim_df[key], "left"
+            ).drop(key)
+        return df
+
+    # -- aggregation (TsdbBase.scala:241-272) ---------------------------------
+    def _compile_agg(self, df: DataFrame, q: Query, ec: ExpressionCompiler) -> DataFrame:
+        row_ctx = _Ctx()
+        group_map: Dict[str, str] = {}
+        gcols: List[Column] = []
+        for i, g in enumerate(q.group_by):
+            name = f"__g{i}"
+            group_map[g.key()] = name
+            gcols.append(ec.col(g, row_ctx).alias(name))
+
+        # collect distinct aggregate subtrees across fields + having
+        agg_map: Dict[str, str] = {}
+        aggs: List[E.AggExpr] = []
+        scan: List[Expr] = [f.expr for f in q.fields]
+        if q.having is not None:
+            scan.append(q.having)
+        for e in scan:
+            for a in E.collect(e, lambda x: isinstance(x, E.AggExpr)):
+                if a.key() not in agg_map:
+                    agg_map[a.key()] = f"__a{len(aggs)}"
+                    aggs.append(a)
+        agg_cols = [ec.col(a, row_ctx).alias(agg_map[a.key()]) for a in aggs]
+
+        if gcols:
+            grouped = df.groupBy(*gcols).agg(*agg_cols)
+        else:
+            grouped = df.agg(*agg_cols)
+
+        post = _Ctx(post_agg=True, group_map=group_map, agg_map=agg_map)
+        out_cols = [ec.col(f.expr, post).alias(f.name) for f in q.fields]
+        out = grouped.select(*out_cols) if q.having is None else grouped
+        if q.having is not None:
+            # HAVING may reference aggregates not projected: filter on the
+            # grouped frame first, then project (TsdbBase.scala:274-283).
+            out = grouped.filter(ec.col(q.having, post)).select(*out_cols)
+        return out
+
+    # -- window path (TSDB.scala:73-138) --------------------------------------
+    def _compile_window(
+        self, df: DataFrame, q: Query, table: Table, ec: ExpressionCompiler
+    ) -> DataFrame:
+        row_ctx = _Ctx()
+        parts = [ec.col(g, row_ctx) for g in q.group_by]
+        # implicit order = time ascending; dimensions appended as tiebreakers
+        # for determinism (the reference's in-memory sort is stable on its
+        # storage order; Spark needs an explicit total order).
+        order = [F.col("time").asc()] + [
+            F.col(d.name).asc() for d in table.dimensions if d.name in df.columns
+        ]
+        wspec = (
+            Window.partitionBy(*parts).orderBy(*order)
+            if parts
+            else Window.partitionBy().orderBy(*order)
+        )
+        ctx = _Ctx(window_spec=wspec)
+        cols = [ec.col(f.expr, ctx).alias(f.name) for f in q.fields]
+        out = df.select(*cols)
+        if q.having is not None:
+            # HAVING after window filters computed rows (select.md:71-84)
+            hav = ec.col(self._rewrite_having_for_window(q, ctx), ctx)
+            out = df.select(*cols, hav.alias("__hav")).filter(F.col("__hav")).drop("__hav")
+        return out
+
+    def _rewrite_having_for_window(self, q: Query, ctx: _Ctx) -> Expr:
+        return q.having

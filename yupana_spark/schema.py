@@ -1,0 +1,142 @@
+"""Schema registry: Table / Dimension / Metric / ExternalLink / Schema.
+
+Reference: yupana-api/src/main/scala/org/yupana/api/schema/
+  Table.scala:31-38   (Table(name, rowTimeSpan, dimensionSeq, metrics, links))
+  Dimension.scala:46-120 (Dictionary / Raw / Hash dimensions)
+  Metric.scala:24-68
+  ExternalLink.scala:25-48
+  Schema.scala:27-39
+
+On Spark, a Table is a parquet path plus a declared StructType; dimension
+encoding (dictionary / hash) is a storage detail that parquet provides for
+free, so all dimension kinds map to plain columns.  ``rowTimeSpan`` maps to
+the time-bucket partition column used for partition pruning at scale.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import types as yt
+
+
+@dataclass(frozen=True)
+class Dimension:
+    name: str
+    dtype: str = yt.STRING
+    kind: str = "raw"  # raw | dictionary | hash — informational on Spark
+
+
+@dataclass(frozen=True)
+class Metric:
+    name: str
+    dtype: str
+    group: int = 1  # 1=default, 2=rarelyQueried (column families; no-op here)
+
+
+@dataclass(frozen=True)
+class LinkField:
+    name: str
+    dtype: str = yt.STRING
+
+
+@dataclass(frozen=True)
+class ExternalLink:
+    """Lookup/enrichment source keyed by one dimension (ExternalLink.scala).
+
+    ``source`` loads the (small) dimension DataFrame; enrichment compiles to a
+    broadcast left join, predicates on link fields compile to semi-/anti-joins
+    (ExternalLinkUtils.scala:41-220).
+    """
+
+    name: str
+    dimension: str  # fact-table column the link is keyed on
+    key_column: str  # key column in the link source
+    fields: Tuple[LinkField, ...]
+    source: Callable[[SparkSession, str], DataFrame] = None  # (spark, sf_dir)
+
+    def field_type(self, fname: str) -> str:
+        for f_ in self.fields:
+            if f_.name == fname:
+                return f_.dtype
+        raise KeyError(f"link {self.name} has no field {fname}")
+
+
+@dataclass(frozen=True)
+class Table:
+    name: str
+    time_column: str  # source column holding event time
+    dimensions: Tuple[Dimension, ...]
+    metrics: Tuple[Metric, ...]
+    external_links: Tuple[ExternalLink, ...] = ()
+    row_time_span_days: int = 1  # ≙ rowTimeSpan: partition-bucket granularity
+    path: Optional[str] = None  # relative parquet file under sf_dir
+
+    def column_type(self, name: str) -> str:
+        if name == "time" or name == self.time_column:
+            return yt.TIMESTAMP
+        for d in self.dimensions:
+            if d.name == name:
+                return d.dtype
+        for m in self.metrics:
+            if m.name == name:
+                return m.dtype
+        raise KeyError(f"table {self.name} has no column {name}")
+
+    def has_column(self, name: str) -> bool:
+        try:
+            self.column_type(name)
+            return True
+        except KeyError:
+            return False
+
+    def link(self, name: str) -> ExternalLink:
+        for l in self.external_links:
+            if l.name == name:
+                return l
+        raise KeyError(f"table {self.name} has no external link {name}")
+
+
+@dataclass
+class Schema:
+    """Catalog of tables (Schema.scala:27-39). Loads parquet lazily per table."""
+
+    tables: Dict[str, Table] = field(default_factory=dict)
+
+    def add(self, t: Table) -> "Schema":
+        self.tables[t.name] = t
+        return self
+
+    def table(self, name: str) -> Table:
+        if name not in self.tables:
+            raise KeyError(f"unknown table {name}")
+        return self.tables[name]
+
+    def load(self, spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+        """Read the table and expose its time column as ``time``.
+
+        The read stays a plain parquet scan so Catalyst keeps predicate
+        pushdown and column pruning (PushedFilters / ReadSchema).
+        """
+        t = self.table(name)
+        path = os.path.join(sf_dir, t.path or f"{name}.parquet")
+        # some sources write TIMESTAMP(NANOS) which Spark's vectorized reader
+        # rejects; read nanos as long and convert (integer division keeps the
+        # full 64-bit precision — going through double would corrupt it)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        from pyspark.sql import types as T
+
+        tcol_type = df.schema[t.time_column].dataType
+        if isinstance(tcol_type, T.LongType):
+            df = df.withColumn(
+                t.time_column,
+                F.expr(f"timestamp_micros({t.time_column} div 1000)"),
+            )
+        if t.time_column != "time":
+            df = df.withColumn("time", F.col(t.time_column))
+        return df
