@@ -415,6 +415,108 @@ def q_limit(spark, sf_dir):
     return _tsdb(spark, sf_dir).query(q)
 
 
+# ---------------------------------------------------------------------------
+# §3.1 SQL front-end (YupanaQL text -> parse -> analyze -> execute)
+# ---------------------------------------------------------------------------
+def q_yql_text(spark, sf_dir):
+    """Full SQL lifecycle incl. alias-in-GROUP-BY resolution."""
+    return _tsdb(spark, sf_dir).sql(
+        "SELECT trunc_month(time) AS m, l_linestatus, "
+        "       sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty, "
+        "       count(l_orderkey) AS cnt "
+        "FROM lineitem "
+        "WHERE time >= TIMESTAMP '1995-01-01' AND time < TIMESTAMP '2002-01-01' "
+        "GROUP BY m, l_linestatus")
+
+
+def q_yql_nested(spark, sf_dir):
+    """Nested SELECT flattening (SqlParser.scala:235-251) — not a subquery."""
+    return _tsdb(spark, sf_dir).sql(
+        "SELECT y, sum(CAST(q AS DECIMAL(18,4))) AS total FROM "
+        "(SELECT year(time) AS y, l_quantity AS q FROM lineitem) "
+        "WHERE time >= TIMESTAMP '1995-01-01' AND time < TIMESTAMP '2002-01-01' "
+        "GROUP BY y")
+
+
+def q_yql_now_interval(spark, sf_dir):
+    """now() substitution + interval arithmetic in the time filter."""
+    return _tsdb(spark, sf_dir).sql(
+        "SELECT count(l_orderkey) AS cnt FROM lineitem "
+        "WHERE time >= TIMESTAMP '1995-01-01' + INTERVAL '31 00:00:00' "
+        "AND time < now()")
+
+
+def q_split(spark, sf_dir):
+    """split on non-letter/digit runs, empties dropped (Tokenizer)."""
+    q = query(
+        "orders", FROM, TO,
+        fields=[
+            (E.Fun("split", (E.Field("o_orderpriority"),)), "parts"),
+            (E.count(E.Field("o_orderkey")), "cnt"),
+        ],
+        group_by=[E.Fun("split", (E.Field("o_orderpriority"),))],
+    )
+    return _tsdb(spark, sf_dir).query(q)
+
+
+def q_tokens(spark, sf_dir):
+    """tokens (stem + transliterate) — Python stemmer => rows-only check."""
+    q = query(
+        "orders", FROM, TO,
+        fields=[
+            (E.Fun("tokens", (E.Field("o_orderpriority"),)), "toks"),
+            (E.count(E.Field("o_orderkey")), "cnt"),
+        ],
+        group_by=[E.Fun("tokens", (E.Field("o_orderpriority"),))],
+    )
+    return _tsdb(spark, sf_dir).query(q)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 writes: UPSERT / put / rollup (+ changelog) — run against a temp
+# warehouse overlaying the read-only sf_dir
+# ---------------------------------------------------------------------------
+def q_upsert_roundtrip(spark, sf_dir):
+    tsdb = _tsdb(spark, sf_dir)
+    tsdb.sql(
+        "UPSERT INTO events (time, event_id, user_id, event_type, value) VALUES "
+        "(TIMESTAMP '2024-03-01 10:00:00', 900001, 1, 'upserted', 1.5), "
+        "(TIMESTAMP '2024-03-01 11:00:00', 900002, 2, 'upserted', 2.5), "
+        "(TIMESTAMP '2024-03-01 11:00:00', 900002, 2, 'upserted', 3.5)")
+    return tsdb.sql(
+        "SELECT event_id, event_type, value FROM events "
+        "WHERE time >= TIMESTAMP '2024-03-01' AND time < TIMESTAMP '2024-03-02'")
+
+
+def q_rollup_by_month(spark, sf_dir):
+    """Rollup materialization (Rollup.scala / ReceiptRollups.scala)."""
+    from yupana_spark.operators.rollup import Rollup, run_rollup
+
+    tsdb = _tsdb(spark, sf_dir)
+    r = Rollup(
+        name="lineitem_by_month",
+        from_table="lineitem",
+        to_table="lineitem_by_month",
+        time_trunc="month",
+        group_by=("l_returnflag",),
+        aggregates=(
+            (E.sum_(_dec("l_quantity")), "sum_qty"),
+            (E.count(E.Field("l_quantity", "DOUBLE")), "cnt"),
+        ),
+    )
+    out = run_rollup(tsdb.warehouse, r)
+    return out.select("time", "l_returnflag", "sum_qty", "cnt")
+
+
+def q_show_tables(spark, sf_dir):
+    return _tsdb(spark, sf_dir).sql("SHOW TABLES")
+
+
+def q_show_columns(spark, sf_dir):
+    df = _tsdb(spark, sf_dir).sql("SHOW COLUMNS FROM orders")
+    return df.select("COLUMN_NAME", "DATA_TYPE")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_day_rollup(spark, "/root/testdata/sf0.001")
@@ -448,6 +550,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tableless": q_tableless,
         "q_union": q_union,
         "q_limit": q_limit,
+        "q_yql_text": q_yql_text,
+        "q_yql_nested": q_yql_nested,
+        "q_yql_now_interval": q_yql_now_interval,
+        "q_split": q_split,
+        "q_tokens": q_tokens,
+        "q_upsert_roundtrip": q_upsert_roundtrip,
+        "q_rollup_by_month": q_rollup_by_month,
+        "q_show_tables": q_show_tables,
+        "q_show_columns": q_show_columns,
     }
 
 
@@ -607,5 +718,59 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_limit": f"""
             SELECT o_orderkey FROM orders WHERE {_TB_O} AND o_custkey = 7
+        """,
+        "q_yql_text": f"""
+            SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS m,
+                   l_linestatus,
+                   sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+                   count(l_orderkey) AS cnt
+            FROM lineitem WHERE {_TB} GROUP BY 1, 2
+        """,
+        "q_yql_nested": f"""
+            SELECT CAST(date_trunc('year', l_shipdate) AS TIMESTAMP) AS y,
+                   sum(CAST(l_quantity AS DECIMAL(18,4))) AS total
+            FROM lineitem WHERE {_TB} GROUP BY 1
+        """,
+        "q_yql_now_interval": """
+            SELECT count(l_orderkey) AS cnt FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01' + INTERVAL 31 DAY
+              AND l_shipdate < now()
+        """,
+        "q_split": f"""
+            SELECT list_filter(string_split_regex(o_orderpriority,
+                               '[^a-zA-Z0-9]+'), x -> x <> '') AS parts,
+                   count(o_orderkey) AS cnt
+            FROM orders WHERE {_TB_O} GROUP BY 1
+        """,
+        # q_tokens: Python stemmer UDF -> rows-only check
+        "q_upsert_roundtrip": """
+            SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+                   CAST(value AS DOUBLE) AS value
+            FROM (VALUES
+                (900001, 'upserted', 1.5),
+                (900002, 'upserted', 3.5)
+            ) AS t(event_id, event_type, value)
+        """,
+        "q_rollup_by_month": f"""
+            SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS time,
+                   l_returnflag,
+                   sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+                   count(l_quantity) AS cnt
+            FROM lineitem WHERE {_TB} GROUP BY 1, 2
+        """,
+        "q_show_tables": """
+            SELECT 'events' AS TABLE_NAME UNION ALL
+            SELECT 'lineitem' UNION ALL SELECT 'orders'
+        """,
+        "q_show_columns": """
+            SELECT * FROM (VALUES
+                ('time', 'TIMESTAMP'), ('o_orderkey', 'BIGINT'),
+                ('o_custkey', 'BIGINT'), ('o_orderstatus', 'VARCHAR'),
+                ('o_orderpriority', 'VARCHAR'), ('o_totalprice', 'DOUBLE'),
+                ('CustomerLink_c_name', 'VARCHAR'),
+                ('CustomerLink_c_nationkey', 'INTEGER'),
+                ('CustomerLink_c_acctbal', 'DOUBLE'),
+                ('CustomerLink_c_mktsegment', 'VARCHAR')
+            ) AS t(COLUMN_NAME, DATA_TYPE)
         """,
     }

@@ -1,0 +1,148 @@
+"""Write path: put / UPSERT / rollup / changelog / admin statements."""
+
+import datetime as dt
+
+import pytest
+
+from yupana_spark import E, Tsdb, default_schema
+
+
+@pytest.fixture()
+def wtsdb(spark, tmp_path):
+    return Tsdb(spark, default_schema(), "/root/testdata/sf0.001",
+                warehouse_root=str(tmp_path / "wh"))
+
+
+TB = "time >= TIMESTAMP '1995-01-01' AND time < TIMESTAMP '2002-01-01'"
+
+
+def test_upsert_sql_roundtrip(wtsdb):
+    before = wtsdb.sql(f"SELECT count(l_orderkey) c FROM lineitem WHERE {TB}") \
+        .collect()[0]["c"]
+    out = wtsdb.sql(
+        "UPSERT INTO lineitem (time, l_orderkey, l_partkey, l_suppkey, "
+        "l_linenumber, l_quantity) VALUES "
+        "(TIMESTAMP '1996-06-06', 999999, 1, 1, 1, 42.0), "
+        "(TIMESTAMP '1996-06-07', 999999, 1, 1, 2, 43.0)")
+    assert out.collect()[0]["UPSERTED"] == 2
+    after = wtsdb.sql(f"SELECT count(l_orderkey) c FROM lineitem WHERE {TB}") \
+        .collect()[0]["c"]
+    assert after == before + 2
+    # idempotent by key: replaying the same upsert must not duplicate
+    wtsdb.sql(
+        "UPSERT INTO lineitem (time, l_orderkey, l_partkey, l_suppkey, "
+        "l_linenumber, l_quantity) VALUES "
+        "(TIMESTAMP '1996-06-06', 999999, 1, 1, 1, 50.0)")
+    again = wtsdb.sql(f"SELECT count(l_orderkey) c FROM lineitem WHERE {TB}") \
+        .collect()[0]["c"]
+    assert again == after
+    q = wtsdb.sql(f"SELECT sum(l_quantity) s FROM lineitem WHERE {TB} "
+                  "AND l_orderkey = 999999").collect()[0]["s"]
+    assert q == 50.0 + 43.0  # first row replaced, second kept
+
+
+def test_put_rows(wtsdb):
+    wh = wtsdb.warehouse
+    row = {c: None for c in wh.read("events").columns}
+    row.update(event_id=123456789, ts=dt.datetime(2024, 1, 15),
+               time=dt.datetime(2024, 1, 15), user_id=1,
+               event_type="synthetic", value=1.5, props="{}")
+    n = wh.put_rows("events", [row])
+    assert n == 1
+    got = wtsdb.sql(
+        "SELECT event_type et FROM events WHERE time >= TIMESTAMP '2024-01-15' "
+        "AND time < TIMESTAMP '2024-01-16' AND event_id = 123456789").collect()
+    assert got and got[0]["et"] == "synthetic"
+
+
+def test_rollup_and_changelog(wtsdb):
+    from yupana_spark.operators.rollup import Rollup, run_rollup
+
+    r = Rollup(
+        name="lineitem_by_day",
+        from_table="lineitem",
+        to_table="lineitem_by_day",
+        time_trunc="day",
+        group_by=("l_returnflag",),
+        aggregates=(
+            (E.sum_(E.Cast(E.Field("l_quantity", "DOUBLE"), "DECIMAL(18,4)")),
+             "sum_qty"),
+            (E.count(E.Field("l_quantity", "DOUBLE")), "cnt"),
+        ),
+    )
+    out = run_rollup(wtsdb.warehouse, r)
+    assert out.count() > 100
+    # rollup result matches direct aggregation
+    direct = wtsdb.sql(
+        f"SELECT trunc_day(time) d, l_returnflag, count(l_quantity) c "
+        f"FROM lineitem WHERE {TB} GROUP BY d, l_returnflag")
+    assert out.count() == direct.count()
+
+
+def test_updates_intervals_changelog(wtsdb):
+    wtsdb.sql(
+        "UPSERT INTO lineitem (time, l_orderkey, l_partkey, l_suppkey, "
+        "l_linenumber, l_quantity) VALUES (TIMESTAMP '1997-03-03', 888888, 1, 1, 1, 1.0)")
+    iv = wtsdb.sql("SHOW UPDATES_INTERVALS")
+    rows = iv.collect()
+    assert any(r["table_name"] == "lineitem"
+               and r["day"] == dt.datetime(1997, 3, 3) for r in rows)
+
+
+def test_admin_statements(wtsdb):
+    tables = [r["TABLE_NAME"] for r in wtsdb.sql("SHOW TABLES").collect()]
+    assert "lineitem" in tables and "orders" in tables
+    cols = wtsdb.sql("SHOW COLUMNS FROM lineitem").collect()
+    names = [r["COLUMN_NAME"] for r in cols]
+    assert "time" in names and "l_quantity" in names
+    assert any(n.startswith("PartLink_") for n in names)
+    v = wtsdb.sql("SHOW VERSION").collect()[0]
+    assert v["VERSION"]
+    fns = [r["NAME"] for r in wtsdb.sql("SHOW FUNCTIONS FOR VARCHAR").collect()]
+    assert "lower" in fns and "count" in fns
+    qs = wtsdb.sql("SHOW QUERIES LIMIT 5").collect()
+    assert len(qs) >= 1  # at least this session's statements
+    ok = wtsdb.sql("SET spark.yupana.test = 'on'").collect()[0]
+    assert ok["VALUE"] == "on"
+    assert wtsdb.spark.conf.get("spark.yupana.test") == "on"
+    deleted = wtsdb.sql("DELETE QUERIES WHERE STATE = 'FINISHED'").collect()[0]
+    assert deleted["DELETED"] >= 1
+
+
+def test_streaming_ingest(wtsdb, tmp_path):
+    import json
+
+    from yupana_spark.streaming.ingest import read_json_stream, save_data_points
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    events = wtsdb.warehouse.read("events")
+    rows = [
+        {"event_id": 555000 + i, "ts": f"2024-01-2{i} 00:00:00",
+         "user_id": 7, "event_type": "streamed", "value": float(i),
+         "props": "{}"}
+        for i in range(3)
+    ]
+    (src / "batch1.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    from pyspark.sql import functions as F, types as T
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    stream = read_json_stream(wtsdb.spark, str(src), schema)
+    stream = (stream.withColumn("ts", F.to_timestamp("ts"))
+              .withColumn("time", F.col("ts")))
+    q = save_data_points(stream, wtsdb.warehouse, "events",
+                         str(tmp_path / "ckpt"), trigger_once=True)
+    q.awaitTermination(120)
+    got = wtsdb.sql(
+        "SELECT count(event_id) c FROM events WHERE "
+        "time >= TIMESTAMP '2024-01-20' AND time < TIMESTAMP '2024-01-25' "
+        "AND event_type = 'streamed'").collect()[0]["c"]
+    assert got == 3

@@ -287,10 +287,29 @@ class Tsdb:
         df = tsdb.sql("SELECT ...")  # YupanaQL string
     """
 
-    def __init__(self, spark: SparkSession, schema: Schema, sf_dir: str):
+    def __init__(self, spark: SparkSession, schema: Schema, sf_dir: str,
+                 warehouse_root: Optional[str] = None):
         self.spark = spark
         self.schema = schema
         self.sf_dir = sf_dir
+        self._warehouse = None
+        self._warehouse_root = warehouse_root
+
+    @property
+    def warehouse(self):
+        """Writable store for put/UPSERT/rollup outputs (operators.writes)."""
+        if self._warehouse is None:
+            from .operators.writes import Warehouse
+
+            self._warehouse = Warehouse(
+                self.spark, self.schema, self.sf_dir, self._warehouse_root
+            )
+        return self._warehouse
+
+    def _load(self, table: str) -> DataFrame:
+        if self._warehouse is not None and self._warehouse.exists(table):
+            return self._warehouse.read(table)
+        return self.schema.load(self.spark, self.sf_dir, table)
 
     # -- binding (TsdbBase.fillPlaceholders:293-309) -------------------------
     def _bind(self, e: Expr, params: Optional[Sequence[Any]]) -> Expr:
@@ -346,12 +365,26 @@ class Tsdb:
         params: Optional[Sequence[Any]] = None,
         require_time_bounds: bool = True,
     ) -> DataFrame:
+        if q.table is None:
+            # table-less SELECT: const exprs, one row (TsdbBase.scala:192-207)
+            ec0 = ExpressionCompiler()
+            ctx0 = _Ctx()
+            cols = []
+            for f in q.fields:
+                e = self._bind(f.expr, params)
+                if e.kind() != E.CONST:
+                    raise InvalidQueryError(
+                        "table-less SELECT allows only constant expressions"
+                    )
+                cols.append(ec0.col(e, ctx0).alias(f.name))
+            out = self.spark.range(1).select(*cols)
+            return out.limit(q.limit) if q.limit is not None else out
         q = self._prepare(q, params)
         validate(q, require_time_bounds=require_time_bounds)
         table = self.schema.table(q.table)
         ec = ExpressionCompiler(table)
 
-        df = self.schema.load(self.spark, self.sf_dir, q.table)
+        df = self._load(q.table)
         df = self._join_links(df, q, table)
 
         ctx = _Ctx()
@@ -380,12 +413,34 @@ class Tsdb:
         return df
 
     def sql(self, text: str, params: Optional[Sequence[Any]] = None) -> DataFrame:
-        from .sql.parser import parse
-        from .sql.analyzer import analyze
+        """Parse + analyze + execute a YupanaQL statement.
 
-        stmt = parse(text)
-        q = analyze(stmt, self.schema)
-        return self.query(q, params=params)
+        ≙ QueryEngineRouter.query (yupana-core/.../QueryEngineRouter.scala:35-43):
+        SELECTs run through the engine; UPSERT and admin statements are
+        dispatched to their operators.
+        """
+        from .sql import ast as A
+        from .sql.analyzer import analyze
+        from .sql.parser import parse
+
+        from .operators.metrics import REGISTRY
+
+        qid = REGISTRY.start(text)
+        self.spark.sparkContext.setJobGroup(f"yupana-{qid}", text[:100])
+        try:
+            stmt = parse(text)
+            if isinstance(stmt, A.Select):
+                q = analyze(stmt, self.schema)
+                out = self.query(q, params=params)
+            else:
+                from .operators.admin import execute_statement
+
+                out = execute_statement(self, stmt)
+            REGISTRY.finish(qid)
+            return out
+        except Exception:
+            REGISTRY.finish(qid, "FAILED")
+            raise
 
     # -- external links (TsdbBase.scala:311-347) ------------------------------
     def _join_links(self, df: DataFrame, q: Query, table: Table) -> DataFrame:

@@ -57,7 +57,9 @@ class Expr:
         return f"{type(self).__name__}({args})"
 
     def kind(self) -> str:
-        return _merge_kinds([SIMPLE] + [c.kind() for c in self.children()])
+        # operations over constants stay Const (ExprKind.scala lattice);
+        # leaves that read the row (Field/TimeField/LinkField) override this
+        return _merge_kinds([CONST] + [c.kind() for c in self.children()])
 
     @property
     def dtype(self) -> str:  # overridden
@@ -141,6 +143,9 @@ class TimeField(Expr):
     def key(self) -> str:
         return "time"
 
+    def kind(self) -> str:
+        return SIMPLE
+
     @property
     def dtype(self) -> str:
         return yt.TIMESTAMP
@@ -155,6 +160,9 @@ class Field(Expr):
 
     def key(self) -> str:
         return f"Field({self.name})"
+
+    def kind(self) -> str:
+        return SIMPLE
 
     @property
     def dtype(self) -> str:
@@ -171,6 +179,9 @@ class LinkField(Expr):
 
     def key(self) -> str:
         return f"LinkField({self.link}.{self.field_name})"
+
+    def kind(self) -> str:
+        return SIMPLE
 
     @property
     def dtype(self) -> str:

@@ -1,0 +1,124 @@
+"""Admin / metadata statements.
+
+Reference: SqlParser.scala:292-379 (grammar), QueryEngineRouter.scala:64-118
+(dispatch), providers/JdbcMetadataProvider.scala:1-212 (SHOW TABLES/COLUMNS
+output shape), UpdatesIntervalsProvider.scala (SHOW UPDATES_INTERVALS).
+Users/roles are out of scope (auth belongs to the deployment, not the engine).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, types as T
+
+from .. import __version__ as _pkg_version_guard  # noqa: F401
+from .. import types as yt
+from ..expressions import InvalidQueryError
+from ..sql import ast as A
+from .metrics import REGISTRY
+
+if TYPE_CHECKING:
+    from ..compiler import Tsdb
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+# SHOW FUNCTIONS FOR <type> (FunctionRegistry.scala:334-342)
+_COMMON = ["count", "distinct_count", "distinct_random", "lag", "max", "min",
+           "is_null", "is_not_null"]
+_BY_TYPE = {
+    yt.STRING: _COMMON + ["sum", "length", "lower", "upper", "split", "tokens",
+                          "hll_count", "+"],
+    yt.TIMESTAMP: _COMMON + [
+        "hll_count", "extract_year", "extract_quarter", "extract_month",
+        "extract_day", "extract_hour", "extract_minute", "extract_second",
+        "trunc_year", "trunc_quarter", "trunc_month", "trunc_week",
+        "trunc_day", "trunc_hour", "trunc_minute", "trunc_second",
+        "year", "quarter", "month", "week", "day", "hour", "minute", "second",
+    ],
+    yt.BOOLEAN: ["count", "is_null", "is_not_null", "and", "or", "not"],
+}
+_NUMERIC_FNS = _COMMON + ["sum", "avg", "abs", "-", "+", "*", "/"]
+
+
+def functions_for(type_name: str) -> list[str]:
+    t = type_name.upper()
+    if t in ("VARCHAR", "STRING"):
+        return sorted(set(_BY_TYPE[yt.STRING]))
+    if t == "TIMESTAMP":
+        return sorted(set(_BY_TYPE[yt.TIMESTAMP]))
+    if t == "BOOLEAN":
+        return sorted(set(_BY_TYPE[yt.BOOLEAN]))
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "DOUBLE", "DECIMAL",
+             "CURRENCY", "INT"):
+        fns = list(_NUMERIC_FNS)
+        if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+            fns.append("hll_count")
+        return sorted(set(fns))
+    if t.startswith("ARRAY"):
+        return sorted(["length", "array_to_string", "contains", "contains_all",
+                       "contains_any", "contains_same", "tokens", "count"])
+    raise InvalidQueryError(f"unknown type {type_name}")
+
+
+def execute_statement(tsdb: "Tsdb", stmt: A.Statement) -> DataFrame:
+    spark = tsdb.spark
+    if isinstance(stmt, A.ShowTables):
+        rows = [(n,) for n in sorted(tsdb.schema.tables)]
+        return _df(spark, rows, "TABLE_NAME string")
+    if isinstance(stmt, A.ShowVersion):
+        from .. import __version__
+
+        major, minor = __version__.split(".")[:2]
+        return _df(spark, [(int(major), int(minor), __version__)],
+                   "MAJOR int, MINOR int, VERSION string")
+    if isinstance(stmt, A.ShowColumns):
+        t = tsdb.schema.table(stmt.table)
+        rows = [("time", yt.TIMESTAMP, False, "time")]
+        rows += [(d.name, d.dtype, False, f"dimension({d.kind})")
+                 for d in t.dimensions]
+        rows += [(m.name, m.dtype, True, "metric") for m in t.metrics]
+        for link in t.external_links:
+            rows += [(f"{link.name}_{f.name}", f.dtype, True, "link")
+                     for f in link.fields]
+        return _df(spark, rows,
+                   "COLUMN_NAME string, DATA_TYPE string, NULLABLE boolean, "
+                   "KIND string")
+    if isinstance(stmt, A.ShowFunctions):
+        return _df(spark, [(f,) for f in functions_for(stmt.type_name)],
+                   "NAME string")
+    if isinstance(stmt, A.ShowQueries):
+        ms = REGISTRY.snapshot()
+        if stmt.query_id:
+            ms = [m for m in ms if m.query_id == stmt.query_id]
+        if stmt.state:
+            ms = [m for m in ms if m.state == stmt.state.upper()]
+        ms.sort(key=lambda m: -m.start_ts)
+        if stmt.limit:
+            ms = ms[: stmt.limit]
+        rows = [(m.query_id, m.query, m.state, float(m.duration)) for m in ms]
+        return _df(spark, rows, T.StructType([
+            T.StructField("QUERY_ID", T.StringType()),
+            T.StructField("QUERY", T.StringType()),
+            T.StructField("STATE", T.StringType()),
+            T.StructField("DURATION", T.DoubleType()),
+        ]))
+    if isinstance(stmt, A.ShowUpdatesIntervals):
+        return tsdb.warehouse.updates_intervals()
+    if isinstance(stmt, A.KillQuery):
+        ok = REGISTRY.kill(spark, stmt.query_id)
+        return _df(spark, [(ok,)], "OK boolean")
+    if isinstance(stmt, A.DeleteQueries):
+        n = REGISTRY.delete(stmt.query_id, stmt.state)
+        return _df(spark, [(n,)], "DELETED int")
+    if isinstance(stmt, A.SetValue):
+        spark.conf.set(stmt.name, str(stmt.value))
+        return _df(spark, [(stmt.name, str(stmt.value))],
+                   "NAME string, VALUE string")
+    if isinstance(stmt, A.Upsert):
+        n = tsdb.warehouse.upsert_values(stmt.table, stmt.fields, stmt.values)
+        return _df(spark, [(n,)], "UPSERTED int")
+    raise InvalidQueryError(f"cannot execute {type(stmt).__name__}")
