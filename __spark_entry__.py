@@ -517,6 +517,140 @@ def q_show_columns(spark, sf_dir):
     return df.select("COLUMN_NAME", "DATA_TYPE")
 
 
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (BASELINE.json north star: dedup, similarity
+# search, multimodal columns, text analysis) over documents/embeddings
+# ---------------------------------------------------------------------------
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def dp_token_count(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from yupana_spark.datapipe.text import bpe_token_count, token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpeish"),
+    )
+
+
+def dp_quality(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from yupana_spark.datapipe.text import quality_metrics, quality_score
+
+    m = quality_metrics(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        m["n_chars"].alias("n_chars"),
+        m["n_words"].alias("n_words"),
+        m["alpha_ratio"].alias("alpha_ratio"),
+        m["punct_ratio"].alias("punct_ratio"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def dp_lang_id(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from yupana_spark.datapipe.text import lang_id
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def dp_fingerprint(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from yupana_spark.datapipe.text import fingerprint_md5
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", fingerprint_md5(F.col("text")).alias("fp"))
+
+
+def dp_exact_dedup(spark, sf_dir):
+    from yupana_spark.datapipe.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).select(
+        "doc_id", "fp", "is_duplicate")
+
+
+def dp_minhash_dedup(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (hash-family-specific => rows-only)."""
+    from yupana_spark.datapipe.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def dp_ngram_jaccard(spark, sf_dir):
+    from yupana_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3, n=3)
+
+
+def dp_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (custom 64-bit sig => rows-only)."""
+    from yupana_spark.datapipe.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
+def dp_embed_neardup(spark, sf_dir):
+    from yupana_spark.datapipe.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.45)
+
+
+def _query_vec(spark, sf_dir):
+    return _emb(spark, sf_dir).filter("vec_id = 0").collect()[0]["embedding"]
+
+
+def dp_ann_bruteforce(spark, sf_dir):
+    from yupana_spark.datapipe.simsearch import brute_force_topk
+
+    return brute_force_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir),
+                            k=10)
+
+
+def dp_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH ANN (approximate => rows-only)."""
+    from yupana_spark.datapipe.simsearch import lsh_topk
+
+    return lsh_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
+
+
+def dp_ann_ivf(spark, sf_dir):
+    """IVF/KMeans ANN (model-dependent => rows-only)."""
+    from yupana_spark.datapipe.simsearch import ivf_build, ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    assigned, model = ivf_build(emb, n_centroids=8)
+    return ivf_topk(assigned, model, _query_vec(spark, sf_dir), k=10)
+
+
+def dp_multimodal_features(spark, sf_dir):
+    from yupana_spark.datapipe.multimodal import extract_features, synth_media_table
+
+    media = synth_media_table(_docs(spark, sf_dir))
+    return extract_features(media).select(
+        "media_id", "n_bytes", "width", "height", "channels", "content_hash")
+
+
+def dp_frame_sample(spark, sf_dir):
+    from yupana_spark.datapipe.multimodal import frame_sample, synth_media_table
+
+    media = synth_media_table(_docs(spark, sf_dir))
+    return frame_sample(media).select("media_id", "frame_no")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_day_rollup(spark, "/root/testdata/sf0.001")
@@ -559,6 +693,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_by_month": q_rollup_by_month,
         "q_show_tables": q_show_tables,
         "q_show_columns": q_show_columns,
+        "dp_token_count": dp_token_count,
+        "dp_quality": dp_quality,
+        "dp_lang_id": dp_lang_id,
+        "dp_fingerprint": dp_fingerprint,
+        "dp_exact_dedup": dp_exact_dedup,
+        "dp_minhash_dedup": dp_minhash_dedup,
+        "dp_ngram_jaccard": dp_ngram_jaccard,
+        "dp_simhash": dp_simhash,
+        "dp_embed_neardup": dp_embed_neardup,
+        "dp_ann_bruteforce": dp_ann_bruteforce,
+        "dp_ann_lsh": dp_ann_lsh,
+        "dp_ann_ivf": dp_ann_ivf,
+        "dp_multimodal_features": dp_multimodal_features,
+        "dp_frame_sample": dp_frame_sample,
     }
 
 
@@ -761,6 +909,151 @@ def oracle_sql() -> dict[str, str]:
         "q_show_tables": """
             SELECT 'events' AS TABLE_NAME UNION ALL
             SELECT 'lineitem' UNION ALL SELECT 'orders'
+        """,
+        "dp_token_count": """
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                            x -> x <> '')) AS INTEGER) AS n_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER)
+                        AS n_bpeish
+            FROM documents
+        """,
+        "dp_quality": """
+            WITH m AS (
+              SELECT doc_id,
+                     CAST(length(text) AS INTEGER) AS n_chars,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS ws,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                     length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+              FROM documents),
+            m2 AS (
+              SELECT doc_id, n_chars,
+                     CAST(len(ws) AS INTEGER) AS n_words,
+                     greatest(n_chars, 1) AS safe_len,
+                     greatest(len(ws), 1) AS safe_words,
+                     n_alpha, n_punct,
+                     len(list_intersect(list_distinct(ws),
+                         ['the','a','of','and','to','in','is','that','it','for']))
+                         AS n_stop
+              FROM m)
+            SELECT doc_id, n_chars, n_words,
+                   round(n_alpha / safe_len, 6) AS alpha_ratio,
+                   round(n_punct / safe_len, 6) AS punct_ratio,
+                   round(n_stop / safe_words, 6) AS stopword_ratio,
+                   round((CASE WHEN n_words >= 5 THEN 1 ELSE 0 END
+                        + CASE WHEN round(n_alpha / safe_len, 6) > 0.5 THEN 1 ELSE 0 END
+                        + CASE WHEN round(n_punct / safe_len, 6) < 0.2 THEN 1 ELSE 0 END
+                        + CASE WHEN round(n_alpha / safe_words, 6)
+                               BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END
+                        + CASE WHEN n_chars >= 20 THEN 1 ELSE 0 END) / 5.0, 6)
+                        AS quality
+            FROM m2
+        """,
+        "dp_lang_id": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     list_distinct(list_filter(
+                        string_split_regex(lower(text), '\\s+'),
+                        x -> x <> '')) AS ws
+              FROM documents),
+            s AS (
+              SELECT doc_id, text,
+                len(list_intersect(ws, ['der','die','das','und','ist','ein','eine','zu','mit','von'])) AS s_de,
+                len(list_intersect(ws, ['the','a','of','and','to','in','is','that','it','for'])) AS s_en,
+                len(list_intersect(ws, ['el','la','de','que','y','en','un','una','es','por'])) AS s_es,
+                len(list_intersect(ws, ['le','la','de','et','un','une','est','que','pour','dans'])) AS s_fr
+              FROM w)
+            SELECT doc_id,
+                   CASE WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0
+                        THEN 'zh'
+                        WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                        WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                        WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                        WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM s
+        """,
+        "dp_fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "dp_exact_dedup": """
+            WITH f AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+              FROM documents)
+            SELECT doc_id, fp,
+                   doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_duplicate
+            FROM f
+        """,
+        # dp_minhash_dedup / dp_simhash / dp_ann_lsh / dp_ann_ivf:
+        # hash-family/model-specific => rows-only checks
+        "dp_ngram_jaccard": """
+            WITH n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS nt
+              FROM documents),
+            w AS (SELECT doc_id,
+                         list_filter(string_split_regex(nt, '\\s+'),
+                                     x -> x <> '') AS ws
+                  FROM n),
+            sh AS (SELECT doc_id,
+                          list_distinct(list_transform(
+                              generate_series(1, greatest(len(ws) - 2, 1)),
+                              i -> array_to_string(list_slice(ws, i, i + 2),
+                                                   ' '))) AS s
+                   FROM w),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                               / greatest(len(a.s) + len(b.s)
+                                          - len(list_intersect(a.s, b.s)), 1),
+                               6) AS jaccard
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            SELECT * FROM p WHERE jaccard >= 0.3
+        """,
+        "dp_embed_neardup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                         round(list_dot_product(a.v, b.v)
+                               / (sqrt(list_dot_product(a.v, a.v))
+                                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+                  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+            SELECT * FROM p WHERE cos >= 0.45
+        """,
+        "dp_ann_bruteforce": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_dot_product(v, qv)
+                         / (sqrt(list_dot_product(v, v))
+                            * sqrt(list_dot_product(qv, qv))), 6) AS score
+            FROM e, q
+            ORDER BY score DESC, vec_id
+            LIMIT 10
+        """,
+        "dp_multimodal_features": """
+            SELECT doc_id AS media_id,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   CAST(64 + strlen(text) % 64 AS INTEGER) AS width,
+                   CAST(64 + strlen(text) % 48 AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS channels,
+                   md5(text) AS content_hash
+            FROM documents
+        """,
+        "dp_frame_sample": """
+            SELECT doc_id AS media_id,
+                   CAST(unnest(generate_series(0,
+                        greatest(strlen(text) // 100 - 1, 0))) AS INTEGER)
+                        AS frame_no
+            FROM documents
         """,
         "q_show_columns": """
             SELECT * FROM (VALUES

@@ -25,6 +25,11 @@ HEADLINE = [
     "q_arith_currency",
     "q_link_enrich",
     "q_link_two_hop",
+    "q_yql_text",
+    "dp_exact_dedup",
+    "dp_minhash_dedup",
+    "dp_lang_id",
+    "dp_ann_bruteforce",
 ]
 
 
@@ -34,9 +39,7 @@ def main() -> None:
 
     spark = get_spark("yupana-bench")
     qs = ent.queries()
-    names = [n for n in HEADLINE if n in qs] + [
-        n for n in qs if n.startswith("dp_") and n in qs
-    ]
+    names = [n for n in HEADLINE if n in qs]
 
     # warm-up: JVM + parquet footer caches (excluded from timings)
     for n in names[:2]:

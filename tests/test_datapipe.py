@@ -1,0 +1,184 @@
+"""LLM-data-pipeline operators: dedup, similarity search, text analysis,
+multimodal plumbing — incl. synthetic near-duplicates so the dedup paths are
+exercised on data that actually contains duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    """Original docs + one exact copy and one lightly-edited copy of doc 0."""
+    base = docs.filter("doc_id = 0").collect()[0]
+    edited = base["text"].replace("key", "lock", 2)
+    extra = spark.createDataFrame(
+        [(10001, base["text"], base["lang"], base["source"], base["n_chars"]),
+         (10002, edited, base["lang"], base["source"], len(edited))],
+        schema=docs.schema)
+    return docs.unionByName(extra).cache()
+
+
+def test_exact_dedup_finds_copy(docs_with_dups):
+    from yupana_spark.datapipe.dedup import exact_dedup
+
+    out = exact_dedup(docs_with_dups)
+    dups = {r["doc_id"] for r in out.filter("is_duplicate").collect()}
+    assert 10001 in dups          # the exact copy
+    assert 10002 not in dups      # the edited copy is not byte-identical
+
+
+def test_minhash_lsh_finds_neardup(docs_with_dups):
+    from yupana_spark.datapipe.dedup import minhash_dedup_pairs
+
+    pairs = {(r["id_a"], r["id_b"])
+             for r in minhash_dedup_pairs(docs_with_dups,
+                                          threshold=0.7).collect()}
+    assert (0, 10001) in pairs    # exact copy: jaccard 1.0
+    assert (0, 10002) in pairs    # light edit: high jaccard, caught by LSH
+
+
+def test_ngram_jaccard_exactness(docs_with_dups):
+    from yupana_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs_with_dups,
+                                          threshold=0.5).collect()}
+    assert pairs[(0, 10001)] == 1.0
+    assert 0.5 <= pairs[(0, 10002)] < 1.0
+
+
+def test_simhash_hamming(docs_with_dups):
+    from yupana_spark.datapipe.dedup import simhash_near_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_pairs(docs_with_dups,
+                                         max_hamming=6).collect()}
+    assert pairs[(0, 10001)] == 0  # identical text -> identical signature
+    assert (0, 10002) in pairs     # light edit -> few bits flipped
+
+
+def test_embedding_neardup_and_synthetic_twin(spark, emb):
+    from yupana_spark.datapipe.dedup import embedding_neardup_pairs
+
+    twin = emb.filter("vec_id = 0").select(
+        F.lit(99999).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0)).alias("embedding"),
+        F.col("label"))
+    df = emb.unionByName(twin)
+    pairs = {(r["id_a"], r["id_b"]): r["cos"]
+             for r in embedding_neardup_pairs(df, threshold=0.99).collect()}
+    assert pairs[(0, 99999)] == pytest.approx(1.0)
+
+
+def test_ann_bruteforce_self_first(emb):
+    from yupana_spark.datapipe.simsearch import brute_force_topk
+
+    qv = emb.filter("vec_id = 7").collect()[0]["embedding"]
+    rows = brute_force_topk(emb, qv, k=5).collect()
+    assert rows[0]["vec_id"] == 7 and rows[0]["score"] == pytest.approx(1.0)
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_ann_lsh_and_ivf_contain_self(emb):
+    from yupana_spark.datapipe.simsearch import ivf_build, ivf_topk, lsh_topk
+
+    qv = emb.filter("vec_id = 7").collect()[0]["embedding"]
+    lsh = lsh_topk(emb, qv, k=5)
+    assert lsh.collect()[0]["vec_id"] == 7  # query's own bucket always probed
+    assigned, model = ivf_build(emb, n_centroids=8)
+    ivf = ivf_topk(assigned, model, qv, k=5).collect()
+    assert ivf[0]["vec_id"] == 7
+
+
+def test_ivf_recall_vs_bruteforce(emb):
+    from yupana_spark.datapipe.simsearch import (brute_force_topk, ivf_build,
+                                                 ivf_topk)
+
+    qv = emb.filter("vec_id = 3").collect()[0]["embedding"]
+    exact = {r["vec_id"] for r in brute_force_topk(emb, qv, k=10).collect()}
+    assigned, model = ivf_build(emb, n_centroids=8)
+    approx = {r["vec_id"]
+              for r in ivf_topk(assigned, model, qv, k=10, nprobe=4).collect()}
+    assert len(exact & approx) >= 5  # nprobe=4/8 cells: decent recall
+
+
+def test_lang_id_stopwords(spark):
+    from yupana_spark.datapipe.text import lang_id
+
+    df = spark.createDataFrame(
+        [("the cat sat on the mat and it is fine",),
+         ("el gato es un animal y la casa es grande",),
+         ("der hund ist ein tier und die katze",),
+         ("le chat est un animal et la maison",),
+         ("这是一个中文句子",),
+         ("zzz qqq xxx",)],
+        "text string")
+    got = [r[0] for r in df.select(lang_id(F.col("text"))).collect()]
+    assert got == ["en", "es", "de", "fr", "zh", "und"]
+
+
+def test_quality_score_ordering(spark):
+    from yupana_spark.datapipe.text import quality_score
+
+    df = spark.createDataFrame(
+        [("The quick brown fox jumps over the lazy dog near the river bank.",),
+         ("!!! ??? ### $$$ %%%",)],
+        "text string")
+    good, bad = [r[0] for r in df.select(quality_score(F.col("text"))).collect()]
+    assert good > bad
+
+
+def test_token_count_edges(spark):
+    from yupana_spark.datapipe.text import bpe_token_count, token_count
+
+    df = spark.createDataFrame([("",), ("  ",), ("one",), ("a b  c",)],
+                               "text string")
+    got = [tuple(r) for r in df.select(
+        token_count(F.col("text")), bpe_token_count(F.col("text"))).collect()]
+    assert [g[0] for g in got] == [0, 0, 1, 3]
+
+
+def test_rolling_fingerprint_stability(spark):
+    from yupana_spark.datapipe.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [("The quick brown fox jumps over the lazy dog",),
+         ("THE QUICK BROWN FOX jumps over the lazy dog!!",)],  # same normalized
+        "text string")
+    a, b = [r[0] for r in df.select(rolling_fingerprint(F.col("text"))).collect()]
+    assert a == b  # normalization-invariant
+
+
+def test_multimodal_plumbing(spark, docs):
+    from yupana_spark.datapipe.multimodal import (decode_image,
+                                                  extract_features,
+                                                  frame_sample,
+                                                  synth_media_table)
+
+    media = synth_media_table(docs)
+    assert dict(media.dtypes)["content"] == "binary"
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    r0 = [r for r in rows if r["media_id"] == 0][0]
+    assert r0["width"] == 64 + r0["n_bytes"] % 64
+    assert r0["channels"] == 3
+    frames = frame_sample(media)
+    assert frames.count() >= docs.count()  # >=1 frame per media
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        extract_features(media, use_fake_decoder=False)

@@ -1,0 +1,354 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (the whole point — these run on 100 TB corpora):
+
+- exact: one hash-groupBy shuffle on a 32-byte fingerprint, never on the text.
+- MinHash+LSH: signatures are computed scan-side (arrays + xxhash64, all
+  JVM-side), then ONE shuffle on (band_id, band_hash) buckets; candidate
+  verification joins only within buckets — the classic
+  shingle→minhash→band→bucket-join pipeline, never an all-pairs product.
+- SimHash: 64-bit signature via a vectorized Pandas UDF (bit-packing is the
+  one thing Spark expressions do badly), then self-join on rotated prefix
+  blocks for hamming-distance candidates.
+- n-gram Jaccard: exact pairwise, but only inside LSH/bucket candidates (or
+  brute force when the caller knows the input is small).
+- embedding cosine: normalized dot product via zip_with/aggregate; the scale
+  path buckets by random-hyperplane signatures first (see simsearch.lsh).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+from .text import char_shingles, fingerprint_md5, normalize_text, word_shingles
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per identical (normalized) content.
+
+    Returns the input plus ``fp`` / ``is_duplicate``; one shuffle on the
+    fingerprint hash (group keys are 32-byte md5, not document text).
+    """
+    with_fp = df.withColumn("fp", fingerprint_md5(F.col(text_col)))
+    w = Window.partitionBy("fp")
+    return (with_fp
+            .withColumn("keep_id", F.min(id_col).over(w))
+            .withColumn("is_duplicate", F.col(id_col) != F.col("keep_id"))
+            .drop("keep_id"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread CPU-bound per-row work across all cores when the input arrives
+    as fewer splits than cores (single-file fixture parquet)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+
+
+def shingle_sets(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """(id, sh) with the distinct char k-gram set materialized.
+
+    Staged as separate projections on purpose: a nested
+    ``transform(..., s -> f(shingles))`` would re-evaluate the shingle
+    expression (regexp + substring per element) once per outer lambda
+    element — hoisting it into a column makes every later lambda reference
+    a cheap attribute.  (CollapseProject keeps non-cheap aliases staged.)
+    """
+    # single-file fixtures arrive as ONE split: fan the CPU-bound shingle
+    # work across all cores (a real 100 TB input has file splits already,
+    # so this repartition is a no-op cost there)
+    normed = _fan_out(df.select(F.col(id_col).alias("id"),
+                                normalize_text(F.col(text_col)).alias("__norm")))
+    return normed.select(
+        "id",
+        F.array_distinct(char_shingles(F.col("__norm"), k, normalized=True))
+        .alias("sh"),
+    )
+
+
+_MERSENNE31 = (1 << 31) - 1  # permutation modulus; a*h+b stays < 2^62
+                             # (no long overflow — Spark 4 runs ANSI mode)
+
+
+def _perm_params(num_hashes: int, seed: int = 42):
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+            for _ in range(num_hashes)]
+
+
+def shingle_hashes(sh_col: Column) -> Column:
+    """Hash every shingle ONCE into a long array — the expensive string work.
+    Must be materialized as its own column before minhash_signature (the
+    per-family lambda would otherwise recompute it num_hashes times)."""
+    return F.transform(sh_col, lambda s: F.pmod(F.xxhash64(s),
+                                                F.lit(_MERSENNE31)))
+
+
+def minhash_signature(hash_col: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature over a *materialized* shingle-hash array (JVM path).
+
+    The ``num_hashes`` hash families are affine permutations (a_i*h+b_i)
+    mod M31 over the precomputed longs — integer arithmetic per family
+    instead of re-hashing strings.  Higher-order-function lambdas are
+    interpreted per element, so for wide signatures the vectorized
+    ``minhash_signature_np`` (Arrow + numpy matrix min) is ~10x faster —
+    this expression form is kept for UDF-free deployments.
+    """
+    params = _perm_params(num_hashes)
+
+    def family(i: Column) -> Column:
+        # params indexed via element_at on literal arrays (i is a Column)
+        a = F.element_at(F.array([F.lit(a_) for a_, _ in params]), i + 1)
+        b = F.element_at(F.array([F.lit(b_) for _, b_ in params]), i + 1)
+        return F.array_min(F.transform(
+            hash_col, lambda h: F.pmod(a * h + b, F.lit(_MERSENNE31))))
+
+    return F.transform(F.sequence(F.lit(0), F.lit(num_hashes - 1)), family)
+
+
+def minhash_signature_np(hash_col: Column, num_hashes: int = 32) -> Column:
+    """Vectorized MinHash: one (shingles x families) numpy matrix-min per
+    row, Arrow-batched.  Same families/params as minhash_signature."""
+    import numpy as np
+
+    params = np.array(_perm_params(num_hashes), dtype=np.int64)
+    A = params[:, 0][None, :]
+    B = params[:, 1][None, :]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(hs: pd.Series) -> pd.Series:
+        def one(h):
+            if h is None or len(h) == 0:
+                return [0] * num_hashes
+            hv = np.asarray(h, dtype=np.int64)[:, None]  # (S, 1)
+            return ((hv * A + B) % _MERSENNE31).min(axis=0).tolist()
+
+        return hs.map(one)
+
+    return sig(hash_col)
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 32,
+                           bands: int = 8, k: int = 5) -> DataFrame:
+    """Candidate pairs whose signatures collide in >=1 LSH band.
+
+    rows_per_band = num_hashes/bands; P(collide) = 1-(1-j^r)^b.  The only
+    shuffle is the groupBy on (band, band_hash).
+    """
+    r = num_hashes // bands
+    hashed = shingle_sets(df, text_col, id_col, k).select(
+        "id", shingle_hashes(F.col("sh")).alias("hs"))
+    sig = hashed.select(
+        "id", minhash_signature_np(F.col("hs"), num_hashes).alias("sig"))
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", b * r + F.lit(1), r),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bhash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (left.join(right,
+                      (F.col("l.band") == F.col("r.band"))
+                      & (F.col("l.bhash") == F.col("r.bhash"))
+                      & (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct())
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return inter / F.greatest(union, F.lit(1))
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", threshold: float = 0.7,
+                        num_hashes: int = 32, bands: int = 8,
+                        k: int = 5) -> DataFrame:
+    """LSH candidates verified with exact shingle-set Jaccard >= threshold.
+
+    Verification intersects the *hashed* shingle arrays (long compares, not
+    string compares — identical Jaccard modulo ~2e-5 hash-collision noise).
+    """
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, k)
+    hs = shingle_sets(df, text_col, id_col, k).select(
+        "id", F.array_distinct(shingle_hashes(F.col("sh"))).alias("hs"))
+    a = hs.alias("a")
+    b = hs.alias("b")
+    return (cands
+            .join(a, cands.id_a == F.col("a.id"))
+            .join(b, cands.id_b == F.col("b.id"))
+            .select("id_a", "id_b",
+                    F.round(jaccard(F.col("a.hs"), F.col("b.hs")), 6)
+                    .alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, brute force — for small inputs / verification)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", threshold: float = 0.5,
+                        n: int = 3) -> DataFrame:
+    """All pairs with word n-gram Jaccard >= threshold.
+
+    O(N^2)/shuffle-heavy by construction; at scale run it only on LSH
+    candidates (minhash_dedup_pairs) — kept as the exactness oracle.
+    """
+    normed = _fan_out(df.select(F.col(id_col).alias("id"),
+                                normalize_text(F.col(text_col)).alias("__norm")))
+    wrds = normed.select(
+        "id", F.filter(F.split(F.col("__norm"), r"\s+"),
+                       lambda x: x != F.lit("")).alias("__w"))
+    sh = wrds.select(
+        "id",
+        F.array_distinct(word_shingles(F.col("__w"), n, as_words=True))
+        .alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6)
+                    .alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+@F.pandas_udf(T.LongType())
+def _simhash_udf(tokens: pd.Series) -> pd.Series:
+    """64-bit SimHash over token arrays (vectorized; numpy bit ops)."""
+    import numpy as np
+
+    def one(toks):
+        if toks is None or len(toks) == 0:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        for t in toks:
+            h = np.int64(np.uint64(hash_str64(t)))
+            bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits == 1, 1, -1)
+        sig = np.uint64(0)
+        for j in range(64):
+            if acc[j] > 0:
+                sig |= np.uint64(1) << np.uint64(j)
+        return int(np.int64(sig))
+
+    return tokens.map(one)
+
+
+def hash_str64(s: str) -> int:
+    """Deterministic 64-bit FNV-1a (stable across workers, unlike hash())."""
+    h = 0xCBF29CE484222325
+    for ch in s.encode("utf-8"):
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    from .text import words
+
+    toks = words(normalize_text(F.col(text_col)))
+    return _fan_out(df).select(F.col(id_col), _simhash_udf(toks).alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance.
+
+    Candidate generation: split the 64-bit signature into 4 x 16-bit blocks —
+    any pair within hamming<=3 shares at least one exact block (pigeonhole),
+    so the join is on (block_idx, block_value), not all pairs.
+    """
+    sigs = simhash(df, text_col, id_col).withColumnRenamed(id_col, "id")
+    blocks = sigs.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("blk"),
+                     F.shiftright(F.col("simhash"), i * 16)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("bval"))
+            for i in range(4)
+        ])).alias("b"),
+    ).select("id", "simhash", "b.blk", "b.bval")
+    l, r = blocks.alias("l"), blocks.alias("r")
+    cands = (l.join(r, (F.col("l.blk") == F.col("r.blk"))
+                    & (F.col("l.bval") == F.col("r.bval"))
+                    & (F.col("l.id") < F.col("r.id")))
+             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                     F.col("l.simhash").alias("sig_a"),
+                     F.col("r.simhash").alias("sig_b"))
+             .distinct())
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (cands.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays, computed in DOUBLE."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            threshold: float = 0.9) -> DataFrame:
+    """All pairs with cosine >= threshold (brute force).
+
+    At scale, feed this only LSH-bucketed candidates
+    (simsearch.hyperplane_lsh_buckets) — same verification expression.
+    """
+    v = _fan_out(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
+    a, b = v.alias("a"), v.alias("b")
+    return (a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+                    .alias("cos"))
+            .filter(F.col("cos") >= threshold))

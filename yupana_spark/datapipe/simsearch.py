@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns.
+
+- ``brute_force_topk``: exact cosine top-k, fully distributed (per-partition
+  top-k then a driver-side k-merge via Spark's sort+limit; no collect of the
+  corpus).  The baseline.
+- ``hyperplane_lsh_*``: random-hyperplane (SRP) signatures — bucket candidates
+  by signature prefix; probes only matching buckets, then exact rerank.  The
+  scale path: one narrow scan + a bucket-pruned join instead of a full cross
+  product.
+- ``ivf_*``: inverted-file index via KMeans (pyspark.ml) — assign every
+  vector to a centroid, search only the ``nprobe`` closest centroids.
+
+Hyperplanes/centroids are deterministic (fixed seed) so results are
+reproducible.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import cosine
+
+
+def _query_lit(query_vec: Sequence[float]) -> Column:
+    return F.array([F.lit(float(x)) for x in query_vec])
+
+
+def brute_force_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k by cosine: TakeOrderedAndProject keeps only k rows per
+    partition in flight — no global sort materialization."""
+    q = _query_lit(query_vec)
+    return (df.select(F.col(id_col),
+                      F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# signed random projections (hyperplane LSH)
+# ---------------------------------------------------------------------------
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def srp_signature(vec_col: Column, planes: np.ndarray) -> Column:
+    """Bit i = sign(dot(v, plane_i)); packed into a LONG (JVM-side)."""
+    bits = []
+    for i, p in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(vec_col, F.array([F.lit(float(x)) for x in p]),
+                       lambda a, b: a.cast("double") * b),
+            F.lit(0.0), lambda acc, v: acc + v)
+        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig.cast("long")
+
+
+def hyperplane_lsh_buckets(df: DataFrame, planes: np.ndarray,
+                           vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("bucket", srp_signature(F.col(vec_col), planes))
+
+
+def lsh_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
+             n_planes: int = 12, max_hamming: int = 2,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             seed: int = 42) -> DataFrame:
+    """Approximate top-k: only vectors whose SRP bucket is within
+    ``max_hamming`` bits of the query bucket are scored."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes, seed)
+    qv = np.asarray(query_vec, dtype=float)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(qv, p)) >= 0:
+            qsig |= 1 << i
+    bucketed = hyperplane_lsh_buckets(df, planes, vec_col)
+    ham = F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qsig)))
+    cand = bucketed.filter(ham <= max_hamming)
+    q = _query_lit(query_vec)
+    return (cand.select(F.col(id_col),
+                        F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted file) via KMeans
+# ---------------------------------------------------------------------------
+def ivf_build(df: DataFrame, n_centroids: int = 16,
+              vec_col: str = "embedding", seed: int = 42):
+    """Fit centroids and assign every vector to its cell.
+
+    Returns (assigned_df, kmeans_model).  The assignment is a narrow map; the
+    index is just an extra ``cell`` column the storage layer can partition or
+    cluster by.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.withColumn("__feat", array_to_vector(
+        F.transform(F.col(vec_col), lambda x: x.cast("double"))))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="__feat",
+                predictionCol="cell")
+    model = km.fit(feats)
+    return model.transform(feats).drop("__feat"), model
+
+
+def ivf_topk(assigned: DataFrame, model, query_vec: Sequence[float],
+             k: int = 10, nprobe: int = 4, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """Search only the nprobe cells whose centroids are closest to the query."""
+    qv = np.asarray(query_vec, dtype=float)
+    centers = model.clusterCenters()
+    dists = [float(np.linalg.norm(qv - np.asarray(c))) for c in centers]
+    probe = sorted(range(len(centers)), key=lambda i: dists[i])[:nprobe]
+    q = _query_lit(query_vec)
+    return (assigned.filter(F.col("cell").isin(probe))
+            .select(F.col(id_col),
+                    F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k))

@@ -1,0 +1,167 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): language-ID,
+quality scoring, token counting, document fingerprinting — all expressed with
+built-in pyspark.sql.functions (JVM-side, inside whole-stage codegen); no
+Python UDFs in any hot path, so a 100 TB corpus scan stays a single
+narrow-dependency pipeline with full predicate pushdown.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization / counting
+# ---------------------------------------------------------------------------
+_WS = r"\s+"
+# BPE-ish: words, numbers, or single punctuation marks (GPT-2 style classes)
+_BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokens, empties dropped."""
+    return F.filter(F.split(F.trim(col), _WS), lambda x: x != F.lit(""))
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(col))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token estimate: count regexp occurrences of word/digit/punct
+    units (regexp_count is JVM-side; a real tokenizer would be a Pandas UDF)."""
+    return F.regexp_count(col, F.lit(_BPE_RE))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+def quality_metrics(col: Column, stopwords: Optional[List[str]] = None) -> Dict[str, Column]:
+    """Length / punctuation / stopword-ratio quality signals.
+
+    Ratios are rounded to 6 places to stay hash-stable across engines.
+    """
+    sw = stopwords or _STOPWORDS["en"]
+    length = F.length(col)
+    n_alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(col, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    w = words(F.lower(col))
+    n_words = F.size(w)
+    n_stop = F.size(F.array_intersect(F.array_distinct(w),
+                                      F.array([F.lit(s) for s in sw])))
+    safe_len = F.greatest(length, F.lit(1))
+    safe_words = F.greatest(n_words, F.lit(1))
+    return {
+        "n_chars": length,
+        "n_words": n_words,
+        "alpha_ratio": F.round(n_alpha / safe_len, 6),
+        "digit_ratio": F.round(n_digit / safe_len, 6),
+        "punct_ratio": F.round(n_punct / safe_len, 6),
+        "stopword_ratio": F.round(n_stop / safe_words, 6),
+        "mean_word_len": F.round(n_alpha / safe_words, 6),
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic (Gopher-rules-style thresholds)."""
+    m = quality_metrics(col)
+    checks = [
+        (m["n_words"] >= 5).cast("int"),
+        (m["alpha_ratio"] > 0.5).cast("int"),
+        (m["punct_ratio"] < 0.2).cast("int"),
+        (m["mean_word_len"].between(2.0, 12.0)).cast("int"),
+        (m["n_chars"] >= 20).cast("int"),
+    ]
+    total = checks[0]
+    for c in checks[1:]:
+        total = total + c
+    return F.round(total / F.lit(float(len(checks))), 6)
+
+
+# ---------------------------------------------------------------------------
+# language identification (stopword/character n-gram heuristic)
+# ---------------------------------------------------------------------------
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "es", "por"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"],
+}
+
+
+def lang_scores(col: Column) -> Dict[str, Column]:
+    """Per-language stopword-hit counts over distinct lowercased words."""
+    w = F.array_distinct(words(F.lower(col)))
+    out = {}
+    for lang, sws in _STOPWORDS.items():
+        out[lang] = F.size(F.array_intersect(
+            w, F.array([F.lit(s) for s in sws])))
+    return out
+
+
+def lang_id(col: Column) -> Column:
+    """argmax language with deterministic tie-break (alphabetical); 'und'
+    when nothing matches.  CJK detection via unicode-range n-grams."""
+    scores = lang_scores(col)
+    has_cjk = F.length(F.regexp_replace(col, r"[^一-鿿]", "")) > 0
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(scores):  # alphabetical: later only wins strictly
+        s = scores[lang]
+        take = s > best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, s).otherwise(best_score)
+    return F.when(has_cjk, F.lit("zh")).otherwise(best)
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+def normalize_text(col: Column) -> Column:
+    """Canonical form: lowercase, collapse whitespace, strip non-alnum."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Exact-dup content fingerprint over the normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def char_shingles(col: Column, k: int = 5, normalized: bool = False) -> Column:
+    """Character k-gram array (JVM-side: sequence + transform + substring).
+
+    Pass ``normalized=True`` when ``col`` is already a materialized normalized
+    column — the lambda body references ``col`` once per element, so feeding
+    it a non-trivial expression multiplies that expression's cost by the
+    array length (see dedup.shingle_sets).
+    """
+    c = col if normalized else normalize_text(col)
+    n = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n),
+                       lambda i: F.substring(c, i, k))
+
+
+def word_shingles(col: Column, k: int = 3, as_words: bool = False) -> Column:
+    """Word k-gram array; ``as_words=True`` when ``col`` is already a
+    materialized word array (same per-element recomputation caveat)."""
+    w = col if as_words else words(normalize_text(col))
+    n = F.greatest(F.size(w) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), n - F.lit(1)),
+        lambda i: F.array_join(F.slice(w, i + F.lit(1), k), " "),
+    )
+
+
+def rolling_fingerprint(col: Column, k: int = 5) -> Column:
+    """Rolling-hash fingerprint: min xxhash64 over the char k-gram set
+    (a 1-permutation MinHash — stable under small edits, unlike md5)."""
+    return F.array_min(
+        F.transform(char_shingles(col, k), lambda s: F.xxhash64(s)))
