@@ -517,6 +517,40 @@ def q_show_columns(spark, sf_dir):
     return df.select("COLUMN_NAME", "DATA_TYPE")
 
 
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index text semi-join (ItemsInvertedIndexImpl.scala:109-169):
+    phrase with a stemmed word + a prefix term, via YupanaQL."""
+    return _tsdb(spark, sf_dir).sql(
+        "SELECT l_returnflag, count(l_orderkey) AS cnt, "
+        "       sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty "
+        "FROM lineitem "
+        "WHERE time >= TIMESTAMP '1995-01-01' AND time < TIMESTAMP '2002-01-01' "
+        "AND ItemsInvertedIndex_phrase = 'red wid%' "
+        "GROUP BY l_returnflag")
+
+
+def q_inverted_index_not(spark, sf_dir):
+    """Anti-join form: phrase <> / NOT IN -> DimIdNotInExpr."""
+    q = query(
+        "lineitem", FROM, TO,
+        fields=[(E.count(E.Field("l_orderkey")), "cnt")],
+        filter=E.In(E.LinkField("ItemsInvertedIndex", "phrase"),
+                    ("bolt", "gear"), negated=True),
+    )
+    return _tsdb(spark, sf_dir).query(q)
+
+
+def q_related_items(spark, sf_dir):
+    """Related-items correlation (RelatedItemsCatalogImpl.scala): all line
+    items of orders that contain a 'red widget' part."""
+    return _tsdb(spark, sf_dir).sql(
+        "SELECT l_returnflag, count(l_orderkey) AS cnt "
+        "FROM lineitem "
+        "WHERE time >= TIMESTAMP '1995-01-01' AND time < TIMESTAMP '2002-01-01' "
+        "AND RelatedItemsCatalog_phrase = 'red widget' "
+        "GROUP BY l_returnflag")
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (BASELINE.json north star: dedup, similarity
 # search, multimodal columns, text analysis) over documents/embeddings
@@ -693,6 +727,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_by_month": q_rollup_by_month,
         "q_show_tables": q_show_tables,
         "q_show_columns": q_show_columns,
+        "q_inverted_index": q_inverted_index,
+        "q_inverted_index_not": q_inverted_index_not,
+        "q_related_items": q_related_items,
         "dp_token_count": dp_token_count,
         "dp_quality": dp_quality,
         "dp_lang_id": dp_lang_id,
@@ -909,6 +946,36 @@ def oracle_sql() -> dict[str, str]:
         "q_show_tables": """
             SELECT 'events' AS TABLE_NAME UNION ALL
             SELECT 'lineitem' UNION ALL SELECT 'orders'
+        """,
+        "q_inverted_index": f"""
+            SELECT l_returnflag, count(l_orderkey) AS cnt,
+                   sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+            FROM lineitem l
+            WHERE {_TB} AND l.l_partkey IN (
+                SELECT p_partkey FROM part
+                WHERE list_contains(string_split(p_name, ' '), 'red')
+                  AND len(list_filter(string_split(p_name, ' '),
+                                      x -> x LIKE 'wid%')) > 0)
+            GROUP BY 1
+        """,
+        "q_inverted_index_not": f"""
+            SELECT count(l_orderkey) AS cnt
+            FROM lineitem l
+            WHERE {_TB} AND l.l_partkey NOT IN (
+                SELECT p_partkey FROM part
+                WHERE list_contains(string_split(p_name, ' '), 'bolt')
+                   OR list_contains(string_split(p_name, ' '), 'gear'))
+        """,
+        "q_related_items": f"""
+            SELECT l_returnflag, count(l_orderkey) AS cnt
+            FROM lineitem
+            WHERE {_TB} AND l_orderkey IN (
+                SELECT DISTINCT l_orderkey FROM lineitem
+                WHERE {_TB} AND l_partkey IN (
+                    SELECT p_partkey FROM part
+                    WHERE list_contains(string_split(p_name, ' '), 'red')
+                      AND list_contains(string_split(p_name, ' '), 'widget')))
+            GROUP BY 1
         """,
         "dp_token_count": """
             SELECT doc_id,

@@ -69,6 +69,27 @@ SUPPLIER_LINK = ExternalLink(
 )
 
 
+ITEMS_INVERTED_INDEX = ExternalLink(
+    name="ItemsInvertedIndex",
+    dimension="l_partkey",
+    key_column="p_partkey",
+    fields=(LinkField("phrase", yt.STRING),),
+    source=_parquet("part"),
+    match_mode="index",
+    text_column="p_name",
+)
+
+RELATED_ITEMS = ExternalLink(
+    name="RelatedItemsCatalog",
+    dimension="l_partkey",
+    key_column="p_partkey",
+    fields=(LinkField("phrase", yt.STRING),),
+    source=_parquet("part"),
+    match_mode="related",
+    text_column="p_name",
+    related_key="l_orderkey",
+)
+
 LINEITEM = Table(
     name="lineitem",
     time_column="l_shipdate",
@@ -86,7 +107,8 @@ LINEITEM = Table(
         Metric("l_discount", yt.DOUBLE),
         Metric("l_tax", yt.DOUBLE),
     ),
-    external_links=(PART_LINK, SUPPLIER_LINK),
+    external_links=(PART_LINK, SUPPLIER_LINK, ITEMS_INVERTED_INDEX,
+                    RELATED_ITEMS),
 )
 
 ORDERS = Table(

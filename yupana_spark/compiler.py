@@ -60,6 +60,20 @@ def _lit(v: Any, dtype: str) -> Column:
     return F.lit(v)
 
 
+def _time_conjuncts(cond: Expr) -> Optional[Expr]:
+    """Top-level AND conjuncts that only constrain ``time``."""
+    parts = cond.conditions if isinstance(cond, E.And) else (cond,)
+    keep = [
+        p for p in parts
+        if isinstance(p, E.BinaryOp)
+        and isinstance(p.left, E.TimeField)
+        and p.right.kind() == E.CONST
+    ]
+    if not keep:
+        return None
+    return keep[0] if len(keep) == 1 else E.And(tuple(keep))
+
+
 class ExpressionCompiler:
     """Expr tree -> pyspark Column (the reference's ExpressionCalculator JIT,
     jit/codegen/expressions/**, replaced by Catalyst codegen)."""
@@ -385,6 +399,7 @@ class Tsdb:
         ec = ExpressionCompiler(table)
 
         df = self._load(q.table)
+        df, q = self._rewrite_predicate_links(df, q, table)
         df = self._join_links(df, q, table)
 
         ctx = _Ctx()
@@ -442,6 +457,93 @@ class Tsdb:
             REGISTRY.finish(qid, "FAILED")
             raise
 
+    # -- predicate-rewriting links (substituteLinks, TsdbBase.scala:322-347) --
+    def _rewrite_predicate_links(self, df: DataFrame, q: Query, table: Table):
+        """Rewrite index/related link predicates into semi-/anti-joins.
+
+        ``LinkName_phrase = 'w'`` / ``IN (...)`` -> left_semi join on matching
+        keys; ``<>`` / ``NOT IN`` -> left_anti (DimIdInExpr/DimIdNotInExpr,
+        Expression.scala:639-659).  Only AND-context predicates are
+        rewritable — a disjunction over an index predicate has no single
+        semi-join form (the reference requires it per FlatAndCondition block
+        too).
+        """
+        if q.filter is None:
+            return df, q
+        jobs: List[tuple] = []  # (link, phrases, anti)
+
+        def is_index_lf(x: Expr) -> bool:
+            if not isinstance(x, E.LinkField):
+                return False
+            try:
+                return table.link(x.link).match_mode in ("index", "related")
+            except KeyError:
+                return False
+
+        def rewrite(node: Expr, in_and: bool) -> Expr:
+            if isinstance(node, E.And):
+                return E.And(tuple(rewrite(c, in_and) for c in node.conditions))
+            if isinstance(node, (E.Or, E.Not)):
+                for lf in E.collect(node, is_index_lf):
+                    raise InvalidQueryError(
+                        f"link predicate on {lf.link} must appear in AND "
+                        "context (cannot rewrite under OR/NOT)"
+                    )
+                return node
+            if (isinstance(node, E.BinaryOp) and node.op in ("=", "<>")
+                    and is_index_lf(node.left) and node.right.kind() == E.CONST):
+                link = table.link(node.left.link)
+                jobs.append((link, [node.right.value], node.op == "<>"))
+                return E.Const(True)
+            if isinstance(node, E.In) and is_index_lf(node.expr):
+                link = table.link(node.expr.link)
+                jobs.append((link, list(node.values), node.negated))
+                return E.Const(True)
+            if any(E.collect(node, is_index_lf)):
+                raise InvalidQueryError(
+                    "unsupported predicate shape on an index link "
+                    "(use =, <>, IN, NOT IN)"
+                )
+            return node
+
+        new_filter = rewrite(q.filter, True)
+        if not jobs:
+            return df, q
+        from .operators.links import indexed_match_ids, phrase_match_ids
+
+        for link, phrases, anti in jobs:
+            ids = None
+            if self._warehouse is not None:
+                ids = indexed_match_ids(self.warehouse, link, phrases)
+            if ids is None:
+                items = link.source(self.spark, self.sf_dir)
+                ids = phrase_match_ids(items, link.key_column,
+                                       link.text_column, phrases)
+            how = "left_anti" if anti else "left_semi"
+            if link.match_mode == "related":
+                # receipts (related_key) that contain a matching item,
+                # bounded by the query's own time filter
+                fact = self._load(q.table)
+                ec = ExpressionCompiler(table)
+                time_only = _time_conjuncts(q.filter)
+                if time_only is not None:
+                    fact = fact.filter(ec.col(time_only, _Ctx()))
+                matching = (fact.join(F.broadcast(ids),
+                                      fact[link.dimension] == ids["__key"],
+                                      "left_semi")
+                            .select(F.col(link.related_key).alias("__rk"))
+                            .distinct())
+                df = df.join(F.broadcast(matching),
+                             df[link.related_key] == matching["__rk"], how)
+            else:
+                df = df.join(F.broadcast(ids),
+                             df[link.dimension] == ids["__key"], how)
+        from .query import Query as Q
+
+        q = Q(table=q.table, fields=q.fields, filter=new_filter,
+              group_by=q.group_by, having=q.having, limit=q.limit)
+        return df, q
+
     # -- external links (TsdbBase.scala:311-347) ------------------------------
     def _join_links(self, df: DataFrame, q: Query, table: Table) -> DataFrame:
         used: Dict[str, set] = {}
@@ -452,6 +554,12 @@ class Tsdb:
             exprs.append(q.having)
         for e in exprs:
             for lf in E.collect(e, lambda x: isinstance(x, E.LinkField)):
+                if table.link(lf.link).match_mode != "value":
+                    # read-only predicate links (setLinkedValues is a no-op
+                    # in the reference too, ItemsInvertedIndexImpl.scala)
+                    raise InvalidQueryError(
+                        f"{lf.out_name} can only be used in WHERE predicates"
+                    )
                 used.setdefault(lf.link, set()).add(lf.field_name)
         for link_name, fields in used.items():
             link = table.link(link_name)

@@ -58,6 +58,15 @@ class ExternalLink:
     key_column: str  # key column in the link source
     fields: Tuple[LinkField, ...]
     source: Callable[[SparkSession, str], DataFrame] = None  # (spark, sf_dir)
+    # 'value': enrichment/equality link (broadcast left join)
+    # 'index': inverted-index text search — predicates on the 'phrase' field
+    #          rewrite to semi-/anti-joins (ItemsInvertedIndexImpl.scala)
+    # 'related': related-items correlation — predicates rewrite to a
+    #          semi-join on ``related_key`` of matching transactions
+    #          (RelatedItemsCatalogImpl.scala)
+    match_mode: str = "value"
+    text_column: Optional[str] = None  # for index/related matching
+    related_key: Optional[str] = None  # fact column identifying a receipt
 
     def field_type(self, fname: str) -> str:
         for f_ in self.fields:
