@@ -1,0 +1,85 @@
+"""Plan audit: .explain("formatted") for the headline queries + automated
+checks that the plans have the shape we want at scale:
+
+- time-range + dimension filters reach the parquet scan (PushedFilters)
+- link joins broadcast (BroadcastHashJoin, no SortMergeJoin on small dims)
+- aggregations are partial/final HashAggregate pairs
+- only the expected number of exchanges (shuffles)
+
+Usage: python tools/explain_audit.py [query ...]  (default: audit set)
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+
+CHECKS = {
+    "q_day_rollup": dict(pushed=r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate",
+                         expect=["HashAggregate"], forbid=["SortMergeJoin"]),
+    "q_projection_filter": dict(pushed=r"PushedFilters: \[.*EqualTo\(l_returnflag,A\)",
+                                expect=[], forbid=["Exchange"]),
+    "q_link_enrich": dict(pushed=r"PushedFilters: \[.*o_orderdate",
+                          expect=["BroadcastHashJoin"], forbid=["SortMergeJoin"]),
+    "q_link_two_hop": dict(pushed=None, expect=["BroadcastHashJoin"],
+                           forbid=["SortMergeJoin"]),
+    "q_inverted_index": dict(pushed=None,
+                             expect=["BroadcastHashJoin.*LeftSemi"],
+                             forbid=["SortMergeJoin"]),
+    "q_lag_window": dict(pushed=r"PushedFilters: \[.*l_shipdate",
+                         expect=["Window"], forbid=[]),
+    "q_having": dict(pushed=None, expect=["HashAggregate"], forbid=[]),
+    "dp_exact_dedup": dict(pushed=None, expect=["Window"], forbid=[]),
+}
+
+
+def main(only=None):
+    import __spark_entry__ as ent
+    from yupana_spark.session import get_spark
+
+    spark = get_spark("explain-audit", cpus=8)
+    qs = ent.queries()
+    failures = []
+    for name, checks in CHECKS.items():
+        if only and name not in only:
+            continue
+        df = qs[name](spark, SF_DIR)
+        import contextlib, io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        n_exchanges = len(re.findall(r"\bExchange\b", plan))
+        print(f"\n===== {name} (exchanges: {n_exchanges}) =====")
+        if only:
+            print(plan)
+        ok = True
+        if checks["pushed"] and not re.search(checks["pushed"], plan):
+            print(f"  MISSING pushdown: {checks['pushed']}")
+            ok = False
+        for pat in checks["expect"]:
+            if not re.search(pat, plan):
+                print(f"  MISSING expected: {pat}")
+                ok = False
+        for pat in checks["forbid"]:
+            if re.search(pat, plan):
+                print(f"  FORBIDDEN present: {pat}")
+                ok = False
+        print("  OK" if ok else "  AUDIT FAILED")
+        if not ok:
+            failures.append(name)
+            if not only:
+                print(plan[:4000])
+    if failures:
+        print(f"\naudit failures: {failures}")
+        sys.exit(1)
+    print("\nall plans pass the audit")
+
+
+if __name__ == "__main__":
+    main(set(sys.argv[1:]) or None)

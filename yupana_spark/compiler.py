@@ -60,6 +60,26 @@ def _lit(v: Any, dtype: str) -> Column:
     return F.lit(v)
 
 
+def _extract_time_bounds(cond: Optional[Expr]):
+    """(lo, hi) datetimes from top-level AND time conjuncts, else None."""
+    if cond is None:
+        return None
+    parts = cond.conditions if isinstance(cond, E.And) else (cond,)
+    lo = hi = None
+    for p in parts:
+        if (isinstance(p, E.BinaryOp) and isinstance(p.left, E.TimeField)
+                and isinstance(p.right, E.Const)
+                and isinstance(p.right.value, _dt.datetime)):
+            v = p.right.value
+            if p.op in (">=", ">"):
+                lo = v if lo is None else max(lo, v)
+            elif p.op in ("<", "<="):
+                hi = v if hi is None else min(hi, v)
+    if lo is None and hi is None:
+        return None
+    return (lo, hi)
+
+
 def _time_conjuncts(cond: Expr) -> Optional[Expr]:
     """Top-level AND conjuncts that only constrain ``time``."""
     parts = cond.conditions if isinstance(cond, E.And) else (cond,)
@@ -320,10 +340,11 @@ class Tsdb:
             )
         return self._warehouse
 
-    def _load(self, table: str) -> DataFrame:
+    def _load(self, table: str, time_bounds=None) -> DataFrame:
         if self._warehouse is not None and self._warehouse.exists(table):
             return self._warehouse.read(table)
-        return self.schema.load(self.spark, self.sf_dir, table)
+        return self.schema.load(self.spark, self.sf_dir, table,
+                                time_bounds=time_bounds)
 
     # -- binding (TsdbBase.fillPlaceholders:293-309) -------------------------
     def _bind(self, e: Expr, params: Optional[Sequence[Any]]) -> Expr:
@@ -398,7 +419,7 @@ class Tsdb:
         table = self.schema.table(q.table)
         ec = ExpressionCompiler(table)
 
-        df = self._load(q.table)
+        df = self._load(q.table, time_bounds=_extract_time_bounds(q.filter))
         df, q = self._rewrite_predicate_links(df, q, table)
         df = self._join_links(df, q, table)
 

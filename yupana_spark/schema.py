@@ -125,11 +125,19 @@ class Schema:
             raise KeyError(f"unknown table {name}")
         return self.tables[name]
 
-    def load(self, spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    def load(self, spark: SparkSession, sf_dir: str, name: str,
+             time_bounds=None) -> DataFrame:
         """Read the table and expose its time column as ``time``.
 
         The read stays a plain parquet scan so Catalyst keeps predicate
         pushdown and column pruning (PushedFilters / ReadSchema).
+
+        ``time_bounds`` — optional (lo, hi) datetimes from the query's
+        mandatory time condition.  For nanos-as-long sources the converted
+        ``time`` column hides the raw column from pushdown, so the bounds are
+        re-expressed over the raw int64 BEFORE the conversion projection —
+        that filter reaches the parquet row groups (at 100 TB this is the
+        difference between pruning and a full scan).
         """
         t = self.table(name)
         path = os.path.join(sf_dir, t.path or f"{name}.parquet")
@@ -142,6 +150,16 @@ class Schema:
 
         tcol_type = df.schema[t.time_column].dataType
         if isinstance(tcol_type, T.LongType):
+            if time_bounds is not None:
+                import calendar
+
+                lo, hi = time_bounds
+                if lo is not None:
+                    ns = calendar.timegm(lo.timetuple()) * 10**9
+                    df = df.filter(F.col(t.time_column) >= F.lit(ns))
+                if hi is not None:
+                    ns = calendar.timegm(hi.timetuple()) * 10**9
+                    df = df.filter(F.col(t.time_column) < F.lit(ns))
             df = df.withColumn(
                 t.time_column,
                 F.expr(f"timestamp_micros({t.time_column} div 1000)"),
