@@ -404,6 +404,19 @@ def q_union(spark, sf_dir):
         part(dt.datetime(1999, 1, 1), dt.datetime(2001, 1, 1)))
 
 
+def q_distinct_dims(spark, sf_dir):
+    """GROUP BY without aggregates -> DISTINCT over the group keys."""
+    q = query(
+        "lineitem", FROM, TO,
+        fields=[
+            (E.Field("l_returnflag"), "l_returnflag"),
+            (E.Field("l_linestatus"), "l_linestatus"),
+        ],
+        group_by=[E.Field("l_returnflag"), E.Field("l_linestatus")],
+    )
+    return _tsdb(spark, sf_dir).query(q)
+
+
 def q_limit(spark, sf_dir):
     # filter yields < limit rows -> deterministic under LIMIT
     q = query(
@@ -717,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_link_two_hop": q_link_two_hop,
         "q_tableless": q_tableless,
         "q_union": q_union,
+        "q_distinct_dims": q_distinct_dims,
         "q_limit": q_limit,
         "q_yql_text": q_yql_text,
         "q_yql_nested": q_yql_nested,
@@ -900,6 +914,10 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_shipdate < TIMESTAMP '2001-01-01'
             GROUP BY 1
+        """,
+        "q_distinct_dims": f"""
+            SELECT DISTINCT l_returnflag, l_linestatus
+            FROM lineitem WHERE {_TB}
         """,
         "q_limit": f"""
             SELECT o_orderkey FROM orders WHERE {_TB_O} AND o_custkey = 7

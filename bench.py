@@ -41,8 +41,9 @@ def main() -> None:
     qs = ent.queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # warm-up: JVM + parquet footer caches (excluded from timings)
-    for n in names[:2]:
+    # warm-up: JVM codegen, Python workers, parquet footer caches
+    # (excluded from timings — we report steady-state throughput)
+    for n in names:
         qs[n](spark, SF_DIR).count()
 
     timings = {}

@@ -141,17 +141,27 @@ def minhash_signature_np(hash_col: Column, num_hashes: int = 32) -> Column:
     return sig(hash_col)
 
 
+def hashed_shingle_sets(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """(id, hs): distinct shingle-hash arrays — the shared build artifact for
+    signatures AND verification.  Callers reuse one persisted copy instead of
+    recomputing the normalize->shingle->hash chain per consumer."""
+    return shingle_sets(df, text_col, id_col, k).select(
+        "id", F.array_distinct(shingle_hashes(F.col("sh"))).alias("hs"))
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 32,
-                           bands: int = 8, k: int = 5) -> DataFrame:
+                           bands: int = 8, k: int = 5,
+                           hashed: Optional[DataFrame] = None) -> DataFrame:
     """Candidate pairs whose signatures collide in >=1 LSH band.
 
     rows_per_band = num_hashes/bands; P(collide) = 1-(1-j^r)^b.  The only
     shuffle is the groupBy on (band, band_hash).
     """
     r = num_hashes // bands
-    hashed = shingle_sets(df, text_col, id_col, k).select(
-        "id", shingle_hashes(F.col("sh")).alias("hs"))
+    if hashed is None:
+        hashed = hashed_shingle_sets(df, text_col, id_col, k)
     sig = hashed.select(
         "id", minhash_signature_np(F.col("hs"), num_hashes).alias("sig"))
     banded = sig.select(
@@ -199,19 +209,29 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
 
     Verification intersects the *hashed* shingle arrays (long compares, not
     string compares — identical Jaccard modulo ~2e-5 hash-collision noise).
+    The hashed-shingle frame is persisted: candidates, the left and the right
+    verification side all reuse one materialization of the expensive
+    normalize->shingle->hash scan.
     """
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, k)
-    hs = shingle_sets(df, text_col, id_col, k).select(
-        "id", F.array_distinct(shingle_hashes(F.col("sh"))).alias("hs"))
-    a = hs.alias("a")
-    b = hs.alias("b")
-    return (cands
-            .join(a, cands.id_a == F.col("a.id"))
-            .join(b, cands.id_b == F.col("b.id"))
-            .select("id_a", "id_b",
-                    F.round(jaccard(F.col("a.hs"), F.col("b.hs")), 6)
-                    .alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold))
+    hs = hashed_shingle_sets(df, text_col, id_col, k).persist()
+    try:
+        cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes,
+                                       bands, k, hashed=hs)
+        a = hs.alias("a")
+        b = hs.alias("b")
+        out = (cands
+               .join(a, cands.id_a == F.col("a.id"))
+               .join(b, cands.id_b == F.col("b.id"))
+               .select("id_a", "id_b",
+                       F.round(jaccard(F.col("a.hs"), F.col("b.hs")), 6)
+                       .alias("jaccard"))
+               .filter(F.col("jaccard") >= threshold))
+        # materialize while hs is pinned, then release the pin; the result
+        # is small (verified pairs only)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        hs.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
