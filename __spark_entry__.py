@@ -576,6 +576,20 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def q_session_windows(spark, sf_dir):
+    """Gap-based sessionization (Spark session_window; the reference has no
+    event-time windows — flagged extension, SURVEY.md §2.9)."""
+    from pyspark.sql import functions as F
+
+    from yupana_spark.streaming.session import sessionize
+
+    tsdb = _tsdb(spark, sf_dir)
+    events = tsdb.warehouse.read("events").filter(
+        (F.col("time") >= F.lit(EV_FROM)) & (F.col("time") < F.lit(EV_TO)))
+    return sessionize(events, gap="30 minutes", key_cols=["user_id"]) \
+        .select("user_id", "session_start", "n_events")
+
+
 def dp_token_count(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -744,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_inverted_index": q_inverted_index,
         "q_inverted_index_not": q_inverted_index_not,
         "q_related_items": q_related_items,
+        "q_session_windows": q_session_windows,
         "dp_token_count": dp_token_count,
         "dp_quality": dp_quality,
         "dp_lang_id": dp_lang_id,
@@ -994,6 +1009,25 @@ def oracle_sql() -> dict[str, str]:
                     WHERE list_contains(string_split(p_name, ' '), 'red')
                       AND list_contains(string_split(p_name, ' '), 'widget')))
             GROUP BY 1
+        """,
+        "q_session_windows": """
+            WITH e AS (
+              SELECT user_id, ts FROM events
+              WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'),
+            x AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            y AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM x)
+            SELECT user_id, min(ts) AS session_start,
+                   count(*) AS n_events
+            FROM y GROUP BY user_id, sid
         """,
         "dp_token_count": """
             SELECT doc_id,

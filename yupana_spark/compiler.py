@@ -98,8 +98,9 @@ class ExpressionCompiler:
     """Expr tree -> pyspark Column (the reference's ExpressionCalculator JIT,
     jit/codegen/expressions/**, replaced by Catalyst codegen)."""
 
-    def __init__(self, table: Optional[Table] = None):
+    def __init__(self, table: Optional[Table] = None, tokenizer=None):
         self.table = table
+        self.tokenizer = tokenizer  # Schema hook (Schema.scala tokenizer)
 
     def col(self, e: Expr, ctx: _Ctx) -> Column:
         if ctx.post_agg:
@@ -241,9 +242,8 @@ class ExpressionCompiler:
         if n == "tokens":
             from .functions.tokenizer import tokens_column
 
-            if yt.is_array(a0t):
-                return tokens_column(args[0], is_array=True)
-            return tokens_column(args[0])
+            return tokens_column(args[0], is_array=yt.is_array(a0t),
+                                 fn=self.tokenizer)
         if n == "abs":
             return F.abs(args[0])
         if n == "-":
@@ -415,9 +415,15 @@ class Tsdb:
             out = self.spark.range(1).select(*cols)
             return out.limit(q.limit) if q.limit is not None else out
         q = self._prepare(q, params)
+        from .optimizer import optimize
+
+        # fold constants + simplify booleans BEFORE validation/planning so
+        # time-bound checks and link rewrites see the normalized condition
+        # (reference order: QueryOptimizer.optimize -> TsdbBase.query)
+        q = optimize(q)
         validate(q, require_time_bounds=require_time_bounds)
         table = self.schema.table(q.table)
-        ec = ExpressionCompiler(table)
+        ec = ExpressionCompiler(table, tokenizer=self.schema.tokenizer)
 
         df = self._load(q.table, time_bounds=_extract_time_bounds(q.filter))
         df, q = self._rewrite_predicate_links(df, q, table)

@@ -128,5 +128,31 @@ def _tokens_arr_udf(s: pd.Series) -> pd.Series:
     return s.map(per_row)
 
 
-def tokens_column(col: Column, is_array: bool = False) -> Column:
-    return _tokens_arr_udf(col) if is_array else _tokens_udf(col)
+_CUSTOM_UDFS: dict = {}
+
+
+def tokens_column(col: Column, is_array: bool = False, fn=None) -> Column:
+    """tokens() as a Column; ``fn`` overrides the tokenizer (Schema hook)."""
+    if fn is None:
+        return _tokens_arr_udf(col) if is_array else _tokens_udf(col)
+    key = (id(fn), is_array)
+    if key not in _CUSTOM_UDFS:
+        if is_array:
+            @F.pandas_udf(T.ArrayType(T.StringType()))
+            def custom_arr(s: pd.Series) -> pd.Series:
+                def per_row(arr):
+                    out: List[str] = []
+                    for item in arr or []:
+                        out.extend(fn(item))
+                    return out
+
+                return s.map(per_row)
+
+            _CUSTOM_UDFS[key] = custom_arr
+        else:
+            @F.pandas_udf(T.ArrayType(T.StringType()))
+            def custom(s: pd.Series) -> pd.Series:
+                return s.map(lambda x: [] if x is None else fn(x))
+
+            _CUSTOM_UDFS[key] = custom
+    return _CUSTOM_UDFS[key](col)

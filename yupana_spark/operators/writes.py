@@ -69,6 +69,15 @@ class Warehouse:
                 incoming = incoming.withColumn(c, F.lit(None).cast(
                     current.schema[c].dataType))
         incoming = incoming.select(*current.columns)
+        # ItemFixer: canonicalize item-like (hash) dimension values before
+        # they become part of the row key (Schema.scala itemFixer)
+        if self.schema.item_fixer is not None:
+            from pyspark.sql import types as T2
+
+            fixer = F.udf(self.schema.item_fixer, T2.StringType())
+            for d in t.dimensions:
+                if d.kind == "hash" and d.name in incoming.columns:
+                    incoming = incoming.withColumn(d.name, fixer(F.col(d.name)))
         # last-write-wins inside the batch too (HBase put semantics: later
         # cells overwrite earlier ones at the same row key)
         from pyspark.sql import Window

@@ -112,9 +112,21 @@ class Table:
 
 @dataclass
 class Schema:
-    """Catalog of tables (Schema.scala:27-39). Loads parquet lazily per table."""
+    """Catalog of tables + per-schema text hooks (Schema.scala:27-39:
+    ``Schema(tables, rollups, tokenizer, transliterator, itemFixer)``).
+    Loads parquet lazily per table.
+
+    - ``tokenizer``: str -> list[str], used by the ``tokens`` function and
+      the inverted-index link (default: RU light stemmer + transliteration)
+    - ``transliterator``: str -> str for prefix terms
+    - ``item_fixer``: canonicalizes item-like (hash-kind) dimension values at
+      ingest (≙ ItemFixer applied before hashing item names)
+    """
 
     tables: Dict[str, Table] = field(default_factory=dict)
+    tokenizer: Optional[Callable[[str], list]] = None
+    transliterator: Optional[Callable[[str], str]] = None
+    item_fixer: Optional[Callable[[str], str]] = None
 
     def add(self, t: Table) -> "Schema":
         self.tables[t.name] = t
