@@ -1,0 +1,81 @@
+"""Scale levers: bucketed co-located joins (plan-verified shuffle-free),
+salted aggregation, schema checker."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from yupana_spark.operators.scale import colocated_join, write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    try:
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        od = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        write_bucketed(li, "b_lineitem", "l_orderkey", 8, sort_col="l_orderkey")
+        write_bucketed(od.withColumnRenamed("o_orderkey", "l_orderkey"),
+                       "b_orders", "l_orderkey", 8, sort_col="l_orderkey")
+        joined = colocated_join(spark, "b_lineitem", "b_orders", "l_orderkey")
+        plan = _plan(joined)
+        assert "Exchange" not in plan  # co-located: no shuffle at all
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_salted_agg_matches_plain(spark):
+    from yupana_spark.operators.scale import salted_agg
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    salted = salted_agg(
+        df, ["l_returnflag"],
+        {"qty": ("l_quantity", "sum"), "cnt": ("l_quantity", "count"),
+         "mx": ("l_quantity", "max")},
+        n_salts=8)
+    plain = df.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("qty"), F.count("l_quantity").alias("cnt"),
+        F.max("l_quantity").alias("mx"))
+    a = {r["l_returnflag"]: (r["qty"], r["cnt"], r["mx"])
+         for r in salted.collect()}
+    b = {r["l_returnflag"]: (r["qty"], r["cnt"], r["mx"])
+         for r in plain.collect()}
+    assert a == b
+
+
+def test_schema_checker_ok(spark):
+    from yupana_spark import default_schema
+    from yupana_spark.operators.checker import check_schema
+
+    issues = check_schema(spark, default_schema(), "/root/testdata/sf0.001")
+    assert issues == []
+
+
+def test_schema_checker_detects_mismatch(spark):
+    from yupana_spark import types as yt
+    from yupana_spark.operators.checker import check_schema
+    from yupana_spark.schema import Dimension, Metric, Schema, Table
+
+    bad = Schema().add(Table(
+        name="lineitem", time_column="l_shipdate",
+        dimensions=(Dimension("l_orderkey", yt.INT),      # actually BIGINT
+                    Dimension("nope", yt.STRING)),        # missing
+        metrics=(Metric("l_quantity", yt.DOUBLE),),
+    ))
+    issues = check_schema(spark, bad, "/root/testdata/sf0.001")
+    problems = {(i.column, i.problem.split(":")[0]) for i in issues}
+    assert ("l_orderkey", "type mismatch") in problems
+    assert ("nope", "missing in storage") in problems
