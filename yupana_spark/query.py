@@ -122,6 +122,13 @@ def validate(q: Query, require_time_bounds: bool = True) -> None:
         )
     for f in q.fields:
         f.expr.kind()  # raises on illegal nesting
+    # force the guard matrix over every subtree: type errors (cur*cur,
+    # string+number, ...) must surface at plan time, not mid-job
+    all_exprs = [f.expr for f in q.fields] + list(q.group_by)
+    all_exprs += [e for e in (q.filter, q.having) if e is not None]
+    for top in all_exprs:
+        for node in E.collect(top, lambda x: True):
+            node.dtype  # noqa: B018 — property evaluates the guards
     if q.filter is not None and (
         q.filter.contains_agg() or q.filter.contains_window()
     ):
