@@ -1,0 +1,65 @@
+"""Self-check against the practical baseline: DuckDB running the oracle SQL
+on the same parquet at the same scale factor (BASELINE.md: bench within 2x).
+
+Usage: python tools/bench_baseline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+# queries whose oracle is a faithful equivalent of the operator
+COMPARE = ["q_day_rollup", "q_having", "q_post_agg_arith", "q_distinct_count",
+           "q_lag_window", "q_arith_currency", "q_link_enrich",
+           "q_link_two_hop", "q_yql_text", "q_session_windows",
+           "q_inverted_index", "q_related_items",
+           "dp_exact_dedup", "dp_lang_id", "dp_ann_bruteforce",
+           "dp_token_count", "dp_quality", "dp_ngram_jaccard",
+           "dp_embed_neardup"]
+
+
+def main() -> None:
+    import __spark_entry__ as ent
+    from yupana_spark.session import get_spark
+
+    spark = get_spark("bench-baseline")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{SF_DIR}/{t}.parquet'")
+    qs, oracles = ent.queries(), ent.oracle_sql()
+
+    rows = []
+    for name in COMPARE:
+        if name not in oracles:
+            continue
+        # warm both
+        qs[name](spark, SF_DIR).count()
+        con.sql(oracles[name]).fetchall()
+        t0 = time.time()
+        qs[name](spark, SF_DIR).count()
+        t_spark = time.time() - t0
+        t0 = time.time()
+        con.sql(oracles[name]).fetchall()
+        t_duck = time.time() - t0
+        ratio = t_spark / max(t_duck, 1e-9)
+        rows.append((name, t_spark, t_duck, ratio))
+        print(f"{name:24s} spark {t_spark:7.3f}s  duck {t_duck:7.3f}s  "
+              f"ratio {ratio:6.2f}x")
+
+    total_s = sum(r[1] for r in rows)
+    total_d = sum(r[2] for r in rows)
+    print(f"\n{'TOTAL':24s} spark {total_s:7.3f}s  duck {total_d:7.3f}s  "
+          f"ratio {total_s / total_d:6.2f}x")
+
+
+if __name__ == "__main__":
+    main()

@@ -204,24 +204,47 @@ def jaccard(a: Column, b: Column) -> Column:
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", threshold: float = 0.7,
                         num_hashes: int = 32, bands: int = 8,
-                        k: int = 5) -> DataFrame:
+                        k: int = 5, est_margin: float = 0.15) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard >= threshold.
 
-    Verification intersects the *hashed* shingle arrays (long compares, not
-    string compares — identical Jaccard modulo ~2e-5 hash-collision noise).
-    The hashed-shingle frame is persisted: candidates, the left and the right
-    verification side all reuse one materialization of the expensive
-    normalize->shingle->hash scan.
+    Three-rung verification ladder (each rung orders of magnitude cheaper
+    than the next):
+      1. band collision (the LSH join) produces candidates;
+      2. the signature-estimated Jaccard (fraction of equal minhashes — a
+         32-long compare) discards candidates estimating below
+         ``threshold - est_margin``; with 32 hashes the estimator's sigma is
+         ~0.09, so the default margin keeps ~95% of borderline true pairs
+         while dropping the sub-threshold background before the O(|set|)
+         work (pairs *near* the threshold are sampling-noise-bound in any
+         MinHash pipeline — tighten est_margin only with more hashes);
+      3. exact Jaccard over the hashed shingle arrays (long compares, not
+         string compares — identical modulo ~2e-5 hash-collision noise).
+
+    The hashed-shingle frame is persisted: candidates and both verification
+    sides reuse one materialization of the normalize->shingle->hash scan.
     """
     hs = hashed_shingle_sets(df, text_col, id_col, k).persist()
     try:
         cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes,
                                        bands, k, hashed=hs)
+        sig = hs.select("id", minhash_signature_np(F.col("hs"),
+                                                   num_hashes).alias("sig"))
+        sa, sb = sig.alias("sa"), sig.alias("sb")
+        est = (F.size(F.filter(
+            F.zip_with(F.col("sa.sig"), F.col("sb.sig"),
+                       lambda x, y: x == y), lambda v: v))
+            / F.lit(float(num_hashes)))
+        screened = (cands
+                    .join(sa, cands.id_a == F.col("sa.id"))
+                    .join(sb, cands.id_b == F.col("sb.id"))
+                    .select("id_a", "id_b", est.alias("__est"))
+                    .filter(F.col("__est") >= threshold - est_margin)
+                    .drop("__est"))
         a = hs.alias("a")
         b = hs.alias("b")
-        out = (cands
-               .join(a, cands.id_a == F.col("a.id"))
-               .join(b, cands.id_b == F.col("b.id"))
+        out = (screened
+               .join(a, screened.id_a == F.col("a.id"))
+               .join(b, screened.id_b == F.col("b.id"))
                .select("id_a", "id_b",
                        F.round(jaccard(F.col("a.hs"), F.col("b.hs")), 6)
                        .alias("jaccard"))

@@ -24,6 +24,12 @@ def get_spark(app: str = "yupana-spark", cpus: int | None = None) -> SparkSessio
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # size reduce tasks by data volume, not core count: on small inputs
+        # AQE coalesces to a handful of tasks (halves per-query latency);
+        # at scale the advisory size keeps partitions spill-safe
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
