@@ -697,6 +697,15 @@ def dp_ann_ivf(spark, sf_dir):
     return ivf_topk(assigned, model, _query_vec(spark, sf_dir), k=10)
 
 
+def dp_embed_neardup_lsh(spark, sf_dir):
+    """Scale path: SRP-block-bucketed candidates + exact cosine verify
+    (hash-partitioned equi-join, never a cross product)."""
+    from yupana_spark.datapipe.dedup import embedding_neardup_pairs_lsh
+
+    return embedding_neardup_pairs_lsh(_emb(spark, sf_dir), threshold=0.45,
+                                       max_hamming=5)
+
+
 def dp_multimodal_features(spark, sf_dir):
     from yupana_spark.datapipe.multimodal import extract_features, synth_media_table
 
@@ -768,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_ngram_jaccard": dp_ngram_jaccard,
         "dp_simhash": dp_simhash,
         "dp_embed_neardup": dp_embed_neardup,
+        "dp_embed_neardup_lsh": dp_embed_neardup_lsh,
         "dp_ann_bruteforce": dp_ann_bruteforce,
         "dp_ann_lsh": dp_ann_lsh,
         "dp_ann_ivf": dp_ann_ivf,

@@ -141,3 +141,41 @@ EVENTS = Table(
 
 def default_schema() -> Schema:
     return Schema().add(LINEITEM).add(ORDERS).add(EVENTS)
+
+
+def standard_rollups():
+    """Shipped rollup set ≙ ReceiptRollups.scala:26-56 (receipt_by_day/
+    week/month) + ItemRollups (item_kkms_by_month), re-expressed over the
+    fixture fact tables."""
+    from . import expressions as E
+    from . import types as yt
+    from .operators.rollup import Rollup
+
+    def dec(col):
+        return E.Cast(E.Field(col, yt.DOUBLE), yt.decimal(18, 4))
+
+    by = []
+    for unit in ("day", "week", "month"):
+        by.append(Rollup(
+            name=f"orders_by_{unit}",
+            from_table="orders",
+            to_table=f"orders_by_{unit}",
+            time_trunc=unit,
+            group_by=("o_orderstatus",),
+            aggregates=(
+                (E.sum_(dec("o_totalprice")), "total_sum"),
+                (E.count(E.Field("o_orderkey", yt.LONG)), "orders_count"),
+            ),
+        ))
+    by.append(Rollup(
+        name="item_orders_by_month",
+        from_table="lineitem",
+        to_table="item_orders_by_month",
+        time_trunc="month",
+        group_by=("l_partkey",),
+        aggregates=(
+            (E.sum_(dec("l_quantity")), "quantity_sum"),
+            (E.count(E.Field("l_orderkey", yt.LONG)), "row_count"),
+        ),
+    ))
+    return by

@@ -460,6 +460,18 @@ class Tsdb:
             df = df.limit(q.limit)
         return df
 
+    def explain(self, q, params: Optional[Sequence[Any]] = None,
+                mode: str = "formatted") -> str:
+        """Physical plan of a Query or YupanaQL string (M7 EXPLAIN surface)."""
+        import contextlib
+        import io
+
+        df = self.sql(q, params) if isinstance(q, str) else self.query(q, params)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode)
+        return buf.getvalue()
+
     def sql(self, text: str, params: Optional[Sequence[Any]] = None) -> DataFrame:
         """Parse + analyze + execute a YupanaQL statement.
 

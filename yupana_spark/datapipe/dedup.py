@@ -385,8 +385,8 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                             threshold: float = 0.9) -> DataFrame:
     """All pairs with cosine >= threshold (brute force).
 
-    At scale, feed this only LSH-bucketed candidates
-    (simsearch.hyperplane_lsh_buckets) — same verification expression.
+    The exactness baseline; at corpus scale use
+    ``embedding_neardup_pairs_lsh`` (bucketed candidates, same verification).
     """
     v = _fan_out(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
     a, b = v.alias("a"), v.alias("b")
@@ -395,3 +395,51 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                     F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
                     .alias("cos"))
             .filter(F.col("cos") >= threshold))
+
+
+def embedding_neardup_pairs_lsh(df: DataFrame, vec_col: str = "embedding",
+                                id_col: str = "vec_id",
+                                threshold: float = 0.9,
+                                n_planes: int = 12, max_hamming: int = 3,
+                                seed: int = 42) -> DataFrame:
+    """Scale path: random-hyperplane buckets prune the cross product.
+
+    Candidates come from an equi-join on signature *blocks* (pigeonhole: a
+    pair within ``max_hamming`` bit flips must agree exactly on at least one
+    of ``max_hamming + 1`` blocks), so the join is hash-partitioned on
+    (block_idx, block_value) — never a theta/cross join.  For cosine >= 0.9
+    the expected disagreement is n_planes * angle/pi ≈ 12 * 0.144 ≈ 1.7
+    bits, so max_hamming=3 keeps essentially all true pairs.  Verification
+    is the same exact cosine as the brute-force path.
+    """
+    from .simsearch import hyperplane_lsh_buckets, hyperplanes
+
+    dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    b = hyperplane_lsh_buckets(
+        _fan_out(df.select(F.col(id_col).alias("id"),
+                           F.col(vec_col).alias("v"))),
+        planes, "v")
+    n_blocks = max_hamming + 1
+    width = (n_planes + n_blocks - 1) // n_blocks
+    mask = (1 << width) - 1
+    blocks = b.select(
+        "id", "v", "bucket",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("blk"),
+                     F.shiftright(F.col("bucket"), i * width)
+                     .bitwiseAND(F.lit(mask)).alias("bval"))
+            for i in range(n_blocks)
+        ])).alias("bb"),
+    ).select("id", "v", "bucket", "bb.blk", "bb.bval")
+    l, r = blocks.alias("l"), blocks.alias("r")
+    ham = F.bit_count(F.col("l.bucket").bitwiseXOR(F.col("r.bucket")))
+    return (l.join(r, (F.col("l.blk") == F.col("r.blk"))
+                   & (F.col("l.bval") == F.col("r.bval"))
+                   & (F.col("l.id") < F.col("r.id")))
+            .filter(ham <= max_hamming)
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                    F.round(cosine(F.col("l.v"), F.col("r.v")), 6)
+                    .alias("cos"))
+            .filter(F.col("cos") >= threshold)
+            .distinct())

@@ -101,6 +101,48 @@ def extract_features(media: DataFrame, use_fake_decoder: bool = True) -> DataFra
     return media.mapInPandas(per_batch, schema=FEATURE_SCHEMA)
 
 
+def resize_images(media: DataFrame, width: int = 224,
+                  height: int = 224, use_fake: bool = True) -> DataFrame:
+    """Resize plumbing: mapInPandas batch shape is real, the resample STUB
+    derives deterministic 'resized' bytes (truncate/pad to w*h proportional
+    length) — a real deployment drops PIL.thumbnail into per_batch."""
+    if not use_fake:
+        decode_image(b"")  # raises NotImplementedError with guidance
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", MEDIA_SCHEMA["meta"].dataType),
+    ])
+    target = max(1, (width * height) // 1024)
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def fake_resize(b):
+                b = b or b""
+                return (b * (target // max(len(b), 1) + 1))[:target]
+
+            pdf = pdf.copy()
+            pdf["content"] = pdf["content"].map(fake_resize)
+            yield pdf
+
+    return media.mapInPandas(per_batch, schema=out_schema)
+
+
+def audio_features(media: DataFrame, use_fake: bool = True) -> DataFrame:
+    """Audio feature extraction STUB: duration/sample-rate derived
+    deterministically from the byte stream (real path: soundfile/librosa)."""
+    if not use_fake:
+        raise NotImplementedError(
+            "audio decoding requires soundfile/librosa — not in container")
+    return media.select(
+        "media_id",
+        (F.length("content") / F.lit(16000.0)).alias("duration_s"),
+        F.lit(16000).alias("sample_rate"),
+        F.xxhash64("content").alias("content_sig"),
+    )
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 100,
                  frame_size: int = 16) -> DataFrame:
     """'Video' frame sampling stand-in: slice the byte stream at a fixed
