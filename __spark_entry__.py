@@ -530,6 +530,34 @@ def q_show_columns(spark, sf_dir):
     return df.select("COLUMN_NAME", "DATA_TYPE")
 
 
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary, expressed in YupanaQL (no ORDER BY in the
+    dialect; the driver's compare is order-insensitive)."""
+    return _tsdb(spark, sf_dir).sql("""
+        SELECT l_returnflag, l_linestatus,
+          sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+          sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+          sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))
+              AS DECIMAL(28,4))) AS sum_disc_price,
+          sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                   * (1 + CAST(l_tax AS DECIMAL(18,2)))
+              AS DECIMAL(28,6))) AS sum_charge,
+          CAST(avg(l_quantity) AS DECIMAL(18,6)) AS avg_qty,
+          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               / CAST(count(l_extendedprice) AS DOUBLE) AS DECIMAL(18,4))
+              AS avg_price,
+          CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(count(l_discount) AS DOUBLE) AS DECIMAL(18,6))
+              AS avg_disc,
+          count(l_orderkey) AS count_order
+        FROM lineitem
+        WHERE time >= TIMESTAMP '1995-01-01' AND time < TIMESTAMP '1998-09-03'
+        GROUP BY l_returnflag, l_linestatus
+    """)
+
+
 def q_inverted_index(spark, sf_dir):
     """Inverted-index text semi-join (ItemsInvertedIndexImpl.scala:109-169):
     phrase with a stemmed word + a prefix term, via YupanaQL."""
@@ -569,10 +597,16 @@ def q_related_items(spark, sf_dir):
 # search, multimodal columns, text analysis) over documents/embeddings
 # ---------------------------------------------------------------------------
 def _docs(spark, sf_dir):
+    from yupana_spark.session import ensure_engine_confs
+
+    ensure_engine_confs(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark, sf_dir):
+    from yupana_spark.session import ensure_engine_confs
+
+    ensure_engine_confs(spark)
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
@@ -764,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_by_month": q_rollup_by_month,
         "q_show_tables": q_show_tables,
         "q_show_columns": q_show_columns,
+        "q_tpch_q1": q_tpch_q1,
         "q_inverted_index": q_inverted_index,
         "q_inverted_index_not": q_inverted_index_not,
         "q_related_items": q_related_items,
@@ -989,6 +1024,30 @@ def oracle_sql() -> dict[str, str]:
         "q_show_tables": """
             SELECT 'events' AS TABLE_NAME UNION ALL
             SELECT 'lineitem' UNION ALL SELECT 'orders'
+        """,
+        "q_tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+              sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+              sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+              sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                  AS DECIMAL(28,4))) AS sum_disc_price,
+              sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                       * (1 + CAST(l_tax AS DECIMAL(18,2)))
+                  AS DECIMAL(28,6))) AS sum_charge,
+              CAST(avg(l_quantity) AS DECIMAL(18,6)) AS avg_qty,
+              CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                   / CAST(count(l_extendedprice) AS DOUBLE) AS DECIMAL(18,4))
+                  AS avg_price,
+              CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(count(l_discount) AS DOUBLE) AS DECIMAL(18,6))
+                  AS avg_disc,
+              count(l_orderkey) AS count_order
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1998-09-03'
+            GROUP BY l_returnflag, l_linestatus
         """,
         "q_inverted_index": f"""
             SELECT l_returnflag, count(l_orderkey) AS cnt,

@@ -328,12 +328,11 @@ class Tsdb:
         self.sf_dir = sf_dir
         self._warehouse = None
         self._warehouse_root = warehouse_root
-        # YupanaQL dialect semantics: non-ANSI arithmetic (x/0 -> NULL, no
-        # overflow errors — the reference's Scala arithmetic wraps) and UTC
-        # timestamps (Time.scala:27).  Set here so they hold for whatever
-        # session the driver hands us.
-        spark.conf.set("spark.sql.ansi.enabled", "false")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # dialect semantics (non-ANSI arithmetic, UTC — Time.scala:27) +
+        # AQE posture must hold for whatever session the driver hands us
+        from .session import ensure_engine_confs
+
+        ensure_engine_confs(spark)
 
     @property
     def warehouse(self):

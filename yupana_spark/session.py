@@ -14,6 +14,32 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ensure_engine_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable semantics/tuning to ANY session.
+
+    The driver harness hands us its own SparkSession; these confs are the
+    ones that must hold regardless of how the session was built (dialect
+    semantics + the AQE posture).  Only runtime-settable keys belong here.
+    """
+    cpus = spark.sparkContext.defaultParallelism
+    for k, v in {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.ansi.enabled": "false",
+        "spark.sql.shuffle.partitions": str(max(cpus, 8)),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — non-settable on some builds
+            pass
+    return spark
+
+
 def get_spark(app: str = "yupana-spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
