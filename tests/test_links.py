@@ -17,8 +17,11 @@ def test_phrase_terms():
     from yupana_spark.operators.links import phrase_terms
 
     words, prefixes = phrase_terms("red widgets wid% ")
-    assert words == ["red", "widget"]  # 'widgets' stemmed
+    # reference stemming is Russian-only: latin words pass through
+    assert words == ["red", "widgets"]
     assert prefixes == ["wid"]
+    ru_words, _ = phrase_terms("пульсара")
+    assert ru_words == ["pulsar"]  # stemmed + transliterated
 
 
 def test_inverted_index_semijoin(tsdb):

@@ -25,9 +25,12 @@ def test_fold_functions_and_tokens():
     calc = ConstantCalculator()
     assert calc.evaluate(E.Fun("lower", (E.const("ABC"),))) == "abc"
     assert calc.evaluate(E.Fun("length", (E.const("abc"),))) == 3
-    # tokens('...') folds at plan time (QueryOptimizer folds it too)
+    # tokens('...') folds at plan time (QueryOptimizer folds it too);
+    # stemming is Russian-only, latin words pass through
     toks = calc.evaluate(E.Fun("tokens", (E.const("Red Widgets"),)))
-    assert toks == ["red", "widget"]
+    assert toks == ["red", "widgets"]
+    assert sorted(calc.evaluate(E.Fun("tokens", (E.const("аи95"),)))) == [
+        "95", "ai", "ai95"]
 
 
 def test_fold_time_functions():

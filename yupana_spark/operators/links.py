@@ -46,7 +46,7 @@ def phrase_terms(phrase: str):
             if p:
                 prefixes.append(transliterate(p))
         else:
-            words.append(stem(raw.lower()))
+            words.append(transliterate(stem(raw.lower())))
     return words, prefixes
 
 

@@ -109,14 +109,14 @@ class ConstantCalculator:
 
             return [w for w in re.split(r"[^0-9a-zA-Zа-яА-ЯёЁ]+", args[0]) if w]
         if n == "tokens":
-            from .functions.tokenizer import tokenize
+            from .functions.tokenizer import tokenize_for_index
 
             if isinstance(args[0], list):
                 out = []
                 for item in args[0]:
-                    out.extend(tokenize(item))
+                    out.extend(tokenize_for_index(item))
                 return out
-            return tokenize(args[0])
+            return tokenize_for_index(args[0])
         if n == "array_to_string":
             return ", ".join(str(x) for x in args[0])
         if n == "contains":
