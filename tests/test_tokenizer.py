@@ -51,3 +51,17 @@ def test_transliterator_goldens():
     assert transliterate("щупальца южных ёжиков") == "shchupalca yuzhnyh ezhikov"
     assert transliterate("Ядерный Грибок") == "YAdernyj Gribok"
     assert transliterate("ОБЪЕДЕННЫЙ КРЕНДЕЛЬ") == "OBEDENNYJ KRENDEL"
+
+
+def test_ofd_item_fixer_goldens():
+    # OfdItemFixerTest table
+    from yupana_spark.functions.itemfixer import ofd_item_fixer
+
+    cases = [
+        ("гуляш соевый 50% ┬лсойка┬╗, 500г (россия) шт",
+         'гуляш соевый 50% "сойка", 500г (россия) шт'),
+        ("семечки крупные ╣1", "семечки крупные №1"),
+        ("г╕ссер 0.3 мл в розлив", "гёссер 0.3 мл в розлив"),
+    ]
+    for broken, fixed in cases:
+        assert ofd_item_fixer(broken) == fixed

@@ -34,6 +34,9 @@ CHECKS = {
                          expect=["Window"], forbid=[]),
     "q_having": dict(pushed=None, expect=["HashAggregate"], forbid=[]),
     "dp_exact_dedup": dict(pushed=None, expect=["Window"], forbid=[]),
+    "q_tpch_q1": dict(pushed=r"PushedFilters: \[.*l_shipdate",
+                      expect=["HashAggregate"], forbid=["SortMergeJoin"]),
+    "q_session_windows": dict(pushed=None, expect=["Aggregate"], forbid=[]),
 }
 
 
