@@ -33,3 +33,33 @@ def test_windowed_counts_streaming(spark, tmp_path):
            for r in spark.sql("SELECT * FROM wc").collect()}
     assert got[(dt.datetime(2024, 1, 1, 10), "click")] == 2
     assert got[(dt.datetime(2024, 1, 1, 11), "view")] == 1
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    from pyspark.sql import functions as F, types as T
+
+    from yupana_spark.streaming.stateful import running_totals
+
+    src = tmp_path / "st_src"
+    src.mkdir()
+    rows = [{"user_id": 1, "value": 2.0}, {"user_id": 1, "value": 3.0},
+            {"user_id": 2, "value": 10.0}]
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = T.StructType([T.StructField("user_id", T.LongType()),
+                           T.StructField("value", T.DoubleType())])
+    from yupana_spark.streaming import stateful
+
+    stateful.set_idle_timeout_ms(3000)
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = running_totals(stream)
+    q = (out.writeStream.format("memory").queryName("rt")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(30)
+    q.stop()
+    rows_out = spark.sql("SELECT * FROM rt").collect()
+    # first batch emits running snapshots; the idle timeout then closes keys
+    running = {r["key"]: (r["n_events"], r["total"])
+               for r in rows_out if not r["closed"]}
+    assert running[1] == (2, 5.0) and running[2] == (1, 10.0)
+    closed = {r["key"] for r in rows_out if r["closed"]}
+    assert closed <= {1, 2}  # closes fire if a timeout batch ran
