@@ -558,6 +558,45 @@ def q_tpch_q1(spark, sf_dir):
     """)
 
 
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecasting-revenue: pure filter + single aggregate."""
+    return _tsdb(spark, sf_dir).sql("""
+        SELECT sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4)))
+               AS revenue
+        FROM lineitem
+        WHERE time >= TIMESTAMP '1996-01-01' AND time < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """)
+
+
+def q_tpch_q12_like(spark, sf_dir):
+    """TPC-H Q12 shape: fact rows grouped by an order-level attribute —
+    expressed through an external link (OrdersLink) instead of a JOIN."""
+    return _tsdb(spark, sf_dir).sql("""
+        SELECT OrdersLink_o_orderpriority AS priority,
+               sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS a_lines,
+               count(l_orderkey) AS all_lines
+        FROM lineitem
+        WHERE time >= TIMESTAMP '1996-01-01' AND time < TIMESTAMP '1998-01-01'
+        GROUP BY priority
+    """)
+
+
+def q_tpch_q14_like(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share via the part link."""
+    return _tsdb(spark, sf_dir).sql("""
+        SELECT CAST(
+                 CAST(sum(CASE WHEN PartLink_p_type = 'PROMO'
+                          THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS DECIMAL(18,6)) AS promo_share
+        FROM lineitem
+        WHERE time >= TIMESTAMP '1996-01-01' AND time < TIMESTAMP '1996-07-01'
+    """)
+
+
 def q_inverted_index(spark, sf_dir):
     """Inverted-index text semi-join (ItemsInvertedIndexImpl.scala:109-169):
     phrase with a stemmed word + a prefix term, via YupanaQL."""
@@ -799,6 +838,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_show_tables": q_show_tables,
         "q_show_columns": q_show_columns,
         "q_tpch_q1": q_tpch_q1,
+        "q_tpch_q6": q_tpch_q6,
+        "q_tpch_q12_like": q_tpch_q12_like,
+        "q_tpch_q14_like": q_tpch_q14_like,
         "q_inverted_index": q_inverted_index,
         "q_inverted_index_not": q_inverted_index_not,
         "q_related_items": q_related_items,
@@ -1048,6 +1090,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= TIMESTAMP '1995-01-01'
               AND l_shipdate < TIMESTAMP '1998-09-03'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_tpch_q6": """
+            SELECT sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(l_discount AS DECIMAL(18,2))
+                   AS DECIMAL(28,4))) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        "q_tpch_q12_like": """
+            SELECT o.o_orderpriority AS priority,
+                   sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS a_lines,
+                   count(l_orderkey) AS all_lines
+            FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
+        "q_tpch_q14_like": """
+            SELECT CAST(
+                     CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS DECIMAL(18,6)) AS promo_share
+            FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-07-01'
         """,
         "q_inverted_index": f"""
             SELECT l_returnflag, count(l_orderkey) AS cnt,

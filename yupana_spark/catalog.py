@@ -69,6 +69,18 @@ SUPPLIER_LINK = ExternalLink(
 )
 
 
+ORDERS_LINK = ExternalLink(
+    name="OrdersLink",
+    dimension="l_orderkey",
+    key_column="o_orderkey",
+    fields=(
+        LinkField("o_orderstatus", yt.STRING),
+        LinkField("o_orderpriority", yt.STRING),
+        LinkField("o_totalprice", yt.DOUBLE),
+    ),
+    source=_parquet("orders"),
+)
+
 ITEMS_INVERTED_INDEX = ExternalLink(
     name="ItemsInvertedIndex",
     dimension="l_partkey",
@@ -107,8 +119,8 @@ LINEITEM = Table(
         Metric("l_discount", yt.DOUBLE),
         Metric("l_tax", yt.DOUBLE),
     ),
-    external_links=(PART_LINK, SUPPLIER_LINK, ITEMS_INVERTED_INDEX,
-                    RELATED_ITEMS),
+    external_links=(PART_LINK, SUPPLIER_LINK, ORDERS_LINK,
+                    ITEMS_INVERTED_INDEX, RELATED_ITEMS),
 )
 
 ORDERS = Table(
