@@ -26,6 +26,8 @@ HEADLINE = [
     "q_link_enrich",
     "q_link_two_hop",
     "q_yql_text",
+    "q_tpch_q1",
+    "q_tpch_q6",
     "dp_exact_dedup",
     "dp_minhash_dedup",
     "dp_lang_id",
