@@ -71,6 +71,12 @@ def test_sql_unknown_field_error(tsdb):
         tsdb.sql(f"SELECT nope FROM lineitem WHERE {TB}")
 
 
+def test_sql_unknown_field_suggestion(tsdb):
+    # near-miss field names get a "did you mean" hint
+    with pytest.raises(InvalidQueryError, match="did you mean.*l_returnflag"):
+        tsdb.sql(f"SELECT l_returnflg FROM lineitem WHERE {TB}")
+
+
 def test_sql_lag(tsdb):
     df = tsdb.sql(
         "SELECT l_orderkey, time t, lag(time) prev_t FROM lineitem "

@@ -11,6 +11,7 @@ Link fields are referenced as ``LinkName_fieldName`` (Expression.scala:258-259).
 
 from __future__ import annotations
 
+import difflib
 from decimal import Decimal
 from typing import Optional
 
@@ -78,8 +79,13 @@ class Analyzer:
                     return E.LinkField(link.name, fname, link.field_type(fname))
                 except KeyError:
                     pass
+        known = ["time"] + [d.name for d in t.dimensions] + \
+            [m.name for m in t.metrics] + \
+            [f"{l.name}_{f.name}" for l in t.external_links for f in l.fields]
+        hint = difflib.get_close_matches(name, known, n=3, cutoff=0.5)
+        suffix = f"; did you mean {', '.join(hint)}?" if hint else ""
         raise InvalidQueryError(
-            f"unknown field {name!r} in table {t.name!r}"
+            f"unknown field {name!r} in table {t.name!r}{suffix}"
         )
 
     def _const(self, v) -> E.Expr:
