@@ -459,6 +459,25 @@ def q_yql_now_interval(spark, sf_dir):
         "AND time < now()")
 
 
+def q_array_fns(spark, sf_dir):
+    """Array registry end-to-end: literal {..}, length, array_to_string,
+    contains / contains_all / contains_any / contains_same
+    (Expression.scala:514-539, 558-571)."""
+    return _tsdb(spark, sf_dir).sql(
+        "SELECT length({'a','b','c'}) AS alen, "
+        "       array_to_string({1,2,3}) AS joined, "
+        "       contains({'x','y'}, 'x') AS c_el, "
+        "       contains_all({'a','b','c'}, {'a','b'}) AS c_all, "
+        "       contains_any({'a','b'}, {'b','z'}) AS c_any, "
+        "       contains_same({'b','a','a'}, {'a','b'}) AS c_same")
+
+
+def q_database(spark, sf_dir):
+    """database() constant (FunctionRegistry.scala:69-72); id(dim) is
+    covered rows-only via the surrogate-hash dimension (test_engine)."""
+    return _tsdb(spark, sf_dir).sql("SELECT database() AS db")
+
+
 def q_split(spark, sf_dir):
     """split on non-letter/digit runs, empties dropped (Tokenizer)."""
     q = query(
@@ -831,6 +850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_yql_text": q_yql_text,
         "q_yql_nested": q_yql_nested,
         "q_yql_now_interval": q_yql_now_interval,
+        "q_array_fns": q_array_fns,
+        "q_database": q_database,
         "q_split": q_split,
         "q_tokens": q_tokens,
         "q_upsert_roundtrip": q_upsert_roundtrip,
@@ -1040,6 +1061,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(l_orderkey) AS cnt FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1995-01-01' + INTERVAL 31 DAY
               AND l_shipdate < now()
+        """,
+        "q_array_fns": """
+            SELECT CAST(len(['a','b','c']) AS INTEGER) AS alen,
+                   array_to_string([1,2,3], ', ') AS joined,
+                   list_contains(['x','y'], 'x') AS c_el,
+                   list_has_all(['a','b','c'], ['a','b']) AS c_all,
+                   list_has_any(['a','b'], ['b','z']) AS c_any,
+                   list_sort(list_distinct(['b','a','a'])) =
+                     list_sort(list_distinct(['a','b'])) AS c_same
+        """,
+        "q_database": """
+            SELECT 'Yupana' AS db
         """,
         "q_split": f"""
             SELECT list_filter(string_split_regex(o_orderpriority,

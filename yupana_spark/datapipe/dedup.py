@@ -159,11 +159,17 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     rows_per_band = num_hashes/bands; P(collide) = 1-(1-j^r)^b.  The only
     shuffle is the groupBy on (band, band_hash).
     """
-    r = num_hashes // bands
     if hashed is None:
         hashed = hashed_shingle_sets(df, text_col, id_col, k)
     sig = hashed.select(
         "id", minhash_signature_np(F.col("hs"), num_hashes).alias("sig"))
+    return _band_collisions(sig, num_hashes, bands)
+
+
+def _band_collisions(sig: DataFrame, num_hashes: int,
+                     bands: int) -> DataFrame:
+    """Self-join (id, sig) rows on per-band signature-slice hashes."""
+    r = num_hashes // bands
     banded = sig.select(
         "id",
         F.explode(
@@ -220,40 +226,41 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
       3. exact Jaccard over the hashed shingle arrays (long compares, not
          string compares — identical modulo ~2e-5 hash-collision noise).
 
-    The hashed-shingle frame is persisted: candidates and both verification
-    sides reuse one materialization of the normalize->shingle->hash scan.
+    One persisted (id, hs, sig) frame feeds banding AND both verification
+    sides: the normalize->shingle->hash scan and the signature UDF each run
+    exactly once, and candidates join back just once per side (est screen
+    and exact Jaccard are pipelined in the same stage — rung 3 only runs on
+    rows that survive rung 2's predicate).
     """
-    hs = hashed_shingle_sets(df, text_col, id_col, k).persist()
+    sighs = (hashed_shingle_sets(df, text_col, id_col, k)
+             .select("id", "hs",
+                     minhash_signature_np(F.col("hs"), num_hashes)
+                     .alias("sig"))
+             .persist())
     try:
-        cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes,
-                                       bands, k, hashed=hs)
-        sig = hs.select("id", minhash_signature_np(F.col("hs"),
-                                                   num_hashes).alias("sig"))
-        sa, sb = sig.alias("sa"), sig.alias("sb")
+        cands = _band_collisions(sighs.select("id", "sig"), num_hashes,
+                                 bands)
+        a, b = sighs.alias("a"), sighs.alias("b")
         est = (F.size(F.filter(
-            F.zip_with(F.col("sa.sig"), F.col("sb.sig"),
+            F.zip_with(F.col("a.sig"), F.col("b.sig"),
                        lambda x, y: x == y), lambda v: v))
             / F.lit(float(num_hashes)))
-        screened = (cands
-                    .join(sa, cands.id_a == F.col("sa.id"))
-                    .join(sb, cands.id_b == F.col("sb.id"))
-                    .select("id_a", "id_b", est.alias("__est"))
-                    .filter(F.col("__est") >= threshold - est_margin)
-                    .drop("__est"))
-        a = hs.alias("a")
-        b = hs.alias("b")
-        out = (screened
-               .join(a, screened.id_a == F.col("a.id"))
-               .join(b, screened.id_b == F.col("b.id"))
+        out = (cands
+               .join(a, cands.id_a == F.col("a.id"))
+               .join(b, cands.id_b == F.col("b.id"))
+               .select("id_a", "id_b", est.alias("__est"),
+                       F.col("a.hs").alias("__ha"),
+                       F.col("b.hs").alias("__hb"))
+               .filter(F.col("__est") >= threshold - est_margin)
                .select("id_a", "id_b",
-                       F.round(jaccard(F.col("a.hs"), F.col("b.hs")), 6)
+                       F.round(jaccard(F.col("__ha"), F.col("__hb")), 6)
                        .alias("jaccard"))
                .filter(F.col("jaccard") >= threshold))
-        # materialize while hs is pinned, then release the pin; the result
-        # is small (verified pairs only)
+        # materialize while sighs is pinned, then release the pin; the
+        # result is small (verified pairs only)
         out = out.localCheckpoint(eager=True)
     finally:
-        hs.unpersist()
+        sighs.unpersist()
     return out
 
 
