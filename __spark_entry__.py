@@ -616,6 +616,27 @@ def q_tpch_q14_like(spark, sf_dir):
     """)
 
 
+def q_tpch_q19_like(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive multi-branch predicates mixing link
+    fields (brand/type/size via PartLink) with fact metrics (quantity) —
+    OR across branches forces post-enrichment filtering, not a semi-join."""
+    return _tsdb(spark, sf_dir).sql("""
+        SELECT sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2)))
+                   AS DECIMAL(28,4))) AS revenue,
+               count(l_orderkey) AS cnt
+        FROM lineitem
+        WHERE time >= TIMESTAMP '1995-01-01' AND time < TIMESTAMP '2002-01-01'
+          AND ((PartLink_p_brand = 'Brand#2' AND PartLink_p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 30)
+            OR (PartLink_p_brand = 'Brand#17' AND PartLink_p_size BETWEEN 10 AND 30
+                AND l_quantity BETWEEN 10 AND 40)
+            OR (PartLink_p_type = 'PROMO' AND PartLink_p_size BETWEEN 20 AND 35
+                AND l_quantity BETWEEN 20 AND 50))
+    """)
+
+
 def q_inverted_index(spark, sf_dir):
     """Inverted-index text semi-join (ItemsInvertedIndexImpl.scala:109-169):
     phrase with a stemmed word + a prefix term, via YupanaQL."""
@@ -862,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q6": q_tpch_q6,
         "q_tpch_q12_like": q_tpch_q12_like,
         "q_tpch_q14_like": q_tpch_q14_like,
+        "q_tpch_q19_like": q_tpch_q19_like,
         "q_inverted_index": q_inverted_index,
         "q_inverted_index_not": q_inverted_index_not,
         "q_related_items": q_related_items,
@@ -1152,6 +1174,20 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1996-07-01'
+        """,
+        "q_tpch_q19_like": """
+            SELECT sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2))
+                               - CAST(l_discount AS DECIMAL(18,2)))
+                       AS DECIMAL(28,4))) AS revenue,
+                   count(l_orderkey) AS cnt
+            FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE ((p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 15
+                    AND l_quantity BETWEEN 1 AND 30)
+                OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 10 AND 30
+                    AND l_quantity BETWEEN 10 AND 40)
+                OR (p.p_type = 'PROMO' AND p.p_size BETWEEN 20 AND 35
+                    AND l_quantity BETWEEN 20 AND 50))
         """,
         "q_inverted_index": f"""
             SELECT l_returnflag, count(l_orderkey) AS cnt,
