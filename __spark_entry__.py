@@ -834,6 +834,35 @@ def dp_frame_sample(spark, sf_dir):
     return frame_sample(media).select("media_id", "frame_no")
 
 
+def dp_sample(spark, sf_dir):
+    """Deterministic md5-prefix Bernoulli sample, per-stratum rates: the
+    same subset on any engine/run (reproducible corpus sampling)."""
+    from yupana_spark.datapipe.sample import deterministic_sample
+
+    return deterministic_sample(
+        _docs(spark, sf_dir), "doc_id", 0.2,
+        stratum_col="lang", stratum_rates={"en": 0.5},
+    ).select("doc_id", "lang")
+
+
+def dp_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> connected components (min-label propagation);
+    oracled by a DuckDB recursive CTE over the identical pair list."""
+    from yupana_spark.datapipe.sample import dedup_clusters
+
+    return dedup_clusters(dp_embed_neardup(spark, sf_dir))
+
+
+def dp_dedup_keep(spark, sf_dir):
+    """Corpus minus duplicate-cluster losers (keep min-id per cluster)."""
+    from yupana_spark.datapipe.dedup import embedding_neardup_pairs
+    from yupana_spark.datapipe.sample import dedup_keep
+
+    emb = _emb(spark, sf_dir)
+    pairs = embedding_neardup_pairs(emb, threshold=0.45)
+    return dedup_keep(emb, pairs, id_col="vec_id").select("vec_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_day_rollup(spark, "/root/testdata/sf0.001")
@@ -903,7 +932,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_ann_ivf": dp_ann_ivf,
         "dp_multimodal_features": dp_multimodal_features,
         "dp_frame_sample": dp_frame_sample,
+        "dp_sample": dp_sample,
+        "dp_dedup_clusters": dp_dedup_clusters,
+        "dp_dedup_keep": dp_dedup_keep,
     }
+
+
+def _hex(rate: float) -> str:
+    from yupana_spark.datapipe.sample import rate_to_hex
+
+    return rate_to_hex(rate)
+
+
+# embedding cosine near-dup pair list — shared by the cluster oracles; must
+# stay textually in sync with the dp_embed_neardup oracle below
+_NEARDUP_PAIRS_CTE = """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+            p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                  FROM e a JOIN e b ON a.vec_id < b.vec_id
+                  WHERE round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1393,5 +1442,35 @@ def oracle_sql() -> dict[str, str]:
                 ('CustomerLink_c_acctbal', 'DOUBLE'),
                 ('CustomerLink_c_mktsegment', 'VARCHAR')
             ) AS t(COLUMN_NAME, DATA_TYPE)
+        """,
+        "dp_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                  CASE WHEN lang = 'en' THEN '{_hex(0.5)}'
+                       ELSE '{_hex(0.2)}' END
+        """,
+        "dp_dedup_clusters": f"""
+            WITH RECURSIVE {_NEARDUP_PAIRS_CTE},
+            edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                      UNION SELECT id_b, id_a FROM p),
+            reach(id, r) AS (
+                SELECT DISTINCT src, src FROM edges
+                UNION
+                SELECT e2.src, reach.r
+                FROM edges e2 JOIN reach ON e2.dst = reach.id)
+            SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+        """,
+        "dp_dedup_keep": f"""
+            WITH RECURSIVE {_NEARDUP_PAIRS_CTE},
+            edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                      UNION SELECT id_b, id_a FROM p),
+            reach(id, r) AS (
+                SELECT DISTINCT src, src FROM edges
+                UNION
+                SELECT e2.src, reach.r
+                FROM edges e2 JOIN reach ON e2.dst = reach.id),
+            cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+            SELECT vec_id FROM embeddings
+            WHERE vec_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
         """,
     }

@@ -182,3 +182,51 @@ def test_multimodal_plumbing(spark, docs):
         decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         extract_features(media, use_fake_decoder=False)
+
+
+def test_deterministic_sample(spark, docs):
+    from yupana_spark.datapipe.sample import deterministic_sample, rate_to_hex
+
+    assert rate_to_hex(0.0) == "00000000"
+    assert rate_to_hex(1.0) == "ffffffff"
+    with pytest.raises(ValueError):
+        rate_to_hex(1.5)
+
+    s1 = deterministic_sample(docs, "doc_id", 0.3)
+    s2 = deterministic_sample(docs, "doc_id", 0.3)
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    assert ids1 == sorted(r["doc_id"] for r in s2.collect())  # reproducible
+    n, total = len(ids1), docs.count()
+    assert 0 < n < total
+    # monotone: a bigger rate strictly contains a smaller one
+    ids_big = {r["doc_id"] for r in
+               deterministic_sample(docs, "doc_id", 0.6).collect()}
+    assert set(ids1) <= ids_big
+
+
+def test_deterministic_sample_strata(spark, docs):
+    from yupana_spark.datapipe.sample import deterministic_sample
+
+    s = deterministic_sample(docs, "doc_id", 0.0, stratum_col="lang",
+                             stratum_rates={"en": 1.0})
+    rows = s.collect()
+    assert rows and all(r["lang"] == "en" for r in rows)
+    assert len(rows) == docs.filter("lang = 'en'").count()
+
+
+def test_dedup_clusters_chain(spark):
+    from yupana_spark.datapipe.sample import dedup_clusters, dedup_keep
+
+    # 1-2-3-4 chain (needs >1 propagation round), 10-11 pair, 20-21-22 star
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)],
+        "id_a bigint, id_b bigint")
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+    corpus = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 99]], "doc_id bigint")
+    kept = sorted(r["doc_id"] for r in
+                  dedup_keep(corpus, pairs).collect())
+    assert kept == [1, 10, 20, 99]  # one per cluster + untouched singleton

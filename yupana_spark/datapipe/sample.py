@@ -1,0 +1,116 @@
+"""Deterministic sampling + dedup-cluster resolution for training pipelines.
+
+Beyond the reference's surface (BASELINE.json north star).  Two properties a
+100 TB corpus pipeline needs that ``df.sample()`` doesn't give:
+
+* **Reproducibility across runs and engines** — the sampling decision is a
+  pure function of the row key (md5 prefix compare), so re-running the
+  pipeline, adding columns, or re-partitioning never changes the sample, and
+  any engine with md5 can produce the identical subset (the DuckDB oracle
+  does).  No RNG state, no seed-per-partition coupling.
+* **Cluster resolution** — near-dup pair lists (MinHash/SimHash/embedding)
+  must collapse into "keep one doc per duplicate cluster".  That is
+  connected components; implemented as distributed min-label propagation
+  (each iteration one self-join + min-agg, converges in O(log diameter)
+  rounds — near-dup clusters are shallow, 2-4 rounds in practice).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash sampling
+# ---------------------------------------------------------------------------
+def _md5_bucket(col: Column) -> Column:
+    """First 8 hex chars of md5 of the key's string form — compared
+    lexicographically (hex strings order like the 32-bit value)."""
+    return F.substring(F.md5(col.cast("string").cast("binary")), 1, 8)
+
+
+def rate_to_hex(rate: float) -> str:
+    """Hex threshold t such that P[md5_prefix < t] == rate (8 hex digits)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return format(int(rate * 0xFFFFFFFF), "08x")
+
+
+def deterministic_sample(df: DataFrame, id_col: str, rate: float,
+                         stratum_col: Optional[str] = None,
+                         stratum_rates: Optional[Dict[str, float]] = None
+                         ) -> DataFrame:
+    """Key-hash Bernoulli sample: keep rows with md5(id) prefix below the
+    rate threshold.  With ``stratum_rates``, each stratum gets its own
+    threshold (rows in unlisted strata fall back to ``rate``).
+
+    Pure row-local predicate: no shuffle, pushes into the scan stage, and
+    composes with any downstream operator.  The same subset is selected on
+    any engine/run given the same keys.
+    """
+    bucket = _md5_bucket(F.col(id_col))
+    if stratum_col and stratum_rates:
+        thresh = F.lit(rate_to_hex(rate))
+        for value, r in sorted(stratum_rates.items()):
+            thresh = F.when(F.col(stratum_col) == value,
+                            F.lit(rate_to_hex(r))).otherwise(thresh)
+    else:
+        thresh = F.lit(rate_to_hex(rate))
+    return df.filter(bucket < thresh)
+
+
+# ---------------------------------------------------------------------------
+# dedup cluster resolution (connected components)
+# ---------------------------------------------------------------------------
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                   max_iter: int = 20) -> DataFrame:
+    """(id, cluster_id): connected components over an undirected pair list,
+    cluster_id = min member id.
+
+    Distributed min-label propagation: every node starts labeled with its
+    own id; each round joins labels across edges and takes the min; stop
+    when no label changes.  Each round is one shuffle join + one min-agg —
+    both AQE-sized — and the iteration count is O(log component diameter),
+    not O(N): duplicate clusters are near-cliques, so 2-4 rounds at any
+    scale.  The per-round convergence check is a count over changed labels
+    only (no full collect).
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .union(pairs.select(F.col(id_b).alias("src"),
+                                 F.col(id_a).alias("dst")))
+             .distinct())
+    edges = edges.persist()
+    labels = (edges.select(F.col("src").alias("id"))
+              .distinct()
+              .withColumn("cluster_id", F.col("id")))
+    try:
+        for _ in range(max_iter):
+            # propagate: each node adopts min(own label, neighbors' labels)
+            prop = (edges.join(labels, edges.dst == labels.id)
+                    .select(F.col("src").alias("id"),
+                            F.col("cluster_id"))
+                    .union(labels)
+                    .groupBy("id")
+                    .agg(F.min("cluster_id").alias("cluster_id")))
+            prop = prop.localCheckpoint(eager=True)  # cut lineage per round
+            changed = (prop.alias("n")
+                       .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+                       .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                       .limit(1).count())
+            labels = prop
+            if changed == 0:
+                break
+    finally:
+        edges.unpersist()
+    return labels
+
+
+def dedup_keep(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+               ) -> DataFrame:
+    """Corpus minus duplicates: resolve pair list to clusters, keep the
+    min-id representative of each cluster, pass through singletons."""
+    clusters = dedup_clusters(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
+    return df.join(losers, df[id_col] == losers.id, "left_anti")
