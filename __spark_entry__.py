@@ -863,6 +863,25 @@ def dp_dedup_keep(spark, sf_dir):
     return dedup_keep(emb, pairs, id_col="vec_id").select("vec_id")
 
 
+def dp_top_k_per_group(spark, sf_dir):
+    """Best-k docs per domain without a global sort (window rank + filter,
+    deterministic via unique-key tiebreak)."""
+    from yupana_spark.datapipe.select import top_k_per_group
+
+    return top_k_per_group(_docs(spark, sf_dir), ["lang"], "n_chars", 3,
+                           tiebreak="doc_id").select("doc_id", "lang",
+                                                     "n_chars")
+
+
+def dp_group_quantiles(spark, sf_dir):
+    """Exact per-group quantiles of a stats column (engine-independent,
+    unlike approx_percentile)."""
+    from yupana_spark.datapipe.select import group_quantiles
+
+    return group_quantiles(_docs(spark, sf_dir), ["lang"], "n_chars",
+                           [0.5, 0.9])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_day_rollup(spark, "/root/testdata/sf0.001")
@@ -935,6 +954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_sample": dp_sample,
         "dp_dedup_clusters": dp_dedup_clusters,
         "dp_dedup_keep": dp_dedup_keep,
+        "dp_top_k_per_group": dp_top_k_per_group,
+        "dp_group_quantiles": dp_group_quantiles,
     }
 
 
@@ -1472,5 +1493,15 @@ def oracle_sql() -> dict[str, str]:
             cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
             SELECT vec_id FROM embeddings
             WHERE vec_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
+        """,
+        "dp_top_k_per_group": """
+            SELECT doc_id, lang, n_chars FROM documents
+            QUALIFY row_number() OVER (PARTITION BY lang
+                                       ORDER BY n_chars DESC, doc_id) <= 3
+        """,
+        "dp_group_quantiles": """
+            SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90
+            FROM documents GROUP BY lang
         """,
     }

@@ -230,3 +230,38 @@ def test_dedup_clusters_chain(spark):
     kept = sorted(r["doc_id"] for r in
                   dedup_keep(corpus, pairs).collect())
     assert kept == [1, 10, 20, 99]  # one per cluster + untouched singleton
+
+
+def test_top_k_per_group(spark, docs):
+    from yupana_spark.datapipe.select import top_k_per_group
+
+    top = top_k_per_group(docs, ["lang"], "n_chars", 2, tiebreak="doc_id")
+    rows = top.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["n_chars"])
+    assert all(len(v) <= 2 for v in by_lang.values())
+    # each group's picks are the true per-group maxima
+    for lang, picks in by_lang.items():
+        all_chars = sorted((r["n_chars"] for r in
+                            docs.filter(F.col("lang") == lang).collect()),
+                           reverse=True)
+        assert sorted(picks, reverse=True) == all_chars[:len(picks)]
+    # ascending flavor picks the minima
+    bottom = top_k_per_group(docs, ["lang"], "n_chars", 1,
+                             descending=False, tiebreak="doc_id").collect()
+    for r in bottom:
+        mn = docs.filter(F.col("lang") == r["lang"]) \
+                 .agg(F.min("n_chars")).collect()[0][0]
+        assert r["n_chars"] == mn
+
+
+def test_group_quantiles(spark, docs):
+    from yupana_spark.datapipe.select import group_quantiles
+
+    q = group_quantiles(docs, ["lang"], "n_chars", [0.0, 0.5, 1.0])
+    for r in q.collect():
+        grp = docs.filter(F.col("lang") == r["lang"])
+        lo, hi = grp.agg(F.min("n_chars"), F.max("n_chars")).collect()[0]
+        assert r["p0"] == lo and r["p100"] == hi
+        assert lo <= r["p50"] <= hi

@@ -1,0 +1,57 @@
+"""Corpus-selection operators: top-k per group and per-group quantiles.
+
+Beyond the reference's surface (BASELINE.json north star).  The
+quality-filtering step of a training-data pipeline needs "keep the best N
+documents per domain" and "where is the p90 of the quality score" — both
+expressed so no global sort ever happens:
+
+* ``top_k_per_group`` ranks inside each partition of a window — one shuffle
+  on the group key, then a row-local filter; at 100 TB this is the only
+  shape that works (a global ORDER BY ... LIMIT materializes a total order).
+* ``group_quantiles`` uses Spark's exact ``percentile`` aggregate —
+  partial/final HashAggregate, one shuffle — not approx_percentile, so the
+  result is engine-independent (DuckDB ``quantile_cont`` matches exactly).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def top_k_per_group(df: DataFrame, group_cols: Sequence[str],
+                    order_col: str, k: int, descending: bool = True,
+                    tiebreak: Optional[str] = None) -> DataFrame:
+    """Best k rows per group by ``order_col``.
+
+    Deterministic when ``tiebreak`` (a unique key) is given — required for
+    reproducible corpus selection and for cross-engine comparison.  The
+    window shuffles once on the group key; row_number + filter never
+    materializes more than one partition's order.
+    """
+    order: List = [F.col(order_col).desc() if descending
+                   else F.col(order_col).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(*order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn"))
+
+
+def group_quantiles(df: DataFrame, group_cols: Sequence[str],
+                    value_col: str, quantiles: Sequence[float],
+                    scale: int = 4) -> DataFrame:
+    """Exact per-group quantiles (linear interpolation), one column per
+    requested quantile named ``p<percent>`` and rounded to ``scale``.
+
+    Exact ``percentile`` holds the group's values in the aggregation
+    buffer: fine for bounded stats columns (scores, lengths); use
+    approx_percentile(rsd) when the per-group value count itself is
+    unbounded at the target scale.
+    """
+    aggs = [F.round(F.percentile(value_col, F.lit(q)), scale)
+            .alias(f"p{int(round(q * 100))}")
+            for q in quantiles]
+    return df.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
