@@ -63,3 +63,33 @@ def test_stateful_running_totals(spark, tmp_path):
     assert running[1] == (2, 5.0) and running[2] == (1, 10.0)
     closed = {r["key"] for r in rows_out if r["closed"]}
     assert closed <= {1, 2}  # closes fire if a timeout batch ran
+
+
+def test_stream_dedup(spark, tmp_path):
+    from pyspark.sql import functions as F, types as T
+
+    from yupana_spark.streaming.ingest import stream_dedup
+
+    src = tmp_path / "sd_src"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01 10:00:00", "v": 1.0},
+        {"event_id": 1, "ts": "2024-01-01 10:05:00", "v": 2.0},  # repeat
+        {"event_id": 2, "ts": "2024-01-01 10:10:00", "v": 3.0},
+        {"event_id": 2, "ts": "2024-01-01 10:10:00", "v": 3.0},  # repeat
+        {"event_id": 3, "ts": "2024-01-01 10:20:00", "v": 4.0},
+    ]
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    stream = (spark.readStream.schema(schema).json(str(src))
+              .withColumn("time", F.to_timestamp("ts")))
+    out = stream_dedup(stream, ["event_id"])
+    q = (out.writeStream.format("memory").queryName("sd")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM sd").collect())
+    assert got == [1, 2, 3]  # one row per key within the horizon
