@@ -37,6 +37,16 @@ CHECKS = {
     "q_tpch_q1": dict(pushed=r"PushedFilters: \[.*l_shipdate",
                       expect=["HashAggregate"], forbid=["SortMergeJoin"]),
     "q_session_windows": dict(pushed=None, expect=["Aggregate"], forbid=[]),
+    "q_tpch_q19_like": dict(pushed=r"PushedFilters: \[.*l_shipdate",
+                            expect=["BroadcastHashJoin"],
+                            forbid=["SortMergeJoin"]),
+    # pure row-local predicate: sampling must not shuffle
+    "dp_sample": dict(pushed=None, expect=[], forbid=["Exchange"]),
+    # group-key window, never a global sort (rangepartitioning)
+    "dp_top_k_per_group": dict(pushed=None, expect=["Window"],
+                               forbid=["rangepartitioning"]),
+    "dp_group_quantiles": dict(pushed=None, expect=["Aggregate"],
+                               forbid=["rangepartitioning", "SortMergeJoin"]),
 }
 
 
