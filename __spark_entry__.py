@@ -882,6 +882,20 @@ def dp_group_quantiles(spark, sf_dir):
                            [0.5, 0.9])
 
 
+def dp_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (first-fit-decreasing per hash bucket;
+    deterministic but not SQL-expressible => rows-only check)."""
+    from yupana_spark.datapipe.pack import pack_sequences
+    from yupana_spark.datapipe.text import token_count
+
+    from pyspark.sql import functions as F
+
+    with_tok = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return pack_sequences(with_tok, "doc_id", "n_tokens", budget=2048,
+                          num_buckets=64)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_day_rollup(spark, "/root/testdata/sf0.001")
@@ -956,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_dedup_keep": dp_dedup_keep,
         "dp_top_k_per_group": dp_top_k_per_group,
         "dp_group_quantiles": dp_group_quantiles,
+        "dp_pack_sequences": dp_pack_sequences,
     }
 
 

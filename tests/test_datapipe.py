@@ -265,3 +265,32 @@ def test_group_quantiles(spark, docs):
         lo, hi = grp.agg(F.min("n_chars"), F.max("n_chars")).collect()[0]
         assert r["p0"] == lo and r["p100"] == hi
         assert lo <= r["p50"] <= hi
+
+
+def test_pack_sequences(spark, docs):
+    from yupana_spark.datapipe.pack import pack_sequences, packing_stats
+    from yupana_spark.datapipe.text import token_count
+
+    with_tok = docs.select("doc_id",
+                           token_count(F.col("text")).alias("n_tokens"))
+    budget = 500
+    packed = pack_sequences(with_tok, "doc_id", "n_tokens", budget=budget,
+                            num_buckets=8).cache()
+    rows = packed.collect()
+    # every doc assigned exactly once
+    assert sorted(r["id"] for r in rows) == \
+        sorted(r["doc_id"] for r in with_tok.collect())
+    # no pack over budget unless it is a single oversized doc
+    per_pack = {}
+    for r in rows:
+        per_pack.setdefault(r["pack_id"], []).append(r["n_tokens"])
+    for toks in per_pack.values():
+        assert sum(toks) <= budget or len(toks) == 1
+    # deterministic: same assignment on a differently-partitioned input
+    packed2 = pack_sequences(with_tok.repartition(13), "doc_id", "n_tokens",
+                             budget=budget, num_buckets=8)
+    assert sorted((r["id"], r["pack_id"]) for r in packed2.collect()) == \
+        sorted((r["id"], r["pack_id"]) for r in rows)
+    stats = packing_stats(packed, budget).collect()[0]
+    assert stats["docs"] == len(rows)
+    assert 0.5 < stats["fill_ratio"] <= 1.0  # FFD should fill reasonably

@@ -1,0 +1,87 @@
+"""Sequence packing: group documents into fixed token-budget packs.
+
+Beyond the reference's surface (BASELINE.json north star).  Pretraining
+pipelines concatenate documents into fixed-length training sequences; the
+packing step assigns each doc to a pack so that packs fill the token budget
+with minimal waste.
+
+Scale shape: optimal bin packing is NP-hard and inherently sequential, so
+the distributed form shards docs by key hash into N independent buckets and
+runs greedy first-fit-decreasing (FFD ≤ 11/9·OPT + 1) inside each bucket
+with an Arrow-batched ``applyInPandas`` — no global sort, one shuffle on the
+bucket key, per-bucket state bounded by the bucket's doc count.  Pack ids
+are (bucket, local) pairs, so the assignment is deterministic for a given
+key set regardless of cluster layout or input partitioning.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+
+def pack_sequences(df: DataFrame, id_col: str = "doc_id",
+                   tokens_col: str = "n_tokens", budget: int = 2048,
+                   num_buckets: int = 256) -> DataFrame:
+    """(id, n_tokens, pack_id): first-fit-decreasing packing per hash bucket.
+
+    Docs longer than ``budget`` get a singleton pack (truncation/splitting
+    is the tokenizer's concern, not the packer's).  ``pack_id`` is
+    ``bucket * 2^32 + local_pack`` — stable across runs/partitionings
+    because the bucket is a pure key hash and the in-bucket order is
+    (tokens desc, id).
+    """
+    out_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("pack_id", T.LongType()),
+    ])
+
+    def pack_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__t", "__i"],
+                              ascending=[False, True]).reset_index(drop=True)
+        bucket = int(pdf["__b"].iloc[0])
+        # first-fit over open packs; packs stay few (budget/mean_len docs
+        # each), linear scan is fine per bucket
+        remaining: list = []   # remaining capacity per open pack
+        assign = []
+        for t in pdf["__t"]:
+            t = int(t)
+            placed = None
+            if t <= budget:
+                for j, cap in enumerate(remaining):
+                    if t <= cap:
+                        placed = j
+                        remaining[j] = cap - t
+                        break
+            if placed is None:
+                placed = len(remaining)
+                remaining.append(max(budget - t, 0))
+            assign.append(placed)
+        base = bucket << 32
+        return pd.DataFrame({
+            "id": pdf["__i"],
+            "n_tokens": pdf["__t"],
+            "pack_id": [base + a for a in assign],
+        })
+
+    prepared = df.select(
+        F.col(id_col).cast("long").alias("__i"),
+        F.col(tokens_col).cast("long").alias("__t"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_buckets)).alias("__b"),
+    )
+    return prepared.groupBy("__b").applyInPandas(pack_bucket, out_schema)
+
+
+def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """One row: packs, docs, fill ratio (packed tokens / pack capacity) —
+    the waste metric to tune ``budget``/``num_buckets`` against."""
+    per_pack = (packed.groupBy("pack_id")
+                .agg(F.sum("n_tokens").alias("tok"),
+                     F.count("*").alias("docs")))
+    return per_pack.agg(
+        F.count("*").alias("packs"),
+        F.sum("docs").alias("docs"),
+        F.round(F.sum(F.least(F.col("tok"), F.lit(budget)))
+                / (F.count("*") * budget), 4).alias("fill_ratio"))
