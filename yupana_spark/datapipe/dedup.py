@@ -227,10 +227,13 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
          string compares — identical modulo ~2e-5 hash-collision noise).
 
     One persisted (id, hs, sig) frame feeds banding AND both verification
-    sides: the normalize->shingle->hash scan and the signature UDF each run
-    exactly once, and candidates join back just once per side (est screen
-    and exact Jaccard are pipelined in the same stage — rung 3 only runs on
-    rows that survive rung 2's predicate).
+    rungs, so the normalize->shingle->hash scan and the signature UDF each
+    run exactly once.  The rung-2 screen joins candidates against the
+    32-long signatures ONLY — the candidate set is dominated by background
+    band collisions (same-vocabulary corpora put background Jaccard well
+    above random), and dragging the ~200-long shingle arrays through that
+    join would dwarf the screen itself.  The shingle arrays join in for the
+    screen's survivors alone (orders of magnitude fewer).
     """
     sighs = (hashed_shingle_sets(df, text_col, id_col, k)
              .select("id", "hs",
@@ -238,22 +241,26 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                      .alias("sig"))
              .persist())
     try:
-        cands = _band_collisions(sighs.select("id", "sig"), num_hashes,
-                                 bands)
-        a, b = sighs.alias("a"), sighs.alias("b")
+        sig = sighs.select("id", "sig")
+        cands = _band_collisions(sig, num_hashes, bands)
+        sa, sb = sig.alias("sa"), sig.alias("sb")
         est = (F.size(F.filter(
-            F.zip_with(F.col("a.sig"), F.col("b.sig"),
+            F.zip_with(F.col("sa.sig"), F.col("sb.sig"),
                        lambda x, y: x == y), lambda v: v))
             / F.lit(float(num_hashes)))
-        out = (cands
-               .join(a, cands.id_a == F.col("a.id"))
-               .join(b, cands.id_b == F.col("b.id"))
-               .select("id_a", "id_b", est.alias("__est"),
-                       F.col("a.hs").alias("__ha"),
-                       F.col("b.hs").alias("__hb"))
-               .filter(F.col("__est") >= threshold - est_margin)
+        screened = (cands
+                    .join(sa, cands.id_a == F.col("sa.id"))
+                    .join(sb, cands.id_b == F.col("sb.id"))
+                    .select("id_a", "id_b", est.alias("__est"))
+                    .filter(F.col("__est") >= threshold - est_margin)
+                    .drop("__est"))
+        a = sighs.select("id", "hs").alias("a")
+        b = sighs.select("id", "hs").alias("b")
+        out = (screened
+               .join(a, screened.id_a == F.col("a.id"))
+               .join(b, screened.id_b == F.col("b.id"))
                .select("id_a", "id_b",
-                       F.round(jaccard(F.col("__ha"), F.col("__hb")), 6)
+                       F.round(jaccard(F.col("a.hs"), F.col("b.hs")), 6)
                        .alias("jaccard"))
                .filter(F.col("jaccard") >= threshold))
         # materialize while sighs is pinned, then release the pin; the
