@@ -896,6 +896,17 @@ def dp_pack_sequences(spark, sf_dir):
                           num_buckets=64)
 
 
+def dp_mix_corpora(spark, sf_dir):
+    """Weighted deterministic corpus mixture (head sources upweighted)."""
+    from yupana_spark.datapipe.sample import mix_corpora
+
+    docs = _docs(spark, sf_dir)
+    head = docs.filter("source IN ('src0','src1','src2')")
+    tail = docs.filter("source NOT IN ('src0','src1','src2')")
+    return mix_corpora({"head": (head, 0.9), "tail": (tail, 0.25)}) \
+        .select("doc_id", "source", "corpus")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_day_rollup(spark, "/root/testdata/sf0.001")
@@ -971,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_top_k_per_group": dp_top_k_per_group,
         "dp_group_quantiles": dp_group_quantiles,
         "dp_pack_sequences": dp_pack_sequences,
+        "dp_mix_corpora": dp_mix_corpora,
     }
 
 
@@ -1518,5 +1530,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS p50,
                    round(quantile_cont(n_chars, 0.9), 4) AS p90
             FROM documents GROUP BY lang
+        """,
+        "dp_mix_corpora": f"""
+            SELECT doc_id, source, 'head' AS corpus FROM documents
+            WHERE source IN ('src0','src1','src2')
+              AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_hex(0.9)}'
+            UNION ALL
+            SELECT doc_id, source, 'tail' AS corpus FROM documents
+            WHERE source NOT IN ('src0','src1','src2')
+              AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_hex(0.25)}'
         """,
     }

@@ -294,3 +294,20 @@ def test_pack_sequences(spark, docs):
     stats = packing_stats(packed, budget).collect()[0]
     assert stats["docs"] == len(rows)
     assert 0.5 < stats["fill_ratio"] <= 1.0  # FFD should fill reasonably
+
+
+def test_mix_corpora(spark, docs):
+    from yupana_spark.datapipe.sample import deterministic_sample, mix_corpora
+
+    head = docs.filter(F.col("lang") == "en")
+    tail = docs.filter(F.col("lang") != "en")
+    mixed = mix_corpora({"head": (head, 1.0), "tail": (tail, 0.3)})
+    rows = mixed.collect()
+    tags = {r["corpus"] for r in rows}
+    assert tags == {"head", "tail"}
+    # head fully present; tail matches its standalone sample exactly
+    assert sum(1 for r in rows if r["corpus"] == "head") == head.count()
+    tail_ids = sorted(r["doc_id"] for r in rows if r["corpus"] == "tail")
+    assert tail_ids == sorted(
+        r["doc_id"]
+        for r in deterministic_sample(tail, "doc_id", 0.3).collect())

@@ -114,3 +114,24 @@ def dedup_keep(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
     clusters = dedup_clusters(pairs)
     losers = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
     return df.join(losers, df[id_col] == losers.id, "left_anti")
+
+
+def mix_corpora(corpora, id_col: str = "doc_id",
+                tag_col: str = "corpus") -> DataFrame:
+    """Weighted mixture of corpora: ``corpora`` maps tag -> (df, rate);
+    each source is deterministically downsampled at its rate and tagged.
+
+    The standard pretraining recipe (N sources, each up/down-weighted)
+    without an RNG: every source subset is a pure function of its keys
+    (see deterministic_sample), so the mixture is reproducible and each
+    source's contribution can be audited after the fact by filtering on
+    the tag.  Union is by name — sources only need the shared columns.
+    """
+    parts = []
+    for tag, (df, rate) in sorted(corpora.items()):
+        parts.append(deterministic_sample(df, id_col, rate)
+                     .withColumn(tag_col, F.lit(tag)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
