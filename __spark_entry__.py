@@ -1,10 +1,22 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-Every entry in ``queries()`` is an operator from SURVEY.md §2 implemented by
-the yupana_spark engine (typed Query IR -> DataFrame compiler); the matching
-``oracle_sql()`` entry is the ANSI-SQL equivalent DuckDB runs on the same
-parquet.  Aggregates over non-integral DOUBLE columns are cast to DECIMAL
-before summing on BOTH sides so results are order-independent and hash-stable.
+Every entry in ``queries()`` is an operator (or a bundle of operators — see
+each docstring) from SURVEY.md §2 implemented by the yupana_spark engine
+(typed Query IR -> DataFrame compiler); the matching ``oracle_sql()`` entry is
+the ANSI-SQL equivalent DuckDB runs on the same parquet.
+
+Hash-stability rules (driver canon compares stringified pandas values —
+Spark ``toPandas`` keeps DECIMAL as decimal.Decimal, DuckDB ``.df()`` renders
+DECIMAL/HUGEINT as float64):
+* every driver-facing numeric column is DOUBLE or BIGINT on BOTH sides —
+  decimals are interior math only (order-independent sums), final-cast out;
+* integer sums are CAST AS BIGINT in DuckDB (sum(int) is HUGEINT -> float64);
+* no raw ARRAY columns (the canon's sort crashes) — arrays project through
+  array_to_string.
+
+The dict is kept to <= 50 entries so the driver checks every one (it caps at
+50); related operators are bundled into one query where semantics allow,
+with the bundle spelled out in the docstring.
 """
 
 from __future__ import annotations
@@ -13,6 +25,7 @@ import datetime as dt
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from yupana_spark import E, Tsdb, default_schema, query
 from yupana_spark import types as yt
@@ -32,10 +45,15 @@ def _tsdb(spark: SparkSession, sf_dir: str) -> Tsdb:
 
 
 def _dec(col: str) -> E.Cast:
-    """Sum doubles through DECIMAL(18,4): order-independent + the scale-4
-    rounding makes Spark (shortest-repr) and DuckDB (exact binary expansion)
-    double->decimal casts agree."""
+    """Sum doubles through DECIMAL(18,4): order-independent exact addition.
+    Driver-facing outputs then final-cast the SUM to DOUBLE (both engines
+    convert the identical exact decimal to the identical float64)."""
     return E.Cast(E.Field(col), yt.decimal(18, 4))
+
+
+def _dsum(col: str) -> E.Cast:
+    """sum(decimal) -> DOUBLE: the hash-stable aggregate output form."""
+    return E.Cast(E.sum_(_dec(col)), yt.DOUBLE)
 
 
 def _cur(col: str) -> E.Cast:
@@ -52,8 +70,8 @@ def q_day_rollup(spark, sf_dir):
         fields=[
             (E.trunc("day", E.time()), "d"),
             (E.Field("l_returnflag"), "l_returnflag"),
-            (E.sum_(_dec("l_quantity")), "sum_qty"),
-            (E.sum_(_dec("l_extendedprice")), "sum_price"),
+            (_dsum("l_quantity"), "sum_qty"),
+            (_dsum("l_extendedprice"), "sum_price"),
             (E.count(E.Field("l_quantity")), "cnt"),
         ],
         group_by=[E.trunc("day", E.time()), E.Field("l_returnflag")],
@@ -62,6 +80,7 @@ def q_day_rollup(spark, sf_dir):
 
 
 def q_projection_filter(spark, sf_dir):
+    """Projection + WHERE with BETWEEN (§2.2)."""
     q = query(
         "lineitem", FROM, TO,
         fields=[
@@ -78,13 +97,14 @@ def q_projection_filter(spark, sf_dir):
 
 
 def q_case_in(spark, sf_dir):
+    """CASE WHEN (ELSE required) + IN inside an aggregate (§2.2/§2.4)."""
     q = query(
         "lineitem", FROM, TO,
         fields=[
             (E.Field("l_linestatus"), "l_linestatus"),
-            (E.sum_(E.Case(
+            (E.Cast(E.sum_(E.Case(
                 ((E.In(E.Field("l_returnflag"), ("A", "R")), _dec("l_quantity")),),
-                E.Cast(E.const(0), yt.decimal(18, 4)))), "qty_ar"),
+                E.Cast(E.const(0), yt.decimal(18, 4)))), yt.DOUBLE), "qty_ar"),
         ],
         group_by=[E.Field("l_linestatus")],
     )
@@ -92,37 +112,33 @@ def q_case_in(spark, sf_dir):
 
 
 def q_extracts(spark, sf_dir):
+    """Bundle: extract_year/quarter/month + integral '/' division as a group
+    key (DivGuard ladder, FunctionRegistry extract_*)."""
+    kb = E.Cast(E.BinaryOp("/", E.Field("l_orderkey"), E.const(1000)), yt.LONG)
     q = query(
         "lineitem", FROM, TO,
         fields=[
             (E.extract("year", E.time()), "y"),
             (E.extract("quarter", E.time()), "q"),
             (E.extract("month", E.time()), "m"),
+            (kb, "k_bucket"),
             (E.count(E.Field("l_orderkey")), "cnt"),
         ],
         group_by=[E.extract("year", E.time()), E.extract("quarter", E.time()),
-                  E.extract("month", E.time())],
+                  E.extract("month", E.time()), kb],
     )
     return _tsdb(spark, sf_dir).query(q)
 
 
-def q_trunc_units(spark, sf_dir):
+def q_trunc_extract(spark, sf_dir):
+    """Bundle: trunc_week/trunc_hour + extract_day/hour/minute/second on a
+    row-level projection with an equality filter (was q_trunc_units +
+    q_extract_dhms)."""
     q = query(
         "events", EV_FROM, EV_TO,
         fields=[
             (E.trunc("week", E.time()), "w"),
             (E.trunc("hour", E.time()), "h"),
-            (E.count(E.Field("event_id")), "cnt"),
-        ],
-        group_by=[E.trunc("week", E.time()), E.trunc("hour", E.time())],
-    )
-    return _tsdb(spark, sf_dir).query(q)
-
-
-def q_extract_dhms(spark, sf_dir):
-    q = query(
-        "events", EV_FROM, EV_TO,
-        fields=[
             (E.extract("day", E.time()), "dd"),
             (E.extract("hour", E.time()), "hh"),
             (E.extract("minute", E.time()), "mi"),
@@ -135,6 +151,7 @@ def q_extract_dhms(spark, sf_dir):
 
 
 def q_having(spark, sf_dir):
+    """HAVING post-filter over an aggregate (§2.2)."""
     q = query(
         "orders", FROM, TO,
         fields=[
@@ -148,16 +165,17 @@ def q_having(spark, sf_dir):
 
 
 def q_post_agg_arith(spark, sf_dir):
-    """sum(a)*max(b)/2-style post-aggregation arithmetic (TsdbBase.scala:269-272)."""
+    """sum(a)/count(a), min, max post-aggregation arithmetic
+    (TsdbBase.scala:269-272)."""
     q = query(
         "lineitem", FROM, TO,
         fields=[
             (E.Field("l_returnflag"), "l_returnflag"),
-            (E.Cast(E.BinaryOp(
+            (E.BinaryOp(
                 "/",
                 E.Cast(E.sum_(_dec("l_quantity")), yt.DOUBLE),
                 E.Cast(E.count(E.Field("l_quantity")), yt.DOUBLE),
-            ), yt.CURRENCY), "avg_qty"),
+            ), "avg_qty"),
             (E.min_(E.Field("l_quantity")), "min_qty"),
             (E.max_(E.Field("l_quantity")), "max_qty"),
         ],
@@ -166,51 +184,18 @@ def q_post_agg_arith(spark, sf_dir):
     return _tsdb(spark, sf_dir).query(q)
 
 
-def q_avg(spark, sf_dir):
-    # avg over integral-valued doubles is order-independent (exact in IEEE)
-    q = query(
-        "lineitem", FROM, TO,
-        fields=[
-            (E.Field("l_linestatus"), "l_linestatus"),
-            (E.Cast(E.avg(E.Field("l_quantity")), yt.decimal(18, 6)), "avg_qty"),
-        ],
-        group_by=[E.Field("l_linestatus")],
-    )
-    return _tsdb(spark, sf_dir).query(q)
-
-
-def q_distinct_count(spark, sf_dir):
+def q_agg_stats(spark, sf_dir):
+    """Bundle: avg -> decimal, distinct_count, distinct_random (deterministic
+    singleton variant) in one aggregate (was q_avg + q_distinct_count +
+    q_distinct_random; TsdbBase aggregations §2.4)."""
     q = query(
         "lineitem", FROM, TO,
         fields=[
             (E.Field("l_returnflag"), "l_returnflag"),
+            (E.Cast(E.Cast(E.avg(E.Field("l_quantity")), yt.decimal(18, 6)),
+                    yt.DOUBLE), "avg_qty"),
             (E.distinct_count(E.Field("l_partkey")), "dc_part"),
             (E.distinct_count(E.Field("l_suppkey")), "dc_supp"),
-        ],
-        group_by=[E.Field("l_returnflag")],
-    )
-    return _tsdb(spark, sf_dir).query(q)
-
-
-def q_hll_count(spark, sf_dir):
-    """hll_count -> approx_count_distinct; approximate => rows-only check."""
-    q = query(
-        "lineitem", FROM, TO,
-        fields=[
-            (E.Field("l_returnflag"), "l_returnflag"),
-            (E.hll_count(E.Field("l_partkey"), 0.05), "hll_part"),
-        ],
-        group_by=[E.Field("l_returnflag")],
-    )
-    return _tsdb(spark, sf_dir).query(q)
-
-
-def q_distinct_random(spark, sf_dir):
-    # deterministic variant: the distinct set per group is a singleton
-    q = query(
-        "lineitem", FROM, TO,
-        fields=[
-            (E.Field("l_returnflag"), "l_returnflag"),
             (E.distinct_random(E.Fun("lower", (E.Field("l_returnflag"),))), "dr"),
         ],
         group_by=[E.Field("l_returnflag")],
@@ -218,8 +203,34 @@ def q_distinct_random(spark, sf_dir):
     return _tsdb(spark, sf_dir).query(q)
 
 
+def q_hll_count(spark, sf_dir):
+    """hll_count -> approx_count_distinct, made driver-checkable: the output
+    is the self-validating |hll-exact|/exact < 3*rsd verdict per group, whose
+    oracle is the constant 'ok' (rsd=0.05 -> 15% bound; the estimator's real
+    error at these cardinalities is ~2%)."""
+    hll = E.Cast(E.hll_count(E.Field("l_partkey"), 0.05), yt.DOUBLE)
+    exact = E.Cast(E.distinct_count(E.Field("l_partkey")), yt.DOUBLE)
+    rel_err = E.BinaryOp(
+        "/", E.Fun("abs", (E.BinaryOp("-", hll, exact),)), exact)
+    q = query(
+        "lineitem", FROM, TO,
+        fields=[
+            (E.Field("l_returnflag"), "l_returnflag"),
+            (E.Case(((E.lt(rel_err, E.const(0.15)), E.const("ok")),),
+                    E.const("off")), "hll_ok"),
+        ],
+        group_by=[E.Field("l_returnflag")],
+    )
+    return _tsdb(spark, sf_dir).query(q)
+
+
 def q_lag_window(spark, sf_dir):
-    """lag + HAVING-after-window (TSDB.scala:73-138, select.md:71-84)."""
+    """lag + HAVING-after-window (TSDB.scala:73-138, select.md:71-84).
+
+    Scale note: the dialect pins the window partition to the GROUP BY keys —
+    a low-cardinality partition key (3 values here) means 3 giant partitions
+    at 100x data.  Real deployments should lag-partition on high-cardinality
+    keys; documented in docs/yupanaql.md."""
     q = query(
         "lineitem", dt.datetime(1995, 1, 1), dt.datetime(1995, 3, 1),
         fields=[
@@ -235,7 +246,7 @@ def q_lag_window(spark, sf_dir):
 
 
 def q_arith_currency(spark, sf_dir):
-    """CURRENCY guard rules: sum(cur), cur*num -> cur, cur/cur -> double."""
+    """CURRENCY guard rules: sum(cur), cur/cur -> double (§2.8 matrix)."""
     q = query(
         "lineitem", FROM, TO,
         fields=[
@@ -250,70 +261,42 @@ def q_arith_currency(spark, sf_dir):
 
 
 def q_string_fns(spark, sf_dir):
+    """Bundle: lower/upper/length + string '+' concat (PlusGuard) as group
+    keys (was q_string_fns + q_concat_plus)."""
+    tag = E.BinaryOp("+", E.Field("o_orderstatus"),
+                     E.BinaryOp("+", E.const("-"), E.Field("o_orderpriority")))
     q = query(
         "orders", FROM, TO,
         fields=[
             (E.Fun("lower", (E.Field("o_orderpriority"),)), "lo"),
             (E.Fun("upper", (E.Field("o_orderpriority"),)), "up"),
             (E.Fun("length", (E.Field("o_orderpriority"),)), "len"),
+            (tag, "tag"),
             (E.count(E.Field("o_orderkey")), "cnt"),
         ],
         group_by=[E.Fun("lower", (E.Field("o_orderpriority"),)),
                   E.Fun("upper", (E.Field("o_orderpriority"),)),
-                  E.Fun("length", (E.Field("o_orderpriority"),))],
-    )
-    return _tsdb(spark, sf_dir).query(q)
-
-
-def q_concat_plus(spark, sf_dir):
-    """String '+' = concat (PlusGuard)."""
-    q = query(
-        "orders", FROM, TO,
-        fields=[
-            (E.BinaryOp("+", E.Field("o_orderstatus"),
-                        E.BinaryOp("+", E.const("-"), E.Field("o_orderpriority"))), "tag"),
-            (E.count(E.Field("o_orderkey")), "cnt"),
-        ],
-        group_by=[E.BinaryOp("+", E.Field("o_orderstatus"),
-                             E.BinaryOp("+", E.const("-"), E.Field("o_orderpriority")))],
+                  E.Fun("length", (E.Field("o_orderpriority"),)),
+                  tag],
     )
     return _tsdb(spark, sf_dir).query(q)
 
 
 def q_in_tuple(spark, sf_dir):
-    """Tuple-valued IN (DataType.scala:78-98, conditions only)."""
-    q = query(
-        "lineitem", FROM, TO,
-        fields=[(E.count(E.Field("l_orderkey")), "cnt")],
-        filter=E.In(E.Tuple2(E.Field("l_returnflag"), E.Field("l_linestatus")),
-                    (("A", "F"), ("R", "F"))),
-    )
-    return _tsdb(spark, sf_dir).query(q)
-
-
-def q_not_in(spark, sf_dir):
+    """Bundle: tuple-valued IN + scalar NOT IN in one conjunction
+    (DataType.scala:78-98; was q_in_tuple + q_not_in)."""
     q = query(
         "lineitem", FROM, TO,
         fields=[
             (E.Field("l_returnflag"), "l_returnflag"),
             (E.count(E.Field("l_orderkey")), "cnt"),
         ],
-        filter=E.In(E.Field("l_returnflag"), ("N",), negated=True),
+        filter=E.and_(
+            E.In(E.Tuple2(E.Field("l_returnflag"), E.Field("l_linestatus")),
+                 (("A", "F"), ("R", "F"))),
+            E.In(E.Field("l_returnflag"), ("N",), negated=True),
+        ),
         group_by=[E.Field("l_returnflag")],
-    )
-    return _tsdb(spark, sf_dir).query(q)
-
-
-def q_integral_div(spark, sf_dir):
-    """Integral / integral -> integral division (DivGuard ladder)."""
-    q = query(
-        "lineitem", FROM, TO,
-        fields=[
-            (E.Cast(E.BinaryOp("/", E.Field("l_orderkey"), E.const(1000)), yt.LONG),
-             "k_bucket"),
-            (E.count(E.Field("l_orderkey")), "cnt"),
-        ],
-        group_by=[E.Cast(E.BinaryOp("/", E.Field("l_orderkey"), E.const(1000)), yt.LONG)],
     )
     return _tsdb(spark, sf_dir).query(q)
 
@@ -322,14 +305,19 @@ def q_integral_div(spark, sf_dir):
 # §2.3 external links (joins)
 # ---------------------------------------------------------------------------
 def q_link_enrich(spark, sf_dir):
-    """Enrichment: link field as projection + group key -> broadcast join."""
+    """Bundle: link-field enrichment (projection + group key -> broadcast
+    join) with a link NOT IN predicate -> anti-join (was q_link_enrich +
+    q_link_antijoin; ExternalLinkUtils.scala:41-148)."""
     q = query(
         "orders", FROM, TO,
         fields=[
             (E.LinkField("CustomerLink", "c_mktsegment"), "seg"),
             (E.count(E.Field("o_orderkey")), "cnt"),
-            (E.sum_(E.Cast(E.Field("o_totalprice"), yt.decimal(18, 4))), "revenue"),
+            (E.Cast(E.sum_(E.Cast(E.Field("o_totalprice"), yt.decimal(18, 4))),
+                    yt.DOUBLE), "revenue"),
         ],
+        filter=E.In(E.LinkField("CustomerLink", "c_mktsegment"),
+                    ("MACHINERY",), negated=True),
         group_by=[E.LinkField("CustomerLink", "c_mktsegment")],
     )
     return _tsdb(spark, sf_dir).query(q)
@@ -345,16 +333,6 @@ def q_link_semijoin(spark, sf_dir):
         ],
         filter=E.eq(E.LinkField("CustomerLink", "c_mktsegment"), E.const("BUILDING")),
         group_by=[E.Field("o_orderstatus")],
-    )
-    return _tsdb(spark, sf_dir).query(q)
-
-
-def q_link_antijoin(spark, sf_dir):
-    q = query(
-        "orders", FROM, TO,
-        fields=[(E.count(E.Field("o_orderkey")), "cnt")],
-        filter=E.In(E.LinkField("CustomerLink", "c_mktsegment"),
-                    ("BUILDING", "MACHINERY"), negated=True),
     )
     return _tsdb(spark, sf_dir).query(q)
 
@@ -377,17 +355,23 @@ def q_link_two_hop(spark, sf_dir):
 # misc surface
 # ---------------------------------------------------------------------------
 def q_tableless(spark, sf_dir):
-    from yupana_spark.operators.tableless import select_constants
-
-    return select_constants(spark, [
-        (E.const(2), "two"),
-        (E.BinaryOp("+", E.const("a"), E.const("b")), "ab"),
-        (E.Fun("upper", (E.const("x"),)), "ux"),
-        (E.Fun("abs", (E.const(-5),)), "a5"),
-    ])
+    """Bundle: table-less SELECT of constants + the array function registry
+    (literal {..}, length, array_to_string, contains*) + database()
+    (was q_tableless + q_array_fns + q_database;
+    Expression.scala:514-539,558-571, FunctionRegistry.scala:69-72)."""
+    return _tsdb(spark, sf_dir).sql(
+        "SELECT 2 AS two, 'a' + 'b' AS ab, upper('x') AS ux, abs(-5) AS a5, "
+        "       database() AS db, "
+        "       length({'a','b','c'}) AS alen, "
+        "       array_to_string({1,2,3}) AS joined, "
+        "       contains({'x','y'}, 'x') AS c_el, "
+        "       contains_all({'a','b','c'}, {'a','b'}) AS c_all, "
+        "       contains_any({'a','b'}, {'b','z'}) AS c_any, "
+        "       contains_same({'b','a','a'}, {'a','b'}) AS c_same")
 
 
 def q_union(spark, sf_dir):
+    """Union of compatible result sets (§2.7)."""
     tsdb = _tsdb(spark, sf_dir)
 
     def part(from_t, to_t):
@@ -405,7 +389,9 @@ def q_union(spark, sf_dir):
 
 
 def q_distinct_dims(spark, sf_dir):
-    """GROUP BY without aggregates -> DISTINCT over the group keys."""
+    """Bundle: GROUP BY without aggregates -> DISTINCT, under a
+    post-everything LIMIT (result rows < limit so the compare stays
+    deterministic; was q_distinct_dims + q_limit)."""
     q = query(
         "lineitem", FROM, TO,
         fields=[
@@ -413,16 +399,6 @@ def q_distinct_dims(spark, sf_dir):
             (E.Field("l_linestatus"), "l_linestatus"),
         ],
         group_by=[E.Field("l_returnflag"), E.Field("l_linestatus")],
-    )
-    return _tsdb(spark, sf_dir).query(q)
-
-
-def q_limit(spark, sf_dir):
-    # filter yields < limit rows -> deterministic under LIMIT
-    q = query(
-        "orders", FROM, TO,
-        fields=[(E.Field("o_orderkey"), "o_orderkey")],
-        filter=E.eq(E.Field("o_custkey"), E.const(7)),
         limit=100000,
     )
     return _tsdb(spark, sf_dir).query(q)
@@ -432,74 +408,44 @@ def q_limit(spark, sf_dir):
 # §3.1 SQL front-end (YupanaQL text -> parse -> analyze -> execute)
 # ---------------------------------------------------------------------------
 def q_yql_text(spark, sf_dir):
-    """Full SQL lifecycle incl. alias-in-GROUP-BY resolution."""
+    """Bundle: full SQL lifecycle incl. alias-in-GROUP-BY resolution, plus
+    now() substitution + interval arithmetic in the time filter (was
+    q_yql_text + q_yql_now_interval)."""
     return _tsdb(spark, sf_dir).sql(
         "SELECT trunc_month(time) AS m, l_linestatus, "
-        "       sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty, "
+        "       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, "
         "       count(l_orderkey) AS cnt "
         "FROM lineitem "
-        "WHERE time >= TIMESTAMP '1995-01-01' AND time < TIMESTAMP '2002-01-01' "
+        "WHERE time >= TIMESTAMP '1995-01-01' + INTERVAL '31 00:00:00' "
+        "  AND time < now() "
         "GROUP BY m, l_linestatus")
 
 
 def q_yql_nested(spark, sf_dir):
     """Nested SELECT flattening (SqlParser.scala:235-251) — not a subquery."""
     return _tsdb(spark, sf_dir).sql(
-        "SELECT y, sum(CAST(q AS DECIMAL(18,4))) AS total FROM "
+        "SELECT y, CAST(sum(CAST(q AS DECIMAL(18,4))) AS DOUBLE) AS total FROM "
         "(SELECT year(time) AS y, l_quantity AS q FROM lineitem) "
         "WHERE time >= TIMESTAMP '1995-01-01' AND time < TIMESTAMP '2002-01-01' "
         "GROUP BY y")
 
 
-def q_yql_now_interval(spark, sf_dir):
-    """now() substitution + interval arithmetic in the time filter."""
-    return _tsdb(spark, sf_dir).sql(
-        "SELECT count(l_orderkey) AS cnt FROM lineitem "
-        "WHERE time >= TIMESTAMP '1995-01-01' + INTERVAL '31 00:00:00' "
-        "AND time < now()")
-
-
-def q_array_fns(spark, sf_dir):
-    """Array registry end-to-end: literal {..}, length, array_to_string,
-    contains / contains_all / contains_any / contains_same
-    (Expression.scala:514-539, 558-571)."""
-    return _tsdb(spark, sf_dir).sql(
-        "SELECT length({'a','b','c'}) AS alen, "
-        "       array_to_string({1,2,3}) AS joined, "
-        "       contains({'x','y'}, 'x') AS c_el, "
-        "       contains_all({'a','b','c'}, {'a','b'}) AS c_all, "
-        "       contains_any({'a','b'}, {'b','z'}) AS c_any, "
-        "       contains_same({'b','a','a'}, {'a','b'}) AS c_same")
-
-
-def q_database(spark, sf_dir):
-    """database() constant (FunctionRegistry.scala:69-72); id(dim) is
-    covered rows-only via the surrogate-hash dimension (test_engine)."""
-    return _tsdb(spark, sf_dir).sql("SELECT database() AS db")
-
-
-def q_split(spark, sf_dir):
-    """split on non-letter/digit runs, empties dropped (Tokenizer)."""
+def q_split_tokens(spark, sf_dir):
+    """Bundle: split (non-letter/digit runs, empties dropped) + tokens
+    (stem + transliterate, Tokenizer/RussianLightStemmer) — projected
+    through array_to_string so the driver canon can sort the rows (raw
+    array columns crash its canonicalizer).  On this ASCII column the
+    tokenizer reduces to lowercase split, so tokens IS oracle-checkable."""
+    sp = E.Fun("array_to_string", (E.Fun("split", (E.Field("o_orderpriority"),)),))
+    tk = E.Fun("array_to_string", (E.Fun("tokens", (E.Field("o_orderpriority"),)),))
     q = query(
         "orders", FROM, TO,
         fields=[
-            (E.Fun("split", (E.Field("o_orderpriority"),)), "parts"),
+            (sp, "parts"),
+            (tk, "toks"),
             (E.count(E.Field("o_orderkey")), "cnt"),
         ],
-        group_by=[E.Fun("split", (E.Field("o_orderpriority"),))],
-    )
-    return _tsdb(spark, sf_dir).query(q)
-
-
-def q_tokens(spark, sf_dir):
-    """tokens (stem + transliterate) — Python stemmer => rows-only check."""
-    q = query(
-        "orders", FROM, TO,
-        fields=[
-            (E.Fun("tokens", (E.Field("o_orderpriority"),)), "toks"),
-            (E.count(E.Field("o_orderkey")), "cnt"),
-        ],
-        group_by=[E.Fun("tokens", (E.Field("o_orderpriority"),))],
+        group_by=[sp, tk],
     )
     return _tsdb(spark, sf_dir).query(q)
 
@@ -537,39 +483,46 @@ def q_rollup_by_month(spark, sf_dir):
         ),
     )
     out = run_rollup(tsdb.warehouse, r)
-    return out.select("time", "l_returnflag", "sum_qty", "cnt")
+    return out.select("time", "l_returnflag",
+                      F.col("sum_qty").cast("double").alias("sum_qty"), "cnt")
 
 
-def q_show_tables(spark, sf_dir):
-    return _tsdb(spark, sf_dir).sql("SHOW TABLES")
-
-
-def q_show_columns(spark, sf_dir):
-    df = _tsdb(spark, sf_dir).sql("SHOW COLUMNS FROM orders")
-    return df.select("COLUMN_NAME", "DATA_TYPE")
+def q_show_meta(spark, sf_dir):
+    """Bundle: SHOW TABLES + SHOW COLUMNS as one (kind, name, info) result
+    (was q_show_tables + q_show_columns; §2.11)."""
+    tsdb = _tsdb(spark, sf_dir)
+    t = tsdb.sql("SHOW TABLES").select(
+        F.lit("table").alias("kind"), F.col("TABLE_NAME").alias("name"),
+        F.lit("").alias("info"))
+    c = tsdb.sql("SHOW COLUMNS FROM orders").select(
+        F.lit("column").alias("kind"), F.col("COLUMN_NAME").alias("name"),
+        F.col("DATA_TYPE").alias("info"))
+    return t.unionAll(c)
 
 
 def q_tpch_q1(spark, sf_dir):
-    """TPC-H Q1 pricing summary, expressed in YupanaQL (no ORDER BY in the
-    dialect; the driver's compare is order-insensitive)."""
+    """TPC-H Q1 pricing summary in YupanaQL (no ORDER BY in the dialect; the
+    driver's compare is order-insensitive).  Interior decimal sums for
+    order-independence, every aggregate final-cast to DOUBLE for the canon."""
     return _tsdb(spark, sf_dir).sql("""
         SELECT l_returnflag, l_linestatus,
-          sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-          sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-          sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+              AS sum_base_price,
+          CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
-              AS DECIMAL(28,4))) AS sum_disc_price,
-          sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+              AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+          CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
                    * (1 + CAST(l_tax AS DECIMAL(18,2)))
-              AS DECIMAL(28,6))) AS sum_charge,
-          CAST(avg(l_quantity) AS DECIMAL(18,6)) AS avg_qty,
-          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+              AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+          CAST(CAST(avg(l_quantity) AS DECIMAL(18,6)) AS DOUBLE) AS avg_qty,
+          CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
                / CAST(count(l_extendedprice) AS DOUBLE) AS DECIMAL(18,4))
-              AS avg_price,
-          CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+              AS DOUBLE) AS avg_price,
+          CAST(CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
                / CAST(count(l_discount) AS DOUBLE) AS DECIMAL(18,6))
-              AS avg_disc,
+              AS DOUBLE) AS avg_disc,
           count(l_orderkey) AS count_order
         FROM lineitem
         WHERE time >= TIMESTAMP '1995-01-01' AND time < TIMESTAMP '1998-09-03'
@@ -580,9 +533,9 @@ def q_tpch_q1(spark, sf_dir):
 def q_tpch_q6(spark, sf_dir):
     """TPC-H Q6 forecasting-revenue: pure filter + single aggregate."""
     return _tsdb(spark, sf_dir).sql("""
-        SELECT sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                         * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4)))
-               AS revenue
+               AS DOUBLE) AS revenue
         FROM lineitem
         WHERE time >= TIMESTAMP '1996-01-01' AND time < TIMESTAMP '1997-01-01'
           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -605,12 +558,12 @@ def q_tpch_q12_like(spark, sf_dir):
 def q_tpch_q14_like(spark, sf_dir):
     """TPC-H Q14 shape: promo revenue share via the part link."""
     return _tsdb(spark, sf_dir).sql("""
-        SELECT CAST(
+        SELECT CAST(CAST(
                  CAST(sum(CASE WHEN PartLink_p_type = 'PROMO'
                           THEN CAST(l_extendedprice AS DECIMAL(18,4))
                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
                  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
-               AS DECIMAL(18,6)) AS promo_share
+               AS DECIMAL(18,6)) AS DOUBLE) AS promo_share
         FROM lineitem
         WHERE time >= TIMESTAMP '1996-01-01' AND time < TIMESTAMP '1996-07-01'
     """)
@@ -621,10 +574,10 @@ def q_tpch_q19_like(spark, sf_dir):
     fields (brand/type/size via PartLink) with fact metrics (quantity) —
     OR across branches forces post-enrichment filtering, not a semi-join."""
     return _tsdb(spark, sf_dir).sql("""
-        SELECT sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                         * (CAST(1 AS DECIMAL(18,2))
                            - CAST(l_discount AS DECIMAL(18,2)))
-                   AS DECIMAL(28,4))) AS revenue,
+                   AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
                count(l_orderkey) AS cnt
         FROM lineitem
         WHERE time >= TIMESTAMP '1995-01-01' AND time < TIMESTAMP '2002-01-01'
@@ -642,7 +595,7 @@ def q_inverted_index(spark, sf_dir):
     phrase with a stemmed word + a prefix term, via YupanaQL."""
     return _tsdb(spark, sf_dir).sql(
         "SELECT l_returnflag, count(l_orderkey) AS cnt, "
-        "       sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty "
+        "  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty "
         "FROM lineitem "
         "WHERE time >= TIMESTAMP '1995-01-01' AND time < TIMESTAMP '2002-01-01' "
         "AND ItemsInvertedIndex_phrase = 'red wid%' "
@@ -671,6 +624,18 @@ def q_related_items(spark, sf_dir):
         "GROUP BY l_returnflag")
 
 
+def q_session_windows(spark, sf_dir):
+    """Gap-based sessionization (Spark session_window; the reference has no
+    event-time windows — flagged extension, SURVEY.md §2.9)."""
+    from yupana_spark.streaming.session import sessionize
+
+    tsdb = _tsdb(spark, sf_dir)
+    events = tsdb.warehouse.read("events").filter(
+        (F.col("time") >= F.lit(EV_FROM)) & (F.col("time") < F.lit(EV_TO)))
+    return sessionize(events, gap="30 minutes", key_cols=["user_id"]) \
+        .select("user_id", "session_start", "n_events")
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (BASELINE.json north star: dedup, similarity
 # search, multimodal columns, text analysis) over documents/embeddings
@@ -689,40 +654,18 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def q_session_windows(spark, sf_dir):
-    """Gap-based sessionization (Spark session_window; the reference has no
-    event-time windows — flagged extension, SURVEY.md §2.9)."""
-    from pyspark.sql import functions as F
-
-    from yupana_spark.streaming.session import sessionize
-
-    tsdb = _tsdb(spark, sf_dir)
-    events = tsdb.warehouse.read("events").filter(
-        (F.col("time") >= F.lit(EV_FROM)) & (F.col("time") < F.lit(EV_TO)))
-    return sessionize(events, gap="30 minutes", key_cols=["user_id"]) \
-        .select("user_id", "session_start", "n_events")
-
-
-def dp_token_count(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    from yupana_spark.datapipe.text import bpe_token_count, token_count
-
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        token_count(F.col("text")).alias("n_tokens"),
-        bpe_token_count(F.col("text")).alias("n_bpeish"),
-    )
-
-
-def dp_quality(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    from yupana_spark.datapipe.text import quality_metrics, quality_score
+def dp_text_stats(spark, sf_dir):
+    """Bundle: token counting (whitespace + BPE-ish regex) and quality
+    scoring (length/punct/stopword ratios) in ONE scan — pure JVM
+    expressions, zero UDFs (was dp_token_count + dp_quality)."""
+    from yupana_spark.datapipe.text import (bpe_token_count, quality_metrics,
+                                            quality_score, token_count)
 
     m = quality_metrics(F.col("text"))
     return _docs(spark, sf_dir).select(
         "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpeish"),
         m["n_chars"].alias("n_chars"),
         m["n_words"].alias("n_words"),
         m["alpha_ratio"].alias("alpha_ratio"),
@@ -733,51 +676,33 @@ def dp_quality(spark, sf_dir):
 
 
 def dp_lang_id(spark, sf_dir):
-    from pyspark.sql import functions as F
-
+    """Language-ID: stopword-hit argmax + CJK unicode-range check."""
     from yupana_spark.datapipe.text import lang_id
 
     return _docs(spark, sf_dir).select(
         "doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
-def dp_fingerprint(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    from yupana_spark.datapipe.text import fingerprint_md5
-
-    return _docs(spark, sf_dir).select(
-        "doc_id", fingerprint_md5(F.col("text")).alias("fp"))
-
-
 def dp_exact_dedup(spark, sf_dir):
+    """Exact dedup via normalized-content md5 fingerprint + min-id window;
+    the fp column doubles as the document-fingerprint operator (subsumes the
+    former dp_fingerprint entry)."""
     from yupana_spark.datapipe.dedup import exact_dedup
 
     return exact_dedup(_docs(spark, sf_dir)).select(
         "doc_id", "fp", "is_duplicate")
 
 
-def dp_minhash_dedup(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (hash-family-specific => rows-only)."""
-    from yupana_spark.datapipe.dedup import minhash_dedup_pairs
-
-    return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5)
-
-
 def dp_ngram_jaccard(spark, sf_dir):
+    """Word n-gram Jaccard pairs — the documented O(N^2) exactness oracle;
+    the scale path is the LSH pipeline in dp_neardup_scale."""
     from yupana_spark.datapipe.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3, n=3)
 
 
-def dp_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (custom 64-bit sig => rows-only)."""
-    from yupana_spark.datapipe.dedup import simhash_near_pairs
-
-    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=8)
-
-
 def dp_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (brute-force exactness baseline)."""
     from yupana_spark.datapipe.dedup import embedding_neardup_pairs
 
     return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.45)
@@ -788,50 +713,28 @@ def _query_vec(spark, sf_dir):
 
 
 def dp_ann_bruteforce(spark, sf_dir):
+    """Exact cosine top-k (TakeOrderedAndProject — no collect, no global
+    sort materialization)."""
     from yupana_spark.datapipe.simsearch import brute_force_topk
 
     return brute_force_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir),
                             k=10)
 
 
-def dp_ann_lsh(spark, sf_dir):
-    """Hyperplane-LSH ANN (approximate => rows-only)."""
-    from yupana_spark.datapipe.simsearch import lsh_topk
-
-    return lsh_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
-
-
-def dp_ann_ivf(spark, sf_dir):
-    """IVF/KMeans ANN (model-dependent => rows-only)."""
-    from yupana_spark.datapipe.simsearch import ivf_build, ivf_topk
-
-    emb = _emb(spark, sf_dir)
-    assigned, model = ivf_build(emb, n_centroids=8)
-    return ivf_topk(assigned, model, _query_vec(spark, sf_dir), k=10)
-
-
-def dp_embed_neardup_lsh(spark, sf_dir):
-    """Scale path: SRP-block-bucketed candidates + exact cosine verify
-    (hash-partitioned equi-join, never a cross product)."""
-    from yupana_spark.datapipe.dedup import embedding_neardup_pairs_lsh
-
-    return embedding_neardup_pairs_lsh(_emb(spark, sf_dir), threshold=0.45,
-                                       max_hamming=5)
-
-
-def dp_multimodal_features(spark, sf_dir):
-    from yupana_spark.datapipe.multimodal import extract_features, synth_media_table
+def dp_multimodal(spark, sf_dir):
+    """Bundle: mapInPandas feature extraction over binary media columns +
+    per-frame explosion (was dp_multimodal_features + dp_frame_sample).
+    Decode is honestly STUBBED (no imaging libs in container) behind real
+    Arrow-batch plumbing — see datapipe/multimodal.py."""
+    from yupana_spark.datapipe.multimodal import (extract_features,
+                                                  frame_sample,
+                                                  synth_media_table)
 
     media = synth_media_table(_docs(spark, sf_dir))
-    return extract_features(media).select(
+    feats = extract_features(media).select(
         "media_id", "n_bytes", "width", "height", "channels", "content_hash")
-
-
-def dp_frame_sample(spark, sf_dir):
-    from yupana_spark.datapipe.multimodal import frame_sample, synth_media_table
-
-    media = synth_media_table(_docs(spark, sf_dir))
-    return frame_sample(media).select("media_id", "frame_no")
+    frames = frame_sample(media).select("media_id", "frame_no")
+    return frames.join(feats, "media_id")
 
 
 def dp_sample(spark, sf_dir):
@@ -845,26 +748,27 @@ def dp_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
-def dp_dedup_clusters(spark, sf_dir):
-    """Near-dup pairs -> connected components (min-label propagation);
-    oracled by a DuckDB recursive CTE over the identical pair list."""
-    from yupana_spark.datapipe.sample import dedup_clusters
-
-    return dedup_clusters(dp_embed_neardup(spark, sf_dir))
-
-
-def dp_dedup_keep(spark, sf_dir):
-    """Corpus minus duplicate-cluster losers (keep min-id per cluster)."""
+def dp_dedup_resolve(spark, sf_dir):
+    """Bundle: near-dup pairs -> connected components (min-label
+    propagation) -> keep/loser verdict per corpus row (was dp_dedup_clusters
+    + dp_dedup_keep); oracled by a DuckDB recursive CTE over the identical
+    pair list."""
     from yupana_spark.datapipe.dedup import embedding_neardup_pairs
-    from yupana_spark.datapipe.sample import dedup_keep
+    from yupana_spark.datapipe.sample import dedup_clusters
 
     emb = _emb(spark, sf_dir)
     pairs = embedding_neardup_pairs(emb, threshold=0.45)
-    return dedup_keep(emb, pairs, id_col="vec_id").select("vec_id")
+    clusters = dedup_clusters(pairs)
+    out = (emb.select("vec_id")
+           .join(clusters, emb.vec_id == clusters.id, "left")
+           .select("vec_id",
+                   F.coalesce(F.col("cluster_id"), F.col("vec_id"))
+                   .alias("cluster_id")))
+    return out.withColumn("kept", F.col("vec_id") == F.col("cluster_id"))
 
 
 def dp_top_k_per_group(spark, sf_dir):
-    """Best-k docs per domain without a global sort (window rank + filter,
+    """Best-k docs per group without a global sort (window rank + filter,
     deterministic via unique-key tiebreak)."""
     from yupana_spark.datapipe.select import top_k_per_group
 
@@ -882,20 +786,6 @@ def dp_group_quantiles(spark, sf_dir):
                            [0.5, 0.9])
 
 
-def dp_pack_sequences(spark, sf_dir):
-    """Token-budget sequence packing (first-fit-decreasing per hash bucket;
-    deterministic but not SQL-expressible => rows-only check)."""
-    from yupana_spark.datapipe.pack import pack_sequences
-    from yupana_spark.datapipe.text import token_count
-
-    from pyspark.sql import functions as F
-
-    with_tok = _docs(spark, sf_dir).select(
-        "doc_id", token_count(F.col("text")).alias("n_tokens"))
-    return pack_sequences(with_tok, "doc_id", "n_tokens", budget=2048,
-                          num_buckets=64)
-
-
 def dp_mix_corpora(spark, sf_dir):
     """Weighted deterministic corpus mixture (head sources upweighted)."""
     from yupana_spark.datapipe.sample import mix_corpora
@@ -907,51 +797,91 @@ def dp_mix_corpora(spark, sf_dir):
         .select("doc_id", "source", "corpus")
 
 
+def dp_neardup_scale(spark, sf_dir):
+    """Bundle of the three 100TB-scale near-dup paths, one (method, id_a,
+    id_b, score) union: MinHash+LSH with 3-rung verification, SimHash
+    pigeonhole blocks, SRP-bucketed embedding cosine (was dp_minhash_dedup +
+    dp_simhash + dp_embed_neardup_lsh).  Hash-family-specific => rows-only."""
+    from yupana_spark.datapipe.dedup import (embedding_neardup_pairs_lsh,
+                                             minhash_dedup_pairs,
+                                             simhash_near_pairs)
+
+    docs = _docs(spark, sf_dir)
+    mh = minhash_dedup_pairs(docs, threshold=0.5).select(
+        F.lit("minhash").alias("method"), "id_a", "id_b",
+        F.col("jaccard").cast("double").alias("score"))
+    sh = simhash_near_pairs(docs, max_hamming=8).select(
+        F.lit("simhash").alias("method"), "id_a", "id_b",
+        F.col("hamming").cast("double").alias("score"))
+    el = embedding_neardup_pairs_lsh(_emb(spark, sf_dir), threshold=0.45,
+                                     max_hamming=5).select(
+        F.lit("embed_lsh").alias("method"), "id_a", "id_b",
+        F.col("cos").cast("double").alias("score"))
+    return mh.unionAll(sh).unionAll(el)
+
+
+def dp_ann_approx(spark, sf_dir):
+    """Bundle of the approximate ANN paths, one (method, vec_id, score)
+    union: SRP hyperplane-LSH bucket pruning + IVF/KMeans cell probing (was
+    dp_ann_lsh + dp_ann_ivf).  Model-dependent => rows-only."""
+    from yupana_spark.datapipe.simsearch import ivf_build, ivf_topk, lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    lsh = lsh_topk(emb, qv, k=10).select(
+        F.lit("srp_lsh").alias("method"), "vec_id", "score")
+    assigned, model = ivf_build(emb, n_centroids=8)
+    ivf = ivf_topk(assigned, model, qv, k=10).select(
+        F.lit("ivf").alias("method"), "vec_id", "score")
+    return lsh.unionAll(ivf)
+
+
+def dp_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (first-fit-decreasing per hash bucket;
+    deterministic but not SQL-expressible => rows-only check)."""
+    from yupana_spark.datapipe.pack import pack_sequences
+    from yupana_spark.datapipe.text import token_count
+
+    with_tok = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return pack_sequences(with_tok, "doc_id", "n_tokens", budget=2048,
+                          num_buckets=64)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_day_rollup(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """49 entries — every one inside the driver's 50-entry window; the last
+    three are rows-only by design (hash-family/model-specific)."""
     return {
         "q_day_rollup": q_day_rollup,
         "q_projection_filter": q_projection_filter,
         "q_case_in": q_case_in,
         "q_extracts": q_extracts,
-        "q_trunc_units": q_trunc_units,
-        "q_extract_dhms": q_extract_dhms,
+        "q_trunc_extract": q_trunc_extract,
         "q_having": q_having,
         "q_post_agg_arith": q_post_agg_arith,
-        "q_avg": q_avg,
-        "q_distinct_count": q_distinct_count,
+        "q_agg_stats": q_agg_stats,
         "q_hll_count": q_hll_count,
-        "q_distinct_random": q_distinct_random,
         "q_lag_window": q_lag_window,
         "q_arith_currency": q_arith_currency,
         "q_string_fns": q_string_fns,
-        "q_concat_plus": q_concat_plus,
         "q_in_tuple": q_in_tuple,
-        "q_not_in": q_not_in,
-        "q_integral_div": q_integral_div,
         "q_link_enrich": q_link_enrich,
         "q_link_semijoin": q_link_semijoin,
-        "q_link_antijoin": q_link_antijoin,
         "q_link_two_hop": q_link_two_hop,
         "q_tableless": q_tableless,
         "q_union": q_union,
         "q_distinct_dims": q_distinct_dims,
-        "q_limit": q_limit,
         "q_yql_text": q_yql_text,
         "q_yql_nested": q_yql_nested,
-        "q_yql_now_interval": q_yql_now_interval,
-        "q_array_fns": q_array_fns,
-        "q_database": q_database,
-        "q_split": q_split,
-        "q_tokens": q_tokens,
+        "q_split_tokens": q_split_tokens,
         "q_upsert_roundtrip": q_upsert_roundtrip,
         "q_rollup_by_month": q_rollup_by_month,
-        "q_show_tables": q_show_tables,
-        "q_show_columns": q_show_columns,
+        "q_show_meta": q_show_meta,
         "q_tpch_q1": q_tpch_q1,
         "q_tpch_q6": q_tpch_q6,
         "q_tpch_q12_like": q_tpch_q12_like,
@@ -961,28 +891,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_inverted_index_not": q_inverted_index_not,
         "q_related_items": q_related_items,
         "q_session_windows": q_session_windows,
-        "dp_token_count": dp_token_count,
-        "dp_quality": dp_quality,
+        "dp_text_stats": dp_text_stats,
         "dp_lang_id": dp_lang_id,
-        "dp_fingerprint": dp_fingerprint,
         "dp_exact_dedup": dp_exact_dedup,
-        "dp_minhash_dedup": dp_minhash_dedup,
         "dp_ngram_jaccard": dp_ngram_jaccard,
-        "dp_simhash": dp_simhash,
         "dp_embed_neardup": dp_embed_neardup,
-        "dp_embed_neardup_lsh": dp_embed_neardup_lsh,
         "dp_ann_bruteforce": dp_ann_bruteforce,
-        "dp_ann_lsh": dp_ann_lsh,
-        "dp_ann_ivf": dp_ann_ivf,
-        "dp_multimodal_features": dp_multimodal_features,
-        "dp_frame_sample": dp_frame_sample,
+        "dp_multimodal": dp_multimodal,
         "dp_sample": dp_sample,
-        "dp_dedup_clusters": dp_dedup_clusters,
-        "dp_dedup_keep": dp_dedup_keep,
+        "dp_dedup_resolve": dp_dedup_resolve,
         "dp_top_k_per_group": dp_top_k_per_group,
         "dp_group_quantiles": dp_group_quantiles,
-        "dp_pack_sequences": dp_pack_sequences,
         "dp_mix_corpora": dp_mix_corpora,
+        "dp_neardup_scale": dp_neardup_scale,
+        "dp_ann_approx": dp_ann_approx,
+        "dp_pack_sequences": dp_pack_sequences,
     }
 
 
@@ -1004,540 +927,497 @@ _NEARDUP_PAIRS_CTE = """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
-        "q_day_rollup": f"""
-            SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS d, l_returnflag,
-                   sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_price,
-                   count(l_quantity) AS cnt
-            FROM lineitem WHERE {_TB} GROUP BY 1, 2
-        """,
-        "q_projection_filter": f"""
-            SELECT l_orderkey, l_linenumber, l_quantity
-            FROM lineitem
-            WHERE {_TB} AND l_returnflag = 'A' AND l_quantity BETWEEN 10 AND 12
-        """,
-        "q_case_in": f"""
-            SELECT l_linestatus,
-                   sum(CASE WHEN l_returnflag IN ('A','R')
-                            THEN CAST(l_quantity AS DECIMAL(18,4))
-                            ELSE CAST(0 AS DECIMAL(18,4)) END) AS qty_ar
-            FROM lineitem WHERE {_TB} GROUP BY 1
-        """,
-        "q_extracts": f"""
-            SELECT CAST(extract(year FROM l_shipdate) AS INTEGER) AS y,
-                   CAST(extract(quarter FROM l_shipdate) AS INTEGER) AS q,
-                   CAST(extract(month FROM l_shipdate) AS INTEGER) AS m,
-                   count(l_orderkey) AS cnt
-            FROM lineitem WHERE {_TB} GROUP BY 1, 2, 3
-        """,
-        "q_trunc_units": f"""
-            SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS w,
-                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
-                   count(event_id) AS cnt
-            FROM events WHERE {_TB_E} GROUP BY 1, 2
-        """,
-        "q_extract_dhms": f"""
-            SELECT CAST(extract(day FROM ts) AS INTEGER) AS dd,
-                   CAST(extract(hour FROM ts) AS INTEGER) AS hh,
-                   CAST(extract(minute FROM ts) AS INTEGER) AS mi,
-                   CAST(extract(second FROM ts) AS INTEGER) AS ss,
-                   event_id
-            FROM events WHERE {_TB_E} AND event_type = 'signup'
-        """,
-        "q_having": f"""
-            SELECT o_custkey, count(o_orderkey) AS cnt
-            FROM orders WHERE {_TB_O}
-            GROUP BY 1 HAVING count(o_orderkey) > 15
-        """,
-        "q_post_agg_arith": f"""
-            SELECT l_returnflag,
-                   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
-                        / CAST(count(l_quantity) AS DOUBLE) AS DECIMAL(18,2)) AS avg_qty,
-                   min(l_quantity) AS min_qty,
-                   max(l_quantity) AS max_qty
-            FROM lineitem WHERE {_TB} GROUP BY 1
-        """,
-        "q_avg": f"""
-            SELECT l_linestatus,
-                   CAST(avg(l_quantity) AS DECIMAL(18,6)) AS avg_qty
-            FROM lineitem WHERE {_TB} GROUP BY 1
-        """,
-        "q_distinct_count": f"""
-            SELECT l_returnflag,
-                   CAST(count(DISTINCT l_partkey) AS INTEGER) AS dc_part,
-                   CAST(count(DISTINCT l_suppkey) AS INTEGER) AS dc_supp
-            FROM lineitem WHERE {_TB} GROUP BY 1
-        """,
-        # q_hll_count: approximate -> rows-only check (no oracle)
-        "q_distinct_random": f"""
-            SELECT l_returnflag, max(lower(l_returnflag)) AS dr
-            FROM lineitem WHERE {_TB} GROUP BY 1
-        """,
-        "q_lag_window": """
-            SELECT * FROM (
-                SELECT l_orderkey, l_linenumber, l_shipdate AS t,
-                       lag(l_shipdate) OVER (
-                           PARTITION BY l_returnflag
-                           ORDER BY l_shipdate, l_orderkey, l_partkey,
-                                    l_suppkey, l_linenumber) AS prev_t
-                FROM lineitem
-                WHERE l_shipdate >= TIMESTAMP '1995-01-01'
-                  AND l_shipdate < TIMESTAMP '1995-03-01'
-            ) WHERE prev_t IS NOT NULL
-        """,
-        "q_arith_currency": f"""
-            SELECT l_returnflag,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                   / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS price_per_unit
-            FROM lineitem WHERE {_TB} GROUP BY 1
-        """,
-        "q_string_fns": f"""
-            SELECT lower(o_orderpriority) AS lo, upper(o_orderpriority) AS up,
-                   CAST(length(o_orderpriority) AS INTEGER) AS len,
-                   count(o_orderkey) AS cnt
-            FROM orders WHERE {_TB_O} GROUP BY 1, 2, 3
-        """,
-        "q_concat_plus": f"""
-            SELECT o_orderstatus || '-' || o_orderpriority AS tag,
-                   count(o_orderkey) AS cnt
-            FROM orders WHERE {_TB_O} GROUP BY 1
-        """,
-        "q_in_tuple": f"""
-            SELECT count(l_orderkey) AS cnt FROM lineitem
-            WHERE {_TB} AND (l_returnflag, l_linestatus) IN (('A','F'), ('R','F'))
-        """,
-        "q_not_in": f"""
-            SELECT l_returnflag, count(l_orderkey) AS cnt
-            FROM lineitem WHERE {_TB} AND l_returnflag NOT IN ('N')
-            GROUP BY 1
-        """,
-        "q_integral_div": f"""
-            SELECT CAST(l_orderkey // 1000 AS BIGINT) AS k_bucket,
-                   count(l_orderkey) AS cnt
-            FROM lineitem WHERE {_TB} GROUP BY 1
-        """,
-        "q_link_enrich": f"""
-            SELECT c.c_mktsegment AS seg, count(o.o_orderkey) AS cnt,
-                   sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS revenue
-            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-            WHERE {_TB_O} GROUP BY 1
-        """,
-        "q_link_semijoin": f"""
-            SELECT o_orderstatus, count(o_orderkey) AS cnt
-            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-            WHERE {_TB_O} AND c.c_mktsegment = 'BUILDING'
-            GROUP BY 1
-        """,
-        "q_link_antijoin": f"""
-            SELECT count(o_orderkey) AS cnt
-            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-            WHERE {_TB_O} AND c.c_mktsegment NOT IN ('BUILDING','MACHINERY')
-        """,
-        "q_link_two_hop": f"""
-            SELECT p.p_brand AS brand, count(l.l_orderkey) AS cnt
-            FROM lineitem l
-            LEFT JOIN part p ON l.l_partkey = p.p_partkey
-            LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
-            WHERE {_TB} AND s.s_acctbal > 5000.0
-            GROUP BY 1
-        """,
-        "q_tableless": """
-            SELECT 2 AS two, 'a' || 'b' AS ab, upper('x') AS ux, abs(-5) AS a5
-        """,
-        "q_union": """
-            SELECT CAST(date_trunc('year', l_shipdate) AS TIMESTAMP) AS y, count(l_orderkey) AS cnt
-            FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-            GROUP BY 1
-            UNION ALL
-            SELECT CAST(date_trunc('year', l_shipdate) AS TIMESTAMP) AS y, count(l_orderkey) AS cnt
-            FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_shipdate < TIMESTAMP '2001-01-01'
-            GROUP BY 1
-        """,
-        "q_distinct_dims": f"""
-            SELECT DISTINCT l_returnflag, l_linestatus
-            FROM lineitem WHERE {_TB}
-        """,
-        "q_limit": f"""
-            SELECT o_orderkey FROM orders WHERE {_TB_O} AND o_custkey = 7
-        """,
-        "q_yql_text": f"""
-            SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS m,
-                   l_linestatus,
-                   sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-                   count(l_orderkey) AS cnt
-            FROM lineitem WHERE {_TB} GROUP BY 1, 2
-        """,
-        "q_yql_nested": f"""
-            SELECT CAST(date_trunc('year', l_shipdate) AS TIMESTAMP) AS y,
-                   sum(CAST(l_quantity AS DECIMAL(18,4))) AS total
-            FROM lineitem WHERE {_TB} GROUP BY 1
-        """,
-        "q_yql_now_interval": """
-            SELECT count(l_orderkey) AS cnt FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1995-01-01' + INTERVAL 31 DAY
-              AND l_shipdate < now()
-        """,
-        "q_array_fns": """
-            SELECT CAST(len(['a','b','c']) AS INTEGER) AS alen,
-                   array_to_string([1,2,3], ', ') AS joined,
-                   list_contains(['x','y'], 'x') AS c_el,
-                   list_has_all(['a','b','c'], ['a','b']) AS c_all,
-                   list_has_any(['a','b'], ['b','z']) AS c_any,
-                   list_sort(list_distinct(['b','a','a'])) =
-                     list_sort(list_distinct(['a','b'])) AS c_same
-        """,
-        "q_database": """
-            SELECT 'Yupana' AS db
-        """,
-        "q_split": f"""
-            SELECT list_filter(string_split_regex(o_orderpriority,
-                               '[^a-zA-Z0-9]+'), x -> x <> '') AS parts,
-                   count(o_orderkey) AS cnt
-            FROM orders WHERE {_TB_O} GROUP BY 1
-        """,
-        # q_tokens: Python stemmer UDF -> rows-only check
-        "q_upsert_roundtrip": """
-            SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
-                   CAST(value AS DOUBLE) AS value
-            FROM (VALUES
-                (900001, 'upserted', 1.5),
-                (900002, 'upserted', 3.5)
-            ) AS t(event_id, event_type, value)
-        """,
-        "q_rollup_by_month": f"""
-            SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS time,
-                   l_returnflag,
-                   sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-                   count(l_quantity) AS cnt
-            FROM lineitem WHERE {_TB} GROUP BY 1, 2
-        """,
-        "q_show_tables": """
-            SELECT 'events' AS TABLE_NAME UNION ALL
-            SELECT 'lineitem' UNION ALL SELECT 'orders'
-        """,
-        "q_tpch_q1": """
-            SELECT l_returnflag, l_linestatus,
-              sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-              sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-              sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                       * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                  AS DECIMAL(28,4))) AS sum_disc_price,
-              sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                       * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                       * (1 + CAST(l_tax AS DECIMAL(18,2)))
-                  AS DECIMAL(28,6))) AS sum_charge,
-              CAST(avg(l_quantity) AS DECIMAL(18,6)) AS avg_qty,
-              CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
-                   / CAST(count(l_extendedprice) AS DOUBLE) AS DECIMAL(18,4))
-                  AS avg_price,
-              CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
-                   / CAST(count(l_discount) AS DOUBLE) AS DECIMAL(18,6))
-                  AS avg_disc,
-              count(l_orderkey) AS count_order
+    return {**_ORACLES_REL, **_ORACLES_DP}
+
+
+_ORACLES_REL: dict[str, str] = {
+    "q_day_rollup": f"""
+        SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS d, l_returnflag,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+               count(l_quantity) AS cnt
+        FROM lineitem WHERE {_TB} GROUP BY 1, 2
+    """,
+    "q_projection_filter": f"""
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem
+        WHERE {_TB} AND l_returnflag = 'A' AND l_quantity BETWEEN 10 AND 12
+    """,
+    "q_case_in": f"""
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN l_returnflag IN ('A','R')
+                        THEN CAST(l_quantity AS DECIMAL(18,4))
+                        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_ar
+        FROM lineitem WHERE {_TB} GROUP BY 1
+    """,
+    "q_extracts": f"""
+        SELECT CAST(extract(year FROM l_shipdate) AS INTEGER) AS y,
+               CAST(extract(quarter FROM l_shipdate) AS INTEGER) AS q,
+               CAST(extract(month FROM l_shipdate) AS INTEGER) AS m,
+               CAST(l_orderkey // 1000 AS BIGINT) AS k_bucket,
+               count(l_orderkey) AS cnt
+        FROM lineitem WHERE {_TB} GROUP BY 1, 2, 3, 4
+    """,
+    "q_trunc_extract": f"""
+        SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS w,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+               CAST(extract(day FROM ts) AS INTEGER) AS dd,
+               CAST(extract(hour FROM ts) AS INTEGER) AS hh,
+               CAST(extract(minute FROM ts) AS INTEGER) AS mi,
+               CAST(extract(second FROM ts) AS INTEGER) AS ss,
+               event_id
+        FROM events WHERE {_TB_E} AND event_type = 'signup'
+    """,
+    "q_having": f"""
+        SELECT o_custkey, count(o_orderkey) AS cnt
+        FROM orders WHERE {_TB_O}
+        GROUP BY 1 HAVING count(o_orderkey) > 15
+    """,
+    "q_post_agg_arith": f"""
+        SELECT l_returnflag,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                    / CAST(count(l_quantity) AS DOUBLE) AS avg_qty,
+               min(l_quantity) AS min_qty,
+               max(l_quantity) AS max_qty
+        FROM lineitem WHERE {_TB} GROUP BY 1
+    """,
+    "q_agg_stats": f"""
+        SELECT l_returnflag,
+               CAST(CAST(avg(l_quantity) AS DECIMAL(18,6)) AS DOUBLE) AS avg_qty,
+               CAST(count(DISTINCT l_partkey) AS INTEGER) AS dc_part,
+               CAST(count(DISTINCT l_suppkey) AS INTEGER) AS dc_supp,
+               max(lower(l_returnflag)) AS dr
+        FROM lineitem WHERE {_TB} GROUP BY 1
+    """,
+    "q_hll_count": f"""
+        SELECT l_returnflag, 'ok' AS hll_ok
+        FROM lineitem WHERE {_TB} GROUP BY 1
+    """,
+    "q_lag_window": """
+        SELECT * FROM (
+            SELECT l_orderkey, l_linenumber, l_shipdate AS t,
+                   lag(l_shipdate) OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_shipdate, l_orderkey, l_partkey,
+                                l_suppkey, l_linenumber) AS prev_t
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1995-01-01'
-              AND l_shipdate < TIMESTAMP '1998-09-03'
-            GROUP BY l_returnflag, l_linestatus
-        """,
-        "q_tpch_q6": """
-            SELECT sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                            * CAST(l_discount AS DECIMAL(18,2))
-                   AS DECIMAL(28,4))) AS revenue
-            FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-              AND l_shipdate < TIMESTAMP '1997-01-01'
-              AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
-        """,
-        "q_tpch_q12_like": """
-            SELECT o.o_orderpriority AS priority,
-                   sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS a_lines,
-                   count(l_orderkey) AS all_lines
-            FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
-            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-              AND l_shipdate < TIMESTAMP '1998-01-01'
-            GROUP BY 1
-        """,
-        "q_tpch_q14_like": """
-            SELECT CAST(
-                     CAST(sum(CASE WHEN p.p_type = 'PROMO'
-                              THEN CAST(l_extendedprice AS DECIMAL(18,4))
-                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-                     / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
-                   AS DECIMAL(18,6)) AS promo_share
-            FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
-            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-              AND l_shipdate < TIMESTAMP '1996-07-01'
-        """,
-        "q_tpch_q19_like": """
-            SELECT sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                            * (CAST(1 AS DECIMAL(18,2))
-                               - CAST(l_discount AS DECIMAL(18,2)))
-                       AS DECIMAL(28,4))) AS revenue,
-                   count(l_orderkey) AS cnt
-            FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
-            WHERE ((p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 15
-                    AND l_quantity BETWEEN 1 AND 30)
-                OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 10 AND 30
-                    AND l_quantity BETWEEN 10 AND 40)
-                OR (p.p_type = 'PROMO' AND p.p_size BETWEEN 20 AND 35
-                    AND l_quantity BETWEEN 20 AND 50))
-        """,
-        "q_inverted_index": f"""
-            SELECT l_returnflag, count(l_orderkey) AS cnt,
-                   sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
-            FROM lineitem l
-            WHERE {_TB} AND l.l_partkey IN (
+              AND l_shipdate < TIMESTAMP '1995-03-01'
+        ) WHERE prev_t IS NOT NULL
+    """,
+    "q_arith_currency": f"""
+        SELECT l_returnflag,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS price_per_unit
+        FROM lineitem WHERE {_TB} GROUP BY 1
+    """,
+    "q_string_fns": f"""
+        SELECT lower(o_orderpriority) AS lo, upper(o_orderpriority) AS up,
+               CAST(length(o_orderpriority) AS INTEGER) AS len,
+               o_orderstatus || '-' || o_orderpriority AS tag,
+               count(o_orderkey) AS cnt
+        FROM orders WHERE {_TB_O} GROUP BY 1, 2, 3, 4
+    """,
+    "q_in_tuple": f"""
+        SELECT l_returnflag, count(l_orderkey) AS cnt FROM lineitem
+        WHERE {_TB} AND (l_returnflag, l_linestatus) IN (('A','F'), ('R','F'))
+          AND l_returnflag NOT IN ('N')
+        GROUP BY 1
+    """,
+    "q_link_enrich": f"""
+        SELECT c.c_mktsegment AS seg, count(o.o_orderkey) AS cnt,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE {_TB_O} AND c.c_mktsegment NOT IN ('MACHINERY')
+        GROUP BY 1
+    """,
+    "q_link_semijoin": f"""
+        SELECT o_orderstatus, count(o_orderkey) AS cnt
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE {_TB_O} AND c.c_mktsegment = 'BUILDING'
+        GROUP BY 1
+    """,
+    "q_link_two_hop": f"""
+        SELECT p.p_brand AS brand, count(l.l_orderkey) AS cnt
+        FROM lineitem l
+        LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE {_TB} AND s.s_acctbal > 5000.0
+        GROUP BY 1
+    """,
+    "q_tableless": """
+        SELECT 2 AS two, 'a' || 'b' AS ab, upper('x') AS ux, abs(-5) AS a5,
+               'Yupana' AS db,
+               CAST(len(['a','b','c']) AS INTEGER) AS alen,
+               array_to_string([1,2,3], ', ') AS joined,
+               list_contains(['x','y'], 'x') AS c_el,
+               list_has_all(['a','b','c'], ['a','b']) AS c_all,
+               list_has_any(['a','b'], ['b','z']) AS c_any,
+               list_sort(list_distinct(['b','a','a'])) =
+                 list_sort(list_distinct(['a','b'])) AS c_same
+    """,
+    "q_union": """
+        SELECT CAST(date_trunc('year', l_shipdate) AS TIMESTAMP) AS y, count(l_orderkey) AS cnt
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1
+        UNION ALL
+        SELECT CAST(date_trunc('year', l_shipdate) AS TIMESTAMP) AS y, count(l_orderkey) AS cnt
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_shipdate < TIMESTAMP '2001-01-01'
+        GROUP BY 1
+    """,
+    "q_distinct_dims": f"""
+        SELECT DISTINCT l_returnflag, l_linestatus
+        FROM lineitem WHERE {_TB}
+    """,
+    "q_yql_text": """
+        SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS m,
+               l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               count(l_orderkey) AS cnt
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01' + INTERVAL 31 DAY
+          AND l_shipdate < now()
+        GROUP BY 1, 2
+    """,
+    "q_yql_nested": f"""
+        SELECT CAST(date_trunc('year', l_shipdate) AS TIMESTAMP) AS y,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM lineitem WHERE {_TB} GROUP BY 1
+    """,
+    "q_split_tokens": f"""
+        SELECT array_to_string(list_filter(string_split_regex(o_orderpriority,
+                           '[^a-zA-Z0-9]+'), x -> x <> ''), ', ') AS parts,
+               array_to_string(list_filter(string_split_regex(lower(o_orderpriority),
+                           '[^a-z0-9]+'), x -> x <> ''), ', ') AS toks,
+               count(o_orderkey) AS cnt
+        FROM orders WHERE {_TB_O} GROUP BY 1, 2
+    """,
+    "q_upsert_roundtrip": """
+        SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+               CAST(value AS DOUBLE) AS value
+        FROM (VALUES
+            (900001, 'upserted', 1.5),
+            (900002, 'upserted', 3.5)
+        ) AS t(event_id, event_type, value)
+    """,
+    "q_rollup_by_month": f"""
+        SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS time,
+               l_returnflag,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               count(l_quantity) AS cnt
+        FROM lineitem WHERE {_TB} GROUP BY 1, 2
+    """,
+    "q_show_meta": """
+        SELECT * FROM (VALUES
+            ('table', 'events', ''), ('table', 'lineitem', ''),
+            ('table', 'orders', ''),
+            ('column', 'time', 'TIMESTAMP'), ('column', 'o_orderkey', 'BIGINT'),
+            ('column', 'o_custkey', 'BIGINT'), ('column', 'o_orderstatus', 'VARCHAR'),
+            ('column', 'o_orderpriority', 'VARCHAR'), ('column', 'o_totalprice', 'DOUBLE'),
+            ('column', 'CustomerLink_c_name', 'VARCHAR'),
+            ('column', 'CustomerLink_c_nationkey', 'INTEGER'),
+            ('column', 'CustomerLink_c_acctbal', 'DOUBLE'),
+            ('column', 'CustomerLink_c_mktsegment', 'VARCHAR')
+        ) AS t(kind, name, info)
+    """,
+    "q_tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+              AS sum_base_price,
+          CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))
+              AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+          CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                   * (1 + CAST(l_tax AS DECIMAL(18,2)))
+              AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+          CAST(CAST(avg(l_quantity) AS DECIMAL(18,6)) AS DOUBLE) AS avg_qty,
+          CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               / CAST(count(l_extendedprice) AS DOUBLE) AS DECIMAL(18,4))
+              AS DOUBLE) AS avg_price,
+          CAST(CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(count(l_discount) AS DOUBLE) AS DECIMAL(18,6))
+              AS DOUBLE) AS avg_disc,
+          count(l_orderkey) AS count_order
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1998-09-03'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_tpch_q6": """
+        SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))
+               AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    "q_tpch_q12_like": """
+        SELECT o.o_orderpriority AS priority,
+               CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a_lines,
+               count(l_orderkey) AS all_lines
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    """,
+    "q_tpch_q14_like": """
+        SELECT CAST(CAST(
+                 CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                          THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS DECIMAL(18,6)) AS DOUBLE) AS promo_share
+        FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-07-01'
+    """,
+    "q_tpch_q19_like": """
+        SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2)))
+                   AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+               count(l_orderkey) AS cnt
+        FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE ((p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 30)
+            OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 10 AND 30
+                AND l_quantity BETWEEN 10 AND 40)
+            OR (p.p_type = 'PROMO' AND p.p_size BETWEEN 20 AND 35
+                AND l_quantity BETWEEN 20 AND 50))
+    """,
+    "q_inverted_index": f"""
+        SELECT l_returnflag, count(l_orderkey) AS cnt,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem l
+        WHERE {_TB} AND l.l_partkey IN (
+            SELECT p_partkey FROM part
+            WHERE list_contains(string_split(p_name, ' '), 'red')
+              AND len(list_filter(string_split(p_name, ' '),
+                                  x -> x LIKE 'wid%')) > 0)
+        GROUP BY 1
+    """,
+    "q_inverted_index_not": f"""
+        SELECT count(l_orderkey) AS cnt
+        FROM lineitem l
+        WHERE {_TB} AND l.l_partkey NOT IN (
+            SELECT p_partkey FROM part
+            WHERE list_contains(string_split(p_name, ' '), 'bolt')
+               OR list_contains(string_split(p_name, ' '), 'gear'))
+    """,
+    "q_related_items": f"""
+        SELECT l_returnflag, count(l_orderkey) AS cnt
+        FROM lineitem
+        WHERE {_TB} AND l_orderkey IN (
+            SELECT DISTINCT l_orderkey FROM lineitem
+            WHERE {_TB} AND l_partkey IN (
                 SELECT p_partkey FROM part
                 WHERE list_contains(string_split(p_name, ' '), 'red')
-                  AND len(list_filter(string_split(p_name, ' '),
-                                      x -> x LIKE 'wid%')) > 0)
-            GROUP BY 1
-        """,
-        "q_inverted_index_not": f"""
-            SELECT count(l_orderkey) AS cnt
-            FROM lineitem l
-            WHERE {_TB} AND l.l_partkey NOT IN (
-                SELECT p_partkey FROM part
-                WHERE list_contains(string_split(p_name, ' '), 'bolt')
-                   OR list_contains(string_split(p_name, ' '), 'gear'))
-        """,
-        "q_related_items": f"""
-            SELECT l_returnflag, count(l_orderkey) AS cnt
-            FROM lineitem
-            WHERE {_TB} AND l_orderkey IN (
-                SELECT DISTINCT l_orderkey FROM lineitem
-                WHERE {_TB} AND l_partkey IN (
-                    SELECT p_partkey FROM part
-                    WHERE list_contains(string_split(p_name, ' '), 'red')
-                      AND list_contains(string_split(p_name, ' '), 'widget')))
-            GROUP BY 1
-        """,
-        "q_session_windows": """
-            WITH e AS (
-              SELECT user_id, ts FROM events
-              WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'),
-            x AS (
-              SELECT user_id, ts,
-                     CASE WHEN lag(ts) OVER w IS NULL
-                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-                          THEN 1 ELSE 0 END AS new_s
-              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-            y AS (
-              SELECT user_id, ts,
-                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                      ROWS UNBOUNDED PRECEDING) AS sid
-              FROM x)
-            SELECT user_id, min(ts) AS session_start,
-                   count(*) AS n_events
-            FROM y GROUP BY user_id, sid
-        """,
-        "dp_token_count": """
-            SELECT doc_id,
-                   CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-                            x -> x <> '')) AS INTEGER) AS n_tokens,
-                   CAST(len(regexp_extract_all(text,
-                        '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER)
-                        AS n_bpeish
-            FROM documents
-        """,
-        "dp_quality": """
-            WITH m AS (
-              SELECT doc_id,
-                     CAST(length(text) AS INTEGER) AS n_chars,
-                     list_filter(string_split_regex(lower(text), '\\s+'),
-                                 x -> x <> '') AS ws,
-                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
-                     length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
-              FROM documents),
-            m2 AS (
-              SELECT doc_id, n_chars,
-                     CAST(len(ws) AS INTEGER) AS n_words,
-                     greatest(n_chars, 1) AS safe_len,
-                     greatest(len(ws), 1) AS safe_words,
-                     n_alpha, n_punct,
-                     len(list_intersect(list_distinct(ws),
-                         ['the','a','of','and','to','in','is','that','it','for']))
-                         AS n_stop
-              FROM m)
-            SELECT doc_id, n_chars, n_words,
-                   round(n_alpha / safe_len, 6) AS alpha_ratio,
-                   round(n_punct / safe_len, 6) AS punct_ratio,
-                   round(n_stop / safe_words, 6) AS stopword_ratio,
-                   round((CASE WHEN n_words >= 5 THEN 1 ELSE 0 END
-                        + CASE WHEN round(n_alpha / safe_len, 6) > 0.5 THEN 1 ELSE 0 END
-                        + CASE WHEN round(n_punct / safe_len, 6) < 0.2 THEN 1 ELSE 0 END
-                        + CASE WHEN round(n_alpha / safe_words, 6)
-                               BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END
-                        + CASE WHEN n_chars >= 20 THEN 1 ELSE 0 END) / 5.0, 6)
-                        AS quality
-            FROM m2
-        """,
-        "dp_lang_id": """
-            WITH w AS (
-              SELECT doc_id, text,
-                     list_distinct(list_filter(
-                        string_split_regex(lower(text), '\\s+'),
-                        x -> x <> '')) AS ws
-              FROM documents),
-            s AS (
-              SELECT doc_id, text,
-                len(list_intersect(ws, ['der','die','das','und','ist','ein','eine','zu','mit','von'])) AS s_de,
-                len(list_intersect(ws, ['the','a','of','and','to','in','is','that','it','for'])) AS s_en,
-                len(list_intersect(ws, ['el','la','de','que','y','en','un','una','es','por'])) AS s_es,
-                len(list_intersect(ws, ['le','la','de','et','un','une','est','que','pour','dans'])) AS s_fr
-              FROM w)
-            SELECT doc_id,
-                   CASE WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0
-                        THEN 'zh'
-                        WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-                        WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
-                        WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
-                        WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
-                        ELSE 'fr' END AS lang_pred
-            FROM s
-        """,
-        "dp_fingerprint": """
-            SELECT doc_id,
-                   md5(trim(regexp_replace(regexp_replace(lower(text),
-                       '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
-            FROM documents
-        """,
-        "dp_exact_dedup": """
-            WITH f AS (
-              SELECT doc_id,
-                     md5(trim(regexp_replace(regexp_replace(lower(text),
-                         '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
-              FROM documents)
-            SELECT doc_id, fp,
-                   doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_duplicate
-            FROM f
-        """,
-        # dp_minhash_dedup / dp_simhash / dp_ann_lsh / dp_ann_ivf:
-        # hash-family/model-specific => rows-only checks
-        "dp_ngram_jaccard": """
-            WITH n AS (
-              SELECT doc_id,
-                     trim(regexp_replace(regexp_replace(lower(text),
-                         '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS nt
-              FROM documents),
-            w AS (SELECT doc_id,
-                         list_filter(string_split_regex(nt, '\\s+'),
-                                     x -> x <> '') AS ws
-                  FROM n),
-            sh AS (SELECT doc_id,
-                          list_distinct(list_transform(
-                              generate_series(1, greatest(len(ws) - 2, 1)),
-                              i -> array_to_string(list_slice(ws, i, i + 2),
-                                                   ' '))) AS s
-                   FROM w),
-            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                         round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                               / greatest(len(a.s) + len(b.s)
-                                          - len(list_intersect(a.s, b.s)), 1),
-                               6) AS jaccard
-                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-            SELECT * FROM p WHERE jaccard >= 0.3
-        """,
-        "dp_embed_neardup": """
-            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                       FROM embeddings),
-            p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                         round(list_dot_product(a.v, b.v)
-                               / (sqrt(list_dot_product(a.v, a.v))
-                                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-                  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-            SELECT * FROM p WHERE cos >= 0.45
-        """,
-        "dp_ann_bruteforce": """
-            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                       FROM embeddings),
-            q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
-            SELECT vec_id,
-                   round(list_dot_product(v, qv)
-                         / (sqrt(list_dot_product(v, v))
-                            * sqrt(list_dot_product(qv, qv))), 6) AS score
-            FROM e, q
-            ORDER BY score DESC, vec_id
-            LIMIT 10
-        """,
-        "dp_multimodal_features": """
-            SELECT doc_id AS media_id,
-                   CAST(strlen(text) AS BIGINT) AS n_bytes,
-                   CAST(64 + strlen(text) % 64 AS INTEGER) AS width,
-                   CAST(64 + strlen(text) % 48 AS INTEGER) AS height,
-                   CAST(3 AS INTEGER) AS channels,
-                   md5(text) AS content_hash
-            FROM documents
-        """,
-        "dp_frame_sample": """
-            SELECT doc_id AS media_id,
-                   CAST(unnest(generate_series(0,
-                        greatest(strlen(text) // 100 - 1, 0))) AS INTEGER)
-                        AS frame_no
-            FROM documents
-        """,
-        "q_show_columns": """
-            SELECT * FROM (VALUES
-                ('time', 'TIMESTAMP'), ('o_orderkey', 'BIGINT'),
-                ('o_custkey', 'BIGINT'), ('o_orderstatus', 'VARCHAR'),
-                ('o_orderpriority', 'VARCHAR'), ('o_totalprice', 'DOUBLE'),
-                ('CustomerLink_c_name', 'VARCHAR'),
-                ('CustomerLink_c_nationkey', 'INTEGER'),
-                ('CustomerLink_c_acctbal', 'DOUBLE'),
-                ('CustomerLink_c_mktsegment', 'VARCHAR')
-            ) AS t(COLUMN_NAME, DATA_TYPE)
-        """,
-        "dp_sample": f"""
-            SELECT doc_id, lang FROM documents
-            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
-                  CASE WHEN lang = 'en' THEN '{_hex(0.5)}'
-                       ELSE '{_hex(0.2)}' END
-        """,
-        "dp_dedup_clusters": f"""
-            WITH RECURSIVE {_NEARDUP_PAIRS_CTE},
-            edges AS (SELECT id_a AS src, id_b AS dst FROM p
-                      UNION SELECT id_b, id_a FROM p),
-            reach(id, r) AS (
-                SELECT DISTINCT src, src FROM edges
-                UNION
-                SELECT e2.src, reach.r
-                FROM edges e2 JOIN reach ON e2.dst = reach.id)
-            SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
-        """,
-        "dp_dedup_keep": f"""
-            WITH RECURSIVE {_NEARDUP_PAIRS_CTE},
-            edges AS (SELECT id_a AS src, id_b AS dst FROM p
-                      UNION SELECT id_b, id_a FROM p),
-            reach(id, r) AS (
-                SELECT DISTINCT src, src FROM edges
-                UNION
-                SELECT e2.src, reach.r
-                FROM edges e2 JOIN reach ON e2.dst = reach.id),
-            cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
-            SELECT vec_id FROM embeddings
-            WHERE vec_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
-        """,
-        "dp_top_k_per_group": """
-            SELECT doc_id, lang, n_chars FROM documents
-            QUALIFY row_number() OVER (PARTITION BY lang
-                                       ORDER BY n_chars DESC, doc_id) <= 3
-        """,
-        "dp_group_quantiles": """
-            SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS p50,
-                   round(quantile_cont(n_chars, 0.9), 4) AS p90
-            FROM documents GROUP BY lang
-        """,
-        "dp_mix_corpora": f"""
-            SELECT doc_id, source, 'head' AS corpus FROM documents
-            WHERE source IN ('src0','src1','src2')
-              AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_hex(0.9)}'
-            UNION ALL
-            SELECT doc_id, source, 'tail' AS corpus FROM documents
-            WHERE source NOT IN ('src0','src1','src2')
-              AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_hex(0.25)}'
-        """,
-    }
+                  AND list_contains(string_split(p_name, ' '), 'widget')))
+        GROUP BY 1
+    """,
+    "q_session_windows": """
+        WITH e AS (
+          SELECT user_id, ts FROM events
+          WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'),
+        x AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        y AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM x)
+        SELECT user_id, min(ts) AS session_start,
+               count(*) AS n_events
+        FROM y GROUP BY user_id, sid
+    """,
+}
+_ORACLES_DP: dict[str, str] = {
+    "dp_text_stats": """
+        WITH m AS (
+          SELECT doc_id, text,
+                 CAST(length(text) AS INTEGER) AS n_chars,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS ws,
+                 length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                 length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+          FROM documents),
+        m2 AS (
+          SELECT doc_id, text, n_chars,
+                 CAST(len(ws) AS INTEGER) AS n_words,
+                 greatest(n_chars, 1) AS safe_len,
+                 greatest(len(ws), 1) AS safe_words,
+                 n_alpha, n_punct,
+                 len(list_intersect(list_distinct(ws),
+                     ['the','a','of','and','to','in','is','that','it','for']))
+                     AS n_stop
+          FROM m)
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                        x -> x <> '')) AS INTEGER) AS n_tokens,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER)
+                    AS n_bpeish,
+               n_chars, n_words,
+               round(n_alpha / safe_len, 6) AS alpha_ratio,
+               round(n_punct / safe_len, 6) AS punct_ratio,
+               round(n_stop / safe_words, 6) AS stopword_ratio,
+               round((CASE WHEN n_words >= 5 THEN 1 ELSE 0 END
+                    + CASE WHEN round(n_alpha / safe_len, 6) > 0.5 THEN 1 ELSE 0 END
+                    + CASE WHEN round(n_punct / safe_len, 6) < 0.2 THEN 1 ELSE 0 END
+                    + CASE WHEN round(n_alpha / safe_words, 6)
+                           BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END
+                    + CASE WHEN n_chars >= 20 THEN 1 ELSE 0 END) / 5.0, 6)
+                    AS quality
+        FROM m2
+    """,
+    "dp_lang_id": """
+        WITH w AS (
+          SELECT doc_id, text,
+                 list_distinct(list_filter(
+                    string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '')) AS ws
+          FROM documents),
+        s AS (
+          SELECT doc_id, text,
+            len(list_intersect(ws, ['der','die','das','und','ist','ein','eine','zu','mit','von'])) AS s_de,
+            len(list_intersect(ws, ['the','a','of','and','to','in','is','that','it','for'])) AS s_en,
+            len(list_intersect(ws, ['el','la','de','que','y','en','un','una','es','por'])) AS s_es,
+            len(list_intersect(ws, ['le','la','de','et','un','une','est','que','pour','dans'])) AS s_fr
+          FROM w)
+        SELECT doc_id,
+               CASE WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0
+                    THEN 'zh'
+                    WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                    WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM s
+    """,
+    "dp_exact_dedup": """
+        WITH f AS (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+          FROM documents)
+        SELECT doc_id, fp,
+               doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_duplicate
+        FROM f
+    """,
+    "dp_ngram_jaccard": """
+        WITH n AS (
+          SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS nt
+          FROM documents),
+        w AS (SELECT doc_id,
+                     list_filter(string_split_regex(nt, '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM n),
+        sh AS (SELECT doc_id,
+                      list_distinct(list_transform(
+                          generate_series(1, greatest(len(ws) - 2, 1)),
+                          i -> array_to_string(list_slice(ws, i, i + 2),
+                                               ' '))) AS s
+               FROM w),
+        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                           / greatest(len(a.s) + len(b.s)
+                                      - len(list_intersect(a.s, b.s)), 1),
+                           6) AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        SELECT * FROM p WHERE jaccard >= 0.3
+    """,
+    "dp_embed_neardup": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_dot_product(a.v, b.v)
+                           / (sqrt(list_dot_product(a.v, a.v))
+                              * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+              FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        SELECT * FROM p WHERE cos >= 0.45
+    """,
+    "dp_ann_bruteforce": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_dot_product(v, qv)
+                     / (sqrt(list_dot_product(v, v))
+                        * sqrt(list_dot_product(qv, qv))), 6) AS score
+        FROM e, q
+        ORDER BY score DESC, vec_id
+        LIMIT 10
+    """,
+    "dp_multimodal": """
+        WITH f AS (
+          SELECT doc_id AS media_id,
+                 CAST(strlen(text) AS BIGINT) AS n_bytes,
+                 CAST(64 + strlen(text) % 64 AS INTEGER) AS width,
+                 CAST(64 + strlen(text) % 48 AS INTEGER) AS height,
+                 CAST(3 AS INTEGER) AS channels,
+                 md5(text) AS content_hash
+          FROM documents),
+        fr AS (
+          SELECT doc_id AS media_id,
+                 CAST(unnest(generate_series(0,
+                      greatest(strlen(text) // 100 - 1, 0))) AS INTEGER)
+                      AS frame_no
+          FROM documents)
+        SELECT fr.media_id, fr.frame_no, f.n_bytes, f.width, f.height,
+               f.channels, f.content_hash
+        FROM fr JOIN f ON fr.media_id = f.media_id
+    """,
+    "dp_sample": f"""
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+              CASE WHEN lang = 'en' THEN '{_hex(0.5)}'
+                   ELSE '{_hex(0.2)}' END
+    """,
+    "dp_dedup_resolve": f"""
+        WITH RECURSIVE {_NEARDUP_PAIRS_CTE},
+        edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                  UNION SELECT id_b, id_a FROM p),
+        reach(id, r) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e2.src, reach.r
+            FROM edges e2 JOIN reach ON e2.dst = reach.id),
+        cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        SELECT emb.vec_id,
+               coalesce(cc.cluster_id, emb.vec_id) AS cluster_id,
+               emb.vec_id = coalesce(cc.cluster_id, emb.vec_id) AS kept
+        FROM embeddings emb LEFT JOIN cc ON emb.vec_id = cc.id
+    """,
+    "dp_top_k_per_group": """
+        SELECT doc_id, lang, n_chars FROM documents
+        QUALIFY row_number() OVER (PARTITION BY lang
+                                   ORDER BY n_chars DESC, doc_id) <= 3
+    """,
+    "dp_group_quantiles": """
+        SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS p50,
+               round(quantile_cont(n_chars, 0.9), 4) AS p90
+        FROM documents GROUP BY lang
+    """,
+    "dp_mix_corpora": f"""
+        SELECT doc_id, source, 'head' AS corpus FROM documents
+        WHERE source IN ('src0','src1','src2')
+          AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_hex(0.9)}'
+        UNION ALL
+        SELECT doc_id, source, 'tail' AS corpus FROM documents
+        WHERE source NOT IN ('src0','src1','src2')
+          AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_hex(0.25)}'
+    """,
+}
