@@ -641,17 +641,19 @@ def q_session_windows(spark, sf_dir):
 # search, multimodal columns, text analysis) over documents/embeddings
 # ---------------------------------------------------------------------------
 def _docs(spark, sf_dir):
+    from yupana_spark.schema import cached_parquet
     from yupana_spark.session import ensure_engine_confs
 
     ensure_engine_confs(spark)
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cached_parquet(spark, f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark, sf_dir):
+    from yupana_spark.schema import cached_parquet
     from yupana_spark.session import ensure_engine_confs
 
     ensure_engine_confs(spark)
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cached_parquet(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def dp_text_stats(spark, sf_dir):
@@ -810,11 +812,17 @@ def dp_neardup_scale(spark, sf_dir):
     mh = minhash_dedup_pairs(docs, threshold=0.5).select(
         F.lit("minhash").alias("method"), "id_a", "id_b",
         F.col("jaccard").cast("double").alias("score"))
-    sh = simhash_near_pairs(docs, max_hamming=8).select(
+    # radius 3 -> 4 x 16-bit blocks: background (blk,bval) collisions are
+    # ~N^2/2^16 instead of ~N^2/2^7 at radius 8 — the standard near-dup
+    # radius for 64-bit simhash keeps candidate generation sparse
+    sh = simhash_near_pairs(docs, max_hamming=3).select(
         F.lit("simhash").alias("method"), "id_a", "id_b",
         F.col("hamming").cast("double").alias("score"))
+    # 24 planes / radius 3 -> pigeonhole blocks are 6 bits: candidate
+    # buckets hold N/64 vectors instead of N/4 (12 planes / radius 5 gave
+    # 2-bit blocks — a near-cross-product at any scale)
     el = embedding_neardup_pairs_lsh(_emb(spark, sf_dir), threshold=0.45,
-                                     max_hamming=5).select(
+                                     n_planes=24, max_hamming=3).select(
         F.lit("embed_lsh").alias("method"), "id_a", "id_b",
         F.col("cos").cast("double").alias("score"))
     return mh.unionAll(sh).unionAll(el)

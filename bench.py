@@ -1,8 +1,16 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
-"queries": {...}, "sf": ...}.  Each query is timed as a full
-plan+execute+collect cycle after a warm-up pass over the inputs.
+"queries": {...}, "sf": ...}.
+
+Methodology (recorded in the JSON): after one warm-up pass per query (JVM
+codegen, Python workers, parquet footers), each query is timed over
+``passes`` full plan+execute cycles and the per-query MIN is reported —
+single-JVM timings swing multi-x when the host is busy, and the min is the
+steady-state figure.  Queries are driven with a noop-sink WRITE, not
+``count()``: count lets Catalyst prune projected columns, so part of the
+claimed work would go unmeasured; the noop sink executes the full projection
+without driver-side row transfer.
 """
 
 from __future__ import annotations
@@ -15,12 +23,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+PASSES = 2
 
 HEADLINE = [
     "q_day_rollup",
     "q_having",
     "q_post_agg_arith",
-    "q_distinct_count",
+    "q_agg_stats",
     "q_lag_window",
     "q_arith_currency",
     "q_link_enrich",
@@ -29,10 +38,15 @@ HEADLINE = [
     "q_tpch_q1",
     "q_tpch_q6",
     "dp_exact_dedup",
-    "dp_minhash_dedup",
+    "dp_neardup_scale",
     "dp_lang_id",
     "dp_ann_bruteforce",
 ]
+
+
+def _run(df) -> None:
+    """Execute the full plan (projections included) without collecting."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
@@ -43,21 +57,16 @@ def main() -> None:
     qs = ent.queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # warm-up: JVM codegen, Python workers, parquet footer caches
-    # (excluded from timings — we report steady-state throughput)
-    for n in names:
-        qs[n](spark, SF_DIR).count()
+    for n in names:  # warm-up (excluded from timings)
+        _run(qs[n](spark, SF_DIR))
 
-    # best of 2 measured passes: single-JVM timings swing multi-x when the
-    # host is busy (GC of a prior phase, lingering python workers); the min
-    # is the honest steady-state figure
     timings = {}
     total = 0.0
     for n in names:
         best = None
-        for _ in range(2):
+        for _ in range(PASSES):
             t0 = time.time()
-            qs[n](spark, SF_DIR).count()
+            _run(qs[n](spark, SF_DIR))
             dt_ = time.time() - t0
             best = dt_ if best is None else min(best, dt_)
         timings[n] = round(best, 3)
@@ -70,6 +79,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "passes": PASSES,
+        "agg": "min",
+        "action": "noop-write",
+        "warmup": 1,
     }))
 
 

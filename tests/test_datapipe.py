@@ -311,3 +311,28 @@ def test_mix_corpora(spark, docs):
     assert tail_ids == sorted(
         r["doc_id"]
         for r in deterministic_sample(tail, "doc_id", 0.3).collect())
+
+
+def test_simhash_blocks_complete_for_any_radius(docs_with_dups):
+    """Candidate blocks must be derived from max_hamming (pigeonhole needs
+    max_hamming+1 disjoint blocks): the fixed 4x16 layout silently missed
+    pairs beyond hamming 3.  Verify against brute-force hamming at radius 8,
+    and that the block spans behave for radii whose ceil-width would shift
+    past 64 bits."""
+    from yupana_spark.datapipe.dedup import simhash, simhash_near_pairs
+
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in simhash(docs_with_dups).collect()}
+    ids = sorted(sigs)
+
+    def ham(a, b):  # signatures are signed int64: mask before popcount
+        return bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+
+    for radius in (8, 20):
+        want = {(a, b): ham(a, b)
+                for i, a in enumerate(ids) for b in ids[i + 1:]
+                if ham(a, b) <= radius}
+        got = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in simhash_near_pairs(docs_with_dups,
+                                           max_hamming=radius).collect()}
+        assert got == want, f"radius {radius}: {got.keys()} != {want.keys()}"

@@ -209,3 +209,55 @@ def test_placeholders(tsdb):
     c_a = tsdb.query(q, params=["A"]).collect()[0]["cnt"]
     c_r = tsdb.query(q, params=["R"]).collect()[0]["cnt"]
     assert c_a > 0 and c_r > 0
+
+
+def test_inclusive_upper_time_bound_on_nanos_source(tsdb):
+    """time <= X must keep the row AT X on a nanos-as-long source: the raw
+    int64 prefilter must honor operator inclusivity (it used to collapse
+    '<=' into '<' and truncate to whole seconds, silently dropping boundary
+    rows before the main filter ran)."""
+    from yupana_spark.query import Query, QueryField
+
+    # pick a real event timestamp to sit exactly on the boundary
+    probe = query(
+        "events", dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1),
+        fields=[(E.time(), "t"), (E.Field("event_id"), "event_id")],
+        limit=1,
+    )
+    row = tsdb.query(probe).collect()[0]
+    boundary, eid = row["t"], row["event_id"]
+
+    le = Query(
+        table="events",
+        fields=(QueryField(E.Field("event_id"), "event_id"),),
+        filter=E.and_(
+            E.ge(E.time(), E.const(dt.datetime(2024, 1, 1))),
+            E.BinaryOp("<=", E.time(), E.const(boundary)),
+            E.eq(E.Field("event_id"), E.const(eid)),
+        ),
+    )
+    assert tsdb.query(le).count() == 1, "row equal to 'time <=' bound lost"
+
+    # strict '<' at the same instant must exclude it
+    lt = Query(
+        table="events",
+        fields=(QueryField(E.Field("event_id"), "event_id"),),
+        filter=E.and_(
+            E.ge(E.time(), E.const(dt.datetime(2024, 1, 1))),
+            E.lt(E.time(), E.const(boundary)),
+            E.eq(E.Field("event_id"), E.const(eid)),
+        ),
+    )
+    assert tsdb.query(lt).count() == 0
+
+    # sub-second upper bound: everything below X.5s, including X, survives
+    sub = Query(
+        table="events",
+        fields=(QueryField(E.Field("event_id"), "event_id"),),
+        filter=E.and_(
+            E.ge(E.time(), E.const(dt.datetime(2024, 1, 1))),
+            E.lt(E.time(), E.const(boundary + dt.timedelta(milliseconds=500))),
+            E.eq(E.Field("event_id"), E.const(eid)),
+        ),
+    )
+    assert tsdb.query(sub).count() == 1, "sub-second upper bound lost the row"

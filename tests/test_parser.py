@@ -133,3 +133,17 @@ def test_interval_literal():
     plus = s.condition.parts[1].right
     assert plus.op == "+"
     assert plus.right.value == dt.timedelta(days=1)
+
+
+def test_user_management_rejected_with_clear_message():
+    """Reference grammar has CREATE/ALTER/DROP USER (SqlParser.scala:292-379);
+    out of scope here, but the rejection must say so, not 'cannot parse'."""
+    import pytest
+
+    from yupana_spark.sql.parser import SqlParseError, parse
+
+    for stmt in ("CREATE USER 'u' WITH PASSWORD 'p' ROLE 'ADMIN'",
+                 "ALTER USER 'u' SET PASSWORD = 'q'",
+                 "DROP USER 'u'"):
+        with pytest.raises(SqlParseError, match="out of scope"):
+            parse(stmt)

@@ -24,7 +24,11 @@ from .schema import Dimension, ExternalLink, LinkField, Metric, Schema, Table
 
 def _parquet(name: str):
     def load(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # memoized base read: link sources are re-read by every enrichment
+        # query; the listing/footer round trip dominates small-query latency
+        from .schema import cached_parquet
+
+        return cached_parquet(spark, f"{sf_dir}/{name}.parquet")
 
     return load
 

@@ -61,20 +61,34 @@ def _lit(v: Any, dtype: str) -> Column:
 
 
 def _extract_time_bounds(cond: Optional[Expr]):
-    """(lo, hi) datetimes from top-level AND time conjuncts, else None."""
+    """((lo, lo_strict), (hi, hi_inclusive)) from top-level AND time
+    conjuncts, else None; each side is None when unbounded.
+
+    Operator inclusivity is tracked so Schema.load can build an EXACT
+    raw-int64 prefilter for nanos-as-long sources — collapsing '<='/'<' into
+    one bound (and truncating to whole seconds) silently dropped rows equal
+    to an inclusive upper bound before the main filter ran."""
     if cond is None:
         return None
     parts = cond.conditions if isinstance(cond, E.And) else (cond,)
-    lo = hi = None
+    lo = hi = None  # (datetime, strict) / (datetime, inclusive)
     for p in parts:
         if (isinstance(p, E.BinaryOp) and isinstance(p.left, E.TimeField)
                 and isinstance(p.right, E.Const)
                 and isinstance(p.right.value, _dt.datetime)):
             v = p.right.value
             if p.op in (">=", ">"):
-                lo = v if lo is None else max(lo, v)
+                cand = (v, p.op == ">")
+                # tighter lower bound: larger value; at equal value strict
+                # ('>') excludes more than inclusive ('>=')
+                if lo is None or (cand[0], cand[1]) > (lo[0], lo[1]):
+                    lo = cand
             elif p.op in ("<", "<="):
-                hi = v if hi is None else min(hi, v)
+                cand = (v, p.op == "<=")
+                # tighter upper bound: smaller value; at equal value
+                # exclusive ('<', inclusive=False) excludes more
+                if hi is None or (cand[0], cand[1]) < (hi[0], hi[1]):
+                    hi = cand
     if lo is None and hi is None:
         return None
     return (lo, hi)

@@ -304,60 +304,87 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 # SimHash
 # ---------------------------------------------------------------------------
 @F.pandas_udf(T.LongType())
-def _simhash_udf(tokens: pd.Series) -> pd.Series:
-    """64-bit SimHash over token arrays (vectorized; numpy bit ops)."""
+def _simhash_bits_udf(hashes: pd.Series) -> pd.Series:
+    """Bit-pack token-hash arrays into 64-bit SimHash signatures.
+
+    Fully vectorized per Arrow batch: all token hashes in the batch are
+    concatenated into one (total_tokens, 64) sign matrix and segment-summed
+    per document with ``np.add.reduceat`` — no per-token Python loop.  The
+    expensive string hashing never reaches Python at all (xxhash64 per token
+    runs JVM-side, see ``simhash``)."""
     import numpy as np
 
-    def one(toks):
-        if toks is None or len(toks) == 0:
-            return 0
-        acc = np.zeros(64, dtype=np.int64)
-        for t in toks:
-            h = np.int64(np.uint64(hash_str64(t)))
-            bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        sig = np.uint64(0)
-        for j in range(64):
-            if acc[j] > 0:
-                sig |= np.uint64(1) << np.uint64(j)
-        return int(np.int64(sig))
-
-    return tokens.map(one)
-
-
-def hash_str64(s: str) -> int:
-    """Deterministic 64-bit FNV-1a (stable across workers, unlike hash())."""
-    h = 0xCBF29CE484222325
-    for ch in s.encode("utf-8"):
-        h ^= ch
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+    n = len(hashes)
+    out = np.zeros(n, dtype=np.int64)
+    lens = np.fromiter(
+        ((0 if h is None else len(h)) for h in hashes), dtype=np.int64,
+        count=n)
+    nz = lens > 0
+    if nz.any():
+        flat = np.concatenate([
+            np.asarray(h, dtype=np.int64) for h in hashes
+            if h is not None and len(h)
+        ]).astype(np.uint64)
+        # (total_tokens, 64) in {-1, +1}
+        contrib = (((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int32) * 2 - 1)
+        offsets = np.zeros(int(nz.sum()), dtype=np.int64)
+        np.cumsum(lens[nz][:-1], out=offsets[1:])
+        sums = np.add.reduceat(contrib, offsets, axis=0)  # (docs, 64)
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        sig = ((sums > 0).astype(np.uint64) * weights).sum(axis=1)
+        out[nz] = sig.view(np.int64)
+    return pd.Series(out)
 
 
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
+    """(id, 64-bit simhash).  Token hashing stays JVM-side (xxhash64 inside
+    whole-stage codegen); Python only sees long arrays for the vectorized
+    bit-packing pass — the one thing Spark expressions do badly."""
     from .text import words
 
     toks = words(normalize_text(F.col(text_col)))
-    return _fan_out(df).select(F.col(id_col), _simhash_udf(toks).alias("simhash"))
+    hs = F.transform(toks, lambda t: F.xxhash64(t))
+    return _fan_out(df).select(F.col(id_col),
+                               _simhash_bits_udf(hs).alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance.
 
-    Candidate generation: split the 64-bit signature into 4 x 16-bit blocks —
-    any pair within hamming<=3 shares at least one exact block (pigeonhole),
-    so the join is on (block_idx, block_value), not all pairs.
+    Candidate generation: split the 64-bit signature into ``max_hamming + 1``
+    blocks — any pair within ``max_hamming`` bit flips must agree exactly on
+    at least one block (pigeonhole), so the join is on (block_idx,
+    block_value), not all pairs.  Deriving the block count from the caller's
+    radius keeps candidate generation COMPLETE for any max_hamming (the old
+    fixed 4x16 layout silently missed pairs beyond hamming 3).
     """
-    sigs = simhash(df, text_col, id_col).withColumnRenamed(id_col, "id")
+    n_blocks = max_hamming + 1
+    if n_blocks > 64:
+        raise ValueError(f"max_hamming={max_hamming} exceeds the 64-bit "
+                         "signature (no block can be wider than 1 bit)")
+    # disjoint cover of all 64 bits: base-width blocks, remainder spread one
+    # bit at a time (shift offsets stay < 64 — JVM shifts wrap at 64)
+    base, extra = divmod(64, n_blocks)
+    spans, off = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < extra else 0)
+        spans.append((off, (1 << w) - 1))
+        off += w
+    # materialize signatures once: both sides of the self-join would
+    # otherwise recompute the scan + signature UDF (the frame is tiny —
+    # id + one long per doc)
+    sigs = (simhash(df, text_col, id_col).withColumnRenamed(id_col, "id")
+            .localCheckpoint(eager=True))
     blocks = sigs.select(
         "id", "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("blk"),
-                     F.shiftright(F.col("simhash"), i * 16)
-                     .bitwiseAND(F.lit(0xFFFF)).alias("bval"))
-            for i in range(4)
+                     F.shiftright(F.col("simhash"), start)
+                     .bitwiseAND(F.lit(mask)).alias("bval"))
+            for i, (start, mask) in enumerate(spans)
         ])).alias("b"),
     ).select("id", "simhash", "b.blk", "b.bval")
     l, r = blocks.alias("l"), blocks.alias("r")
@@ -430,10 +457,12 @@ def embedding_neardup_pairs_lsh(df: DataFrame, vec_col: str = "embedding",
 
     dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
+    # materialize (id, v, bucket) once — the block self-join reads it from
+    # both sides and would rerun the signature matmul per side
     b = hyperplane_lsh_buckets(
         _fan_out(df.select(F.col(id_col).alias("id"),
                            F.col(vec_col).alias("v"))),
-        planes, "v")
+        planes, "v").localCheckpoint(eager=True)
     n_blocks = max_hamming + 1
     width = (n_planes + n_blocks - 1) // n_blocks
     mask = (1 << width) - 1

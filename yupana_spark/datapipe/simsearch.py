@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import List, Optional, Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .dedup import cosine
@@ -49,18 +50,26 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
 
 
 def srp_signature(vec_col: Column, planes: np.ndarray) -> Column:
-    """Bit i = sign(dot(v, plane_i)); packed into a LONG (JVM-side)."""
-    bits = []
-    for i, p in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(vec_col, F.array([F.lit(float(x)) for x in p]),
-                       lambda a, b: a.cast("double") * b),
-            F.lit(0.0), lambda acc, v: acc + v)
-        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return sig.cast("long")
+    """Bit i = sign(dot(v, plane_i)); packed into a LONG.
+
+    One Arrow-batched matmul per partition ((batch x dim) @ (dim x planes))
+    — the per-plane interpreted aggregate lambdas this replaces evaluated
+    n_planes separate fold expressions per row and dominated the LSH build."""
+    if planes.shape[0] > 63:
+        raise ValueError("at most 63 planes fit a signed LONG signature")
+    P = planes.astype(np.float64)
+    weights = np.uint64(1) << np.arange(P.shape[0], dtype=np.uint64)
+
+    @F.pandas_udf("long")
+    def sig(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series(np.zeros(0, dtype=np.int64))
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        bits = (M @ P.T) >= 0.0  # (batch, n_planes)
+        packed = (bits.astype(np.uint64) * weights).sum(axis=1)
+        return pd.Series(packed.view(np.int64))
+
+    return sig(vec_col)
 
 
 def hyperplane_lsh_buckets(df: DataFrame, planes: np.ndarray,

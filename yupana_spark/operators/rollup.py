@@ -73,15 +73,40 @@ def run_rollup(wh: Warehouse, rollup: Rollup,
     return wh.read(rollup.to_table)
 
 
+def _bucket_bounds(time_trunc: str, day: _dt.datetime):
+    """[start, end) of the rollup bucket containing ``day``.
+
+    A dirty DAY must recompute its whole enclosing week/month/year bucket:
+    run_rollup's incremental merge replaces entire buckets, so feeding it a
+    one-day window would overwrite a month aggregate with one day's partial
+    sums."""
+    day = _dt.datetime(day.year, day.month, day.day)
+    if time_trunc == "day":
+        return day, day + _dt.timedelta(days=1)
+    if time_trunc == "week":  # ISO Monday, matching date_trunc('week')
+        start = day - _dt.timedelta(days=day.weekday())
+        return start, start + _dt.timedelta(days=7)
+    if time_trunc == "month":
+        start = day.replace(day=1)
+        end = (start.replace(year=start.year + 1, month=1) if start.month == 12
+               else start.replace(month=start.month + 1))
+        return start, end
+    if time_trunc == "year":
+        start = day.replace(month=1, day=1)
+        return start, start.replace(year=start.year + 1)
+    raise ValueError(f"unsupported rollup time_trunc {time_trunc!r}")
+
+
 def recalculate(wh: Warehouse, rollup: Rollup) -> DataFrame:
-    """Recompute only intervals the changelog marks as rewritten."""
+    """Recompute only intervals the changelog marks as rewritten, widened to
+    full rollup-bucket boundaries (TsdbBase.scala:415-423 recalc windows)."""
     intervals = (wh.updates_intervals()
                  .filter(F.col("table_name") == rollup.from_table)
                  .select("day").distinct().collect())
     if not intervals:
         return run_rollup(wh, rollup)
-    for row in intervals:
-        day = row["day"]
-        run_rollup(wh, rollup, from_time=day,
-                   to_time=day + _dt.timedelta(days=1))
+    buckets = sorted({_bucket_bounds(rollup.time_trunc, row["day"])
+                      for row in intervals})
+    for start, end in buckets:
+        run_rollup(wh, rollup, from_time=start, to_time=end)
     return wh.read(rollup.to_table)

@@ -25,12 +25,30 @@ import tempfile
 import uuid
 from typing import Any, Dict, Iterable, Optional, Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..schema import Schema, Table
 
 BUCKET_COL = "__month"
 CHANGELOG = "_changelog"
+
+_FIXER_UDFS: dict = {}
+
+
+def _item_fixer_udf(fn):
+    """Vectorized (Arrow) wrapper for the schema's item_fixer hook; memoized
+    per hook so repeated upserts reuse one UDF registration."""
+    from pyspark.sql import types as T
+
+    key = id(fn)
+    if key not in _FIXER_UDFS:
+        @F.pandas_udf(T.StringType())
+        def fixer(s: pd.Series) -> pd.Series:
+            return s.map(lambda v: None if v is None else fn(v))
+
+        _FIXER_UDFS[key] = fixer
+    return _FIXER_UDFS[key]
 
 
 class Warehouse:
@@ -70,11 +88,11 @@ class Warehouse:
                     current.schema[c].dataType))
         incoming = incoming.select(*current.columns)
         # ItemFixer: canonicalize item-like (hash) dimension values before
-        # they become part of the row key (Schema.scala itemFixer)
+        # they become part of the row key (Schema.scala itemFixer).  Arrow-
+        # batched pandas_udf: ingest is a hot path and a row-at-a-time
+        # Python UDF would pickle per cell.
         if self.schema.item_fixer is not None:
-            from pyspark.sql import types as T2
-
-            fixer = F.udf(self.schema.item_fixer, T2.StringType())
+            fixer = _item_fixer_udf(self.schema.item_fixer)
             for d in t.dimensions:
                 if d.kind == "hash" and d.name in incoming.columns:
                     incoming = incoming.withColumn(d.name, fixer(F.col(d.name)))

@@ -24,6 +24,31 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import types as yt
 
 
+# base-DataFrame memo per (session, path): a plain ``spark.read.parquet``
+# re-runs file listing + footer/schema resolution on EVERY call, which is the
+# bulk of the fixed per-query latency at small scale (and a needless
+# namenode/object-store round trip at large scale).  The cached object is an
+# immutable logical plan — filters/projections compose on top per query, so
+# pushdown and pruning are unaffected.  Keyed by applicationId (stable per
+# session, never aliased the way id() can be).
+_PARQUET_CACHE: Dict[Tuple[str, str], DataFrame] = {}
+
+
+def cached_parquet(spark: SparkSession, path: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, path)
+    df = _PARQUET_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _PARQUET_CACHE[key] = df
+    return df
+
+
+def invalidate_parquet_cache(path_prefix: str = "") -> None:
+    """Drop cached reads under a path prefix (used after writes)."""
+    for k in [k for k in _PARQUET_CACHE if k[1].startswith(path_prefix)]:
+        del _PARQUET_CACHE[k]
+
+
 @dataclass(frozen=True)
 class Dimension:
     name: str
@@ -144,12 +169,17 @@ class Schema:
         The read stays a plain parquet scan so Catalyst keeps predicate
         pushdown and column pruning (PushedFilters / ReadSchema).
 
-        ``time_bounds`` — optional (lo, hi) datetimes from the query's
-        mandatory time condition.  For nanos-as-long sources the converted
+        ``time_bounds`` — optional ((lo, lo_strict), (hi, hi_inclusive))
+        from the query's mandatory time condition (compiler
+        _extract_time_bounds).  For nanos-as-long sources the converted
         ``time`` column hides the raw column from pushdown, so the bounds are
         re-expressed over the raw int64 BEFORE the conversion projection —
         that filter reaches the parquet row groups (at 100 TB this is the
-        difference between pruning and a full scan).
+        difference between pruning and a full scan).  The conversion is
+        EXACT, not just a superset: the queryable ``time`` column is
+        ``raw div 1000`` micros, so ``time OP bound`` maps one-to-one onto a
+        raw-nanos comparison at microsecond precision (inclusive/strict
+        operators shift the bound by one micro).
         """
         t = self.table(name)
         path = os.path.join(sf_dir, t.path or f"{name}.parquet")
@@ -157,7 +187,7 @@ class Schema:
         # rejects; read nanos as long and convert (integer division keeps the
         # full 64-bit precision — going through double would corrupt it)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        df = cached_parquet(spark, path)
         from pyspark.sql import types as T
 
         tcol_type = df.schema[t.time_column].dataType
@@ -165,12 +195,21 @@ class Schema:
             if time_bounds is not None:
                 import calendar
 
+                def _us(d):
+                    return calendar.timegm(d.timetuple()) * 10**6 + d.microsecond
+
                 lo, hi = time_bounds
                 if lo is not None:
-                    ns = calendar.timegm(lo.timetuple()) * 10**9
+                    v, strict = lo
+                    # time = raw div 1000 (micros).  time >= v  <=>
+                    # raw >= v_us*1000;  time > v  <=>  raw >= (v_us+1)*1000
+                    ns = (_us(v) + (1 if strict else 0)) * 1000
                     df = df.filter(F.col(t.time_column) >= F.lit(ns))
                 if hi is not None:
-                    ns = calendar.timegm(hi.timetuple()) * 10**9
+                    v, inclusive = hi
+                    # time < v  <=>  raw < v_us*1000;  time <= v  <=>
+                    # raw < (v_us+1)*1000
+                    ns = (_us(v) + (1 if inclusive else 0)) * 1000
                     df = df.filter(F.col(t.time_column) < F.lit(ns))
             df = df.withColumn(
                 t.time_column,

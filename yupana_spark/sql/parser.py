@@ -539,6 +539,19 @@ class Parser:
                 nm += "." + self.name()
             self.expect_op("=")
             st = A.SetValue(nm, self.value())
+        elif (self.at_kw("create") or self.at_kw("alter")
+              or self.at_kw("drop")):
+            # reference grammar has CREATE/ALTER/DROP USER
+            # (SqlParser.scala:292-379); user management is authentication
+            # territory and deliberately out of scope here — reject with a
+            # clear message instead of a generic parse error
+            verb = self.peek()[1].upper()
+            raise SqlParseError(
+                f"{verb} USER is not supported: user/auth management is out "
+                "of scope in this engine (SURVEY.md §2.11; reference "
+                "SqlParser.scala:292-379) — manage access in the Spark "
+                "deployment layer instead"
+            )
         else:
             raise SqlParseError(f"cannot parse statement at {self.peek()[1]!r}")
         self.eat_op(";")
