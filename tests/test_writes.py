@@ -184,3 +184,15 @@ def test_recalculate_month_rollup_preserves_full_bucket(wtsdb):
     # sanity: buckets hold multiple days' rows, so a one-day overwrite would
     # have collapsed counts (caught by the >= assertion above)
     assert min(before.values()) > 2
+
+
+def test_show_queries_stage_breakdown(wtsdb):
+    """SHOW QUERIES exposes per-stage timings (≙ TsdbQueryMetrics persisted
+    create/filter/reduce stage metrics)."""
+    wtsdb.sql(f"SELECT count(l_orderkey) c FROM lineitem WHERE {TB}").collect()
+    rows = wtsdb.sql("SHOW QUERIES LIMIT 3").collect()
+    cols = set(rows[0].asDict())
+    assert {"PARSE_S", "ANALYZE_S", "COMPILE_S"} <= cols
+    done = [r for r in rows if r["STATE"] == "FINISHED"
+            and r["QUERY"].startswith("SELECT count")]
+    assert done and done[0]["COMPILE_S"] > 0.0 and done[0]["PARSE_S"] > 0.0

@@ -498,17 +498,26 @@ class Tsdb:
 
         from .operators.metrics import REGISTRY
 
+        import time as _time
+
         qid = REGISTRY.start(text)
         self.spark.sparkContext.setJobGroup(f"yupana-{qid}", text[:100])
         try:
+            t0 = _time.perf_counter()
             stmt = parse(text)
+            t1 = _time.perf_counter()
+            REGISTRY.stage(qid, "parse", t1 - t0)
             if isinstance(stmt, A.Select):
                 q = analyze(stmt, self.schema)
+                t2 = _time.perf_counter()
+                REGISTRY.stage(qid, "analyze", t2 - t1)
                 out = self.query(q, params=params)
+                REGISTRY.stage(qid, "compile", _time.perf_counter() - t2)
             else:
                 from .operators.admin import execute_statement
 
                 out = execute_statement(self, stmt)
+                REGISTRY.stage(qid, "execute", _time.perf_counter() - t1)
             REGISTRY.finish(qid)
             return out
         except Exception:

@@ -99,12 +99,21 @@ def execute_statement(tsdb: "Tsdb", stmt: A.Statement) -> DataFrame:
         ms.sort(key=lambda m: -m.start_ts)
         if stmt.limit:
             ms = ms[: stmt.limit]
-        rows = [(m.query_id, m.query, m.state, float(m.duration)) for m in ms]
+        rows = [(m.query_id, m.query, m.state, float(m.duration),
+                 float(m.stages.get("parse", 0.0)),
+                 float(m.stages.get("analyze", 0.0)),
+                 float(m.stages.get("compile", 0.0) + m.stages.get("execute", 0.0)))
+                for m in ms]
         return _df(spark, rows, T.StructType([
             T.StructField("QUERY_ID", T.StringType()),
             T.StructField("QUERY", T.StringType()),
             T.StructField("STATE", T.StringType()),
             T.StructField("DURATION", T.DoubleType()),
+            # ≙ TsdbQueryMetrics per-stage breakdown (parse/analyze/compile;
+            # Spark execution is lazy — job time lands in the caller's action)
+            T.StructField("PARSE_S", T.DoubleType()),
+            T.StructField("ANALYZE_S", T.DoubleType()),
+            T.StructField("COMPILE_S", T.DoubleType()),
         ]))
     if isinstance(stmt, A.ShowUpdatesIntervals):
         return tsdb.warehouse.updates_intervals()

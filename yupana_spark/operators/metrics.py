@@ -21,6 +21,11 @@ class QueryMetric:
     start_ts: float
     state: str = "RUNNING"  # RUNNING | FINISHED | FAILED | CANCELLED
     duration: float = 0.0
+    # per-stage seconds (≙ TsdbQueryMetrics.scala:1-95 persisted stage
+    # timings: create_queries/filter/reduce...; our engine's stages are
+    # parse -> analyze -> compile, with Spark execution happening lazily at
+    # the caller's action)
+    stages: Dict[str, float] = field(default_factory=dict)
 
 
 class MetricsRegistry:
@@ -33,6 +38,13 @@ class MetricsRegistry:
         with self._lock:
             self._queries[qid] = QueryMetric(qid, query_text, time.time())
         return qid
+
+    def stage(self, qid: str, name: str, seconds: float) -> None:
+        """Record one pipeline stage's wall time for SHOW QUERIES."""
+        with self._lock:
+            m = self._queries.get(qid)
+            if m is not None:
+                m.stages[name] = m.stages.get(name, 0.0) + seconds
 
     def finish(self, qid: str, state: str = "FINISHED") -> None:
         with self._lock:

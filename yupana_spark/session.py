@@ -14,13 +14,22 @@ import os
 from pyspark.sql import SparkSession
 
 
+_CONFED_SESSIONS: set = set()
+
+
 def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime-settable semantics/tuning to ANY session.
 
     The driver harness hands us its own SparkSession; these confs are the
     ones that must hold regardless of how the session was built (dialect
     semantics + the AQE posture).  Only runtime-settable keys belong here.
+    Applied once per session (memoized by applicationId): every Tsdb/datapipe
+    entry calls this, and nine py4j conf round trips per query add up.
     """
+    app = spark.sparkContext.applicationId
+    if app in _CONFED_SESSIONS:
+        return spark
+    _CONFED_SESSIONS.add(app)
     cpus = spark.sparkContext.defaultParallelism
     for k, v in {
         "spark.sql.session.timeZone": "UTC",
