@@ -641,19 +641,24 @@ def q_session_windows(spark, sf_dir):
 # search, multimodal columns, text analysis) over documents/embeddings
 # ---------------------------------------------------------------------------
 def _docs(spark, sf_dir):
+    # fan-out: the fixture is one parquet row group (unsplittable), so the
+    # CPU-bound text expressions would run on one core; a real corpus has
+    # thousands of splits and the repartition branch never fires
+    from yupana_spark.datapipe.dedup import _fan_out
     from yupana_spark.schema import cached_parquet
     from yupana_spark.session import ensure_engine_confs
 
     ensure_engine_confs(spark)
-    return cached_parquet(spark, f"{sf_dir}/documents.parquet")
+    return _fan_out(cached_parquet(spark, f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark, sf_dir):
+    from yupana_spark.datapipe.dedup import _fan_out
     from yupana_spark.schema import cached_parquet
     from yupana_spark.session import ensure_engine_confs
 
     ensure_engine_confs(spark)
-    return cached_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    return _fan_out(cached_parquet(spark, f"{sf_dir}/embeddings.parquet"))
 
 
 def dp_text_stats(spark, sf_dir):

@@ -663,12 +663,44 @@ class Tsdb:
                 if a.key() not in agg_map:
                     agg_map[a.key()] = f"__a{len(aggs)}"
                     aggs.append(a)
-        agg_cols = [ec.col(a, row_ctx).alias(agg_map[a.key()]) for a in aggs]
+        # HashAggregateExec needs fixed-size mutable buffers; a string-typed
+        # min/max/distinct_random forces the fallback path, and combined
+        # with a distinct aggregate the multi-distinct rewrite downgrades
+        # the ENTIRE aggregation to SortAggregate (full sorts of every
+        # expanded row — 4x here, catastrophic at 1e12 rows).  Split: hash-
+        # friendly aggregates + distincts in one pass, var-len-buffer
+        # aggregates in a second, joined null-safely on the group keys (the
+        # join is group-cardinality sized, broadcast under AQE).
+        from pyspark.sql import types as _T
 
-        if gcols:
-            grouped = df.groupBy(*gcols).agg(*agg_cols)
+        def _varlen(a: E.AggExpr) -> bool:
+            return (a.name in ("min", "max", "distinct_random")
+                    and isinstance(yt.spark_type(a.dtype), _T.StringType))
+
+        has_distinct = any(a.name == "distinct_count" for a in aggs)
+        var_aggs = [a for a in aggs if _varlen(a)] if has_distinct else []
+        hash_aggs = [a for a in aggs if not (has_distinct and _varlen(a))]
+
+        def _agg_over(sub: List[E.AggExpr]) -> DataFrame:
+            cols = [ec.col(a, row_ctx).alias(agg_map[a.key()]) for a in sub]
+            return df.groupBy(*gcols).agg(*cols) if gcols else df.agg(*cols)
+
+        if var_aggs and hash_aggs:
+            l = _agg_over(hash_aggs).alias("l")
+            r = _agg_over(var_aggs).alias("r")
+            gnames = [group_map[g.key()] for g in q.group_by]
+            if gnames:
+                cond = None
+                for g in gnames:
+                    c = F.col(f"l.{g}").eqNullSafe(F.col(f"r.{g}"))
+                    cond = c if cond is None else (cond & c)
+                grouped = l.join(r, cond).select(
+                    *[F.col(f"l.{g}") for g in gnames],
+                    *[F.col(agg_map[a.key()]) for a in aggs])
+            else:
+                grouped = l.crossJoin(r)
         else:
-            grouped = df.agg(*agg_cols)
+            grouped = _agg_over(aggs)
 
         post = _Ctx(post_agg=True, group_map=group_map, agg_map=agg_map)
         out_cols = [ec.col(f.expr, post).alias(f.name) for f in q.fields]
