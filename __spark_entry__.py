@@ -640,25 +640,27 @@ def q_session_windows(spark, sf_dir):
 # LLM-data-pipeline operators (BASELINE.json north star: dedup, similarity
 # search, multimodal columns, text analysis) over documents/embeddings
 # ---------------------------------------------------------------------------
-def _docs(spark, sf_dir):
-    # fan-out: the fixture is one parquet row group (unsplittable), so the
-    # CPU-bound text expressions would run on one core; a real corpus has
-    # thousands of splits and the repartition branch never fires
+def _docs(spark, sf_dir, fan_out: bool = False):
+    """Documents scan.  ``fan_out=True`` repartitions to cores for
+    CPU-heavy per-row expressions when the input arrives as fewer splits
+    than cores (the fixture is one unsplittable parquet row group); row-
+    local operators (sampling, mixing) must NOT fan out — their contract is
+    zero shuffles."""
     from yupana_spark.datapipe.dedup import _fan_out
     from yupana_spark.schema import cached_parquet
     from yupana_spark.session import ensure_engine_confs
 
     ensure_engine_confs(spark)
-    return _fan_out(cached_parquet(spark, f"{sf_dir}/documents.parquet"))
+    df = cached_parquet(spark, f"{sf_dir}/documents.parquet")
+    return _fan_out(df) if fan_out else df
 
 
 def _emb(spark, sf_dir):
-    from yupana_spark.datapipe.dedup import _fan_out
     from yupana_spark.schema import cached_parquet
     from yupana_spark.session import ensure_engine_confs
 
     ensure_engine_confs(spark)
-    return _fan_out(cached_parquet(spark, f"{sf_dir}/embeddings.parquet"))
+    return cached_parquet(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def dp_text_stats(spark, sf_dir):
@@ -669,7 +671,7 @@ def dp_text_stats(spark, sf_dir):
                                             quality_score, token_count)
 
     m = quality_metrics(F.col("text"))
-    return _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir, fan_out=True).select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
         bpe_token_count(F.col("text")).alias("n_bpeish"),
@@ -686,7 +688,7 @@ def dp_lang_id(spark, sf_dir):
     """Language-ID: stopword-hit argmax + CJK unicode-range check."""
     from yupana_spark.datapipe.text import lang_id
 
-    return _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir, fan_out=True).select(
         "doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
@@ -737,7 +739,7 @@ def dp_multimodal(spark, sf_dir):
                                                   frame_sample,
                                                   synth_media_table)
 
-    media = synth_media_table(_docs(spark, sf_dir))
+    media = synth_media_table(_docs(spark, sf_dir, fan_out=True))
     feats = extract_features(media).select(
         "media_id", "n_bytes", "width", "height", "channels", "content_hash")
     frames = frame_sample(media).select("media_id", "frame_no")

@@ -40,6 +40,20 @@ CHECKS = {
     "q_tpch_q19_like": dict(pushed=r"PushedFilters: \[.*l_shipdate",
                             expect=["BroadcastHashJoin"],
                             forbid=["SortMergeJoin"]),
+    # split-agg path: string member-pick + multi-distinct must stay on hash
+    # aggregation for the raw rows; the var-len pass dedupes (keys, value)
+    # first, so at most one partial/final SortAggregate pair remains and it
+    # runs over distinct values, never the scan (max_sort_aggs counts
+    # distinct SortAggregate operator ids in the plan)
+    "q_agg_stats": dict(pushed=r"PushedFilters: \[.*l_shipdate",
+                        expect=["HashAggregate"], forbid=[],
+                        max_sort_aggs=2),
+    # self-validating hll verdict: distinct + approx in one hash aggregation
+    "q_hll_count": dict(pushed=None, expect=["HashAggregate"],
+                        forbid=["SortAggregate"]),
+    # bundled features+frames: one broadcast join, no sort-merge
+    "dp_multimodal": dict(pushed=None, expect=["ArrowEvalPython|MapInPandas"],
+                          forbid=["SortMergeJoin"]),
     # pure row-local predicate: sampling must not shuffle
     "dp_sample": dict(pushed=None, expect=[], forbid=["Exchange"]),
     # group-key window, never a global sort (rangepartitioning)
@@ -82,6 +96,12 @@ def main(only=None):
         for pat in checks["forbid"]:
             if re.search(pat, plan):
                 print(f"  FORBIDDEN present: {pat}")
+                ok = False
+        cap = checks.get("max_sort_aggs")
+        if cap is not None:
+            n_sort = len(set(re.findall(r"SortAggregate \((\d+)\)", plan)))
+            if n_sort > cap:
+                print(f"  TOO MANY SortAggregates: {n_sort} > {cap}")
                 ok = False
         print("  OK" if ok else "  AUDIT FAILED")
         if not ok:

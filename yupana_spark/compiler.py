@@ -321,7 +321,12 @@ class ExpressionCompiler:
         if n == "hll_count":
             return F.approx_count_distinct(c, rsd=e.param)
         if n == "distinct_random":
-            return F.first(c, ignorenulls=True)
+            # reference: a random element of the group's distinct set
+            # (Aggregation.scala distinctRandom).  Any member satisfies the
+            # contract; max is the deterministic choice AND stays on hash
+            # aggregation — F.first is a SortAggregate-only function, which
+            # silently downgrades every sibling aggregate to full sorts.
+            return F.max(c)
         raise InvalidQueryError(f"unknown aggregate {n}")
 
 
@@ -685,9 +690,27 @@ class Tsdb:
             cols = [ec.col(a, row_ctx).alias(agg_map[a.key()]) for a in sub]
             return df.groupBy(*gcols).agg(*cols) if gcols else df.agg(*cols)
 
+        def _varlen_pass(sub: List[E.AggExpr]) -> DataFrame:
+            """min/max/distinct_random over var-len values, scale-shaped:
+            dedupe (group keys, value) first — a HashAggregate, string GROUP
+            KEYS are fine, only agg BUFFERS must be fixed-width — so the
+            unavoidable SortAggregate runs over distinct values, not raw
+            rows."""
+            arg_cols, arg_names = [], {}
+            for a in sub:
+                nm = f"__v{len(arg_names)}"
+                arg_names[a.key()] = nm
+                arg_cols.append(ec.col(a.expr, row_ctx).alias(nm))
+            deduped = df.select(*gcols, *arg_cols).distinct()
+            fns = {"min": F.min, "max": F.max, "distinct_random": F.max}
+            cols = [fns[a.name](F.col(arg_names[a.key()]))
+                    .alias(agg_map[a.key()]) for a in sub]
+            gn = [group_map[g.key()] for g in q.group_by]
+            return deduped.groupBy(*gn).agg(*cols) if gn else deduped.agg(*cols)
+
         if var_aggs and hash_aggs:
             l = _agg_over(hash_aggs).alias("l")
-            r = _agg_over(var_aggs).alias("r")
+            r = _varlen_pass(var_aggs).alias("r")
             gnames = [group_map[g.key()] for g in q.group_by]
             if gnames:
                 cond = None
