@@ -624,6 +624,19 @@ def q_related_items(spark, sf_dir):
         "GROUP BY l_returnflag")
 
 
+def q_dim_ids(spark, sf_dir):
+    """id(dim) over a dictionary dimension returns dense sequential Long
+    ids (Dictionary.scala:24-105); deterministic sorted-value numbering
+    (the reference numbers by insertion order, which a recomputable engine
+    cannot reproduce — documented deviation)."""
+    return _tsdb(spark, sf_dir).sql(
+        "SELECT l_returnflag, id(l_returnflag) AS flag_id, "
+        "       count(l_orderkey) AS cnt "
+        "FROM lineitem "
+        "WHERE time >= TIMESTAMP '1995-01-01' AND time < TIMESTAMP '2002-01-01' "
+        "GROUP BY l_returnflag, flag_id")
+
+
 def q_session_windows(spark, sf_dir):
     """Gap-based sessionization (Spark session_window; the reference has no
     event-time windows — flagged extension, SURVEY.md §2.9)."""
@@ -905,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_inverted_index": q_inverted_index,
         "q_inverted_index_not": q_inverted_index_not,
         "q_related_items": q_related_items,
+        "q_dim_ids": q_dim_ids,
         "q_session_windows": q_session_windows,
         "dp_text_stats": dp_text_stats,
         "dp_lang_id": dp_lang_id,
@@ -1236,6 +1250,17 @@ _ORACLES_REL: dict[str, str] = {
                 WHERE list_contains(string_split(p_name, ' '), 'red')
                   AND list_contains(string_split(p_name, ' '), 'widget')))
         GROUP BY 1
+    """,
+    "q_dim_ids": f"""
+        WITH d AS (SELECT DISTINCT l_returnflag FROM lineitem),
+        ids AS (SELECT l_returnflag,
+                       CAST(dense_rank() OVER (ORDER BY l_returnflag)
+                            AS BIGINT) AS flag_id
+                FROM d)
+        SELECT l.l_returnflag, ids.flag_id, count(l.l_orderkey) AS cnt
+        FROM lineitem l JOIN ids ON l.l_returnflag = ids.l_returnflag
+        WHERE {_TB}
+        GROUP BY 1, 2
     """,
     "q_session_windows": """
         WITH e AS (

@@ -261,3 +261,89 @@ def test_inclusive_upper_time_bound_on_nanos_source(tsdb):
         ),
     )
     assert tsdb.query(sub).count() == 1, "sub-second upper bound lost the row"
+
+
+def test_dictionary_dim_ids_dense_and_stable(tsdb):
+    """id(dictionary dim) = dense sequential ids by sorted value
+    (≙ Dictionary.scala sequential ids), stable across time ranges."""
+    def ids(frm, to):
+        q = query(
+            "lineitem", frm, to,
+            fields=[
+                (E.Field("l_returnflag"), "f"),
+                (E.Fun("id", (E.Field("l_returnflag"),)), "fid"),
+            ],
+            group_by=[E.Field("l_returnflag"),
+                      E.Fun("id", (E.Field("l_returnflag"),))],
+        )
+        return {r["f"]: r["fid"] for r in tsdb.query(q).collect()}
+
+    full = ids(FROM, TO)
+    assert full == {"A": 1, "N": 2, "R": 3}
+    # a narrow time range must not renumber (dictionary built unfiltered)
+    narrow = ids(dt.datetime(1998, 1, 1), dt.datetime(1998, 2, 1))
+    assert all(full[k] == v for k, v in narrow.items())
+    # non-dictionary dims keep the hash surrogate (big values, not 1..n)
+    q2 = query(
+        "lineitem", FROM, TO,
+        fields=[(E.Fun("id", (E.Field("l_orderkey"),)), "oid"),
+                (E.Field("l_orderkey"), "k")],
+        limit=5,
+    )
+    vals = [r["oid"] for r in tsdb.query(q2).collect()]
+    assert all(abs(v) > 1000 for v in vals)
+
+
+def test_query_hints(tsdb, tmp_path):
+    """QueryHint surface (Query.scala:26/45; ProgressHint ≙
+    TsdbSparkBase.scala:74): broadcast opt-out, repartition, progress file."""
+    import json
+
+    from yupana_spark.query import (BroadcastLinksHint, ProgressHint,
+                                    RepartitionHint)
+
+    pfile = str(tmp_path / "progress.jsonl")
+    q = query(
+        "orders", FROM, TO,
+        fields=[
+            (E.LinkField("CustomerLink", "c_mktsegment"), "seg"),
+            (E.count(E.Field("o_orderkey")), "cnt"),
+        ],
+        group_by=[E.LinkField("CustomerLink", "c_mktsegment")],
+        hints=[BroadcastLinksHint(enabled=False), RepartitionHint(4),
+               ProgressHint(pfile)],
+    )
+    # with the auto-broadcast threshold off, only the FORCED broadcast
+    # remains — so the opt-out must produce a non-broadcast join, while the
+    # default (forced) path still broadcasts
+    tsdb.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = tsdb.query(q)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan  # opt-out respected
+        forced = tsdb.query(query(
+            "orders", FROM, TO,
+            fields=[(E.LinkField("CustomerLink", "c_mktsegment"), "seg"),
+                    (E.count(E.Field("o_orderkey")), "cnt")],
+            group_by=[E.LinkField("CustomerLink", "c_mktsegment")],
+        ))
+        plan_forced = forced._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_forced
+    finally:
+        tsdb.spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                            str(64 * 1024 * 1024))
+    assert df.rdd.getNumPartitions() == 4
+    rows = {r["seg"]: r["cnt"] for r in df.collect()}
+    assert len(rows) == 5 and all(v > 0 for v in rows.values())
+    events = [json.loads(l) for l in open(pfile)]
+    assert events and events[0]["event"] == "plan_built"
+
+    # default: link joins broadcast
+    q2 = query(
+        "orders", FROM, TO,
+        fields=[(E.LinkField("CustomerLink", "c_mktsegment"), "seg"),
+                (E.count(E.Field("o_orderkey")), "cnt")],
+        group_by=[E.LinkField("CustomerLink", "c_mktsegment")],
+    )
+    plan2 = tsdb.query(q2)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan2

@@ -112,9 +112,12 @@ class ExpressionCompiler:
     """Expr tree -> pyspark Column (the reference's ExpressionCalculator JIT,
     jit/codegen/expressions/**, replaced by Catalyst codegen)."""
 
-    def __init__(self, table: Optional[Table] = None, tokenizer=None):
+    def __init__(self, table: Optional[Table] = None, tokenizer=None,
+                 dict_ids: Optional[Dict[str, Dict[str, int]]] = None):
         self.table = table
         self.tokenizer = tokenizer  # Schema hook (Schema.scala tokenizer)
+        # dimension name -> {value: sequential id} for dictionary dims
+        self.dict_ids: Dict[str, Dict[str, int]] = dict_ids or {}
 
     def col(self, e: Expr, ctx: _Ctx) -> Column:
         if ctx.post_agg:
@@ -290,7 +293,23 @@ class ExpressionCompiler:
                 F.array_distinct(args[1])
             )
         if n == "id":
-            # internal dimension id -> stable surrogate hash (Dimension.scala)
+            # internal dimension id (Dimension.scala / Dictionary.scala:24-105:
+            # dictionary dimensions get small sequential Long ids).  When the
+            # Tsdb pre-resolved a dictionary for this dimension, ids are its
+            # dense 1-based ranks (deterministic: sorted value order — the
+            # reference numbers by insertion order, which a recomputable
+            # engine cannot reproduce); values outside the dictionary (e.g.
+            # upserted after resolution) fall back to the stable surrogate
+            # hash.  Non-dictionary dims are hash-identified, as in the
+            # reference's hash dimensions.
+            arg = e.args[0]
+            if isinstance(arg, E.Field) and arg.name in self.dict_ids:
+                mapping = self.dict_ids[arg.name]
+                pairs: list = []
+                for v, i in mapping.items():
+                    pairs.extend([F.lit(v), F.lit(i)])
+                return F.coalesce(F.element_at(F.create_map(*pairs), args[0]),
+                                  F.xxhash64(args[0]))
             return F.xxhash64(args[0])
         if n == "database":
             return F.lit("Yupana")
@@ -415,6 +434,7 @@ class Tsdb:
             group_by=tuple(prep(g) for g in q.group_by),
             having=prep(q.having),
             limit=q.limit,
+            hints=q.hints,
         )
 
     # -- main entry ----------------------------------------------------------
@@ -447,7 +467,8 @@ class Tsdb:
         q = optimize(q)
         validate(q, require_time_bounds=require_time_bounds)
         table = self.schema.table(q.table)
-        ec = ExpressionCompiler(table, tokenizer=self.schema.tokenizer)
+        ec = ExpressionCompiler(table, tokenizer=self.schema.tokenizer,
+                                dict_ids=self._resolve_dictionaries(q, table))
 
         df = self._load(q.table, time_bounds=_extract_time_bounds(q.filter))
         df, q = self._rewrite_predicate_links(df, q, table)
@@ -476,6 +497,33 @@ class Tsdb:
 
         if q.limit is not None:
             df = df.limit(q.limit)
+        return self._apply_hints(df, q)
+
+    def _apply_hints(self, df: DataFrame, q: Query) -> DataFrame:
+        """QueryHint surface (Query.scala:26/45): post-plan directives."""
+        from .query import ProgressHint, RepartitionHint
+
+        rp = q.hint(RepartitionHint)
+        if rp is not None:
+            if rp.columns:
+                df = df.repartition(rp.num_partitions,
+                                    *[F.col(c) for c in rp.columns])
+            else:
+                df = df.repartition(rp.num_partitions)
+        pg = q.hint(ProgressHint)
+        if pg is not None:
+            # ≙ ProgressHint (TsdbSparkBase.scala:74): report progress to a
+            # file; Spark executes lazily, so the compile milestone is what
+            # the engine can honestly report here
+            import json as _json
+            import time as _tm
+
+            with open(pg.file_name, "a") as fh:
+                fh.write(_json.dumps({
+                    "ts": _tm.time(), "table": q.table,
+                    "event": "plan_built",
+                    "fields": [f.name for f in q.fields],
+                }) + "\n")
         return df
 
     def explain(self, q, params: Optional[Sequence[Any]] = None,
@@ -528,6 +576,42 @@ class Tsdb:
         except Exception:
             REGISTRY.finish(qid, "FAILED")
             raise
+
+    # -- dictionary-dimension ids (Dictionary.scala:24-105) -------------------
+    _DICT_CACHE: Dict[tuple, Dict[str, int]] = {}
+    _DICT_CAP = 100_000  # beyond this a dim is not dictionary-shaped; at
+    # cluster scale you'd materialize a dictionary table + broadcast join
+    # instead of a map literal
+
+    def _resolve_dictionaries(self, q: Query, table: Table):
+        """value -> dense sequential id maps for dictionary dims referenced
+        by id(); built from the UNFILTERED table (ids must not shift with
+        the query's time range), memoized per (session, sf_dir, table, dim)."""
+        dims = {d.name: d for d in table.dimensions}
+        wanted = set()
+        exprs = [f.expr for f in q.fields] + list(q.group_by)
+        exprs += [e for e in (q.filter, q.having) if e is not None]
+        for top in exprs:
+            for node in E.collect(top, lambda x: isinstance(x, E.Fun)
+                                  and x.name == "id"):
+                arg = node.args[0]
+                if (isinstance(arg, E.Field) and arg.name in dims
+                        and dims[arg.name].kind == "dictionary"):
+                    wanted.add(arg.name)
+        out: Dict[str, Dict[str, int]] = {}
+        for dim in wanted:
+            key = (self.spark.sparkContext.applicationId, self.sf_dir,
+                   table.name, dim)
+            if key not in self._DICT_CACHE:
+                vals = (self._load(table.name).select(dim).distinct()
+                        .limit(self._DICT_CAP + 1).collect())
+                if len(vals) > self._DICT_CAP:
+                    continue  # too wide: id() keeps the hash surrogate
+                ordered = sorted(r[0] for r in vals if r[0] is not None)
+                self._DICT_CACHE[key] = {v: i + 1
+                                         for i, v in enumerate(ordered)}
+            out[dim] = self._DICT_CACHE[key]
+        return out
 
     # -- predicate-rewriting links (substituteLinks, TsdbBase.scala:322-347) --
     def _rewrite_predicate_links(self, df: DataFrame, q: Query, table: Table):
@@ -613,7 +697,8 @@ class Tsdb:
         from .query import Query as Q
 
         q = Q(table=q.table, fields=q.fields, filter=new_filter,
-              group_by=q.group_by, having=q.having, limit=q.limit)
+              group_by=q.group_by, having=q.having, limit=q.limit,
+              hints=q.hints)
         return df, q
 
     # -- external links (TsdbBase.scala:311-347) ------------------------------
@@ -641,9 +726,16 @@ class Tsdb:
                 F.col(f).alias(f"{link_name}_{f}") for f in sorted(fields)
             ]
             dim_df = src.select(*sel)
-            # links are small by construction -> broadcast (BASELINE.md)
+            # links are small by construction -> broadcast (BASELINE.md);
+            # BroadcastLinksHint(False) opts a too-big link out, leaving the
+            # strategy to AQE (shuffle join)
+            from .query import BroadcastLinksHint
+
+            bh = q.hint(BroadcastLinksHint)
+            if bh is None or bh.enabled:
+                dim_df = F.broadcast(dim_df)
             df = df.join(
-                F.broadcast(dim_df), df[link.dimension] == dim_df[key], "left"
+                dim_df, df[link.dimension] == dim_df[key], "left"
             ).drop(key)
         return df
 

@@ -266,4 +266,5 @@ def optimize(q: Query) -> Query:
         group_by=tuple(fold_constants(g) for g in q.group_by),
         having=optimize_condition(q.having),
         limit=q.limit,
+        hints=q.hints,
     )

@@ -25,6 +25,44 @@ class QueryField:
     name: str
 
 
+# ---------------------------------------------------------------------------
+# QueryHint (Query.scala:26 trait QueryHint; Query.scala:45 hints: Seq[...])
+# — planner directives a caller can attach without touching the query text.
+# The reference's Spark runner ships ProgressHint (TsdbSparkBase.scala:74);
+# the other two are the Spark-native knobs a 100 TB deployment actually
+# needs from a hint surface.
+# ---------------------------------------------------------------------------
+class QueryHint:
+    """Marker base class for planner hints."""
+
+
+@dataclass(frozen=True)
+class BroadcastLinksHint(QueryHint):
+    """Force (True, default behavior) or forbid (False) broadcasting link
+    sources — forbid when a link table is too large to broadcast and the
+    planner should fall back to a shuffle join (AQE picks the strategy)."""
+
+    enabled: bool = True
+
+
+@dataclass(frozen=True)
+class RepartitionHint(QueryHint):
+    """Repartition the result, optionally by columns — for callers that
+    feed the result into a co-partitioned downstream job or sink."""
+
+    num_partitions: int
+    columns: Tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class ProgressHint(QueryHint):
+    """Append a JSON progress line (query id, table, per-stage seconds) to
+    ``file_name`` when the plan is built (≙ ProgressHint,
+    TsdbSparkBase.scala:74)."""
+
+    file_name: str
+
+
 @dataclass(frozen=True)
 class Query:
     table: str
@@ -33,6 +71,13 @@ class Query:
     group_by: Tuple[Expr, ...] = ()
     having: Optional[Expr] = None
     limit: Optional[int] = None
+    hints: Tuple[QueryHint, ...] = ()
+
+    def hint(self, cls):
+        for h in self.hints:
+            if isinstance(h, cls):
+                return h
+        return None
 
 
 def query(
@@ -44,6 +89,7 @@ def query(
     group_by: Sequence[Expr] = (),
     having: Optional[Expr] = None,
     limit: Optional[int] = None,
+    hints: Sequence[QueryHint] = (),
 ) -> Query:
     """DSL constructor mirroring Query.scala:90-135 — injects the time range."""
     time_cond = E.and_(
@@ -58,6 +104,7 @@ def query(
         group_by=tuple(group_by),
         having=having,
         limit=limit,
+        hints=tuple(hints),
     )
 
 
