@@ -17,12 +17,12 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 # queries whose oracle is a faithful equivalent of the operator
-COMPARE = ["q_day_rollup", "q_having", "q_post_agg_arith", "q_distinct_count",
+COMPARE = ["q_day_rollup", "q_having", "q_post_agg_arith", "q_agg_stats",
            "q_lag_window", "q_arith_currency", "q_link_enrich",
            "q_link_two_hop", "q_yql_text", "q_session_windows",
            "q_inverted_index", "q_related_items",
            "dp_exact_dedup", "dp_lang_id", "dp_ann_bruteforce",
-           "dp_token_count", "dp_quality", "dp_ngram_jaccard",
+           "dp_text_stats", "dp_ngram_jaccard",
            "dp_embed_neardup"]
 
 
