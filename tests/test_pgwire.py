@@ -1,0 +1,264 @@
+"""PostgreSQL wire-protocol server, driven by a raw-socket v3 client.
+
+≙ reference `yupana-postgres/src/test/scala/.../YupanaPostgresTest.scala`
+(which drives the server through the JDBC PostgreSQL driver; here a
+hand-rolled client exercises the identical message flows: startup,
+SSL-probe refusal, clear-text auth, simple query, multi-statement,
+extended Parse/Bind/Describe/Execute, portal suspension, error recovery,
+JDBC metadata shims)."""
+
+import socket
+import struct
+
+import pytest
+
+from yupana_spark.server import PgWireServer
+
+TB = "time >= TIMESTAMP '1995-01-01' AND time < TIMESTAMP '2002-01-01'"
+
+
+def _cstr(s):
+    return s.encode() + b"\x00"
+
+
+class PgClient:
+    """Just enough of the public v3 protocol to test the server."""
+
+    def __init__(self, port, user="test", password="pw", ssl_probe=False):
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+        if ssl_probe:
+            self.sock.sendall(struct.pack("!II", 8, 80877103))
+            assert self.sock.recv(1) == b"N"
+        body = struct.pack("!I", 196608) + _cstr("user") + _cstr(user) \
+            + _cstr("database") + _cstr("yupana") + b"\x00"
+        self.sock.sendall(struct.pack("!I", len(body) + 4) + body)
+        tag, payload = self.read_msg()
+        assert tag == b"R" and struct.unpack("!I", payload)[0] == 3
+        self.send(b"p", _cstr(password))
+
+    # -- low level ----------------------------------------------------------
+    def _read_exact(self, n):
+        out = b""
+        while len(out) < n:
+            chunk = self.sock.recv(n - len(out))
+            if not chunk:
+                raise ConnectionError("server closed")
+            out += chunk
+        return out
+
+    def read_msg(self):
+        tag = self._read_exact(1)
+        (ln,) = struct.unpack("!I", self._read_exact(4))
+        return tag, self._read_exact(ln - 4)
+
+    def send(self, tag, body=b""):
+        self.sock.sendall(tag + struct.pack("!I", len(body) + 4) + body)
+
+    def read_until_ready(self):
+        """Collect messages until ReadyForQuery; return list of (tag, body)."""
+        msgs = []
+        while True:
+            tag, body = self.read_msg()
+            if tag == b"Z":
+                return msgs
+            msgs.append((tag, body))
+
+    # -- decoded helpers ----------------------------------------------------
+    @staticmethod
+    def _cols(body):
+        (n,) = struct.unpack_from("!H", body, 0)
+        off, cols = 2, []
+        for _ in range(n):
+            end = body.index(b"\x00", off)
+            name = body[off:end].decode()
+            (oid,) = struct.unpack_from("!I", body, end + 7)
+            cols.append((name, oid))
+            off = end + 19
+        return cols
+
+    @staticmethod
+    def _row(body):
+        (n,) = struct.unpack_from("!H", body, 0)
+        off, vals = 2, []
+        for _ in range(n):
+            (ln,) = struct.unpack_from("!i", body, off)
+            off += 4
+            if ln < 0:
+                vals.append(None)
+            else:
+                vals.append(body[off:off + ln].decode())
+                off += ln
+        return vals
+
+    def query(self, sql):
+        """Simple query -> (cols, rows, errors)."""
+        self.send(b"Q", _cstr(sql))
+        cols, rows, errors = [], [], []
+        for tag, body in self.read_until_ready():
+            if tag == b"T":
+                cols = self._cols(body)
+            elif tag == b"D":
+                rows.append(self._row(body))
+            elif tag == b"E":
+                errors.append(body)
+        return cols, rows, errors
+
+    def close(self):
+        self.send(b"X")
+        self.sock.close()
+
+
+@pytest.fixture(scope="module")
+def server(tsdb):
+    srv = PgWireServer(tsdb, port=0)
+    port = srv.start()
+    yield port
+    srv.stop()
+
+
+@pytest.fixture()
+def client(server):
+    c = PgClient(server, ssl_probe=True)
+    c.read_until_ready()        # drain handshake (AuthOk..BackendKeyData)
+    yield c
+    c.close()
+
+
+def test_handshake_parameter_status(server):
+    c = PgClient(server, ssl_probe=True)
+    msgs = c.read_until_ready()
+    tags = [t for t, _ in msgs]
+    assert tags[0] == b"R"      # AuthenticationOk
+    assert struct.unpack("!I", msgs[0][1])[0] == 0
+    params = {m[1].split(b"\x00")[0]: m[1].split(b"\x00")[1]
+              for m in msgs if m[0] == b"S"}
+    assert params[b"server_version"] == b"9.0.0"
+    assert b"K" in tags         # BackendKeyData
+    c.close()
+
+
+def test_simple_query_tableless(client):
+    cols, rows, errors = client.query("SELECT 2 + 2 AS four, 'a' + 'b' ab")
+    assert not errors
+    assert [c[0] for c in cols] == ["four", "ab"]
+    assert rows == [["4", "ab"]]
+    assert cols[1][1] == 1043   # varchar OID
+
+
+def test_simple_query_aggregate(client):
+    cols, rows, errors = client.query(
+        f"SELECT l_returnflag, count(l_quantity) AS cnt "
+        f"FROM lineitem WHERE {TB} GROUP BY l_returnflag")
+    assert not errors
+    assert {r[0] for r in rows} == {"A", "N", "R"}
+    assert all(int(r[1]) > 0 for r in rows)
+
+
+def test_show_tables_and_metadata_shims(client):
+    cols, rows, _ = client.query("SHOW TABLES")
+    names = {r[0] for r in rows}
+    assert "lineitem" in names and "orders" in names
+    # JDBC shim: select current_catalog -> SELECT database()
+    _, rows2, errors2 = client.query("select current_catalog")
+    assert not errors2 and len(rows2) == 1
+
+
+def test_multi_statement_quote_aware(client):
+    cols, rows, errors = client.query(
+        "SELECT 1 AS a; SELECT 'x;y' AS b;")
+    assert not errors
+    # two result sets flow back; rows from the last carry the quoted ';'
+    assert ["x;y"] in rows
+
+
+def test_empty_query_response(client):
+    client.send(b"Q", _cstr("  "))
+    tags = [t for t, _ in client.read_until_ready()]
+    assert tags == [b"I"]
+
+
+def test_error_then_recover(client):
+    _, _, errors = client.query("SELECT FROM WHERE")
+    assert errors, "bad SQL must produce ErrorResponse"
+    fields = errors[0].split(b"\x00")
+    assert any(f[:1] == b"C" for f in fields)    # SQLSTATE present
+    cols, rows, errors = client.query("SELECT 1 AS ok")
+    assert not errors and rows == [["1"]]
+
+
+def test_extended_protocol_roundtrip(client):
+    # Parse (one varchar param) / Bind / Describe portal / Execute / Sync
+    sql = (f"SELECT count(l_orderkey) AS y FROM lineitem WHERE {TB} "
+           "AND l_returnflag = ?")
+    client.send(b"P", _cstr("s1") + _cstr(sql)
+                + struct.pack("!H", 1) + struct.pack("!i", 1043))
+    client.send(b"B", _cstr("") + _cstr("s1") + struct.pack("!H", 0)
+                + struct.pack("!H", 1) + struct.pack("!I", 1) + b"R"
+                + struct.pack("!H", 0))
+    client.send(b"D", b"P" + _cstr(""))
+    client.send(b"E", _cstr("") + struct.pack("!i", 0))
+    client.send(b"S")
+    msgs = client.read_until_ready()
+    tags = [t for t, _ in msgs]
+    assert tags[:2] == [b"1", b"2"]              # ParseComplete, BindComplete
+    desc = next(b for t, b in msgs if t == b"T")
+    assert PgClient._cols(desc)[0][0] == "y"
+    row = next(b for t, b in msgs if t == b"D")
+    assert int(PgClient._row(row)[0]) > 0
+    done = next(b for t, b in msgs if t == b"C")
+    assert done.startswith(b"SELECT 1")
+
+
+def test_extended_portal_suspension(client):
+    sql = f"SELECT l_orderkey, l_quantity FROM lineitem WHERE {TB} LIMIT 10"
+    client.send(b"P", _cstr("s2") + _cstr(sql) + struct.pack("!H", 0))
+    client.send(b"B", _cstr("p2") + _cstr("s2") + struct.pack("!H", 0)
+                + struct.pack("!H", 0) + struct.pack("!H", 0))
+    client.send(b"E", _cstr("p2") + struct.pack("!i", 3))   # limit 3
+    client.send(b"S")
+    msgs = client.read_until_ready()
+    tags = [t for t, _ in msgs]
+    assert tags.count(b"D") == 3 and b"s" in tags           # PortalSuspended
+    # resume the suspended portal: remaining 7 rows then CommandComplete
+    client.send(b"E", _cstr("p2") + struct.pack("!i", 0))
+    client.send(b"S")
+    msgs = client.read_until_ready()
+    assert [t for t, _ in msgs].count(b"D") == 7
+    assert any(t == b"C" for t, _ in msgs)
+
+
+def test_extended_error_skips_to_sync(client):
+    client.send(b"P", _cstr("bad") + _cstr("FROBNICATE 12")
+                + struct.pack("!H", 0))
+    client.send(b"B", _cstr("") + _cstr("bad") + struct.pack("!H", 0)
+                + struct.pack("!H", 0) + struct.pack("!H", 0))
+    client.send(b"E", _cstr("") + struct.pack("!i", 0))
+    client.send(b"S")
+    msgs = client.read_until_ready()
+    tags = [t for t, _ in msgs]
+    assert tags[0] == b"E"                      # Parse failed
+    assert b"2" not in tags and b"D" not in tags  # Bind/Execute skipped
+    # session is usable again after Sync
+    cols, rows, errors = client.query("SELECT 7 AS n")
+    assert not errors and rows == [["7"]]
+
+
+def test_auth_rejects_wrong_password(tsdb):
+    srv = PgWireServer(tsdb, port=0, users={"admin": "secret"})
+    port = srv.start()
+    try:
+        c = PgClient(port, user="admin", password="wrong")
+        tag, body = c.read_msg()
+        assert tag == b"E" and b"28P01" in body
+        c.sock.close()
+        c2 = PgClient(port, user="admin", password="secret")
+        msgs = c2.read_until_ready()
+        assert msgs[0][0] == b"R"
+        c2.close()
+    finally:
+        srv.stop()
+
+
+def test_user_ddl_rejected_over_wire(client):
+    _, _, errors = client.query("CREATE USER 'u' WITH PASSWORD 'p'")
+    assert errors and b"out of scope" in errors[0].lower()
