@@ -677,14 +677,37 @@ def _emb(spark, sf_dir):
 
 
 def dp_text_stats(spark, sf_dir):
-    """Bundle: token counting (whitespace + BPE-ish regex) and quality
-    scoring (length/punct/stopword ratios) in ONE scan — pure JVM
-    expressions, zero UDFs (was dp_token_count + dp_quality)."""
-    from yupana_spark.datapipe.text import (bpe_token_count, quality_metrics,
-                                            quality_score, token_count)
+    """Bundle: token counting (whitespace + BPE-ish regex), quality scoring
+    (length/punct/stopword ratios), PII detect/scrub (regexp_count +
+    regexp_replace over deterministically injected emails/IPs/phones — the
+    fixture corpus carries none), and benchmark-contamination flags (shared
+    word-8-gram with the doc_id%97 eval slice, hash semi-join).  Stats+PII
+    are ONE scan of pure JVM expressions, zero UDFs; contamination adds the
+    exploded-ngram broadcast semi-join (datapipe/text.contaminated_ids).
+    Was dp_token_count + dp_quality."""
+    from yupana_spark.datapipe.text import (bpe_token_count, contaminated_ids,
+                                            pii_counts, quality_metrics,
+                                            quality_score, scrub_pii,
+                                            token_count)
 
+    docs = _docs(spark, sf_dir, fan_out=True)
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, F.concat(F.lit(" contact user"),
+                                      did.cast("string"),
+                                      F.lit("@example.com")))
+         .otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.concat(F.lit(" from 10.0."),
+                                      (did % 256).cast("string"),
+                                      F.lit(".7"))).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.concat(F.lit(" call +7495-"),
+                                      (did + 1000000).cast("string")))
+         .otherwise(F.lit("")),
+    )
     m = quality_metrics(F.col("text"))
-    return _docs(spark, sf_dir, fan_out=True).select(
+    pii = pii_counts(aug)
+    base = docs.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
         bpe_token_count(F.col("text")).alias("n_bpeish"),
@@ -694,7 +717,16 @@ def dp_text_stats(spark, sf_dir):
         m["punct_ratio"].alias("punct_ratio"),
         m["stopword_ratio"].alias("stopword_ratio"),
         quality_score(F.col("text")).alias("quality"),
+        pii["email"].alias("pii_emails"),
+        pii["ipv4"].alias("pii_ipv4"),
+        pii["phone"].alias("pii_phones"),
+        F.length(scrub_pii(aug)).alias("scrub_len"),
     )
+    flags = (contaminated_ids(docs, docs.filter(did % 97 == 0))
+             .withColumn("contaminated", F.lit(True)))
+    return (base.join(flags, "doc_id", "left")
+            .withColumn("contaminated",
+                        F.coalesce(F.col("contaminated"), F.lit(False))))
 
 
 def dp_lang_id(spark, sf_dir):
@@ -730,8 +762,17 @@ def dp_embed_neardup(spark, sf_dir):
     return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.45)
 
 
+_QVEC_CACHE = {}
+
+
 def _query_vec(spark, sf_dir):
-    return _emb(spark, sf_dir).filter("vec_id = 0").collect()[0]["embedding"]
+    # one-row collect of the probe vector; memoized — the vector is
+    # immutable fixture data and re-collecting it costs a full Spark job
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _QVEC_CACHE:
+        _QVEC_CACHE[key] = (_emb(spark, sf_dir).filter("vec_id = 0")
+                            .collect()[0]["embedding"])
+    return _QVEC_CACHE[key]
 
 
 def dp_ann_bruteforce(spark, sf_dir):
@@ -1286,14 +1327,41 @@ _ORACLES_DP: dict[str, str] = {
     "dp_text_stats": """
         WITH m AS (
           SELECT doc_id, text,
+                 text
+                 || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                         || CAST(doc_id AS VARCHAR) || '@example.com'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.'
+                         || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0 THEN ' call +7495-'
+                         || CAST(doc_id + 1000000 AS VARCHAR)
+                         ELSE '' END AS aug,
                  CAST(length(text) AS INTEGER) AS n_chars,
                  list_filter(string_split_regex(lower(text), '\\s+'),
                              x -> x <> '') AS ws,
                  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
                  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
           FROM documents),
+        nw AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(
+                     trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')),
+                     '\\s+'), x -> x <> '') AS nws
+          FROM documents),
+        ngr AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                     generate_series(1, greatest(len(nws) - 7, 1)),
+                     i -> array_to_string(list_slice(nws, i, i + 7), ' ')))
+                     AS g
+          FROM nw),
+        cont AS (
+          SELECT DISTINCT doc_id FROM ngr
+          WHERE g IN (SELECT g FROM ngr WHERE doc_id % 97 = 0)),
         m2 AS (
-          SELECT doc_id, text, n_chars,
+          SELECT doc_id, text, aug, n_chars,
                  CAST(len(ws) AS INTEGER) AS n_words,
                  greatest(n_chars, 1) AS safe_len,
                  greatest(len(ws), 1) AS safe_words,
@@ -1302,7 +1370,7 @@ _ORACLES_DP: dict[str, str] = {
                      ['the','a','of','and','to','in','is','that','it','for']))
                      AS n_stop
           FROM m)
-        SELECT doc_id,
+        SELECT m2.doc_id,
                CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
                         x -> x <> '')) AS INTEGER) AS n_tokens,
                CAST(len(regexp_extract_all(text,
@@ -1318,8 +1386,25 @@ _ORACLES_DP: dict[str, str] = {
                     + CASE WHEN round(n_alpha / safe_words, 6)
                            BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END
                     + CASE WHEN n_chars >= 20 THEN 1 ELSE 0 END) / 5.0, 6)
-                    AS quality
-        FROM m2
+                    AS quality,
+               CAST(len(regexp_extract_all(aug,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                    AS INTEGER) AS pii_emails,
+               CAST(len(regexp_extract_all(aug,
+                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                    AS INTEGER) AS pii_ipv4,
+               CAST(len(regexp_extract_all(aug, '\\+\\d[\\d-]{7,14}\\d'))
+                    AS INTEGER) AS pii_phones,
+               CAST(length(
+                    regexp_replace(regexp_replace(regexp_replace(aug,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g'),
+                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                        '<IPV4>', 'g'),
+                        '\\+\\d[\\d-]{7,14}\\d', '<PHONE>', 'g'))
+                    AS INTEGER) AS scrub_len,
+               (cont.doc_id IS NOT NULL) AS contaminated
+        FROM m2 LEFT JOIN cont ON m2.doc_id = cont.doc_id
     """,
     "dp_lang_id": """
         WITH w AS (

@@ -336,3 +336,44 @@ def test_simhash_blocks_complete_for_any_radius(docs_with_dups):
                for r in simhash_near_pairs(docs_with_dups,
                                            max_hamming=radius).collect()}
         assert got == want, f"radius {radius}: {got.keys()} != {want.keys()}"
+
+
+def test_pii_detect_and_scrub(spark):
+    from yupana_spark.datapipe.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.io and c.d+x@e-f.org, host 10.0.0.1, call +7495-1234567"),
+         (2, "no pii here, just 1.2 numbers and version 10.3"),
+         (3, "edge 255.255.255.255 boundary")],
+        ["id", "text"])
+    pii = pii_counts(F.col("text"))
+    out = {r["id"]: r for r in df.select(
+        "id", pii["email"].alias("e"), pii["ipv4"].alias("i"),
+        pii["phone"].alias("p"),
+        scrub_pii(F.col("text")).alias("s")).collect()}
+    assert (out[1]["e"], out[1]["i"], out[1]["p"]) == (2, 1, 1)
+    assert "<EMAIL>" in out[1]["s"] and "<IPV4>" in out[1]["s"] \
+        and "<PHONE>" in out[1]["s"]
+    assert "a@b.io" not in out[1]["s"] and "10.0.0.1" not in out[1]["s"]
+    # dotted version numbers / decimals must NOT be flagged as IPs
+    assert (out[2]["e"], out[2]["i"], out[2]["p"]) == (0, 0, 0)
+    assert out[2]["s"] == "no pii here, just 1.2 numbers and version 10.3"
+    assert out[3]["i"] == 1
+
+
+def test_contamination_flags_eval_overlap(spark, docs):
+    from yupana_spark.datapipe.text import contaminated_ids
+
+    base = docs.filter("doc_id = 1").collect()[0]["text"]
+    # doc 20001 copies an 8-gram run from doc 1; 20002 shares nothing
+    words = base.split()
+    leaked = "unrelated prefix " + " ".join(words[:12]) + " trailing"
+    train = docs.unionByName(spark.createDataFrame(
+        [(20001, leaked, "en", "synthetic", len(leaked)),
+         (20002, "entirely fresh words never seen in the corpus before now",
+          "en", "synthetic", 57)], schema=docs.schema))
+    hits = {r["doc_id"] for r in
+            contaminated_ids(train, docs.filter("doc_id = 1")).collect()}
+    assert 1 in hits            # the eval doc itself
+    assert 20001 in hits        # the leaked copy
+    assert 20002 not in hits

@@ -579,6 +579,9 @@ class Tsdb:
 
     # -- dictionary-dimension ids (Dictionary.scala:24-105) -------------------
     _DICT_CACHE: Dict[tuple, Dict[str, int]] = {}
+    # memoized phrase-match key sets for static link sources (small,
+    # localCheckpoint-materialized); keyed by (appId, sf_dir, link, phrases)
+    _PHRASE_CACHE: Dict[tuple, DataFrame] = {}
     _DICT_CAP = 100_000  # beyond this a dim is not dictionary-shaped; at
     # cluster scale you'd materialize a dictionary table + broadcast join
     # instead of a map literal
@@ -672,9 +675,21 @@ class Tsdb:
             if self._warehouse is not None:
                 ids = indexed_match_ids(self.warehouse, link, phrases)
             if ids is None:
-                items = link.source(self.spark, self.sf_dir)
-                ids = phrase_match_ids(items, link.key_column,
-                                       link.text_column, phrases)
+                # phrase match over a STATIC link source is a deterministic
+                # dictionary lookup — memoize the (small) matched-key set so
+                # repeated queries skip the tokenizer scan (≙ the reference
+                # caching link catalogs, InvertedIndexDaoHBase reuse); the
+                # mutable warehouse-index path above is never cached
+                ck = (self.spark.sparkContext.applicationId, self.sf_dir,
+                      link.name, tuple(sorted(map(str, phrases))))
+                ids = Tsdb._PHRASE_CACHE.get(ck)
+                if ids is None:
+                    items = link.source(self.spark, self.sf_dir)
+                    ids = phrase_match_ids(items, link.key_column,
+                                           link.text_column, phrases)
+                    ids = ids.localCheckpoint(eager=True)
+                    if len(Tsdb._PHRASE_CACHE) < 64:
+                        Tsdb._PHRASE_CACHE[ck] = ids
             how = "left_anti" if anti else "left_semi"
             if link.match_mode == "related":
                 # receipts (related_key) that contain a matching item,
@@ -689,7 +704,11 @@ class Tsdb:
                                       "left_semi")
                             .select(F.col(link.related_key).alias("__rk"))
                             .distinct())
-                df = df.join(F.broadcast(matching),
+                # matching-key cardinality is data-dependent (every order
+                # containing a matched item) — at 100 TB it can exceed any
+                # broadcast budget, so the join strategy is left to AQE,
+                # which broadcasts iff the runtime size allows
+                df = df.join(matching,
                              df[link.related_key] == matching["__rk"], how)
             else:
                 df = df.join(F.broadcast(ids),

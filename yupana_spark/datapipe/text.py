@@ -165,3 +165,64 @@ def rolling_fingerprint(col: Column, k: int = 5) -> Column:
     (a 1-permutation MinHash — stable under small edits, unlike md5)."""
     return F.array_min(
         F.transform(char_shingles(col, k), lambda s: F.xxhash64(s)))
+
+
+# ---------------------------------------------------------------------------
+# PII detection / scrubbing
+# ---------------------------------------------------------------------------
+# RE2-compatible patterns (no lookaround) so the same strings run in Spark
+# (java.util.regex) and any RE2 engine used as an oracle
+_PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\+\d[\d-]{7,14}\d"),
+)
+
+
+def pii_counts(col: Column) -> Dict[str, Column]:
+    """Per-category PII occurrence counts (JVM-side regexp_count)."""
+    return {name: F.regexp_count(col, F.lit(pat))
+            for name, pat in _PII_PATTERNS}
+
+
+def scrub_pii(col: Column) -> Column:
+    """Replace every PII match with a typed placeholder (``<EMAIL>``, ...).
+
+    Pure ``regexp_replace`` chain — stays inside whole-stage codegen, so a
+    100 TB scrub pass is a narrow-dependency scan with zero Python.
+    Email runs first (its local part would otherwise be chewed up by the
+    phone pattern's digit runs)."""
+    out = col
+    for name, pat in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination detection
+# ---------------------------------------------------------------------------
+def ngram_hashes(col: Column, n: int = 8) -> Column:
+    """xxhash64 of each word n-gram of the normalized text (8 bytes per
+    n-gram instead of ~50 — the join key a 100 TB decontamination pass
+    shuffles, when it shuffles at all)."""
+    return F.transform(word_shingles(col, k=n),
+                       lambda s: F.xxhash64(s))
+
+
+def contaminated_ids(docs: DataFrame, eval_docs: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     n: int = 8) -> DataFrame:
+    """ids of training docs that share ANY word n-gram with the eval corpus
+    (the standard train/benchmark decontamination test).
+
+    Scale shape: the eval corpus is tiny by construction, so its exploded
+    n-gram hash set broadcasts; the training side is a single exploded scan
+    semi-joined map-side — no shuffle of the 100 TB side.  Distinct runs on
+    the surviving ids only."""
+    d = docs.select(F.col(id_col),
+                    F.explode(ngram_hashes(F.col(text_col), n)).alias("h"))
+    e = (eval_docs.select(
+        F.explode(ngram_hashes(F.col(text_col), n)).alias("h"))
+        .distinct())
+    return (d.join(F.broadcast(e), "h", "left_semi")
+            .select(id_col).distinct())
