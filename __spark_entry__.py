@@ -860,61 +860,168 @@ def dp_mix_corpora(spark, sf_dir):
         .select("doc_id", "source", "corpus")
 
 
+def _completeness_row(name: str, exact: DataFrame, found: DataFrame,
+                      tol_frac: float = 0.0) -> DataFrame:
+    """One (chk, violations, verdict) row: sampled-exact pairs missing from
+    the approximate output, beyond a ``tol_frac`` recall tolerance.
+
+    Driver-checkable with a CONSTANT oracle (same trick as q_hll_count): the
+    row is 'ok'/0 iff recall >= 1 - tol_frac AND both sides are nonempty at
+    the fixture (nonemptiness guards against a vacuously-green check when a
+    sampler or join silently breaks).  Pure DataFrame plan — the three
+    single-row aggregates crossJoin like the compiler's global-agg frames.
+    """
+    marked = exact.join(
+        found.select("id_a", "id_b").withColumn("__hit", F.lit(1)),
+        ["id_a", "id_b"], "left")
+    tot_mis = marked.agg(
+        F.count("*").alias("__tot"),
+        F.count(F.when(F.col("__hit").isNull(), 1)).alias("__mis"))
+    fnd = found.agg(F.count("*").alias("__fnd"))
+    viol = F.greatest(
+        F.col("__mis") - F.floor(F.col("__tot") * F.lit(tol_frac)),
+        F.lit(0)).cast("long")
+    return (tot_mis.crossJoin(fnd)
+            .select(F.lit(name).alias("chk"),
+                    viol.alias("violations"),
+                    F.when((viol == 0) & (F.col("__tot") > 0)
+                           & (F.col("__fnd") > 0), "ok")
+                    .otherwise("missed").alias("verdict")))
+
+
 def dp_neardup_scale(spark, sf_dir):
-    """Bundle of the three 100TB-scale near-dup paths, one (method, id_a,
-    id_b, score) union: MinHash+LSH with 3-rung verification, SimHash
-    pigeonhole blocks, SRP-bucketed embedding cosine (was dp_minhash_dedup +
-    dp_simhash + dp_embed_neardup_lsh).  Hash-family-specific => rows-only."""
-    from yupana_spark.datapipe.dedup import (embedding_neardup_pairs_lsh,
+    """Bundle of the three 100TB-scale near-dup paths — MinHash+LSH with
+    3-rung verification, SimHash pigeonhole blocks, IVF multi-assignment
+    embedding cosine — each SELF-VALIDATED for completeness against a
+    bounded-sample exact oracle (round-2 verdict ask #1).
+
+    Output: one (chk, violations, verdict) row per path; the DuckDB oracle
+    is the constant ('ok', 0) rows.  Soundness needs no separate check —
+    every path's last rung IS the exact metric filter (rung-3 Jaccard /
+    hamming <= r / exact cosine), so false positives cannot exist; the
+    unproven direction is completeness, which these rows falsify:
+    * minhash: every exact char-5-gram-Jaccard >= 0.5 pair inside a
+      deterministic 400-doc subsample must appear (fixture dup pairs sit at
+      j >= 0.92 where 8x4-band detection probability is ~1 — missing one
+      means the banding broke, not bad luck);
+    * simhash: pigeonhole blocks are deterministically complete for
+      hamming <= 3, so tolerance is 0 by mathematics, not tuning;
+    * embed_ivf: k=16/m=4 multi-assignment holds recall >= 0.9 on the
+      fixture (measured 7/7, 14/14, 143/144 at sf0.001/0.01/0.1); tol 10%.
+    Sample caps make the audit cost CONSTANT in corpus size — the checks
+    would run unchanged (and cheaply) against a 100 TB input."""
+    from yupana_spark.datapipe.dedup import (embedding_neardup_pairs_ivf,
                                              minhash_dedup_pairs,
+                                             sampled_exact_cosine_pairs,
+                                             sampled_exact_hamming_pairs,
+                                             sampled_exact_jaccard_pairs,
                                              simhash_near_pairs)
 
     docs = _docs(spark, sf_dir)
-    mh = minhash_dedup_pairs(docs, threshold=0.5).select(
-        F.lit("minhash").alias("method"), "id_a", "id_b",
-        F.col("jaccard").cast("double").alias("score"))
+    emb = _emb(spark, sf_dir)
+    mh = minhash_dedup_pairs(docs, threshold=0.5).select("id_a", "id_b")
     # radius 3 -> 4 x 16-bit blocks: background (blk,bval) collisions are
     # ~N^2/2^16 instead of ~N^2/2^7 at radius 8 — the standard near-dup
     # radius for 64-bit simhash keeps candidate generation sparse
-    sh = simhash_near_pairs(docs, max_hamming=3).select(
-        F.lit("simhash").alias("method"), "id_a", "id_b",
-        F.col("hamming").cast("double").alias("score"))
-    # 24 planes / radius 3 -> pigeonhole blocks are 6 bits: candidate
-    # buckets hold N/64 vectors instead of N/4 (12 planes / radius 5 gave
-    # 2-bit blocks — a near-cross-product at any scale)
-    el = embedding_neardup_pairs_lsh(_emb(spark, sf_dir), threshold=0.45,
-                                     n_planes=24, max_hamming=3).select(
-        F.lit("embed_lsh").alias("method"), "id_a", "id_b",
-        F.col("cos").cast("double").alias("score"))
-    return mh.unionAll(sh).unionAll(el)
+    sh = simhash_near_pairs(docs, max_hamming=3).select("id_a", "id_b")
+    # SRP-LSH replaced by IVF multi-assignment for the moderate-threshold
+    # regime: measured SRP recall at cos>=0.45 was 7% (63° pairs disagree on
+    # ~n_planes/3 bits — unprunable); IVF k=16/m=4 measures 0.99-1.0
+    el = embedding_neardup_pairs_ivf(emb, threshold=0.45).select(
+        "id_a", "id_b").localCheckpoint(eager=True)
+    checks = [
+        _completeness_row(
+            "minhash_complete",
+            sampled_exact_jaccard_pairs(docs, threshold=0.5, cap=400), mh),
+        _completeness_row(
+            "simhash_complete",
+            sampled_exact_hamming_pairs(docs, max_hamming=3, cap=400), sh),
+        _completeness_row(
+            "embed_ivf_complete",
+            sampled_exact_cosine_pairs(emb, threshold=0.45, cap=512), el,
+            tol_frac=0.1),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
 
 
 def dp_ann_approx(spark, sf_dir):
-    """Bundle of the approximate ANN paths, one (method, vec_id, score)
-    union: SRP hyperplane-LSH bucket pruning + IVF/KMeans cell probing (was
-    dp_ann_lsh + dp_ann_ivf).  Model-dependent => rows-only."""
+    """Bundle of the approximate ANN paths — SRP hyperplane-LSH bucket
+    pruning + IVF sample-fit-KMeans cell probing — SELF-VALIDATED as
+    recall@10 vs the exact `brute_force_topk` baseline (round-2 verdict ask
+    #1; the baseline itself is the oracled dp_ann_bruteforce entry).
+
+    Output: one (method, verdict) row per path; DuckDB oracle is the
+    constant 'ok' rows.  verdict='ok' iff recall@10 >= 0.5 AND the probe
+    vector itself (cosine 1.0 — its bucket/cell is always searched) is in
+    the result.  The fixture's true top-10 sit at background cosine ~0.3,
+    the hard regime for pruned search: measured recall lsh(h<=6)
+    0.7/0.8/0.8 and ivf(4/8 cells) 0.9/0.8/0.8 at sf0.001/0.01/0.1 — the
+    0.5 bar has margin at every fixture scale while a broken bucket/probe
+    layout (recall ~0.1 before tuning) fails."""
     from yupana_spark.datapipe.simsearch import ivf_build, ivf_topk, lsh_topk
 
     emb = _emb(spark, sf_dir)
     qv = _query_vec(spark, sf_dir)
-    lsh = lsh_topk(emb, qv, k=10).select(
-        F.lit("srp_lsh").alias("method"), "vec_id", "score")
-    assigned, model = ivf_build(emb, n_centroids=8)
-    ivf = ivf_topk(assigned, model, qv, k=10).select(
-        F.lit("ivf").alias("method"), "vec_id", "score")
-    return lsh.unionAll(ivf)
+    brute_ids = _brute_topk_ids(spark, sf_dir, k=10)
+    lsh = lsh_topk(emb, qv, k=10, max_hamming=6)
+    assigned, centers = ivf_build(emb, n_centroids=8)
+    ivf = ivf_topk(assigned, centers, qv, k=10, nprobe=4)
+
+    def recall_row(name: str, approx: DataFrame) -> DataFrame:
+        hits = (approx.join(brute_ids, "vec_id", "semi")
+                .agg(F.count("*").alias("__hit")))
+        self_hit = (approx.filter(F.col("vec_id") == 0)
+                    .agg(F.count("*").alias("__self")))
+        return (hits.crossJoin(self_hit)
+                .select(F.lit(name).alias("method"),
+                        F.when((F.col("__hit") >= 5) & (F.col("__self") == 1),
+                               "ok").otherwise("low_recall").alias("verdict")))
+
+    return recall_row("srp_lsh", lsh).unionAll(recall_row("ivf", ivf))
+
+
+def _brute_topk_ids(spark, sf_dir, k: int = 10) -> DataFrame:
+    from yupana_spark.datapipe.simsearch import brute_force_topk
+
+    return brute_force_topk(_emb(spark, sf_dir),
+                            _query_vec(spark, sf_dir), k=k).select("vec_id")
 
 
 def dp_pack_sequences(spark, sf_dir):
-    """Token-budget sequence packing (first-fit-decreasing per hash bucket;
-    deterministic but not SQL-expressible => rows-only check)."""
+    """Token-budget sequence packing (first-fit-decreasing per hash bucket)
+    — SELF-VALIDATED (round-2 verdict ask #1): the output row carries doc /
+    token conservation totals the DuckDB oracle recomputes from `documents`
+    (a dropped, duplicated or re-counted doc breaks the hash match) plus a
+    constant-oracle packing verdict ('ok' iff no pack exceeds the budget
+    except singleton oversized docs — FFD's invariant)."""
     from yupana_spark.datapipe.pack import pack_sequences
     from yupana_spark.datapipe.text import token_count
 
+    budget = 2048
     with_tok = _docs(spark, sf_dir).select(
         "doc_id", token_count(F.col("text")).alias("n_tokens"))
-    return pack_sequences(with_tok, "doc_id", "n_tokens", budget=2048,
-                          num_buckets=64)
+    packed = pack_sequences(with_tok, "doc_id", "n_tokens", budget=budget,
+                            num_buckets=64)
+    per_pack = (packed.groupBy("pack_id")
+                .agg(F.sum("n_tokens").alias("__tok"),
+                     F.count("*").alias("__docs")))
+    bad = (per_pack
+           .filter(~((F.col("__tok") <= budget)
+                     | ((F.col("__docs") == 1) & (F.col("__tok") > budget))))
+           .agg(F.count("*").alias("__bad")))
+    stats = packed.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("id").alias("n_distinct_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("n_tokens") > budget, 1).otherwise(0))
+        .cast("long").alias("n_oversize"))
+    return (stats.crossJoin(bad)
+            .select("n_docs", "n_distinct_docs", "total_tokens", "n_oversize",
+                    F.when(F.col("__bad") == 0, "ok").otherwise("over_budget")
+                    .alias("packing_ok")))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -923,8 +1030,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """49 entries — every one inside the driver's 50-entry window; the last
-    three are rows-only by design (hash-family/model-specific)."""
+    """50 entries — every one inside the driver's 50-entry window and every
+    one oracled: the three approximate/non-SQL operators (neardup_scale,
+    ann_approx, pack_sequences) emit self-validating verdict rows checked
+    against constant/recomputable DuckDB oracles."""
     return {
         "q_day_rollup": q_day_rollup,
         "q_projection_filter": q_projection_filter,
@@ -1544,5 +1653,39 @@ _ORACLES_DP: dict[str, str] = {
         SELECT doc_id, source, 'tail' AS corpus FROM documents
         WHERE source NOT IN ('src0','src1','src2')
           AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_hex(0.25)}'
+    """,
+    # constant oracle (q_hll_count pattern): the Spark side emits 'ok'/0 only
+    # when each approximate path's completeness check against its
+    # bounded-sample exact oracle passes — see dp_neardup_scale docstring
+    "dp_neardup_scale": """
+        SELECT 'minhash_complete' AS chk, CAST(0 AS BIGINT) AS violations,
+               'ok' AS verdict
+        UNION ALL
+        SELECT 'simhash_complete', CAST(0 AS BIGINT), 'ok'
+        UNION ALL
+        SELECT 'embed_ivf_complete', CAST(0 AS BIGINT), 'ok'
+    """,
+    # constant oracle: 'ok' iff recall@10 >= 0.5 vs the (separately oracled)
+    # exact brute-force baseline AND the probe vector itself is found
+    "dp_ann_approx": """
+        SELECT 'srp_lsh' AS method, 'ok' AS verdict
+        UNION ALL
+        SELECT 'ivf', 'ok'
+    """,
+    # conservation totals recomputed from `documents` (token definition
+    # matches dp_text_stats' oracled n_tokens) + constant packing verdict
+    "dp_pack_sequences": """
+        WITH t AS (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '')) AS n_tokens
+          FROM documents)
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(CASE WHEN n_tokens > 2048 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oversize,
+               'ok' AS packing_ok
+        FROM t
     """,
 }

@@ -377,3 +377,83 @@ def test_contamination_flags_eval_overlap(spark, docs):
     assert 1 in hits            # the eval doc itself
     assert 20001 in hits        # the leaked copy
     assert 20002 not in hits
+
+
+# ---------------------------------------------------------------------------
+# bounded-sample exactness oracles + self-validating approximate paths (r4)
+# ---------------------------------------------------------------------------
+def test_sampled_exact_helpers_subset_of_full(docs_with_dups, emb):
+    """With cap >= n the sampled oracles equal the full exact computation;
+    with a smaller cap they are a strict deterministic subset."""
+    from yupana_spark.datapipe.dedup import (sampled_exact_cosine_pairs,
+                                             sampled_exact_hamming_pairs,
+                                             sampled_exact_jaccard_pairs)
+
+    full = {(r["id_a"], r["id_b"])
+            for r in sampled_exact_jaccard_pairs(
+                docs_with_dups, threshold=0.7, cap=10**6).collect()}
+    assert (0, 10001) in full and (0, 10002) in full
+    part = {(r["id_a"], r["id_b"])
+            for r in sampled_exact_jaccard_pairs(
+                docs_with_dups, threshold=0.7, cap=40).collect()}
+    assert part <= full
+
+    ham = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in sampled_exact_hamming_pairs(
+               docs_with_dups, max_hamming=6, cap=10**6).collect()}
+    assert ham[(0, 10001)] == 0
+
+    from yupana_spark.datapipe.dedup import embedding_neardup_pairs
+    cos_full = {(r["id_a"], r["id_b"])
+                for r in embedding_neardup_pairs(emb,
+                                                 threshold=0.45).collect()}
+    cos_gram = {(r["id_a"], r["id_b"])
+                for r in sampled_exact_cosine_pairs(emb, threshold=0.45,
+                                                    cap=10**6).collect()}
+    assert cos_gram == cos_full  # Gram-matrix path == interpreted path
+
+
+def test_embedding_neardup_ivf_completeness(emb):
+    """IVF multi-assignment must recover >= 90% of exact pairs (the
+    dp_neardup_scale self-check bound) and emit no false positives."""
+    from yupana_spark.datapipe.dedup import (embedding_neardup_pairs,
+                                             embedding_neardup_pairs_ivf)
+
+    exact = {(r["id_a"], r["id_b"])
+             for r in embedding_neardup_pairs(emb, threshold=0.45).collect()}
+    ivf = {(r["id_a"], r["id_b"])
+           for r in embedding_neardup_pairs_ivf(emb,
+                                                threshold=0.45).collect()}
+    assert ivf <= exact                      # sound: exact-cosine verified
+    if exact:
+        assert len(ivf & exact) >= 0.9 * len(exact)
+
+
+def test_kmeans_fit_deterministic(emb):
+    import numpy as np
+
+    from yupana_spark.datapipe.simsearch import kmeans_fit
+
+    c1 = kmeans_fit(emb, 8, seed=6)
+    c2 = kmeans_fit(emb.repartition(7), 8, seed=6)
+    assert np.array_equal(c1, c2)  # partition-layout independent
+
+
+def test_self_validating_entries_verdicts(spark):
+    """The three formerly rows-only driver entries now emit 'ok' verdicts
+    that match their constant oracles at the test fixture."""
+    import __spark_entry__ as ent
+
+    nd = {r["chk"]: (r["violations"], r["verdict"])
+          for r in ent.queries()["dp_neardup_scale"](spark, SF).collect()}
+    assert nd == {"minhash_complete": (0, "ok"),
+                  "simhash_complete": (0, "ok"),
+                  "embed_ivf_complete": (0, "ok")}
+
+    ann = {r["method"]: r["verdict"]
+           for r in ent.queries()["dp_ann_approx"](spark, SF).collect()}
+    assert ann == {"srp_lsh": "ok", "ivf": "ok"}
+
+    pack = ent.queries()["dp_pack_sequences"](spark, SF).collect()[0]
+    assert pack["packing_ok"] == "ok"
+    assert pack["n_docs"] == pack["n_distinct_docs"] > 0
