@@ -830,17 +830,21 @@ def dp_ann_bruteforce(spark, sf_dir):
 
 
 def dp_multimodal(spark, sf_dir):
-    """Bundle: mapInPandas feature extraction over binary media columns +
-    per-frame explosion (was dp_multimodal_features + dp_frame_sample).
-    Decode is honestly STUBBED (no imaging libs in container) behind real
-    Arrow-batch plumbing — see datapipe/multimodal.py."""
-    from yupana_spark.datapipe.multimodal import (extract_features,
+    """Bundle: REAL encode->decode through binary media columns + per-frame
+    explosion.  Even doc_ids become 24-bit BMPs, odd ones PCM16 WAVs
+    (deterministic payloads), then `codec_features` re-derives dimensions,
+    pixel sums, corner samples, sample rates and peak amplitudes through the
+    actual decoders (multimodal.decode_bmp/decode_wav) — the DuckDB oracle
+    recomputes every value arithmetically, so a decoder that mishandles row
+    padding, bottom-up order, BGR swizzle or the RIFF chunk walk fails the
+    hash.  Formats needing imaging libs stay honestly stubbed
+    (multimodal.decode_image)."""
+    from yupana_spark.datapipe.multimodal import (codec_features,
                                                   frame_sample,
-                                                  synth_media_table)
+                                                  synth_codec_media_table)
 
-    media = synth_media_table(_docs(spark, sf_dir, fan_out=True))
-    feats = extract_features(media).select(
-        "media_id", "n_bytes", "width", "height", "channels", "content_hash")
+    media = synth_codec_media_table(_docs(spark, sf_dir, fan_out=True))
+    feats = codec_features(media)
     frames = frame_sample(media).select("media_id", "frame_no")
     return frames.join(feats, "media_id")
 
@@ -1648,24 +1652,61 @@ _ORACLES_DP: dict[str, str] = {
         ORDER BY score DESC, vec_id
         LIMIT 10
     """,
+    # every decoded feature recomputed arithmetically: BMP n_bytes includes
+    # the 54-byte header + 4-byte row padding, pixel formulas mirror the
+    # encoder's R/G/B planes, WAV n_bytes the canonical 44-byte header
     "dp_multimodal": """
-        WITH f AS (
-          SELECT doc_id AS media_id,
-                 CAST(strlen(text) AS BIGINT) AS n_bytes,
-                 CAST(64 + strlen(text) % 64 AS INTEGER) AS width,
-                 CAST(64 + strlen(text) % 48 AS INTEGER) AS height,
-                 CAST(3 AS INTEGER) AS channels,
-                 md5(text) AS content_hash
-          FROM documents),
-        fr AS (
-          SELECT doc_id AS media_id,
-                 CAST(unnest(generate_series(0,
-                      greatest(strlen(text) // 100 - 1, 0))) AS INTEGER)
-                      AS frame_no
-          FROM documents)
-        SELECT fr.media_id, fr.frame_no, f.n_bytes, f.width, f.height,
-               f.channels, f.content_hash
-        FROM fr JOIN f ON fr.media_id = f.media_id
+        WITH base AS (SELECT doc_id AS media_id, length(text) AS nc
+                      FROM documents),
+        img AS (SELECT media_id, CAST(4 + nc % 13 AS INTEGER) AS w,
+                       CAST(3 + media_id % 7 AS INTEGER) AS h
+                FROM base WHERE media_id % 2 = 0),
+        imgexp AS (SELECT media_id, w,
+                          unnest(generate_series(0, w * h - 1)) AS t
+                   FROM img),
+        imgpx AS (SELECT media_id,
+                         CAST(sum((t % w * 13 + t // w * 17 + media_id * 3) % 256
+                                + (t % w * 5 + t // w * 11 + media_id * 2) % 256
+                                + (t % w * 7 + t // w * 3 + media_id) % 256)
+                              AS BIGINT) AS pix_sum
+                  FROM imgexp GROUP BY media_id),
+        aud AS (SELECT media_id,
+                       CAST(8000 + media_id % 3 * 4000 AS INTEGER) AS rate,
+                       CAST(1 + media_id % 2 AS INTEGER) AS ch,
+                       CAST(64 + nc % 129 AS INTEGER) AS nf
+                FROM base WHERE media_id % 2 = 1),
+        audpk AS (SELECT media_id,
+                         CAST(max(abs((media_id * 31 + i * 17) % 65536
+                                      - 32768)) AS INTEGER) AS max_abs
+                  FROM (SELECT media_id,
+                               unnest(generate_series(0, nf * ch - 1)) AS i
+                        FROM aud)
+                  GROUP BY media_id),
+        feat AS (
+          SELECT i.media_id, 'image' AS kind,
+                 CAST(54 + i.h * ((3 * i.w + 3) // 4 * 4) AS BIGINT)
+                      AS n_bytes,
+                 i.w AS width, i.h AS height, CAST(3 AS INTEGER) AS channels,
+                 p.pix_sum, CAST(i.media_id * 3 % 256 AS INTEGER) AS corner_r,
+                 CAST(NULL AS INTEGER) AS sample_rate,
+                 CAST(NULL AS INTEGER) AS n_samples,
+                 CAST(NULL AS INTEGER) AS max_abs
+          FROM img i JOIN imgpx p USING (media_id)
+          UNION ALL
+          SELECT a.media_id, 'audio',
+                 CAST(44 + a.nf * a.ch * 2 AS BIGINT),
+                 NULL, NULL, a.ch, CAST(NULL AS BIGINT), NULL,
+                 a.rate, a.nf, k.max_abs
+          FROM aud a JOIN audpk k USING (media_id)),
+        fr AS (SELECT media_id,
+                      CAST(unnest(generate_series(0,
+                           greatest(CAST(n_bytes // 100 AS INTEGER) - 1, 0)))
+                           AS INTEGER) AS frame_no
+               FROM feat)
+        SELECT fr.media_id, fr.frame_no, f.kind, f.n_bytes, f.width,
+               f.height, f.channels, f.pix_sum, f.corner_r, f.sample_rate,
+               f.n_samples, f.max_abs
+        FROM fr JOIN feat f USING (media_id)
     """,
     "dp_sample": f"""
         SELECT doc_id, lang FROM documents

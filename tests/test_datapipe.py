@@ -457,3 +457,104 @@ def test_self_validating_entries_verdicts(spark):
     pack = ent.queries()["dp_pack_sequences"](spark, SF).collect()[0]
     assert pack["packing_ok"] == "ok"
     assert pack["n_docs"] == pack["n_distinct_docs"] > 0
+
+
+# ---------------------------------------------------------------------------
+# real codecs: BMP / PPM / WAV (r4)
+# ---------------------------------------------------------------------------
+def test_bmp_roundtrip_with_padding():
+    import numpy as np
+
+    from yupana_spark.datapipe.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(0)
+    for w, h in [(5, 3), (4, 4), (7, 1), (1, 6)]:  # widths forcing padding
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        blob = encode_bmp(px)
+        stride = (w * 3 + 3) // 4 * 4
+        assert len(blob) == 54 + h * stride
+        assert np.array_equal(decode_bmp(blob), px)
+
+
+def test_bmp_topdown_and_unsupported():
+    import struct
+
+    import numpy as np
+
+    from yupana_spark.datapipe.multimodal import decode_bmp, encode_bmp
+
+    px = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(3, 5, 3)
+    blob = bytearray(encode_bmp(px))
+    # flip to top-down (negative height) and reorder rows to match
+    h = 3
+    struct.pack_into("<i", blob, 22, -h)
+    stride = (5 * 3 + 3) // 4 * 4
+    body = bytes(blob[54:])
+    rows = [body[i * stride:(i + 1) * stride] for i in range(h)]
+    blob[54:] = b"".join(reversed(rows))
+    assert np.array_equal(decode_bmp(bytes(blob)), px)
+    bad = bytearray(encode_bmp(px))
+    struct.pack_into("<H", bad, 28, 8)  # bpp=8
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(bad))
+
+
+def test_ppm_roundtrip_and_comments():
+    import numpy as np
+
+    from yupana_spark.datapipe.multimodal import (decode_image, decode_ppm,
+                                                  encode_ppm)
+
+    px = np.random.RandomState(1).randint(0, 256, size=(4, 6, 3),
+                                          dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+    with_comment = b"P6\n# a comment\n6 4\n255\n" + px.tobytes()
+    assert np.array_equal(decode_image(with_comment), px)
+    with pytest.raises(NotImplementedError):
+        decode_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 24)
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    import numpy as np
+
+    from yupana_spark.datapipe.multimodal import decode_wav, encode_wav
+
+    s = (np.arange(100, dtype=np.int16) * 300 - 15000).astype(np.int16)
+    blob = encode_wav(s, 16000, 2)
+    assert len(blob) == 44 + 200
+    rate, ch, out = decode_wav(blob)
+    assert (rate, ch) == (16000, 2) and np.array_equal(out, s)
+    # chunk walk: an extra LIST chunk (odd size, padded) before data
+    extra = blob[:12] + b"LIST\x03\x00\x00\x00abc\x00" + blob[12:]
+    rate2, ch2, out2 = decode_wav(extra)
+    assert rate2 == 16000 and np.array_equal(out2, s)
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"RIFF\x04\x00\x00\x00JUNK")
+    # non-PCM format code rejected
+    import struct
+    bad = bytearray(blob)
+    struct.pack_into("<H", bad, 20, 3)  # IEEE float
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(bad))
+
+
+def test_codec_features_end_to_end(spark, docs):
+    from yupana_spark.datapipe.multimodal import (codec_features,
+                                                  synth_codec_media_table)
+
+    media = synth_codec_media_table(docs)
+    feats = {r["media_id"]: r for r in codec_features(media).collect()}
+    assert len(feats) == docs.count()
+    nchars = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    for mid, r in feats.items():
+        if mid % 2 == 0:
+            assert r["kind"] == "image"
+            assert r["width"] == 4 + nchars[mid] % 13
+            assert r["height"] == 3 + mid % 7
+            assert r["corner_r"] == mid * 3 % 256
+            assert r["sample_rate"] is None
+        else:
+            assert r["kind"] == "audio"
+            assert r["sample_rate"] == 8000 + mid % 3 * 4000
+            assert r["n_samples"] == 64 + nchars[mid] % 129
+            assert r["width"] is None
