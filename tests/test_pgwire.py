@@ -262,3 +262,53 @@ def test_auth_rejects_wrong_password(tsdb):
 def test_user_ddl_rejected_over_wire(client):
     _, _, errors = client.query("CREATE USER 'u' WITH PASSWORD 'p'")
     assert errors and b"out of scope" in errors[0].lower()
+
+
+def test_cancel_request_kills_running_job(server, tsdb):
+    """CancelRequest routing: the BackendKeyData (pid, secret) a connection
+    receives at startup cancels that connection's Spark job group — a long
+    job dies mid-flight; a wrong secret cancels nothing.  (The fixture's
+    dialect queries finish in milliseconds, so the victim job is started
+    directly under the connection's registered group — the same group every
+    wire query's streaming jobs run in, see _send_rows.)"""
+    import threading
+    import time
+
+    c = PgClient(server, ssl_probe=True)
+    msgs = c.read_until_ready()
+    key = [body for tag, body in msgs if tag == b"K"][0]
+    pid, secret = struct.unpack("!II", key)
+
+    sc = tsdb.spark.sparkContext
+    outcome = {}
+
+    def victim():
+        sc.setJobGroup(f"pgwire-{pid}-{secret}", "victim", True)
+        try:
+            sc.parallelize(range(8), 8) \
+                .map(lambda x: (__import__("time").sleep(60), x)[1]).collect()
+            outcome["state"] = "finished"
+        except Exception:
+            outcome["state"] = "cancelled"
+
+    t = threading.Thread(target=victim, daemon=True)
+    t.start()
+    time.sleep(3)  # let tasks start running
+
+    def send_cancel(p, s):
+        s2 = socket.create_connection(("127.0.0.1", server), timeout=10)
+        s2.sendall(struct.pack("!IIII", 16, 80877102, p, s))
+        s2.close()
+
+    send_cancel(pid, secret ^ 0x1)       # wrong secret: must be ignored
+    time.sleep(2)
+    assert t.is_alive() and "state" not in outcome
+
+    send_cancel(pid, secret)             # right key: job dies
+    t.join(timeout=30)
+    assert outcome.get("state") == "cancelled"
+
+    # the canceled backend's CONNECTION survives: next query still works
+    _, rows, errors = c.query("SELECT 1 + 1 AS two")
+    assert not errors and rows[0][0] in (b"2", "2")
+    c.close()

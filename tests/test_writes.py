@@ -196,3 +196,37 @@ def test_show_queries_stage_breakdown(wtsdb):
     done = [r for r in rows if r["STATE"] == "FINISHED"
             and r["QUERY"].startswith("SELECT count")]
     assert done and done[0]["COMPILE_S"] > 0.0 and done[0]["PARSE_S"] > 0.0
+
+
+def test_metrics_survive_new_tsdb(spark, tmp_path):
+    """Persisted TsdbQueryMetrics parity: finished metrics land under the
+    warehouse root and a NEW engine instance over the same root (simulated
+    restart: live registry wiped) reads them back; DELETE QUERIES removes
+    them durably."""
+    from yupana_spark.operators.metrics import REGISTRY
+
+    root = str(tmp_path / "wh")
+    t1 = Tsdb(spark, default_schema(), "/root/testdata/sf0.001",
+              warehouse_root=root)
+    t1.sql(f"SELECT count(l_orderkey) c FROM lineitem WHERE {TB}").collect()
+    qid = [m.query_id for m in REGISTRY.snapshot()
+           if m.query.startswith("SELECT count(l_orderkey)")][-1]
+
+    # simulated restart: in-memory registry gone, fresh Tsdb on same root
+    REGISTRY.delete()
+    t2 = Tsdb(spark, default_schema(), "/root/testdata/sf0.001",
+              warehouse_root=root)
+    rows = {r["QUERY_ID"]: r for r in t2.sql("SHOW QUERIES").collect()}
+    assert qid in rows
+    assert rows[qid]["STATE"] == "FINISHED"
+    assert rows[qid]["PARSE_S"] > 0.0 and rows[qid]["COMPILE_S"] > 0.0
+
+    deleted = t2.sql(f"DELETE QUERIES WHERE QUERY_ID = '{qid}'") \
+        .collect()[0]["DELETED"]
+    assert deleted == 1
+    t3 = Tsdb(spark, default_schema(), "/root/testdata/sf0.001",
+              warehouse_root=root)
+    # the DELETE/SHOW statements themselves create new metric rows; the
+    # original query id must be gone durably
+    assert qid not in {r["QUERY_ID"]
+                       for r in t3.sql("SHOW QUERIES").collect()}

@@ -51,6 +51,14 @@ CHECKS = {
     # self-validating hll verdict: distinct + approx in one hash aggregation
     "q_hll_count": dict(pushed=None, expect=["HashAggregate"],
                         forbid=["SortAggregate"]),
+    # related-items correlation: two stacked LeftSemi joins (seed items ->
+    # related order keys -> rows), both broadcastable at fixture scale and
+    # AQE-decided beyond it; the distinct key set must stay a HashAggregate
+    "q_related_items": dict(pushed=r"PushedFilters: \[.*l_shipdate",
+                            expect=[r"BroadcastHashJoin.*LeftSemi",
+                                    "HashAggregate"],
+                            forbid=["SortMergeJoin", "CartesianProduct",
+                                    "BroadcastNestedLoopJoin"]),
     # bundled features+frames: one broadcast join, no sort-merge
     "dp_multimodal": dict(pushed=None, expect=["ArrowEvalPython|MapInPandas"],
                           forbid=["SortMergeJoin"]),

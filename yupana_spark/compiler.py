@@ -366,6 +366,7 @@ class Tsdb:
         self.sf_dir = sf_dir
         self._warehouse = None
         self._warehouse_root = warehouse_root
+        self._metrics_store = None
         # dialect semantics (non-ANSI arithmetic, UTC — Time.scala:27) +
         # AQE posture must hold for whatever session the driver hands us
         from .session import ensure_engine_confs
@@ -382,6 +383,27 @@ class Tsdb:
                 self.spark, self.schema, self.sf_dir, self._warehouse_root
             )
         return self._warehouse
+
+    @property
+    def metrics_store(self):
+        """Persisted SHOW QUERIES history (≙ TsdbQueryMetrics.scala:1-95):
+        finished metrics land under the warehouse root and survive a new
+        Tsdb instance over the same root."""
+        if self._metrics_store is None:
+            from .operators.metrics import MetricsStore
+
+            self._metrics_store = MetricsStore(self.warehouse.root)
+        return self._metrics_store
+
+    def _persist_metric(self, qid: str) -> None:
+        from .operators.metrics import REGISTRY
+
+        try:
+            m = REGISTRY.get(qid)
+            if m is not None:
+                self.metrics_store.persist(m)
+        except Exception:  # noqa: BLE001 — metrics must never fail a query
+            pass
 
     def _load(self, table: str, time_bounds=None) -> DataFrame:
         if self._warehouse is not None and self._warehouse.exists(table):
@@ -578,9 +600,11 @@ class Tsdb:
                 out = execute_statement(self, stmt)
                 REGISTRY.stage(qid, "execute", _time.perf_counter() - t1)
             REGISTRY.finish(qid)
+            self._persist_metric(qid)
             return out
         except Exception:
             REGISTRY.finish(qid, "FAILED")
+            self._persist_metric(qid)
             raise
 
     # -- dictionary-dimension ids (Dictionary.scala:24-105) -------------------

@@ -91,7 +91,13 @@ def execute_statement(tsdb: "Tsdb", stmt: A.Statement) -> DataFrame:
         return _df(spark, [(f,) for f in functions_for(stmt.type_name)],
                    "NAME string")
     if isinstance(stmt, A.ShowQueries):
+        # live registry first, then the parquet-persisted history from prior
+        # engine instances over the same warehouse root (TsdbQueryMetrics
+        # parity: metrics survive restarts); live entries win on id clash
         ms = REGISTRY.snapshot()
+        seen = {m.query_id for m in ms}
+        ms += [m for m in tsdb.metrics_store.load()
+               if m.query_id not in seen]
         if stmt.query_id:
             ms = [m for m in ms if m.query_id == stmt.query_id]
         if stmt.state:
@@ -119,10 +125,13 @@ def execute_statement(tsdb: "Tsdb", stmt: A.Statement) -> DataFrame:
         return tsdb.warehouse.updates_intervals()
     if isinstance(stmt, A.KillQuery):
         ok = REGISTRY.kill(spark, stmt.query_id)
+        if ok:
+            tsdb._persist_metric(stmt.query_id)  # CANCELLED survives restart
         return _df(spark, [(ok,)], "OK boolean")
     if isinstance(stmt, A.DeleteQueries):
-        n = REGISTRY.delete(stmt.query_id, stmt.state)
-        return _df(spark, [(n,)], "DELETED int")
+        gone = set(REGISTRY.delete(stmt.query_id, stmt.state))
+        gone |= set(tsdb.metrics_store.delete(stmt.query_id, stmt.state))
+        return _df(spark, [(len(gone),)], "DELETED int")
     if isinstance(stmt, A.SetValue):
         spark.conf.set(stmt.name, str(stmt.value))
         return _df(spark, [(stmt.name, str(stmt.value))],

@@ -15,7 +15,7 @@
 Implementation is deliberately NOT a Netty translation: a threaded
 `socketserver` front-end that parses the public protocol with `struct`
 and hands every statement to `Tsdb.sql` (parse -> analyze -> DataFrame).
-Results stream через `DataFrame.toLocalIterator()` — the driver never
+Results stream through `DataFrame.toLocalIterator()` — the driver never
 materializes the full result set, so a 100 TB-scale SELECT streams
 partition-by-partition to the client instead of OOMing the driver.
 
@@ -63,6 +63,7 @@ _OID_NUMERIC = 1700
 _ERR_AUTH = "28P01"      # invalid_password
 _ERR_SYNTAX = "42601"
 _ERR_INTERNAL = "XX000"
+_ERR_CANCELED = "57014"  # query_canceled
 
 
 def _spark_oid(dtype) -> int:
@@ -184,6 +185,14 @@ def _cstr(s: str) -> bytes:
 class _Conn(socketserver.BaseRequestHandler):
     """One client connection: startup handshake then message loop."""
 
+    _pid: Optional[int] = None
+
+    def finish(self) -> None:
+        # deregister this backend's cancel key whatever way handle() exited
+        if self._pid is not None:
+            self.server.cancel_keys.pop((self._pid, self._secret), None)
+        super().finish()
+
     # -- low-level reads ----------------------------------------------------
     def _read_exact(self, n: int) -> bytes:
         out = b""
@@ -207,7 +216,20 @@ class _Conn(socketserver.BaseRequestHandler):
                 self.request.sendall(b"N")
                 continue
             if code == _CANCEL_REQUEST:
-                return None                       # cancel: just drop
+                # CancelRequest carries the BackendKeyData (pid, secret) the
+                # target connection received at startup; on a match, cancel
+                # that backend's Spark job group (≙ KILL QUERY ->
+                # cancelJobGroup).  No response is ever sent on a cancel
+                # connection (protocol: fire and close).
+                pid, secret = struct.unpack_from("!II", body, 4)
+                group = self.server.cancel_keys.get((pid, secret))
+                if group is not None:
+                    try:
+                        self.server.tsdb.spark.sparkContext \
+                            .cancelJobGroup(group)
+                    except Exception:  # noqa: BLE001 — cancel is best-effort
+                        pass
+                return None
             if code != _PROTO_V3:
                 self._send_error(f"unsupported protocol {code >> 16}."
                                  f"{code & 0xFFFF}", _ERR_INTERNAL)
@@ -256,6 +278,14 @@ class _Conn(socketserver.BaseRequestHandler):
         """
         if send_desc:
             self._send(self._row_description(df.schema))
+        # streaming jobs run on this thread: tag them with the connection's
+        # cancel group so a CancelRequest (or server-side kill) interrupts
+        # the scan mid-stream, not just between messages
+        try:
+            self.server.tsdb.spark.sparkContext.setJobGroup(
+                self._group, "pgwire query", True)
+        except Exception:  # noqa: BLE001 — grouping is best-effort
+            pass
         if it is None:
             it = df.toLocalIterator()
         sent = 0
@@ -338,8 +368,15 @@ class _Conn(socketserver.BaseRequestHandler):
                      ("session_authorization", user),
                      ("standard_conforming_strings", "on")):
             hello.msg(b"S", _cstr(k) + _cstr(v))
-        hello.msg(b"K", struct.pack("!II", threading.get_ident() & 0x7FFFFFFF,
-                                    0x5CA1AB1E))
+        # BackendKeyData: (pid, secret) registered so a CancelRequest from a
+        # separate connection can cancel THIS connection's running Spark jobs
+        import os as _os
+
+        self._pid = threading.get_ident() & 0x7FFFFFFF
+        self._secret = int.from_bytes(_os.urandom(4), "big") & 0x7FFFFFFF
+        self._group = f"pgwire-{self._pid}-{self._secret}"
+        self.server.cancel_keys[(self._pid, self._secret)] = self._group
+        hello.msg(b"K", struct.pack("!II", self._pid, self._secret))
         self._send(hello)
         self._ready()
 
@@ -387,7 +424,11 @@ class _Conn(socketserver.BaseRequestHandler):
             except ConnectionError:
                 return
             except Exception as exc:  # engine/protocol error -> ErrorResponse
-                self._send_error(str(exc), _ERR_SYNTAX)
+                msg = str(exc)
+                canceled = "cancel" in msg.lower()
+                self._send_error("canceling statement due to user request"
+                                 if canceled else msg,
+                                 _ERR_CANCELED if canceled else _ERR_SYNTAX)
                 if tag == b"Q":
                     self._ready()
                 else:
@@ -551,6 +592,8 @@ class PgWireServer:
             daemon_threads = True
             tsdb = outer.tsdb
             users = outer.users
+            # (pid, secret) -> Spark job group, for CancelRequest routing
+            cancel_keys: Dict[Tuple[int, int], str] = {}
 
         self._srv = _Server((self.host, self.port), _Conn)
         self.port = self._srv.server_address[1]
