@@ -671,9 +671,11 @@ def q_related_items(spark, sf_dir):
 
 def q_dim_ids(spark, sf_dir):
     """id(dim) over a dictionary dimension returns dense sequential Long
-    ids (Dictionary.scala:24-105); deterministic sorted-value numbering
-    (the reference numbers by insertion order, which a recomputable engine
-    cannot reproduce — documented deviation)."""
+    ids (Dictionary.scala:24-105).  Never-ingested fixtures use
+    deterministic sorted-value numbering (this entry, oracled via
+    dense_rank); once a warehouse ingests data, ids come from a persisted
+    first-seen-order dictionary maintained at upsert time — full insertion
+    parity, stable across re-ingest and restarts (test_writes)."""
     return _tsdb(spark, sf_dir).sql(
         "SELECT l_returnflag, id(l_returnflag) AS flag_id, "
         "       count(l_orderkey) AS cnt "

@@ -230,3 +230,43 @@ def test_metrics_survive_new_tsdb(spark, tmp_path):
     # original query id must be gone durably
     assert qid not in {r["QUERY_ID"]
                        for r in t3.sql("SHOW QUERIES").collect()}
+
+
+def test_dictionary_ids_ingest_parity(spark, tmp_path):
+    """Ingest-time dictionary ids (Dictionary.scala:24-105 insertion
+    semantics): the first upsert seeds sorted-value ids for the pre-existing
+    corpus, new values append after the max in arrival order — so a LATER
+    value that sorts EARLIER keeps a higher id (sorted-value recomputation
+    would renumber it), ids survive a new Tsdb over the same root, and
+    replays are no-ops."""
+    root = str(tmp_path / "wh")
+    t1 = Tsdb(spark, default_schema(), "/root/testdata/sf0.001",
+              warehouse_root=root)
+    q = ("SELECT l_returnflag, id(l_returnflag) AS fid, "
+         f"count(l_orderkey) AS c FROM lineitem WHERE {TB} "
+         "GROUP BY l_returnflag, fid")
+    base = {r["l_returnflag"]: r["fid"] for r in t1.sql(q).collect()}
+    assert base == {"A": 1, "N": 2, "R": 3}  # sorted-value fixture ids
+
+    def ins(flag, key):
+        t1.sql("UPSERT INTO lineitem (time, l_orderkey, l_partkey, "
+               "l_suppkey, l_linenumber, l_returnflag, l_quantity) VALUES "
+               f"(TIMESTAMP '1996-02-02', {key}, 1, 1, 1, '{flag}', 1.0)")
+
+    ins("Z", 888881)          # new value after seeding -> appended: id 4
+    ins("B", 888882)          # sorts before N/R/Z but arrived LAST -> id 5
+    ids = {r["l_returnflag"]: r["fid"] for r in t1.sql(q).collect()}
+    assert ids == {"A": 1, "N": 2, "R": 3, "Z": 4, "B": 5}
+
+    # survives a fresh engine instance over the same warehouse root
+    t2 = Tsdb(spark, default_schema(), "/root/testdata/sf0.001",
+              warehouse_root=root)
+    ids2 = {r["l_returnflag"]: r["fid"] for r in t2.sql(q).collect()}
+    assert ids2 == ids
+
+    # replaying a known value never renumbers anything
+    t1.sql("UPSERT INTO lineitem (time, l_orderkey, l_partkey, l_suppkey, "
+           "l_linenumber, l_returnflag, l_quantity) VALUES "
+           "(TIMESTAMP '1996-02-03', 888883, 1, 1, 1, 'Z', 2.0)")
+    ids3 = {r["l_returnflag"]: r["fid"] for r in t1.sql(q).collect()}
+    assert ids3 == ids

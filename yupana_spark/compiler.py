@@ -405,9 +405,20 @@ class Tsdb:
         except Exception:  # noqa: BLE001 — metrics must never fail a query
             pass
 
+    @property
+    def _wh_maybe(self):
+        """The warehouse when one is live OR an explicit root was given (a
+        fresh engine over an existing root must see its persisted tables and
+        dictionaries — restart semantics); None for the default lazy-tmpdir
+        case so read-only instances never probe a pristine tmpdir."""
+        if self._warehouse is not None or self._warehouse_root is not None:
+            return self.warehouse
+        return None
+
     def _load(self, table: str, time_bounds=None) -> DataFrame:
-        if self._warehouse is not None and self._warehouse.exists(table):
-            return self._warehouse.read(table)
+        wh = self._wh_maybe
+        if wh is not None and wh.exists(table):
+            return wh.read(table)
         return self.schema.load(self.spark, self.sf_dir, table,
                                 time_bounds=time_bounds)
 
@@ -633,6 +644,16 @@ class Tsdb:
                     wanted.add(arg.name)
         out: Dict[str, Dict[str, int]] = {}
         for dim in wanted:
+            # ingest-time dictionary first (Dictionary.scala insertion-order
+            # parity, maintained by Warehouse.upsert): ids stay stable
+            # across re-ingest and engine restarts.  Never memoized — the
+            # warehouse is mutable.
+            if self._wh_maybe is not None:
+                persisted = self._wh_maybe.load_dictionary(table.name, dim)
+                if persisted is not None:
+                    out[dim] = persisted
+                    continue
+            # sorted-value fallback for never-ingested (fixture) data
             key = (self.spark.sparkContext.applicationId, self.sf_dir,
                    table.name, dim)
             if key not in self._DICT_CACHE:

@@ -118,6 +118,9 @@ class Warehouse:
             cond = c if cond is None else (cond & c)
         kept = cur.join(inc, cond, "left_anti")
         merged = kept.unionByName(incoming)
+        # ingest-time dictionary ids (Dictionary.scala insertion semantics)
+        # must be assigned from the PRE-merge state so replays are no-ops
+        self._update_dictionaries(t, current, incoming)
         self._write(table, merged, t)
         self._log_interval(table, incoming)
         incoming.unpersist()
@@ -175,6 +178,68 @@ class Warehouse:
         """Full (re)write, partitioned by day bucket."""
         t = self.schema.tables.get(table)
         self._write(table, df, t, time_col=time_col)
+
+    # -- persisted dictionaries (Dictionary.scala:24-105) --------------------
+    DICT_CAP = 100_000  # beyond this a dim is not dictionary-shaped
+
+    def dict_path(self, table: str, dim: str) -> str:
+        return os.path.join(self.root, "__dictionary", table,
+                            f"{dim}.parquet")
+
+    def load_dictionary(self, table: str, dim: str):
+        """{value: id} for a persisted ingest-time dictionary, or None."""
+        import pyarrow.parquet as pq
+
+        path = self.dict_path(table, dim)
+        if not os.path.exists(path):
+            return None
+        d = pq.read_table(path).to_pydict()
+        return dict(zip(d["value"], d["id"]))
+
+    def _update_dictionaries(self, t: Table, current: DataFrame,
+                             incoming: DataFrame) -> None:
+        """Maintain ingest-time dictionaries for dictionary-kind dims.
+
+        ≙ Dictionary.scala:24-105: the reference numbers values by insertion
+        order as rows arrive.  Distributed ingest has no row order inside a
+        batch, so the deterministic analogue is: first batch seeds from the
+        PRE-upsert table in sorted-value order (keeping the recomputed
+        sorted-id semantics of id() for never-ingested fixtures), and each
+        batch's genuinely-new values append after the existing maximum,
+        sorted within the batch.  Ids are append-only: replaying a batch or
+        re-ingesting known values never renumbers anything.  Driver-side
+        pyarrow files — dictionaries are bounded (DICT_CAP) by definition.
+        """
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for d in t.dimensions:
+            if d.kind != "dictionary" or d.name not in incoming.columns:
+                continue
+            mapping = self.load_dictionary(t.name, d.name)
+            if mapping is None:
+                seed = (current.select(d.name).distinct()
+                        .limit(self.DICT_CAP + 1).collect())
+                if len(seed) > self.DICT_CAP:
+                    continue
+                ordered = sorted(r[0] for r in seed if r[0] is not None)
+                mapping = {v: i + 1 for i, v in enumerate(ordered)}
+            new = (incoming.select(d.name).distinct()
+                   .limit(self.DICT_CAP + 1).collect())
+            fresh = sorted(r[0] for r in new
+                           if r[0] is not None and r[0] not in mapping)
+            if len(mapping) + len(fresh) > self.DICT_CAP:
+                continue
+            next_id = max(mapping.values(), default=0) + 1
+            for v in fresh:
+                mapping[v] = next_id
+                next_id += 1
+            path = self.dict_path(t.name, d.name)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            pq.write_table(pa.table({
+                "value": list(mapping.keys()),
+                "id": list(mapping.values()),
+            }), path)
 
     # -- internals ---------------------------------------------------------------
     def _write(self, table: str, df: DataFrame, t: Optional[Table],
