@@ -725,17 +725,19 @@ def _emb(spark, sf_dir):
 
 def dp_text_stats(spark, sf_dir):
     """Bundle: token counting (whitespace + BPE-ish regex), quality scoring
-    (length/punct/stopword ratios), PII detect/scrub (regexp_count +
-    regexp_replace over deterministically injected emails/IPs/phones — the
-    fixture corpus carries none), and benchmark-contamination flags (shared
-    word-8-gram with the doc_id%97 eval slice, hash semi-join).  Stats+PII
-    are ONE scan of pure JVM expressions, zero UDFs; contamination adds the
-    exploded-ngram broadcast semi-join (datapipe/text.contaminated_ids).
+    (length/punct/stopword ratios), Gopher-style repetition signals
+    (duplicate word / trigram fractions, Rae et al. 2021 appendix A), PII
+    detect/scrub (regexp_count + regexp_replace over deterministically
+    injected emails/IPs/phones — the fixture corpus carries none), and
+    benchmark-contamination flags (shared word-8-gram with the doc_id%97
+    eval slice, hash semi-join).  Stats+repetition+PII are ONE scan of pure
+    JVM expressions, zero UDFs; contamination adds the exploded-ngram
+    broadcast semi-join (datapipe/text.contaminated_ids).
     Was dp_token_count + dp_quality."""
     from yupana_spark.datapipe.text import (bpe_token_count, contaminated_ids,
                                             pii_counts, quality_metrics,
-                                            quality_score, scrub_pii,
-                                            token_count)
+                                            quality_score, repetition_stats,
+                                            scrub_pii, token_count)
 
     docs = _docs(spark, sf_dir, fan_out=True)
     did = F.col("doc_id")
@@ -754,6 +756,7 @@ def dp_text_stats(spark, sf_dir):
     )
     m = quality_metrics(F.col("text"))
     pii = pii_counts(aug)
+    rep = repetition_stats(F.col("text"))
     base = docs.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
@@ -763,6 +766,8 @@ def dp_text_stats(spark, sf_dir):
         m["alpha_ratio"].alias("alpha_ratio"),
         m["punct_ratio"].alias("punct_ratio"),
         m["stopword_ratio"].alias("stopword_ratio"),
+        rep["dup_word_ratio"].alias("dup_word_ratio"),
+        rep["dup_trigram_ratio"].alias("dup_trigram_ratio"),
         quality_score(F.col("text")).alias("quality"),
         pii["email"].alias("pii_emails"),
         pii["ipv4"].alias("pii_ipv4"),
@@ -1042,17 +1047,20 @@ def _brute_topk_ids(spark, sf_dir, k: int = 10) -> DataFrame:
 
 
 def dp_pack_sequences(spark, sf_dir):
-    """Token-budget sequence packing (first-fit-decreasing per hash bucket)
+    """Sequence-prep bundle: overlapping word-window CHUNKING
+    (pack.chunk_documents, window 64 / stride 48) + token-budget FFD PACKING
     — SELF-VALIDATED (round-2 verdict ask #1): the output row carries doc /
-    token conservation totals the DuckDB oracle recomputes from `documents`
-    (a dropped, duplicated or re-counted doc breaks the hash match) plus a
-    constant-oracle packing verdict ('ok' iff no pack exceeds the budget
-    except singleton oversized docs — FFD's invariant)."""
-    from yupana_spark.datapipe.pack import pack_sequences
+    token / chunk conservation totals the DuckDB oracle recomputes from
+    `documents` arithmetically (a dropped, duplicated or re-counted doc —
+    or a chunker emitting the wrong window layout — breaks the hash match)
+    plus a constant-oracle packing verdict ('ok' iff no pack exceeds the
+    budget except singleton oversized docs — FFD's invariant)."""
+    from yupana_spark.datapipe.pack import chunk_documents, pack_sequences
     from yupana_spark.datapipe.text import token_count
 
     budget = 2048
-    with_tok = _docs(spark, sf_dir).select(
+    docs = _docs(spark, sf_dir)
+    with_tok = docs.select(
         "doc_id", token_count(F.col("text")).alias("n_tokens"))
     packed = pack_sequences(with_tok, "doc_id", "n_tokens", budget=budget,
                             num_buckets=64)
@@ -1069,8 +1077,12 @@ def dp_pack_sequences(spark, sf_dir):
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.sum(F.when(F.col("n_tokens") > budget, 1).otherwise(0))
         .cast("long").alias("n_oversize"))
-    return (stats.crossJoin(bad)
+    chunk_stats = chunk_documents(docs, window=64, stride=48).agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_words").cast("long").alias("chunk_words"))
+    return (stats.crossJoin(bad).crossJoin(chunk_stats)
             .select("n_docs", "n_distinct_docs", "total_tokens", "n_oversize",
+                    "n_chunks", "chunk_words",
                     F.when(F.col("__bad") == 0, "ok").otherwise("over_budget")
                     .alias("packing_ok")))
 
@@ -1518,6 +1530,22 @@ _ORACLES_DP: dict[str, str] = {
                          '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')),
                      '\\s+'), x -> x <> '') AS nws
           FROM documents),
+        rep AS (
+          SELECT doc_id,
+                 round((len(lws) - len(list_distinct(lws)))
+                       / greatest(len(lws), 1), 6) AS dup_word_ratio,
+                 round((len(tgs) - len(list_distinct(tgs)))
+                       / greatest(len(tgs), 1), 6) AS dup_trigram_ratio
+          FROM (
+            SELECT doc_id, lws,
+                   list_transform(
+                       generate_series(1, greatest(len(lws) - 2, 1)),
+                       i -> array_to_string(list_slice(lws, i, i + 2), ' '))
+                       AS tgs
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(trim(lower(text)),
+                             '\\s+'), x -> x <> '') AS lws
+                  FROM documents))),
         ngr AS (
           SELECT doc_id,
                  unnest(list_transform(
@@ -1548,6 +1576,7 @@ _ORACLES_DP: dict[str, str] = {
                round(n_alpha / safe_len, 6) AS alpha_ratio,
                round(n_punct / safe_len, 6) AS punct_ratio,
                round(n_stop / safe_words, 6) AS stopword_ratio,
+               rep.dup_word_ratio, rep.dup_trigram_ratio,
                round((CASE WHEN n_words >= 5 THEN 1 ELSE 0 END
                     + CASE WHEN round(n_alpha / safe_len, 6) > 0.5 THEN 1 ELSE 0 END
                     + CASE WHEN round(n_punct / safe_len, 6) < 0.2 THEN 1 ELSE 0 END
@@ -1573,6 +1602,7 @@ _ORACLES_DP: dict[str, str] = {
                     AS INTEGER) AS scrub_len,
                (cont.doc_id IS NOT NULL) AS contaminated
         FROM m2 LEFT JOIN cont ON m2.doc_id = cont.doc_id
+        JOIN rep ON m2.doc_id = rep.doc_id
     """,
     "dp_lang_id": """
         WITH w AS (
@@ -1769,19 +1799,37 @@ _ORACLES_DP: dict[str, str] = {
         SELECT 'ivf', 'ok'
     """,
     # conservation totals recomputed from `documents` (token definition
-    # matches dp_text_stats' oracled n_tokens) + constant packing verdict
+    # matches dp_text_stats' oracled n_tokens; chunk layout — window 64 /
+    # stride 48 sliding windows — recomputed arithmetically per doc) +
+    # constant packing verdict
     "dp_pack_sequences": """
         WITH t AS (
           SELECT doc_id,
                  len(list_filter(string_split_regex(trim(text), '\\s+'),
                      x -> x <> '')) AS n_tokens
-          FROM documents)
+          FROM documents),
+        k AS (
+          SELECT doc_id, n_tokens,
+                 CASE WHEN n_tokens <= 64 THEN 1
+                      ELSE CAST(ceil((n_tokens - 64) / 48.0) AS INTEGER) + 1
+                 END AS n_chunks
+          FROM t),
+        cw0 AS (
+          SELECT doc_id, n_tokens, n_chunks,
+                 unnest(generate_series(0, n_chunks - 1)) AS i
+          FROM k),
+        cw AS (
+          SELECT doc_id, max(n_chunks) AS n_chunks,
+                 sum(least(i * 48 + 64, n_tokens) - i * 48) AS words
+          FROM cw0 GROUP BY doc_id)
         SELECT CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_docs,
-               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-               CAST(sum(CASE WHEN n_tokens > 2048 THEN 1 ELSE 0 END)
+               CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_distinct_docs,
+               CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(CASE WHEN t.n_tokens > 2048 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_oversize,
+               CAST(sum(cw.n_chunks) AS BIGINT) AS n_chunks,
+               CAST(sum(cw.words) AS BIGINT) AS chunk_words,
                'ok' AS packing_ok
-        FROM t
+        FROM t JOIN cw ON t.doc_id = cw.doc_id
     """,
 }

@@ -558,3 +558,35 @@ def test_codec_features_end_to_end(spark, docs):
             assert r["sample_rate"] == 8000 + mid % 3 * 4000
             assert r["n_samples"] == 64 + nchars[mid] % 129
             assert r["width"] is None
+
+
+def test_chunk_documents_sliding_window(spark):
+    from yupana_spark.datapipe.pack import chunk_documents
+
+    texts = [
+        (1, " ".join(f"w{i}" for i in range(10))),    # n < window: 1 chunk
+        (2, " ".join(f"w{i}" for i in range(64))),    # n == window: 1 chunk
+        (3, " ".join(f"w{i}" for i in range(65))),    # 1 word over: 2 chunks
+        (4, " ".join(f"w{i}" for i in range(200))),   # ceil(136/48)+1 = 4
+        (5, ""),                                      # empty doc: 1 empty
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = chunk_documents(df, window=64, stride=48).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert {d: len(c) for d, c in by_doc.items()} == \
+        {1: 1, 2: 1, 3: 2, 4: 4, 5: 1}
+    for d, text in texts:
+        n = len(text.split())
+        chunks = sorted(by_doc[d], key=lambda r: r["chunk_no"])
+        covered = set()
+        for c in chunks:
+            assert c["start_word"] == c["chunk_no"] * 48
+            assert c["n_words"] == min(c["start_word"] + 64, n) - c["start_word"]
+            assert len(c["chunk_text"].split()) == c["n_words"]
+            covered |= set(range(c["start_word"], c["start_word"] + c["n_words"]))
+        assert covered == set(range(n))          # every word covered
+    # chunk text is the actual word slice
+    c2 = sorted(by_doc[3], key=lambda r: r["chunk_no"])[1]
+    assert c2["chunk_text"].split() == [f"w{i}" for i in range(48, 65)]

@@ -74,6 +74,45 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
     return prepared.groupBy("__b").applyInPandas(pack_bucket, out_schema)
 
 
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", window: int = 64,
+                    stride: int = 48) -> DataFrame:
+    """Overlapping word-window chunks for context-window training prep.
+
+    (doc_id, chunk_no, start_word, n_words, chunk_text): chunk i covers
+    words [i*stride, i*stride + window); a doc of n words yields
+    ``1 if n <= window else ceil((n - window)/stride) + 1`` chunks, so every
+    word is covered and consecutive chunks overlap by ``window - stride``
+    words (the standard sliding-window split).  Pure JVM expressions — one
+    scan, an explode, no shuffle; at corpus scale the explode factor is
+    ~n_words/stride and rides the same partitioning as the scan.
+    """
+    from .text import words
+
+    w = words(F.col(text_col))
+    prepared = df.select(
+        F.col(id_col),
+        w.alias("__w"),
+        F.size(w).alias("__n"),
+    ).select(
+        id_col, "__w", "__n",
+        F.when(F.col("__n") <= window, F.lit(1))
+        .otherwise(F.ceil((F.col("__n") - F.lit(window)) / F.lit(stride))
+                   .cast("int") + 1).alias("__k"),
+    )
+    start = F.col("chunk_no") * stride
+    return (prepared
+            .select(id_col, "__w", "__n",
+                    F.explode(F.sequence(F.lit(0), F.col("__k") - 1))
+                    .alias("chunk_no"))
+            .select(F.col(id_col), "chunk_no",
+                    start.alias("start_word"),
+                    (F.least(start + window, F.col("__n")) - start)
+                    .alias("n_words"),
+                    F.array_join(F.slice("__w", start + F.lit(1), window), " ")
+                    .alias("chunk_text")))
+
+
 def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
     """One row: packs, docs, fill ratio (packed tokens / pack capacity) —
     the waste metric to tune ``budget``/``num_buckets`` against."""

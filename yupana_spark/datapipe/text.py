@@ -67,6 +67,27 @@ def quality_metrics(col: Column, stopwords: Optional[List[str]] = None) -> Dict[
     }
 
 
+def repetition_stats(col: Column) -> Dict[str, Column]:
+    """Repetition-based quality signals in the style of the published
+    Gopher/MassiveText filtering rules (Rae et al. 2021, appendix A):
+    fraction of duplicate words and duplicate word trigrams — high values
+    flag boilerplate, templated or degenerate text that token-count and
+    punctuation ratios miss.  Pure JVM array expressions in one scan;
+    rounded to 6 places for cross-engine hash stability."""
+    w = words(F.lower(col))
+    n_w = F.size(w)
+    safe_w = F.greatest(n_w, F.lit(1))
+    tg = word_shingles(w, 3, as_words=True)
+    n_t = F.size(tg)
+    safe_t = F.greatest(n_t, F.lit(1))
+    return {
+        "dup_word_ratio": F.round((n_w - F.size(F.array_distinct(w)))
+                                  / safe_w, 6),
+        "dup_trigram_ratio": F.round((n_t - F.size(F.array_distinct(tg)))
+                                     / safe_t, 6),
+    }
+
+
 def quality_score(col: Column) -> Column:
     """Composite [0,1] quality heuristic (Gopher-rules-style thresholds)."""
     m = quality_metrics(col)
