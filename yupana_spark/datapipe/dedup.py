@@ -318,7 +318,10 @@ def sampled_exact_jaccard_pairs(df: DataFrame, text_col: str = "text",
     from .simsearch import sample_rows
 
     sampled = sample_rows(df, cap, id_col, n=n)
-    hs = hashed_shingle_sets(sampled, text_col, id_col, k)
+    # materialize the <=cap hashed sets once: the pair self-join would
+    # otherwise run the normalize->shingle->hash chain per side
+    hs = hashed_shingle_sets(sampled, text_col, id_col, k) \
+        .localCheckpoint(eager=True)
     a, b = hs.alias("a"), hs.alias("b")
     return (a.join(b, F.col("a.id") < F.col("b.id"))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
@@ -337,8 +340,10 @@ def sampled_exact_hamming_pairs(df: DataFrame, text_col: str = "text",
     broken block layout, not probabilistic bad luck)."""
     from .simsearch import sample_rows
 
+    # materialized once (id + one long per sampled doc): the brute pair
+    # self-join reads both sides
     sigs = simhash(sample_rows(df, cap, id_col, n=n), text_col, id_col) \
-        .withColumnRenamed(id_col, "id")
+        .withColumnRenamed(id_col, "id").localCheckpoint(eager=True)
     a, b = sigs.alias("a"), sigs.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (a.join(b, F.col("a.id") < F.col("b.id"))
