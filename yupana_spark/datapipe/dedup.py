@@ -231,12 +231,12 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
 
     One persisted (id, hs, sig) frame feeds banding AND both verification
     rungs, so the normalize->shingle->hash scan and the signature UDF each
-    run exactly once.  The rung-2 screen joins candidates against the
-    32-long signatures ONLY — the candidate set is dominated by background
-    band collisions (same-vocabulary corpora put background Jaccard well
-    above random), and dragging the ~200-long shingle arrays through that
-    join would dwarf the screen itself.  The shingle arrays join in for the
-    screen's survivors alone (orders of magnitude fewer).
+    run exactly once.  The rung-2 screen is FUSED into the band self-join:
+    the banded rows carry their 32-long signatures, the estimate evaluates
+    on the collision rows directly, and the pair-distinct runs on the
+    screened survivors (orders of magnitude fewer than raw collisions —
+    same-vocabulary corpora put background band-collision rates well above
+    random).  Only those survivors ever see the ~200-long shingle arrays.
     """
     sighs = (hashed_shingle_sets(df, text_col, id_col, k)
              .select("id", "hs",
@@ -244,20 +244,38 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                      .alias("sig"))
              .persist())
     try:
-        sig = sighs.select("id", "sig")
-        cands = _band_collisions(sig, num_hashes, bands)
-        sa, sb = sig.alias("sa"), sig.alias("sb")
+        # rung 1+2 FUSED: the banded self-join carries both signatures, so
+        # the screen estimate is computed on the collision rows themselves —
+        # no re-join of candidates against the signature frame, and the
+        # pair-distinct runs on the (orders of magnitude smaller) screened
+        # set instead of the raw collision set
         r = num_hashes // bands
+        banded = sighs.select(
+            "id", "sig",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", b * r + F.lit(1), r),
+                                    lambda x: x.cast("string")),
+                                ",")).alias("bhash")))).alias("bb"),
+        ).select("id", "sig", "bb.band", "bb.bhash")
+        bl, br = banded.alias("bl"), banded.alias("br")
         agree = F.size(F.filter(
-            F.zip_with(F.col("sa.sig"), F.col("sb.sig"),
+            F.zip_with(F.col("bl.sig"), F.col("br.sig"),
                        lambda x, y: x == y), lambda v: v))
         est = (agree - F.lit(r)) / F.lit(float(num_hashes - r))
-        screened = (cands
-                    .join(sa, cands.id_a == F.col("sa.id"))
-                    .join(sb, cands.id_b == F.col("sb.id"))
-                    .select("id_a", "id_b", est.alias("__est"))
-                    .filter(F.col("__est") >= threshold - est_margin)
-                    .drop("__est"))
+        screened = (bl.join(br, (F.col("bl.band") == F.col("br.band"))
+                    & (F.col("bl.bhash") == F.col("br.bhash"))
+                    & (F.col("bl.id") < F.col("br.id")))
+                    .filter(est >= threshold - est_margin)
+                    .select(F.col("bl.id").alias("id_a"),
+                            F.col("br.id").alias("id_b"))
+                    .distinct())
         a = sighs.select("id", "hs").alias("a")
         b = sighs.select("id", "hs").alias("b")
         out = (screened
