@@ -590,3 +590,18 @@ def test_chunk_documents_sliding_window(spark):
     # chunk text is the actual word slice
     c2 = sorted(by_doc[3], key=lambda r: r["chunk_no"])[1]
     assert c2["chunk_text"].split() == [f"w{i}" for i in range(48, 65)]
+
+
+def test_prepared_plan_cache_semantics(spark):
+    """Side-effect-free relational entries reuse their lazy compiled plan
+    (same object per session+sf); write entries and datapipe entries with
+    eager build steps always rebuild."""
+    import __spark_entry__ as ent
+
+    qs = ent.queries()
+    assert qs["q_having"](spark, SF) is qs["q_having"](spark, SF)
+    assert qs["dp_neardup_scale"](spark, SF) is not \
+        qs["dp_neardup_scale"](spark, SF)
+    a = qs["q_upsert_roundtrip"](spark, SF)
+    b = qs["q_upsert_roundtrip"](spark, SF)
+    assert a is not b

@@ -190,7 +190,10 @@ def word_shingles(col: Column, k: int = 3, as_words: bool = False) -> Column:
 
 def rolling_fingerprint(col: Column, k: int = 5) -> Column:
     """Rolling-hash fingerprint: min xxhash64 over the char k-gram set
-    (a 1-permutation MinHash — stable under small edits, unlike md5)."""
+    (a 1-permutation MinHash — stable under small edits, unlike md5).
+    Hot paths should pass a pre-staged NORMALIZED column and normalize=False
+    via char_shingles' caveat (the k-gram lambda references the normalized
+    text per element)."""
     return F.array_min(
         F.transform(char_shingles(col, k), lambda s: F.xxhash64(s)))
 
