@@ -972,6 +972,7 @@ def dp_neardup_scale(spark, sf_dir):
     Sample caps make the audit cost CONSTANT in corpus size — the checks
     would run unchanged (and cheaply) against a 100 TB input."""
     from yupana_spark.datapipe.dedup import (embedding_neardup_pairs_ivf,
+                                             minhash_artifacts,
                                              minhash_dedup_pairs,
                                              sampled_exact_cosine_pairs,
                                              sampled_exact_hamming_pairs,
@@ -980,7 +981,16 @@ def dp_neardup_scale(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     emb = _emb(spark, sf_dir)
-    mh = minhash_dedup_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    # one persisted (id, hs, sig) artifact feeds the LSH pipeline AND the
+    # sampled exactness audit — the shingle scan and signature UDF run once
+    arts = minhash_artifacts(docs).persist()
+    try:
+        mh = minhash_dedup_pairs(docs, threshold=0.5,
+                                 artifacts=arts).select("id_a", "id_b")
+        ex_mh = sampled_exact_jaccard_pairs(
+            docs, threshold=0.5, cap=400, hashed=arts)
+    finally:
+        arts.unpersist()
     # radius 3 -> 4 x 16-bit blocks: background (blk,bval) collisions are
     # ~N^2/2^16 instead of ~N^2/2^7 at radius 8 — the standard near-dup
     # radius for 64-bit simhash keeps candidate generation sparse
@@ -991,9 +1001,7 @@ def dp_neardup_scale(spark, sf_dir):
     el = embedding_neardup_pairs_ivf(emb, threshold=0.45).select(
         "id_a", "id_b").localCheckpoint(eager=True)
     checks = [
-        _completeness_row(
-            "minhash_complete",
-            sampled_exact_jaccard_pairs(docs, threshold=0.5, cap=400), mh),
+        _completeness_row("minhash_complete", ex_mh, mh),
         _completeness_row(
             "simhash_complete",
             sampled_exact_hamming_pairs(docs, max_hamming=3, cap=400), sh),

@@ -207,10 +207,25 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / F.greatest(union, F.lit(1))
 
 
+def minhash_artifacts(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 5,
+                      num_hashes: int = 32) -> DataFrame:
+    """(id, hs, sig): the shared MinHash build artifact — hashed shingle
+    sets plus signatures in one frame.  Compute once, persist, and hand to
+    ``minhash_dedup_pairs`` AND any exactness audit so the
+    normalize->shingle->hash scan and the signature UDF run exactly once
+    per pipeline, not once per consumer."""
+    return (hashed_shingle_sets(df, text_col, id_col, k)
+            .select("id", "hs",
+                    minhash_signature_np(F.col("hs"), num_hashes)
+                    .alias("sig")))
+
+
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", threshold: float = 0.7,
                         num_hashes: int = 32, bands: int = 8,
-                        k: int = 5, est_margin: float = 0.15) -> DataFrame:
+                        k: int = 5, est_margin: float = 0.15,
+                        artifacts: Optional[DataFrame] = None) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard >= threshold.
 
     Three-rung verification ladder (each rung orders of magnitude cheaper
@@ -238,11 +253,12 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     same-vocabulary corpora put background band-collision rates well above
     random).  Only those survivors ever see the ~200-long shingle arrays.
     """
-    sighs = (hashed_shingle_sets(df, text_col, id_col, k)
-             .select("id", "hs",
-                     minhash_signature_np(F.col("hs"), num_hashes)
-                     .alias("sig"))
-             .persist())
+    own_artifacts = artifacts is None
+    if own_artifacts:
+        sighs = minhash_artifacts(df, text_col, id_col, k,
+                                  num_hashes).persist()
+    else:
+        sighs = artifacts  # caller-managed persist/unpersist
     try:
         # rung 1+2 FUSED: the banded self-join carries both signatures, so
         # the screen estimate is computed on the collision rows themselves —
@@ -289,7 +305,8 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
         # result is small (verified pairs only)
         out = out.localCheckpoint(eager=True)
     finally:
-        sighs.unpersist()
+        if own_artifacts:
+            sighs.unpersist()
     return out
 
 
@@ -326,20 +343,27 @@ def sampled_exact_jaccard_pairs(df: DataFrame, text_col: str = "text",
                                 id_col: str = "doc_id",
                                 threshold: float = 0.5, k: int = 5,
                                 cap: int = 400,
-                                n: Optional[int] = None) -> DataFrame:
+                                n: Optional[int] = None,
+                                hashed: Optional[DataFrame] = None
+                                ) -> DataFrame:
     """Exact char-k-gram Jaccard pairs within a deterministic <=``cap``-doc
     subsample — the bounded completeness oracle for the MinHash LSH path
     (same shingle/hash definition as ``minhash_dedup_pairs`` rung 3, so
     'sampled exact pairs ⊆ LSH output' must hold up to ~2e-5 hash-collision
     noise on the Jaccard value).  cap^2/2 array intersections spread over the
-    cluster; cost is constant in corpus size."""
+    cluster; cost is constant in corpus size.  Pass ``hashed`` (an (id, hs)
+    frame, e.g. ``minhash_artifacts``) to reuse the pipeline's shingle scan
+    instead of re-shingling the sample."""
     from .simsearch import sample_rows
 
-    sampled = sample_rows(df, cap, id_col, n=n)
-    # materialize the <=cap hashed sets once: the pair self-join would
-    # otherwise run the normalize->shingle->hash chain per side
-    hs = hashed_shingle_sets(sampled, text_col, id_col, k) \
-        .localCheckpoint(eager=True)
+    if hashed is not None:
+        src = sample_rows(hashed.select("id", "hs"), cap, "id", n=n)
+    else:
+        sampled = sample_rows(df, cap, id_col, n=n)
+        src = hashed_shingle_sets(sampled, text_col, id_col, k)
+    # materialize the <=cap hashed sets once: the pair self-join reads both
+    # sides and would otherwise run the shingle chain per side
+    hs = src.localCheckpoint(eager=True)
     a, b = hs.alias("a"), hs.alias("b")
     return (a.join(b, F.col("a.id") < F.col("b.id"))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
