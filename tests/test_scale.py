@@ -79,3 +79,40 @@ def test_schema_checker_detects_mismatch(spark):
     problems = {(i.column, i.problem.split(":")[0]) for i in issues}
     assert ("l_orderkey", "type mismatch") in problems
     assert ("nope", "missing in storage") in problems
+
+
+def test_ivf_neardup_plan_shape(spark):
+    """IVF multi-assignment candidates must join on cell equality — never a
+    cartesian/nested-loop product — and verify inside applyInPandas blocks
+    (vectors ship once per cell, not once per pair)."""
+    from yupana_spark.datapipe.dedup import embedding_neardup_pairs_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(embedding_neardup_pairs_ivf(emb, threshold=0.45))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan
+
+
+def test_chunking_is_shuffle_free(spark):
+    """Context-window chunking is a narrow explode over the scan: one
+    staged projection, zero Exchange."""
+    from yupana_spark.datapipe.pack import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(chunk_documents(docs))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_codec_features_single_python_stage(spark):
+    """Decode runs as ONE mapInPandas pass over the binary column — no
+    shuffle, no per-row Python round trip."""
+    from yupana_spark.datapipe.multimodal import (codec_features,
+                                                  synth_codec_media_table)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(codec_features(synth_codec_media_table(docs)))
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas (") == 2  # encode pass + decode pass
+    assert "BatchEvalPython" not in plan     # no row-at-a-time UDF
