@@ -723,6 +723,18 @@ def _emb(spark, sf_dir):
     return cached_parquet(spark, f"{sf_dir}/embeddings.parquet")
 
 
+_FIXTURE_COUNTS: dict = {}
+
+
+def _fixture_count(spark, sf_dir, table, df) -> int:
+    """Row count of an immutable fixture table, one count job per session —
+    the sampled-oracle helpers need n to size their deterministic sample."""
+    key = (spark.sparkContext.applicationId, sf_dir, table)
+    if key not in _FIXTURE_COUNTS:
+        _FIXTURE_COUNTS[key] = df.count()
+    return _FIXTURE_COUNTS[key]
+
+
 def dp_text_stats(spark, sf_dir):
     """Bundle: token counting (whitespace + BPE-ish regex), quality scoring
     (length/punct/stopword ratios), Gopher-style repetition signals
@@ -981,6 +993,8 @@ def dp_neardup_scale(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     emb = _emb(spark, sf_dir)
+    n_docs = _fixture_count(spark, sf_dir, "documents", docs)
+    n_emb = _fixture_count(spark, sf_dir, "embeddings", emb)
     # one persisted (id, hs, sig) artifact feeds the LSH pipeline AND the
     # sampled exactness audit — the shingle scan and signature UDF run once
     arts = minhash_artifacts(docs).persist()
@@ -988,7 +1002,7 @@ def dp_neardup_scale(spark, sf_dir):
         mh = minhash_dedup_pairs(docs, threshold=0.5,
                                  artifacts=arts).select("id_a", "id_b")
         ex_mh = sampled_exact_jaccard_pairs(
-            docs, threshold=0.5, cap=400, hashed=arts)
+            docs, threshold=0.5, cap=400, hashed=arts, n=n_docs)
     finally:
         arts.unpersist()
     # radius 3 -> 4 x 16-bit blocks: background (blk,bval) collisions are
@@ -1004,10 +1018,12 @@ def dp_neardup_scale(spark, sf_dir):
         _completeness_row("minhash_complete", ex_mh, mh),
         _completeness_row(
             "simhash_complete",
-            sampled_exact_hamming_pairs(docs, max_hamming=3, cap=400), sh),
+            sampled_exact_hamming_pairs(docs, max_hamming=3, cap=400,
+                                        n=n_docs), sh),
         _completeness_row(
             "embed_ivf_complete",
-            sampled_exact_cosine_pairs(emb, threshold=0.45, cap=512), el,
+            sampled_exact_cosine_pairs(emb, threshold=0.45, cap=512,
+                                       n=n_emb), el,
             tol_frac=0.1),
     ]
     out = checks[0]
