@@ -605,3 +605,27 @@ def test_prepared_plan_cache_semantics(spark):
     a = qs["q_upsert_roundtrip"](spark, SF)
     b = qs["q_upsert_roundtrip"](spark, SF)
     assert a is not b
+
+
+def test_completeness_row_falsifies(spark):
+    """The self-validating verdict machinery must actually trip: missing
+    pairs beyond tolerance -> 'missed', empty/vacuous inputs -> not 'ok'
+    (a silently-broken sampler cannot produce a green row)."""
+    import __spark_entry__ as ent
+
+    exact = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    partial = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+
+    ok = ent._completeness_row("x", exact, exact).collect()[0]
+    assert (ok["violations"], ok["verdict"]) == (0, "ok")
+
+    missed = ent._completeness_row("x", exact, partial).collect()[0]
+    assert missed["verdict"] == "missed" and missed["violations"] == 1
+
+    tolerated = ent._completeness_row("x", exact, partial,
+                                      tol_frac=0.5).collect()[0]
+    assert tolerated["verdict"] == "ok"
+
+    vacuous = ent._completeness_row("x", empty, empty).collect()[0]
+    assert vacuous["verdict"] == "missed"     # nonemptiness guard trips
