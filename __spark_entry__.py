@@ -973,10 +973,14 @@ def dp_neardup_scale(spark, sf_dir):
     every path's last rung IS the exact metric filter (rung-3 Jaccard /
     hamming <= r / exact cosine), so false positives cannot exist; the
     unproven direction is completeness, which these rows falsify:
-    * minhash: every exact char-5-gram-Jaccard >= 0.5 pair inside a
-      deterministic 400-doc subsample must appear (fixture dup pairs sit at
-      j >= 0.92 where 8x4-band detection probability is ~1 — missing one
-      means the banding broke, not bad luck);
+    * minhash: every exact char-5-gram-Jaccard >= 0.85 pair inside a
+      deterministic 400-doc subsample must appear in the threshold-0.5 LSH
+      output.  The oracle bar sits at 0.85 ON PURPOSE (round-4 advice): at
+      j=0.85 the 8x4-band detection probability is ~0.997 and the fixture
+      dup pairs sit at j >= 0.92 where it is ~1, so tol_frac=0 is a regime
+      guarantee, not a fixture accident — at 0.5 (the old bar) band
+      detection is only ~40% and any future mid-similarity pair would flip
+      the row although the pipeline behaves as designed;
     * simhash: pigeonhole blocks are deterministically complete for
       hamming <= 3, so tolerance is 0 by mathematics, not tuning;
     * embed_ivf: k=16/m=4 multi-assignment holds recall >= 0.9 on the
@@ -989,7 +993,7 @@ def dp_neardup_scale(spark, sf_dir):
                                              sampled_exact_cosine_pairs,
                                              sampled_exact_hamming_pairs,
                                              sampled_exact_jaccard_pairs,
-                                             simhash_near_pairs)
+                                             simhash, simhash_near_pairs)
 
     docs = _docs(spark, sf_dir)
     emb = _emb(spark, sf_dir)
@@ -1001,25 +1005,34 @@ def dp_neardup_scale(spark, sf_dir):
     try:
         mh = minhash_dedup_pairs(docs, threshold=0.5,
                                  artifacts=arts).select("id_a", "id_b")
+        # oracle bar 0.85 >> pipeline bar 0.5: see docstring (robustness to
+        # mid-similarity pairs where band detection is genuinely <1)
         ex_mh = sampled_exact_jaccard_pairs(
-            docs, threshold=0.5, cap=400, hashed=arts, n=n_docs)
+            docs, threshold=0.85, cap=400, hashed=arts, n=n_docs)
     finally:
         arts.unpersist()
     # radius 3 -> 4 x 16-bit blocks: background (blk,bval) collisions are
     # ~N^2/2^16 instead of ~N^2/2^7 at radius 8 — the standard near-dup
-    # radius for 64-bit simhash keeps candidate generation sparse
-    sh = simhash_near_pairs(docs, max_hamming=3).select("id_a", "id_b")
+    # radius for 64-bit simhash keeps candidate generation sparse.  One
+    # materialized (id, simhash) frame feeds the pigeonhole pipeline AND
+    # the sampled brute oracle — the audit targets the BLOCK LAYOUT, which
+    # the brute hamming join never touches, so sharing signature values
+    # keeps it falsifiable for the thing under test.
+    sigs = (simhash(docs).withColumnRenamed("doc_id", "id")
+            .localCheckpoint(eager=True))
+    sh = simhash_near_pairs(docs, max_hamming=3,
+                            sigs=sigs).select("id_a", "id_b")
     # SRP-LSH replaced by IVF multi-assignment for the moderate-threshold
     # regime: measured SRP recall at cos>=0.45 was 7% (63° pairs disagree on
     # ~n_planes/3 bits — unprunable); IVF k=16/m=4 measures 0.99-1.0
-    el = embedding_neardup_pairs_ivf(emb, threshold=0.45).select(
+    el = embedding_neardup_pairs_ivf(emb, threshold=0.45, n=n_emb).select(
         "id_a", "id_b").localCheckpoint(eager=True)
     checks = [
         _completeness_row("minhash_complete", ex_mh, mh),
         _completeness_row(
             "simhash_complete",
             sampled_exact_hamming_pairs(docs, max_hamming=3, cap=400,
-                                        n=n_docs), sh),
+                                        n=n_docs, sigs=sigs), sh),
         _completeness_row(
             "embed_ivf_complete",
             sampled_exact_cosine_pairs(emb, threshold=0.45, cap=512,

@@ -350,10 +350,19 @@ def sampled_exact_jaccard_pairs(df: DataFrame, text_col: str = "text",
     subsample — the bounded completeness oracle for the MinHash LSH path
     (same shingle/hash definition as ``minhash_dedup_pairs`` rung 3, so
     'sampled exact pairs ⊆ LSH output' must hold up to ~2e-5 hash-collision
-    noise on the Jaccard value).  cap^2/2 array intersections spread over the
-    cluster; cost is constant in corpus size.  Pass ``hashed`` (an (id, hs)
-    frame, e.g. ``minhash_artifacts``) to reuse the pipeline's shingle scan
-    instead of re-shingling the sample."""
+    noise on the Jaccard value).  Pass ``hashed`` (an (id, hs) frame, e.g.
+    ``minhash_artifacts``) to reuse the pipeline's shingle scan instead of
+    re-shingling the sample.
+
+    The cap^2/2 exact intersections run as ONE numpy set-membership matmul
+    inside a single ``applyInPandas`` task (sample x vocab binary matrix,
+    Gram product = pairwise intersection sizes) — the per-pair Catalyst
+    ``array_intersect`` self-join this replaces cost ~1.8 s at cap 400
+    (80k generic-array hash builds) vs ~0.2 s for the matmul, identical
+    results.  Bounded by construction: cap rows x sample vocab floats is the
+    whole working set, constant in corpus size."""
+    import numpy as np
+
     from .simsearch import sample_rows
 
     if hashed is not None:
@@ -361,31 +370,68 @@ def sampled_exact_jaccard_pairs(df: DataFrame, text_col: str = "text",
     else:
         sampled = sample_rows(df, cap, id_col, n=n)
         src = hashed_shingle_sets(sampled, text_col, id_col, k)
-    # materialize the <=cap hashed sets once: the pair self-join reads both
-    # sides and would otherwise run the shingle chain per side
+    # materialize the <=cap hashed sets once while any upstream persist is
+    # live; the matmul task reads the checkpoint, not the shingle chain
     hs = src.localCheckpoint(eager=True)
-    a, b = hs.alias("a"), hs.alias("b")
-    return (a.join(b, F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    F.round(jaccard(F.col("a.hs"), F.col("b.hs")), 6)
-                    .alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold))
+    id_type = hs.schema["id"].dataType
+    out_schema = T.StructType([
+        T.StructField("id_a", id_type),
+        T.StructField("id_b", id_type),
+        T.StructField("jaccard", T.DoubleType()),
+    ])
+
+    def pair_jaccard(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        pdf = pdf.sort_values("id")  # id_a < id_b matches the join ordering
+        ids = pdf["id"].to_numpy()
+        sets = [np.asarray(h if h is not None else [], dtype=np.int64)
+                for h in pdf["hs"]]
+        sizes = np.array([len(s) for s in sets], dtype=np.int64)
+        nrows = len(ids)
+        if sizes.sum() == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        _, inv = np.unique(np.concatenate(sets), return_inverse=True)
+        M = np.zeros((nrows, int(inv.max()) + 1), dtype=np.float32)
+        M[np.repeat(np.arange(nrows), sizes), inv] = 1.0
+        inter = (M @ M.T).astype(np.int64)
+        union = sizes[:, None] + sizes[None, :] - inter
+        jac = np.round(inter / np.maximum(union, 1), 6)
+        a, b = np.triu_indices(nrows, 1)
+        keep = jac[a, b] >= threshold
+        return pd.DataFrame({"id_a": ids[a[keep]], "id_b": ids[b[keep]],
+                             "jaccard": jac[a[keep], b[keep]]})
+
+    def pair_jaccard_of_group(_key, pdf):  # unhinted 2-arg: no hint warning
+        return pair_jaccard(pdf)
+
+    return (hs.groupBy(F.lit(0).alias("__g"))
+            .applyInPandas(pair_jaccard_of_group, out_schema))
 
 
 def sampled_exact_hamming_pairs(df: DataFrame, text_col: str = "text",
                                 id_col: str = "doc_id",
                                 max_hamming: int = 3, cap: int = 400,
-                                n: Optional[int] = None) -> DataFrame:
+                                n: Optional[int] = None,
+                                sigs: Optional[DataFrame] = None) -> DataFrame:
     """Exact SimHash-hamming pairs within a deterministic <=``cap``-doc
     subsample — the bounded completeness oracle for the pigeonhole-block
     path (which is deterministically complete, so missed pairs here mean a
-    broken block layout, not probabilistic bad luck)."""
+    broken block layout, not probabilistic bad luck).
+
+    Pass ``sigs`` (the pipeline's materialized (id, simhash) frame) to skip
+    a second scan+signature pass: the oracle audits the BLOCK LAYOUT — the
+    brute hamming join below never looks at blocks — so sharing the
+    signature values keeps the check falsifiable for the thing it tests."""
     from .simsearch import sample_rows
 
-    # materialized once (id + one long per sampled doc): the brute pair
-    # self-join reads both sides
-    sigs = simhash(sample_rows(df, cap, id_col, n=n), text_col, id_col) \
-        .withColumnRenamed(id_col, "id").localCheckpoint(eager=True)
+    if sigs is not None:
+        sigs = sample_rows(sigs.select("id", "simhash"), cap, "id", n=n)
+    else:
+        # materialized once (id + one long per sampled doc): the brute pair
+        # self-join reads both sides
+        sigs = simhash(sample_rows(df, cap, id_col, n=n), text_col, id_col) \
+            .withColumnRenamed(id_col, "id").localCheckpoint(eager=True)
     a, b = sigs.alias("a"), sigs.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (a.join(b, F.col("a.id") < F.col("b.id"))
@@ -445,7 +491,8 @@ def simhash(df: DataFrame, text_col: str = "text",
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                       id_col: str = "doc_id", max_hamming: int = 3,
+                       sigs: Optional[DataFrame] = None) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance.
 
     Candidate generation: split the 64-bit signature into ``max_hamming + 1``
@@ -454,6 +501,12 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     block_value), not all pairs.  Deriving the block count from the caller's
     radius keeps candidate generation COMPLETE for any max_hamming (the old
     fixed 4x16 layout silently missed pairs beyond hamming 3).
+
+    Pass ``sigs`` (a materialized (id, simhash) frame, see ``simhash``) to
+    reuse one signature scan across the pipeline AND its sampled-oracle
+    audit — the signature function is the shared *definition* of distance,
+    so sharing it keeps the audit's independence where it matters: the
+    block layout under test.
     """
     n_blocks = max_hamming + 1
     if n_blocks > 64:
@@ -470,8 +523,9 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     # materialize signatures once: both sides of the self-join would
     # otherwise recompute the scan + signature UDF (the frame is tiny —
     # id + one long per doc)
-    sigs = (simhash(df, text_col, id_col).withColumnRenamed(id_col, "id")
-            .localCheckpoint(eager=True))
+    if sigs is None:
+        sigs = (simhash(df, text_col, id_col).withColumnRenamed(id_col, "id")
+                .localCheckpoint(eager=True))
     blocks = sigs.select(
         "id", "simhash",
         F.explode(F.array(*[
@@ -555,7 +609,8 @@ def embedding_neardup_pairs_ivf(df: DataFrame, vec_col: str = "embedding",
                                 id_col: str = "vec_id",
                                 threshold: float = 0.45,
                                 n_centroids: int = 16, m_assign: int = 4,
-                                seed: int = 7) -> DataFrame:
+                                seed: int = 7,
+                                n: Optional[int] = None) -> DataFrame:
     """Moderate-threshold scale path: IVF multi-assignment candidates.
 
     SRP-LSH pruning collapses at moderate cosine thresholds (a 0.45 pair sits
@@ -580,7 +635,7 @@ def embedding_neardup_pairs_ivf(df: DataFrame, vec_col: str = "embedding",
 
     from .simsearch import assign_cells, kmeans_fit
 
-    centers = kmeans_fit(df, n_centroids, vec_col, id_col, seed)
+    centers = kmeans_fit(df, n_centroids, vec_col, id_col, seed, n=n)
     # one shuffle: vectors move to their <= m_assign cells (row bytes x m,
     # NOT bytes x pairs); each cell verifies its own members with a single
     # numpy Gram matrix, so the exact-cosine work never ships per-pair
@@ -599,7 +654,10 @@ def embedding_neardup_pairs_ivf(df: DataFrame, vec_col: str = "embedding",
         T.StructField("cos", T.DoubleType()),
     ])
 
-    def verify_cell(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+    # no type hints on purpose: a partially-hinted (key, pdf) signature makes
+    # pandas_udf inference emit a UserWarning per call; unhinted 2-arg infers
+    # cleanly as grouped-map
+    def verify_cell(_key, pdf):
         if len(pdf) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
         pdf = pdf.sort_values("id")
@@ -656,11 +714,16 @@ def sampled_exact_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
         return pd.DataFrame({"id_a": ids[a[keep]], "id_b": ids[b[keep]],
                              "cos": cos[a[keep], b[keep]]})
 
+    # unhinted 2-arg wrapper: grouped-map infers cleanly without the
+    # type-hint UserWarning a partially-hinted signature triggers
+    def gram_of_group(_key, pdf):
+        return gram(pdf)
+
     sampled = sample_rows(df.select(F.col(id_col).cast("long").alias("__id"),
                                     F.col(vec_col).alias("__v")),
                           cap, "__id", n=n)
     return (sampled.groupBy(F.lit(0).alias("__g"))
-            .applyInPandas(lambda _, pdf: gram(pdf), out_schema))
+            .applyInPandas(gram_of_group, out_schema))
 
 
 def embedding_neardup_pairs_lsh(df: DataFrame, vec_col: str = "embedding",

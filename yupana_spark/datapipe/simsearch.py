@@ -106,34 +106,47 @@ def lsh_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
 # ---------------------------------------------------------------------------
 def sample_rows(df: DataFrame, cap: int, id_col: str,
                 n: Optional[int] = None) -> DataFrame:
-    """Deterministic ~``cap``-row subsample by id hash.
+    """Deterministic <=``cap``-row subsample: the ``cap`` lowest id-hashes.
 
     The 100 TB posture: training/verification artifacts are fit on a BOUNDED
-    sample, never the corpus — the filter is a pure row-local hash compare
-    (no shuffle, no sort, reproducible across cluster layouts).  Pass ``n``
-    when the caller already knows the row count (skips the count job).
+    sample, never the corpus.  A row-local hash-fraction filter alone gives
+    ~cap rows only in expectation (the bound would be soft — binomial
+    spread); the hard bound comes from ``orderBy(hash).limit(cap)``, which
+    the planner runs as TakeOrderedAndProject: per-partition top-``cap``
+    heaps merged once, no full sort materialization, deterministic across
+    cluster layouts (hash ties broken by id).  The 4x-margin pre-filter
+    keeps the heap input at ~4·cap expected rows so the top-k never scans
+    the corpus ordering.  Pass ``n`` when the caller already knows the row
+    count (skips the count job).
     """
     if n is None:
         n = df.count()
     if n <= cap:
         return df
-    frac = int(cap * 1_000_000 // n)
-    return df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000))
-                     < F.lit(frac))
+    h = F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000))
+    # pre-filter to ~4*cap expected rows (row-local, pushes into the scan),
+    # then take the cap lowest hashes for a HARD deterministic bound
+    frac = min(int(4 * cap * 1_000_000 // n) + 1, 1_000_000)
+    return (df.filter(h < F.lit(frac))
+            .orderBy(h.asc(), F.col(id_col).asc())
+            .limit(cap))
 
 
 def kmeans_fit(df: DataFrame, n_centroids: int, vec_col: str = "embedding",
                id_col: str = "vec_id", seed: int = 42,
-               sample_cap: int = 4096, iters: int = 20) -> np.ndarray:
+               sample_cap: int = 4096, iters: int = 20,
+               n: Optional[int] = None) -> np.ndarray:
     """Driver-side Lloyd's KMeans on a bounded deterministic sample.
 
     At corpus scale a distributed KMeans over every row is wasted work — the
     centroids converge on a ~4k sample.  The collect is BOUNDED by
     ``sample_cap`` (cap * dim float64 ≈ 2 MB at dim 64) and sorted by id so
     the fit is independent of partition/collect order.  Returns the
-    (n_centroids, dim) center matrix, to be closed over / broadcast.
+    (n_centroids, dim) center matrix, to be closed over / broadcast.  Pass
+    ``n`` when the caller already knows the corpus row count (skips the
+    sampler's count job).
     """
-    pdf = (sample_rows(df.select(id_col, vec_col), sample_cap, id_col)
+    pdf = (sample_rows(df.select(id_col, vec_col), sample_cap, id_col, n=n)
            .toPandas().sort_values(id_col))
     X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     rng = np.random.RandomState(seed)
