@@ -708,18 +708,25 @@ def _docs(spark, sf_dir, fan_out: bool = False):
     zero shuffles."""
     from yupana_spark.datapipe.dedup import _fan_out
     from yupana_spark.schema import cached_parquet
-    from yupana_spark.session import ensure_engine_confs
+    from yupana_spark.session import ensure_engine_confs, tune_for_volume
 
     ensure_engine_confs(spark)
+    # datapipe operators are COMPUTE-bound (shingling, signatures, Gram
+    # blocks): parallelism must track CPUs, not input bytes — always pin
+    # the full AQE posture here, never the small-input fast path a prior
+    # relational query may have left set (measured: the byte-based gate
+    # cost dp_embed_neardup ~35% by shrinking the theta-join parallelism)
+    tune_for_volume(spark, 1 << 62)
     df = cached_parquet(spark, f"{sf_dir}/documents.parquet")
     return _fan_out(df) if fan_out else df
 
 
 def _emb(spark, sf_dir):
     from yupana_spark.schema import cached_parquet
-    from yupana_spark.session import ensure_engine_confs
+    from yupana_spark.session import ensure_engine_confs, tune_for_volume
 
     ensure_engine_confs(spark)
+    tune_for_volume(spark, 1 << 62)  # compute-bound: see _docs
     return cached_parquet(spark, f"{sf_dir}/embeddings.parquet")
 
 

@@ -23,6 +23,7 @@ whole-stage codegen); the only Python UDF is ``tokens`` (the RU stemmer).
 from __future__ import annotations
 
 import datetime as _dt
+import os
 from dataclasses import dataclass, field
 from decimal import Decimal
 from typing import Any, Dict, List, Optional, Sequence
@@ -399,6 +400,12 @@ class Tsdb:
         from .operators.metrics import REGISTRY
 
         try:
+            # mirror the _wh_maybe guard: read-only instances (no live
+            # warehouse, no explicit root) must not materialize a tmpdir
+            # warehouse just to write metrics nobody can read back — the
+            # in-memory REGISTRY still serves SHOW QUERIES for them
+            if self._wh_maybe is None:
+                return
             m = REGISTRY.get(qid)
             if m is not None:
                 self.metrics_store.persist(m)
@@ -421,6 +428,39 @@ class Tsdb:
             return wh.read(table)
         return self.schema.load(self.spark, self.sf_dir, table,
                                 time_bounds=time_bounds)
+
+    # -- static small-input tuning -------------------------------------------
+    _BYTES_CACHE: Dict[tuple, int] = {}
+
+    def _table_bytes(self, table: str) -> int:
+        """On-disk bytes of a table's source (memoized); 'unknown' counts as
+        big so the AQE posture is kept whenever we can't cheaply tell."""
+        key = (self.sf_dir, self._warehouse_root, table)
+        b = Tsdb._BYTES_CACHE.get(key)
+        if b is None:
+            b = 1 << 62
+            try:
+                t = self.schema.table(table)
+                path = os.path.join(self.sf_dir, t.path or f"{table}.parquet")
+                wh = self._wh_maybe
+                if wh is not None and wh.exists(table):
+                    path = wh.path(table)
+                if os.path.isdir(path):
+                    b = sum(e.stat().st_size for e in os.scandir(path)
+                            if e.is_file())
+                else:
+                    b = os.path.getsize(path)
+            except OSError:
+                pass
+            Tsdb._BYTES_CACHE[key] = b
+        return b
+
+    def _tune_for_volume(self, nbytes: int) -> None:
+        """Static small-input fast path vs AQE posture — see
+        session.tune_for_volume for the rationale and measurements."""
+        from .session import tune_for_volume
+
+        tune_for_volume(self.spark, nbytes)
 
     # -- binding (TsdbBase.fillPlaceholders:293-309) -------------------------
     def _bind(self, e: Expr, params: Optional[Sequence[Any]]) -> Expr:
@@ -500,6 +540,7 @@ class Tsdb:
         q = optimize(q)
         validate(q, require_time_bounds=require_time_bounds)
         table = self.schema.table(q.table)
+        self._tune_for_volume(self._table_bytes(q.table))
         ec = ExpressionCompiler(table, tokenizer=self.schema.tokenizer,
                                 dict_ids=self._resolve_dictionaries(q, table))
 

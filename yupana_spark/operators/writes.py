@@ -187,14 +187,28 @@ class Warehouse:
                             f"{dim}.parquet")
 
     def load_dictionary(self, table: str, dim: str):
-        """{value: id} for a persisted ingest-time dictionary, or None."""
+        """{value: id} for a persisted ingest-time dictionary, or None
+        (never ingested, or demoted after outgrowing DICT_CAP)."""
         import pyarrow.parquet as pq
 
         path = self.dict_path(table, dim)
-        if not os.path.exists(path):
+        if os.path.exists(path + ".demoted") or not os.path.exists(path):
             return None
         d = pq.read_table(path).to_pydict()
         return dict(zip(d["value"], d["id"]))
+
+    def _demote_dictionary(self, table: str, dim: str) -> None:
+        """A dim that outgrew DICT_CAP is not dictionary-shaped: DELETE the
+        persisted mapping (so every value falls back to one consistent id
+        rule instead of a silent dense-ids-for-old / hash-ids-for-new mix —
+        round-4 advice) and leave a marker so later batches never re-seed."""
+        path = self.dict_path(table, dim)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path + ".demoted", "w") as fh:
+            fh.write("dictionary demoted: exceeded DICT_CAP "
+                     f"{self.DICT_CAP}\n")
+        if os.path.exists(path):
+            os.remove(path)
 
     def _update_dictionaries(self, t: Table, current: DataFrame,
                              incoming: DataFrame) -> None:
@@ -216,11 +230,14 @@ class Warehouse:
         for d in t.dimensions:
             if d.kind != "dictionary" or d.name not in incoming.columns:
                 continue
+            if os.path.exists(self.dict_path(t.name, d.name) + ".demoted"):
+                continue  # permanently hash-surrogate; never re-seed
             mapping = self.load_dictionary(t.name, d.name)
             if mapping is None:
                 seed = (current.select(d.name).distinct()
                         .limit(self.DICT_CAP + 1).collect())
                 if len(seed) > self.DICT_CAP:
+                    self._demote_dictionary(t.name, d.name)
                     continue
                 ordered = sorted(r[0] for r in seed if r[0] is not None)
                 mapping = {v: i + 1 for i, v in enumerate(ordered)}
@@ -229,6 +246,7 @@ class Warehouse:
             fresh = sorted(r[0] for r in new
                            if r[0] is not None and r[0] not in mapping)
             if len(mapping) + len(fresh) > self.DICT_CAP:
+                self._demote_dictionary(t.name, d.name)
                 continue
             next_id = max(mapping.values(), default=0) + 1
             for v in fresh:

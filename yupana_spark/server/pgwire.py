@@ -191,6 +191,7 @@ class _Conn(socketserver.BaseRequestHandler):
         # deregister this backend's cancel key whatever way handle() exited
         if self._pid is not None:
             self.server.cancel_keys.pop((self._pid, self._secret), None)
+            self.server.cancelled_groups.discard(self._group)
         super().finish()
 
     # -- low-level reads ----------------------------------------------------
@@ -224,6 +225,9 @@ class _Conn(socketserver.BaseRequestHandler):
                 pid, secret = struct.unpack_from("!II", body, 4)
                 group = self.server.cancel_keys.get((pid, secret))
                 if group is not None:
+                    # flag BEFORE cancelling: the target thread may hit the
+                    # aborted-job exception the moment the group dies
+                    self.server.cancelled_groups.add(group)
                     try:
                         self.server.tsdb.spark.sparkContext \
                             .cancelJobGroup(group)
@@ -425,7 +429,21 @@ class _Conn(socketserver.BaseRequestHandler):
                 return
             except Exception as exc:  # engine/protocol error -> ErrorResponse
                 msg = str(exc)
-                canceled = "cancel" in msg.lower()
+                # real cancellation only: either THIS connection's group was
+                # flagged by the CancelRequest path, or the exception is
+                # Spark's own job-group-cancelled abort (server-side KILL).
+                # A bare 'cancel' substring match would rewrite ordinary
+                # engine errors that merely mention e.g. a 'cancelled'
+                # column and mislead drivers that treat SQLSTATE 57014
+                # specially (round-4 advice).
+                canceled = self._group in self.server.cancelled_groups
+                if canceled:
+                    self.server.cancelled_groups.discard(self._group)
+                else:
+                    low = msg.lower()
+                    canceled = ("cancelled as part of cancellation of "
+                                in low) or ("cancelled part of cancelled "
+                                            "job group" in low)
                 self._send_error("canceling statement due to user request"
                                  if canceled else msg,
                                  _ERR_CANCELED if canceled else _ERR_SYNTAX)
@@ -594,6 +612,9 @@ class PgWireServer:
             users = outer.users
             # (pid, secret) -> Spark job group, for CancelRequest routing
             cancel_keys: Dict[Tuple[int, int], str] = {}
+            # job groups a CancelRequest has fired on — the dedicated signal
+            # the error path checks, instead of guessing from message text
+            cancelled_groups: set = set()
 
         self._srv = _Server((self.host, self.port), _Conn)
         self.port = self._srv.server_address[1]
