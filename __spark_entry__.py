@@ -74,16 +74,38 @@ def _prepared(fn):
     cached DataFrame is LAZY and never persisted: every execution still runs
     the full scan->aggregate plan.  Write entries and datapipe entries with
     eager build steps (persist / localCheckpoint / kmeans_fit) are NOT
-    wrapped, so benchmarks keep timing their real work."""
+    wrapped, so benchmarks keep timing their real work.
+
+    Execution-posture snapshot: ``tune_for_volume`` flips session confs
+    (AQE on/off, reduce partitions) at BUILD time, but Spark reads them at
+    ACTION time — so on a cache hit the entry would otherwise execute under
+    whatever posture the previous query left behind (a dp_* entry pinning
+    the full-AQE posture would undo the small-input fast path for every
+    cached relational query in a bench loop).  The wrapper snapshots the two
+    gated keys right after the first build and re-applies them on every hit:
+    each prepared plan executes under the posture its own volume gate chose."""
     import functools
+
+    _GATED = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
 
     @functools.wraps(fn)
     def wrap(spark, sf_dir):
         key = (spark.sparkContext.applicationId, sf_dir, fn.__name__)
-        df = _PLAN_CACHE.get(key)
-        if df is None:
+        hit = _PLAN_CACHE.get(key)
+        if hit is None:
             df = fn(spark, sf_dir)
-            _PLAN_CACHE[key] = df
+            try:
+                posture = tuple((k, spark.conf.get(k)) for k in _GATED)
+            except Exception:  # noqa: BLE001 — posture replay is best-effort
+                posture = ()
+            _PLAN_CACHE[key] = (df, posture)
+            return df
+        df, posture = hit
+        for k, v in posture:
+            try:
+                spark.conf.set(k, v)
+            except Exception:  # noqa: BLE001
+                pass
         return df
 
     return wrap
@@ -500,15 +522,29 @@ def q_split_tokens(spark, sf_dir):
 # warehouse overlaying the read-only sf_dir
 # ---------------------------------------------------------------------------
 def q_upsert_roundtrip(spark, sf_dir):
+    """Bundle: scripted UPSERT -> read-back (last-write-wins, §2.1) + the
+    SHOW UPDATES_INTERVALS changelog the write produced
+    (UpdatesIntervalsProvider.scala:1-142).  The changelog's deterministic
+    projection (table:day, one row per rewritten day bucket) rides along as
+    kind='interval' rows; updated_at is wall-clock and stays out of the
+    driver-facing shape."""
     tsdb = _tsdb_fresh(spark, sf_dir)
     tsdb.sql(
         "UPSERT INTO events (time, event_id, user_id, event_type, value) VALUES "
         "(TIMESTAMP '2024-03-01 10:00:00', 900001, 1, 'upserted', 1.5), "
         "(TIMESTAMP '2024-03-01 11:00:00', 900002, 2, 'upserted', 2.5), "
         "(TIMESTAMP '2024-03-01 11:00:00', 900002, 2, 'upserted', 3.5)")
-    return tsdb.sql(
+    rows = tsdb.sql(
         "SELECT event_id, event_type, value FROM events "
-        "WHERE time >= TIMESTAMP '2024-03-01' AND time < TIMESTAMP '2024-03-02'")
+        "WHERE time >= TIMESTAMP '2024-03-01' AND time < TIMESTAMP '2024-03-02'"
+    ).select(F.lit("row").alias("kind"), "event_id", "event_type", "value")
+    iv = tsdb.sql("SHOW UPDATES_INTERVALS").select(
+        F.lit("interval").alias("kind"),
+        F.lit(-1).cast("long").alias("event_id"),
+        F.concat(F.col("table_name"), F.lit(":"),
+                 F.date_format("day", "yyyy-MM-dd")).alias("event_type"),
+        F.lit(None).cast("double").alias("value"))
+    return rows.unionByName(iv)
 
 
 def q_rollup_by_month(spark, sf_dir):
@@ -636,26 +672,30 @@ def q_tpch_q19_like(spark, sf_dir):
 
 
 def q_inverted_index(spark, sf_dir):
-    """Inverted-index text semi-join (ItemsInvertedIndexImpl.scala:109-169):
-    phrase with a stemmed word + a prefix term, via YupanaQL."""
-    return _tsdb(spark, sf_dir).sql(
+    """Bundle: inverted-index text SEMI-join (stemmed word + `pre%` prefix
+    term via YupanaQL) and the ANTI-join form (NOT IN -> DimIdNotInExpr) as
+    one (mode, l_returnflag, cnt, sum_qty) result (was q_inverted_index +
+    q_inverted_index_not; ItemsInvertedIndexImpl.scala:109-169)."""
+    tsdb = _tsdb(spark, sf_dir)
+    semi = tsdb.sql(
         "SELECT l_returnflag, count(l_orderkey) AS cnt, "
         "  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty "
         "FROM lineitem "
         "WHERE time >= TIMESTAMP '1995-01-01' AND time < TIMESTAMP '2002-01-01' "
         "AND ItemsInvertedIndex_phrase = 'red wid%' "
-        "GROUP BY l_returnflag")
-
-
-def q_inverted_index_not(spark, sf_dir):
-    """Anti-join form: phrase <> / NOT IN -> DimIdNotInExpr."""
+        "GROUP BY l_returnflag"
+    ).select(F.lit("semi").alias("mode"), "l_returnflag", "cnt", "sum_qty")
     q = query(
         "lineitem", FROM, TO,
         fields=[(E.count(E.Field("l_orderkey")), "cnt")],
         filter=E.In(E.LinkField("ItemsInvertedIndex", "phrase"),
                     ("bolt", "gear"), negated=True),
     )
-    return _tsdb(spark, sf_dir).query(q)
+    anti = tsdb.query(q).select(
+        F.lit("anti").alias("mode"),
+        F.lit(None).cast("string").alias("l_returnflag"),
+        "cnt", F.lit(None).cast("double").alias("sum_qty"))
+    return semi.unionByName(anti)
 
 
 def q_related_items(spark, sf_dir):
@@ -694,6 +734,72 @@ def q_session_windows(spark, sf_dir):
         (F.col("time") >= F.lit(EV_FROM)) & (F.col("time") < F.lit(EV_TO)))
     return sessionize(events, gap="30 minutes", key_cols=["user_id"]) \
         .select("user_id", "session_start", "n_events")
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Watermark-bounded streaming exact dedup, made driver-falsifiable
+    (round-4 verdict ask #5): a REAL Structured Streaming run — file source
+    over a doubled slice of the events fixture, ``stream_dedup``
+    (withWatermark + dropDuplicatesWithinWatermark, streaming/ingest.py),
+    availableNow trigger, memory sink — then conservation checks the oracle
+    recomputes exactly on DuckDB:
+
+    * distinct_keys: the streamed output's row count must equal DuckDB's
+      count(DISTINCT event_id) over the same slice — dropped or double-kept
+      keys flip the hash;
+    * dup_rows_in_output: output rows minus distinct keys in the output must
+      be 0 — the dedup guarantee itself;
+    * saw_duplicates: the doubled input must exceed the distinct count
+      (guards against a vacuously-green check on an accidentally-empty or
+      pre-unique source).
+
+    The watermark horizon (10 years) exceeds the slice span so no row is
+    late; state is still evicted by event time at production horizons — the
+    property that keeps an always-on ingest alive (§2.9 extension; the
+    reference's streaming surface is upsert ingestion only,
+    yupana-spark/.../ETLFunctions.scala)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from yupana_spark.session import ensure_engine_confs, tune_for_volume
+    from yupana_spark.streaming.ingest import stream_dedup
+
+    ensure_engine_confs(spark)
+    tune_for_volume(spark, 1 << 62)
+    src = (spark.read.parquet(f"{sf_dir}/events.parquet")
+           .filter((F.col("ts") >= F.lit(EV_FROM))
+                   & (F.col("ts") < F.lit(dt.datetime(2024, 1, 8))))
+           # withWatermark requires TIMESTAMP (LTZ); the fixture reads as
+           # NTZ and the session timezone is pinned UTC, so the cast is
+           # value-preserving
+           .select(F.col("ts").cast("timestamp").alias("time"), "event_id",
+                   "user_id", "event_type", "value"))
+    srcdir = tempfile.mkdtemp(prefix="ystream_src_")
+    ckdir = tempfile.mkdtemp(prefix="ystream_ck_")
+    sink = "qsd_" + uuid.uuid4().hex[:8]
+    try:
+        # double every row: the dedup must provably remove something
+        src.unionAll(src).coalesce(4).write.mode("overwrite").parquet(srcdir)
+        stream = spark.readStream.schema(src.schema).parquet(srcdir)
+        out = stream_dedup(stream, ["event_id"], watermark="87600 hours")
+        q = (out.writeStream.format("memory").queryName(sink)
+             .outputMode("append").option("checkpointLocation", ckdir)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = spark.table(sink).select("event_id").cache()
+        n_out = got.count()
+        n_dist = got.select("event_id").distinct().count()
+        n_in = src.unionAll(src).count()
+        got.unpersist()
+    finally:
+        shutil.rmtree(srcdir, ignore_errors=True)
+        shutil.rmtree(ckdir, ignore_errors=True)
+    return spark.createDataFrame(
+        [("distinct_keys", n_out),
+         ("dup_rows_in_output", n_out - n_dist),
+         ("saw_duplicates", 1 if n_in > n_out else 0)],
+        "chk string, val bigint")
 
 
 # ---------------------------------------------------------------------------
@@ -1143,9 +1249,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """50 entries — every one inside the driver's 50-entry window and every
-    one oracled: the three approximate/non-SQL operators (neardup_scale,
-    ann_approx, pack_sequences) emit self-validating verdict rows checked
-    against constant/recomputable DuckDB oracles.
+    one oracled: the approximate/non-SQL operators (neardup_scale,
+    ann_approx, pack_sequences, stream_dedup) emit self-validating verdict
+    rows checked against constant/recomputable DuckDB oracles.
 
     Side-effect-free relational entries go through the ``_prepared`` plan
     cache; write entries (upsert, rollup) and datapipe entries with eager
@@ -1182,10 +1288,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q14_like": q_tpch_q14_like,
         "q_tpch_q19_like": q_tpch_q19_like,
         "q_inverted_index": q_inverted_index,
-        "q_inverted_index_not": q_inverted_index_not,
         "q_related_items": q_related_items,
         "q_dim_ids": q_dim_ids,
         "q_session_windows": q_session_windows,
+        "q_stream_dedup": q_stream_dedup,
         "dp_text_stats": dp_text_stats,
         "dp_lang_id": dp_lang_id,
         "dp_exact_dedup": dp_exact_dedup,
@@ -1202,9 +1308,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_ann_approx": dp_ann_approx,
         "dp_pack_sequences": dp_pack_sequences,
     }
-    uncached = {"q_upsert_roundtrip", "q_rollup_by_month"}
-    return {name: (fn if name in uncached or name.startswith("dp_")
-                   else _prepared(fn))
+    # NOT plan-cached: write entries (private warehouse per call) and dp
+    # entries whose BUILD step is eager work that benchmarks must keep
+    # timing (persist / localCheckpoint loop / sample-fit kmeans / streaming
+    # run) — everything else is a pure lazy plan and re-executes fully from
+    # the cache.
+    uncached = {"q_upsert_roundtrip", "q_rollup_by_month",
+                "dp_neardup_scale", "dp_ann_approx", "dp_dedup_resolve",
+                "dp_pack_sequences", "dp_multimodal", "q_stream_dedup"}
+    return {name: (fn if name in uncached else _prepared(fn))
             for name, fn in raw.items()}
 
 
@@ -1395,12 +1507,13 @@ _ORACLES_REL: dict[str, str] = {
         FROM orders WHERE {_TB_O} GROUP BY 1, 2
     """,
     "q_upsert_roundtrip": """
-        SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+        SELECT kind, CAST(event_id AS BIGINT) AS event_id, event_type,
                CAST(value AS DOUBLE) AS value
         FROM (VALUES
-            (900001, 'upserted', 1.5),
-            (900002, 'upserted', 3.5)
-        ) AS t(event_id, event_type, value)
+            ('row', 900001, 'upserted', 1.5),
+            ('row', 900002, 'upserted', 3.5),
+            ('interval', -1, 'events:2024-03-01', NULL)
+        ) AS t(kind, event_id, event_type, value)
     """,
     "q_rollup_by_month": f"""
         SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS time,
@@ -1492,7 +1605,7 @@ _ORACLES_REL: dict[str, str] = {
                 AND l_quantity BETWEEN 20 AND 50))
     """,
     "q_inverted_index": f"""
-        SELECT l_returnflag, count(l_orderkey) AS cnt,
+        SELECT 'semi' AS mode, l_returnflag, count(l_orderkey) AS cnt,
                CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         FROM lineitem l
         WHERE {_TB} AND l.l_partkey IN (
@@ -1500,10 +1613,10 @@ _ORACLES_REL: dict[str, str] = {
             WHERE list_contains(string_split(p_name, ' '), 'red')
               AND len(list_filter(string_split(p_name, ' '),
                                   x -> x LIKE 'wid%')) > 0)
-        GROUP BY 1
-    """,
-    "q_inverted_index_not": f"""
-        SELECT count(l_orderkey) AS cnt
+        GROUP BY 1, 2
+        UNION ALL
+        SELECT 'anti' AS mode, NULL AS l_returnflag,
+               count(l_orderkey) AS cnt, NULL AS sum_qty
         FROM lineitem l
         WHERE {_TB} AND l.l_partkey NOT IN (
             SELECT p_partkey FROM part
@@ -1550,6 +1663,17 @@ _ORACLES_REL: dict[str, str] = {
         SELECT user_id, min(ts) AS session_start,
                count(*) AS n_events
         FROM y GROUP BY user_id, sid
+    """,
+    # conservation oracle for the streaming dedup run: the streamed output
+    # must carry exactly DuckDB's distinct-key count over the same slice,
+    # zero residual duplicates, and must have actually removed rows
+    "q_stream_dedup": """
+        SELECT 'distinct_keys' AS chk,
+               CAST(count(DISTINCT event_id) AS BIGINT) AS val
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        UNION ALL SELECT 'dup_rows_in_output', 0
+        UNION ALL SELECT 'saw_duplicates', 1
     """,
 }
 _ORACLES_DP: dict[str, str] = {
