@@ -8,9 +8,10 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from yupana_spark.datapipe.multimodal import (decode_bmp, decode_image,
-                                              decode_png, decode_ppm,
-                                              decode_wav, encode_bmp,
+from yupana_spark.datapipe.multimodal import (decode_bmp, decode_gif,
+                                              decode_image, decode_png,
+                                              decode_ppm, decode_wav,
+                                              encode_bmp, encode_gif,
                                               encode_png, encode_ppm,
                                               encode_wav)
 
@@ -122,9 +123,79 @@ def test_png_unsupported_variants_raise():
 def test_unknown_bytes_always_raise(blob):
     # exclude blobs that legitimately start with a supported magic
     if (blob[:2] in (b"BM", b"P6") or blob[:4] == b"RIFF"
-            or blob[:8] == b"\x89PNG\r\n\x1a\n"):
+            or blob[:8] == b"\x89PNG\r\n\x1a\n"
+            or blob[:6] in (b"GIF87a", b"GIF89a")):
         return
     with pytest.raises(NotImplementedError):
         decode_image(blob)
     with pytest.raises(NotImplementedError):
         decode_wav(blob)
+
+
+@settings(max_examples=40, deadline=None)
+@given(images(), st.booleans(), st.integers(min_value=1, max_value=256))
+def test_gif_roundtrip_property(px, interlace, ncol):
+    """Palette GIF roundtrip: random palettes up to 256 colors, interlaced
+    and sequential row order, through the full variable-width LZW."""
+    pal = np.unique(px.reshape(-1, 3), axis=0)[:ncol]
+    idx = (px[:, :, 0].astype(np.int64) * 31 + px[:, :, 1]) % len(pal)
+    img = pal[idx]
+    blob = encode_gif(img, interlace=interlace)
+    assert np.array_equal(decode_gif(blob), img)
+    assert np.array_equal(decode_image(blob), img)  # dispatcher
+
+
+def test_gif_cross_codec_consistency():
+    """The same pixels through BMP, PNG and GIF must decode identically —
+    a container-specific pixel-order/channel bug cannot hide behind its
+    own encoder."""
+    rng = np.random.RandomState(11)
+    pal = rng.randint(0, 256, (200, 3), dtype=np.uint8)
+    px = pal[rng.randint(0, 200, (13, 9))]
+    a = decode_image(encode_bmp(px))
+    b = decode_image(encode_png(px, filter_type=4))
+    c = decode_image(encode_gif(px))
+    assert np.array_equal(a, px)
+    assert np.array_equal(a, b) and np.array_equal(b, c)
+
+
+def test_gif_handcrafted_spec_stream():
+    """Independent of our encoder: a hand-listed LZW code sequence for a
+    2x2 two-color image (clear, four literals with the decoder-side width
+    bump after the table reaches 2^3, end) packed LSB-first per the GIF
+    spec must decode to the hand-computed pixels."""
+    import struct
+
+    # mcs=2: clear=4 end=5; pixels 0,1,1,0
+    # decoder table: 4 literals + 2 slots = 6; after 2nd code len=7,
+    # after 3rd len=8 == 2^3 -> width 3->4 for the remaining codes
+    codes = [(4, 3), (0, 3), (1, 3), (1, 3), (0, 4), (5, 4)]
+    acc = nbits = 0
+    body = bytearray()
+    for code, width in codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            body.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        body.append(acc & 0xFF)
+    blob = (b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x80, 0, 0)
+            + bytes([10, 20, 30, 200, 210, 220])  # 2-entry color table
+            + struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0)
+            + bytes([2, len(body)]) + bytes(body) + b"\x00\x3b")
+    exp = np.array([[[10, 20, 30], [200, 210, 220]],
+                    [[200, 210, 220], [10, 20, 30]]], dtype=np.uint8)
+    assert np.array_equal(decode_gif(blob), exp)
+
+
+def test_gif_unsupported_variants_raise():
+    rng = np.random.RandomState(3)
+    too_many = rng.randint(0, 256, (20, 20, 3), dtype=np.uint8)
+    while len(np.unique(too_many.reshape(-1, 3), axis=0)) <= 256:
+        too_many = rng.randint(0, 256, (30, 30, 3), dtype=np.uint8)
+    with pytest.raises(NotImplementedError):
+        encode_gif(too_many)
+    with pytest.raises(NotImplementedError):
+        decode_gif(b"GIF89a" + b"\x00" * 7)  # no color table, no descriptor

@@ -629,3 +629,24 @@ def test_completeness_row_falsifies(spark):
 
     vacuous = ent._completeness_row("x", empty, empty).collect()[0]
     assert vacuous["verdict"] == "missed"     # nonemptiness guard trips
+
+
+def test_prepared_posture_replay(spark):
+    """A cache hit must re-apply the volume-gated confs captured at build
+    time — another query flipping AQE/shuffle-partitions between calls must
+    not leak its posture into the cached entry's next execution."""
+    import __spark_entry__ as ent
+
+    qs = ent.queries()
+    qs["q_having"](spark, SF)  # build + snapshot
+    snap = {k: spark.conf.get(k)
+            for k in ("spark.sql.adaptive.enabled",
+                      "spark.sql.shuffle.partitions")}
+    # simulate a dp_* entry pinning the opposite posture
+    flipped = "false" if snap["spark.sql.adaptive.enabled"] == "true" else "true"
+    spark.conf.set("spark.sql.adaptive.enabled", flipped)
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(int(snap["spark.sql.shuffle.partitions"]) + 7))
+    qs["q_having"](spark, SF)  # hit -> replay
+    for k, v in snap.items():
+        assert spark.conf.get(k) == v

@@ -93,3 +93,23 @@ def test_stream_dedup(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM sd").collect())
     assert got == [1, 2, 3]  # one row per key within the horizon
+
+
+def test_stream_dedup_entry_verdict(spark):
+    """The driver entry runs a real availableNow streaming query over the
+    doubled events fixture and its conservation rows must agree with a
+    batch-computed exact distinct count."""
+    import __spark_entry__ as ent
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["chk"]: r["val"]
+           for r in ent.queries()["q_stream_dedup"](spark, sf).collect()}
+    exact = (spark.read.parquet(f"{sf}/events.parquet")
+             .filter("ts >= TIMESTAMP '2024-01-01' "
+                     "AND ts < TIMESTAMP '2024-01-08'")
+             .agg(F.countDistinct("event_id").alias("d")).collect()[0]["d"])
+    assert got == {"distinct_keys": exact,
+                   "dup_rows_in_output": 0,
+                   "saw_duplicates": 1}
+    assert exact > 0

@@ -4,9 +4,10 @@ The Spark-side plumbing (schema, partitioning, Arrow batch shapes, UDF
 signatures) is real and tested.  Decoding is REAL for the formats stdlib +
 numpy can handle — 24-bit BMP and binary PPM images (padding, bottom-up
 rows, BGR swizzle), 8-bit gray/RGB/RGBA PNG (zlib inflate + all five
-scanline filters), PCM16 WAV audio (RIFF chunk walk) — and STUBBED with an
-explicit NotImplementedError for formats that need imaging libraries the
-container doesn't ship (JPEG/WebP/FLAC/...).
+scanline filters), palette GIF (full variable-width LZW, interlace,
+local/global color tables), PCM16 WAV audio (RIFF chunk walk) — and STUBBED
+with an explicit NotImplementedError for formats that need imaging libraries
+the container doesn't ship (JPEG/WebP/FLAC/...).
 
 Pattern for 100 TB: media bytes live in their own column (parquet keeps them
 out of unrelated scans via column pruning), metadata in a sibling struct;
@@ -289,9 +290,207 @@ def decode_png(content: bytes):
     return px[:, :, 0] if ch == 1 else px
 
 
+def encode_gif(pixels, interlace: bool = False) -> bytes:
+    """Single-frame GIF89a from an (h, w, 3) RGB uint8 array with <= 256
+    distinct colors — stdlib ``struct`` only (public spec: GIF89a, CompuServe
+    1990; LZW per the spec's variable-code-size scheme, LSB-first packing).
+
+    The palette is built from the image's unique colors (sorted, so the
+    stream is deterministic); ``interlace=True`` writes rows in the spec's
+    four-pass order so the decoder's de-interlace path is testable."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    flat = px.reshape(-1, 3)
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    n_colors = len(palette)
+    if n_colors > 256:
+        raise NotImplementedError(
+            f"GIF encode needs <= 256 distinct colors, got {n_colors}")
+    # color-table size is 2^(depth+1), depth 0..7
+    depth = max(1, (int(n_colors) - 1).bit_length())
+    table = np.zeros((1 << depth, 3), dtype=np.uint8)
+    table[:n_colors] = palette
+    indices = idx.reshape(h, w)
+    if interlace:
+        order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                 + [*range(2, h, 4)] + [*range(1, h, 2)])
+        indices = indices[order]
+
+    # -- LZW compress (variable code width, LSB-first) ----------------------
+    # Width-bump timing: the decoder's dictionary lags the encoder's by one
+    # entry (it can only complete an entry when the NEXT code arrives), so
+    # the encoder grows its code width one entry later than its own count
+    # suggests — when next_code reaches 2^width + 1, which is exactly when
+    # the decoder's table reaches 2^width.  At the 12-bit ceiling the
+    # encoder stops adding and emits a clear at the next miss.
+    mcs = max(2, depth)  # min code size (spec: >= 2)
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    codes = []
+
+    def fresh_dict():
+        return {bytes([i]): i for i in range(1 << mcs)}
+
+    dic, next_code, width = fresh_dict(), end + 1, mcs + 1
+    codes.append((clear, width))
+    seq = b""
+    for pix in indices.reshape(-1).astype(np.uint8).tobytes():
+        cand = seq + bytes([pix])
+        if cand in dic:
+            seq = cand
+            continue
+        codes.append((dic[seq], width))
+        if next_code <= 4095:
+            dic[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:  # table full: spec-mandated reset
+            codes.append((clear, width))
+            dic, next_code, width = fresh_dict(), end + 1, mcs + 1
+        seq = bytes([pix])
+    if seq:
+        codes.append((dic[seq], width))
+    codes.append((end, width))
+    acc = n_bits = 0
+    body = bytearray()
+    for code, cw in codes:
+        acc |= code << n_bits
+        n_bits += cw
+        while n_bits >= 8:
+            body.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+    if n_bits:
+        body.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += table.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
+                       0x40 if interlace else 0)  # image descriptor
+    out.append(mcs)
+    for i in range(0, len(body), 255):  # data sub-blocks
+        block = body[i:i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(content: bytes):
+    """(h, w, 3) RGB uint8 array from the first frame of a GIF87a/89a —
+    stdlib ``struct`` only: global/local color tables, extension skipping,
+    full variable-width LZW (clear/end codes, table growth to 12 bits,
+    mid-stream resets) and four-pass de-interlace."""
+    import struct
+
+    import numpy as np
+
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF stream")
+    w0, h0, flags, _, _ = struct.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(content, dtype=np.uint8, count=n * 3,
+                            offset=pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(content):
+        b0 = content[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while content[pos] != 0:
+                pos += content[pos] + 1
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise NotImplementedError(f"GIF unknown block 0x{b0:02x}")
+        _, _, w, h, iflags = struct.unpack_from("<HHHHB", content, pos)
+        pos += 9
+        table = gct
+        if iflags & 0x80:  # local color table
+            n = 2 << (iflags & 0x07)
+            table = np.frombuffer(content, dtype=np.uint8, count=n * 3,
+                                  offset=pos).reshape(n, 3)
+            pos += n * 3
+        if table is None:
+            raise NotImplementedError("GIF image without a color table")
+        mcs = content[pos]
+        pos += 1
+        data = bytearray()
+        while content[pos] != 0:
+            ln = content[pos]
+            data += content[pos + 1:pos + 1 + ln]
+            pos += ln + 1
+        pos += 1
+
+        # -- LZW decompress ------------------------------------------------
+        # dic is indexed BY code: literals, then two placeholder slots for
+        # clear/end, then one appended entry per decoded code — so
+        # len(dic) is always the next assignable code and the width bump
+        # (len == 2^width) mirrors the encoder exactly.
+        clear, end = 1 << mcs, (1 << mcs) + 1
+        base = [bytes([i]) for i in range(1 << mcs)] + [None, None]
+        dic = list(base)
+        width = mcs + 1
+        out = bytearray()
+        acc = n_bits = 0
+        prev = None
+        done = False
+        for byte in data:
+            if done:
+                break
+            acc |= byte << n_bits
+            n_bits += 8
+            while n_bits >= width:
+                code = acc & ((1 << width) - 1)
+                acc >>= width
+                n_bits -= width
+                if code == clear:
+                    dic, width, prev = list(base), mcs + 1, None
+                    continue
+                if code == end:
+                    done = True
+                    break
+                if prev is None:
+                    entry = dic[code]
+                elif code < len(dic):
+                    entry = dic[code]
+                    dic.append(prev + entry[:1])
+                elif code == len(dic):  # the just-assigned code (KwKwK)
+                    entry = prev + prev[:1]
+                    dic.append(entry)
+                else:
+                    raise NotImplementedError("GIF LZW code out of range")
+                out += entry
+                prev = entry
+                if len(dic) == (1 << width) and width < 12:
+                    width += 1
+        if len(out) < w * h:
+            raise NotImplementedError("GIF pixel data truncated")
+        idx = np.frombuffer(bytes(out[:w * h]), dtype=np.uint8)
+        idx = idx.reshape(h, w)
+        if iflags & 0x40:  # de-interlace: invert the four-pass row order
+            order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                     + [*range(2, h, 4)] + [*range(1, h, 2)])
+            deint = np.zeros_like(idx)
+            deint[order] = idx
+            idx = deint
+        return table[idx]
+    raise NotImplementedError("GIF missing image descriptor")
+
+
 def decode_image(content: bytes):
-    """Dispatch on magic bytes: BMP, P6 PPM and 8-bit PNG decode for real
-    (stdlib + numpy); formats that genuinely need an imaging library
+    """Dispatch on magic bytes: BMP, P6 PPM, 8-bit PNG and GIF decode for
+    real (stdlib + numpy); formats that genuinely need an imaging library
     (JPEG/WebP/...) raise NotImplementedError because the container ships
     none — the stub is honest, the dispatcher is not."""
     if content[:2] == b"BM":
@@ -300,9 +499,11 @@ def decode_image(content: bytes):
         return decode_ppm(content)
     if content[:8] == _PNG_SIG:
         return decode_png(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(content)
     raise NotImplementedError(
-        "only 24-bit BMP, binary PPM and 8-bit PNG decode without imaging "
-        "libraries; use fake_decode_dims for plumbing-only tests"
+        "only 24-bit BMP, binary PPM, 8-bit PNG and GIF decode without "
+        "imaging libraries; use fake_decode_dims for plumbing-only tests"
     )
 
 
