@@ -751,7 +751,12 @@ def q_stream_dedup(spark, sf_dir):
       be 0 — the dedup guarantee itself;
     * saw_duplicates: the doubled input must exceed the distinct count
       (guards against a vacuously-green check on an accidentally-empty or
-      pre-unique source).
+      pre-unique source);
+    * windowed_rows_conserved / windowed_n_windows: a second streaming run
+      (``windowed_counts``: withWatermark + 1-hour tumbling window agg,
+      complete mode so unclosed windows surface too) must account for every
+      input row exactly once and produce exactly DuckDB's count of distinct
+      event hours.
 
     The watermark horizon (10 years) exceeds the slice span so no row is
     late; state is still evicted by event time at production horizons — the
@@ -763,7 +768,7 @@ def q_stream_dedup(spark, sf_dir):
     import uuid
 
     from yupana_spark.session import ensure_engine_confs, tune_for_volume
-    from yupana_spark.streaming.ingest import stream_dedup
+    from yupana_spark.streaming.ingest import stream_dedup, windowed_counts
 
     ensure_engine_confs(spark)
     tune_for_volume(spark, 1 << 62)
@@ -792,13 +797,37 @@ def q_stream_dedup(spark, sf_dir):
         n_dist = got.select("event_id").distinct().count()
         n_in = src.unionAll(src).count()
         got.unpersist()
+
+        # second run: watermarked tumbling-window aggregation over the SAME
+        # files (the un-doubled half is not separable, so the conservation
+        # target is 2x the slice rows); complete mode surfaces the windows
+        # the watermark has not closed yet
+        wsink = "qsw_" + uuid.uuid4().hex[:8]
+        wck = tempfile.mkdtemp(prefix="ystream_wck_")
+        try:
+            stream2 = spark.readStream.schema(src.schema).parquet(srcdir)
+            wq = (windowed_counts(stream2, window="1 hour",
+                                  watermark="2 hours")
+                  .writeStream.format("memory").queryName(wsink)
+                  .outputMode("complete")
+                  .option("checkpointLocation", wck)
+                  .trigger(availableNow=True).start())
+            wq.awaitTermination()
+            wrow = (spark.table(wsink)
+                    .agg(F.sum("cnt").alias("s"),
+                         F.count("*").alias("n")).collect()[0])
+            w_rows, w_wins = int(wrow["s"]), int(wrow["n"])
+        finally:
+            shutil.rmtree(wck, ignore_errors=True)
     finally:
         shutil.rmtree(srcdir, ignore_errors=True)
         shutil.rmtree(ckdir, ignore_errors=True)
     return spark.createDataFrame(
         [("distinct_keys", n_out),
          ("dup_rows_in_output", n_out - n_dist),
-         ("saw_duplicates", 1 if n_in > n_out else 0)],
+         ("saw_duplicates", 1 if n_in > n_out else 0),
+         ("windowed_rows_conserved", w_rows),  # oracle: 2x slice rows
+         ("windowed_n_windows", w_wins)],
         "chk string, val bigint")
 
 
@@ -1668,12 +1697,18 @@ _ORACLES_REL: dict[str, str] = {
     # must carry exactly DuckDB's distinct-key count over the same slice,
     # zero residual duplicates, and must have actually removed rows
     "q_stream_dedup": """
+        WITH s AS (SELECT event_id, ts FROM events
+                   WHERE ts >= TIMESTAMP '2024-01-01'
+                     AND ts < TIMESTAMP '2024-01-08')
         SELECT 'distinct_keys' AS chk,
-               CAST(count(DISTINCT event_id) AS BIGINT) AS val
-        FROM events
-        WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+               CAST(count(DISTINCT event_id) AS BIGINT) AS val FROM s
         UNION ALL SELECT 'dup_rows_in_output', 0
         UNION ALL SELECT 'saw_duplicates', 1
+        UNION ALL SELECT 'windowed_rows_conserved',
+                         CAST(2 * count(*) AS BIGINT) FROM s
+        UNION ALL SELECT 'windowed_n_windows',
+                         CAST(count(DISTINCT date_trunc('hour', ts))
+                              AS BIGINT) FROM s
     """,
 }
 _ORACLES_DP: dict[str, str] = {

@@ -105,11 +105,16 @@ def test_stream_dedup_entry_verdict(spark):
     sf = "/root/testdata/sf0.001"
     got = {r["chk"]: r["val"]
            for r in ent.queries()["q_stream_dedup"](spark, sf).collect()}
-    exact = (spark.read.parquet(f"{sf}/events.parquet")
-             .filter("ts >= TIMESTAMP '2024-01-01' "
-                     "AND ts < TIMESTAMP '2024-01-08'")
-             .agg(F.countDistinct("event_id").alias("d")).collect()[0]["d"])
-    assert got == {"distinct_keys": exact,
+    agg = (spark.read.parquet(f"{sf}/events.parquet")
+           .filter("ts >= TIMESTAMP '2024-01-01' "
+                   "AND ts < TIMESTAMP '2024-01-08'")
+           .agg(F.countDistinct("event_id").alias("d"),
+                F.count("*").alias("n"),
+                F.countDistinct(F.date_trunc("hour", "ts")).alias("w"))
+           .collect()[0])
+    assert got == {"distinct_keys": agg["d"],
                    "dup_rows_in_output": 0,
-                   "saw_duplicates": 1}
-    assert exact > 0
+                   "saw_duplicates": 1,
+                   "windowed_rows_conserved": 2 * agg["n"],
+                   "windowed_n_windows": agg["w"]}
+    assert agg["d"] > 0

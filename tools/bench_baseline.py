@@ -16,14 +16,20 @@ sys.path.insert(0, "/root/repo")
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
-# queries whose oracle is a faithful equivalent of the operator
+# queries whose oracle is a faithful equivalent of the operator.
+# dp_ngram_jaccard is excluded by default (pass --all to include): its
+# DuckDB oracle alone runs ~750 s at sf0.1 (vs Spark ~27 s) and would
+# flatter the total — the same exclusion the round-4 judge bench applied.
 COMPARE = ["q_day_rollup", "q_having", "q_post_agg_arith", "q_agg_stats",
            "q_lag_window", "q_arith_currency", "q_link_enrich",
            "q_link_two_hop", "q_yql_text", "q_session_windows",
            "q_inverted_index", "q_related_items",
            "dp_exact_dedup", "dp_lang_id", "dp_ann_bruteforce",
-           "dp_text_stats", "dp_ngram_jaccard",
+           "dp_text_stats",
            "dp_embed_neardup"]
+if "--all" in sys.argv:
+    sys.argv.remove("--all")
+    COMPARE.insert(-1, "dp_ngram_jaccard")
 
 
 def main() -> None:
