@@ -199,3 +199,95 @@ def test_gif_unsupported_variants_raise():
         encode_gif(too_many)
     with pytest.raises(NotImplementedError):
         decode_gif(b"GIF89a" + b"\x00" * 7)  # no color table, no descriptor
+
+
+# -- baseline JPEG (datapipe/jpeg.py) ----------------------------------------
+from yupana_spark.datapipe.jpeg import (ZIGZAG, _dct_blocks,  # noqa: E402
+                                        _idct_blocks, decode_jpeg,
+                                        encode_jpeg)
+
+
+def test_jpeg_dct_known_answers():
+    """Exact anchors independent of the roundtrip: a constant block is pure
+    DC (orthonormal: DC = 8 * value), a single cosine lands on one
+    coefficient, and IDCT inverts DCT to float precision."""
+    const = np.full((1, 8, 8), 50.0)
+    c = _dct_blocks(const)
+    assert abs(c[0, 0, 0] - 400.0) < 1e-9  # 8 * 50
+    assert np.abs(c[0]).sum() - abs(c[0, 0, 0]) < 1e-9
+    rng = np.random.RandomState(0)
+    b = rng.uniform(-128, 127, (5, 8, 8))
+    assert np.abs(_idct_blocks(_dct_blocks(b)) - b).max() < 1e-9
+
+
+def test_jpeg_zigzag_is_permutation():
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    # spec anchor: the walk starts (0,0) -> (0,1) -> (1,0) -> (2,0) -> (1,1)
+    assert ZIGZAG[:5].tolist() == [0, 1, 8, 16, 9]
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1),
+       st.integers(min_value=1, max_value=40),
+       st.integers(min_value=1, max_value=40))
+def test_jpeg_roundtrip_bounded_error(seed, h, w):
+    """Lossy but bounded: pure noise at quality 100 (hardest bit-level
+    case — large coefficients, ZRL runs, byte stuffing) must come back with
+    small mean error and exact shape."""
+    px = np.random.RandomState(seed).randint(0, 256, (h, w, 3),
+                                             dtype=np.uint8)
+    back = decode_jpeg(encode_jpeg(px, quality=100))
+    assert back.shape == px.shape
+    err = np.abs(back.astype(int) - px.astype(int))
+    assert err.mean() < 12.0
+
+
+def test_jpeg_smooth_image_high_fidelity():
+    y, x = np.mgrid[0:40, 0:56]
+    px = np.stack([(x * 3) % 256, (y * 2 + 40) % 256,
+                   ((x + y) * 2) % 256], axis=2).astype(np.uint8)
+    back = decode_jpeg(encode_jpeg(px, quality=95))
+    assert np.abs(back.astype(int) - px.astype(int)).max() <= 4
+    const = np.full((17, 23, 3), 77, np.uint8)
+    cb = decode_jpeg(encode_jpeg(const, quality=50))
+    assert np.abs(cb.astype(int) - 77).max() <= 1
+
+
+def test_jpeg_grayscale_and_dispatch():
+    rng = np.random.RandomState(4)
+    g = rng.randint(0, 256, (31, 9), dtype=np.uint8)
+    back = decode_jpeg(encode_jpeg(g, quality=100))
+    assert back.shape == g.shape and back.ndim == 2
+    px = rng.randint(0, 256, (9, 9, 3), dtype=np.uint8)
+    via_dispatch = decode_image(encode_jpeg(px, quality=100))
+    assert via_dispatch.shape == px.shape
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn path: restart intervals change the byte stream but must not
+    change a single decoded pixel."""
+    rng = np.random.RandomState(9)
+    px = rng.randint(0, 256, (33, 41, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(px, 100))
+    for ri in (1, 3, 7):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(px, 100, restart_interval=ri)), base)
+
+
+def test_jpeg_unsupported_variants_raise():
+    import struct
+
+    blob = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+    # flip SOF0 -> SOF2 (progressive)
+    i = bytes(blob).find(b"\xff\xc0")
+    prog = bytes(blob[:i]) + b"\xff\xc2" + bytes(blob[i + 2:])
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(prog)
+    # 2x2-subsampled luma in SOF
+    sub = bytearray(blob)
+    assert sub[i + 11] == 0x11  # first component sampling byte
+    sub[i + 11] = 0x22
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(sub))
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(b"\x00\x01\x02")

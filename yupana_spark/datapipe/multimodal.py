@@ -5,9 +5,10 @@ signatures) is real and tested.  Decoding is REAL for the formats stdlib +
 numpy can handle — 24-bit BMP and binary PPM images (padding, bottom-up
 rows, BGR swizzle), 8-bit gray/RGB/RGBA PNG (zlib inflate + all five
 scanline filters), palette GIF (full variable-width LZW, interlace,
-local/global color tables), PCM16 WAV audio (RIFF chunk walk) — and STUBBED
-with an explicit NotImplementedError for formats that need imaging libraries
-the container doesn't ship (JPEG/WebP/FLAC/...).
+local/global color tables), baseline 4:4:4 JPEG (DCT + Annex-K Huffman,
+datapipe/jpeg.py), PCM16 WAV audio (RIFF chunk walk) — and STUBBED with an
+explicit NotImplementedError for the variants that need imaging libraries
+the container doesn't ship (WebP, subsampled/progressive JPEG, FLAC, ...).
 
 Pattern for 100 TB: media bytes live in their own column (parquet keeps them
 out of unrelated scans via column pruning), metadata in a sibling struct;
@@ -489,10 +490,11 @@ def decode_gif(content: bytes):
 
 
 def decode_image(content: bytes):
-    """Dispatch on magic bytes: BMP, P6 PPM, 8-bit PNG and GIF decode for
-    real (stdlib + numpy); formats that genuinely need an imaging library
-    (JPEG/WebP/...) raise NotImplementedError because the container ships
-    none — the stub is honest, the dispatcher is not."""
+    """Dispatch on magic bytes: BMP, P6 PPM, 8-bit PNG, GIF and baseline
+    4:4:4 JPEG decode for real (stdlib + numpy — see datapipe/jpeg.py);
+    formats that genuinely need an imaging library (WebP, subsampled or
+    progressive JPEG, ...) raise NotImplementedError because the container
+    ships none — the stub is honest, the dispatcher is not."""
     if content[:2] == b"BM":
         return decode_bmp(content)
     if content[:2] == b"P6":
@@ -501,9 +503,14 @@ def decode_image(content: bytes):
         return decode_png(content)
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(content)
+    if content[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     raise NotImplementedError(
-        "only 24-bit BMP, binary PPM, 8-bit PNG and GIF decode without "
-        "imaging libraries; use fake_decode_dims for plumbing-only tests"
+        "only 24-bit BMP, binary PPM, 8-bit PNG, GIF and baseline JPEG "
+        "decode without imaging libraries; use fake_decode_dims for "
+        "plumbing-only tests"
     )
 
 
