@@ -283,11 +283,34 @@ def test_jpeg_unsupported_variants_raise():
     prog = bytes(blob[:i]) + b"\xff\xc2" + bytes(blob[i + 2:])
     with pytest.raises(NotImplementedError):
         decode_jpeg(prog)
-    # 2x2-subsampled luma in SOF
+    # sampling factor 3 in SOF (beyond the 1-2 the MCU loop supports)
     sub = bytearray(blob)
     assert sub[i + 11] == 0x11  # first component sampling byte
-    sub[i + 11] = 0x22
+    sub[i + 11] = 0x33
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(sub))
     with pytest.raises(NotImplementedError):
         decode_jpeg(b"\x00\x01\x02")
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    """4:2:0 — the dominant real-world layout: smooth images stay close,
+    odd dimensions crop exactly, and restart markers leave pixels
+    untouched."""
+    y, x = np.mgrid[0:45, 0:61]
+    px = np.stack([(x * 3) % 256, (y * 2 + 40) % 256,
+                   ((x + y) * 2) % 256], axis=2).astype(np.uint8)
+    back = decode_jpeg(encode_jpeg(px, quality=95, subsample=True))
+    assert back.shape == px.shape
+    assert np.abs(back.astype(int) - px.astype(int)).mean() < 3.0
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(px, 95, subsample=True,
+                                restart_interval=2)), back)
+    rng = np.random.RandomState(2)
+    for hw in [(1, 1), (7, 9), (9, 17), (17, 15)]:
+        p2 = rng.randint(0, 256, (*hw, 3), dtype=np.uint8)
+        assert decode_jpeg(encode_jpeg(p2, 95, subsample=True)).shape \
+            == p2.shape
+    # subsampling must actually shrink the stream on a color image
+    assert len(encode_jpeg(px, 85, subsample=True)) \
+        < len(encode_jpeg(px, 85))

@@ -7,17 +7,20 @@ pipeline is public-spec arithmetic (ITU-T T.81 + the JFIF note):
 * encode: RGB -> BT.601 YCbCr, edge-replicate pad to 8x8 blocks, orthonormal
   2D DCT (one tensordot over all blocks), Annex-K quantization scaled by the
   IJG quality curve, zigzag, DC differential + AC run-length (RRRRSSSS)
-  Huffman coding with the Annex-K tables, 0xFF byte stuffing, 4:4:4 always
-  (no subsampling) so decode is exact-structured;
+  Huffman coding with the Annex-K tables, 0xFF byte stuffing; 4:4:4 by
+  default, optional 4:2:0 (2x2 box-averaged chroma, the dominant real-world
+  layout);
 * decode: marker walk (APP*/COM skipped, DQT/DHT/SOF0/DRI/SOS parsed),
   canonical Huffman tables rebuilt FROM THE STREAM's DHT segments (so decode
   does not depend on the encoder's table constants), MSB-first bit reader
-  with stuffed-byte removal and RSTn handling, dequantize -> inverse zigzag
-  -> IDCT -> YCbCr->RGB, crop to the true size.
+  with stuffed-byte removal and RSTn handling, MCU loop generic over
+  sampling factors 1-2 (4:4:4, 4:2:0, 4:2:2, 4:4:0), dequantize -> inverse
+  zigzag -> IDCT -> nearest-neighbor chroma upsample -> YCbCr->RGB, crop to
+  the true size.
 
 Honest limits (all raise NotImplementedError): progressive (SOF2) and the
-other non-baseline SOFs, chroma subsampling (any sampling factor != 1x1),
-arithmetic coding, 12-bit precision.  Lossy by design — roundtrip tests
+other non-baseline SOFs, sampling factors > 2, arithmetic coding, 12-bit
+precision.  Lossy by design — roundtrip tests
 assert bounded error, plus exact known-answer checks on the DCT/quant path.
 
 The tables below are the public Annex K examples (quantization K.1/K.2,
@@ -220,10 +223,41 @@ def _magnitude(v: int):
     return size, (v if v >= 0 else v + (1 << size) - 1)
 
 
-def encode_jpeg(pixels, quality: int = 85, restart_interval: int = 0) -> bytes:
-    """Baseline JFIF from (h, w, 3) RGB or (h, w) grayscale uint8 — always
-    4:4:4 (every component full resolution).  ``restart_interval`` > 0 emits
-    a DRI segment and RSTn markers every that many MCUs (what a splittable
+def _encode_block(bw_, zz, tsel, prev, dc_codes, ac_codes) -> int:
+    """Huffman-code one zigzagged block; returns the new DC predictor."""
+    size, bitsv = _magnitude(int(zz[0]) - prev)
+    code, ln = dc_codes[tsel][size]
+    bw_.write(code, ln)
+    bw_.write(bitsv, size)
+    run = 0
+    last_nz = np.nonzero(zz[1:])[0]
+    last = last_nz[-1] + 1 if len(last_nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[tsel][0xF0]  # ZRL
+            bw_.write(code, ln)
+            run -= 16
+        size, bitsv = _magnitude(v)
+        code, ln = ac_codes[tsel][(run << 4) | size]
+        bw_.write(code, ln)
+        bw_.write(bitsv, size)
+        run = 0
+    if last < 63:
+        code, ln = ac_codes[tsel][0x00]  # EOB
+        bw_.write(code, ln)
+    return int(zz[0])
+
+
+def encode_jpeg(pixels, quality: int = 85, restart_interval: int = 0,
+                subsample: bool = False) -> bytes:
+    """Baseline JFIF from (h, w, 3) RGB or (h, w) grayscale uint8.
+    ``subsample=True`` writes 4:2:0 (2x2-averaged chroma, the dominant
+    real-world layout); default is 4:4:4.  ``restart_interval`` > 0 emits a
+    DRI segment and RSTn markers every that many MCUs (what a splittable
     100 TB ingest would use: restart points make scans byte-addressable)."""
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
@@ -233,61 +267,67 @@ def encode_jpeg(pixels, quality: int = 85, restart_interval: int = 0) -> bytes:
     qt_l, qt_c = _scaled_tables(quality)
     if gray:
         planes = [px.astype(np.float64)]
+        samps = [(1, 1)]
+    elif subsample:
+        y, cb, cr = _rgb_to_ycbcr(px)
+        # pad to even dims (edge), then 2x2 box-average the chroma
+        eh, ew = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+        cb = np.pad(cb, ((0, eh - h), (0, ew - w)), mode="edge")
+        cr = np.pad(cr, ((0, eh - h), (0, ew - w)), mode="edge")
+        cb = cb.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+        planes = [y, cb, cr]
+        samps = [(2, 2), (1, 1), (1, 1)]
     else:
         planes = list(_rgb_to_ycbcr(px))
+        samps = [(1, 1)] * 3
+
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
     dc_codes = [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
                 _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
     ac_codes = [_build_codes(AC_LUMA_BITS, AC_LUMA_VALS),
                 _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
 
-    comp_q = []
+    comp_q, grids = [], []
     for ci, plane in enumerate(planes):
-        blocks, bh, bw = _to_blocks(plane - 128.0)
-        coefs = _dct_blocks(blocks)
+        sh, sv = samps[ci]
+        gy, gx = mcuy * sv, mcux * sh  # MCU-padded block grid
+        ph, pw = plane.shape
+        pad = np.pad(plane, ((0, gy * 8 - ph), (0, gx * 8 - pw)),
+                     mode="edge")
+        blocks = (pad.reshape(gy, 8, gx, 8).transpose(0, 2, 1, 3)
+                  .reshape(-1, 8, 8))
+        coefs = _dct_blocks(blocks - 128.0)
         qt = qt_l if ci == 0 else qt_c
         quant = np.round(coefs / qt).astype(np.int32)
         comp_q.append(quant.reshape(-1, 64)[:, ZIGZAG])
-    n_blocks = comp_q[0].shape[0]
+        grids.append((gy, gx))
 
     bw_ = _BitWriter()
     scan_parts = []
     prev_dc = [0] * len(planes)
-    for b in range(n_blocks):
-        if restart_interval and b and b % restart_interval == 0:
+    for m_i in range(mcux * mcuy):
+        if restart_interval and m_i and m_i % restart_interval == 0:
             scan_parts.append(bw_.flush())
-            scan_parts.append(bytes([0xFF, 0xD0 + (b // restart_interval - 1)
-                                     % 8]))
+            scan_parts.append(bytes([
+                0xFF, 0xD0 + (m_i // restart_interval - 1) % 8]))
             bw_ = _BitWriter()
             prev_dc = [0] * len(planes)
+        my, mx = divmod(m_i, mcux)
         for ci in range(len(planes)):
-            zz = comp_q[ci][b]
+            sh, sv = samps[ci]
+            _, gx = grids[ci]
             tsel = 0 if ci == 0 else 1
-            size, bitsv = _magnitude(int(zz[0]) - prev_dc[ci])
-            prev_dc[ci] = int(zz[0])
-            code, ln = dc_codes[tsel][size]
-            bw_.write(code, ln)
-            bw_.write(bitsv, size)
-            run = 0
-            last_nz = np.nonzero(zz[1:])[0]
-            last = last_nz[-1] + 1 if len(last_nz) else 0
-            for k in range(1, last + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[tsel][0xF0]  # ZRL
-                    bw_.write(code, ln)
-                    run -= 16
-                size, bitsv = _magnitude(v)
-                code, ln = ac_codes[tsel][(run << 4) | size]
-                bw_.write(code, ln)
-                bw_.write(bitsv, size)
-                run = 0
-            if last < 63:
-                code, ln = ac_codes[tsel][0x00]  # EOB
-                bw_.write(code, ln)
+            for by in range(sv):
+                for bx in range(sh):
+                    b = (my * sv + by) * gx + (mx * sh + bx)
+                    prev_dc[ci] = _encode_block(
+                        bw_, comp_q[ci][b], tsel, prev_dc[ci],
+                        dc_codes, ac_codes)
     scan_parts.append(bw_.flush())
     scan = b"".join(scan_parts)
 
@@ -304,7 +344,9 @@ def encode_jpeg(pixels, quality: int = 85, restart_interval: int = 0) -> bytes:
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += struct.pack(">BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+        sh, sv = samps[ci]
+        sof += struct.pack(">BBB", ci + 1, (sh << 4) | sv,
+                           0 if ci == 0 else 1)
     out += seg(0xC0, sof)
     for cls, tid, bits, vals in (
             (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
@@ -461,10 +503,11 @@ def decode_jpeg(content: bytes):
             comps = []
             for ci in range(nc):
                 cid, samp, tq = body[6 + ci * 3:9 + ci * 3]
-                if samp != 0x11:
+                sh, sv = samp >> 4, samp & 0x0F
+                if sh not in (1, 2) or sv not in (1, 2):
                     raise NotImplementedError(
-                        "subsampled JPEG unsupported (4:4:4 only)")
-                comps.append({"id": cid, "tq": tq})
+                        f"JPEG sampling {sh}x{sv} unsupported (1-2 only)")
+                comps.append({"id": cid, "tq": tq, "h": sh, "v": sv})
             if body[0] != 8:
                 raise NotImplementedError("JPEG precision != 8")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
@@ -481,47 +524,68 @@ def decode_jpeg(content: bytes):
             for i in range(ns):
                 cid, tt = body[1 + i * 2], body[2 + i * 2]
                 sel[cid] = (tt >> 4, tt & 0x0F)
-            bh, bw_n = (h + 7) // 8, (w + 7) // 8
-            n_blocks = bh * bw_n
-            out_q = [np.zeros((n_blocks, 64), dtype=np.int32)
-                     for _ in comps]
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            grids = [(mcuy * c["v"], mcux * c["h"]) for c in comps]
+            out_q = [np.zeros((gy * gx, 64), dtype=np.int32)
+                     for gy, gx in grids]
             br = _BitReader(content, pos)
             prev_dc = [0] * len(comps)
-            for b in range(n_blocks):
-                if restart and b and b % restart == 0:
+
+            def read_block(zz, tdc, tac, pdc):
+                s = _read_symbol(br, dc_trees[tdc])
+                pdc += _extend(br.read(s), s)
+                zz[0] = pdc
+                k = 1
+                while k < 64:
+                    rs = _read_symbol(br, ac_trees[tac])
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    size = rs & 0x0F
+                    if k > 63:
+                        raise NotImplementedError("JPEG AC index overflow")
+                    zz[k] = _extend(br.read(size), size)
+                    k += 1
+                return pdc
+
+            for m_i in range(mcux * mcuy):
+                if restart and m_i and m_i % restart == 0:
                     m = br.sync_marker()
                     if m is None or not (0xD0 <= m <= 0xD7):
                         raise NotImplementedError(
                             "JPEG restart marker missing")
                     prev_dc = [0] * len(comps)
+                my, mx = divmod(m_i, mcux)
                 for ci, comp in enumerate(comps):
                     tdc, tac = sel[comp["id"]]
-                    s = _read_symbol(br, dc_trees[tdc])
-                    diff = _extend(br.read(s), s)
-                    prev_dc[ci] += diff
-                    zz = out_q[ci][b]
-                    zz[0] = prev_dc[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _read_symbol(br, ac_trees[tac])
-                        if rs == 0x00:  # EOB
-                            break
-                        if rs == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        k += rs >> 4
-                        size = rs & 0x0F
-                        if k > 63:
-                            raise NotImplementedError(
-                                "JPEG AC index overflow")
-                        zz[k] = _extend(br.read(size), size)
-                        k += 1
+                    _, gx = grids[ci]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            b = (my * comp["v"] + by) * gx \
+                                + (mx * comp["h"] + bx)
+                            prev_dc[ci] = read_block(
+                                out_q[ci][b], tdc, tac, prev_dc[ci])
             planes = []
             for ci, comp in enumerate(comps):
                 qt = qts[comp["tq"]]
+                gy, gx = grids[ci]
                 de = out_q[ci][:, UNZIGZAG].reshape(-1, 8, 8) \
                     .astype(np.float64) * qt
-                plane = _from_blocks(_idct_blocks(de), bh, bw_n) + 128.0
+                plane = _from_blocks(_idct_blocks(de), gy, gx) + 128.0
+                # crop to the component's true resolution, then replicate
+                # up to full resolution (nearest-neighbor chroma upsample)
+                ch = -(-h * comp["v"] // vmax)
+                cw = -(-w * comp["h"] // hmax)
+                plane = plane[:ch, :cw]
+                plane = np.repeat(np.repeat(plane, vmax // comp["v"],
+                                            axis=0),
+                                  hmax // comp["h"], axis=1)
                 planes.append(plane[:h, :w])
             if len(planes) == 1:
                 return np.clip(planes[0].round(), 0, 255).astype(np.uint8)
