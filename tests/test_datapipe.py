@@ -650,3 +650,38 @@ def test_prepared_posture_replay(spark):
     qs["q_having"](spark, SF)  # hit -> replay
     for k, v in snap.items():
         assert spark.conf.get(k) == v
+
+
+def test_gif_frame_features_end_to_end(spark):
+    """Animated-GIF frame sampling through the real Spark mapInPandas path:
+    per-frame rows with pixel sums the local decoder reproduces exactly."""
+    import numpy as np
+
+    from yupana_spark.datapipe.multimodal import (decode_gif_frames,
+                                                  encode_gif_animated,
+                                                  gif_frame_features)
+
+    rng = np.random.RandomState(21)
+    pal = rng.randint(0, 256, (40, 3), dtype=np.uint8)
+    rows, expected = [], {}
+    for mid, n_frames in ((1, 1), (2, 3), (3, 6)):
+        frames = [pal[rng.randint(0, 40, (7, 9))] for _ in range(n_frames)]
+        blob = encode_gif_animated(frames)
+        rows.append((mid, bytearray(blob)))
+        expected[mid] = [int(f.sum(dtype=np.int64))
+                         for f in decode_gif_frames(blob)]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = gif_frame_features(media, every_n=1).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["media_id"], {})[r["frame_no"]] = r
+    for mid, sums in expected.items():
+        assert sorted(by_id[mid]) == list(range(len(sums)))
+        for fno, s in enumerate(sums):
+            r = by_id[mid][fno]
+            assert (r["height"], r["width"]) == (7, 9)
+            assert r["pix_sum"] == s
+    # every_n=2 keeps frames 0,2,4
+    sampled = gif_frame_features(media, every_n=2) \
+        .filter("media_id = 3").collect()
+    assert sorted(r["frame_no"] for r in sampled) == [0, 2, 4]

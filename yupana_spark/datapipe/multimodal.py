@@ -305,29 +305,49 @@ def encode_gif(pixels, interlace: bool = False) -> bytes:
 
     px = np.asarray(pixels, dtype=np.uint8)
     h, w, _ = px.shape
-    flat = px.reshape(-1, 3)
-    palette, idx = np.unique(flat, axis=0, return_inverse=True)
-    n_colors = len(palette)
-    if n_colors > 256:
+    palette = np.unique(px.reshape(-1, 3), axis=0)
+    if len(palette) > 256:
         raise NotImplementedError(
-            f"GIF encode needs <= 256 distinct colors, got {n_colors}")
+            f"GIF encode needs <= 256 distinct colors, got {len(palette)}")
     # color-table size is 2^(depth+1), depth 0..7
-    depth = max(1, (int(n_colors) - 1).bit_length())
+    depth = max(1, (len(palette) - 1).bit_length())
     table = np.zeros((1 << depth, 3), dtype=np.uint8)
-    table[:n_colors] = palette
-    indices = idx.reshape(h, w)
+    table[:len(palette)] = palette
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += table.tobytes()
+    out += _gif_image_block(px, palette, depth, interlace=interlace)
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def _gif_image_block(px, palette, depth: int, interlace: bool) -> bytes:
+    """Image descriptor + LZW-compressed data sub-blocks for one full-canvas
+    frame whose colors all appear in ``palette`` (np.unique order, which is
+    lexicographic — identical to the packed-int order searchsorted needs).
+
+    LZW width-bump timing: the decoder's dictionary lags the encoder's by
+    one entry (it can only complete an entry when the NEXT code arrives), so
+    the encoder grows its code width one entry later than its own count
+    suggests — when next_code reaches 2^width + 1, which is exactly when the
+    decoder's table reaches 2^width.  At the 12-bit ceiling the encoder
+    stops adding and emits a clear at the next miss."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = px.shape
+    pal_int = (palette[:, 0].astype(np.int64) << 16) \
+        | (palette[:, 1].astype(np.int64) << 8) | palette[:, 2]
+    px_int = (px[:, :, 0].astype(np.int64) << 16) \
+        | (px[:, :, 1].astype(np.int64) << 8) | px[:, :, 2]
+    indices = np.searchsorted(pal_int, px_int)
     if interlace:
         order = ([*range(0, h, 8)] + [*range(4, h, 8)]
                  + [*range(2, h, 4)] + [*range(1, h, 2)])
         indices = indices[order]
 
-    # -- LZW compress (variable code width, LSB-first) ----------------------
-    # Width-bump timing: the decoder's dictionary lags the encoder's by one
-    # entry (it can only complete an entry when the NEXT code arrives), so
-    # the encoder grows its code width one entry later than its own count
-    # suggests — when next_code reaches 2^width + 1, which is exactly when
-    # the decoder's table reaches 2^width.  At the 12-bit ceiling the
-    # encoder stops adding and emits a clear at the next miss.
     mcs = max(2, depth)  # min code size (spec: >= 2)
     clear, end = 1 << mcs, (1 << mcs) + 1
     codes = []
@@ -368,9 +388,7 @@ def encode_gif(pixels, interlace: bool = False) -> bytes:
     if n_bits:
         body.append(acc & 0xFF)
 
-    out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
-    out += table.tobytes()
+    out = bytearray()
     out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
                        0x40 if interlace else 0)  # image descriptor
     out.append(mcs)
@@ -378,22 +396,68 @@ def encode_gif(pixels, interlace: bool = False) -> bytes:
         block = body[i:i + 255]
         out.append(len(block))
         out += block
-    out += b"\x00\x3b"  # block terminator + trailer
+    out.append(0x00)  # block terminator
     return bytes(out)
 
 
-def decode_gif(content: bytes):
-    """(h, w, 3) RGB uint8 array from the first frame of a GIF87a/89a —
-    stdlib ``struct`` only: global/local color tables, extension skipping,
-    full variable-width LZW (clear/end codes, table growth to 12 bits,
-    mid-stream resets) and four-pass de-interlace."""
+def _gif_lzw_decode(data: bytes, mcs: int, n_px: int) -> bytes:
+    """GIF LZW decompress: ``dic`` is indexed BY code — literals, then two
+    placeholder slots for clear/end, then one appended entry per decoded
+    code — so len(dic) is always the next assignable code and the width
+    bump (len == 2^width) mirrors the encoder exactly."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    base = [bytes([i]) for i in range(1 << mcs)] + [None, None]
+    dic = list(base)
+    width = mcs + 1
+    out = bytearray()
+    acc = n_bits = 0
+    prev = None
+    done = False
+    for byte in data:
+        if done:
+            break
+        acc |= byte << n_bits
+        n_bits += 8
+        while n_bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            n_bits -= width
+            if code == clear:
+                dic, width, prev = list(base), mcs + 1, None
+                continue
+            if code == end:
+                done = True
+                break
+            if prev is None:
+                entry = dic[code]
+            elif code < len(dic):
+                entry = dic[code]
+                dic.append(prev + entry[:1])
+            elif code == len(dic):  # the just-assigned code (KwKwK)
+                entry = prev + prev[:1]
+                dic.append(entry)
+            else:
+                raise NotImplementedError("GIF LZW code out of range")
+            out += entry
+            prev = entry
+            if len(dic) == (1 << width) and width < 12:
+                width += 1
+    if len(out) < n_px:
+        raise NotImplementedError("GIF pixel data truncated")
+    return bytes(out[:n_px])
+
+
+def _gif_parse(content: bytes):
+    """Parse a GIF87a/89a into (canvas_w, canvas_h, background_rgb, frames);
+    each frame is (x, y, index_array, color_table, transparent_idx,
+    disposal)."""
     import struct
 
     import numpy as np
 
     if content[:6] not in (b"GIF87a", b"GIF89a"):
         raise NotImplementedError("not a GIF stream")
-    w0, h0, flags, _, _ = struct.unpack_from("<HHBBB", content, 6)
+    w0, h0, flags, bg, _ = struct.unpack_from("<HHBBB", content, 6)
     pos = 13
     gct = None
     if flags & 0x80:
@@ -401,20 +465,30 @@ def decode_gif(content: bytes):
         gct = np.frombuffer(content, dtype=np.uint8, count=n * 3,
                             offset=pos).reshape(n, 3)
         pos += n * 3
+    background = (tuple(int(v) for v in gct[bg])
+                  if gct is not None and bg < len(gct) else (0, 0, 0))
+    frames = []
+    transparent, disposal = None, 0
     while pos < len(content):
         b0 = content[pos]
         pos += 1
         if b0 == 0x3B:  # trailer
             break
-        if b0 == 0x21:  # extension: label + sub-blocks, skip
+        if b0 == 0x21:  # extension
+            label = content[pos]
             pos += 1
-            while content[pos] != 0:
+            if label == 0xF9:  # Graphic Control Extension
+                blk = content[pos + 1:pos + 1 + content[pos]]
+                packed = blk[0]
+                disposal = (packed >> 2) & 0x07
+                transparent = blk[3] if packed & 0x01 else None
+            while content[pos] != 0:  # skip/advance sub-blocks
                 pos += content[pos] + 1
             pos += 1
             continue
         if b0 != 0x2C:
             raise NotImplementedError(f"GIF unknown block 0x{b0:02x}")
-        _, _, w, h, iflags = struct.unpack_from("<HHHHB", content, pos)
+        x, y, w, h, iflags = struct.unpack_from("<HHHHB", content, pos)
         pos += 9
         table = gct
         if iflags & 0x80:  # local color table
@@ -432,61 +506,94 @@ def decode_gif(content: bytes):
             data += content[pos + 1:pos + 1 + ln]
             pos += ln + 1
         pos += 1
-
-        # -- LZW decompress ------------------------------------------------
-        # dic is indexed BY code: literals, then two placeholder slots for
-        # clear/end, then one appended entry per decoded code — so
-        # len(dic) is always the next assignable code and the width bump
-        # (len == 2^width) mirrors the encoder exactly.
-        clear, end = 1 << mcs, (1 << mcs) + 1
-        base = [bytes([i]) for i in range(1 << mcs)] + [None, None]
-        dic = list(base)
-        width = mcs + 1
-        out = bytearray()
-        acc = n_bits = 0
-        prev = None
-        done = False
-        for byte in data:
-            if done:
-                break
-            acc |= byte << n_bits
-            n_bits += 8
-            while n_bits >= width:
-                code = acc & ((1 << width) - 1)
-                acc >>= width
-                n_bits -= width
-                if code == clear:
-                    dic, width, prev = list(base), mcs + 1, None
-                    continue
-                if code == end:
-                    done = True
-                    break
-                if prev is None:
-                    entry = dic[code]
-                elif code < len(dic):
-                    entry = dic[code]
-                    dic.append(prev + entry[:1])
-                elif code == len(dic):  # the just-assigned code (KwKwK)
-                    entry = prev + prev[:1]
-                    dic.append(entry)
-                else:
-                    raise NotImplementedError("GIF LZW code out of range")
-                out += entry
-                prev = entry
-                if len(dic) == (1 << width) and width < 12:
-                    width += 1
-        if len(out) < w * h:
-            raise NotImplementedError("GIF pixel data truncated")
-        idx = np.frombuffer(bytes(out[:w * h]), dtype=np.uint8)
-        idx = idx.reshape(h, w)
+        idx = np.frombuffer(_gif_lzw_decode(bytes(data), mcs, w * h),
+                            dtype=np.uint8).reshape(h, w)
         if iflags & 0x40:  # de-interlace: invert the four-pass row order
             order = ([*range(0, h, 8)] + [*range(4, h, 8)]
                      + [*range(2, h, 4)] + [*range(1, h, 2)])
             deint = np.zeros_like(idx)
             deint[order] = idx
             idx = deint
-        return table[idx]
-    raise NotImplementedError("GIF missing image descriptor")
+        frames.append((x, y, idx, table, transparent, disposal))
+        transparent, disposal = None, 0
+    if not frames:
+        raise NotImplementedError("GIF missing image descriptor")
+    return w0, h0, background, frames
+
+
+def decode_gif_frames(content: bytes):
+    """All frames of a (possibly animated) GIF as composited
+    (canvas_h, canvas_w, 3) RGB uint8 arrays — GIF is the one video-ish
+    container decodable with the stdlib, so the video frame-sampling
+    operator gets a REAL decode path.  Disposal 0/1 (leave) and 2 (restore
+    rect to background) composite; 3 (restore-to-previous) raises."""
+    import numpy as np
+
+    w0, h0, background, frames = _gif_parse(content)
+    canvas = np.zeros((h0, w0, 3), dtype=np.uint8)
+    canvas[:] = background
+    out = []
+    for x, y, idx, table, transparent, disposal in frames:
+        if disposal == 3:
+            raise NotImplementedError(
+                "GIF disposal 3 (restore-to-previous) unsupported")
+        h, w = idx.shape
+        region = canvas[y:y + h, x:x + w]
+        px = table[np.minimum(idx, len(table) - 1)]
+        if transparent is not None:
+            mask = (idx != transparent)[:, :, None]
+            region[:] = np.where(mask, px, region)
+        else:
+            region[:] = px
+        out.append(canvas.copy())
+        if disposal == 2:
+            canvas[y:y + h, x:x + w] = background
+    return out
+
+
+def decode_gif(content: bytes):
+    """(h, w, 3) RGB uint8 array: the first composited frame of a GIF87a/
+    89a — stdlib ``struct`` only: global/local color tables, GCE
+    transparency, full variable-width LZW (clear/end codes, table growth to
+    12 bits, mid-stream resets) and four-pass de-interlace."""
+    return decode_gif_frames(content)[0]
+
+
+def encode_gif_animated(frames, delay_cs: int = 10) -> bytes:
+    """Animated GIF89a from a list of same-shape (h, w, 3) RGB uint8 frames
+    sharing <= 256 distinct colors overall: one global color table, a
+    NETSCAPE loop extension, and per-frame GCE delays.  Each frame is a
+    full-canvas image (no partial-rect optimization), so any decoder's
+    composition rules agree."""
+    import struct
+
+    import numpy as np
+
+    fr = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not fr:
+        raise NotImplementedError("empty frame list")
+    h, w, _ = fr[0].shape
+    if any(f.shape != fr[0].shape for f in fr):
+        raise NotImplementedError("GIF frames must share one shape")
+    allpx = np.concatenate([f.reshape(-1, 3) for f in fr])
+    palette = np.unique(allpx, axis=0)
+    if len(palette) > 256:
+        raise NotImplementedError(
+            f"GIF encode needs <= 256 distinct colors, got {len(palette)}")
+    depth = max(1, (len(palette) - 1).bit_length())
+    table = np.zeros((1 << depth, 3), dtype=np.uint8)
+    table[:len(palette)] = palette
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += table.tobytes()
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    for f in fr:
+        out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0x04,  # GCE
+                           delay_cs, 0, 0)
+        out += _gif_image_block(f, palette, depth, interlace=False)
+    out += b"\x3b"
+    return bytes(out)
 
 
 def decode_image(content: bytes):
@@ -728,6 +835,38 @@ def audio_features(media: DataFrame, use_fake: bool = True) -> DataFrame:
         F.lit(16000).alias("sample_rate"),
         F.xxhash64("content").alias("content_sig"),
     )
+
+
+GIF_FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_no", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("pix_sum", T.LongType()),
+])
+
+
+def gif_frame_features(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video-frame sampling: decode animated GIFs (the one video-ish
+    container the stdlib can handle) and emit one row per ``every_n``-th
+    composited frame — the same mapInPandas batch shape a keyframe sampler
+    over MP4 would use, with the decode swapped in per-executor."""
+    import numpy as np
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                frames = decode_gif_frames(bytes(blob))
+                for fno in range(0, len(frames), every_n):
+                    f = frames[fno]
+                    rows.append({"media_id": int(mid), "frame_no": fno,
+                                 "height": f.shape[0], "width": f.shape[1],
+                                 "pix_sum": int(f.sum(dtype=np.int64))})
+            yield pd.DataFrame(rows, columns=["media_id", "frame_no",
+                                              "height", "width", "pix_sum"])
+
+    return media.mapInPandas(per_batch, schema=GIF_FRAME_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 100,
