@@ -1167,7 +1167,8 @@ def dp_neardup_scale(spark, sf_dir):
     # SRP-LSH replaced by IVF multi-assignment for the moderate-threshold
     # regime: measured SRP recall at cos>=0.45 was 7% (63° pairs disagree on
     # ~n_planes/3 bits — unprunable); IVF k=16/m=4 measures 0.99-1.0
-    el = embedding_neardup_pairs_ivf(emb, threshold=0.45, n=n_emb).select(
+    el = embedding_neardup_pairs_ivf(emb, threshold=0.45, n=n_emb,
+                                     cache_key=sf_dir).select(
         "id_a", "id_b").localCheckpoint(eager=True)
     checks = [
         _completeness_row("minhash_complete", ex_mh, mh),
@@ -1207,7 +1208,7 @@ def dp_ann_approx(spark, sf_dir):
     qv = _query_vec(spark, sf_dir)
     brute_ids = _brute_topk_ids(spark, sf_dir, k=10)
     lsh = lsh_topk(emb, qv, k=10, max_hamming=6)
-    assigned, centers = ivf_build(emb, n_centroids=8)
+    assigned, centers = ivf_build(emb, n_centroids=8, cache_key=sf_dir)
     ivf = ivf_topk(assigned, centers, qv, k=10, nprobe=4)
 
     def recall_row(name: str, approx: DataFrame) -> DataFrame:

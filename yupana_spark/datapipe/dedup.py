@@ -610,7 +610,8 @@ def embedding_neardup_pairs_ivf(df: DataFrame, vec_col: str = "embedding",
                                 threshold: float = 0.45,
                                 n_centroids: int = 16, m_assign: int = 4,
                                 seed: int = 7,
-                                n: Optional[int] = None) -> DataFrame:
+                                n: Optional[int] = None,
+                                cache_key: Optional[str] = None) -> DataFrame:
     """Moderate-threshold scale path: IVF multi-assignment candidates.
 
     SRP-LSH pruning collapses at moderate cosine thresholds (a 0.45 pair sits
@@ -635,7 +636,8 @@ def embedding_neardup_pairs_ivf(df: DataFrame, vec_col: str = "embedding",
 
     from .simsearch import assign_cells, kmeans_fit
 
-    centers = kmeans_fit(df, n_centroids, vec_col, id_col, seed, n=n)
+    centers = kmeans_fit(df, n_centroids, vec_col, id_col, seed, n=n,
+                         cache_key=cache_key)
     # one shuffle: vectors move to their <= m_assign cells (row bytes x m,
     # NOT bytes x pairs); each cell verifies its own members with a single
     # numpy Gram matrix, so the exact-cosine work never ships per-pair

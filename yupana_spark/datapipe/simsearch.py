@@ -132,10 +132,14 @@ def sample_rows(df: DataFrame, cap: int, id_col: str,
             .limit(cap))
 
 
+_CENTERS_CACHE: dict = {}
+
+
 def kmeans_fit(df: DataFrame, n_centroids: int, vec_col: str = "embedding",
                id_col: str = "vec_id", seed: int = 42,
                sample_cap: int = 4096, iters: int = 20,
-               n: Optional[int] = None) -> np.ndarray:
+               n: Optional[int] = None,
+               cache_key: Optional[str] = None) -> np.ndarray:
     """Driver-side Lloyd's KMeans on a bounded deterministic sample.
 
     At corpus scale a distributed KMeans over every row is wasted work — the
@@ -145,7 +149,20 @@ def kmeans_fit(df: DataFrame, n_centroids: int, vec_col: str = "embedding",
     (n_centroids, dim) center matrix, to be closed over / broadcast.  Pass
     ``n`` when the caller already knows the corpus row count (skips the
     sampler's count job).
+
+    ``cache_key`` opts into train-once reuse (the standard IVF posture: the
+    coarse quantizer is fit once per corpus and shared by every index and
+    query), keyed by (session, cache_key, k, seed, cap) — pass it only for
+    immutable corpora; the fit is deterministic, so reuse changes nothing
+    but the job count.
     """
+    key = None
+    if cache_key is not None:
+        key = (df.sparkSession.sparkContext.applicationId, cache_key,
+               n_centroids, seed, sample_cap)
+        hit = _CENTERS_CACHE.get(key)
+        if hit is not None:
+            return hit
     pdf = (sample_rows(df.select(id_col, vec_col), sample_cap, id_col, n=n)
            .toPandas().sort_values(id_col))
     X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
@@ -157,6 +174,8 @@ def kmeans_fit(df: DataFrame, n_centroids: int, vec_col: str = "embedding",
         for j in range(len(C)):
             if (a == j).any():
                 C[j] = X[a == j].mean(axis=0)
+    if key is not None:
+        _CENTERS_CACHE[key] = C
     return C
 
 
@@ -184,7 +203,7 @@ def assign_cells(vec_col: Column, centers: np.ndarray, m: int = 1) -> Column:
 
 def ivf_build(df: DataFrame, n_centroids: int = 16,
               vec_col: str = "embedding", id_col: str = "vec_id",
-              seed: int = 42):
+              seed: int = 42, cache_key: Optional[str] = None):
     """Fit centroids (driver-side bounded-sample KMeans) and assign every
     vector to its cell with one Arrow-batched pass.
 
@@ -194,7 +213,8 @@ def ivf_build(df: DataFrame, n_centroids: int = 16,
     10-40x slower at fixture scale and is the wrong shape at 100 TB anyway —
     centroids converge on a sample.)
     """
-    centers = kmeans_fit(df, n_centroids, vec_col, id_col, seed)
+    centers = kmeans_fit(df, n_centroids, vec_col, id_col, seed,
+                         cache_key=cache_key)
     assigned = df.withColumn(
         "cell", F.element_at(assign_cells(F.col(vec_col), centers, 1), 1))
     return assigned, centers
