@@ -569,8 +569,12 @@ def q_rollup_by_month(spark, sf_dir):
 
 
 def q_show_meta(spark, sf_dir):
-    """Bundle: SHOW TABLES + SHOW COLUMNS as one (kind, name, info) result
-    (was q_show_tables + q_show_columns; §2.11)."""
+    """Bundle: SHOW TABLES + SHOW COLUMNS + SHOW VERSION (semver
+    shape-checked, so version bumps don't churn the hash) + SHOW FUNCTIONS
+    FOR BOOLEAN (closed registry, FunctionRegistry.scala:334-342) + SET
+    echo + SHOW QUERIES (a probe query's terminal FINISHED state out of the
+    metrics registry) as one (kind, name, info) result (§2.11; was
+    q_show_tables + q_show_columns, then widened per round-4 polish)."""
     tsdb = _tsdb(spark, sf_dir)
     t = tsdb.sql("SHOW TABLES").select(
         F.lit("table").alias("kind"), F.col("TABLE_NAME").alias("name"),
@@ -578,7 +582,25 @@ def q_show_meta(spark, sf_dir):
     c = tsdb.sql("SHOW COLUMNS FROM orders").select(
         F.lit("column").alias("kind"), F.col("COLUMN_NAME").alias("name"),
         F.col("DATA_TYPE").alias("info"))
-    return t.unionAll(c)
+    v = tsdb.sql("SHOW VERSION").select(
+        F.lit("version").alias("kind"),
+        F.when(F.col("VERSION").rlike(r"^\d+\.\d+\.\d+$")
+               & (F.col("MAJOR") >= 0) & (F.col("MINOR") >= 0), "semver")
+        .otherwise("malformed").alias("name"),
+        F.lit("").alias("info"))
+    fns = tsdb.sql("SHOW FUNCTIONS FOR BOOLEAN").select(
+        F.lit("function").alias("kind"), F.col("NAME").alias("name"),
+        F.lit("BOOLEAN").alias("info"))
+    st = tsdb.sql("SET show_meta_probe=1").select(
+        F.lit("set").alias("kind"), F.col("NAME").alias("name"),
+        F.col("VALUE").alias("info"))
+    tsdb.sql("SELECT 42 AS show_meta_probe_q")  # lands in the registry
+    q = (tsdb.sql("SHOW QUERIES")
+         .filter(F.col("QUERY").contains("show_meta_probe_q"))
+         .select(F.lit("query").alias("kind"),
+                 F.lit("probe").alias("name"), F.col("STATE").alias("info"))
+         .distinct())
+    return t.unionAll(c).unionAll(v).unionAll(fns).unionAll(st).unionAll(q)
 
 
 def q_tpch_q1(spark, sf_dir):
@@ -1562,7 +1584,14 @@ _ORACLES_REL: dict[str, str] = {
             ('column', 'CustomerLink_c_name', 'VARCHAR'),
             ('column', 'CustomerLink_c_nationkey', 'INTEGER'),
             ('column', 'CustomerLink_c_acctbal', 'DOUBLE'),
-            ('column', 'CustomerLink_c_mktsegment', 'VARCHAR')
+            ('column', 'CustomerLink_c_mktsegment', 'VARCHAR'),
+            ('version', 'semver', ''),
+            ('function', 'and', 'BOOLEAN'), ('function', 'count', 'BOOLEAN'),
+            ('function', 'is_not_null', 'BOOLEAN'),
+            ('function', 'is_null', 'BOOLEAN'),
+            ('function', 'not', 'BOOLEAN'), ('function', 'or', 'BOOLEAN'),
+            ('set', 'show_meta_probe', '1'),
+            ('query', 'probe', 'FINISHED')
         ) AS t(kind, name, info)
     """,
     "q_tpch_q1": """
