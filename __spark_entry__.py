@@ -600,7 +600,45 @@ def q_show_meta(spark, sf_dir):
          .select(F.lit("query").alias("kind"),
                  F.lit("probe").alias("name"), F.col("STATE").alias("info"))
          .distinct())
-    return t.unionAll(c).unionAll(v).unionAll(fns).unionAll(st).unionAll(q)
+
+    # dialect-rule rows: statements the reference REJECTS must raise the
+    # typed InvalidQueryError here too (ORDER BY absent from the dialect,
+    # window+aggregate kind mixing, users/auth out of scope) — and a bound
+    # `?` placeholder must produce the same frame as its inline literal
+    from yupana_spark.expressions import InvalidQueryError
+    from yupana_spark.sql.parser import SqlParseError
+
+    def rejected(stmt: str) -> str:
+        try:
+            tsdb.sql(stmt)
+            return "accepted"
+        except (InvalidQueryError, SqlParseError):
+            return "ok"
+
+    probe_where = ("FROM orders WHERE time >= TIMESTAMP '1995-01-01' "
+                   "AND time < TIMESTAMP '1996-01-01'")
+    rej_rows = [
+        ("reject", "order_by",
+         rejected(f"SELECT o_custkey {probe_where} ORDER BY o_custkey")),
+        ("reject", "window_agg_mix",
+         rejected("SELECT o_custkey, lag(o_totalprice), "
+                  f"sum(o_totalprice) AS s {probe_where} "
+                  "GROUP BY o_custkey")),
+        ("reject", "create_user", rejected("CREATE USER foo")),
+    ]
+    bound = tsdb.sql(
+        f"SELECT count(o_orderkey) AS cnt {probe_where} "
+        "AND o_orderstatus = ?", params=["F"]).collect()
+    inline = tsdb.sql(
+        f"SELECT count(o_orderkey) AS cnt {probe_where} "
+        "AND o_orderstatus = 'F'").collect()
+    rej_rows.append(("bind", "placeholder",
+                     "match" if bound == inline and bound[0]["cnt"] > 0
+                     else "mismatch"))
+    r = spark.createDataFrame(rej_rows, "kind string, name string, "
+                              "info string")
+    return (t.unionAll(c).unionAll(v).unionAll(fns).unionAll(st)
+            .unionAll(q).unionAll(r))
 
 
 def q_tpch_q1(spark, sf_dir):
@@ -1591,7 +1629,11 @@ _ORACLES_REL: dict[str, str] = {
             ('function', 'is_null', 'BOOLEAN'),
             ('function', 'not', 'BOOLEAN'), ('function', 'or', 'BOOLEAN'),
             ('set', 'show_meta_probe', '1'),
-            ('query', 'probe', 'FINISHED')
+            ('query', 'probe', 'FINISHED'),
+            ('reject', 'order_by', 'ok'),
+            ('reject', 'window_agg_mix', 'ok'),
+            ('reject', 'create_user', 'ok'),
+            ('bind', 'placeholder', 'match')
         ) AS t(kind, name, info)
     """,
     "q_tpch_q1": """
