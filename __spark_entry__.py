@@ -816,7 +816,12 @@ def q_stream_dedup(spark, sf_dir):
       (``windowed_counts``: withWatermark + 1-hour tumbling window agg,
       complete mode so unclosed windows surface too) must account for every
       input row exactly once and produce exactly DuckDB's count of distinct
-      event hours.
+      event hours;
+    * stateful_rows_conserved / stateful_n_keys: a third run through the
+      custom stateful operator (``running_totals``,
+      applyInPandasWithState) — the latest per-key snapshots must account
+      for every input row exactly once across exactly DuckDB's distinct
+      user count.
 
     The watermark horizon (10 years) exceeds the slice span so no row is
     late; state is still evicted by event time at production horizons — the
@@ -879,6 +884,33 @@ def q_stream_dedup(spark, sf_dir):
             w_rows, w_wins = int(wrow["s"]), int(wrow["n"])
         finally:
             shutil.rmtree(wck, ignore_errors=True)
+
+        # third run: the custom stateful operator (applyInPandasWithState,
+        # streaming/stateful.running_totals).  One availableNow batch emits
+        # one running snapshot per key; exact-count conservation (event
+        # counts, not float sums) keeps the oracle engine-independent
+        from yupana_spark.streaming.stateful import running_totals
+
+        ssink = "qst_" + uuid.uuid4().hex[:8]
+        sck = tempfile.mkdtemp(prefix="ystream_sck_")
+        try:
+            stream3 = spark.readStream.schema(src.schema).parquet(srcdir)
+            sq = (running_totals(stream3, key_col="user_id",
+                                 value_col="value", idle_timeout=False)
+                  .writeStream.format("memory").queryName(ssink)
+                  .outputMode("update")
+                  .option("checkpointLocation", sck)
+                  .trigger(availableNow=True).start())
+            sq.awaitTermination()
+            # totals are monotonic per key: latest snapshot == max — robust
+            # to the source splitting into several micro-batches
+            srow = (spark.table(ssink).filter(~F.col("closed"))
+                    .groupBy("key").agg(F.max("n_events").alias("n"))
+                    .agg(F.sum("n").alias("s"),
+                         F.count("*").alias("k")).collect()[0])
+            s_rows, s_keys = int(srow["s"]), int(srow["k"])
+        finally:
+            shutil.rmtree(sck, ignore_errors=True)
     finally:
         shutil.rmtree(srcdir, ignore_errors=True)
         shutil.rmtree(ckdir, ignore_errors=True)
@@ -887,7 +919,9 @@ def q_stream_dedup(spark, sf_dir):
          ("dup_rows_in_output", n_out - n_dist),
          ("saw_duplicates", 1 if n_in > n_out else 0),
          ("windowed_rows_conserved", w_rows),  # oracle: 2x slice rows
-         ("windowed_n_windows", w_wins)],
+         ("windowed_n_windows", w_wins),
+         ("stateful_rows_conserved", s_rows),  # oracle: 2x slice rows
+         ("stateful_n_keys", s_keys)],
         "chk string, val bigint")
 
 
@@ -1781,6 +1815,13 @@ _ORACLES_REL: dict[str, str] = {
         UNION ALL SELECT 'windowed_n_windows',
                          CAST(count(DISTINCT date_trunc('hour', ts))
                               AS BIGINT) FROM s
+        UNION ALL SELECT 'stateful_rows_conserved',
+                         CAST(2 * count(*) AS BIGINT) FROM s
+        UNION ALL SELECT 'stateful_n_keys',
+                         CAST(count(DISTINCT user_id) AS BIGINT)
+                         FROM (SELECT user_id FROM events
+                               WHERE ts >= TIMESTAMP '2024-01-01'
+                                 AND ts < TIMESTAMP '2024-01-08') u
     """,
 }
 _ORACLES_DP: dict[str, str] = {

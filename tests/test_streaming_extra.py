@@ -110,11 +110,14 @@ def test_stream_dedup_entry_verdict(spark):
                    "AND ts < TIMESTAMP '2024-01-08'")
            .agg(F.countDistinct("event_id").alias("d"),
                 F.count("*").alias("n"),
-                F.countDistinct(F.date_trunc("hour", "ts")).alias("w"))
+                F.countDistinct(F.date_trunc("hour", "ts")).alias("w"),
+                F.countDistinct("user_id").alias("u"))
            .collect()[0])
     assert got == {"distinct_keys": agg["d"],
                    "dup_rows_in_output": 0,
                    "saw_duplicates": 1,
                    "windowed_rows_conserved": 2 * agg["n"],
-                   "windowed_n_windows": agg["w"]}
+                   "windowed_n_windows": agg["w"],
+                   "stateful_rows_conserved": 2 * agg["n"],
+                   "stateful_n_keys": agg["u"]}
     assert agg["d"] > 0

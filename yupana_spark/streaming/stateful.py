@@ -42,35 +42,49 @@ def set_idle_timeout_ms(ms: int) -> None:
     _TIMEOUT_MS = ms
 
 
-def _update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
-            state: GroupState) -> Iterator[pd.DataFrame]:
-    if state.hasTimedOut:
-        n, total = state.get
-        state.remove()
+def _make_update(with_timeout: bool):
+    def _update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame({"key": [key[0]], "n_events": [n],
+                                "total": [total], "closed": [True]})
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        if with_timeout:
+            state.setTimeoutDuration(_TIMEOUT_MS)  # inactivity closes keys
         yield pd.DataFrame({"key": [key[0]], "n_events": [n],
-                            "total": [total], "closed": [True]})
-        return
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    state.setTimeoutDuration(_TIMEOUT_MS)  # inactivity closes the key
-    yield pd.DataFrame({"key": [key[0]], "n_events": [n],
-                        "total": [total], "closed": [False]})
+                            "total": [total], "closed": [False]})
+
+    return _update
+
+
+_update = _make_update(True)  # back-compat module-level form
 
 
 def running_totals(stream: DataFrame, key_col: str = "user_id",
-                   value_col: str = "value") -> DataFrame:
-    """Per-key running (count, sum) with inactivity expiry.
+                   value_col: str = "value",
+                   idle_timeout: bool = True) -> DataFrame:
+    """Per-key running (count, sum), with optional inactivity expiry.
 
     Works on a streaming DataFrame with columns (key_col, value_col).
+    ``idle_timeout=False`` runs with NoTimeout — required under an
+    availableNow trigger, where ProcessingTimeTimeout keeps the query alive
+    scheduling empty micro-batches until wall-clock expiry (observed: the
+    query never terminates); an always-on pipeline keeps the default.
     """
     from pyspark.sql import functions as F
 
     src = stream.select(F.col(key_col).alias("key"),
                         F.col(value_col).alias("value"))
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if idle_timeout
+               else GroupStateTimeout.NoTimeout)
     return (src.groupBy("key")
             .applyInPandasWithState(
-                _update, OUTPUT_SCHEMA, STATE_SCHEMA,
-                "update", GroupStateTimeout.ProcessingTimeTimeout))
+                _make_update(idle_timeout), OUTPUT_SCHEMA, STATE_SCHEMA,
+                "update", timeout))
