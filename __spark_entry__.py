@@ -524,10 +524,12 @@ def q_split_tokens(spark, sf_dir):
 def q_upsert_roundtrip(spark, sf_dir):
     """Bundle: scripted UPSERT -> read-back (last-write-wins, §2.1) + the
     SHOW UPDATES_INTERVALS changelog the write produced
-    (UpdatesIntervalsProvider.scala:1-142).  The changelog's deterministic
-    projection (table:day, one row per rewritten day bucket) rides along as
-    kind='interval' rows; updated_at is wall-clock and stays out of the
-    driver-facing shape."""
+    (UpdatesIntervalsProvider.scala:1-142) + the ItemFixer ingest hook
+    (kind='fixer' row: a CP866-mojibake value upserted through a hash-dim
+    schema variant must read back canonicalized).  The changelog's
+    deterministic projection (table:day, one row per rewritten day bucket)
+    rides along as kind='interval' rows; updated_at is wall-clock and stays
+    out of the driver-facing shape."""
     tsdb = _tsdb_fresh(spark, sf_dir)
     tsdb.sql(
         "UPSERT INTO events (time, event_id, user_id, event_type, value) VALUES "
@@ -544,7 +546,33 @@ def q_upsert_roundtrip(spark, sf_dir):
         F.concat(F.col("table_name"), F.lit(":"),
                  F.date_format("day", "yyyy-MM-dd")).alias("event_type"),
         F.lit(None).cast("double").alias("value"))
-    return rows.unionByName(iv)
+
+    # ItemFixer hook (Schema.scala itemFixer + OfdItemFixer.scala): a
+    # schema variant marks event_type as a hash-kind (item-like) dimension
+    # with the shipped CP866-mojibake fixer — the upsert must store the
+    # CANONICALIZED value, proving the hook runs inside the ingest path
+    import dataclasses
+
+    from yupana_spark.catalog import EVENTS
+    from yupana_spark.functions.itemfixer import ofd_item_fixer
+    from yupana_spark.schema import Schema
+
+    ev_hash = dataclasses.replace(EVENTS, dimensions=tuple(
+        dataclasses.replace(d, kind="hash") if d.name == "event_type" else d
+        for d in EVENTS.dimensions))
+    t2 = Tsdb(spark, Schema(item_fixer=ofd_item_fixer).add(ev_hash), sf_dir)
+    t2.sql("UPSERT INTO events (time, event_id, user_id, event_type, value) "
+           "VALUES (TIMESTAMP '2024-03-05 10:00:00', 900003, 3, "
+           "'┬лсут┬╗ ╕', 1.0)")
+    fx = t2.sql(
+        "SELECT event_type FROM events "
+        "WHERE time >= TIMESTAMP '2024-03-05' AND time < TIMESTAMP "
+        "'2024-03-06'"
+    ).select(F.lit("fixer").alias("kind"),
+             F.lit(-2).cast("long").alias("event_id"),
+             F.col("event_type"),
+             F.lit(None).cast("double").alias("value"))
+    return rows.unionByName(iv).unionByName(fx)
 
 
 def q_rollup_by_month(spark, sf_dir):
@@ -1636,7 +1664,8 @@ _ORACLES_REL: dict[str, str] = {
         FROM (VALUES
             ('row', 900001, 'upserted', 1.5),
             ('row', 900002, 'upserted', 3.5),
-            ('interval', -1, 'events:2024-03-01', NULL)
+            ('interval', -1, 'events:2024-03-01', NULL),
+            ('fixer', -2, '"сут" ё', NULL)
         ) AS t(kind, event_id, event_type, value)
     """,
     "q_rollup_by_month": f"""
