@@ -1092,7 +1092,10 @@ def dp_embed_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (brute-force exactness baseline)."""
     from yupana_spark.datapipe.dedup import embedding_neardup_pairs
 
-    return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.45)
+    emb = _emb(spark, sf_dir)
+    return embedding_neardup_pairs(
+        emb, threshold=0.45,
+        n=_fixture_count(spark, sf_dir, "embeddings", emb))
 
 
 _QVEC_CACHE = {}
@@ -1157,7 +1160,9 @@ def dp_dedup_resolve(spark, sf_dir):
     from yupana_spark.datapipe.sample import dedup_clusters
 
     emb = _emb(spark, sf_dir)
-    pairs = embedding_neardup_pairs(emb, threshold=0.45)
+    pairs = embedding_neardup_pairs(
+        emb, threshold=0.45,
+        n=_fixture_count(spark, sf_dir, "embeddings", emb))
     clusters = dedup_clusters(pairs)
     out = (emb.select("vec_id")
            .join(clusters, emb.vec_id == clusters.id, "left")
