@@ -1268,18 +1268,18 @@ def dp_neardup_scale(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     n_docs = _fixture_count(spark, sf_dir, "documents", docs)
     n_emb = _fixture_count(spark, sf_dir, "embeddings", emb)
-    # one persisted (id, hs, sig) artifact feeds the LSH pipeline AND the
-    # sampled exactness audit — the shingle scan and signature UDF run once
-    arts = minhash_artifacts(docs).persist()
-    try:
-        mh = minhash_dedup_pairs(docs, threshold=0.5,
-                                 artifacts=arts).select("id_a", "id_b")
-        # oracle bar 0.85 >> pipeline bar 0.5: see docstring (robustness to
-        # mid-similarity pairs where band detection is genuinely <1)
-        ex_mh = sampled_exact_jaccard_pairs(
-            docs, threshold=0.85, cap=400, hashed=arts, n=n_docs)
-    finally:
-        arts.unpersist()
+    # one MATERIALIZED (id, hs, sig) artifact feeds the LSH pipeline AND the
+    # sampled exactness audit — eager localCheckpoint, not persist/unpersist:
+    # a persist released before the final action ever runs caches nothing,
+    # so the banded join's three artifact references each re-ran the
+    # shingle scan + signature UDF (measured ~1 s/run at sf0.1)
+    arts = minhash_artifacts(docs).localCheckpoint(eager=True)
+    mh = minhash_dedup_pairs(docs, threshold=0.5,
+                             artifacts=arts).select("id_a", "id_b")
+    # oracle bar 0.85 >> pipeline bar 0.5: see docstring (robustness to
+    # mid-similarity pairs where band detection is genuinely <1)
+    ex_mh = sampled_exact_jaccard_pairs(
+        docs, threshold=0.85, cap=400, hashed=arts, n=n_docs)
     # radius 3 -> 4 x 16-bit blocks: background (blk,bval) collisions are
     # ~N^2/2^16 instead of ~N^2/2^7 at radius 8 — the standard near-dup
     # radius for 64-bit simhash keeps candidate generation sparse.  One
@@ -1294,9 +1294,12 @@ def dp_neardup_scale(spark, sf_dir):
     # SRP-LSH replaced by IVF multi-assignment for the moderate-threshold
     # regime: measured SRP recall at cos>=0.45 was 7% (63° pairs disagree on
     # ~n_planes/3 bits — unprunable); IVF k=16/m=4 measures 0.99-1.0
+    # left LAZY on purpose: the IVF assignment recomputes once inside the
+    # final action (its kmeans fit is memoized via cache_key), and letting
+    # the scheduler overlap it with the minhash/simhash stages beats an
+    # eager checkpoint that serializes a whole job ahead of the action
     el = embedding_neardup_pairs_ivf(emb, threshold=0.45, n=n_emb,
-                                     cache_key=sf_dir).select(
-        "id_a", "id_b").localCheckpoint(eager=True)
+                                     cache_key=sf_dir).select("id_a", "id_b")
     checks = [
         _completeness_row("minhash_complete", ex_mh, mh),
         _completeness_row(

@@ -130,13 +130,24 @@ def minhash_signature_np(hash_col: Column, num_hashes: int = 32) -> Column:
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(hs: pd.Series) -> pd.Series:
-        def one(h):
-            if h is None or len(h) == 0:
-                return [0] * num_hashes
-            hv = np.asarray(h, dtype=np.int64)[:, None]  # (S, 1)
-            return ((hv * A + B) % _MERSENNE31).min(axis=0).tolist()
-
-        return hs.map(one)
+        # one (total_shingles x families) affine pass + segment-min per doc
+        # (np.minimum.reduceat) — no per-row Python loop; empty/null docs
+        # keep the all-zeros signature the row-wise form produced
+        n = len(hs)
+        lens = np.fromiter(((0 if h is None else len(h)) for h in hs),
+                           dtype=np.int64, count=n)
+        out = np.zeros((n, num_hashes), dtype=np.int64)
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate([
+                np.asarray(h, dtype=np.int64) for h in hs
+                if h is not None and len(h)
+            ])[:, None]                      # (total, 1)
+            vals = (flat * A + B) % _MERSENNE31
+            offs = np.zeros(int(nz.sum()), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=offs[1:])
+            out[nz] = np.minimum.reduceat(vals, offs, axis=0)
+        return pd.Series(out.tolist())
 
     return sig(hash_col)
 
