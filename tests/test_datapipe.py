@@ -231,6 +231,12 @@ def test_dedup_clusters_chain(spark):
                   dedup_keep(corpus, pairs).collect())
     assert kept == [1, 10, 20, 99]  # one per cluster + untouched singleton
 
+    # the distributed label-propagation path (the scale side of the volume
+    # gate) must agree with the driver-side union-find exactly
+    dist = {r["id"]: r["cluster_id"]
+            for r in dedup_clusters(pairs, small_limit=0).collect()}
+    assert dist == got
+
 
 def test_top_k_per_group(spark, docs):
     from yupana_spark.datapipe.select import top_k_per_group

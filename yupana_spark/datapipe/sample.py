@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Dict, Optional
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
 
 
 # ---------------------------------------------------------------------------
@@ -65,21 +66,58 @@ def deterministic_sample(df: DataFrame, id_col: str, rate: float,
 # dedup cluster resolution (connected components)
 # ---------------------------------------------------------------------------
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                   max_iter: int = 20) -> DataFrame:
+                   max_iter: int = 20,
+                   small_limit: int = 200_000) -> DataFrame:
     """(id, cluster_id): connected components over an undirected pair list,
     cluster_id = min member id.
 
-    Distributed min-label propagation: every node starts labeled with its
-    own id; each round joins labels across edges and takes the min; stop
-    when no label changes.  Each round is one shuffle join + one min-agg —
-    both AQE-sized — and the iteration count is O(log component diameter),
-    not O(N): duplicate clusters are near-cliques, so 2-4 rounds at any
-    scale.  The per-round convergence check is a count over changed labels
-    only (no full collect).
+    Volume-gated execution (same posture as session.tune_for_volume): the
+    pair list is ALREADY the reduced output of a dedup pipeline — orders of
+    magnitude smaller than the corpus — so when it fits ``small_limit``
+    rows it is union-found driver-side in one collect (a 200k-row pair
+    list is ~3 MB of longs; the distributed loop would spend 4-8 jobs of
+    pure scheduling on it).  Beyond the gate, distributed min-label
+    propagation: every node starts labeled with its own id; each round
+    joins labels across edges and takes the min; stop when no label
+    changes.  Each round is one shuffle join + one min-agg — both
+    AQE-sized — and the iteration count is O(log component diameter), not
+    O(N): duplicate clusters are near-cliques, so 2-4 rounds at any scale.
+    The per-round convergence check is a count over changed labels only
+    (no full collect); the gate check itself is a bounded ``limit(k+1)``
+    count, never an unbounded collect.
     """
-    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-             .union(pairs.select(F.col(id_b).alias("src"),
-                                 F.col(id_a).alias("dst")))
+    spark = pairs.sparkSession
+    pairs = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    if small_limit > 0:
+        head = pairs.limit(small_limit + 1).collect()
+        if len(head) <= small_limit:
+            parent: dict = {}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in head:
+                a, b = r["src"], r["dst"]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by min id keeps cluster_id = min member
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            rows = [(n, find(n)) for n in parent]
+            id_type = pairs.schema["src"].dataType
+            out_schema = T.StructType([
+                T.StructField("id", id_type),
+                T.StructField("cluster_id", id_type),
+            ])
+            return spark.createDataFrame(rows, out_schema)
+    edges = (pairs
+             .union(pairs.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
              .distinct())
     edges = edges.persist()
     labels = (edges.select(F.col("src").alias("id"))
