@@ -95,11 +95,15 @@ def gen_query(rng: random.Random):
 
 
 def _canon(rows):
+    import decimal
+
     out = []
     for r in rows:
         vals = []
         for v in r:
-            if isinstance(v, float):
+            if isinstance(v, decimal.Decimal):
+                vals.append(round(float(v), 6))
+            elif isinstance(v, float):
                 vals.append(round(v, 6))
             elif isinstance(v, dt.datetime):
                 vals.append(v.isoformat())
@@ -178,3 +182,89 @@ def test_differential_scalar_groupbys(tsdb, duck, seed):
         for gr, er in zip(got, exp):
             assert all(_close(g, e) for g, e in zip(gr, er)), \
                 f"seed-case {i} row diff: {gr} != {er}\n{yql!r}"
+
+
+def _rich_predicate(rng: random.Random):
+    """Predicates over the dialect surface the basic generator skips:
+    scalar string functions, BETWEEN, tuple-valued IN."""
+    def leaf():
+        kind = rng.choice(["between", "tuple_in", "strfn", "num", "case"])
+        if kind == "between":
+            col = rng.choice(NUM_COLS)
+            lo = round(rng.uniform(0, 20), 2)
+            hi = round(lo + rng.uniform(0, 20), 2)
+            return f"{col} BETWEEN {lo} AND {hi}"
+        if kind == "tuple_in":
+            pairs = {(rng.choice("ANR"), rng.choice("OF"))
+                     for _ in range(rng.randint(1, 3))}
+            lst = ", ".join(f"('{a}', '{b}')" for a, b in sorted(pairs))
+            neg = rng.choice(["", "NOT "])
+            return (f"(l_returnflag, l_linestatus) {neg}IN ({lst})")
+        if kind == "strfn":
+            fn, val = rng.choice([("lower", "'a'"), ("upper", "'A'"),
+                                  ("length", "1")])
+            op = rng.choice(["=", "<>"])
+            return f"{fn}(l_returnflag) {op} {val}"
+        if kind == "case":
+            col = rng.choice(NUM_COLS)
+            bar = round(rng.uniform(0, 30), 2)
+            return (f"CASE WHEN l_returnflag = 'A' THEN {col} "
+                    f"ELSE 0 END > {bar}")
+        col = rng.choice(NUM_COLS)
+        return f"abs({col} - {round(rng.uniform(0, 10), 2)}) < 5"
+
+    parts = [leaf() for _ in range(rng.randint(1, 2))]
+    return rng.choice([" AND ", " OR "]).join(f"({p})" for p in parts)
+
+
+def _rich_aggregates(rng: random.Random):
+    """(alias, yql, sql) including the engine-specific spellings: avg's
+    decimal result, distinct_count vs count(DISTINCT), post-aggregate
+    arithmetic (compiler _compile_agg split + post-agg projection)."""
+    out = [("cnt", "count(l_orderkey)", "count(l_orderkey)")]
+    kinds = rng.sample(["avg", "dc", "post", "absagg"], rng.randint(1, 3))
+    for i, kind in enumerate(kinds):
+        col = rng.choice(NUM_COLS)
+        if kind == "avg":
+            out.append((f"r{i}", f"avg({col})", f"avg({col})"))
+        elif kind == "dc":
+            key = rng.choice(KEY_COLS)
+            out.append((f"r{i}", f"distinct_count({key})",
+                        f"count(DISTINCT {key})"))
+        elif kind == "post":
+            c2 = rng.choice(NUM_COLS)
+            op = rng.choice(["+", "-", "*"])
+            out.append((f"r{i}", f"sum({col}) {op} max({c2})",
+                        f"sum({col}) {op} max({c2})"))
+        else:
+            out.append((f"r{i}", f"sum(abs({col} - 1))",
+                        f"sum(abs({col} - 1))"))
+    return out
+
+
+@pytest.mark.parametrize("seed", [60260814, 17, 5150])
+def test_differential_rich_surface(tsdb, duck, seed):
+    """Scalar functions in predicates, BETWEEN/tuple-IN sugar, avg/
+    distinct_count, and post-aggregate arithmetic — the corners where the
+    compiler does real rewriting (agg split, post-agg projection, tuple
+    lowering) rather than pass-through."""
+    rng = random.Random(seed)
+    n_nonempty = 0
+    for i in range(15):
+        pred = _rich_predicate(rng)
+        group = rng.sample(DIMS, rng.randint(0, 2))
+        aggs = _rich_aggregates(rng)
+        sel_y = ", ".join(group + [f"{y} AS {a}" for a, y, _ in aggs])
+        sel_d = ", ".join(group + [f"{d} AS {a}" for a, _, d in aggs])
+        gb = f" GROUP BY {', '.join(group)}" if group else ""
+        yql = f"SELECT {sel_y} FROM lineitem WHERE {TB_Y} AND ({pred}){gb}"
+        sql = f"SELECT {sel_d} FROM lineitem WHERE {TB_D} AND ({pred}){gb}"
+        got = _canon([tuple(r) for r in tsdb.sql(yql).collect()])
+        exp = _canon([tuple(r) for r in duck.sql(sql).fetchall()])
+        assert len(got) == len(exp), f"seed-case {i}: {yql!r}"
+        for gr, er in zip(got, exp):
+            assert len(gr) == len(er) and all(
+                _close(g, e) for g, e in zip(gr, er)), \
+                f"seed-case {i} row diff: {gr} != {er}\n{yql!r}"
+        n_nonempty += bool(got)
+    assert n_nonempty >= 7
