@@ -1320,19 +1320,25 @@ def dp_neardup_scale(spark, sf_dir):
 
 def dp_ann_approx(spark, sf_dir):
     """Bundle of the approximate ANN paths — SRP hyperplane-LSH bucket
-    pruning + IVF sample-fit-KMeans cell probing — SELF-VALIDATED as
-    recall@10 vs the exact `brute_force_topk` baseline (round-2 verdict ask
-    #1; the baseline itself is the oracled dp_ann_bruteforce entry).
+    pruning, IVF sample-fit-KMeans cell probing, and PQ codes with ADC
+    shortlist + exact rerank (Jegou et al. 2011; the memory scale path:
+    8 B codes instead of 256 B vectors) — SELF-VALIDATED as recall@10 vs
+    the exact `brute_force_topk` baseline (round-2 verdict ask #1; the
+    baseline itself is the oracled dp_ann_bruteforce entry).
 
     Output: one (method, verdict) row per path; DuckDB oracle is the
-    constant 'ok' rows.  verdict='ok' iff recall@10 >= 0.5 AND the probe
-    vector itself (cosine 1.0 — its bucket/cell is always searched) is in
-    the result.  The fixture's true top-10 sit at background cosine ~0.3,
-    the hard regime for pruned search: measured recall lsh(h<=6)
-    0.7/0.8/0.8 and ivf(4/8 cells) 0.9/0.8/0.8 at sf0.001/0.01/0.1 — the
-    0.5 bar has margin at every fixture scale while a broken bucket/probe
-    layout (recall ~0.1 before tuning) fails."""
-    from yupana_spark.datapipe.simsearch import ivf_build, ivf_topk, lsh_topk
+    constant 'ok' rows.  verdict='ok' iff recall@10 >= bar AND the probe
+    vector itself (cosine 1.0 — its bucket/cell is always searched, and its
+    code reranks to the top) is in the result.  The fixture's true top-10
+    sit at background cosine ~0.3, the hard regime for pruned search:
+    measured recall lsh(h<=6) 0.7/0.8/0.8, ivf(4/8 cells) 0.9/0.8/0.8, and
+    pq(m=8, shortlist 100, exact rerank) 1.0/1.0/1.0 at
+    sf0.001/0.01/0.1 — the 0.5 bar (0.7 for PQ, whose rerank removes
+    quantization noise from the final ranking) has margin at every fixture
+    scale while a broken bucket/probe/code layout (recall ~0.1) fails."""
+    from yupana_spark.datapipe.simsearch import (ivf_build, ivf_topk,
+                                                 lsh_topk, pq_encode, pq_fit,
+                                                 pq_topk)
 
     emb = _emb(spark, sf_dir)
     qv = _query_vec(spark, sf_dir)
@@ -1340,18 +1346,27 @@ def dp_ann_approx(spark, sf_dir):
     lsh = lsh_topk(emb, qv, k=10, max_hamming=6)
     assigned, centers = ivf_build(emb, n_centroids=8, cache_key=sf_dir)
     ivf = ivf_topk(assigned, centers, qv, k=10, nprobe=4)
+    books = pq_fit(emb, m=8, cache_key=sf_dir,
+                   n=_fixture_count(spark, sf_dir, "embeddings", emb))
+    encoded = emb.withColumn("pq_code",
+                             pq_encode(F.col("embedding"), books))
+    pq = pq_topk(encoded, books, qv, k=10, shortlist=100)
 
-    def recall_row(name: str, approx: DataFrame) -> DataFrame:
+    def recall_row(name: str, approx: DataFrame,
+                   min_hits: int = 5) -> DataFrame:
         hits = (approx.join(brute_ids, "vec_id", "semi")
                 .agg(F.count("*").alias("__hit")))
         self_hit = (approx.filter(F.col("vec_id") == 0)
                     .agg(F.count("*").alias("__self")))
         return (hits.crossJoin(self_hit)
                 .select(F.lit(name).alias("method"),
-                        F.when((F.col("__hit") >= 5) & (F.col("__self") == 1),
+                        F.when((F.col("__hit") >= min_hits)
+                               & (F.col("__self") == 1),
                                "ok").otherwise("low_recall").alias("verdict")))
 
-    return recall_row("srp_lsh", lsh).unionAll(recall_row("ivf", ivf))
+    return (recall_row("srp_lsh", lsh)
+            .unionAll(recall_row("ivf", ivf))
+            .unionAll(recall_row("pq_adc", pq, min_hits=7)))
 
 
 def _brute_topk_ids(spark, sf_dir, k: int = 10) -> DataFrame:
@@ -2155,6 +2170,8 @@ _ORACLES_DP: dict[str, str] = {
         SELECT 'srp_lsh' AS method, 'ok' AS verdict
         UNION ALL
         SELECT 'ivf', 'ok'
+        UNION ALL
+        SELECT 'pq_adc', 'ok'
     """,
     # conservation totals recomputed from `documents` (token definition
     # matches dp_text_stats' oracled n_tokens; chunk layout — window 64 /

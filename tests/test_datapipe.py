@@ -115,6 +115,35 @@ def test_ivf_recall_vs_bruteforce(emb):
     assert len(exact & approx) >= 5  # nprobe=4/8 cells: decent recall
 
 
+def test_pq_adc_recall_and_codes(emb):
+    from pyspark.sql import functions as F
+
+    from yupana_spark.datapipe.simsearch import (brute_force_topk, pq_encode,
+                                                 pq_fit, pq_topk)
+
+    books = pq_fit(emb, m=8)
+    assert books.shape[0] == 8 and books.shape[2] == 8  # 64-dim / m
+    enc = emb.withColumn("pq_code", pq_encode(F.col("embedding"), books))
+    row = enc.filter("vec_id = 3").collect()[0]
+    assert len(row["pq_code"]) == 8
+    assert all(0 <= c < 256 for c in row["pq_code"])
+
+    qv = row["embedding"]
+    exact = {r["vec_id"] for r in brute_force_topk(emb, qv, k=10).collect()}
+    got = pq_topk(enc, books, qv, k=10, shortlist=100).collect()
+    assert got[0]["vec_id"] == 3  # self reranks to the top (cosine 1.0)
+    assert len(exact & {r["vec_id"] for r in got}) >= 7
+
+    # falsifiability: garbage codes (all zero) must NOT reach the recall bar
+    broken = enc.withColumn(
+        "pq_code", F.array(*[F.lit(0)] * 8).cast("array<int>"))
+    bad = {r["vec_id"]
+           for r in pq_topk(broken, books, qv, k=10, shortlist=15).collect()}
+    # with every code identical the ADC shortlist is arbitrary-by-id; the
+    # exact rerank can only salvage what the shortlist happened to include
+    assert len(exact & bad) < 7
+
+
 def test_lang_id_stopwords(spark):
     from yupana_spark.datapipe.text import lang_id
 

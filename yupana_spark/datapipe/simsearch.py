@@ -240,3 +240,120 @@ def ivf_topk(assigned: DataFrame, model, query_vec: Sequence[float],
                     F.round(cosine(F.col(vec_col), q), 6).alias("score"))
             .orderBy(F.col("score").desc(), F.col(id_col))
             .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) + asymmetric distance (ADC) search
+# ---------------------------------------------------------------------------
+def pq_fit(df: DataFrame, m: int = 8, ks: int = 256,
+           vec_col: str = "embedding", id_col: str = "vec_id",
+           seed: int = 42, sample_cap: int = 4096, iters: int = 15,
+           n: Optional[int] = None,
+           cache_key: Optional[str] = None) -> np.ndarray:
+    """Per-subspace codebooks (m, ks, dim/m) — Jegou et al. 2011 (TPAMI,
+    "Product Quantization for Nearest Neighbor Search", public).
+
+    The memory side of 100 TB ANN: a 64-dim float32 vector is 256 B; its PQ
+    code is ``m`` bytes (64 B -> 8 B at the defaults), so a billion-vector
+    index fits executor memory where raw vectors cannot.  Codebooks are fit
+    driver-side per subspace on the same bounded deterministic sample as
+    ``kmeans_fit`` (sample_cap x dim float64 ~= 2 MB); vectors are
+    L2-NORMALIZED before slicing so inner-product ADC over the codes
+    approximates cosine.  Same train-once ``cache_key`` posture as the IVF
+    coarse quantizer.
+    """
+    key = None
+    if cache_key is not None:
+        key = ("pq", df.sparkSession.sparkContext.applicationId, cache_key,
+               m, ks, seed, sample_cap)
+        hit = _CENTERS_CACHE.get(key)
+        if hit is not None:
+            return hit
+    pdf = (sample_rows(df.select(id_col, vec_col), sample_cap, id_col, n=n)
+           .toPandas().sort_values(id_col))
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m, ks, dsub))
+    for j in range(m):
+        Xj = X[:, j * dsub:(j + 1) * dsub]
+        k_eff = min(ks, len(Xj))
+        C = Xj[rng.choice(len(Xj), k_eff, replace=False)].copy()
+        for _ in range(iters):
+            dmat = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = dmat.argmin(axis=1)
+            for c in range(k_eff):
+                if (a == c).any():
+                    C[c] = Xj[a == c].mean(axis=0)
+        books[j, :k_eff] = C
+        if k_eff < ks:
+            # pad unused slots far away so they are never argmin winners
+            books[j, k_eff:] = 1e6
+    if key is not None:
+        _CENTERS_CACHE[key] = books
+    return books
+
+
+def pq_encode(vec_col: Column, codebooks: np.ndarray) -> Column:
+    """array<int> of ``m`` code ids per vector (one Arrow-batched pass:
+    per-subspace (batch x ks) distance matrices, argmin per row).  Encoding
+    normalizes exactly like ``pq_fit`` so codes and books agree."""
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, _, dsub = B.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def codes(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        out = np.empty((len(X), m), dtype="int32")
+        for j in range(m):
+            Xj = X[:, j * dsub:(j + 1) * dsub]
+            dmat = ((Xj[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = dmat.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return codes(vec_col)
+
+
+def pq_topk(encoded: DataFrame, codebooks: np.ndarray,
+            query_vec: Sequence[float], k: int = 10,
+            shortlist: int = 100, vec_col: str = "embedding",
+            id_col: str = "vec_id", code_col: str = "pq_code") -> DataFrame:
+    """ADC top-k: score every vector from its ``m``-byte code via a
+    query-side lookup table (LUT[j][c] = <q_j, book[j][c]>, so the code sum
+    approximates cosine against the normalized corpus), shortlist the best
+    ``shortlist`` codes, then rerank the shortlist with EXACT cosine on the
+    raw vectors — the standard production shape: the full corpus is touched
+    only through its codes (narrow scan, no vector I/O), exact math runs on
+    ``shortlist`` rows.
+    """
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, ks, dsub = B.shape
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qv = qv / max(float(np.linalg.norm(qv)), 1e-300)
+    lut = np.stack([B[j] @ qv[j * dsub:(j + 1) * dsub]
+                    for j in range(m)])  # (m, ks)
+
+    @F.pandas_udf(T.DoubleType())
+    def adc(codes: pd.Series) -> pd.Series:
+        if not len(codes):
+            return pd.Series(np.zeros(0))
+        C = np.stack([np.asarray(c, dtype=np.int64) for c in codes])
+        return pd.Series(lut[np.arange(m)[None, :], C].sum(axis=1))
+
+    ids = (encoded.select(F.col(id_col), adc(F.col(code_col)).alias("__adc"))
+           .orderBy(F.col("__adc").desc(), F.col(id_col))
+           .limit(shortlist)
+           .select(id_col))
+    q = _query_lit([float(x) for x in query_vec])
+    return (encoded.join(ids, id_col, "semi")
+            .select(F.col(id_col),
+                    F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k))
