@@ -69,6 +69,13 @@ CHECKS = {
                                forbid=["rangepartitioning"]),
     "dp_group_quantiles": dict(pushed=None, expect=["Aggregate"],
                                forbid=["rangepartitioning", "SortMergeJoin"]),
+    # ANN bundle (LSH buckets + IVF cells + PQ ADC): every top-k must be a
+    # TakeOrderedAndProject (per-partition heaps), never a global sort; the
+    # only nested-loop joins are the documented single-row verdict
+    # crossJoins, so a CartesianProduct over data frames stays forbidden
+    "dp_ann_approx": dict(pushed=None, expect=["TakeOrderedAndProject"],
+                          forbid=["rangepartitioning", "SortMergeJoin",
+                                  "CartesianProduct"]),
 }
 
 
