@@ -311,4 +311,18 @@ def test_cancel_request_kills_running_job(server, tsdb):
     # the canceled backend's CONNECTION survives: next query still works
     _, rows, errors = c.query("SELECT 1 + 1 AS two")
     assert not errors and rows[0][0] in (b"2", "2")
+
+    # a CancelRequest that races PAST completion (nothing running) must not
+    # leave a stale flag: the next statement's GENUINE error has to surface
+    # as itself, not be rewritten to 'canceling statement' / SQLSTATE 57014
+    send_cancel(pid, secret)
+    time.sleep(1)
+    _, rows2, errors2 = c.query("SELECT 1 + 1 AS two")   # success clears flag
+    assert not errors2
+    send_cancel(pid, secret)                             # stale again...
+    time.sleep(1)
+    _, _, errors3 = c.query("SELECT definitely_not_a_column FROM lineitem")
+    assert errors3, "broken statement must error"
+    joined = b"".join(errors3)
+    assert b"57014" not in joined and b"canceling" not in joined
     c.close()

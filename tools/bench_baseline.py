@@ -13,6 +13,9 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
+_ALL = "--all" in sys.argv
+if _ALL:
+    sys.argv.remove("--all")
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -27,8 +30,7 @@ COMPARE = ["q_day_rollup", "q_having", "q_post_agg_arith", "q_agg_stats",
            "dp_exact_dedup", "dp_lang_id", "dp_ann_bruteforce",
            "dp_text_stats",
            "dp_embed_neardup"]
-if "--all" in sys.argv:
-    sys.argv.remove("--all")
+if _ALL:
     COMPARE.insert(-1, "dp_ngram_jaccard")
 
 

@@ -350,6 +350,23 @@ class ExpressionCompiler:
         raise InvalidQueryError(f"unknown aggregate {n}")
 
 
+class _NullMetricsStore:
+    """Empty no-persist stand-in for read-only Tsdb instances — see
+    Tsdb.metrics_store."""
+
+    def persist(self, m) -> None:
+        pass
+
+    def load(self):
+        return []
+
+    def delete(self, query_id=None, state=None):
+        return []
+
+
+_NULL_METRICS_STORE = _NullMetricsStore()
+
+
 class Tsdb:
     """Engine facade ≙ reference TSDB / TsdbSparkBase.
 
@@ -389,23 +406,25 @@ class Tsdb:
     def metrics_store(self):
         """Persisted SHOW QUERIES history (≙ TsdbQueryMetrics.scala:1-95):
         finished metrics land under the warehouse root and survive a new
-        Tsdb instance over the same root."""
+        Tsdb instance over the same root.  The read-only guard lives HERE,
+        not just in the persist path: read-only instances (no live
+        warehouse, no explicit root) get an empty no-persist store, so no
+        accessor — SHOW QUERIES included — can materialize a pristine
+        tmpdir warehouse just to find nothing in it; the in-memory REGISTRY
+        still serves SHOW QUERIES for them."""
         if self._metrics_store is None:
             from .operators.metrics import MetricsStore
 
-            self._metrics_store = MetricsStore(self.warehouse.root)
+            wh = self._wh_maybe
+            if wh is None:
+                return _NULL_METRICS_STORE
+            self._metrics_store = MetricsStore(wh.root)
         return self._metrics_store
 
     def _persist_metric(self, qid: str) -> None:
         from .operators.metrics import REGISTRY
 
         try:
-            # mirror the _wh_maybe guard: read-only instances (no live
-            # warehouse, no explicit root) must not materialize a tmpdir
-            # warehouse just to write metrics nobody can read back — the
-            # in-memory REGISTRY still serves SHOW QUERIES for them
-            if self._wh_maybe is None:
-                return
             m = REGISTRY.get(qid)
             if m is not None:
                 self.metrics_store.persist(m)
@@ -435,14 +454,16 @@ class Tsdb:
     def _table_bytes(self, table: str) -> int:
         """On-disk bytes of a table's source (memoized); 'unknown' counts as
         big so the AQE posture is kept whenever we can't cheaply tell."""
-        key = (self.sf_dir, self._warehouse_root, table)
+        # keyed by the LIVE warehouse root (distinct tmpdirs per default
+        # instance must not share sizes); writes delete their table's entry
+        wh = self._wh_maybe
+        key = (self.sf_dir, wh.root if wh is not None else None, table)
         b = Tsdb._BYTES_CACHE.get(key)
         if b is None:
             b = 1 << 62
             try:
                 t = self.schema.table(table)
                 path = os.path.join(self.sf_dir, t.path or f"{table}.parquet")
-                wh = self._wh_maybe
                 if wh is not None and wh.exists(table):
                     path = wh.path(table)
                 if os.path.isdir(path):

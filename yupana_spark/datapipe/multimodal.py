@@ -170,6 +170,9 @@ def encode_png(pixels, filter_type: int = 0) -> bytes:
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ch = px.shape
+    if ch not in (1, 3, 4):
+        raise NotImplementedError(
+            f"PNG encode supports gray/RGB/RGBA, got {ch} channels")
     color_type = {1: 0, 3: 2, 4: 6}[ch]
     raw = px.reshape(h, w * ch).astype(np.int16)
     left = np.zeros_like(raw)

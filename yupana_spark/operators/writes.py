@@ -280,6 +280,13 @@ class Warehouse:
         if os.path.exists(final):
             shutil.rmtree(final)
         os.rename(tmp, final)
+        # volume-gate cache entries for this table are now stale — the next
+        # query must re-stat the warehouse copy, or tune_for_volume would
+        # keep the pre-write posture for a much larger table
+        from ..compiler import Tsdb
+        for k in [k for k in Tsdb._BYTES_CACHE
+                  if k[1] == self.root and k[2] == table]:
+            del Tsdb._BYTES_CACHE[k]
 
     def _log_interval(self, table: str, incoming: DataFrame) -> None:
         """Changelog: record which (table, day) windows were rewritten."""

@@ -401,6 +401,13 @@ class _Conn(socketserver.BaseRequestHandler):
 
             try:
                 if tag == b"Q":
+                    # consume any cancel flag that raced past the PREVIOUS
+                    # statement (postgres semantics: a cancel received while
+                    # idle is a no-op).  A stale flag left here would
+                    # rewrite this statement's genuine error into SQLSTATE
+                    # 57014; a cancel arriving DURING execution still sets
+                    # the flag after this point and is honored below.
+                    self.server.cancelled_groups.discard(self._group)
                     self._simple_query(body)
                 elif tag == b"P":
                     self._parse_msg(body, statements)
@@ -411,6 +418,7 @@ class _Conn(socketserver.BaseRequestHandler):
                 elif tag == b"D":
                     self._describe_msg(body, statements, portals)
                 elif tag == b"E":
+                    self.server.cancelled_groups.discard(self._group)
                     self._execute_msg(body, portals)
                 elif tag == b"C":                         # Close
                     kind, name = body[:1], body[1:].split(b"\x00")[0].decode()

@@ -85,24 +85,6 @@ def tune_for_volume(spark: SparkSession, nbytes: int) -> None:
         pass
 
 
-def tune_for_files(spark: SparkSession, *paths: str) -> None:
-    """``tune_for_volume`` over the on-disk size of the given files/dirs
-    (unknown paths count as big so the AQE posture is kept)."""
-    import os as _os
-
-    total = 0
-    for p in paths:
-        try:
-            if _os.path.isdir(p):
-                total += sum(e.stat().st_size for e in _os.scandir(p)
-                             if e.is_file())
-            else:
-                total += _os.path.getsize(p)
-        except OSError:
-            total = 1 << 62
-            break
-    tune_for_volume(spark, total)
-
 
 def get_spark(app: str = "yupana-spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
