@@ -66,3 +66,52 @@ def test_infer_format_rejects_unknown(spark):
     assert infer_format("/data/x.parquet") == "parquet"
     with pytest.raises(ValueError):
         infer_format("/data/x.avro")
+
+
+def test_parallel_read_splits_single_row_group(spark, tmp_path):
+    """Fact-sized single-row-group files are re-ingested once per session
+    into time-sorted multi-file parquet (schema._parallel_read); small
+    files and already-split files are returned as-is; writes invalidate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yupana_spark.schema import (_SPLIT_CACHE, cached_parquet,
+                                     invalidate_parquet_cache)
+
+    n = 60_000
+    src = str(tmp_path / "fact.parquet")
+    pq.write_table(pa.table({
+        "ts": pa.array(range(n, 0, -1), type=pa.int64()),  # reverse order
+        "v": pa.array(range(n), type=pa.int64()),
+    }), src)
+    assert pq.ParquetFile(src).num_row_groups == 1
+
+    df = cached_parquet(spark, src, time_col="ts")
+    app = spark.sparkContext.applicationId
+    out_dir = _SPLIT_CACHE.get((app, src))
+    assert out_dir is not None, "fact-sized file must be re-ingested"
+    import os
+    parts = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
+    assert len(parts) >= 4  # split into multiple files
+    # every file's min >= previous file's max: globally time-sorted layout
+    stats = []
+    for f in parts:
+        md = pq.ParquetFile(os.path.join(out_dir, f)).metadata
+        col = md.row_group(0).column(0).statistics
+        stats.append((col.min, col.max))
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(stats, stats[1:]):
+        assert hi_a <= lo_b
+    # same row set, nothing lost or duplicated
+    agg = df.groupBy().sum("ts", "v").collect()[0]
+    assert agg[0] == n * (n + 1) // 2 and agg[1] == n * (n - 1) // 2
+    assert df.count() == n
+
+    # small file: untouched (no rewrite entry)
+    small = str(tmp_path / "dim.parquet")
+    pq.write_table(pa.table({"k": pa.array(range(10))}), small)
+    cached_parquet(spark, small)
+    assert (app, small) not in _SPLIT_CACHE
+
+    # invalidation drops both the plan memo and the rewrite memo
+    invalidate_parquet_cache(src)
+    assert (app, src) not in _SPLIT_CACHE
