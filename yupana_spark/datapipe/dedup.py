@@ -326,12 +326,26 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", threshold: float = 0.5,
-                        n: int = 3) -> DataFrame:
-    """All pairs with word n-gram Jaccard >= threshold.
+                        n: int = 3, block_rows: int = 1024,
+                        n_rows: Optional[int] = None) -> DataFrame:
+    """All pairs with word n-gram Jaccard >= threshold (exact).
 
-    O(N^2)/shuffle-heavy by construction; at scale run it only on LSH
-    candidates (minhash_dedup_pairs) — kept as the exactness oracle.
+    O(N^2) by construction — the exactness oracle; at scale run only LSH
+    candidates (minhash_dedup_pairs).  Like ``embedding_neardup_pairs``,
+    the N^2 lives in numpy, not Catalyst: ids hash into blocks, every
+    unordered block pair is ONE ``applyInPandas`` group whose task counts
+    pairwise shingle-set intersections SPARSELY — sort the group's
+    (shingle_hash, doc) items once, then bump an (n_b x n_b) counter for
+    each same-hash doc pair, so work is proportional to actual
+    co-occurrences (near-dup pairs), not |docs|^2 * |vocab|.  Shingles are
+    xxhash64-hashed JVM-side (long compares, not string compares —
+    identical results modulo ~1e-13 collision odds on a doc pair's union);
+    the per-pair Catalyst ``array_intersect`` theta join this replaces ran
+    ~27 s at sf0.1 vs ~2 s blocked.  Same final ``F.round(_, 6)`` +
+    threshold filter.
     """
+    import numpy as np
+
     normed = _fan_out(df.select(F.col(id_col).alias("id"),
                                 normalize_text(F.col(text_col)).alias("__norm")))
     wrds = normed.select(
@@ -339,14 +353,75 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                        lambda x: x != F.lit("")).alias("__w"))
     sh = wrds.select(
         "id",
-        F.array_distinct(word_shingles(F.col("__w"), n, as_words=True))
-        .alias("sh"),
+        F.array_distinct(
+            shingle_hashes(word_shingles(F.col("__w"), n, as_words=True)))
+        .alias("hs"),
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    return (a.join(b, F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6)
-                    .alias("jaccard"))
+    if n_rows is None:
+        n_rows = df.count()
+    n_blocks = max(1, -(-n_rows // block_rows))
+    id_type = sh.schema["id"].dataType
+    out_schema = T.StructType([
+        T.StructField("id_a", id_type),
+        T.StructField("id_b", id_type),
+        T.StructField("jaccard", T.DoubleType()),
+    ])
+    raw_cut = threshold - 6e-7  # round(6) moves a value by <= 5e-7
+
+    def jac_block_pair(key, pdf):
+        bi, bj = key
+        pdf = pdf.sort_values("id", kind="stable")
+        ids = pdf["id"].to_numpy()
+        blks = pdf["b"].to_numpy()
+        sets = [np.asarray(h if h is not None else [], dtype=np.int64)
+                for h in pdf["hs"]]
+        sizes = np.array([len(s) for s in sets], dtype=np.int64)
+        nd = len(ids)
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        if nd < 2 or sizes.sum() == 0:
+            return empty
+        flat = np.concatenate(sets)
+        docix = np.repeat(np.arange(nd), sizes)
+        order = np.argsort(flat, kind="stable")
+        fh, fd = flat[order], docix[order]
+        # runs of equal hashes -> each contributes its doc-pair combinations
+        starts = np.flatnonzero(np.r_[True, fh[1:] != fh[:-1]])
+        ends = np.r_[starts[1:], len(fh)]
+        lens = ends - starts
+        inter = np.zeros((nd, nd), dtype=np.int32)
+        # batch runs by length: one vectorized np.add.at per distinct run
+        # length (a handful) instead of a Python iteration per shingle run
+        for k in np.unique(lens[lens > 1]):
+            idx = starts[lens == k]
+            D = fd[idx[:, None] + np.arange(k)[None, :]]
+            D.sort(axis=1)
+            a, b = np.triu_indices(int(k), 1)
+            np.add.at(inter, (D[:, a].ravel(), D[:, b].ravel()), 1)
+        a, b = np.nonzero(inter)
+        if not len(a):
+            return empty
+        if bi != bj:
+            keep = blks[a] != blks[b]
+            a, b = a[keep], b[keep]
+        union = sizes[a] + sizes[b] - inter[a, b]
+        jac = inter[a, b] / np.maximum(union, 1)
+        keep = jac >= raw_cut
+        return pd.DataFrame({"id_a": ids[a[keep]], "id_b": ids[b[keep]],
+                             "jaccard": jac[keep]})
+
+    blk = F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+    pair_list = F.transform(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+        lambda x: F.struct(F.least(F.col("b"), x).alias("bi"),
+                           F.greatest(F.col("b"), x).alias("bj")))
+    exploded = (sh.withColumn("b", blk)
+                .withColumn("__p", F.explode(pair_list))
+                .select("id", "hs", "b",
+                        F.col("__p.bi").alias("bi"), F.col("__p.bj").alias("bj")))
+    return (exploded.groupBy("bi", "bj")
+            .applyInPandas(jac_block_pair, out_schema)
+            .select("id_a", "id_b",
+                    F.round(F.col("jaccard"), 6).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
 
 
