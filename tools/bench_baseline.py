@@ -21,8 +21,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 # queries whose oracle is a faithful equivalent of the operator.
 # dp_ngram_jaccard is excluded by default (pass --all to include): its
-# DuckDB oracle alone runs ~750 s at sf0.1 (vs Spark ~27 s) and would
-# flatter the total — the same exclusion the round-4 judge bench applied.
+# DuckDB oracle alone runs ~750 s at sf0.1 (vs Spark ~1.6 s since the
+# blocked sparse-intersection kernel) and would flatter the total — the same exclusion the round-4 judge bench applied.
 COMPARE = ["q_day_rollup", "q_having", "q_post_agg_arith", "q_agg_stats",
            "q_lag_window", "q_arith_currency", "q_link_enrich",
            "q_link_two_hop", "q_yql_text", "q_session_windows",
