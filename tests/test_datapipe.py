@@ -720,3 +720,69 @@ def test_gif_frame_features_end_to_end(spark):
     sampled = gif_frame_features(media, every_n=2) \
         .filter("media_id = 3").collect()
     assert sorted(r["frame_no"] for r in sampled) == [0, 2, 4]
+
+
+def test_blocked_kernels_match_bruteforce_across_blocks(spark):
+    """The blocked numpy kernels (embedding cosine, n-gram Jaccard) must be
+    EXACT for any block count — force tiny blocks so same-block, cross-block
+    and empty-intersection paths all execute, and compare against a plain
+    Catalyst brute-force computed on the same inputs."""
+    import random
+
+    from yupana_spark.datapipe.dedup import (cosine, embedding_neardup_pairs,
+                                             jaccard, ngram_jaccard_pairs,
+                                             normalize_text)
+    from yupana_spark.datapipe.text import word_shingles
+
+    rng = random.Random(13)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    docs = []
+    for i in range(40):
+        words = [rng.choice(vocab) for _ in range(rng.randint(6, 18))]
+        docs.append((i, " ".join(words)))
+    docs += [(100, docs[0][1]), (101, docs[1][1] + " extra tail words")]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def brute_jac(df, threshold, n):
+        wrds = df.select(
+            F.col("doc_id").alias("id"),
+            F.filter(F.split(normalize_text(F.col("text")), r"\s+"),
+                     lambda x: x != F.lit("")).alias("__w"))
+        sh = wrds.select("id", F.array_distinct(
+            word_shingles(F.col("__w"), n, as_words=True)).alias("sh"))
+        a, b = sh.alias("a"), sh.alias("b")
+        return (a.join(b, F.col("a.id") < F.col("b.id"))
+                .select(F.col("a.id").alias("id_a"),
+                        F.col("b.id").alias("id_b"),
+                        F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6)
+                        .alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold))
+
+    for block_rows in (7, 1000):  # 7 -> 6 blocks (cross paths); 1000 -> 1
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in ngram_jaccard_pairs(
+                   ddf, threshold=0.2, n=2,
+                   block_rows=block_rows).collect()}
+        exp = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in brute_jac(ddf, 0.2, 2).collect()}
+        assert got == exp, f"block_rows={block_rows}"
+        assert (0, 100) in got and got[(0, 100)] == 1.0
+
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    vecs.append((200, [x * 2.0 for x in vecs[3][1]]))  # same direction
+    edf = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    a, b = edf.alias("a"), edf.alias("b")
+    brute = {(r["id_a"], r["id_b"]): r["cos"]
+             for r in (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+                       .select(F.col("a.vec_id").alias("id_a"),
+                               F.col("b.vec_id").alias("id_b"),
+                               F.round(cosine(F.col("a.embedding"),
+                                              F.col("b.embedding")), 6)
+                               .alias("cos"))
+                       .filter(F.col("cos") >= 0.5)).collect()}
+    for block_rows in (6, 1000):
+        got = {(r["id_a"], r["id_b"]): r["cos"]
+               for r in embedding_neardup_pairs(
+                   edf, threshold=0.5, block_rows=block_rows).collect()}
+        assert got == brute, f"block_rows={block_rows}"
+        assert got[(3, 200)] == 1.0
