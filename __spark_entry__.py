@@ -1213,17 +1213,25 @@ def _completeness_row(name: str, exact: DataFrame, found: DataFrame,
     sampler or join silently breaks).  Pure DataFrame plan — the three
     single-row aggregates crossJoin like the compiler's global-agg frames.
     """
-    marked = exact.join(
-        found.select("id_a", "id_b").withColumn("__hit", F.lit(1)),
-        ["id_a", "id_b"], "left")
-    tot_mis = marked.agg(
-        F.count("*").alias("__tot"),
-        F.count(F.when(F.col("__hit").isNull(), 1)).alias("__mis"))
-    fnd = found.agg(F.count("*").alias("__fnd"))
+    # ONE full-outer join + ONE aggregate yields all three counts (exact
+    # total, misses, found nonemptiness), so the approximate pipeline's
+    # frame executes once — the previous separate found.agg() re-ran the
+    # whole pipeline a second time (exchange reuse does not reliably kick
+    # in under the bench's noop-write action).  found is deduped first so
+    # a duplicate candidate pair cannot double-join an exact row.
+    joined = (exact.select("id_a", "id_b").withColumn("__ex", F.lit(1))
+              .join(found.select("id_a", "id_b").dropDuplicates()
+                    .withColumn("__fn", F.lit(1)),
+                    ["id_a", "id_b"], "full"))
+    counts = joined.agg(
+        F.count("__ex").alias("__tot"),
+        F.count(F.when(F.col("__ex").isNotNull()
+                       & F.col("__fn").isNull(), 1)).alias("__mis"),
+        F.count("__fn").alias("__fnd"))
     viol = F.greatest(
         F.col("__mis") - F.floor(F.col("__tot") * F.lit(tol_frac)),
         F.lit(0)).cast("long")
-    return (tot_mis.crossJoin(fnd)
+    return (counts
             .select(F.lit(name).alias("chk"),
                     viol.alias("violations"),
                     F.when((viol == 0) & (F.col("__tot") > 0)
@@ -1264,6 +1272,13 @@ def dp_neardup_scale(spark, sf_dir):
                                              sampled_exact_jaccard_pairs,
                                              simhash, simhash_near_pairs)
 
+    # drop py4j refs to the PREVIOUS invocation's localCheckpoint frames so
+    # the ContextCleaner reaps their blocks now — repeated bench passes
+    # otherwise accumulate dead checkpoint blocks in the block manager
+    # (measured ~0.7 s/pass slower by the third back-to-back run)
+    import gc
+
+    gc.collect()
     docs = _docs(spark, sf_dir)
     emb = _emb(spark, sf_dir)
     n_docs = _fixture_count(spark, sf_dir, "documents", docs)
