@@ -849,7 +849,12 @@ def q_stream_dedup(spark, sf_dir):
       custom stateful operator (``running_totals``,
       applyInPandasWithState) — the latest per-key snapshots must account
       for every input row exactly once across exactly DuckDB's distinct
-      user count.
+      user count;
+    * lsh_batch_minus_streaming / lsh_streaming_saw_pairs: a fourth run —
+      ONLINE MinHash-LSH near-dup (streaming/neardup.py, per-band-bucket
+      state with exact-Jaccard verify on arrival) over the documents
+      fixture in file chunks; the streamed distinct pairs must be a sound
+      superset of the batch LSH pipeline's pairs (0 missing, >=1 found).
 
     The watermark horizon (10 years) exceeds the slice span so no row is
     late; state is still evicted by event time at production horizons — the
@@ -939,6 +944,46 @@ def q_stream_dedup(spark, sf_dir):
             s_rows, s_keys = int(srow["s"]), int(srow["k"])
         finally:
             shutil.rmtree(sck, ignore_errors=True)
+        # fourth run: ONLINE MinHash-LSH near-dup (streaming/neardup.py,
+        # applyInPandasWithState keyed by band bucket) over the documents
+        # fixture in two file chunks — the streamed distinct pairs must be
+        # a sound superset of the batch LSH pipeline's pairs (streaming
+        # exact-verifies every bucket collision, so it cannot drop the
+        # borderline pairs the batch rung-2 screen may; soundness is by
+        # construction).  batch - streaming == 0 is the falsifiable row.
+        from yupana_spark.datapipe.dedup import minhash_dedup_pairs
+        from yupana_spark.streaming.neardup import streaming_neardup_pairs
+
+        docs = _docs(spark, sf_dir)
+        nsink = "qsn_" + uuid.uuid4().hex[:8]
+        nsrc = tempfile.mkdtemp(prefix="ystream_nsrc_")
+        nck = tempfile.mkdtemp(prefix="ystream_nck_")
+        try:
+            half = F.col("doc_id") % 2 == 0
+            docs.filter(half).coalesce(2).write.mode("overwrite") \
+                .parquet(nsrc + "/a")
+            docs.filter(~half).coalesce(2).write.mode("overwrite") \
+                .parquet(nsrc + "/b")
+            nstream = (spark.readStream.schema(docs.schema)
+                       .option("maxFilesPerTrigger", 2)
+                       .parquet(nsrc + "/*"))
+            nq = (streaming_neardup_pairs(nstream, threshold=0.5)
+                  .writeStream.format("memory").queryName(nsink)
+                  .outputMode("append")
+                  .option("checkpointLocation", nck)
+                  .trigger(availableNow=True).start())
+            nq.awaitTermination()
+            streamed = (spark.table(nsink)
+                        .dropDuplicates(["id_a", "id_b"])
+                        .select("id_a", "id_b").localCheckpoint(eager=True))
+            batch = minhash_dedup_pairs(docs, threshold=0.5) \
+                .select("id_a", "id_b")
+            lsh_missing = batch.join(streamed, ["id_a", "id_b"],
+                                     "left_anti").count()
+            lsh_saw = 1 if streamed.count() > 0 else 0
+        finally:
+            shutil.rmtree(nsrc, ignore_errors=True)
+            shutil.rmtree(nck, ignore_errors=True)
     finally:
         shutil.rmtree(srcdir, ignore_errors=True)
         shutil.rmtree(ckdir, ignore_errors=True)
@@ -949,7 +994,9 @@ def q_stream_dedup(spark, sf_dir):
          ("windowed_rows_conserved", w_rows),  # oracle: 2x slice rows
          ("windowed_n_windows", w_wins),
          ("stateful_rows_conserved", s_rows),  # oracle: 2x slice rows
-         ("stateful_n_keys", s_keys)],
+         ("stateful_n_keys", s_keys),
+         ("lsh_batch_minus_streaming", lsh_missing),  # oracle: 0
+         ("lsh_streaming_saw_pairs", lsh_saw)],       # oracle: 1
         "chk string, val bigint")
 
 
@@ -1889,6 +1936,8 @@ _ORACLES_REL: dict[str, str] = {
                          FROM (SELECT user_id FROM events
                                WHERE ts >= TIMESTAMP '2024-01-01'
                                  AND ts < TIMESTAMP '2024-01-08') u
+        UNION ALL SELECT 'lsh_batch_minus_streaming', 0
+        UNION ALL SELECT 'lsh_streaming_saw_pairs', 1
     """,
 }
 _ORACLES_DP: dict[str, str] = {

@@ -119,5 +119,65 @@ def test_stream_dedup_entry_verdict(spark):
                    "windowed_rows_conserved": 2 * agg["n"],
                    "windowed_n_windows": agg["w"],
                    "stateful_rows_conserved": 2 * agg["n"],
-                   "stateful_n_keys": agg["u"]}
+                   "stateful_n_keys": agg["u"],
+                   "lsh_batch_minus_streaming": 0,
+                   "lsh_streaming_saw_pairs": 1}
     assert agg["d"] > 0
+
+
+def test_streaming_neardup_superset_of_batch(spark, tmp_path):
+    """Online MinHash-LSH (per-bucket state, exact-verify on arrival): an
+    availableNow replay over a static corpus must yield a sound superset of
+    the batch LSH pairs — batch ⊆ streaming (streaming has no rung-2
+    screen to drop borderline pairs), and every streamed pair's exact
+    char-5-gram Jaccard clears the threshold."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from yupana_spark.datapipe.dedup import minhash_dedup_pairs
+    from yupana_spark.streaming.neardup import streaming_neardup_pairs
+
+    rng = random.Random(99)
+    vocab = ["spark", "stream", "bucket", "shingle", "minhash", "corpus",
+             "window", "state", "jaccard", "band"]
+    docs = []
+    for i in range(30):
+        words = [rng.choice(vocab) for _ in range(rng.randint(12, 30))]
+        docs.append((i, " ".join(words)))
+    base = docs[4][1]
+    docs += [(500, base),                                  # exact copy
+             (501, base.replace("spark", "flink", 1)),     # near copy
+             (502, docs[7][1] + " tail")]                  # near copy
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # two chunks -> at least two micro-batches; pairs must be found even
+    # when the two members arrive in different batches (4 vs 500/501 split)
+    src = tmp_path / "nd_src"
+    src.mkdir()
+    first = [d for d in docs if d[0] < 250]
+    second = [d for d in docs if d[0] >= 250]
+    spark.createDataFrame(first, ddf.schema).coalesce(1) \
+        .write.parquet(str(src / "a"))
+    spark.createDataFrame(second, ddf.schema).coalesce(1) \
+        .write.parquet(str(src / "b"))
+    stream = (spark.readStream.schema(ddf.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src / "*")))
+    out = streaming_neardup_pairs(stream, threshold=0.5)
+    q = (out.writeStream.format("memory").queryName("nd")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "nd_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in spark.table("nd").dropDuplicates(
+                    ["id_a", "id_b"]).collect()}
+    batch = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_dedup_pairs(ddf, threshold=0.5).collect()}
+    assert batch, "fixture must contain near-dups"
+    assert set(batch) <= set(streamed)       # completeness vs batch
+    for pair, j in batch.items():            # same exact-Jaccard values
+        assert streamed[pair] == j
+    assert all(j >= 0.5 for j in streamed.values())  # soundness
+    assert (4, 500) in streamed and streamed[(4, 500)] == 1.0

@@ -50,7 +50,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 def _fan_out(df: DataFrame) -> DataFrame:
     """Spread CPU-bound per-row work across all cores when the input arrives
-    as fewer splits than cores (single-file fixture parquet)."""
+    as fewer splits than cores (single-file fixture parquet).  Streaming
+    DataFrames pass through untouched (no .rdd on a stream; micro-batch
+    sources already split)."""
+    if df.isStreaming:
+        return df
     n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n) if df.rdd.getNumPartitions() < n else df
 

@@ -1,0 +1,157 @@
+"""Streaming near-duplicate detection: online MinHash-LSH with per-bucket
+state (applyInPandasWithState).
+
+The batch pipeline (datapipe.dedup.minhash_dedup_pairs) answers "which pairs
+in this corpus are near-dups"; an always-on ingest needs the ONLINE form:
+"is this incoming document a near-dup of anything already seen".  The
+reference has no streaming engine at all (SURVEY.md §2.9 — its online
+surface is upsert ingestion, yupana-spark/.../ETLFunctions.scala), so this
+is a Spark-native extension, built from the same public LSH construction as
+the batch path.
+
+Shape: signatures/band hashes are computed scan-side exactly as in batch
+(same shingle/hash/band definitions — that is what makes the streaming
+output provably a sound superset of the batch pairs on a replay, the
+equivalence q_stream_dedup's verdict rows pin).  The only stateful step is
+keyed by
+(band, band_hash): each bucket holds the hashed shingle sets of its members,
+an arriving doc is exact-Jaccard-verified against them (numpy set
+intersection inside the state function), and (id_a, id_b, jaccard) matches
+are emitted as they are discovered.  One shuffle on the bucket key — the
+same layout as Spark's own streaming aggregation state.
+
+Scale posture: bucket state grows with corpus prefix size; production runs
+bound it the same way the batch path bounds candidates — band buckets are
+sparse (~N/2^band_bits members), and a time-horizon policy (state timeout,
+or signatures-only state with downstream exact verify) caps memory; both
+knobs are orthogonal to the construction and documented rather than
+hard-wired here.  A pair colliding in several bands (or re-observed across
+micro-batches for a re-sent id) is emitted once per collision — consumers
+dedupe with a batch `dropDuplicates` (the conservation check does), or a
+watermarked streaming distinct at production horizons.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+PAIR_SCHEMA = T.StructType([
+    T.StructField("id_a", T.LongType()),
+    T.StructField("id_b", T.LongType()),
+    T.StructField("jaccard", T.DoubleType()),
+])
+
+# per-bucket state: member ids + their hashed shingle sets, flattened
+# (fixed-type columns are the applyInPandasWithState contract)
+BUCKET_STATE_SCHEMA = T.StructType([
+    T.StructField("ids", T.ArrayType(T.LongType())),
+    T.StructField("lens", T.ArrayType(T.IntegerType())),
+    T.StructField("flat", T.ArrayType(T.LongType())),
+])
+
+
+def _make_bucket_update(threshold: float):
+    def _bucket_update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+                       state: GroupState) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.hasTimedOut:  # horizon policy: forget a quiet bucket
+            state.remove()
+            return
+        if state.exists:
+            ids, lens, flat = state.get
+            ids = list(ids)
+            sets = []
+            off = 0
+            for ln in lens:
+                sets.append(np.asarray(flat[off:off + ln], dtype=np.int64))
+                off += ln
+        else:
+            ids, sets = [], []
+        out_a, out_b, out_j = [], [], []
+        seen = set(ids)
+        for pdf in pdfs:
+            # deterministic arrival order within the micro-batch
+            pdf = pdf.sort_values("id")
+            for rid, hs in zip(pdf["id"], pdf["hs"]):
+                rid = int(rid)
+                if rid in seen:       # replayed id: state already has it
+                    continue
+                new = np.asarray(hs if hs is not None else [],
+                                 dtype=np.int64)
+                nn = len(new)
+                if nn:
+                    new_sorted = np.sort(new)
+                    for oid, os_ in zip(ids, sets):
+                        if not len(os_):
+                            continue
+                        inter = int(np.isin(os_, new_sorted,
+                                            assume_unique=True).sum())
+                        union = nn + len(os_) - inter
+                        j = inter / union if union else 0.0
+                        if j >= threshold:
+                            lo, hi = (rid, oid) if rid < oid else (oid, rid)
+                            out_a.append(lo)
+                            out_b.append(hi)
+                            out_j.append(round(j, 6))
+                ids.append(rid)
+                sets.append(new)
+                seen.add(rid)
+        state.update((ids,
+                      [int(len(s)) for s in sets],
+                      [int(x) for s in sets for x in s]))
+        if out_a:
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b,
+                                "jaccard": out_j})
+
+    return _bucket_update
+
+
+def streaming_neardup_pairs(stream: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", threshold: float = 0.5,
+                            num_hashes: int = 32, bands: int = 8,
+                            k: int = 5) -> DataFrame:
+    """Streaming (id_a, id_b, jaccard) near-dup matches, id_a < id_b.
+
+    Shingle/band/verification definitions are shared with the batch
+    pipeline, so on an availableNow replay over a static corpus the
+    distinct streamed pairs are a SUPERSET of
+    `minhash_dedup_pairs(corpus, threshold)` (the batch path's rung-2
+    signature screen may drop a borderline true pair by design; the
+    streaming path exact-verifies every bucket collision, so it cannot),
+    and every streamed pair is sound (exact Jaccard >= threshold by
+    construction).  Those two directions are the equivalence the
+    q_stream_dedup bundle's verdict rows check.
+    """
+    from ..datapipe.dedup import (hashed_shingle_sets,
+                                  minhash_signature_np)
+
+    hashed = hashed_shingle_sets(stream, text_col, id_col, k)
+    sig = hashed.select(
+        F.col("id").cast("long").alias("id"), "hs",
+        minhash_signature_np(F.col("hs"), num_hashes).alias("sig"))
+    r = num_hashes // bands
+    banded = sig.select(
+        "id", "hs",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", b * r + F.lit(1), r),
+                                lambda x: x.cast("string")),
+                            ",")).alias("bhash")))).alias("bb"),
+    ).select("id", "hs", F.col("bb.band").alias("band"),
+             F.col("bb.bhash").alias("bhash"))
+    return (banded.groupBy("band", "bhash")
+            .applyInPandasWithState(
+                _make_bucket_update(threshold), PAIR_SCHEMA,
+                BUCKET_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout))
