@@ -1230,12 +1230,16 @@ def dp_top_k_per_group(spark, sf_dir):
 
 
 def dp_group_quantiles(spark, sf_dir):
-    """Exact per-group quantiles of a stats column (engine-independent,
-    unlike approx_percentile)."""
-    from yupana_spark.datapipe.select import group_quantiles
+    """Exact per-group quantiles (engine-independent, value-oracled) + a
+    rank-error audit of the SCALE path: approx_percentile
+    (Greenwald-Khanna) checked against its own rank-error contract per
+    group, duplicate-safe (constant-TRUE oracle columns).  At 100 TB the
+    sketch is the production quantile; the exact aggregate is the
+    fixture-scale oracle."""
+    from yupana_spark.datapipe.select import group_quantiles_audited
 
-    return group_quantiles(_docs(spark, sf_dir), ["lang"], "n_chars",
-                           [0.5, 0.9])
+    return group_quantiles_audited(_docs(spark, sf_dir), ["lang"],
+                                   "n_chars", [0.5, 0.9])
 
 
 def dp_mix_corpora(spark, sf_dir):
@@ -2205,7 +2209,8 @@ _ORACLES_DP: dict[str, str] = {
     """,
     "dp_group_quantiles": """
         SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS p50,
-               round(quantile_cont(n_chars, 0.9), 4) AS p90
+               round(quantile_cont(n_chars, 0.9), 4) AS p90,
+               TRUE AS p50_in_bound, TRUE AS p90_in_bound
         FROM documents GROUP BY lang
     """,
     "dp_mix_corpora": f"""

@@ -786,3 +786,32 @@ def test_blocked_kernels_match_bruteforce_across_blocks(spark):
                    edf, threshold=0.5, block_rows=block_rows).collect()}
         assert got == brute, f"block_rows={block_rows}"
         assert got[(3, 200)] == 1.0
+
+
+def test_group_quantiles_audited(spark):
+    from yupana_spark.datapipe.select import group_quantiles_audited
+
+    rows = ([("a", float(v)) for v in range(1, 101)]
+            + [("b", 7.0)] * 50 + [("b", 9.0)] * 50)  # heavy duplicates
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in group_quantiles_audited(
+        df, ["g"], "v", [0.5, 0.9]).collect()}
+    assert got["a"]["p50"] == pytest.approx(50.5)
+    assert got["a"]["p90"] == pytest.approx(90.1)
+    assert got["b"]["p50"] == pytest.approx(8.0)  # interp between the two runs
+    for g in ("a", "b"):
+        assert got[g]["p50_in_bound"] and got[g]["p90_in_bound"]
+
+    # falsifiability: the same rank check must REJECT a value that is
+    # nowhere near the target rank (feed the checker a broken 'sketch')
+    from pyspark.sql import functions as F
+
+    j = df.withColumn("__a0", F.lit(1.0))  # claims p90 == min
+    counts = j.groupBy("g").agg(
+        F.count("v").alias("n"),
+        F.count(F.when(F.col("v") < F.col("__a0"), 1)).alias("lt"),
+        F.count(F.when(F.col("v") <= F.col("__a0"), 1)).alias("le"))
+    bad = counts.withColumn(
+        "ok", (F.col("lt") <= (F.lit(0.9 + 0.001)) * F.col("n") + 1)
+        & (F.col("le") >= (F.lit(0.9 - 0.001)) * F.col("n") - 1))
+    assert not any(r["ok"] for r in bad.collect())

@@ -55,3 +55,45 @@ def group_quantiles(df: DataFrame, group_cols: Sequence[str],
             .alias(f"p{int(round(q * 100))}")
             for q in quantiles]
     return df.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
+
+
+def group_quantiles_audited(df: DataFrame, group_cols: Sequence[str],
+                            value_col: str, quantiles: Sequence[float],
+                            scale: int = 4,
+                            accuracy: int = 1000) -> DataFrame:
+    """Exact per-group quantiles PLUS a rank-error audit of the scale path.
+
+    At 100 TB the per-group value count is unbounded, so the production
+    quantile is ``approx_percentile`` (Greenwald-Khanna sketch, public:
+    SIGMOD'01), whose guarantee is an absolute RANK error <= n/accuracy.
+    This operator returns the exact quantiles (the oracle-able answer at
+    fixture scale) together with one boolean per quantile checking the
+    sketch against its own contract, duplicate-safe: the count of group
+    values strictly below the sketch's answer must not exceed the upper
+    target rank, and the count at-or-below must reach the lower target
+    rank (+-1 rank slack for the interpolation-definition seam).  A broken
+    sketch path fails the constant-TRUE oracle; the exact columns keep
+    their value oracle.
+    """
+    gcols = [F.col(c) for c in group_cols]
+    exact = group_quantiles(df, group_cols, value_col, quantiles, scale)
+    approx = df.groupBy(*gcols).agg(
+        *[F.percentile_approx(value_col, F.lit(q), F.lit(accuracy))
+          .alias(f"__a{i}") for i, q in enumerate(quantiles)])
+    j = df.join(F.broadcast(approx), list(group_cols))
+    eps = 1.0 / accuracy
+    aggs = [F.count(value_col).alias("__n")]
+    for i, _ in enumerate(quantiles):
+        aggs.append(F.count(F.when(F.col(value_col) < F.col(f"__a{i}"), 1))
+                    .alias(f"__lt{i}"))
+        aggs.append(F.count(F.when(F.col(value_col) <= F.col(f"__a{i}"), 1))
+                    .alias(f"__le{i}"))
+    counts = j.groupBy(*gcols).agg(*aggs)
+    oks = []
+    for i, q in enumerate(quantiles):
+        hi = (F.lit(q) + F.lit(eps)) * F.col("__n") + F.lit(1.0)
+        lo = (F.lit(q) - F.lit(eps)) * F.col("__n") - F.lit(1.0)
+        oks.append(((F.col(f"__lt{i}") <= hi)
+                    & (F.col(f"__le{i}") >= lo))
+                   .alias(f"p{int(round(q * 100))}_in_bound"))
+    return exact.join(counts.select(*gcols, *oks), list(group_cols))
