@@ -1450,8 +1450,13 @@ def dp_pack_sequences(spark, sf_dir):
     `documents` arithmetically (a dropped, duplicated or re-counted doc —
     or a chunker emitting the wrong window layout — breaks the hash match)
     plus a constant-oracle packing verdict ('ok' iff no pack exceeds the
-    budget except singleton oversized docs — FFD's invariant)."""
-    from yupana_spark.datapipe.pack import chunk_documents, pack_sequences
+    budget except singleton oversized docs — FFD's invariant), plus the
+    SHARD MANIFEST stage (pack.assign_shards): shard_tokens conservation
+    (hash-checked against the same arithmetic total) and the offset-
+    sharding size invariant as a constant-oracle verdict."""
+    from yupana_spark.datapipe.pack import (assign_shards,
+                                            chunk_documents,
+                                            pack_sequences)
     from yupana_spark.datapipe.text import token_count
 
     budget = 2048
@@ -1476,11 +1481,34 @@ def dp_pack_sequences(spark, sf_dir):
     chunk_stats = chunk_documents(docs, window=64, stride=48).agg(
         F.count("*").alias("n_chunks"),
         F.sum("n_words").cast("long").alias("chunk_words"))
+    # shard manifest (pack.assign_shards): deterministic contiguous shards
+    # of ~16k tokens over the pack list.  Verdicts: token conservation into
+    # shards (strict — recomputable by the oracle as the same arithmetic
+    # total) and the offset-sharding size invariant (every shard within
+    # max_pack_size of the budget, except the last may be short).
+    shard_budget = 16_384
+    shards = (assign_shards(per_pack.withColumnRenamed("__tok", "n_tokens"),
+                            size_col="n_tokens", order_col="pack_id",
+                            shard_budget=shard_budget)
+              .groupBy("shard_id")
+              .agg(F.sum("n_tokens").alias("__stok")))
+    max_pack = per_pack.agg(F.max("__tok").alias("__mx"))
+    last_shard = shards.agg(F.max("shard_id").alias("__last"))
+    shard_bad = (shards.crossJoin(max_pack).crossJoin(last_shard)
+                 .filter(~((F.col("__stok") < shard_budget + F.col("__mx"))
+                           & ((F.col("__stok") > shard_budget - F.col("__mx"))
+                              | (F.col("shard_id") == F.col("__last")))))
+                 .agg(F.count("*").alias("__sbad")))
+    shard_tok = shards.agg(F.sum("__stok").cast("long").alias("shard_tokens"))
     return (stats.crossJoin(bad).crossJoin(chunk_stats)
+            .crossJoin(shard_bad).crossJoin(shard_tok)
             .select("n_docs", "n_distinct_docs", "total_tokens", "n_oversize",
                     "n_chunks", "chunk_words",
                     F.when(F.col("__bad") == 0, "ok").otherwise("over_budget")
-                    .alias("packing_ok")))
+                    .alias("packing_ok"),
+                    "shard_tokens",
+                    F.when(F.col("__sbad") == 0, "ok").otherwise("bad_shard")
+                    .alias("sharding_ok")))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2273,7 +2301,9 @@ _ORACLES_DP: dict[str, str] = {
                     AS BIGINT) AS n_oversize,
                CAST(sum(cw.n_chunks) AS BIGINT) AS n_chunks,
                CAST(sum(cw.words) AS BIGINT) AS chunk_words,
-               'ok' AS packing_ok
+               'ok' AS packing_ok,
+               CAST(sum(t.n_tokens) AS BIGINT) AS shard_tokens,
+               'ok' AS sharding_ok
         FROM t JOIN cw ON t.doc_id = cw.doc_id
     """,
 }

@@ -815,3 +815,41 @@ def test_group_quantiles_audited(spark):
         "ok", (F.col("lt") <= (F.lit(0.9 + 0.001)) * F.col("n") + 1)
         & (F.col("le") >= (F.lit(0.9 - 0.001)) * F.col("n") - 1))
     assert not any(r["ok"] for r in bad.collect())
+
+
+def test_assign_shards_offset_invariant(spark):
+    from yupana_spark.datapipe.pack import assign_shards
+
+    packs = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 130) for i in range(200)],
+        "pack_id long, n_tokens long")
+    B = 1000
+    out = assign_shards(packs, shard_budget=B)
+    rows = out.collect()
+    # deterministic pure function of the pack list
+    again = {(r["pack_id"], r["shard_id"]) for r in assign_shards(
+        packs, shard_budget=B).collect()}
+    assert {(r["pack_id"], r["shard_id"]) for r in rows} == again
+    # contiguity: shard_id is nondecreasing in pack order
+    by_pack = sorted(rows, key=lambda r: r["pack_id"])
+    sids = [r["shard_id"] for r in by_pack]
+    assert sids == sorted(sids)
+    # size invariant: every shard within max_pack of the budget (last may
+    # be short)
+    import collections
+    tot = collections.defaultdict(int)
+    for r in by_pack:
+        tot[r["shard_id"]] += r["n_tokens"]
+    mx = max(r["n_tokens"] for r in by_pack)
+    last = max(tot)
+    for sid, t in tot.items():
+        assert t < B + mx
+        if sid != last:
+            assert t > B - mx
+    # a pack larger than the whole budget still lands in exactly one shard
+    big = spark.createDataFrame([(0, 50), (1, 3500), (2, 60)],
+                                "pack_id long, n_tokens long")
+    brows = {r["pack_id"]: r["shard_id"]
+             for r in assign_shards(big, shard_budget=B).collect()}
+    assert brows[0] == 0 and brows[1] == 0    # starts at offset 50
+    assert brows[2] == 3                      # next starts at offset 3550
