@@ -1132,7 +1132,10 @@ def dp_ngram_jaccard(spark, sf_dir):
     the scale path is the LSH pipeline in dp_neardup_scale."""
     from yupana_spark.datapipe.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3, n=3)
+    docs = _docs(spark, sf_dir)
+    return ngram_jaccard_pairs(
+        docs, threshold=0.3, n=3,
+        n_rows=_fixture_count(spark, sf_dir, "documents", docs))
 
 
 def dp_embed_neardup(spark, sf_dir):
@@ -1463,11 +1466,15 @@ def dp_pack_sequences(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     with_tok = docs.select(
         "doc_id", token_count(F.col("text")).alias("n_tokens"))
+    # materialized once: the verdict arms (stats/bad/shards/max_pack/...)
+    # would otherwise each re-run the FFD applyInPandas pipeline — exchange
+    # reuse does not reliably kick in under the bench's noop-write action
     packed = pack_sequences(with_tok, "doc_id", "n_tokens", budget=budget,
-                            num_buckets=64)
+                            num_buckets=64).localCheckpoint(eager=True)
     per_pack = (packed.groupBy("pack_id")
                 .agg(F.sum("n_tokens").alias("__tok"),
-                     F.count("*").alias("__docs")))
+                     F.count("*").alias("__docs"))
+                .localCheckpoint(eager=True))
     bad = (per_pack
            .filter(~((F.col("__tok") <= budget)
                      | ((F.col("__docs") == 1) & (F.col("__tok") > budget))))

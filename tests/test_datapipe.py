@@ -853,3 +853,18 @@ def test_assign_shards_offset_invariant(spark):
              for r in assign_shards(big, shard_budget=B).collect()}
     assert brows[0] == 0 and brows[1] == 0    # starts at offset 50
     assert brows[2] == 3                      # next starts at offset 3550
+
+
+def test_group_quantiles_audited_null_group(spark):
+    """A NULL group key must survive the audit joins (null-safe equi-join
+    regression: a plain join silently dropped the NULL-keyed group)."""
+    from yupana_spark.datapipe.select import group_quantiles_audited
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), (None, 10.0), (None, 30.0)],
+        "g string, v double")
+    got = {r["g"]: r for r in group_quantiles_audited(
+        df, ["g"], "v", [0.5]).collect()}
+    assert set(got) == {"a", None}
+    assert got[None]["p50"] == pytest.approx(20.0)
+    assert got[None]["p50_in_bound"]

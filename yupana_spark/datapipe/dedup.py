@@ -181,12 +181,16 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     return _band_collisions(sig, num_hashes, bands)
 
 
-def _band_collisions(sig: DataFrame, num_hashes: int,
-                     bands: int) -> DataFrame:
-    """Self-join (id, sig) rows on per-band signature-slice hashes."""
+def band_explode(df: DataFrame, num_hashes: int, bands: int,
+                 *carry: str) -> DataFrame:
+    """Explode a frame with a ``sig`` column into one row per LSH band:
+    (id, *carry, band, bhash).  THE single definition of the band hash —
+    batch candidate generation, the fused screen join, and the streaming
+    near-dup operator all call this, so the streaming-vs-batch superset
+    guarantee (q_stream_dedup) can never be broken by one copy drifting."""
     r = num_hashes // bands
-    banded = sig.select(
-        "id",
+    return df.select(
+        "id", *carry,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -204,7 +208,14 @@ def _band_collisions(sig: DataFrame, num_hashes: int,
                 ),
             )
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bhash")
+    ).select("id", *carry, F.col("bb.band").alias("band"),
+             F.col("bb.bhash").alias("bhash"))
+
+
+def _band_collisions(sig: DataFrame, num_hashes: int,
+                     bands: int) -> DataFrame:
+    """Self-join (id, sig) rows on per-band signature-slice hashes."""
+    banded = band_explode(sig, num_hashes, bands)
     left = banded.alias("l")
     right = banded.alias("r")
     return (left.join(right,
@@ -281,20 +292,7 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
         # pair-distinct runs on the (orders of magnitude smaller) screened
         # set instead of the raw collision set
         r = num_hashes // bands
-        banded = sighs.select(
-            "id", "sig",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("sig", b * r + F.lit(1), r),
-                                    lambda x: x.cast("string")),
-                                ",")).alias("bhash")))).alias("bb"),
-        ).select("id", "sig", "bb.band", "bb.bhash")
+        banded = band_explode(sighs, num_hashes, bands, "sig")
         bl, br = banded.alias("bl"), banded.alias("br")
         agree = F.size(F.filter(
             F.zip_with(F.col("bl.sig"), F.col("br.sig"),
@@ -342,8 +340,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     (shingle_hash, doc) items once, then bump an (n_b x n_b) counter for
     each same-hash doc pair, so work is proportional to actual
     co-occurrences (near-dup pairs), not |docs|^2 * |vocab|.  Shingles are
-    xxhash64-hashed JVM-side (long compares, not string compares —
-    identical results modulo ~1e-13 collision odds on a doc pair's union);
+    xxhash64-hashed JVM-side at full 64-bit width (long compares, not
+    string compares — identical results modulo ~1e-15 per-pair collision
+    odds on a doc pair's union);
     the per-pair Catalyst ``array_intersect`` theta join this replaces ran
     ~27 s at sf0.1 vs ~2 s blocked.  Same final ``F.round(_, 6)`` +
     threshold filter.
@@ -355,10 +354,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     wrds = normed.select(
         "id", F.filter(F.split(F.col("__norm"), r"\s+"),
                        lambda x: x != F.lit("")).alias("__w"))
+    # FULL-width xxhash64 (not shingle_hashes, whose pmod into 2^31-1 only
+    # exists for the minhash permutations): per-pair collision odds against
+    # the string-based oracle stay ~|sh_a|*|sh_b|/2^64 ~= 1e-15, not ~2e-5
     sh = wrds.select(
         "id",
         F.array_distinct(
-            shingle_hashes(word_shingles(F.col("__w"), n, as_words=True)))
+            F.transform(word_shingles(F.col("__w"), n, as_words=True),
+                        lambda s: F.xxhash64(s)))
         .alias("hs"),
     )
     if n_rows is None:
@@ -413,15 +416,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         return pd.DataFrame({"id_a": ids[a[keep]], "id_b": ids[b[keep]],
                              "jaccard": jac[keep]})
 
-    blk = F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
-    pair_list = F.transform(
-        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
-        lambda x: F.struct(F.least(F.col("b"), x).alias("bi"),
-                           F.greatest(F.col("b"), x).alias("bj")))
-    exploded = (sh.withColumn("b", blk)
-                .withColumn("__p", F.explode(pair_list))
-                .select("id", "hs", "b",
-                        F.col("__p.bi").alias("bi"), F.col("__p.bj").alias("bj")))
+    exploded = _block_pair_explode(sh, n_blocks)
     return (exploded.groupBy("bi", "bj")
             .applyInPandas(jac_block_pair, out_schema)
             .select("id_a", "id_b",
@@ -675,6 +670,24 @@ def cosine_np(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(num / np.maximum(den, 1e-300))
 
 
+def _block_pair_explode(df: DataFrame, n_blocks: int) -> DataFrame:
+    """Replicate each (id, payload...) row to every unordered block pair
+    containing its hash-assigned block — the shared fan-out for the blocked
+    exact-O(N^2) kernels (cosine Gram matmul, sparse Jaccard count).  Adds
+    columns ``b`` (own block), ``bi``/``bj`` (group key); the shuffle is
+    N * n_blocks rows, the O(N^2 / block_rows) cost any exact all-pairs
+    must pay, with the quadratic part left to the caller's kernel."""
+    blk = F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+    pair_list = F.transform(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+        lambda x: F.struct(F.least(F.col("b"), x).alias("bi"),
+                           F.greatest(F.col("b"), x).alias("bj")))
+    return (df.withColumn("b", blk)
+            .withColumn("__p", F.explode(pair_list))
+            .select(*df.columns, "b",
+                    F.col("__p.bi").alias("bi"), F.col("__p.bj").alias("bj")))
+
+
 def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                             id_col: str = "vec_id",
                             threshold: float = 0.9,
@@ -737,18 +750,7 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
         hi = np.maximum(ia[a], ib[b])
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cos[a, b]})
 
-    blk = F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
-    # replicate each row to every block pair containing its block: the
-    # shuffle is N * n_blocks rows — the O(N^2 / block_rows) cost any exact
-    # all-pairs must pay, with the quadratic part inside one matmul per task
-    pair_list = F.transform(
-        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
-        lambda x: F.struct(F.least(F.col("b"), x).alias("bi"),
-                           F.greatest(F.col("b"), x).alias("bj")))
-    exploded = (v.withColumn("b", blk)
-                .withColumn("__p", F.explode(pair_list))
-                .select("id", "v", "b",
-                        F.col("__p.bi").alias("bi"), F.col("__p.bj").alias("bj")))
+    exploded = _block_pair_explode(v, n_blocks)
     return (exploded.groupBy("bi", "bj")
             .applyInPandas(gram_block_pair, out_schema)
             .select("id_a", "id_b", F.round(F.col("cos"), 6).alias("cos"))

@@ -80,7 +80,17 @@ def group_quantiles_audited(df: DataFrame, group_cols: Sequence[str],
     approx = df.groupBy(*gcols).agg(
         *[F.percentile_approx(value_col, F.lit(q), F.lit(accuracy))
           .alias(f"__a{i}") for i, q in enumerate(quantiles)])
-    j = df.join(F.broadcast(approx), list(group_cols))
+    # NULL-SAFE equi-joins: groupBy keeps a NULL-keyed group, and a plain
+    # equi-join would silently drop it from the audited output while the
+    # exact side (and any SQL oracle's GROUP BY) keeps it
+    ap = approx.select(*[F.col(c).alias(f"__g{i}")
+                         for i, c in enumerate(group_cols)],
+                       *[f"__a{i}" for i in range(len(quantiles))])
+    cond = None
+    for i, c in enumerate(group_cols):
+        piece = df[c].eqNullSafe(ap[f"__g{i}"])
+        cond = piece if cond is None else (cond & piece)
+    j = df.join(F.broadcast(ap), cond)
     eps = 1.0 / accuracy
     aggs = [F.count(value_col).alias("__n")]
     for i, _ in enumerate(quantiles):
@@ -96,4 +106,11 @@ def group_quantiles_audited(df: DataFrame, group_cols: Sequence[str],
         oks.append(((F.col(f"__lt{i}") <= hi)
                     & (F.col(f"__le{i}") >= lo))
                    .alias(f"p{int(round(q * 100))}_in_bound"))
-    return exact.join(counts.select(*gcols, *oks), list(group_cols))
+    ck = counts.select(*[F.col(c).alias(f"__g{i}")
+                         for i, c in enumerate(group_cols)], *oks)
+    cond = None
+    for i, c in enumerate(group_cols):
+        piece = exact[c].eqNullSafe(ck[f"__g{i}"])
+        cond = piece if cond is None else (cond & piece)
+    return (exact.join(ck, cond)
+            .drop(*[f"__g{i}" for i in range(len(group_cols))]))

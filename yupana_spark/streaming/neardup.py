@@ -33,6 +33,7 @@ watermarked streaming distinct at production horizons.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Iterator, Tuple
 
 import pandas as pd
@@ -94,11 +95,17 @@ def _make_bucket_update(threshold: float):
                                             assume_unique=True).sum())
                         union = nn + len(os_) - inter
                         j = inter / union if union else 0.0
-                        if j >= threshold:
+                        # HALF-UP at 6 dp, then cut on the ROUNDED value —
+                        # byte-identical to the batch path's
+                        # F.round(jaccard, 6) >= threshold (Python round()
+                        # is banker's and a raw-j cut drops pairs whose
+                        # rounded value just reaches the bar)
+                        jr = math.floor(j * 1e6 + 0.5) / 1e6
+                        if jr >= threshold:
                             lo, hi = (rid, oid) if rid < oid else (oid, rid)
                             out_a.append(lo)
                             out_b.append(hi)
-                            out_j.append(round(j, 6))
+                            out_j.append(jr)
                 ids.append(rid)
                 sets.append(new)
                 seen.add(rid)
@@ -128,29 +135,16 @@ def streaming_neardup_pairs(stream: DataFrame, text_col: str = "text",
     construction).  Those two directions are the equivalence the
     q_stream_dedup bundle's verdict rows check.
     """
-    from ..datapipe.dedup import (hashed_shingle_sets,
+    from ..datapipe.dedup import (band_explode, hashed_shingle_sets,
                                   minhash_signature_np)
 
     hashed = hashed_shingle_sets(stream, text_col, id_col, k)
     sig = hashed.select(
         F.col("id").cast("long").alias("id"), "hs",
         minhash_signature_np(F.col("hs"), num_hashes).alias("sig"))
-    r = num_hashes // bands
-    banded = sig.select(
-        "id", "hs",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice("sig", b * r + F.lit(1), r),
-                                lambda x: x.cast("string")),
-                            ",")).alias("bhash")))).alias("bb"),
-    ).select("id", "hs", F.col("bb.band").alias("band"),
-             F.col("bb.bhash").alias("bhash"))
+    # the band hash is THE shared definition (dedup.band_explode) — the
+    # streaming-vs-batch superset guarantee depends on it byte-for-byte
+    banded = band_explode(sig, num_hashes, bands, "hs")
     return (banded.groupBy("band", "bhash")
             .applyInPandasWithState(
                 _make_bucket_update(threshold), PAIR_SCHEMA,
