@@ -1110,11 +1110,16 @@ def dp_text_stats(spark, sf_dir):
 
 
 def dp_lang_id(spark, sf_dir):
-    """Language-ID: stopword-hit argmax + CJK unicode-range check."""
-    from yupana_spark.datapipe.text import lang_id
+    """Bundle: language-ID (stopword-hit argmax + CJK unicode-range check)
+    + the CCNet-style unigram-LM cross-entropy quality score
+    (text.unigram_lm_scores; one word-count shuffle, broadcast vocab) —
+    both per-doc, both value-oracled."""
+    from yupana_spark.datapipe.text import lang_id, unigram_lm_scores
 
-    return _docs(spark, sf_dir, fan_out=True).select(
-        "doc_id", lang_id(F.col("text")).alias("lang_pred"))
+    docs = _docs(spark, sf_dir, fan_out=True)
+    lang = docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+    xent = unigram_lm_scores(docs).withColumnRenamed("id", "doc_id")
+    return lang.join(xent, "doc_id")
 
 
 def dp_exact_dedup(spark, sf_dir):
@@ -2094,15 +2099,29 @@ _ORACLES_DP: dict[str, str] = {
             len(list_intersect(ws, ['el','la','de','que','y','en','un','una','es','por'])) AS s_es,
             len(list_intersect(ws, ['le','la','de','et','un','une','est','que','pour','dans'])) AS s_fr
           FROM w)
-        SELECT doc_id,
+        SELECT s.doc_id,
                CASE WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0
                     THEN 'zh'
                     WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
                     WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
                     WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
                     WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
-                    ELSE 'fr' END AS lang_pred
-        FROM s
+                    ELSE 'fr' END AS lang_pred,
+               x.xent
+        FROM s JOIN (
+          WITH tk AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                      string_split_regex(trim(lower(text)), '\\s+'),
+                      t -> t <> '')) AS w
+            FROM documents),
+          c AS (SELECT w, count(*) AS c FROM tk GROUP BY w),
+          tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tk)
+          SELECT tk.doc_id,
+                 round(avg(-ln(c.c / tot.t)), 4) AS xent
+          FROM tk JOIN c USING (w) CROSS JOIN tot
+          GROUP BY tk.doc_id
+        ) x ON s.doc_id = x.doc_id
     """,
     "dp_exact_dedup": """
         WITH f AS (

@@ -868,3 +868,30 @@ def test_group_quantiles_audited_null_group(spark):
     assert set(got) == {"a", None}
     assert got[None]["p50"] == pytest.approx(20.0)
     assert got[None]["p50_in_bound"]
+
+
+def test_unigram_lm_scores(spark):
+    """Common-word docs must score lower cross-entropy than rare-word docs;
+    the vocab cap demotes tail words to the OOV pseudo-count (scale path)."""
+    import math
+
+    from yupana_spark.datapipe.text import unigram_lm_scores
+
+    rows = [(1, "the the the cat"), (2, "the cat"), (3, "zyx qwv jkl")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["xent"] for r in unigram_lm_scores(df).collect()}
+    # manual: T=9; counts the=4, cat=2, zyx=qwv=jkl=1
+    T = 9.0
+    exp1 = -(3 * math.log(4 / T) + math.log(2 / T)) / 4
+    exp3 = -math.log(1 / T)
+    assert got[1] == pytest.approx(round(exp1, 4))
+    assert got[3] == pytest.approx(round(exp3, 4))
+    assert got[1] < got[2] < got[3]  # common words -> lower entropy
+
+    # cap binds: only the top-2 words stay in vocab; everything else
+    # scores with the OOV pseudo-count 0.5 (worse than any real count)
+    capped = {r["id"]: r["xent"]
+              for r in unigram_lm_scores(df, vocab_cap=2).collect()}
+    oov = -math.log(0.5 / T)
+    assert capped[3] == pytest.approx(round(oov, 4))
+    assert capped[3] > got[3]

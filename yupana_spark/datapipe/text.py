@@ -266,3 +266,35 @@ def contaminated_ids(docs: DataFrame, eval_docs: DataFrame,
     e = exploded(eval_docs).distinct()
     return (d.join(F.broadcast(e), "h", "left_semi")
             .select(id_col).distinct())
+
+
+def unigram_lm_scores(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", vocab_cap: int = 1 << 16,
+                      oov_count: float = 0.5, scale: int = 4) -> DataFrame:
+    """(id, xent) — per-document cross-entropy under a corpus-fit unigram
+    LM, the CCNet-style statistical quality filter (Wenzek et al. 2020
+    fit a LM and drop high-perplexity documents; a unigram model keeps the
+    whole computation relational).
+
+    xent = -avg over the doc's tokens of ln(count(w) / T), where count(w)
+    is the token's corpus frequency and T the corpus token total — high
+    values mean improbable (noisy/garbled) text.  100 TB shape: one
+    groupBy(word) shuffle for the counts, the vocabulary capped to the
+    ``vocab_cap`` most frequent words via TakeOrderedAndProject
+    (deterministic ties: count desc, word asc — never a global sort) and
+    BROADCAST to the scoring join; out-of-vocabulary tokens score with the
+    ``oov_count`` pseudo-count.  The corpus total rides a single-row
+    crossJoin like the compiler's global aggregates.
+    """
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(words(F.lower(F.col(text_col)))).alias("w"))
+    counts = toks.groupBy("w").agg(F.count("*").alias("__c"))
+    vocab = (counts.orderBy(F.col("__c").desc(), F.col("w").asc())
+             .limit(vocab_cap))
+    total = counts.agg(F.sum("__c").cast("double").alias("__t"))
+    return (toks.join(F.broadcast(vocab), "w", "left")
+            .crossJoin(total)
+            .groupBy("id")
+            .agg(F.round(F.avg(-F.log(
+                F.coalesce(F.col("__c").cast("double"), F.lit(oov_count))
+                / F.col("__t"))), scale).alias("xent")))
