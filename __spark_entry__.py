@@ -1118,8 +1118,13 @@ def dp_lang_id(spark, sf_dir):
 
     docs = _docs(spark, sf_dir, fan_out=True)
     lang = docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
-    xent = unigram_lm_scores(docs).withColumnRenamed("id", "doc_id")
-    return lang.join(xent, "doc_id")
+    # vocab_cap deliberately above any fixture vocabulary (the oracle
+    # models the UNCAPPED formula; the cap/OOV scale path is pinned by
+    # test_unigram_lm_scores instead); LEFT join keeps token-less docs in
+    # the per-doc output with xent NULL — full-coverage like lang_pred
+    xent = unigram_lm_scores(docs, vocab_cap=1 << 20) \
+        .withColumnRenamed("id", "doc_id")
+    return lang.join(xent, "doc_id", "left")
 
 
 def dp_exact_dedup(spark, sf_dir):
@@ -2108,7 +2113,7 @@ _ORACLES_DP: dict[str, str] = {
                     WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
                     ELSE 'fr' END AS lang_pred,
                x.xent
-        FROM s JOIN (
+        FROM s LEFT JOIN (
           WITH tk AS (
             SELECT doc_id,
                    unnest(list_filter(

@@ -83,14 +83,20 @@ def group_quantiles_audited(df: DataFrame, group_cols: Sequence[str],
     # NULL-SAFE equi-joins: groupBy keeps a NULL-keyed group, and a plain
     # equi-join would silently drop it from the audited output while the
     # exact side (and any SQL oracle's GROUP BY) keeps it
-    ap = approx.select(*[F.col(c).alias(f"__g{i}")
-                         for i, c in enumerate(group_cols)],
-                       *[f"__a{i}" for i in range(len(quantiles))])
-    cond = None
-    for i, c in enumerate(group_cols):
-        piece = df[c].eqNullSafe(ap[f"__g{i}"])
-        cond = piece if cond is None else (cond & piece)
-    j = df.join(F.broadcast(ap), cond)
+    def null_safe_join(left, right, payload_cols, broadcast=False):
+        r = right.select(*[F.col(c).alias(f"__g{i}")
+                           for i, c in enumerate(group_cols)],
+                         *payload_cols)
+        cond = None
+        for i, c in enumerate(group_cols):
+            piece = left[c].eqNullSafe(r[f"__g{i}"])
+            cond = piece if cond is None else (cond & piece)
+        out = left.join(F.broadcast(r) if broadcast else r, cond)
+        return out.drop(*[f"__g{i}" for i in range(len(group_cols))])
+
+    j = null_safe_join(df, approx,
+                       [f"__a{i}" for i in range(len(quantiles))],
+                       broadcast=True)
     eps = 1.0 / accuracy
     aggs = [F.count(value_col).alias("__n")]
     for i, _ in enumerate(quantiles):
@@ -106,11 +112,5 @@ def group_quantiles_audited(df: DataFrame, group_cols: Sequence[str],
         oks.append(((F.col(f"__lt{i}") <= hi)
                     & (F.col(f"__le{i}") >= lo))
                    .alias(f"p{int(round(q * 100))}_in_bound"))
-    ck = counts.select(*[F.col(c).alias(f"__g{i}")
-                         for i, c in enumerate(group_cols)], *oks)
-    cond = None
-    for i, c in enumerate(group_cols):
-        piece = exact[c].eqNullSafe(ck[f"__g{i}"])
-        cond = piece if cond is None else (cond & piece)
-    return (exact.join(ck, cond)
-            .drop(*[f"__g{i}" for i in range(len(group_cols))]))
+    ok_names = [f"p{int(round(q * 100))}_in_bound" for q in quantiles]
+    return null_safe_join(exact, counts.select(*gcols, *oks), ok_names)

@@ -33,7 +33,6 @@ watermarked streaming distinct at production horizons.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Iterator, Tuple
 
 import pandas as pd
@@ -94,13 +93,16 @@ def _make_bucket_update(threshold: float):
                         inter = int(np.isin(os_, new_sorted,
                                             assume_unique=True).sum())
                         union = nn + len(os_) - inter
-                        j = inter / union if union else 0.0
-                        # HALF-UP at 6 dp, then cut on the ROUNDED value —
-                        # byte-identical to the batch path's
-                        # F.round(jaccard, 6) >= threshold (Python round()
-                        # is banker's and a raw-j cut drops pairs whose
-                        # rounded value just reaches the bar)
-                        jr = math.floor(j * 1e6 + 0.5) / 1e6
+                        # HALF-UP at 6 dp in EXACT integer arithmetic, then
+                        # cut on the rounded value — identical to the batch
+                        # path's F.round(jaccard, 6) >= threshold for every
+                        # rational inter/union: float emulations
+                        # (floor(j*1e6+0.5), Python round()) both disagree
+                        # with Spark's decimal HALF_UP on terminating-
+                        # decimal ties like 323/640, integer division
+                        # cannot
+                        jr = ((2 * inter * 1_000_000 + union)
+                              // (2 * union)) / 1e6 if union else 0.0
                         if jr >= threshold:
                             lo, hi = (rid, oid) if rid < oid else (oid, rid)
                             out_a.append(lo)
