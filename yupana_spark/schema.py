@@ -16,6 +16,7 @@ the time-bucket partition column used for partition pruning at scale.
 from __future__ import annotations
 
 import os
+import threading
 from dataclasses import dataclass, field
 from typing import Callable, Dict, Optional, Sequence, Tuple
 
@@ -45,8 +46,11 @@ def cached_parquet(spark: SparkSession, path: str,
 
 
 # session-scoped re-ingested copies of single-row-group fixture files
-# (path -> rewritten dir); see _parallel_read
+# (path -> rewritten dir); see _parallel_read.  The lock serializes the
+# one-time rewrite across threads (pgwire serves concurrent connections):
+# without it two first-touches both pay the rewrite and race the memo.
 _SPLIT_CACHE: Dict[Tuple[str, str], str] = {}
+_SPLIT_LOCK = threading.Lock()
 _SPLIT_MIN_ROWS = 50_000       # only fact-sized tables; dims broadcast anyway
 _SPLIT_MAX_BYTES = 256 << 20   # fixture-shape gate — never triggers at scale
 _SPLIT_ROWS_PER_FILE = 8_000
@@ -72,6 +76,16 @@ def _parallel_read(spark: SparkSession, path: str,
     returned as-is; nothing under /root/testdata is ever written.
     """
     df = spark.read.parquet(path)
+    try:
+        with _SPLIT_LOCK:
+            return _parallel_read_locked(spark, path, time_col, df)
+    except Exception:  # noqa: BLE001 — layout fixing must never fail a read
+        return df
+
+
+def _parallel_read_locked(spark: SparkSession, path: str,
+                          time_col: Optional[str],
+                          df: DataFrame) -> DataFrame:
     try:
         done = _SPLIT_CACHE.get((spark.sparkContext.applicationId, path))
         if done is not None:
