@@ -360,3 +360,52 @@ def test_gif_transparency_composites_over_previous_frame():
     exp = f1.copy()
     exp[np.eye(4, dtype=bool)] = pal[1]
     assert np.array_equal(frames[1], exp)
+
+
+# -- AVI / Motion-JPEG container (datapipe/avi.py) ---------------------------
+from yupana_spark.datapipe.avi import (decode_avi_frames,  # noqa: E402
+                                       encode_avi_mjpeg, parse_avi)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1),
+       st.integers(min_value=1, max_value=4),
+       st.integers(min_value=8, max_value=24),
+       st.integers(min_value=8, max_value=24))
+def test_avi_mjpeg_roundtrip(seed, n_frames, h, w):
+    """Mux -> demux preserves frame count, dims, timing, and each frame
+    decodes through the baseline JPEG codec within its quality-95 bound."""
+    rng = np.random.RandomState(seed)
+    px = [np.clip(rng.normal(128, 12, (h, w, 3)), 0, 255).astype(np.uint8)
+          for _ in range(n_frames)]
+    frames = [encode_jpeg(p, quality=95) for p in px]
+    avi = encode_avi_mjpeg(frames, width=w, height=h, fps=8)
+    meta = parse_avi(avi)
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert meta["n_frames"] == n_frames
+    assert meta["us_per_frame"] == 125_000
+    assert meta["frames"] == frames  # payloads survive byte-exact
+    dec = decode_avi_frames(avi)
+    assert [i for i, _ in dec] == list(range(n_frames))
+    for (_, got), want in zip(dec, px):
+        assert got.shape == want.shape
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 40
+
+
+def test_avi_rejects_non_mjpeg():
+    with pytest.raises(NotImplementedError):
+        parse_avi(b"RIFF\x04\x00\x00\x00WAVE")  # RIFF but not AVI
+    # AVI whose stream handler is not MJPG
+    good = encode_avi_mjpeg([encode_jpeg(np.zeros((8, 8, 3), np.uint8))],
+                            8, 8)
+    bad = good.replace(b"vidsMJPG", b"vidsH264")
+    with pytest.raises(NotImplementedError):
+        parse_avi(bad)
+
+
+def test_avi_frame_sampling_stride():
+    frames = [encode_jpeg(np.full((8, 8, 3), v, np.uint8), quality=100)
+              for v in (10, 60, 110, 160, 210)]
+    avi = encode_avi_mjpeg(frames, 8, 8, fps=5)
+    idx = [i for i, _ in decode_avi_frames(avi, every_n=2)]
+    assert idx == [0, 2, 4]

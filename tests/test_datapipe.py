@@ -895,3 +895,43 @@ def test_unigram_lm_scores(spark):
     oov = -math.log(0.5 / T)
     assert capped[3] == pytest.approx(round(oov, 4))
     assert capped[3] > got[3]
+
+
+def test_avi_frame_features_end_to_end(spark):
+    """AVI/Motion-JPEG frame sampling through the real Spark mapInPandas
+    path: per-frame rows whose pixel sums the local demux+decode reproduces
+    exactly (the JPEG decode is deterministic, so executor and driver must
+    agree bit-for-bit)."""
+    import numpy as np
+
+    from yupana_spark.datapipe.avi import decode_avi_frames, encode_avi_mjpeg
+    from yupana_spark.datapipe.jpeg import encode_jpeg
+    from yupana_spark.datapipe.multimodal import avi_frame_features
+
+    rng = np.random.RandomState(33)
+    rows, expected = [], {}
+    for mid, n_frames in ((1, 1), (2, 4)):
+        px = [np.clip(rng.normal(120, 15, (8, 16, 3)), 0, 255)
+              .astype(np.uint8) for _ in range(n_frames)]
+        blob = encode_avi_mjpeg([encode_jpeg(p, quality=92) for p in px],
+                                width=16, height=8, fps=4)
+        rows.append((mid, bytearray(blob)))
+        expected[mid] = [int(f.sum(dtype=np.int64))
+                         for _, f in decode_avi_frames(blob)]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = avi_frame_features(media).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["media_id"], {})[r["frame_no"]] = r
+    for mid, sums in expected.items():
+        assert sorted(by_id[mid]) == list(range(len(sums)))
+        for fno, s in enumerate(sums):
+            r = by_id[mid][fno]
+            assert (r["height"], r["width"]) == (8, 16)
+            assert r["pix_sum"] == s
+    sampled = {r["media_id"]: sorted([q["frame_no"] for q in got
+               if q["media_id"] == r["media_id"]])
+               for r in avi_frame_features(media, every_n=2).collect()}
+    assert sorted(r["frame_no"] for r in
+                  avi_frame_features(media, every_n=2)
+                  .filter("media_id = 2").collect()) == [0, 2]

@@ -1,0 +1,123 @@
+"""AVI / Motion-JPEG video container on stdlib ``struct`` — the video leg
+of the multimodal column support.
+
+The container is plain RIFF (public Microsoft 'AVI RIFF File Reference'):
+a `hdrl` LIST carrying the 56-byte `avih` main header and one video
+stream's `strh`/`strf` (BITMAPINFOHEADER with 'MJPG' compression), a
+`movi` LIST of `00dc` chunks each holding ONE complete baseline-JFIF
+image, and an `idx1` index.  Frames decode with the repo's own baseline
+JPEG codec (datapipe/jpeg.py) — no imaging libraries.  Motion-JPEG is the
+one mainstream video codec expressible this way (every frame is an
+independent JPEG: no interframe prediction, no entropy context across
+frames), which also makes it the format whose frame-sampling semantics
+are exactly "slice the chunk list".
+
+Reference contract is just BLOB (yupana-api/.../Blob.scala:21) — like the
+image/audio codecs this is an extension beyond the reference, not parity.
+Interframe codecs (H.264 etc.) raise NotImplementedError.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Tuple
+
+
+def _chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _list(list_type: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", list_type + payload)
+
+
+def encode_avi_mjpeg(frames: List[bytes], width: int, height: int,
+                     fps: int = 10) -> bytes:
+    """Mux pre-encoded JPEG frames into an AVI/MJPEG byte stream.
+
+    ``frames`` are complete JFIF streams (e.g. from ``jpeg.encode_jpeg``);
+    all must share ``width`` x ``height``.  Emits avih + one 'vids'/'MJPG'
+    stream + movi + idx1 — the layout every mainstream demuxer accepts.
+    """
+    if not frames:
+        raise ValueError("at least one frame required")
+    us_per_frame = 1_000_000 // max(fps, 1)
+    max_size = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<14I", us_per_frame, max_size * fps, 0, 0x10, len(frames), 0, 1,
+        max_size, width, height, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), max_size,
+        0xFFFFFFFF, 0) + struct.pack("<4H", 0, 0, width, height))
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+                       width * height * 3, 0, 0, 0, 0)
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih)
+                 + _list(b"strl", _chunk(b"strh", strh)
+                         + _chunk(b"strf", strf)))
+    movi_chunks, idx, off = [], [], 4  # offsets count from 'movi' fourcc
+    for f in frames:
+        movi_chunks.append(_chunk(b"00dc", f))
+        idx.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(f)))
+        off += len(movi_chunks[-1])
+    movi = _list(b"movi", b"".join(movi_chunks))
+    idx1 = _chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _walk_chunks(buf: bytes, pos: int, end: int):
+    while pos + 8 <= end:
+        fourcc = buf[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def parse_avi(content: bytes) -> dict:
+    """Container metadata + raw frame payloads (no pixel decode).
+
+    Returns {width, height, us_per_frame, n_frames, frames: [bytes]};
+    raises NotImplementedError for non-AVI RIFF or non-MJPEG streams (an
+    interframe codec cannot be decoded frame-independently)."""
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise NotImplementedError("not an AVI RIFF stream")
+    width = height = us_per_frame = 0
+    handler: Optional[bytes] = None
+    frames: List[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal width, height, us_per_frame, handler
+        for fourcc, dpos, size in _walk_chunks(content, pos, end):
+            if fourcc == b"LIST":
+                walk(dpos + 4, dpos + size)
+            elif fourcc == b"avih":
+                vals = struct.unpack_from("<14I", content, dpos)
+                us_per_frame = vals[0]
+                width, height = vals[8], vals[9]
+            elif fourcc == b"strh" and content[dpos:dpos + 4] == b"vids":
+                handler = content[dpos + 4:dpos + 8]
+            elif fourcc in (b"00dc", b"00db"):
+                frames.append(content[dpos:dpos + size])
+
+    walk(12, len(content))
+    if handler not in (b"MJPG", b"mjpg"):
+        raise NotImplementedError(
+            f"only Motion-JPEG AVI is supported, handler={handler!r}")
+    return {"width": width, "height": height,
+            "us_per_frame": us_per_frame, "n_frames": len(frames),
+            "frames": frames}
+
+
+def decode_avi_frames(content: bytes, every_n: int = 1) -> List[Tuple]:
+    """Decode every ``every_n``-th frame to an RGB ndarray via the repo's
+    baseline JPEG codec.  Returns [(frame_index, (h, w, 3) uint8)]."""
+    from .jpeg import decode_jpeg
+
+    meta = parse_avi(content)
+    out = []
+    for i, payload in enumerate(meta["frames"]):
+        if i % every_n:
+            continue
+        out.append((i, decode_jpeg(payload)))
+    return out

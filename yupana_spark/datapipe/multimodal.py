@@ -891,3 +891,29 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 100,
             )
         ).alias("f"),
     ).select("media_id", "f.frame_no", "f.frame_bytes")
+
+
+def avi_frame_features(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video keyframe sampling over AVI/Motion-JPEG binary columns:
+    demux the RIFF container and decode every ``every_n``-th JPEG frame
+    (datapipe/avi.py + the baseline JPEG codec) — same mapInPandas batch
+    shape as ``gif_frame_features``, same per-frame output schema; the
+    decode is frame-independent by construction (MJPEG has no interframe
+    prediction), so sampling cost scales with frames KEPT, not stream
+    length."""
+    import numpy as np
+
+    from .avi import decode_avi_frames
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                for fno, f in decode_avi_frames(bytes(blob), every_n):
+                    rows.append({"media_id": int(mid), "frame_no": fno,
+                                 "height": f.shape[0], "width": f.shape[1],
+                                 "pix_sum": int(f.sum(dtype=np.int64))})
+            yield pd.DataFrame(rows, columns=["media_id", "frame_no",
+                                              "height", "width", "pix_sum"])
+
+    return media.mapInPandas(per_batch, schema=GIF_FRAME_SCHEMA)
