@@ -395,12 +395,17 @@ def test_avi_mjpeg_roundtrip(seed, n_frames, h, w):
 def test_avi_rejects_non_mjpeg():
     with pytest.raises(NotImplementedError):
         parse_avi(b"RIFF\x04\x00\x00\x00WAVE")  # RIFF but not AVI
-    # AVI whose stream handler is not MJPG
+    # AVI that is not Motion-JPEG anywhere (handler AND biCompression):
+    # both fields must be scrubbed — real muxers write MJPEG with odd
+    # handlers ('dmb1', zeros) and the authoritative strf biCompression
     good = encode_avi_mjpeg([encode_jpeg(np.zeros((8, 8, 3), np.uint8))],
                             8, 8)
-    bad = good.replace(b"vidsMJPG", b"vidsH264")
+    bad = good.replace(b"MJPG", b"H264")
     with pytest.raises(NotImplementedError):
         parse_avi(bad)
+    # handler scrubbed but biCompression intact -> still accepted
+    odd_handler = good.replace(b"vidsMJPG", b"vids\x00\x00\x00\x00")
+    assert parse_avi(odd_handler)["n_frames"] == 1
 
 
 def test_avi_frame_sampling_stride():

@@ -929,9 +929,6 @@ def test_avi_frame_features_end_to_end(spark):
             r = by_id[mid][fno]
             assert (r["height"], r["width"]) == (8, 16)
             assert r["pix_sum"] == s
-    sampled = {r["media_id"]: sorted([q["frame_no"] for q in got
-               if q["media_id"] == r["media_id"]])
-               for r in avi_frame_features(media, every_n=2).collect()}
     assert sorted(r["frame_no"] for r in
                   avi_frame_features(media, every_n=2)
                   .filter("media_id = 2").collect()) == [0, 2]

@@ -78,16 +78,27 @@ def parse_avi(content: bytes) -> dict:
     """Container metadata + raw frame payloads (no pixel decode).
 
     Returns {width, height, us_per_frame, n_frames, frames: [bytes]};
-    raises NotImplementedError for non-AVI RIFF or non-MJPEG streams (an
-    interframe codec cannot be decoded frame-independently)."""
+    raises NotImplementedError for non-AVI RIFF or non-MJPEG video (an
+    interframe codec cannot be decoded frame-independently).
+
+    Real-world tolerant where the spec allows variation: the video stream
+    may be ANY stream index (frame chunks are matched by the video
+    stream's own two-digit prefix, not hard-wired '00'), and Motion-JPEG
+    is recognized by strf biCompression — the authoritative field — OR by
+    the strh fccHandler, since common muxers write handlers like 'dmb1',
+    'jpeg' or zeros while setting biCompression='MJPG'."""
     if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
         raise NotImplementedError("not an AVI RIFF stream")
     width = height = us_per_frame = 0
     handler: Optional[bytes] = None
-    frames: List[bytes] = []
+    compression: Optional[bytes] = None
+    stream_no = -1
+    video_stream: Optional[int] = None
+    chunks: List[Tuple[bytes, int, int]] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal width, height, us_per_frame, handler
+        nonlocal width, height, us_per_frame, handler, compression
+        nonlocal stream_no, video_stream
         for fourcc, dpos, size in _walk_chunks(content, pos, end):
             if fourcc == b"LIST":
                 walk(dpos + 4, dpos + size)
@@ -95,15 +106,29 @@ def parse_avi(content: bytes) -> dict:
                 vals = struct.unpack_from("<14I", content, dpos)
                 us_per_frame = vals[0]
                 width, height = vals[8], vals[9]
-            elif fourcc == b"strh" and content[dpos:dpos + 4] == b"vids":
-                handler = content[dpos + 4:dpos + 8]
-            elif fourcc in (b"00dc", b"00db"):
-                frames.append(content[dpos:dpos + size])
+            elif fourcc == b"strh":
+                stream_no += 1
+                if content[dpos:dpos + 4] == b"vids":
+                    video_stream = stream_no
+                    handler = content[dpos + 4:dpos + 8]
+            elif fourcc == b"strf" and stream_no == video_stream \
+                    and size >= 20:
+                # BITMAPINFOHEADER.biCompression at offset 16
+                compression = content[dpos + 16:dpos + 20]
+            else:
+                chunks.append((fourcc, dpos, size))
 
     walk(12, len(content))
-    if handler not in (b"MJPG", b"mjpg"):
+    if video_stream is None:
+        raise NotImplementedError("AVI has no video stream")
+    mjpg = {b"MJPG", b"mjpg", b"dmb1", b"jpeg"}
+    if compression not in mjpg and handler not in mjpg:
         raise NotImplementedError(
-            f"only Motion-JPEG AVI is supported, handler={handler!r}")
+            "only Motion-JPEG AVI is supported, "
+            f"handler={handler!r} compression={compression!r}")
+    prefix = b"%02d" % video_stream
+    frames = [content[dpos:dpos + size] for fourcc, dpos, size in chunks
+              if fourcc in (prefix + b"dc", prefix + b"db")]
     return {"width": width, "height": height,
             "us_per_frame": us_per_frame, "n_frames": len(frames),
             "frames": frames}
@@ -114,6 +139,8 @@ def decode_avi_frames(content: bytes, every_n: int = 1) -> List[Tuple]:
     baseline JPEG codec.  Returns [(frame_index, (h, w, 3) uint8)]."""
     from .jpeg import decode_jpeg
 
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
     meta = parse_avi(content)
     out = []
     for i, payload in enumerate(meta["frames"]):

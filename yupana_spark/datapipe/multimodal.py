@@ -849,20 +849,18 @@ GIF_FRAME_SCHEMA = T.StructType([
 ])
 
 
-def gif_frame_features(media: DataFrame, every_n: int = 1) -> DataFrame:
-    """REAL video-frame sampling: decode animated GIFs (the one video-ish
-    container the stdlib can handle) and emit one row per ``every_n``-th
-    composited frame — the same mapInPandas batch shape a keyframe sampler
-    over MP4 would use, with the decode swapped in per-executor."""
+def _frame_features(media: DataFrame, decode_sampled) -> DataFrame:
+    """Shared per-frame feature map: ``decode_sampled(blob)`` yields
+    (frame_no, (h, w, ...) uint8 array) for the frames to keep — the one
+    place the per-frame row shape is defined, so the GIF and AVI samplers
+    cannot drift apart."""
     import numpy as np
 
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                frames = decode_gif_frames(bytes(blob))
-                for fno in range(0, len(frames), every_n):
-                    f = frames[fno]
+                for fno, f in decode_sampled(bytes(blob)):
                     rows.append({"media_id": int(mid), "frame_no": fno,
                                  "height": f.shape[0], "width": f.shape[1],
                                  "pix_sum": int(f.sum(dtype=np.int64))})
@@ -870,6 +868,22 @@ def gif_frame_features(media: DataFrame, every_n: int = 1) -> DataFrame:
                                               "height", "width", "pix_sum"])
 
     return media.mapInPandas(per_batch, schema=GIF_FRAME_SCHEMA)
+
+
+def gif_frame_features(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video-frame sampling: decode animated GIFs and emit one row per
+    ``every_n``-th composited frame — the same mapInPandas batch shape a
+    keyframe sampler over MP4 would use, with the decode swapped in
+    per-executor."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    def sampled(blob: bytes):
+        frames = decode_gif_frames(blob)
+        for fno in range(0, len(frames), every_n):
+            yield fno, frames[fno]
+
+    return _frame_features(media, sampled)
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 100,
@@ -901,19 +915,9 @@ def avi_frame_features(media: DataFrame, every_n: int = 1) -> DataFrame:
     decode is frame-independent by construction (MJPEG has no interframe
     prediction), so sampling cost scales with frames KEPT, not stream
     length."""
-    import numpy as np
-
     from .avi import decode_avi_frames
 
-    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                for fno, f in decode_avi_frames(bytes(blob), every_n):
-                    rows.append({"media_id": int(mid), "frame_no": fno,
-                                 "height": f.shape[0], "width": f.shape[1],
-                                 "pix_sum": int(f.sum(dtype=np.int64))})
-            yield pd.DataFrame(rows, columns=["media_id", "frame_no",
-                                              "height", "width", "pix_sum"])
-
-    return media.mapInPandas(per_batch, schema=GIF_FRAME_SCHEMA)
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    return _frame_features(
+        media, lambda blob: decode_avi_frames(blob, every_n))

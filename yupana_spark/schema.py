@@ -76,11 +76,13 @@ def _parallel_read(spark: SparkSession, path: str,
     returned as-is; nothing under /root/testdata is ever written.
     """
     df = spark.read.parquet(path)
-    try:
-        with _SPLIT_LOCK:
-            return _parallel_read_locked(spark, path, time_col, df)
-    except Exception:  # noqa: BLE001 — layout fixing must never fail a read
-        return df
+    # double-checked memo: steady-state reads of an already-rewritten path
+    # never touch the lock; only the one-time rewrite serializes
+    done = _SPLIT_CACHE.get((spark.sparkContext.applicationId, path))
+    if done is not None:
+        return spark.read.parquet(done)
+    with _SPLIT_LOCK:
+        return _parallel_read_locked(spark, path, time_col, df)
 
 
 def _parallel_read_locked(spark: SparkSession, path: str,
