@@ -257,8 +257,17 @@ def test_differential_rich_surface(tsdb, duck, seed):
         sel_y = ", ".join(group + [f"{y} AS {a}" for a, y, _ in aggs])
         sel_d = ", ".join(group + [f"{d} AS {a}" for a, _, d in aggs])
         gb = f" GROUP BY {', '.join(group)}" if group else ""
-        yql = f"SELECT {sel_y} FROM lineitem WHERE {TB_Y} AND ({pred}){gb}"
-        sql = f"SELECT {sel_d} FROM lineitem WHERE {TB_D} AND ({pred}){gb}"
+        having = ""
+        if group and rng.random() < 0.5:
+            # HAVING over an aggregate NOT necessarily in the select list —
+            # the post-aggregate filter path (compiler HAVING handling)
+            col = rng.choice(NUM_COLS)
+            bar = round(rng.uniform(0, 3000), 2)
+            having = f" HAVING sum({col}) > {bar}"
+        yql = (f"SELECT {sel_y} FROM lineitem WHERE {TB_Y} AND ({pred})"
+               f"{gb}{having}")
+        sql = (f"SELECT {sel_d} FROM lineitem WHERE {TB_D} AND ({pred})"
+               f"{gb}{having}")
         got = _canon([tuple(r) for r in tsdb.sql(yql).collect()])
         exp = _canon([tuple(r) for r in duck.sql(sql).fetchall()])
         assert len(got) == len(exp), f"seed-case {i}: {yql!r}"
