@@ -76,6 +76,14 @@ CHECKS = {
     "dp_ann_approx": dict(pushed=None, expect=["TakeOrderedAndProject"],
                           forbid=["rangepartitioning", "SortMergeJoin",
                                   "CartesianProduct"]),
+    # shard manifest: the prefix cumsum must be the two-phase form — every
+    # window partitioned (an UNPARTITIONED windowspecdefinition's first arg
+    # is a sort order, i.e. `col ASC/DESC`, instead of a partition column),
+    # and the offset join a broadcast, never sort-merge
+    "dp_pack_sequences": dict(
+        pushed=None, expect=[],
+        forbid=[r"windowspecdefinition\([^,()]* (?:ASC|DESC)",
+                "SortMergeJoin"]),
 }
 
 

@@ -128,7 +128,8 @@ def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
 
 def assign_shards(per_pack: DataFrame, size_col: str = "n_tokens",
                   order_col: str = "pack_id",
-                  shard_budget: int = 1 << 20) -> DataFrame:
+                  shard_budget: int = 1 << 20,
+                  num_partitions: int | None = None) -> DataFrame:
     """Deterministic shard assignment for packed sequences — the
     dataloader-facing output stage: contiguous packs (by ``order_col``) are
     grouped into shards of ~``shard_budget`` tokens by running prefix
@@ -140,14 +141,47 @@ def assign_shards(per_pack: DataFrame, size_col: str = "n_tokens",
     and >= budget - max_pack_size (except the last) — the invariant the
     dp_pack_sequences verdict rows check.
 
-    The prefix sum is ONE global window over PACKS — the already-reduced
-    set (orders of magnitude smaller than docs; ~total_tokens/budget
-    rows), which is the standard shape for a shard manifest; a corpus
-    whose pack COUNT outgrows a single range-partitioned window would use
-    a two-phase (per-partition sum + broadcast offsets) cumsum instead.
+    The prefix sum is a TWO-PHASE cumsum, never a global unpartitioned
+    window (a 100 TB corpus at 2048-token packs is ~1e10 manifest rows —
+    far too many for one partition): range-partition on ``order_col``,
+    cumsum WITHIN each partition (a partitioned window), reduce the
+    per-partition totals to the driver (bounded: one row per partition),
+    turn them into cumulative start offsets, and broadcast-join the
+    offsets back so the global prefix is ``partition_offset + local_cum``.
+    The manifest is localCheckpointed before phase 2 so both the totals
+    job and the final action observe the SAME physical partitioning
+    (``spark_partition_id`` is only meaningful against one materialized
+    layout).  Output is independent of ``num_partitions``: the prefix
+    offsets depend only on the global ``order_col`` order.
     """
-    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding,
-                                              Window.currentRow)
-    start = F.sum(size_col).over(w) - F.col(size_col)
-    return per_pack.withColumn(
-        "shard_id", F.floor(start / F.lit(shard_budget)).cast("long"))
+    spark = per_pack.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    local_w = (Window.partitionBy("__pid").orderBy(order_col)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = (per_pack
+             .repartitionByRange(num_partitions, F.col(order_col))
+             .sortWithinPartitions(order_col)
+             .withColumn("__pid", F.spark_partition_id())
+             .withColumn("__cum",
+                         F.sum(F.col(size_col).cast("long")).over(local_w))
+             .localCheckpoint(eager=True))
+    # phase 2: per-partition totals -> driver.  Bounded collect: exactly
+    # one row per non-empty partition (== num_partitions, never data-sized).
+    totals = (local.groupBy("__pid").agg(F.max("__cum").alias("__t"))
+              .collect())
+    acc = 0
+    offsets = []
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        offsets.append((int(r["__pid"]), acc))
+        acc += int(r["__t"])
+    off_df = per_pack.sparkSession.createDataFrame(
+        offsets or [(0, 0)],
+        T.StructType([T.StructField("__pid", T.IntegerType()),
+                      T.StructField("__off", T.LongType())]))
+    start = F.col("__off") + F.col("__cum") - F.col(size_col).cast("long")
+    return (local.join(F.broadcast(off_df), "__pid")
+            .withColumn("shard_id",
+                        F.floor(start / F.lit(shard_budget)).cast("long"))
+            .drop("__pid", "__cum", "__off"))
