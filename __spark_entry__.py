@@ -663,6 +663,31 @@ def q_show_meta(spark, sf_dir):
     rej_rows.append(("bind", "placeholder",
                      "match" if bound == inline and bound[0]["cnt"] > 0
                      else "mismatch"))
+
+    # KILL QUERY / DELETE QUERIES state machine (≙ QueryEngineRouter.scala:
+    # 64-118): a probe lands in the registry, KILL flips it to CANCELLED
+    # (and returns OK), DELETE QUERIES purges it by id (returns the count)
+    # and a fresh SHOW QUERIES no longer lists it.  Prior bench passes each
+    # purge their own probe, so the filter sees only this pass's id(s).
+    tsdb.sql("SELECT 43 AS show_meta_kill_q")
+    probe = F.col("QUERY").contains("show_meta_kill_q")
+    kids = [r["QUERY_ID"] for r in tsdb.sql("SHOW QUERIES")
+            .filter(probe).select("QUERY_ID").collect()]
+    kill_ok = bool(kids)
+    for qid in kids:
+        kill_ok &= bool(tsdb.sql(
+            f"KILL QUERY WHERE QUERY_ID = '{qid}'").collect()[0]["OK"])
+    states = {r["STATE"] for r in tsdb.sql("SHOW QUERIES")
+              .filter(probe).collect()}
+    kill_ok &= states == {"CANCELLED"}
+    n_del = sum(tsdb.sql(f"DELETE QUERIES WHERE QUERY_ID = '{qid}'")
+                .collect()[0]["DELETED"] for qid in kids)
+    gone = tsdb.sql("SHOW QUERIES").filter(probe).count() == 0
+    rej_rows += [
+        ("kill", "probe", "cancelled" if kill_ok else "bad"),
+        ("delete", "probe",
+         "purged" if n_del >= len(kids) and gone else "bad"),
+    ]
     r = spark.createDataFrame(rej_rows, "kind string, name string, "
                               "info string")
     return (t.unionAll(c).unionAll(v).unionAll(fns).unionAll(st)
@@ -917,6 +942,7 @@ def q_stream_dedup(spark, sf_dir):
             w_rows, w_wins = int(wrow["s"]), int(wrow["n"])
         finally:
             shutil.rmtree(wck, ignore_errors=True)
+            spark.catalog.dropTempView(wsink)
 
         # third run: the custom stateful operator (applyInPandasWithState,
         # streaming/stateful.running_totals).  One availableNow batch emits
@@ -944,6 +970,7 @@ def q_stream_dedup(spark, sf_dir):
             s_rows, s_keys = int(srow["s"]), int(srow["k"])
         finally:
             shutil.rmtree(sck, ignore_errors=True)
+            spark.catalog.dropTempView(ssink)
         # fourth run: ONLINE MinHash-LSH near-dup (streaming/neardup.py,
         # applyInPandasWithState keyed by band bucket) over the documents
         # fixture in two file chunks — the streamed distinct pairs must be
@@ -984,9 +1011,13 @@ def q_stream_dedup(spark, sf_dir):
         finally:
             shutil.rmtree(nsrc, ignore_errors=True)
             shutil.rmtree(nck, ignore_errors=True)
+            spark.catalog.dropTempView(nsink)
     finally:
+        # memory sinks buffer their streamed rows in the session catalog —
+        # repeated bench passes must not accumulate qs*_<uuid> temp views
         shutil.rmtree(srcdir, ignore_errors=True)
         shutil.rmtree(ckdir, ignore_errors=True)
+        spark.catalog.dropTempView(sink)
     return spark.createDataFrame(
         [("distinct_keys", n_out),
          ("dup_rows_in_output", n_out - n_dist),
@@ -1122,7 +1153,7 @@ def dp_lang_id(spark, sf_dir):
     # models the UNCAPPED formula; the cap/OOV scale path is pinned by
     # test_unigram_lm_scores instead); LEFT join keeps token-less docs in
     # the per-doc output with xent NULL — full-coverage like lang_pred
-    xent = unigram_lm_scores(docs, vocab_cap=1 << 20) \
+    xent = unigram_lm_scores(docs, vocab_cap=1 << 20, cache_key=sf_dir) \
         .withColumnRenamed("id", "doc_id")
     return lang.join(xent, "doc_id", "left")
 
@@ -1830,7 +1861,9 @@ _ORACLES_REL: dict[str, str] = {
             ('reject', 'order_by', 'ok'),
             ('reject', 'window_agg_mix', 'ok'),
             ('reject', 'create_user', 'ok'),
-            ('bind', 'placeholder', 'match')
+            ('bind', 'placeholder', 'match'),
+            ('kill', 'probe', 'cancelled'),
+            ('delete', 'probe', 'purged')
         ) AS t(kind, name, info)
     """,
     "q_tpch_q1": """

@@ -264,6 +264,40 @@ def test_user_ddl_rejected_over_wire(client):
     assert errors and b"out of scope" in errors[0].lower()
 
 
+def test_cancel_between_bind_and_execute(server):
+    """A CancelRequest that lands during Parse/Bind (before Execute starts
+    a job) must still cancel the statement — postgres honors cancels at any
+    point after the request begins.  The Execute then errors with SQLSTATE
+    57014, and after Sync the flag is cleared so the session recovers."""
+    import time
+
+    c = PgClient(server, ssl_probe=True)
+    msgs = c.read_until_ready()
+    pid, secret = struct.unpack(
+        "!II", [body for tag, body in msgs if tag == b"K"][0])
+
+    c.send(b"P", _cstr("sc") + _cstr("SELECT 5 AS five")
+           + struct.pack("!H", 0))
+    c.send(b"B", _cstr("") + _cstr("sc") + struct.pack("!H", 0)
+           + struct.pack("!H", 0) + struct.pack("!H", 0))
+    # cancel arrives between Bind and Execute
+    s2 = socket.create_connection(("127.0.0.1", server), timeout=10)
+    s2.sendall(struct.pack("!IIII", 16, 80877102, pid, secret))
+    s2.close()
+    time.sleep(1)  # let the server thread process the CancelRequest
+    c.send(b"E", _cstr("") + struct.pack("!i", 0))
+    c.send(b"S")
+    msgs = c.read_until_ready()
+    tags = [t for t, _ in msgs]
+    err = b"".join(b for t, b in msgs if t == b"E")
+    assert b"57014" in err and b"canceling" in err
+    assert b"D" not in tags                       # no rows were sent
+    # Sync cleared the flag: the session works again
+    _, rows, errors = c.query("SELECT 6 AS six")
+    assert not errors and rows == [["6"]]
+    c.close()
+
+
 def test_cancel_request_kills_running_job(server, tsdb):
     """CancelRequest routing: the BackendKeyData (pid, secret) a connection
     receives at startup cancels that connection's Spark job group — a long

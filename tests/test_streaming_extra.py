@@ -125,6 +125,75 @@ def test_stream_dedup_entry_verdict(spark):
     assert agg["d"] > 0
 
 
+def test_streaming_neardup_idle_eviction(spark, tmp_path):
+    """The idle_timeout_ms horizon knob: a bucket idle past the horizon is
+    evicted (ProcessingTimeTimeout -> hasTimedOut -> state.remove), so a
+    near-dup of an evicted member is NOT re-found — while within the
+    horizon the same pair IS found, proving the negative is eviction, not
+    a broken construction."""
+    import json
+    import time
+
+    from pyspark.sql import types as T
+
+    from yupana_spark.streaming.neardup import streaming_neardup_pairs
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    text = "spark stream bucket shingle minhash corpus window state band"
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+
+    def put(name, doc_id):
+        (src / name).write_text(json.dumps({"doc_id": doc_id, "text": text}))
+
+    put("f1.json", 1)
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = streaming_neardup_pairs(stream, threshold=0.5,
+                                  idle_timeout_ms=1500)
+    # NOTE: under ProcessingTimeTimeout the engine keeps scheduling
+    # timeout micro-batches, so processAllAvailable never sees the query
+    # go idle — progress is observed by polling the state-operator row
+    # count instead (same bounded-wait posture as running_totals' test)
+    q = (out.writeStream.format("memory").queryName("ev")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ev_ck"))
+         .trigger(processingTime="300 milliseconds").start())
+
+    def state_rows():
+        p = q.lastProgress
+        if not p or not p.get("stateOperators"):
+            return -1
+        return p["stateOperators"][0]["numRowsTotal"]
+
+    def wait(pred, timeout=90):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if pred():
+                return True
+            time.sleep(0.3)
+        return False
+
+    try:
+        # doc 1 lands in its 8 band buckets...
+        assert wait(lambda: state_rows() == 8), "doc 1 never entered state"
+        # ...then the idle horizon passes and the timeout evicts them all
+        assert wait(lambda: state_rows() == 0), "idle state never evicted"
+        put("f2.json", 2)           # identical text -> same buckets
+        assert wait(lambda: state_rows() == 8), "doc 2 never entered state"
+        pairs = {(r["id_a"], r["id_b"]) for r in spark.table("ev").collect()}
+        assert (1, 2) not in pairs  # member 1 was evicted
+        put("f3.json", 3)           # arrives within doc 2's horizon
+        assert wait(lambda: (2, 3) in {(r["id_a"], r["id_b"])
+                                       for r in spark.table("ev").collect()})
+        pairs = {(r["id_a"], r["id_b"]) for r in spark.table("ev").collect()}
+        assert (2, 3) in pairs      # construction intact within horizon
+        assert (1, 2) not in pairs and (1, 3) not in pairs
+    finally:
+        q.stop()
+        spark.catalog.dropTempView("ev")
+
+
 def test_streaming_neardup_superset_of_batch(spark, tmp_path):
     """Online MinHash-LSH (per-bucket state, exact-verify on arrival): an
     availableNow replay over a static corpus must yield a sound superset of

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import os
+import threading
 from dataclasses import dataclass, field
 from decimal import Decimal
 from typing import Any, Dict, List, Optional, Sequence
@@ -450,6 +451,10 @@ class Tsdb:
 
     # -- static small-input tuning -------------------------------------------
     _BYTES_CACHE: Dict[tuple, int] = {}
+    # pgwire serves queries from concurrent threads while a write thread
+    # purges stale entries: every read/insert/purge holds this lock (dict
+    # mutation during the purge's iteration would otherwise RuntimeError)
+    _BYTES_CACHE_LOCK = threading.Lock()
 
     def _table_bytes(self, table: str) -> int:
         """On-disk bytes of a table's source (memoized); 'unknown' counts as
@@ -458,7 +463,8 @@ class Tsdb:
         # instance must not share sizes); writes delete their table's entry
         wh = self._wh_maybe
         key = (self.sf_dir, wh.root if wh is not None else None, table)
-        b = Tsdb._BYTES_CACHE.get(key)
+        with Tsdb._BYTES_CACHE_LOCK:
+            b = Tsdb._BYTES_CACHE.get(key)
         if b is None:
             b = 1 << 62
             try:
@@ -473,7 +479,8 @@ class Tsdb:
                     b = os.path.getsize(path)
             except OSError:
                 pass
-            Tsdb._BYTES_CACHE[key] = b
+            with Tsdb._BYTES_CACHE_LOCK:
+                Tsdb._BYTES_CACHE[key] = b
         return b
 
     def _tune_for_volume(self, nbytes: int) -> None:

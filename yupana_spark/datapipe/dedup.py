@@ -397,13 +397,21 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         lens = ends - starts
         inter = np.zeros((nd, nd), dtype=np.int32)
         # batch runs by length: one vectorized np.add.at per distinct run
-        # length (a handful) instead of a Python iteration per shingle run
+        # length (a handful) instead of a Python iteration per shingle run.
+        # Chunk each batch so the materialized pair-index arrays stay under
+        # ~4M entries (a shingle shared by k~2*block_rows docs would
+        # otherwise allocate m*k(k-1)/2 int64s — GBs in one task)
+        PAIR_BUDGET = 1 << 22
         for k in np.unique(lens[lens > 1]):
             idx = starts[lens == k]
-            D = fd[idx[:, None] + np.arange(k)[None, :]]
-            D.sort(axis=1)
-            a, b = np.triu_indices(int(k), 1)
-            np.add.at(inter, (D[:, a].ravel(), D[:, b].ravel()), 1)
+            k = int(k)
+            a, b = np.triu_indices(k, 1)
+            step = max(1, PAIR_BUDGET // (k * (k - 1) // 2))
+            for off in range(0, len(idx), step):
+                sub = idx[off:off + step]
+                D = fd[sub[:, None] + np.arange(k)[None, :]]
+                D.sort(axis=1)
+                np.add.at(inter, (D[:, a].ravel(), D[:, b].ravel()), 1)
         a, b = np.nonzero(inter)
         if not len(a):
             return empty

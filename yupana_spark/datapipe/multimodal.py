@@ -798,46 +798,106 @@ def extract_features(media: DataFrame, use_fake_decoder: bool = True) -> DataFra
     return media.mapInPandas(per_batch, schema=FEATURE_SCHEMA)
 
 
+def nn_resize(px, width: int, height: int):
+    """Nearest-neighbor resample of an (h, w, c) array to (height, width, c)
+    by stride indexing — each target pixel takes the source pixel at the
+    floor-scaled coordinate (the classic point-sampling kernel).  Only
+    source pixels appear in the output, so palette-bounded formats (GIF)
+    stay palette-bounded."""
+    import numpy as np
+
+    px = np.asarray(px)
+    h, w = px.shape[0], px.shape[1]
+    rows = (np.arange(height, dtype=np.int64) * h) // height
+    cols = (np.arange(width, dtype=np.int64) * w) // width
+    return px[rows[:, None], cols]
+
+
 def resize_images(media: DataFrame, width: int = 224,
-                  height: int = 224, use_fake: bool = True) -> DataFrame:
-    """Resize plumbing: mapInPandas batch shape is real, the resample STUB
-    derives deterministic 'resized' bytes (truncate/pad to w*h proportional
-    length) — a real deployment drops PIL.thumbnail into per_batch."""
-    if not use_fake:
-        decode_image(b"")  # raises NotImplementedError with guidance
+                  height: int = 224) -> DataFrame:
+    """REAL image resize through the repo's own codecs: decode (BMP / PPM /
+    PNG / GIF / baseline JPEG, magic-byte dispatch), nearest-neighbor
+    stride resample, re-encode in the SAME container (BMP->BMP, PPM->PPM,
+    PNG->PNG, GIF->GIF — NN keeps the palette subset valid — JPEG->JPEG at
+    q85).  One Arrow batch of binaries per task; unsupported containers
+    raise the decoders' honest NotImplementedError."""
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
         T.StructField("kind", T.StringType()),
         T.StructField("content", T.BinaryType()),
         T.StructField("meta", MEDIA_SCHEMA["meta"].dataType),
     ])
-    target = max(1, (width * height) // 1024)
+
+    def reencode(px, blob: bytes) -> tuple:
+        if blob[:2] == b"BM":
+            return encode_bmp(px), "image/bmp"
+        if blob[:2] == b"P6":
+            return encode_ppm(px), "image/x-portable-pixmap"
+        if blob[:8] == _PNG_SIG:
+            return encode_png(px), "image/png"
+        if blob[:6] in (b"GIF87a", b"GIF89a"):
+            return encode_gif(px), "image/gif"
+        if blob[:2] == b"\xff\xd8":
+            from .jpeg import encode_jpeg
+
+            return encode_jpeg(px, quality=85), "image/jpeg"
+        raise NotImplementedError("no encoder for this container")
 
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            def fake_resize(b):
-                b = b or b""
-                return (b * (target // max(len(b), 1) + 1))[:target]
-
-            pdf = pdf.copy()
-            pdf["content"] = pdf["content"].map(fake_resize)
-            yield pdf
+            rows = []
+            for mid, kind, blob in zip(pdf["media_id"], pdf["kind"],
+                                       pdf["content"]):
+                blob = bytes(blob)
+                px = nn_resize(decode_image(blob), width, height)
+                out, mime = reencode(px, blob)
+                rows.append({"media_id": int(mid), "kind": kind,
+                             "content": out,
+                             "meta": {"mime": mime, "n_bytes": len(out),
+                                      "source": "resize"}})
+            yield pd.DataFrame(rows, columns=["media_id", "kind",
+                                              "content", "meta"])
 
     return media.mapInPandas(per_batch, schema=out_schema)
 
 
-def audio_features(media: DataFrame, use_fake: bool = True) -> DataFrame:
-    """Audio feature extraction STUB: duration/sample-rate derived
-    deterministically from the byte stream (real path: soundfile/librosa)."""
-    if not use_fake:
-        raise NotImplementedError(
-            "audio decoding requires soundfile/librosa — not in container")
-    return media.select(
-        "media_id",
-        (F.length("content") / F.lit(16000.0)).alias("duration_s"),
-        F.lit(16000).alias("sample_rate"),
-        F.xxhash64("content").alias("content_sig"),
-    )
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("max_abs", T.IntegerType()),
+])
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio features via the repo's RIFF/WAVE parser (decode_wav):
+    duration, sample rate, channel count, per-channel frame count and peak
+    amplitude all come from the stream's fmt/data chunks — not from byte
+    length.  Non-PCM16/non-WAV content raises the decoder's honest
+    NotImplementedError."""
+    import numpy as np
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                rate, ch, samples = decode_wav(bytes(blob))
+                nf = len(samples) // ch
+                rows.append({
+                    "media_id": int(mid),
+                    "duration_s": nf / rate,
+                    "sample_rate": rate,
+                    "n_channels": ch,
+                    "n_samples": nf,
+                    "max_abs": int(np.abs(samples.astype(np.int32)).max())
+                    if len(samples) else 0,
+                })
+            yield pd.DataFrame(rows, columns=[f.name
+                                              for f in AUDIO_FEATURE_SCHEMA])
+
+    return media.mapInPandas(per_batch, schema=AUDIO_FEATURE_SCHEMA)
 
 
 GIF_FRAME_SCHEMA = T.StructType([

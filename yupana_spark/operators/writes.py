@@ -284,9 +284,10 @@ class Warehouse:
         # query must re-stat the warehouse copy, or tune_for_volume would
         # keep the pre-write posture for a much larger table
         from ..compiler import Tsdb
-        for k in [k for k in Tsdb._BYTES_CACHE
-                  if k[1] == self.root and k[2] == table]:
-            del Tsdb._BYTES_CACHE[k]
+        with Tsdb._BYTES_CACHE_LOCK:
+            for k in [k for k in Tsdb._BYTES_CACHE
+                      if k[1] == self.root and k[2] == table]:
+                del Tsdb._BYTES_CACHE[k]
 
     def _log_interval(self, table: str, incoming: DataFrame) -> None:
         """Changelog: record which (table, day) windows were rewritten."""

@@ -418,7 +418,11 @@ class _Conn(socketserver.BaseRequestHandler):
                 elif tag == b"D":
                     self._describe_msg(body, statements, portals)
                 elif tag == b"E":
-                    self.server.cancelled_groups.discard(self._group)
+                    # NO flag clear here: a cancel that arrived during this
+                    # statement's Parse/Bind is legitimate (postgres honors
+                    # cancels at any point after the request begins); stale
+                    # flags are cleared at the idle boundaries instead
+                    # (Q above, Sync below)
                     self._execute_msg(body, portals)
                 elif tag == b"C":                         # Close
                     kind, name = body[:1], body[1:].split(b"\x00")[0].decode()
@@ -427,6 +431,9 @@ class _Conn(socketserver.BaseRequestHandler):
                 elif tag == b"H":                         # Flush
                     pass                                  # we never buffer
                 elif tag == b"S":                         # Sync
+                    # connection goes idle: any cancel still flagged was
+                    # not consumed by an execution and is now stale
+                    self.server.cancelled_groups.discard(self._group)
                     skip_to_sync = False
                     self._ready()
                 else:
@@ -575,6 +582,11 @@ class _Conn(socketserver.BaseRequestHandler):
         (limit,) = struct.unpack_from("!i", body, end + 1)
         if name not in portals:
             raise ValueError(f'unknown portal "{name}"')
+        # a CancelRequest that landed during Parse/Bind set the flag but had
+        # no running Spark job to kill — honor it before starting one
+        # (postgres cancels at any point after the request begins)
+        if self._group in self.server.cancelled_groups:
+            raise RuntimeError("statement cancelled before execution")
         portal = portals[name]
         df = self._portal_df(portal)
         if df is None:

@@ -20,12 +20,10 @@ intersection inside the state function), and (id_a, id_b, jaccard) matches
 are emitted as they are discovered.  One shuffle on the bucket key — the
 same layout as Spark's own streaming aggregation state.
 
-Scale posture: bucket state grows with corpus prefix size; production runs
-bound it the same way the batch path bounds candidates — band buckets are
-sparse (~N/2^band_bits members), and a time-horizon policy (state timeout,
-or signatures-only state with downstream exact verify) caps memory; both
-knobs are orthogonal to the construction and documented rather than
-hard-wired here.  A pair colliding in several bands (or re-observed across
+Scale posture: with the default NoTimeout, bucket state grows with corpus
+prefix size (band buckets are sparse, ~N/2^band_bits members each); the
+``idle_timeout_ms`` knob turns on ProcessingTimeTimeout eviction so a
+production run's state is bounded by the horizon's arrival volume instead.  A pair colliding in several bands (or re-observed across
 micro-batches for a re-sent id) is emitted once per collision — consumers
 dedupe with a batch `dropDuplicates` (the conservation check does), or a
 watermarked streaming distinct at production horizons.
@@ -55,7 +53,7 @@ BUCKET_STATE_SCHEMA = T.StructType([
 ])
 
 
-def _make_bucket_update(threshold: float):
+def _make_bucket_update(threshold: float, idle_timeout_ms: int | None = None):
     def _bucket_update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
                        state: GroupState) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -114,6 +112,11 @@ def _make_bucket_update(threshold: float):
         state.update((ids,
                       [int(len(s)) for s in sets],
                       [int(x) for s in sets for x in s]))
+        if idle_timeout_ms is not None:
+            # horizon policy: a bucket idle past the horizon is evicted
+            # (hasTimedOut branch above) — pairs straddling the horizon are
+            # then NOT re-found, the documented memory/recall trade
+            state.setTimeoutDuration(idle_timeout_ms)
         if out_a:
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b,
                                 "jaccard": out_j})
@@ -124,7 +127,8 @@ def _make_bucket_update(threshold: float):
 def streaming_neardup_pairs(stream: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", threshold: float = 0.5,
                             num_hashes: int = 32, bands: int = 8,
-                            k: int = 5) -> DataFrame:
+                            k: int = 5,
+                            idle_timeout_ms: int | None = None) -> DataFrame:
     """Streaming (id_a, id_b, jaccard) near-dup matches, id_a < id_b.
 
     Shingle/band/verification definitions are shared with the batch
@@ -136,6 +140,15 @@ def streaming_neardup_pairs(stream: DataFrame, text_col: str = "text",
     and every streamed pair is sound (exact Jaccard >= threshold by
     construction).  Those two directions are the equivalence the
     q_stream_dedup bundle's verdict rows check.
+
+    ``idle_timeout_ms`` is the state-horizon knob (the same shape as
+    ``stateful.running_totals``' idle_timeout): when set, a bucket that
+    receives no member for that long is evicted (ProcessingTimeTimeout),
+    so per-bucket state is bounded by the horizon's arrival volume instead
+    of the whole corpus prefix — at the cost that a near-dup of an evicted
+    member is no longer found.  ``None`` (default) keeps NoTimeout, which
+    an availableNow replay requires (the superset-of-batch guarantee in
+    q_stream_dedup only holds with full-prefix state).
     """
     from ..datapipe.dedup import (band_explode, hashed_shingle_sets,
                                   minhash_signature_np)
@@ -147,7 +160,9 @@ def streaming_neardup_pairs(stream: DataFrame, text_col: str = "text",
     # the band hash is THE shared definition (dedup.band_explode) — the
     # streaming-vs-batch superset guarantee depends on it byte-for-byte
     banded = band_explode(sig, num_hashes, bands, "hs")
+    timeout = (GroupStateTimeout.NoTimeout if idle_timeout_ms is None
+               else GroupStateTimeout.ProcessingTimeTimeout)
     return (banded.groupBy("band", "bhash")
             .applyInPandasWithState(
-                _make_bucket_update(threshold), PAIR_SCHEMA,
-                BUCKET_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout))
+                _make_bucket_update(threshold, idle_timeout_ms), PAIR_SCHEMA,
+                BUCKET_STATE_SCHEMA, "append", timeout))
