@@ -53,7 +53,12 @@ _SPLIT_CACHE: Dict[Tuple[str, str], str] = {}
 _SPLIT_LOCK = threading.Lock()
 _SPLIT_MIN_ROWS = 50_000       # only fact-sized tables; dims broadcast anyway
 _SPLIT_MAX_BYTES = 256 << 20   # fixture-shape gate — never triggers at scale
-_SPLIT_ROWS_PER_FILE = 8_000
+# ~32k rows/file: measured sweet spot on local[32] — light aggregates over
+# 150k-row tables are SLOWER at 18 tasks than 4 (scheduling overhead >> the
+# ~1 ms/task of useful work), while the 600k-row decimal-heavy scans plateau
+# by ~16 tasks (8k rows/file gave 18 and 32 tasks respectively; both sides
+# of the trade landed within noise of their optimum at 32k)
+_SPLIT_ROWS_PER_FILE = 32_000
 
 
 def _parallel_read(spark: SparkSession, path: str,
