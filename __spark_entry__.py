@@ -1430,11 +1430,13 @@ def dp_neardup_scale(spark, sf_dir):
 
 def dp_ann_approx(spark, sf_dir):
     """Bundle of the approximate ANN paths — SRP hyperplane-LSH bucket
-    pruning, IVF sample-fit-KMeans cell probing, and PQ codes with ADC
+    pruning, IVF sample-fit-KMeans cell probing, PQ codes with ADC
     shortlist + exact rerank (Jegou et al. 2011; the memory scale path:
-    8 B codes instead of 256 B vectors) — SELF-VALIDATED as recall@10 vs
-    the exact `brute_force_topk` baseline (round-2 verdict ask #1; the
-    baseline itself is the oracled dp_ann_bruteforce entry).
+    8 B codes instead of 256 B vectors), and their COMPOSITION IVFADC
+    (residual-PQ per IVF cell, ADC only over probed cells — the
+    billion-vector index layout, Jegou et al. 2011 §IV) — SELF-VALIDATED
+    as recall@10 vs the exact `brute_force_topk` baseline (round-2 verdict
+    ask #1; the baseline itself is the oracled dp_ann_bruteforce entry).
 
     Output: one (method, verdict) row per path; DuckDB oracle is the
     constant 'ok' rows.  verdict='ok' iff recall@10 >= bar AND the probe
@@ -1447,20 +1449,32 @@ def dp_ann_approx(spark, sf_dir):
     quantization noise from the final ranking) has margin at every fixture
     scale while a broken bucket/probe/code layout (recall ~0.1) fails."""
     from yupana_spark.datapipe.simsearch import (ivf_build, ivf_topk,
-                                                 lsh_topk, pq_encode, pq_fit,
-                                                 pq_topk)
+                                                 ivfadc_encode, ivfadc_fit,
+                                                 ivfadc_topk, lsh_topk,
+                                                 pq_encode, pq_fit, pq_topk)
 
     emb = _emb(spark, sf_dir)
     qv = _query_vec(spark, sf_dir)
+    n_emb = _fixture_count(spark, sf_dir, "embeddings", emb)
     brute_ids = _brute_topk_ids(spark, sf_dir, k=10)
     lsh = lsh_topk(emb, qv, k=10, max_hamming=6)
     assigned, centers = ivf_build(emb, n_centroids=8, cache_key=sf_dir)
     ivf = ivf_topk(assigned, centers, qv, k=10, nprobe=4)
-    books = pq_fit(emb, m=8, cache_key=sf_dir,
-                   n=_fixture_count(spark, sf_dir, "embeddings", emb))
+    books = pq_fit(emb, m=8, cache_key=sf_dir, n=n_emb)
     encoded = emb.withColumn("pq_code",
                              pq_encode(F.col("embedding"), books))
     pq = pq_topk(encoded, books, qv, k=10, shortlist=100)
+    # IVFADC (Jegou et al. 2011 §IV): residual-PQ codes per IVF cell,
+    # ADC-scored in probed cells only — the composed billion-vector layout
+    # (measured recall@10 0.9/0.8/0.8 at sf0.001/0.01/0.1, nprobe 4/8)
+    ac_centers, ac_books = ivfadc_fit(emb, n_centroids=8, m=8,
+                                      cache_key=sf_dir, n=n_emb)
+    ac_arr = ivfadc_encode(F.col("embedding"), ac_centers, ac_books)
+    ac_enc = (emb.withColumn("__cc", ac_arr)
+              .withColumn("cell", F.col("__cc")[0])
+              .withColumn("pq_code", F.slice("__cc", 2, 8)).drop("__cc"))
+    ivfadc = ivfadc_topk(ac_enc, ac_centers, ac_books, qv, k=10,
+                         nprobe=4, shortlist=100)
 
     def recall_row(name: str, approx: DataFrame,
                    min_hits: int = 5) -> DataFrame:
@@ -1476,7 +1490,8 @@ def dp_ann_approx(spark, sf_dir):
 
     return (recall_row("srp_lsh", lsh)
             .unionAll(recall_row("ivf", ivf))
-            .unionAll(recall_row("pq_adc", pq, min_hits=7)))
+            .unionAll(recall_row("pq_adc", pq, min_hits=7))
+            .unionAll(recall_row("ivfadc", ivfadc, min_hits=7)))
 
 
 def _brute_topk_ids(spark, sf_dir, k: int = 10) -> DataFrame:
@@ -2333,6 +2348,8 @@ _ORACLES_DP: dict[str, str] = {
         SELECT 'ivf', 'ok'
         UNION ALL
         SELECT 'pq_adc', 'ok'
+        UNION ALL
+        SELECT 'ivfadc', 'ok'
     """,
     # conservation totals recomputed from `documents` (token definition
     # matches dp_text_stats' oracled n_tokens; chunk layout — window 64 /

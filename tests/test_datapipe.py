@@ -115,6 +115,45 @@ def test_ivf_recall_vs_bruteforce(emb):
     assert len(exact & approx) >= 5  # nprobe=4/8 cells: decent recall
 
 
+def test_ivfadc_recall_and_layout(emb):
+    """IVFADC (residual-PQ inside IVF cells, Jegou et al. 2011 §IV): the
+    encode pass yields a valid (cell, m-code) layout, search touches only
+    probed cells, the self-query reranks to the top, and recall@10 clears
+    the PQ bar.  Falsifiability: searching with zero probed cells'
+    complement (nprobe covering no relevant cell is impossible for the
+    self cell) is covered by the garbage-code check on the plain PQ path;
+    here a wrong residual layout would tank recall below the bar."""
+    from pyspark.sql import functions as F
+
+    from yupana_spark.datapipe.simsearch import (brute_force_topk,
+                                                 ivfadc_encode, ivfadc_fit,
+                                                 ivfadc_topk)
+
+    centers, books = ivfadc_fit(emb, n_centroids=8, m=8)
+    assert centers.shape[0] == 8 and books.shape == (8, 256, 8)
+    arr = ivfadc_encode(F.col("embedding"), centers, books)
+    enc = (emb.withColumn("__cc", arr)
+           .withColumn("cell", F.col("__cc")[0])
+           .withColumn("pq_code", F.slice("__cc", 2, 8)).drop("__cc"))
+    row = enc.filter("vec_id = 3").collect()[0]
+    assert 0 <= row["cell"] < 8
+    assert len(row["pq_code"]) == 8
+    assert all(0 <= c < 256 for c in row["pq_code"])
+
+    qv = row["embedding"]
+    exact = {r["vec_id"] for r in brute_force_topk(emb, qv, k=10).collect()}
+    got = ivfadc_topk(enc, centers, books, qv, k=10, nprobe=4,
+                      shortlist=100).collect()
+    assert got[0]["vec_id"] == 3          # self reranks to the top
+    assert len(exact & {r["vec_id"] for r in got}) >= 7
+
+    # probing every cell must recover at least the pruned run's recall
+    all_probe = ivfadc_topk(enc, centers, books, qv, k=10, nprobe=8,
+                            shortlist=100).collect()
+    assert len(exact & {r["vec_id"] for r in all_probe}) >= \
+        len(exact & {r["vec_id"] for r in got})
+
+
 def test_pq_adc_recall_and_codes(emb):
     from pyspark.sql import functions as F
 

@@ -122,8 +122,9 @@ def _close(a, b):
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
-                f"'{SF_SMALL}/lineitem.parquet'")
+    for t in ("lineitem", "orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{SF_SMALL}/{t}.parquet'")
     yield con
     con.close()
 
@@ -277,3 +278,151 @@ def test_differential_rich_surface(tsdb, duck, seed):
                 f"seed-case {i} row diff: {gr} != {er}\n{yql!r}"
         n_nonempty += bool(got)
     assert n_nonempty >= 7
+
+
+# ---------------------------------------------------------------------------
+# link surface (≙ ExternalLinkUtils.scala:41-148 rewrites): link fields in
+# SELECT / GROUP BY compile to a broadcast LEFT join; link predicates in
+# WHERE to semi-/anti-join pushes.  DuckDB mirror: explicit LEFT JOIN
+# customer with c.* spellings, same predicate text — the generator renders
+# each fragment in both dialects.
+# ---------------------------------------------------------------------------
+TB_O_Y = ("time >= TIMESTAMP '1995-01-01' AND time < TIMESTAMP '1997-01-01'")
+TB_O_D = ("o.o_orderdate >= TIMESTAMP '1995-01-01' "
+          "AND o.o_orderdate < TIMESTAMP '1997-01-01'")
+
+SEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+LINK_GROUPS = [("CustomerLink_c_mktsegment", "c.c_mktsegment"),
+               ("CustomerLink_c_nationkey", "c.c_nationkey"),
+               ("o_orderstatus", "o.o_orderstatus"),
+               ("o_orderpriority", "o.o_orderpriority")]
+
+
+def _link_predicate(rng: random.Random):
+    """(yql, duck) link/plain predicate pair over orders+CustomerLink."""
+    def leaf():
+        kind = rng.choice(["seg_eq", "seg_in", "acctbal", "nation", "plain"])
+        if kind == "seg_eq":
+            op = rng.choice(["=", "<>"])
+            v = rng.choice(SEGS)
+            return (f"CustomerLink_c_mktsegment {op} '{v}'",
+                    f"c.c_mktsegment {op} '{v}'")
+        if kind == "seg_in":
+            vals = rng.sample(SEGS, rng.randint(1, 3))
+            neg = rng.choice(["", "NOT "])
+            lst = ", ".join(f"'{v}'" for v in sorted(vals))
+            return (f"CustomerLink_c_mktsegment {neg}IN ({lst})",
+                    f"c.c_mktsegment {neg}IN ({lst})")
+        if kind == "acctbal":
+            op = rng.choice(["<", ">", "<=", ">="])
+            v = round(rng.uniform(-900, 9000), 2)
+            return (f"CustomerLink_c_acctbal {op} {v}",
+                    f"c.c_acctbal {op} {v}")
+        if kind == "nation":
+            op = rng.choice(["<", ">", "=", "<>"])
+            v = rng.randint(0, 24)
+            return (f"CustomerLink_c_nationkey {op} {v}",
+                    f"c.c_nationkey {op} {v}")
+        v = rng.choice(["F", "O", "P"])
+        op = rng.choice(["=", "<>"])
+        return (f"o_orderstatus {op} '{v}'", f"o.o_orderstatus {op} '{v}'")
+
+    n = rng.randint(1, 3)
+    leaves = [leaf() for _ in range(n)]
+    glue = rng.choice([" AND ", " OR "])
+    return (glue.join(f"({y})" for y, _ in leaves),
+            glue.join(f"({d})" for _, d in leaves))
+
+
+@pytest.mark.parametrize("seed", [81411, 23, 777])
+def test_differential_link_surface(tsdb, duck, seed):
+    """Random link-enrichment / semi- / anti-join queries vs DuckDB LEFT
+    JOIN SQL: group keys and predicates drawn across own dims and
+    CustomerLink fields, so a broken join rewrite (wrong join type, a
+    dropped NULL row, an un-broadcast filter) diffs immediately."""
+    rng = random.Random(seed)
+    n_nonempty = 0
+    for i in range(25):
+        pred_y, pred_d = _link_predicate(rng)
+        groups = rng.sample(LINK_GROUPS, rng.randint(1, 2))
+        aggs = [("cnt", "count(o_orderkey)", "count(o.o_orderkey)")]
+        if rng.random() < 0.6:
+            fn = rng.choice(["sum", "min", "max"])
+            aggs.append(("m0", f"{fn}(o_totalprice)",
+                         f"{fn}(o.o_totalprice)"))
+        sel_y = ", ".join([f"{y} AS g{j}" for j, (y, _) in enumerate(groups)]
+                          + [f"{y} AS {a}" for a, y, _ in aggs])
+        sel_d = ", ".join([f"{d} AS g{j}" for j, (_, d) in enumerate(groups)]
+                          + [f"{d} AS {a}" for a, _, d in aggs])
+        gb_y = ", ".join(y for y, _ in groups)
+        gb_d = ", ".join(d for _, d in groups)
+        having = ""
+        if rng.random() < 0.3:
+            having = f" HAVING count(o_orderkey) > {rng.randint(0, 40)}"
+        having_d = having.replace("o_orderkey", "o.o_orderkey")
+        yql = (f"SELECT {sel_y} FROM orders WHERE {TB_O_Y} AND ({pred_y}) "
+               f"GROUP BY {gb_y}{having}")
+        sql = (f"SELECT {sel_d} FROM orders o "
+               f"LEFT JOIN customer c ON o.o_custkey = c.c_custkey "
+               f"WHERE {TB_O_D} AND ({pred_d}) GROUP BY {gb_d}{having_d}")
+        got = _canon([tuple(r) for r in tsdb.sql(yql).collect()])
+        exp = _canon([tuple(r) for r in duck.sql(sql).fetchall()])
+        assert len(got) == len(exp), f"seed-case {i}: {yql!r}\n{sql!r}"
+        for gr, er in zip(got, exp):
+            assert len(gr) == len(er) and all(
+                _close(g, e) for g, e in zip(gr, er)), \
+                f"seed-case {i} row diff: {gr} != {er}\n{yql!r}"
+        n_nonempty += bool(got)
+    assert n_nonempty >= 12
+
+
+# ---------------------------------------------------------------------------
+# window surface (≙ TSDB.scala:73-138): lag partitioned by the GROUP BY
+# keys, implicit (time, dims) ascending order, HAVING filtering computed
+# rows.  DuckDB mirror: explicit OVER (PARTITION BY ... ORDER BY time,
+# o_orderkey) — o_orderkey is unique, so the tiebreak totalizes the order.
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("seed", [91525, 31])
+def test_differential_window_surface(tsdb, duck, seed):
+    rng = random.Random(seed)
+    slices = [("1995-01-01", "1995-04-01"), ("1996-03-01", "1996-07-01"),
+              ("1997-01-01", "1997-02-01")]
+    n_nonempty = 0
+    for i in range(20):
+        lo, hi = rng.choice(slices)
+        tb_y = f"time >= TIMESTAMP '{lo}' AND time < TIMESTAMP '{hi}'"
+        tb_d = (f"o_orderdate >= TIMESTAMP '{lo}' "
+                f"AND o_orderdate < TIMESTAMP '{hi}'")
+        groups = rng.sample(["o_orderstatus", "o_orderpriority"],
+                            rng.randint(0, 2))
+        lag_col, lag_d = rng.choice([
+            ("lag(time)", "lag(o_orderdate)"),
+            ("lag(o_totalprice)", "lag(o_totalprice)"),
+            ("lag(o_custkey)", "lag(o_custkey)")])
+        part = f"PARTITION BY {', '.join(groups)} " if groups else ""
+        over = (f"OVER ({part}ORDER BY o_orderdate, o_orderkey, o_custkey"
+                + "".join(f", {g}" for g in ("o_orderstatus",
+                                             "o_orderpriority")
+                          if g not in groups) + ")")
+        having = ""
+        having_d = ""
+        if rng.random() < 0.6:
+            having = f" HAVING {lag_col} IS NOT NULL"
+            having_d = " WHERE prev IS NOT NULL"
+        sel_y = ", ".join(groups + ["o_orderkey", "time AS t",
+                                    f"{lag_col} AS prev"])
+        sel_d_in = ", ".join(groups + ["o_orderkey", "o_orderdate AS t",
+                                       f"{lag_d} {over} AS prev"])
+        gb = f" GROUP BY {', '.join(groups)}" if groups else ""
+        yql = f"SELECT {sel_y} FROM orders WHERE {tb_y}{gb}{having}"
+        sql = (f"SELECT * FROM (SELECT {sel_d_in} FROM orders "
+               f"WHERE {tb_d}){having_d}")
+        got = _canon([tuple(r) for r in tsdb.sql(yql).collect()])
+        exp = _canon([tuple(r) for r in duck.sql(sql).fetchall()])
+        assert len(got) == len(exp), f"seed-case {i}: {yql!r}\n{sql!r}"
+        for gr, er in zip(got, exp):
+            assert len(gr) == len(er) and all(
+                _close(g, e) for g, e in zip(gr, er)), \
+                f"seed-case {i} row diff: {gr} != {er}\n{yql!r}"
+        n_nonempty += bool(got)
+    assert n_nonempty >= 10

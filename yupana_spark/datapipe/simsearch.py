@@ -357,3 +357,150 @@ def pq_topk(encoded: DataFrame, codebooks: np.ndarray,
                     F.round(cosine(F.col(vec_col), q), 6).alias("score"))
             .orderBy(F.col("score").desc(), F.col(id_col))
             .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# IVFADC: PQ codes per IVF cell, residual-encoded (Jegou et al. 2011 §IV —
+# the actual billion-vector index layout: coarse cells bound the scan,
+# m-byte residual codes bound the memory, ADC bounds the math)
+# ---------------------------------------------------------------------------
+def ivfadc_fit(df: DataFrame, n_centroids: int = 16, m: int = 8,
+               ks: int = 256, vec_col: str = "embedding",
+               id_col: str = "vec_id", seed: int = 42,
+               sample_cap: int = 4096, iters: int = 15,
+               n: Optional[int] = None,
+               cache_key: Optional[str] = None):
+    """(centers, residual codebooks): coarse quantizer + per-subspace books
+    fit on the RESIDUALS v - c(v), all in L2-normalized space so the ADC
+    inner product <q, c + r> = <q, c> + <q, r> approximates cosine.
+
+    Driver-side on one bounded deterministic sample (same posture and
+    ``cache_key`` memoization as ``kmeans_fit``/``pq_fit``); returns
+    ((n_centroids, dim), (m, ks, dim/m)) float64 arrays to close over.
+    """
+    key = None
+    if cache_key is not None:
+        key = ("ivfadc", df.sparkSession.sparkContext.applicationId,
+               cache_key, n_centroids, m, ks, seed, sample_cap)
+        hit = _CENTERS_CACHE.get(key)
+        if hit is not None:
+            return hit
+    pdf = (sample_rows(df.select(id_col, vec_col), sample_cap, id_col, n=n)
+           .toPandas().sort_values(id_col))
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    rng = np.random.RandomState(seed)
+    k_c = min(n_centroids, len(X))
+    C = X[rng.choice(len(X), k_c, replace=False)].copy()
+    for _ in range(iters):
+        dmat = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = dmat.argmin(axis=1)
+        for c in range(k_c):
+            if (a == c).any():
+                C[c] = X[a == c].mean(axis=0)
+    centers = np.zeros((n_centroids, dim))
+    centers[:k_c] = C
+    if k_c < n_centroids:
+        centers[k_c:] = 1e6          # never an argmin winner
+    R = X - centers[((X[:, None, :] - centers[None, :k_c, :]) ** 2)
+                    .sum(axis=2).argmin(axis=1)]
+    dsub = dim // m
+    books = np.zeros((m, ks, dsub))
+    for j in range(m):
+        Rj = R[:, j * dsub:(j + 1) * dsub]
+        k_eff = min(ks, len(Rj))
+        B = Rj[rng.choice(len(Rj), k_eff, replace=False)].copy()
+        for _ in range(iters):
+            dmat = ((Rj[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+            a = dmat.argmin(axis=1)
+            for c in range(k_eff):
+                if (a == c).any():
+                    B[c] = Rj[a == c].mean(axis=0)
+        books[j, :k_eff] = B
+        if k_eff < ks:
+            books[j, k_eff:] = 1e6
+    art = (centers, books)
+    if key is not None:
+        _CENTERS_CACHE[key] = art
+    return art
+
+
+def ivfadc_encode(vec_col: Column, centers: np.ndarray,
+                  codebooks: np.ndarray) -> Column:
+    """array<int> [cell, code_1..code_m]: one Arrow-batched pass — assign
+    the (normalized) vector to its nearest coarse cell, PQ-encode the
+    residual against the residual books.  The caller projects element 1 out
+    as the ``cell`` partition/cluster column and the tail as the code."""
+    C = np.asarray(centers, dtype=np.float64)
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, _, dsub = B.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        cell = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2) \
+            .argmin(axis=1)
+        R = X - C[cell]
+        out = np.empty((len(X), m + 1), dtype="int32")
+        out[:, 0] = cell
+        for j in range(m):
+            Rj = R[:, j * dsub:(j + 1) * dsub]
+            dmat = ((Rj[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j + 1] = dmat.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return enc(vec_col)
+
+
+def ivfadc_topk(encoded: DataFrame, centers: np.ndarray,
+                codebooks: np.ndarray, query_vec: Sequence[float],
+                k: int = 10, nprobe: int = 4, shortlist: int = 100,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                cell_col: str = "cell", code_col: str = "pq_code"
+                ) -> DataFrame:
+    """IVFADC search: ADC-score ONLY the ``nprobe`` probed cells' codes
+    (score = <q, c_cell> + LUT-sum over the residual code), shortlist, then
+    exact-cosine rerank on the shortlist's raw vectors.
+
+    100 TB shape: the cell filter prunes the scan (the cell column is the
+    storage clustering key), the per-row math is m lookups on an m-byte
+    code, and only ``shortlist`` rows ever touch their full vectors —
+    scan, memory and compute all bounded, per Jegou et al. 2011 §IV.
+    """
+    C = np.asarray(centers, dtype=np.float64)
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, ks, dsub = B.shape
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qv = qv / max(float(np.linalg.norm(qv)), 1e-300)
+    cell_ip = C @ qv                         # <q, c> per cell
+    probe = np.argsort(-cell_ip)[:nprobe].tolist()
+    lut = np.stack([B[j] @ qv[j * dsub:(j + 1) * dsub]
+                    for j in range(m)])      # (m, ks)
+
+    @F.pandas_udf(T.DoubleType())
+    def adc(codes: pd.Series) -> pd.Series:
+        if not len(codes):
+            return pd.Series(np.zeros(0))
+        Cd = np.stack([np.asarray(c, dtype=np.int64) for c in codes])
+        return pd.Series(lut[np.arange(m)[None, :], Cd].sum(axis=1))
+
+    cell_const = F.element_at(
+        F.array(*[F.lit(float(x)) for x in cell_ip]), F.col(cell_col) + 1)
+    ids = (encoded.filter(F.col(cell_col).isin(probe))
+           .select(F.col(id_col),
+                   (cell_const + adc(F.col(code_col))).alias("__adc"))
+           .orderBy(F.col("__adc").desc(), F.col(id_col))
+           .limit(shortlist)
+           .select(id_col))
+    q = _query_lit([float(x) for x in query_vec])
+    return (encoded.join(ids, id_col, "semi")
+            .select(F.col(id_col),
+                    F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k))
