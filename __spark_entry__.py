@@ -1135,9 +1135,15 @@ def dp_text_stats(spark, sf_dir):
     )
     flags = (contaminated_ids(docs, docs.filter(did % 97 == 0))
              .withColumn("contaminated", F.lit(True)))
+    # ExactSubstr-style corpus-wide duplicated-span stats (Lee et al. 2021)
+    # — the ACROSS-corpus complement to the Gopher within-doc ratios
+    from yupana_spark.datapipe.dedup import duplicated_span_stats
+
+    spans = duplicated_span_stats(docs).withColumnRenamed("id", "doc_id")
     return (base.join(flags, "doc_id", "left")
             .withColumn("contaminated",
-                        F.coalesce(F.col("contaminated"), F.lit(False))))
+                        F.coalesce(F.col("contaminated"), F.lit(False)))
+            .join(spans, "doc_id", "left"))
 
 
 def dp_lang_id(spark, sf_dir):
@@ -2090,6 +2096,12 @@ _ORACLES_DP: dict[str, str] = {
         cont AS (
           SELECT DISTINCT doc_id FROM ngr
           WHERE g IN (SELECT g FROM ngr WHERE doc_id % 97 = 0)),
+        gc AS (SELECT g, count(*) AS c FROM ngr GROUP BY g),
+        spanstats AS (
+          SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                 CAST(sum(CASE WHEN gc.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup_spans
+          FROM ngr o JOIN gc ON o.g = gc.g GROUP BY 1),
         m2 AS (
           SELECT doc_id, text, aug, n_chars,
                  CAST(len(ws) AS INTEGER) AS n_words,
@@ -2134,9 +2146,13 @@ _ORACLES_DP: dict[str, str] = {
                         '<IPV4>', 'g'),
                         '\\+\\d[\\d-]{7,14}\\d', '<PHONE>', 'g'))
                     AS INTEGER) AS scrub_len,
-               (cont.doc_id IS NOT NULL) AS contaminated
+               (cont.doc_id IS NOT NULL) AS contaminated,
+               ss.n_spans, ss.n_dup_spans,
+               round(ss.n_dup_spans / greatest(ss.n_spans, 1), 6)
+                   AS dup_span_ratio
         FROM m2 LEFT JOIN cont ON m2.doc_id = cont.doc_id
         JOIN rep ON m2.doc_id = rep.doc_id
+        LEFT JOIN spanstats ss ON m2.doc_id = ss.doc_id
     """,
     "dp_lang_id": """
         WITH w AS (

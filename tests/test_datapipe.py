@@ -39,6 +39,31 @@ def test_exact_dedup_finds_copy(docs_with_dups):
     assert 10002 not in dups      # the edited copy is not byte-identical
 
 
+def test_duplicated_span_stats(spark):
+    """ExactSubstr-style corpus-wide span stats (Lee et al. 2021): an
+    8-gram shared across two docs (or repeated inside one) marks every one
+    of its occurrences duplicated; unique-text docs stay at ratio 0."""
+    from yupana_spark.datapipe.dedup import duplicated_span_stats
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    rows = [
+        (1, f"{shared} one two three four five six seven eight"),
+        (2, f"nine ten eleven twelve thirteen fourteen fifteen {shared}"),
+        (3, "unique words only here nothing repeats at all ever once"),
+        (4, f"{shared} {shared}"),  # within-doc repeat also counts
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in duplicated_span_stats(df, n=8).collect()}
+    # doc 1: 16 words -> 9 spans; the span starting at 1 == the shared 8-gram
+    assert out[1]["n_spans"] == 9 and out[1]["n_dup_spans"] == 1
+    assert out[2]["n_spans"] == 8 and out[2]["n_dup_spans"] == 1
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_span_ratio"] == 0.0
+    # doc 4: 16 words -> 9 spans; spans 1 and 9 are both the shared gram
+    # (positions 0 and 8), so both count — plus nothing else repeats
+    assert out[4]["n_spans"] == 9 and out[4]["n_dup_spans"] == 2
+    assert out[4]["dup_span_ratio"] == round(2 / 9, 6)
+
+
 def test_minhash_lsh_finds_neardup(docs_with_dups):
     from yupana_spark.datapipe.dedup import minhash_dedup_pairs
 
@@ -526,7 +551,8 @@ def test_self_validating_entries_verdicts(spark):
 
     ann = {r["method"]: r["verdict"]
            for r in ent.queries()["dp_ann_approx"](spark, SF).collect()}
-    assert ann == {"srp_lsh": "ok", "ivf": "ok", "pq_adc": "ok"}
+    assert ann == {"srp_lsh": "ok", "ivf": "ok", "pq_adc": "ok",
+                   "ivfadc": "ok"}
 
     pack = ent.queries()["dp_pack_sequences"](spark, SF).collect()[0]
     assert pack["packing_ok"] == "ok"

@@ -45,6 +45,40 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
             .drop("keep_id"))
 
 
+def duplicated_span_stats(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 8) -> DataFrame:
+    """(id, n_spans, n_dup_spans, dup_span_ratio): ExactSubstr-style
+    CORPUS-WIDE duplicated-span detection — Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better", public) remove substrings
+    that occur more than once across the whole corpus; the relational form
+    marks each word n-gram occurrence whose n-gram appears >1 time
+    anywhere (including within the same document).
+
+    100 TB shape: explode the normalized word n-gram hashes (one narrow
+    scan — 8-byte hashes, never gram text, leave the executor), ONE
+    groupBy(hash) shuffle for the corpus counts, join occurrences to counts
+    on the same hash key (co-partitioned with the aggregate's exchange),
+    then a groupBy(id) roll-up.  Complements the per-doc repetition ratios
+    in ``text.repetition_stats`` (Gopher's WITHIN-doc signal) with the
+    ACROSS-corpus signal that drives ExactSubstr span removal.
+    """
+    from .text import ngram_hashes, normalize_text, words
+
+    staged = df.withColumn("__w", words(normalize_text(F.col(text_col))))
+    grams = staged.select(
+        F.col(id_col).alias("id"),
+        F.explode(ngram_hashes(F.col("__w"), n)).alias("h"))
+    counts = grams.groupBy("h").agg(F.count("*").alias("__c"))
+    return (grams.join(counts, "h")
+            .groupBy("id")
+            .agg(F.count("*").alias("n_spans"),
+                 F.sum(F.when(F.col("__c") > 1, 1).otherwise(0))
+                 .cast("long").alias("n_dup_spans"))
+            .withColumn("dup_span_ratio",
+                        F.round(F.col("n_dup_spans")
+                                / F.greatest(F.col("n_spans"), F.lit(1)), 6)))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
