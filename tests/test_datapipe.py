@@ -273,8 +273,21 @@ def test_multimodal_plumbing(spark, docs):
     assert frames.count() >= docs.count()  # >=1 frame per media
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
-    with pytest.raises(NotImplementedError):
-        extract_features(media, use_fake_decoder=False)
+    # the real-decoder path decodes actual containers through the repo's
+    # own codecs — dimensions come from the pixel array, not byte length
+    from yupana_spark.datapipe.multimodal import synth_codec_media_table
+
+    real = synth_codec_media_table(docs.limit(10)).filter("kind = 'image'")
+    rf = {r["media_id"]: r
+          for r in extract_features(real, use_fake_decoder=False).collect()}
+    nchars = {r["doc_id"]: r["n_chars"] for r in docs.limit(10).collect()}
+    for mid, r in rf.items():
+        assert r["width"] == 4 + nchars[mid] % 13   # the encoder's dims
+        assert r["height"] == 3 + mid % 7
+        assert r["channels"] == 3
+    # on undecodable (text-byte) media the honest error surfaces at action
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        extract_features(media, use_fake_decoder=False).collect()
 
 
 def test_deterministic_sample(spark, docs):
@@ -918,6 +931,14 @@ def test_assign_shards_offset_invariant(spark):
              for r in assign_shards(big, shard_budget=B).collect()}
     assert brows[0] == 0 and brows[1] == 0    # starts at offset 50
     assert brows[2] == 3                      # next starts at offset 3550
+    # the two-phase cumsum is partition-count independent: the shard map is
+    # identical however many range partitions the manifest is split into
+    base = {(r["pack_id"], r["shard_id"]) for r in rows}
+    for nparts in (1, 3, 17):
+        got = {(r["pack_id"], r["shard_id"])
+               for r in assign_shards(packs, shard_budget=B,
+                                      num_partitions=nparts).collect()}
+        assert got == base, f"num_partitions={nparts} changed the shard map"
 
 
 def test_group_quantiles_audited_null_group(spark):

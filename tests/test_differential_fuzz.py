@@ -122,7 +122,7 @@ def _close(a, b):
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    for t in ("lineitem", "orders", "customer"):
+    for t in ("lineitem", "orders", "customer", "events"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"'{SF_SMALL}/{t}.parquet'")
     yield con
@@ -426,3 +426,53 @@ def test_differential_window_surface(tsdb, duck, seed):
                 f"seed-case {i} row diff: {gr} != {er}\n{yql!r}"
         n_nonempty += bool(got)
     assert n_nonempty >= 10
+
+
+# ---------------------------------------------------------------------------
+# events surface: the TIMESTAMP(NANOS) source (Schema.load rewrites the
+# mandatory time condition over raw int64 nanos before the scan) — a broken
+# nanos prefilter or a unit mix-up in trunc_/extract_ shifts every bucket
+# ---------------------------------------------------------------------------
+EV_TYPES = ["click", "view", "purchase", "signup", "error"]
+EV_TRUNCS = [("trunc_day(time)",
+              "CAST(date_trunc('day', ts) AS TIMESTAMP)"),
+             ("trunc_hour(time)",
+              "CAST(date_trunc('hour', ts) AS TIMESTAMP)"),
+             ("extract_day(time)",
+              "CAST(extract(day FROM ts) AS INTEGER)")]
+
+
+@pytest.mark.parametrize("seed", [24011, 86])
+def test_differential_events_nanos(tsdb, duck, seed):
+    rng = random.Random(seed)
+    for i in range(15):
+        d0 = rng.randint(1, 20)
+        d1 = d0 + rng.randint(1, 9)
+        tb_y = (f"time >= TIMESTAMP '2024-01-{d0:02d}' "
+                f"AND time < TIMESTAMP '2024-01-{d1:02d}'")
+        tb_d = (f"ts >= TIMESTAMP '2024-01-{d0:02d}' "
+                f"AND ts < TIMESTAMP '2024-01-{d1:02d}'")
+        ty, td = rng.choice(EV_TRUNCS)
+        types = rng.sample(EV_TYPES, rng.randint(1, 3))
+        lst = ", ".join(f"'{t}'" for t in sorted(types))
+        neg = rng.choice(["", "NOT "])
+        uid_bar = rng.randint(1, 200)
+        pred_y = (f"(event_type {neg}IN ({lst})) "
+                  f"AND (user_id < {uid_bar} OR value > "
+                  f"{round(rng.uniform(0, 50), 2)})")
+        pred_d = pred_y
+        yql = (f"SELECT {ty} AS g, event_type, count(event_id) AS cnt, "
+               f"sum(value) AS sv, min(value) AS mn "
+               f"FROM events WHERE {tb_y} AND ({pred_y}) "
+               f"GROUP BY g, event_type")
+        sql = (f"SELECT {td} AS g, event_type, count(event_id) AS cnt, "
+               f"sum(value) AS sv, min(value) AS mn "
+               f"FROM events WHERE {tb_d} AND ({pred_d}) "
+               f"GROUP BY 1, event_type")
+        got = _canon([tuple(r) for r in tsdb.sql(yql).collect()])
+        exp = _canon([tuple(r) for r in duck.sql(sql).fetchall()])
+        assert len(got) == len(exp), f"seed-case {i}: {yql!r}\n{sql!r}"
+        for gr, er in zip(got, exp):
+            assert len(gr) == len(er) and all(
+                _close(g, e) for g, e in zip(gr, er)), \
+                f"seed-case {i} row diff: {gr} != {er}\n{yql!r}"

@@ -774,14 +774,25 @@ def fake_decode_dims(content: bytes) -> tuple:
 
 
 def extract_features(media: DataFrame, use_fake_decoder: bool = True) -> DataFrame:
-    """mapInPandas feature extraction: one Arrow batch of binaries per task."""
-    if not use_fake_decoder:
-        # the real path would import the decoder here, per-executor
-        decode_image(b"")  # raises NotImplementedError with guidance
+    """mapInPandas feature extraction: one Arrow batch of binaries per task.
+
+    ``use_fake_decoder=True`` (the plumbing path for synthetic text-byte
+    media) derives dimensions arithmetically from the byte length so a SQL
+    oracle can mirror them; ``False`` decodes for REAL via the repo's own
+    codecs (``decode_image`` magic-byte dispatch — BMP/PPM/PNG/GIF/baseline
+    JPEG), raising the decoders' honest NotImplementedError on anything
+    else.  ``codec_features`` is the richer real-decode operator (pixel
+    sums, corner samples, audio); this one keeps the original narrow
+    (width/height/channels/hash) schema."""
+    def real_dims(content: bytes) -> tuple:
+        px = decode_image(bytes(content))
+        return (px.shape[1], px.shape[0], px.shape[2])
+
+    decode = fake_decode_dims if use_fake_decoder else real_dims
 
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = pdf["content"].map(fake_decode_dims)
+            dims = pdf["content"].map(decode)
             out = pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
