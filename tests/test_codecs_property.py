@@ -278,11 +278,16 @@ def test_jpeg_unsupported_variants_raise():
     import struct
 
     blob = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF3 (lossless — still unsupported)
     i = bytes(blob).find(b"\xff\xc0")
-    prog = bytes(blob[:i]) + b"\xff\xc2" + bytes(blob[i + 2:])
+    lossless = bytes(blob[:i]) + b"\xff\xc3" + bytes(blob[i + 2:])
     with pytest.raises(NotImplementedError):
-        decode_jpeg(prog)
+        decode_jpeg(lossless)
+    # SOF2 followed by a BASELINE-shaped scan is malformed progressive
+    # (a DC scan must have Se = 0) — honest error, not silent garbage
+    prog_bad = bytes(blob[:i]) + b"\xff\xc2" + bytes(blob[i + 2:])
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(prog_bad)
     # sampling factor 3 in SOF (beyond the 1-2 the MCU loop supports)
     sub = bytearray(blob)
     assert sub[i + 11] == 0x11  # first component sampling byte
@@ -291,6 +296,50 @@ def test_jpeg_unsupported_variants_raise():
         decode_jpeg(bytes(sub))
     with pytest.raises(NotImplementedError):
         decode_jpeg(b"\x00\x01\x02")
+
+
+@pytest.mark.parametrize("seed,h,w,sub", [(1, 16, 24, False), (2, 17, 13, False),
+                                          (3, 21, 19, True), (4, 12, 9, True),
+                                          (5, 1, 1, False), (6, 64, 48, True)])
+def test_jpeg_progressive_equals_baseline(seed, h, w, sub):
+    """SOF2 exactness oracle: a progressive stream carries the SAME
+    quantized coefficients as the baseline stream, only reordered across
+    scans — so decode output must be bit-identical, for every shape,
+    subsampling layout and quality tried.  This falsifies every Annex-G
+    path at once: DC first/refine, AC spectral-selection, EOBRUN,
+    refine-ZRL and correction bits."""
+    px = np.random.RandomState(seed).randint(0, 256, (h, w, 3),
+                                             dtype=np.uint8)
+    for q in (95, 60):
+        base = decode_jpeg(encode_jpeg(px, quality=q, subsample=sub))
+        prog = decode_jpeg(encode_jpeg(px, quality=q, subsample=sub,
+                                       progressive=True))
+        assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_deep_sa_and_gray():
+    """Multi-level successive approximation (al=3 -> 0 chains) and the
+    grayscale non-interleaved DC path decode bit-identically too; the
+    magic-byte dispatcher routes SOF2 streams transparently."""
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, (23, 31, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(px, quality=70))
+    for lv in (2, 3):
+        assert np.array_equal(
+            base, decode_jpeg(encode_jpeg(px, quality=70, progressive=lv)))
+    g = rng.randint(0, 256, (14, 10), dtype=np.uint8)
+    gb = decode_jpeg(encode_jpeg(g, quality=80))
+    gp = decode_jpeg(encode_jpeg(g, quality=80, progressive=True))
+    assert np.array_equal(gb, gp) and gp.ndim == 2
+    # smooth gradient: the EOBRUN-heavy regime (most AC bands empty)
+    y, x = np.mgrid[0:55, 0:97]
+    sm = np.stack([(x + y) // 2, x % 256, y % 256], axis=2).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(sm, quality=75, subsample=True)),
+        decode_jpeg(encode_jpeg(sm, quality=75, subsample=True,
+                                progressive=True)))
+    assert decode_image(
+        encode_jpeg(px, quality=70, progressive=True)).shape == px.shape
 
 
 def test_jpeg_420_subsampled_roundtrip():

@@ -10,16 +10,24 @@ pipeline is public-spec arithmetic (ITU-T T.81 + the JFIF note):
   Huffman coding with the Annex-K tables, 0xFF byte stuffing; 4:4:4 by
   default, optional 4:2:0 (2x2 box-averaged chroma, the dominant real-world
   layout);
-* decode: marker walk (APP*/COM skipped, DQT/DHT/SOF0/DRI/SOS parsed),
+* decode: marker walk (APP*/COM skipped, DQT/DHT/SOF0/SOF2/DRI/SOS parsed),
   canonical Huffman tables rebuilt FROM THE STREAM's DHT segments (so decode
   does not depend on the encoder's table constants), MSB-first bit reader
   with stuffed-byte removal and RSTn handling, MCU loop generic over
   sampling factors 1-2 (4:4:4, 4:2:0, 4:2:2, 4:4:0), dequantize -> inverse
   zigzag -> IDCT -> nearest-neighbor chroma upsample -> YCbCr->RGB, crop to
-  the true size.
+  the true size;
+* progressive (SOF2, T.81 Annex G): full decode — DC first/refine
+  (interleaved and not), AC spectral-selection first scans and
+  successive-approximation refinement scans with EOBRUN / refine-ZRL /
+  correction-bit handling — plus ``encode_jpeg(progressive=N)`` emitting a
+  DC-SA + per-component banded AC-SA scan script with per-scan Huffman
+  tables (the Annex-K tables lack EOBn symbols), so the roundtrip oracle is
+  EXACT: a progressive stream decodes bit-identically to the baseline
+  stream of the same coefficients.
 
-Honest limits (all raise NotImplementedError): progressive (SOF2) and the
-other non-baseline SOFs, sampling factors > 2, arithmetic coding, 12-bit
+Honest limits (all raise NotImplementedError): the other non-baseline SOFs
+(lossless, hierarchical), sampling factors > 2, arithmetic coding, 12-bit
 precision.  Lossy by design — roundtrip tests
 assert bounded error, plus exact known-answer checks on the DCT/quant path.
 
@@ -252,13 +260,279 @@ def _encode_block(bw_, zz, tsel, prev, dc_codes, ac_codes) -> int:
     return int(zz[0])
 
 
+# -- progressive (SOF2) entropy coding: T.81 Annex G ------------------------
+# spectral selection + successive approximation.  Point transforms per
+# G.1.2.1/G.1.2.2: DC uses arithmetic shift (floor), AC truncates toward 0.
+def _pt_ac(v: int, al: int) -> int:
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def _ni_order(sh, sv, gx, w, h, hmax, vmax):
+    """Block indices (into the MCU-padded grid with row stride ``gx``) of a
+    NON-INTERLEAVED scan: raster order over the component's OWN block grid
+    (ceil(comp_w/8) x ceil(comp_h/8)) — T.81 A.2.2; the MCU-padding blocks
+    are not part of a non-interleaved scan."""
+    cw = -(-w * sh // hmax)
+    ch = -(-h * sv // vmax)
+    nbx, nby = -(-cw // 8), -(-ch // 8)
+    return [by * gx + bx for by in range(nby) for bx in range(nbx)]
+
+
+def _balanced_table(syms):
+    """A VALID (not optimal) canonical Huffman table: every symbol at one
+    length L with 2^L - 1 >= nsyms, so the all-ones code is never assigned
+    (keeps entropy bytes free of unintended 0xFF runs after padding).
+    Returns (bits[16], vals, codes) in the DHT wire layout."""
+    vals = sorted(set(syms))
+    n = max(1, len(vals))
+    L = 1
+    while (1 << L) - 1 < n:
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = len(vals)
+    return bits, vals, _build_codes(bits, vals)
+
+
+class _SymCounter:
+    """First pass over a scan: records which symbols each table needs."""
+
+    def __init__(self):
+        self.syms: dict = {}
+
+    def sym(self, tid: int, s: int) -> None:
+        self.syms.setdefault(tid, []).append(s)
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+
+class _SymWriter:
+    """Second pass: Huffman-codes symbols with the scan's tables."""
+
+    def __init__(self, codes_by_tid):
+        self.codes = codes_by_tid
+        self.bw = _BitWriter()
+
+    def sym(self, tid: int, s: int) -> None:
+        code, ln = self.codes[tid][s]
+        self.bw.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        self.bw.write(v, n)
+
+
+def _scan_dc_first(comp_q, grids, samps, mcux, mcuy, al, tids, emit):
+    prev = [0] * len(comp_q)
+    for m_i in range(mcux * mcuy):
+        my, mx = divmod(m_i, mcux)
+        for ci in range(len(comp_q)):
+            sh, sv = samps[ci]
+            gx = grids[ci][1]
+            for by in range(sv):
+                for bx in range(sh):
+                    b = (my * sv + by) * gx + (mx * sh + bx)
+                    v = int(comp_q[ci][b][0]) >> al   # arithmetic shift
+                    s, bitsv = _magnitude(v - prev[ci])
+                    prev[ci] = v
+                    emit.sym(tids[ci], s)
+                    emit.bits(bitsv, s)
+
+
+def _scan_dc_refine(comp_q, grids, samps, mcux, mcuy, al, emit):
+    for m_i in range(mcux * mcuy):
+        my, mx = divmod(m_i, mcux)
+        for ci in range(len(comp_q)):
+            sh, sv = samps[ci]
+            gx = grids[ci][1]
+            for by in range(sv):
+                for bx in range(sh):
+                    b = (my * sv + by) * gx + (mx * sh + bx)
+                    emit.bits((int(comp_q[ci][b][0]) >> al) & 1, 1)
+
+
+def _scan_ac_first(zzs, order, ss, se, al, tid, emit):
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            emit.sym(tid, r << 4)
+            emit.bits(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for b in order:
+        zz = zzs[b]
+        ts = [_pt_ac(int(zz[k]), al) for k in range(ss, se + 1)]
+        if not any(ts):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        r = 0
+        for t in ts:
+            if t == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                emit.sym(tid, 0xF0)
+                r -= 16
+            s, bitsv = _magnitude(t)
+            emit.sym(tid, (r << 4) | s)
+            emit.bits(bitsv, s)
+            r = 0
+        if r:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _scan_ac_refine(zzs, order, ss, se, al, tid, emit):
+    eobrun = 0
+    pending: list = []   # correction bits buffered across an EOB run
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            emit.sym(tid, r << 4)
+            emit.bits(eobrun - (1 << r), r)
+            eobrun = 0
+        for bb in pending:
+            emit.bits(bb, 1)
+        pending = []
+
+    for b in order:
+        zz = zzs[b]
+        ts = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        eob_i = -1
+        for i, t in enumerate(ts):
+            if t == 1:
+                eob_i = i
+        r = 0
+        br_local: list = []
+        for i, t in enumerate(ts):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob_i:
+                flush_eob()
+                emit.sym(tid, 0xF0)
+                r -= 16
+                for bb in br_local:
+                    emit.bits(bb, 1)
+                br_local = []
+            if t > 1:             # already significant: correction bit
+                br_local.append(t & 1)
+                continue
+            flush_eob()           # newly significant (+-1 at this level)
+            emit.sym(tid, (r << 4) | 1)
+            emit.bits(0 if int(zz[ss + i]) < 0 else 1, 1)
+            for bb in br_local:
+                emit.bits(bb, 1)
+            br_local = []
+            r = 0
+        if r > 0 or br_local:
+            eobrun += 1
+            pending.extend(br_local)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _assemble_progressive(comp_q, grids, samps, mcux, mcuy, hmax, vmax,
+                          h, w, gray, qt_l, qt_c, ac_levels: int = 1) -> bytes:
+    """SOF2 stream: DC successive-approximation scans (al=1 then the
+    refinement bit) followed by per-component AC spectral-selection bands
+    [1,5] and [6,63], each at al=1 first then refined to al=0 — every
+    Annex-G scan kind (DC/AC x first/refine, EOBRUN, ZRL-in-refine) is
+    exercised.  Per-scan Huffman tables are built from the scan's own
+    symbol set (first pass counts, second pass writes) because the Annex-K
+    baseline tables lack the EOBn symbols progressive scans emit."""
+    ncomp = len(comp_q)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + qt_l.reshape(-1)[ZIGZAG].astype(np.uint8)
+               .tobytes())
+    if not gray:
+        out += seg(0xDB, b"\x01" + qt_c.reshape(-1)[ZIGZAG].astype(np.uint8)
+                   .tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sh, sv = samps[ci]
+        sof += struct.pack(">BBB", ci + 1, (sh << 4) | sv,
+                           0 if ci == 0 else 1)
+    out += seg(0xC2, sof)
+
+    orders = [_ni_order(samps[ci][0], samps[ci][1], grids[ci][1],
+                        w, h, hmax, vmax) for ci in range(ncomp)]
+    tids = [0] + [1] * (ncomp - 1)
+    scans = [("dc_first", None, 0, 0, 0, 1),
+             ("dc_refine", None, 0, 0, 1, 0)]
+    for ci in range(ncomp):
+        scans += [("ac_first", ci, 1, 5, 0, ac_levels),
+                  ("ac_first", ci, 6, 63, 0, ac_levels)]
+    for lv in range(ac_levels, 0, -1):
+        for ci in range(ncomp):
+            scans += [("ac_refine", ci, 1, 5, lv, lv - 1),
+                      ("ac_refine", ci, 6, 63, lv, lv - 1)]
+
+    for kind, ci, ss, se, ah, al in scans:
+        def run(emit, kind=kind, ci=ci, ss=ss, se=se, ah=ah, al=al):
+            if kind == "dc_first":
+                _scan_dc_first(comp_q, grids, samps, mcux, mcuy, al,
+                               tids, emit)
+            elif kind == "dc_refine":
+                _scan_dc_refine(comp_q, grids, samps, mcux, mcuy, al, emit)
+            elif kind == "ac_first":
+                _scan_ac_first(comp_q[ci], orders[ci], ss, se, al,
+                               tids[ci], emit)
+            else:
+                _scan_ac_refine(comp_q[ci], orders[ci], ss, se, al,
+                                tids[ci], emit)
+
+        cnt = _SymCounter()
+        run(cnt)
+        codes = {}
+        cls = 0 if kind.startswith("dc") else 1
+        for tid, syms in sorted(cnt.syms.items()):
+            bits, vals, cmap = _balanced_table(syms)
+            out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits)
+                       + bytes(vals))
+            codes[tid] = cmap
+        wr = _SymWriter(codes)
+        run(wr)
+        if kind.startswith("dc"):
+            sos = bytes([ncomp])
+            for c2 in range(ncomp):
+                sos += bytes([c2 + 1, (tids[c2] << 4) | 0])
+        else:
+            sos = bytes([1, ci + 1, tids[ci]])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        out += wr.bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg(pixels, quality: int = 85, restart_interval: int = 0,
-                subsample: bool = False) -> bytes:
-    """Baseline JFIF from (h, w, 3) RGB or (h, w) grayscale uint8.
-    ``subsample=True`` writes 4:2:0 (2x2-averaged chroma, the dominant
-    real-world layout); default is 4:4:4.  ``restart_interval`` > 0 emits a
-    DRI segment and RSTn markers every that many MCUs (what a splittable
-    100 TB ingest would use: restart points make scans byte-addressable)."""
+                subsample: bool = False, progressive: bool = False) -> bytes:
+    """Baseline or progressive JFIF from (h, w, 3) RGB or (h, w) grayscale
+    uint8.  ``subsample=True`` writes 4:2:0 (2x2-averaged chroma, the
+    dominant real-world layout); default is 4:4:4.  ``restart_interval`` > 0
+    emits a DRI segment and RSTn markers every that many MCUs (what a
+    splittable 100 TB ingest would use: restart points make scans
+    byte-addressable; baseline path only).  ``progressive`` truthy writes
+    SOF2 with a DC+AC successive-approximation scan script — an int sets
+    the AC point-transform depth (al = N first scans refined N times);
+    coefficients are identical to the baseline path's, so decode output is
+    bit-identical between the two containers."""
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -306,6 +580,11 @@ def encode_jpeg(pixels, quality: int = 85, restart_interval: int = 0,
         quant = np.round(coefs / qt).astype(np.int32)
         comp_q.append(quant.reshape(-1, 64)[:, ZIGZAG])
         grids.append((gy, gx))
+
+    if progressive:
+        return _assemble_progressive(comp_q, grids, samps, mcux, mcuy,
+                                     hmax, vmax, h, w, gray, qt_l, qt_c,
+                                     ac_levels=max(1, int(progressive)))
 
     bw_ = _BitWriter()
     scan_parts = []
@@ -466,6 +745,10 @@ def decode_jpeg(content: bytes):
     qts, dc_trees, ac_trees = {}, {}, {}
     comps, h = None, None
     w = restart = 0
+    progressive = saw_scan = False
+    hmax = vmax = mcux = mcuy = 0
+    grids: list = []
+    out_q: list = []
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
             pos += 1
@@ -498,7 +781,8 @@ def decode_jpeg(content: bytes):
                 tree = _decode_tree(bits, vals)
                 (dc_trees if cls == 0 else ac_trees)[tid] = tree
                 i += 17 + n
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             _, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             comps = []
             for ci in range(nc):
@@ -510,7 +794,14 @@ def decode_jpeg(content: bytes):
                 comps.append({"id": cid, "tq": tq, "h": sh, "v": sv})
             if body[0] != 8:
                 raise NotImplementedError("JPEG precision != 8")
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            grids = [(mcuy * c["v"], mcux * c["h"]) for c in comps]
+            out_q = [np.zeros((gy * gx, 64), dtype=np.int32)
+                     for gy, gx in grids]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF 0x{marker:02x}) unsupported")
@@ -519,18 +810,18 @@ def decode_jpeg(content: bytes):
         elif marker == 0xDA:
             if comps is None:
                 raise NotImplementedError("JPEG SOS before SOF")
+            if progressive:
+                br = _progressive_scan(content, pos, body, comps, grids,
+                                       out_q, dc_trees, ac_trees, restart,
+                                       w, h, hmax, vmax, mcux, mcuy)
+                pos = br.pos
+                saw_scan = True
+                continue
             ns = body[0]
             sel = {}
             for i in range(ns):
                 cid, tt = body[1 + i * 2], body[2 + i * 2]
                 sel[cid] = (tt >> 4, tt & 0x0F)
-            hmax = max(c["h"] for c in comps)
-            vmax = max(c["v"] for c in comps)
-            mcux = (w + 8 * hmax - 1) // (8 * hmax)
-            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-            grids = [(mcuy * c["v"], mcux * c["h"]) for c in comps]
-            out_q = [np.zeros((gy * gx, 64), dtype=np.int32)
-                     for gy, gx in grids]
             br = _BitReader(content, pos)
             prev_dc = [0] * len(comps)
 
@@ -571,26 +862,174 @@ def decode_jpeg(content: bytes):
                                 + (mx * comp["h"] + bx)
                             prev_dc[ci] = read_block(
                                 out_q[ci][b], tdc, tac, prev_dc[ci])
-            planes = []
-            for ci, comp in enumerate(comps):
-                qt = qts[comp["tq"]]
-                gy, gx = grids[ci]
-                de = out_q[ci][:, UNZIGZAG].reshape(-1, 8, 8) \
-                    .astype(np.float64) * qt
-                plane = _from_blocks(_idct_blocks(de), gy, gx) + 128.0
-                # crop to the component's true resolution, then replicate
-                # up to full resolution (nearest-neighbor chroma upsample)
-                ch = -(-h * comp["v"] // vmax)
-                cw = -(-w * comp["h"] // hmax)
-                plane = plane[:ch, :cw]
-                plane = np.repeat(np.repeat(plane, vmax // comp["v"],
-                                            axis=0),
-                                  hmax // comp["h"], axis=1)
-                planes.append(plane[:h, :w])
-            if len(planes) == 1:
-                return np.clip(planes[0].round(), 0, 255).astype(np.uint8)
-            if len(planes) != 3:
-                raise NotImplementedError(
-                    f"JPEG with {len(planes)} components unsupported")
-            return _ycbcr_to_rgb(*planes)
+            return _finalize_planes(out_q, comps, grids, qts, h, w,
+                                    hmax, vmax)
+    if progressive and saw_scan:
+        # progressive streams accumulate coefficients across scans; the
+        # image materializes once, at EOI (or stream end)
+        return _finalize_planes(out_q, comps, grids, qts, h, w, hmax, vmax)
     raise NotImplementedError("JPEG missing SOS scan")
+
+
+def _progressive_scan(content, pos, body, comps, grids, out_q, dc_trees,
+                      ac_trees, restart, w, h, hmax, vmax, mcux, mcuy):
+    """Decode ONE progressive scan (T.81 Annex G) into the persistent
+    coefficient buffers: DC first/refine (interleaved or not), AC
+    first/refine (non-interleaved only, per spec) with EOBRUN state.
+    Returns the bit reader so the caller can resume the marker walk."""
+    ns = body[0]
+    sel = [(body[1 + i * 2], body[2 + i * 2] >> 4, body[2 + i * 2] & 0x0F)
+           for i in range(ns)]
+    ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+    ahal = body[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    br = _BitReader(content, pos)
+    cidx = {c["id"]: i for i, c in enumerate(comps)}
+
+    def sync_restart():
+        m = br.sync_marker()
+        if m is None or not (0xD0 <= m <= 0xD7):
+            raise NotImplementedError("JPEG restart marker missing")
+
+    if ss == 0:                                   # DC scan
+        if se != 0:
+            raise NotImplementedError("JPEG DC scan with Se != 0")
+        scan = [(cidx[cid], td) for cid, td, _ in sel]
+        prev = {ci: 0 for ci, _ in scan}
+        if ns > 1:
+            units = []
+            for m_i in range(mcux * mcuy):
+                my, mx = divmod(m_i, mcux)
+                mcu = []
+                for ci, td in scan:
+                    comp = comps[ci]
+                    gx = grids[ci][1]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            mcu.append((ci, td, (my * comp["v"] + by) * gx
+                                        + mx * comp["h"] + bx))
+                units.append(mcu)
+        else:
+            ci, td = scan[0]
+            comp = comps[ci]
+            units = [[(ci, td, b)]
+                     for b in _ni_order(comp["h"], comp["v"], grids[ci][1],
+                                        w, h, hmax, vmax)]
+        for u_i, mcu in enumerate(units):
+            if restart and u_i and u_i % restart == 0:
+                sync_restart()
+                prev = {ci: 0 for ci, _ in scan}
+            for ci, td, b in mcu:
+                zz = out_q[ci][b]
+                if ah == 0:
+                    s = _read_symbol(br, dc_trees[td])
+                    prev[ci] += _extend(br.read(s), s)
+                    zz[0] = prev[ci] << al
+                elif br.read(1):
+                    zz[0] = int(zz[0]) | (1 << al)
+        return br
+
+    if ns != 1:                                   # AC scans: one component
+        raise NotImplementedError("JPEG interleaved AC scan")
+    cid, _, ta = sel[0]
+    ci = cidx[cid]
+    comp = comps[ci]
+    tree = ac_trees[ta]
+    order = _ni_order(comp["h"], comp["v"], grids[ci][1], w, h, hmax, vmax)
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    for u_i, b in enumerate(order):
+        if restart and u_i and u_i % restart == 0:
+            sync_restart()
+            eobrun = 0
+        zz = out_q[ci][b]
+        if ah == 0:                               # AC first (Ah=0)
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _read_symbol(br, tree)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.read(r)
+                        break
+                    k += 16                       # ZRL
+                else:
+                    k += r
+                    if k > se:
+                        raise NotImplementedError("JPEG AC index overflow")
+                    zz[k] = _extend(br.read(s), s) << al
+                    k += 1
+        else:                                     # AC refine (G.2)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _read_symbol(br, tree)
+                    r, s = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s:
+                        if s != 1:
+                            raise NotImplementedError(
+                                "JPEG refine size > 1")
+                        val = p1 if br.read(1) else m1
+                    elif r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.read(r)
+                        break
+                    # advance r zero-history coefficients, reading the
+                    # correction bit of every significant one passed
+                    while k <= se:
+                        v = int(zz[k])
+                        if v != 0:
+                            if br.read(1) and (v & p1) == 0:
+                                zz[k] = v + (p1 if v >= 0 else m1)
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if val:
+                        if k > se:
+                            raise NotImplementedError(
+                                "JPEG AC refine overflow")
+                        zz[k] = val
+                    k += 1
+            if eobrun > 0:                        # EOB region: corrections
+                while k <= se:
+                    v = int(zz[k])
+                    if v != 0:
+                        if br.read(1) and (v & p1) == 0:
+                            zz[k] = v + (p1 if v >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+    return br
+
+
+def _finalize_planes(out_q, comps, grids, qts, h, w, hmax, vmax):
+    planes = []
+    for ci, comp in enumerate(comps):
+        qt = qts[comp["tq"]]
+        gy, gx = grids[ci]
+        de = out_q[ci][:, UNZIGZAG].reshape(-1, 8, 8) \
+            .astype(np.float64) * qt
+        plane = _from_blocks(_idct_blocks(de), gy, gx) + 128.0
+        # crop to the component's true resolution, then replicate
+        # up to full resolution (nearest-neighbor chroma upsample)
+        ch = -(-h * comp["v"] // vmax)
+        cw = -(-w * comp["h"] // hmax)
+        plane = plane[:ch, :cw]
+        plane = np.repeat(np.repeat(plane, vmax // comp["v"],
+                                    axis=0),
+                          hmax // comp["h"], axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(planes[0].round(), 0, 255).astype(np.uint8)
+    if len(planes) != 3:
+        raise NotImplementedError(
+            f"JPEG with {len(planes)} components unsupported")
+    return _ycbcr_to_rgb(*planes)

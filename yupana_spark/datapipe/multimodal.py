@@ -5,10 +5,11 @@ signatures) is real and tested.  Decoding is REAL for the formats stdlib +
 numpy can handle — 24-bit BMP and binary PPM images (padding, bottom-up
 rows, BGR swizzle), 8-bit gray/RGB/RGBA PNG (zlib inflate + all five
 scanline filters), palette GIF (full variable-width LZW, interlace,
-local/global color tables), baseline 4:4:4 JPEG (DCT + Annex-K Huffman,
-datapipe/jpeg.py), PCM16 WAV audio (RIFF chunk walk) — and STUBBED with an
-explicit NotImplementedError for the variants that need imaging libraries
-the container doesn't ship (WebP, subsampled/progressive JPEG, FLAC, ...).
+local/global color tables), JPEG — baseline incl. 4:2:0/4:2:2 subsampling
+AND progressive/SOF2 (DCT + Huffman, datapipe/jpeg.py) — PCM16 WAV audio
+(RIFF chunk walk) — and STUBBED with an explicit NotImplementedError for
+the variants that need imaging libraries the container doesn't ship
+(WebP, lossless/12-bit/arithmetic JPEG, FLAC, ...).
 
 Pattern for 100 TB: media bytes live in their own column (parquet keeps them
 out of unrelated scans via column pruning), metadata in a sibling struct;
@@ -64,8 +65,9 @@ def synth_media_table(docs: DataFrame, kind: str = "image") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# real codecs (stdlib/numpy only): BMP + PPM images, PCM WAV audio.
-# JPEG/PNG/FLAC/... still raise NotImplementedError (no imaging libs in the
+# real codecs (stdlib/numpy only): BMP + PPM + PNG + GIF images,
+# baseline/progressive JPEG (datapipe/jpeg.py), PCM WAV audio; WebP/FLAC/
+# lossless-JPEG still raise NotImplementedError (no imaging libs in the
 # container) — the dispatchers below decode what a header-only stub cannot:
 # row padding, bottom-up pixel order, BGR channel order, RIFF chunk walks.
 # ---------------------------------------------------------------------------
@@ -600,11 +602,12 @@ def encode_gif_animated(frames, delay_cs: int = 10) -> bytes:
 
 
 def decode_image(content: bytes):
-    """Dispatch on magic bytes: BMP, P6 PPM, 8-bit PNG, GIF and baseline
-    4:4:4 JPEG decode for real (stdlib + numpy — see datapipe/jpeg.py);
-    formats that genuinely need an imaging library (WebP, subsampled or
-    progressive JPEG, ...) raise NotImplementedError because the container
-    ships none — the stub is honest, the dispatcher is not."""
+    """Dispatch on magic bytes: BMP, P6 PPM, 8-bit PNG, GIF and JPEG —
+    baseline incl. 4:2:0/4:2:2 subsampling AND progressive (SOF2) — decode
+    for real (stdlib + numpy — see datapipe/jpeg.py); formats that
+    genuinely need an imaging library (WebP, lossless/12-bit/arithmetic
+    JPEG, ...) raise NotImplementedError because the container ships none —
+    the stub is honest, the dispatcher is not."""
     if content[:2] == b"BM":
         return decode_bmp(content)
     if content[:2] == b"P6":
@@ -618,7 +621,8 @@ def decode_image(content: bytes):
 
         return decode_jpeg(content)
     raise NotImplementedError(
-        "only 24-bit BMP, binary PPM, 8-bit PNG, GIF and baseline JPEG "
+        "only 24-bit BMP, binary PPM, 8-bit PNG, GIF and "
+        "baseline/progressive JPEG "
         "decode without imaging libraries; use fake_decode_dims for "
         "plumbing-only tests"
     )
