@@ -463,3 +463,73 @@ def test_avi_frame_sampling_stride():
     avi = encode_avi_mjpeg(frames, 8, 8, fps=5)
     idx = [i for i, _ in decode_avi_frames(avi, every_n=2)]
     assert idx == [0, 2, 4]
+
+
+# ---------------------------------------------------------------------------
+# FLAC (RFC 9639): lossless, so the roundtrip oracle is EXACT equality
+# ---------------------------------------------------------------------------
+def _flac_cases():
+    rng = np.random.RandomState(3)
+    t = np.arange(10000)
+    tone = (3000 * np.sin(t / 30.0) + 500 * np.sin(t / 7.0)).astype(np.int16)
+    st = np.empty(12000, np.int16)
+    st[0::2] = tone[:6000]
+    st[1::2] = tone[:6000] + rng.randint(-50, 50, 6000).astype(np.int16)
+    return [
+        ("tone", tone, 44100, 1, False),
+        ("noise", rng.randint(-32768, 32768, 5000).astype(np.int16),
+         16000, 1, False),                       # escape/verbatim regime
+        ("const", np.full(9000, -123, np.int16), 8000, 1, False),
+        ("stereo", st, 48000, 2, False),
+        ("midside", st, 48000, 2, True),         # channel assignment 10
+        ("short", tone[:100], 12345, 1, False),  # partial block, odd rate
+        ("oneblock", tone[:4096], 44100, 1, False),
+    ]
+
+
+@pytest.mark.parametrize("name,s,rate,nch,ms",
+                         _flac_cases(),
+                         ids=[c[0] for c in _flac_cases()])
+def test_flac_roundtrip_exact(name, s, rate, nch, ms):
+    from yupana_spark.datapipe.flac import decode_flac, encode_flac
+
+    blob = encode_flac(s, rate, nch, mid_side=ms)
+    r, c, back = decode_flac(blob)
+    assert (r, c) == (rate, nch)
+    assert np.array_equal(back, s.astype(np.int64))   # LOSSLESS: exact
+    if name in ("tone", "const", "stereo", "midside"):
+        assert len(blob) < len(s) * 2                 # actually compresses
+
+
+def test_flac_crc_and_md5_guard_corruption():
+    """A flipped byte anywhere in a frame must raise (CRC-8 header, CRC-16
+    frame, or MD5 stream check) — never silently return garbage audio."""
+    from yupana_spark.datapipe.flac import decode_flac, encode_flac
+
+    tone = (2000 * np.sin(np.arange(6000) / 20.0)).astype(np.int16)
+    blob = bytearray(encode_flac(tone, 44100, 1))
+    for at in (len(blob) // 3, len(blob) // 2, len(blob) - 5):
+        bad = bytearray(blob)
+        bad[at] ^= 0xFF
+        with pytest.raises(NotImplementedError):
+            decode_flac(bytes(bad))
+    with pytest.raises(NotImplementedError):
+        decode_flac(b"NOTFLAC")
+
+
+def test_flac_audio_features_dispatch(spark):
+    """audio_features routes FLAC and WAV through the same feature map;
+    the decoded features must agree for identical sample content."""
+    from yupana_spark.datapipe.flac import encode_flac
+    from yupana_spark.datapipe.multimodal import audio_features, encode_wav
+
+    s = (1500 * np.sin(np.arange(7000) / 15.0)).astype(np.int16)
+    rows = [(1, encode_wav(s, 22050, 1)), (2, encode_flac(s, 22050, 1))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in audio_features(df).collect()}
+    for mid in (1, 2):
+        assert got[mid]["sample_rate"] == 22050
+        assert got[mid]["n_channels"] == 1
+        assert got[mid]["n_samples"] == 7000
+        assert got[mid]["max_abs"] == int(np.abs(s.astype(np.int32)).max())
+    assert got[1]["duration_s"] == got[2]["duration_s"] == 7000 / 22050
