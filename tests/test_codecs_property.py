@@ -533,3 +533,97 @@ def test_flac_audio_features_dispatch(spark):
         assert got[mid]["n_samples"] == 7000
         assert got[mid]["max_abs"] == int(np.abs(s.astype(np.int32)).max())
     assert got[1]["duration_s"] == got[2]["duration_s"] == 7000 / 22050
+
+
+def test_flac_spiky_signal_roundtrip():
+    """Rare huge spikes blow up unary Rice quotients — the encoder must
+    stay exact whatever path it picks (high Rice parameter here; the
+    escaped-partition DECODE path is driven separately by the hand-built
+    stream below, since our encoder's verbatim-subframe fallback triggers
+    before a whole-residual escape ever could)."""
+    from yupana_spark.datapipe.flac import decode_flac, encode_flac
+
+    s = (np.arange(6000) % 400 - 200).astype(np.int16)  # smooth ramps
+    s[::97] = 20000                                     # spikes
+    blob = encode_flac(s, 44100, 1)
+    r, c, back = decode_flac(blob)
+    assert np.array_equal(back, s.astype(np.int64))
+
+
+def test_flac_multipartition_and_lpc_decode():
+    """Decode-only paths our encoder never emits, driven by hand-built bit
+    streams: (a) a partition-order-2 Rice residual (four partitions with
+    different parameters), (b) an LPC subframe whose reconstruction is
+    hand-computed — both per RFC 9639."""
+    import numpy as np
+
+    from yupana_spark.datapipe.flac import (_BitReader, _BitWriter,
+                                            _read_residual,
+                                            _decode_subframe, _zigzag)
+
+    # (a) nb=16, order=0, po=2 -> 4 partitions of 4 samples
+    res = np.array([0, 1, -1, 2, 30, -31, 29, -28,
+                    0, 0, 0, 0, 5, -6, 7, -8], dtype=np.int64)
+    bw = _BitWriter()
+    bw.write(0, 2)          # rice method 0
+    bw.write(2, 4)          # partition order 2
+    for part, p in zip(range(4), (1, 5, 0, 3)):
+        chunk = res[part * 4:(part + 1) * 4]
+        if p == 0:
+            bw.write(0x0F, 4)       # escape this partition
+            bw.write(7, 5)          # 7 raw bits
+            for v in chunk:
+                bw.write(int(v) & 0x7F, 7)
+        else:
+            bw.write(p, 4)
+            for u in _zigzag(chunk):
+                bw.write_unary(int(u) >> p)
+                bw.write(int(u) & ((1 << p) - 1), p)
+    bw.align()
+    got = _read_residual(_BitReader(bw.bytes()), 16, 0)
+    assert np.array_equal(got, res)
+
+    # (b) LPC order 2, coefs [3, -1], shift 1: x[i] = res + ((3*x[i-1]
+    #     - x[i-2]) >> 1); warmup [100, 90]
+    warm = [100, 90]
+    res_l = [4, -2, 3, 0, -5, 1]
+    bw = _BitWriter()
+    bw.write(0, 1)
+    bw.write(32 + 2 - 1, 6)  # LPC, order 2
+    bw.write(0, 1)           # no wasted bits
+    for v in warm:
+        bw.write(v & 0xFFFF, 16)
+    bw.write(15 - 1, 4)      # precision 15 bits
+    bw.write(1, 5)           # shift 1
+    for cfe in (3, -1):
+        bw.write(cfe & 0x7FFF, 15)
+    bw.write(0, 2)           # rice method 0
+    bw.write(0, 4)           # partition order 0
+    p = 3
+    bw.write(p, 4)
+    for u in _zigzag(np.array(res_l, dtype=np.int64)):
+        bw.write_unary(int(u) >> p)
+        bw.write(int(u) & ((1 << p) - 1), p)
+    bw.align()
+    x = _decode_subframe(_BitReader(bw.bytes()), 2 + len(res_l), 16)
+    exp = list(warm)
+    for rv in res_l:
+        exp.append(rv + ((3 * exp[-1] - exp[-2]) >> 1))
+    assert list(x) == exp
+
+
+def test_flac_wasted_bits_decode():
+    """Wasted-bits flag (samples sharing low zero bits): hand-built
+    CONSTANT subframe with 2 wasted bits must scale back up on decode."""
+    from yupana_spark.datapipe.flac import _BitReader, _BitWriter, \
+        _decode_subframe
+
+    bw = _BitWriter()
+    bw.write(0, 1)
+    bw.write(0, 6)           # CONSTANT
+    bw.write(1, 1)           # wasted-bits flag
+    bw.write_unary(1)        # unary 1 -> wasted = 2
+    bw.write(25 & 0x3FFF, 14)  # constant in (16-2)-bit domain
+    bw.align()
+    x = _decode_subframe(_BitReader(bw.bytes()), 5, 16)
+    assert list(x) == [100] * 5   # 25 << 2
