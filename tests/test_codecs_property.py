@@ -627,3 +627,29 @@ def test_flac_wasted_bits_decode():
     bw.align()
     x = _decode_subframe(_BitReader(bw.bytes()), 5, 16)
     assert list(x) == [100] * 5   # 25 << 2
+
+
+def test_wav_8_and_24_bit_decode():
+    """PCM8 (unsigned, centered on decode) and PCM24 (3-byte LE, sign
+    extended) via hand-built RIFF streams — the widths real corpora carry
+    beyond PCM16."""
+    import struct
+
+    def wav(bits, body, rate=8000, ch=1):
+        block = ch * bits // 8
+        fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, bits)
+        return (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(body)) + body)
+
+    r, c, s = decode_wav(wav(8, bytes([0, 128, 255, 200])))
+    assert (r, c) == (8000, 1)
+    assert list(s) == [-128, 0, 127, 72]
+
+    vals = [0, 1, -1, (1 << 23) - 1, -(1 << 23), -123456]
+    body = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    r, c, s = decode_wav(wav(24, body))
+    assert list(s) == vals
+
+    with pytest.raises(NotImplementedError):
+        decode_wav(wav(12, b"\x00\x00"))

@@ -391,16 +391,21 @@ def _decode_subframe(br: _BitReader, nb: int, bits: int) -> np.ndarray:
                      dtype=np.int64)
     elif 8 <= t <= 12:               # FIXED 0-4
         order = t - 8
-        warm = [br.read_signed(bits) for _ in range(order)]
+        warm = np.array([br.read_signed(bits) for _ in range(order)],
+                        dtype=np.int64)
         res = _read_residual(br, nb, order)
+        # res = Δ^order x, so reconstruction is ``order``-fold integration:
+        # cumsum seeded with the warmup's j-th finite difference at its
+        # last position — vectorized, no per-sample Python loop
         x = np.empty(nb, dtype=np.int64)
         x[:order] = warm
-        coefs = _FIXED_COEFS[order]
-        for i in range(order, nb):
-            pred = 0
-            for j, c in enumerate(coefs):
-                pred += c * x[i - 1 - j]
-            x[i] = res[i - order] + pred
+        diffs = [warm]
+        for _ in range(order - 1):
+            diffs.append(np.diff(diffs[-1]))
+        cur = res
+        for j in range(order - 1, -1, -1):
+            cur = diffs[j][-1] + np.cumsum(cur)
+        x[order:] = cur
     elif t >= 32:                    # LPC, order t-31
         order = t - 31
         warm = [br.read_signed(bits) for _ in range(order)]

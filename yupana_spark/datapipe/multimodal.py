@@ -646,9 +646,12 @@ def encode_wav(samples, sample_rate: int, n_channels: int = 1) -> bytes:
 
 
 def decode_wav(content: bytes):
-    """(sample_rate, n_channels, int16 sample array) from a PCM16 WAV via a
-    proper RIFF chunk walk (chunks in any order, odd sizes padded); non-PCM
-    or non-16-bit streams raise NotImplementedError."""
+    """(sample_rate, n_channels, integer sample array) from a PCM WAV via a
+    proper RIFF chunk walk (chunks in any order, odd sizes padded).
+
+    PCM16 returns int16; PCM8 (stored unsigned per the spec) returns the
+    CENTERED int16 values v-128; PCM24 (3-byte little-endian) returns
+    int32.  Non-PCM formats and other widths raise NotImplementedError."""
     import struct
 
     import numpy as np
@@ -656,23 +659,38 @@ def decode_wav(content: bytes):
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise NotImplementedError("not a RIFF/WAVE stream")
     pos, rate, channels, data = 12, None, None, None
+    bits = None
     while pos + 8 <= len(content):
         cid, size = struct.unpack_from("<4sI", content, pos)
         pos += 8
         if cid == b"fmt ":
             audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", content, pos)
-            if audio_fmt != 1 or bits != 16:
+            if audio_fmt != 1 or bits not in (8, 16, 24):
                 raise NotImplementedError(
                     f"WAV format={audio_fmt} bits={bits} unsupported "
-                    "(PCM16 only)")
+                    "(PCM 8/16/24 only)")
         elif cid == b"data":
-            data = np.frombuffer(content, dtype="<i2", count=size // 2,
-                                 offset=pos)
+            data = (content, pos, size)
         pos += size + (size & 1)  # RIFF chunks pad to even
     if rate is None or data is None:
         raise NotImplementedError("WAV missing fmt/data chunk")
-    return rate, channels, data
+    content, pos, size = data
+    if bits == 16:
+        samples = np.frombuffer(content, dtype="<i2", count=size // 2,
+                                offset=pos)
+    elif bits == 8:
+        raw = np.frombuffer(content, dtype=np.uint8, count=size, offset=pos)
+        samples = raw.astype(np.int16) - 128
+    else:                             # 24-bit: 3-byte little-endian
+        n = size // 3
+        raw = np.frombuffer(content, dtype=np.uint8,
+                            count=n * 3, offset=pos).reshape(n, 3)
+        v = (raw[:, 0].astype(np.int32)
+             | (raw[:, 1].astype(np.int32) << 8)
+             | (raw[:, 2].astype(np.int32) << 16))
+        samples = np.where(v >= 1 << 23, v - (1 << 24), v)
+    return rate, channels, samples
 
 
 def synth_codec_media_table(docs: DataFrame) -> DataFrame:
