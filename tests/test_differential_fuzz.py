@@ -476,3 +476,40 @@ def test_differential_events_nanos(tsdb, duck, seed):
             assert len(gr) == len(er) and all(
                 _close(g, e) for g, e in zip(gr, er)), \
                 f"seed-case {i} row diff: {gr} != {er}\n{yql!r}"
+
+
+# ---------------------------------------------------------------------------
+# placeholder binding (`?` / `$n`): a bound query must produce exactly the
+# frame its inlined-literal twin produces — for every predicate shape, both
+# placeholder spellings, and out-of-order $n references
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("seed", [40461, 12])
+def test_differential_placeholder_binding(tsdb, seed):
+    rng = random.Random(seed)
+    for i in range(20):
+        v_num = round(rng.uniform(0, 40), 2)
+        v_key = rng.randint(1, 4000)
+        v_dim = rng.choice(["A", "N", "R"])
+        col = rng.choice(NUM_COLS)
+        key = rng.choice(KEY_COLS)
+        dim = rng.choice(DIMS)
+        op1 = rng.choice(["<", "<=", ">", ">="])
+        op2 = rng.choice(["<", ">", "<>"])
+        tail = (f"({col} {op1} {{p1}}) AND ({key} {op2} {{p2}}) "
+                f"OR ({dim} = {{p3}})")
+        base = (f"SELECT {dim}, count(l_orderkey) AS cnt, "
+                f"sum({col}) AS s FROM lineitem "
+                f"WHERE {TB_Y} AND ({tail}) GROUP BY {dim}")
+        inline = base.format(p1=v_num, p2=v_key, p3=f"'{v_dim}'")
+        got_inline = _canon([tuple(r) for r in tsdb.sql(inline).collect()])
+
+        qmark = base.format(p1="?", p2="?", p3="?")
+        got_q = _canon([tuple(r) for r in tsdb.sql(
+            qmark, params=[v_num, v_key, v_dim]).collect()])
+        assert got_q == got_inline, f"seed-case {i} ?-bind: {qmark!r}"
+
+        # $n spelling, deliberately out of order in the text
+        dollar = base.format(p1="$2", p2="$3", p3="$1")
+        got_d = _canon([tuple(r) for r in tsdb.sql(
+            dollar, params=[v_dim, v_num, v_key]).collect()])
+        assert got_d == got_inline, f"seed-case {i} $n-bind: {dollar!r}"
