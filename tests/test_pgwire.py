@@ -360,3 +360,70 @@ def test_cancel_request_kills_running_job(server, tsdb):
     joined = b"".join(errors3)
     assert b"57014" not in joined and b"canceling" not in joined
     c.close()
+
+
+def test_concurrent_readers_with_writer(tsdb, tmp_path):
+    """Thread-safety under load: six reader connections hammer aggregates
+    while a writer UPSERTs through the same server (each write purges the
+    volume-stat cache the readers populate — the race the _BYTES_CACHE
+    lock guards).  Every query must succeed and the final count must see
+    all writes."""
+    import threading
+
+    from yupana_spark import Tsdb, default_schema
+    from yupana_spark.server.pgwire import PgWireServer
+    from tests.conftest import SF_SMALL
+
+    wt = Tsdb(tsdb.spark, default_schema(), SF_SMALL,
+              warehouse_root=str(tmp_path / "wh"))
+    srv = PgWireServer(wt, port=0)
+    port = srv.start()
+    errs = []
+    try:
+        def reader(i):
+            try:
+                c = PgClient(port, ssl_probe=True)
+                c.read_until_ready()
+                for _ in range(4):
+                    _, rows, errors = c.query(
+                        "SELECT count(o_orderkey) AS c FROM orders "
+                        "WHERE time >= TIMESTAMP '1995-01-01' "
+                        "AND time < TIMESTAMP '1996-01-01'")
+                    assert not errors and int(rows[0][0]) > 0
+                c.close()
+            except Exception as e:  # noqa: BLE001 — collected for assert
+                errs.append(f"reader{i}: {e!r}")
+
+        def writer():
+            try:
+                c = PgClient(port, ssl_probe=True)
+                c.read_until_ready()
+                for j in range(3):
+                    _, rows, errors = c.query(
+                        "UPSERT INTO lineitem (time, l_orderkey, l_partkey,"
+                        " l_suppkey, l_linenumber, l_quantity) VALUES "
+                        f"(TIMESTAMP '1996-06-06', {7000000 + j}, 1, 1, 1,"
+                        " 42.0)")
+                    assert not errors and int(rows[0][0]) == 1
+                c.close()
+            except Exception as e:  # noqa: BLE001
+                errs.append(f"writer: {e!r}")
+
+        threads = [threading.Thread(target=reader, args=(i,))
+                   for i in range(6)]
+        threads.append(threading.Thread(target=writer))
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        assert not errs, errs
+        c = PgClient(port, ssl_probe=True)
+        c.read_until_ready()
+        _, rows, errors = c.query(
+            "SELECT count(l_orderkey) AS c FROM lineitem "
+            "WHERE time >= TIMESTAMP '1996-06-01' "
+            "AND time < TIMESTAMP '1996-07-01' AND l_orderkey >= 7000000")
+        assert not errors and int(rows[0][0]) == 3   # all writes landed
+        c.close()
+    finally:
+        srv.stop()

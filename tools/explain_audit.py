@@ -84,6 +84,14 @@ CHECKS = {
         pushed=None, expect=[],
         forbid=[r"windowspecdefinition\([^,()]* (?:ASC|DESC)",
                 "SortMergeJoin"]),
+    # text-stats bundle (quality + PII + contamination + span stats + BPE
+    # law): candidate generation is equi-joins on derived keys only — no
+    # cartesian products, no global sorts; the contamination semi-join
+    # must stay a semi join
+    "dp_text_stats": dict(
+        pushed=None, expect=["LeftSemi"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "rangepartitioning"]),
 }
 
 
