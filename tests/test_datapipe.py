@@ -1072,3 +1072,36 @@ def test_bpe_fit_encode_roundtrip(spark, docs):
     assert bpe_detokenize(row["__t"]) == " ".join(row["__w"])
     # merges memoized per cache_key
     assert bpe_fit(docs, n_merges=64, cache_key="test-docs") is merges
+
+
+def test_bpe_artifact_persistence_and_packing(spark, docs, tmp_path):
+    """Composition: the saved/reloaded merge artifact tokenizes identically
+    (production train-once/ship-with-dataset posture), and the REAL BPE
+    token counts drive sequence packing — every pack respects the budget
+    under the trained tokenizer's counts, not the whitespace estimate."""
+    from pyspark.sql import functions as F
+
+    from yupana_spark.datapipe.bpe import (bpe_fit, bpe_load, bpe_save,
+                                           bpe_tokens)
+    from yupana_spark.datapipe.pack import pack_sequences
+    from yupana_spark.datapipe.text import normalize_text, words
+
+    merges = bpe_fit(docs, n_merges=48)
+    path = str(tmp_path / "artifacts" / "bpe_merges.json")
+    bpe_save(merges, path)
+    loaded = bpe_load(path)
+    assert loaded == merges
+
+    staged = docs.withColumn("__w", words(normalize_text(F.col("text"))))
+    counts = staged.select(
+        "doc_id", F.size(bpe_tokens(F.col("__w"), loaded)).alias("n_bpe"))
+    budget = 256
+    packed = pack_sequences(counts, "doc_id", "n_bpe", budget=budget,
+                            num_buckets=8)
+    per_pack = (packed.groupBy("pack_id")
+                .agg(F.sum("n_tokens").alias("tok"),
+                     F.count("*").alias("docs")).collect())
+    assert per_pack
+    for r in per_pack:
+        assert r["tok"] <= budget or r["docs"] == 1   # FFD invariant
+    assert packed.count() == docs.count()             # conservation

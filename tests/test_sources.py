@@ -115,3 +115,24 @@ def test_parallel_read_splits_single_row_group(spark, tmp_path):
     # invalidation drops both the plan memo and the rewrite memo
     invalidate_parquet_cache(src)
     assert (app, src) not in _SPLIT_CACHE
+
+
+def test_ingest_gzip_jsonl(spark, wh, tmp_path):
+    """Compressed batches: Spark's json reader decompresses .gz
+    transparently; the connector only has to see through the compression
+    extension when inferring the format."""
+    import gzip
+
+    from yupana_spark.sources.files import infer_format, ingest_file
+
+    assert infer_format("a/b/batch.jsonl.gz") == "json"
+    assert infer_format("a/b/batch.csv.bz2") == "csv"
+
+    p = tmp_path / "batch.jsonl.gz"
+    rows = [{"ts": "2024-03-12 09:00:00", "event_id": 930001, "user_id": 3,
+             "event_type": "gz_loaded", "value": 9.5}]
+    with gzip.open(p, "wt") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    assert ingest_file(wh, "events", str(p)) == 1
+    got = wh.read("events").filter("event_type = 'gz_loaded'").collect()
+    assert [(r["event_id"], r["value"]) for r in got] == [(930001, 9.5)]

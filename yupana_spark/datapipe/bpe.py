@@ -144,6 +144,25 @@ def bpe_tokens(col: Column, merges: Sequence[Tuple[str, str]]) -> Column:
     return tok(col)
 
 
+def bpe_save(merges: Sequence[Tuple[str, str]], path: str) -> None:
+    """Persist the trained artifact (rank-ordered merge list) as JSON —
+    the production posture: train once at corpus build, ship the file with
+    the dataset so every consumer tokenizes identically."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump([list(p) for p in merges], f)
+
+
+def bpe_load(path: str) -> List[Tuple[str, str]]:
+    import json
+
+    with open(path) as f:
+        return [tuple(p) for p in json.load(f)]
+
+
 def bpe_detokenize(tokens: Sequence[str]) -> str:
     """Inverse of ``bpe_tokens`` for one document: tokens concatenate into
     words (the end-of-word marker closes each word), words join with a

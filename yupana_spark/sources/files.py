@@ -28,8 +28,17 @@ _EXT_FORMATS = {".csv": "csv", ".json": "json", ".jsonl": "json",
                 ".ndjson": "json", ".parquet": "parquet"}
 
 
+_COMPRESSION_EXTS = {".gz", ".bz2", ".zst", ".lz4", ".snappy", ".deflate"}
+
+
 def infer_format(path: str) -> str:
-    ext = os.path.splitext(path.rstrip("/"))[1].lower()
+    base = path.rstrip("/")
+    ext = os.path.splitext(base)[1].lower()
+    if ext in _COMPRESSION_EXTS:
+        # Spark's text-source readers decompress these transparently; the
+        # format comes from the next extension in (e.g. batch.jsonl.gz)
+        base = os.path.splitext(base)[0]
+        ext = os.path.splitext(base)[1].lower()
     fmt = _EXT_FORMATS.get(ext)
     if fmt is None:
         raise ValueError(
