@@ -1105,3 +1105,51 @@ def test_bpe_artifact_persistence_and_packing(spark, docs, tmp_path):
     for r in per_pack:
         assert r["tok"] <= budget or r["docs"] == 1   # FFD invariant
     assert packed.count() == docs.count()             # conservation
+
+
+def test_extract_features_real_grayscale(spark):
+    """Grayscale containers decode 2-D; the real-decoder path must report
+    channels=1 instead of crashing on the missing third axis."""
+    import numpy as np
+
+    from yupana_spark.datapipe.jpeg import encode_jpeg
+    from yupana_spark.datapipe.multimodal import (encode_png,
+                                                  extract_features)
+
+    g = np.random.RandomState(5).randint(0, 256, (9, 7), dtype=np.uint8)
+    rows = [(1, "image", encode_png(g)), (2, "image", encode_jpeg(g))]
+    df = spark.createDataFrame(rows, "media_id long, kind string, "
+                                     "content binary")
+    got = {r["media_id"]: r
+           for r in extract_features(df, use_fake_decoder=False).collect()}
+    for mid in (1, 2):
+        assert got[mid]["width"] == 7
+        assert got[mid]["height"] == 9
+        assert got[mid]["channels"] == 1
+
+
+def test_ivfadc_more_centroids_than_sample(spark):
+    """When the fit sample is smaller than n_centroids, the 1e6 padding
+    centers must not win the inner-product probe ranking (they are masked
+    like the L2 argmin naturally excludes them) — search still returns the
+    true neighbors."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from yupana_spark.datapipe.simsearch import (ivfadc_encode, ivfadc_fit,
+                                                 ivfadc_topk)
+
+    rng = np.random.RandomState(2)
+    rows = [(i, rng.standard_normal(64).tolist()) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centers, books = ivfadc_fit(df, n_centroids=16, m=8)
+    arr = ivfadc_encode(F.col("embedding"), centers, books)
+    enc = (df.withColumn("__cc", arr)
+           .withColumn("cell", F.col("__cc")[0])
+           .withColumn("pq_code", F.slice("__cc", 2, 8)).drop("__cc"))
+    qv = rows[3][1]
+    got = ivfadc_topk(enc, centers, books, qv, k=3, nprobe=4,
+                      shortlist=6).collect()
+    assert got, "padding centers consumed every probe slot"
+    assert got[0]["vec_id"] == 3     # self is found, not an empty result

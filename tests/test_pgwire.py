@@ -427,3 +427,32 @@ def test_concurrent_readers_with_writer(tsdb, tmp_path):
         c.close()
     finally:
         srv.stop()
+
+
+def test_idle_cancel_does_not_poison_next_extended_statement(server):
+    """A CancelRequest that lands while the connection is IDLE (after Sync,
+    before the next Parse) is stale — the next extended-protocol statement
+    must run normally, not die with SQLSTATE 57014."""
+    import time
+
+    c = PgClient(server, ssl_probe=True)
+    msgs = c.read_until_ready()
+    pid, secret = struct.unpack(
+        "!II", [body for tag, body in msgs if tag == b"K"][0])
+    # connection is idle: fire a cancel at it
+    s2 = socket.create_connection(("127.0.0.1", server), timeout=10)
+    s2.sendall(struct.pack("!IIII", 16, 80877102, pid, secret))
+    s2.close()
+    time.sleep(1)
+    c.send(b"P", _cstr("si") + _cstr("SELECT 9 AS nine")
+           + struct.pack("!H", 0))
+    c.send(b"B", _cstr("") + _cstr("si") + struct.pack("!H", 0)
+           + struct.pack("!H", 0) + struct.pack("!H", 0))
+    c.send(b"E", _cstr("") + struct.pack("!i", 0))
+    c.send(b"S")
+    msgs = c.read_until_ready()
+    err = b"".join(b for t, b in msgs if t == b"E")
+    assert b"57014" not in err, "stale idle cancel poisoned the statement"
+    row = next(b for t, b in msgs if t == b"D")
+    assert PgClient._row(row) == ["9"]
+    c.close()

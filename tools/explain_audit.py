@@ -139,6 +139,44 @@ def main(only=None):
             failures.append(name)
             if not only:
                 print(plan[:4000])
+    # the shard-manifest cumsum executes inside assign_shards' eager
+    # checkpoint, so its Window never reaches the returned plan the CHECKS
+    # loop explains — audit phase 1 directly: the window must be
+    # PARTITIONED (an unpartitioned windowspecdefinition leads with a sort
+    # order) and fed by range partitioning, never a single partition
+    if not only or "dp_pack_sequences" in (only or set()):
+        from pyspark.sql import functions as F
+
+        from yupana_spark.datapipe.pack import _shard_phase1
+
+        probe = spark.range(1000).select(
+            F.col("id").alias("pack_id"), F.lit(10).alias("n_tokens"))
+        import contextlib, io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            _shard_phase1(probe, "n_tokens", "pack_id", 8) \
+                .explain("formatted")
+        plan = buf.getvalue()
+        print("\n===== assign_shards phase-1 cumsum =====")
+        ok = True
+        if re.search(r"windowspecdefinition\([^,()]* (?:ASC|DESC)", plan):
+            print("  FORBIDDEN present: unpartitioned window")
+            ok = False
+        if not re.search(r"Window", plan):
+            print("  MISSING expected: Window")
+            ok = False
+        if not re.search(r"rangepartitioning", plan):
+            print("  MISSING expected: rangepartitioning (phase-1 layout)")
+            ok = False
+        if re.search(r"Exchange SinglePartition", plan):
+            print("  FORBIDDEN present: Exchange SinglePartition")
+            ok = False
+        print("  OK" if ok else "  AUDIT FAILED")
+        if not ok:
+            failures.append("assign_shards_phase1")
+            print(plan[:4000])
+
     if failures:
         print(f"\naudit failures: {failures}")
         sys.exit(1)

@@ -453,8 +453,12 @@ class Tsdb:
     _BYTES_CACHE: Dict[tuple, int] = {}
     # pgwire serves queries from concurrent threads while a write thread
     # purges stale entries: every read/insert/purge holds this lock (dict
-    # mutation during the purge's iteration would otherwise RuntimeError)
+    # mutation during the purge's iteration would otherwise RuntimeError).
+    # The epoch closes the TOCTOU window: a reader that statted the file
+    # BEFORE a purge must not re-insert its stale size AFTER it — inserts
+    # are dropped when any purge ran since the reader's snapshot
     _BYTES_CACHE_LOCK = threading.Lock()
+    _BYTES_EPOCH = 0
 
     def _table_bytes(self, table: str) -> int:
         """On-disk bytes of a table's source (memoized); 'unknown' counts as
@@ -465,6 +469,7 @@ class Tsdb:
         key = (self.sf_dir, wh.root if wh is not None else None, table)
         with Tsdb._BYTES_CACHE_LOCK:
             b = Tsdb._BYTES_CACHE.get(key)
+            epoch = Tsdb._BYTES_EPOCH
         if b is None:
             b = 1 << 62
             try:
@@ -480,7 +485,8 @@ class Tsdb:
             except OSError:
                 pass
             with Tsdb._BYTES_CACHE_LOCK:
-                Tsdb._BYTES_CACHE[key] = b
+                if Tsdb._BYTES_EPOCH == epoch:   # no purge raced the stat
+                    Tsdb._BYTES_CACHE[key] = b
         return b
 
     def _tune_for_volume(self, nbytes: int) -> None:

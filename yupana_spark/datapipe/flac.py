@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+from typing import Optional
 
 import numpy as np
 
@@ -202,12 +203,16 @@ def _best_rice_param(res: np.ndarray) -> int:
     return best_p
 
 
-def _write_residual(bw: _BitWriter, res: np.ndarray, raw_bits: int) -> None:
+def _write_residual(bw: _BitWriter, res: np.ndarray, raw_bits: int,
+                    p: Optional[int] = None) -> None:
     """Rice method 0, partition order 0; escapes to raw ``raw_bits``-bit
-    residuals when Rice would be larger (param 0b1111 escape)."""
+    residuals when Rice would be larger (param 0b1111 escape).  Pass ``p``
+    when the caller already fitted the parameter (the subframe chooser
+    did) — the 15-pass cost scan is the expensive part of the encode."""
     bw.write(0, 2)       # residual method: 4-bit Rice
     bw.write(0, 4)       # partition order 0 -> one partition
-    p = _best_rice_param(res)
+    if p is None:
+        p = _best_rice_param(res)
     if _rice_cost(res, p) > len(res) * raw_bits:
         bw.write(0x0F, 4)            # escape
         bw.write(raw_bits, 5)
@@ -258,7 +263,7 @@ def _encode_subframe(bw: _BitWriter, x: np.ndarray, bits: int) -> None:
     # residual bit width can exceed `bits` after differencing; the escape
     # path needs a bound that always holds
     raw_bits = max(bits + best_o, 4)
-    _write_residual(bw, res, min(raw_bits, 31))
+    _write_residual(bw, res, min(raw_bits, 31), p=p)
 
 
 _BLOCKSIZE_CODES = {192: 1, 576: 2, 1152: 3, 2304: 4, 4608: 5, 256: 8,

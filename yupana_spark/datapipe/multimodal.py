@@ -670,6 +670,8 @@ def decode_wav(content: bytes):
                 raise NotImplementedError(
                     f"WAV format={audio_fmt} bits={bits} unsupported "
                     "(PCM 8/16/24 only)")
+            if channels == 0:
+                raise NotImplementedError("WAV declares 0 channels")
         elif cid == b"data":
             data = (content, pos, size)
         pos += size + (size & 1)  # RIFF chunks pad to even
@@ -809,7 +811,8 @@ def extract_features(media: DataFrame, use_fake_decoder: bool = True) -> DataFra
     (width/height/channels/hash) schema."""
     def real_dims(content: bytes) -> tuple:
         px = decode_image(bytes(content))
-        return (px.shape[1], px.shape[0], px.shape[2])
+        ch = px.shape[2] if px.ndim == 3 else 1   # grayscale decodes 2-D
+        return (px.shape[1], px.shape[0], ch)
 
     decode = fake_decode_dims if use_fake_decoder else real_dims
 

@@ -126,6 +126,23 @@ def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
                 / (F.count("*") * budget), 4).alias("fill_ratio"))
 
 
+def _shard_phase1(per_pack: DataFrame, size_col: str, order_col: str,
+                  num_partitions: int) -> DataFrame:
+    """Phase 1 of the two-phase shard cumsum: range partitions + a
+    PARTITIONED window.  Exposed so tools/explain_audit.py can explain this
+    exact plan (assign_shards checkpoints it eagerly, so the window never
+    appears in the returned DataFrame's plan) and pin the no-unpartitioned-
+    window invariant."""
+    local_w = (Window.partitionBy("__pid").orderBy(order_col)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (per_pack
+            .repartitionByRange(num_partitions, F.col(order_col))
+            .sortWithinPartitions(order_col)
+            .withColumn("__pid", F.spark_partition_id())
+            .withColumn("__cum",
+                        F.sum(F.col(size_col).cast("long")).over(local_w)))
+
+
 def assign_shards(per_pack: DataFrame, size_col: str = "n_tokens",
                   order_col: str = "pack_id",
                   shard_budget: int = 1 << 20,
@@ -156,17 +173,13 @@ def assign_shards(per_pack: DataFrame, size_col: str = "n_tokens",
     """
     spark = per_pack.sparkSession
     if num_partitions is None:
-        num_partitions = int(
-            spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    local_w = (Window.partitionBy("__pid").orderBy(order_col)
-               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    local = (per_pack
-             .repartitionByRange(num_partitions, F.col(order_col))
-             .sortWithinPartitions(order_col)
-             .withColumn("__pid", F.spark_partition_id())
-             .withColumn("__cum",
-                         F.sum(F.col(size_col).cast("long")).over(local_w))
-             .localCheckpoint(eager=True))
+        try:
+            num_partitions = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        except ValueError:            # e.g. AQE 'auto' on managed runtimes
+            num_partitions = 200
+    local = _shard_phase1(per_pack, size_col, order_col,
+                          num_partitions).localCheckpoint(eager=True)
     # phase 2: per-partition totals -> driver.  Bounded collect: exactly
     # one row per non-empty partition (== num_partitions, never data-sized).
     totals = (local.groupBy("__pid").agg(F.max("__cum").alias("__t"))

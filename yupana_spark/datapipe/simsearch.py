@@ -479,6 +479,10 @@ def ivfadc_topk(encoded: DataFrame, centers: np.ndarray,
     qv = np.asarray(query_vec, dtype=np.float64)
     qv = qv / max(float(np.linalg.norm(qv)), 1e-300)
     cell_ip = C @ qv                         # <q, c> per cell
+    # padding rows (1e6-filled when the fit sample had fewer vectors than
+    # n_centroids) must never win the inner-product ranking the way they
+    # never win an L2 argmin — mask them out of the probe set
+    cell_ip = np.where(np.abs(C).max(axis=1) >= 1e6, -np.inf, cell_ip)
     probe = np.argsort(-cell_ip)[:nprobe].tolist()
     lut = np.stack([B[j] @ qv[j * dsub:(j + 1) * dsub]
                     for j in range(m)])      # (m, ks)

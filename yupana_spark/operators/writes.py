@@ -288,6 +288,7 @@ class Warehouse:
             for k in [k for k in Tsdb._BYTES_CACHE
                       if k[1] == self.root and k[2] == table]:
                 del Tsdb._BYTES_CACHE[k]
+            Tsdb._BYTES_EPOCH += 1   # invalidate in-flight reader stats
 
     def _log_interval(self, table: str, incoming: DataFrame) -> None:
         """Changelog: record which (table, day) windows were rewritten."""

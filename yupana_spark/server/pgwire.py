@@ -410,6 +410,11 @@ class _Conn(socketserver.BaseRequestHandler):
                     self.server.cancelled_groups.discard(self._group)
                     self._simple_query(body)
                 elif tag == b"P":
+                    # a new statement begins: any cancel flagged while the
+                    # connection sat idle since the last Sync is stale
+                    # (postgres: a cancel received while idle is a no-op);
+                    # cancels arriving from here on target THIS statement
+                    self.server.cancelled_groups.discard(self._group)
                     self._parse_msg(body, statements)
                     self._send(_Buf().msg(b"1"))          # ParseComplete
                 elif tag == b"B":
