@@ -1145,10 +1145,19 @@ def dp_text_stats(spark, sf_dir):
     from yupana_spark.datapipe.dedup import duplicated_span_stats
 
     spans = duplicated_span_stats(docs).withColumnRenamed("id", "doc_id")
+    # the COMPOSED pipeline decision (datapipe/filters.corpus_keep):
+    # quality + language + exact-dup + decontamination -> keep/reasons,
+    # every rule recomputed arithmetically by the oracle
+    from yupana_spark.datapipe.filters import corpus_keep
+
+    keep = (corpus_keep(docs, min_quality=0.7, langs=("en",),
+                        eval_docs=docs.filter(did % 97 == 0))
+            .withColumnRenamed("id", "doc_id"))
     return (base.join(flags, "doc_id", "left")
             .withColumn("contaminated",
                         F.coalesce(F.col("contaminated"), F.lit(False)))
-            .join(spans, "doc_id", "left"))
+            .join(spans, "doc_id", "left")
+            .join(keep, "doc_id", "left"))
 
 
 def dp_lang_id(spark, sf_dir):
@@ -2152,6 +2161,34 @@ _ORACLES_DP: dict[str, str] = {
                  CAST(sum(CASE WHEN gc.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_dup_spans
           FROM ngr o JOIN gc ON o.g = gc.g GROUP BY 1),
+        dupf AS (
+          SELECT doc_id,
+                 doc_id <> min(doc_id) OVER (PARTITION BY fp) AS isdup
+          FROM (SELECT doc_id,
+                       md5(trim(regexp_replace(regexp_replace(lower(text),
+                           '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))
+                           AS fp
+                FROM documents)),
+        lg AS (
+          SELECT doc_id,
+            CASE WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0
+                 THEN 'zh'
+                 WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                 WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                 WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                 WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                 ELSE 'fr' END AS pred
+          FROM (
+            SELECT doc_id, text,
+              len(list_intersect(dws, ['der','die','das','und','ist','ein','eine','zu','mit','von'])) AS s_de,
+              len(list_intersect(dws, ['the','a','of','and','to','in','is','that','it','for'])) AS s_en,
+              len(list_intersect(dws, ['el','la','de','que','y','en','un','una','es','por'])) AS s_es,
+              len(list_intersect(dws, ['le','la','de','et','un','une','est','que','pour','dans'])) AS s_fr
+            FROM (SELECT doc_id, text,
+                         list_distinct(list_filter(
+                            string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS dws
+                  FROM documents))),
         m2 AS (
           SELECT doc_id, text, aug, n_chars,
                  CAST(len(ws) AS INTEGER) AS n_words,
@@ -2199,10 +2236,30 @@ _ORACLES_DP: dict[str, str] = {
                (cont.doc_id IS NOT NULL) AS contaminated,
                ss.n_spans, ss.n_dup_spans,
                round(ss.n_dup_spans / greatest(ss.n_spans, 1), 6)
-                   AS dup_span_ratio
+                   AS dup_span_ratio,
+               length(fr.reasons) = 0 AS keep, fr.reasons
         FROM m2 LEFT JOIN cont ON m2.doc_id = cont.doc_id
         JOIN rep ON m2.doc_id = rep.doc_id
         LEFT JOIN spanstats ss ON m2.doc_id = ss.doc_id
+        LEFT JOIN (
+          SELECT m3.doc_id,
+                 coalesce(array_to_string(list_filter([
+                   CASE WHEN c2.doc_id IS NOT NULL THEN 'contaminated' END,
+                   CASE WHEN dupf.isdup THEN 'duplicate' END,
+                   CASE WHEN lg.pred <> 'en' THEN 'lang' END,
+                   CASE WHEN round((CASE WHEN m3.n_words >= 5 THEN 1 ELSE 0 END
+                        + CASE WHEN round(m3.n_alpha / m3.safe_len, 6) > 0.5 THEN 1 ELSE 0 END
+                        + CASE WHEN round(m3.n_punct / m3.safe_len, 6) < 0.2 THEN 1 ELSE 0 END
+                        + CASE WHEN round(m3.n_alpha / m3.safe_words, 6)
+                               BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END
+                        + CASE WHEN m3.n_chars >= 20 THEN 1 ELSE 0 END) / 5.0, 6)
+                        < 0.7 THEN 'low_quality' END
+                 ], x -> x IS NOT NULL), ','), '') AS reasons
+          FROM m2 m3
+          LEFT JOIN cont c2 ON m3.doc_id = c2.doc_id
+          JOIN dupf ON m3.doc_id = dupf.doc_id
+          JOIN lg ON m3.doc_id = lg.doc_id
+        ) fr ON m2.doc_id = fr.doc_id
     """,
     "dp_lang_id": """
         WITH w AS (

@@ -1153,3 +1153,35 @@ def test_ivfadc_more_centroids_than_sample(spark):
                       shortlist=6).collect()
     assert got, "padding centers consumed every probe slot"
     assert got[0]["vec_id"] == 3     # self is found, not an empty result
+
+
+def test_corpus_keep_reasons(spark):
+    """The composed pipeline decision: each rule fires independently and
+    reasons list alphabetically; a clean doc keeps."""
+    from yupana_spark.datapipe.filters import corpus_keep
+
+    good = ("the quick brown fox jumps over the lazy dog and runs far "
+            "into the quiet green field for a long while today")
+    rows = [
+        (1, good),                    # clean -> keep
+        (2, good),                    # duplicate of 1 (higher id drops)
+        (3, "der hund und die katze sind mit dem auto zu dem haus "
+            "gefahren und bleiben dort mit den kindern"),   # German
+        (4, "!!! ??? ### $$$ %%%"),   # junk -> low quality (and und lang)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    evals = spark.createDataFrame([(99, good)], "doc_id long, text string")
+    got = {r["id"]: (r["keep"], r["reasons"])
+           for r in corpus_keep(docs, min_quality=0.7, langs=("en",),
+                                eval_docs=evals).collect()}
+    assert got[1] == (False, "contaminated")     # shares 8-grams with eval
+    assert got[2][0] is False
+    assert "duplicate" in got[2][1] and "contaminated" in got[2][1]
+    assert got[2][1] == ",".join(sorted(got[2][1].split(",")))
+    assert got[3] == (False, "lang")
+    assert got[4][0] is False and "low_quality" in got[4][1]
+    # without the eval side, doc 1 keeps
+    got2 = {r["id"]: (r["keep"], r["reasons"])
+            for r in corpus_keep(docs, min_quality=0.7,
+                                 langs=("en",)).collect()}
+    assert got2[1] == (True, "")

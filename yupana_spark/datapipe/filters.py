@@ -1,0 +1,71 @@
+"""Corpus filtering: the composed keep/drop decision of a training-data
+pipeline (C4 / Gopher / RefinedWeb all end in this shape: per-document
+rules -> keep flag + the reasons it was dropped).
+
+Composition of the repo's own primitives — quality score, language ID,
+exact-dup detection, benchmark decontamination — into ONE relational
+decision: (id, keep, reasons).  Reasons are a SORTED comma-joined string so
+the output is hash-stable and a SQL oracle can recompute it exactly.
+
+100 TB shape: quality + language are row-local JVM expressions on the one
+scan; the dup flag is the exact-dedup fingerprint window (one shuffle on
+32-byte md5); decontamination is the broadcast n-gram semi-join.  Nothing
+collects; the decision column composes with any downstream write.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def corpus_keep(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", min_quality: float = 0.7,
+                langs: Optional[Sequence[str]] = ("en",),
+                eval_docs: Optional[DataFrame] = None) -> DataFrame:
+    """(id, keep, reasons): keep iff NO rule fires; ``reasons`` lists the
+    fired rules in fixed alphabetical order ('contaminated', 'duplicate',
+    'lang', 'low_quality'), comma-joined ('' when kept).
+
+    Rules (each optional):
+    * quality_score < ``min_quality``          -> 'low_quality'
+    * predicted language not in ``langs``      -> 'lang'  (None disables)
+    * exact-duplicate (non-min-id fingerprint) -> 'duplicate'
+    * shares a word-8-gram with ``eval_docs``  -> 'contaminated'
+    """
+    from .dedup import exact_dedup
+    from .text import contaminated_ids, lang_id, quality_score
+
+    out = exact_dedup(df, text_col, id_col).select(
+        F.col(id_col).alias("id"),
+        F.col("is_duplicate"),
+        quality_score(F.col(text_col)).alias("__q"),
+        lang_id(F.col(text_col)).alias("__lang"),
+    )
+    if eval_docs is not None:
+        flags = (contaminated_ids(df, eval_docs, text_col, id_col)
+                 .select(F.col(id_col).alias("id"))
+                 .withColumn("__cont", F.lit(True)))
+        out = (out.join(flags, "id", "left")
+               .withColumn("__cont", F.coalesce(F.col("__cont"),
+                                                F.lit(False))))
+    else:
+        out = out.withColumn("__cont", F.lit(False))
+    lang_bad = (F.lit(False) if langs is None
+                else ~F.col("__lang").isin(*langs))
+    reasons = F.array_join(
+        F.filter(
+            F.array(
+                F.when(F.col("__cont"), F.lit("contaminated")),
+                F.when(F.col("is_duplicate"), F.lit("duplicate")),
+                F.when(lang_bad, F.lit("lang")),
+                F.when(F.col("__q") < F.lit(float(min_quality)),
+                       F.lit("low_quality")),
+            ),
+            lambda x: x.isNotNull()),
+        ",")
+    return out.select(
+        "id",
+        (F.length(reasons) == 0).alias("keep"),
+        reasons.alias("reasons"))
