@@ -250,3 +250,62 @@ def test_streaming_neardup_superset_of_batch(spark, tmp_path):
         assert streamed[pair] == j
     assert all(j >= 0.5 for j in streamed.values())  # soundness
     assert (4, 500) in streamed and streamed[(4, 500)] == 1.0
+
+
+def test_streaming_corpus_filter_matches_batch(spark, tmp_path):
+    """Online keep/drop (streaming/filters.py): on an id-ordered replay of
+    a static corpus the streamed decisions must EQUAL the batch
+    corpus_keep decisions — row-local rules are shared Column expressions,
+    dup flagging by arrival order coincides with min-id on an ordered
+    replay, and decontamination matches because both sides use the same
+    n-gram definition."""
+    from pyspark.sql import types as T
+
+    from yupana_spark.datapipe.filters import corpus_keep
+    from yupana_spark.streaming.filters import streaming_corpus_filter
+
+    good = ("the quick brown fox jumps over the lazy dog and runs far "
+            "into the quiet green field for a long while today")
+    extra = ("a small red bird sits on the old stone wall and sings a "
+             "soft song to the bright morning sun above the hills")
+    rows = [
+        (1, good), (2, extra),
+        (3, "der hund und die katze sind mit dem auto zu dem haus "
+            "gefahren und bleiben dort mit den kindern"),
+        (4, "!!! ??? ### $$$ %%%"),
+        (5, good),                 # duplicate of 1, later chunk
+    ]
+    schema = "doc_id long, text string"
+    docs = spark.createDataFrame(rows, schema)
+    evals = spark.createDataFrame([(99, extra)], schema)
+    batch = {r["id"]: (r["keep"], r["reasons"])
+             for r in corpus_keep(docs, min_quality=0.7, langs=("en",),
+                                  eval_docs=evals).collect()}
+
+    src = tmp_path / "cf_src"
+    src.mkdir()
+    spark.createDataFrame(rows[:3], schema).coalesce(1) \
+        .write.parquet(str(src / "a"))
+    spark.createDataFrame(rows[3:], schema).coalesce(1) \
+        .write.parquet(str(src / "b"))
+    stream = (spark.readStream
+              .schema(T.StructType([T.StructField("doc_id", T.LongType()),
+                                    T.StructField("text", T.StringType())]))
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+    out = streaming_corpus_filter(stream, min_quality=0.7, langs=("en",),
+                                  eval_docs=evals)
+    q = (out.writeStream.format("memory").queryName("cf")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "cf_ck"))
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination()
+        streamed = {r["id"]: (r["keep"], r["reasons"])
+                    for r in spark.table("cf").collect()}
+    finally:
+        q.stop()
+        spark.catalog.dropTempView("cf")
+    assert streamed == batch
+    assert streamed[5][0] is False and "duplicate" in streamed[5][1]
+    assert streamed[2] == (False, "contaminated")
+    assert streamed[3] == (False, "lang")

@@ -1,0 +1,145 @@
+"""Online corpus filtering: the batch keep/drop decision
+(datapipe/filters.corpus_keep) for an always-on ingest.
+
+Row-local rules (quality score, language ID, decontamination against a
+STATIC eval corpus) are stateless and computed scan-side; the one stateful
+rule is exact-dup — "is this content fingerprint already seen" — kept per
+fingerprint with ``applyInPandasWithState`` (the same keyed layout as
+Spark's own streaming dedup, but FLAGGING later arrivals instead of
+dropping them, so the output keeps the per-document decision contract:
+(id, keep, reasons)).  The row-local columns ride THROUGH the stateful
+operator: a streaming join back to the source would be a stream-stream
+join, which append mode forbids.
+
+Decontamination without a join: the eval corpus is bounded by definition
+(the batch path already broadcasts it), so its distinct word-8-gram hash
+set collects to a frozenset closed over an Arrow-batched UDF — the same
+data movement as the batch broadcast, minus the join machinery a stream
+cannot use.
+
+Scale posture: dup state is one marker per distinct fingerprint (32-byte
+md5 keys); the ``idle_timeout_ms`` knob bounds it by the horizon's arrival
+volume exactly like ``neardup.streaming_neardup_pairs``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Optional, Sequence, Tuple
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_OUT_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("q", T.DoubleType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("cont", T.BooleanType()),
+    T.StructField("is_duplicate", T.BooleanType()),
+])
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("n", T.IntegerType()),
+])
+
+
+def _make_dup_update(idle_timeout_ms: Optional[int]):
+    def _dup_update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+                    state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = state.get[0] > 0 if state.exists else False
+        frames = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("id")   # deterministic arrival order
+            dup = [False] * len(pdf)
+            for i in range(len(pdf)):
+                dup[i] = seen
+                seen = True
+            out = pdf[["id", "q", "lang", "cont"]].copy()
+            out["is_duplicate"] = dup
+            frames.append(out)
+        state.update((1 if seen else 0,))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        for f in frames:
+            yield f
+
+    return _dup_update
+
+
+def _contaminated_col(text_col: Column, eval_hashes) -> Column:
+    """Row-local contamination flag: any word-8-gram hash in the eval set
+    (a frozenset closed over an Arrow-batched UDF)."""
+    from ..datapipe.text import ngram_hashes, normalize_text, words
+
+    ev = frozenset(int(h) for h in eval_hashes)
+
+    @F.pandas_udf(T.BooleanType())
+    def hit(grams: pd.Series) -> pd.Series:
+        return pd.Series([
+            any(int(g) in ev for g in (arr if arr is not None else []))
+            for arr in grams])
+
+    return hit(ngram_hashes(words(normalize_text(text_col)), 8))
+
+
+def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            min_quality: float = 0.7,
+                            langs: Optional[Sequence[str]] = ("en",),
+                            eval_docs: Optional[DataFrame] = None,
+                            idle_timeout_ms: Optional[int] = None
+                            ) -> DataFrame:
+    """Streaming (id, keep, reasons): same rules, labels and reason order
+    as the batch ``corpus_keep`` — on a full replay of a static corpus the
+    decisions MATCH the batch operator's (the equivalence the test pins),
+    except that 'duplicate' marks arrival order (later arrival of equal
+    content) instead of higher id, the only meaningful notion online."""
+    from ..datapipe.text import (fingerprint_md5, lang_id, ngram_hashes,
+                                 normalize_text, quality_score, words)
+
+    if eval_docs is not None:
+        # bounded by the eval corpus' size (the batch path broadcasts the
+        # same set); one static collect, no stream-side state
+        ev_rows = (eval_docs
+                   .select(F.explode(ngram_hashes(
+                       words(normalize_text(F.col(text_col))), 8))
+                       .alias("h"))
+                   .distinct().collect())
+        cont = _contaminated_col(F.col(text_col),
+                                 [r["h"] for r in ev_rows])
+    else:
+        cont = F.lit(False)
+    base = stream.select(
+        F.col(id_col).cast("long").alias("id"),
+        fingerprint_md5(F.col(text_col)).alias("__fp"),
+        quality_score(F.col(text_col)).alias("q"),
+        lang_id(F.col(text_col)).alias("lang"),
+        cont.alias("cont"),
+    )
+    timeout = (GroupStateTimeout.NoTimeout if idle_timeout_ms is None
+               else GroupStateTimeout.ProcessingTimeTimeout)
+    flagged = (base.groupBy("__fp")
+               .applyInPandasWithState(
+                   _make_dup_update(idle_timeout_ms), _OUT_SCHEMA,
+                   _STATE_SCHEMA, "append", timeout))
+    lang_bad = (F.lit(False) if langs is None
+                else ~F.col("lang").isin(*langs))
+    reasons = F.array_join(
+        F.filter(
+            F.array(
+                F.when(F.col("cont"), F.lit("contaminated")),
+                F.when(F.col("is_duplicate"), F.lit("duplicate")),
+                F.when(lang_bad, F.lit("lang")),
+                F.when(F.col("q") < F.lit(float(min_quality)),
+                       F.lit("low_quality")),
+            ),
+            lambda x: x.isNotNull()),
+        ",")
+    return flagged.select(
+        "id",
+        (F.length(reasons) == 0).alias("keep"),
+        reasons.alias("reasons"))
