@@ -2166,7 +2166,7 @@ _ORACLES_DP: dict[str, str] = {
                  doc_id <> min(doc_id) OVER (PARTITION BY fp) AS isdup
           FROM (SELECT doc_id,
                        md5(trim(regexp_replace(regexp_replace(lower(text),
-                           '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))
+                           '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))
                            AS fp
                 FROM documents)),
         lg AS (
@@ -2186,7 +2186,7 @@ _ORACLES_DP: dict[str, str] = {
               len(list_intersect(dws, ['le','la','de','et','un','une','est','que','pour','dans'])) AS s_fr
             FROM (SELECT doc_id, text,
                          list_distinct(list_filter(
-                            string_split_regex(lower(text), '\s+'),
+                            string_split_regex(lower(text), '\\s+'),
                             x -> x <> '')) AS dws
                   FROM documents))),
         m2 AS (

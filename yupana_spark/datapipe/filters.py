@@ -17,7 +17,25 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def keep_reasons(cont: Column, is_dup: Column, lang_bad: Column,
+                 quality: Column, min_quality: float) -> Column:
+    """The ONE definition of the decision labels and their (alphabetical)
+    order — shared by the batch and streaming operators so their
+    pinned-equal decisions cannot drift apart."""
+    return F.array_join(
+        F.filter(
+            F.array(
+                F.when(cont, F.lit("contaminated")),
+                F.when(is_dup, F.lit("duplicate")),
+                F.when(lang_bad, F.lit("lang")),
+                F.when(quality < F.lit(float(min_quality)),
+                       F.lit("low_quality")),
+            ),
+            lambda x: x.isNotNull()),
+        ",")
 
 
 def corpus_keep(df: DataFrame, text_col: str = "text",
@@ -54,17 +72,8 @@ def corpus_keep(df: DataFrame, text_col: str = "text",
         out = out.withColumn("__cont", F.lit(False))
     lang_bad = (F.lit(False) if langs is None
                 else ~F.col("__lang").isin(*langs))
-    reasons = F.array_join(
-        F.filter(
-            F.array(
-                F.when(F.col("__cont"), F.lit("contaminated")),
-                F.when(F.col("is_duplicate"), F.lit("duplicate")),
-                F.when(lang_bad, F.lit("lang")),
-                F.when(F.col("__q") < F.lit(float(min_quality)),
-                       F.lit("low_quality")),
-            ),
-            lambda x: x.isNotNull()),
-        ",")
+    reasons = keep_reasons(F.col("__cont"), F.col("is_duplicate"),
+                           lang_bad, F.col("__q"), min_quality)
     return out.select(
         "id",
         (F.length(reasons) == 0).alias("keep"),

@@ -246,6 +246,18 @@ def ngram_hashes(col: Column, n: int = 8) -> Column:
                        lambda s: F.xxhash64(s))
 
 
+def exploded_ngram_hashes(df: DataFrame, text_col: str = "text",
+                          n: int = 8, *keep) -> DataFrame:
+    """One (``*keep``, h) row per word-``n``-gram hash occurrence, with
+    the word array STAGED before the n-gram lambda (the ngram_hashes
+    caveat: an unstaged expression re-normalizes and re-splits the text
+    once per n-gram) — THE shared n-gram definition every decontamination
+    consumer (batch semi-join, streaming UDF set) must use."""
+    staged = df.withColumn("__w", words(normalize_text(F.col(text_col))))
+    return staged.select(
+        *keep, F.explode(ngram_hashes(F.col("__w"), n)).alias("h"))
+
+
 def contaminated_ids(docs: DataFrame, eval_docs: DataFrame,
                      text_col: str = "text", id_col: str = "doc_id",
                      n: int = 8) -> DataFrame:
@@ -256,14 +268,9 @@ def contaminated_ids(docs: DataFrame, eval_docs: DataFrame,
     n-gram hash set broadcasts; the training side is a single exploded scan
     semi-joined map-side — no shuffle of the 100 TB side.  Distinct runs on
     the surviving ids only.  Word arrays are staged before the n-gram
-    lambdas (see ngram_hashes) on both sides."""
-    def exploded(df, *keep):
-        staged = df.withColumn("__w", words(normalize_text(F.col(text_col))))
-        return staged.select(
-            *keep, F.explode(ngram_hashes(F.col("__w"), n)).alias("h"))
-
-    d = exploded(docs, F.col(id_col))
-    e = exploded(eval_docs).distinct()
+    lambdas (see ngram_hashes) on both sides via exploded_ngram_hashes."""
+    d = exploded_ngram_hashes(docs, text_col, n, F.col(id_col))
+    e = exploded_ngram_hashes(eval_docs, text_col, n).distinct()
     return (d.join(F.broadcast(e), "h", "left_semi")
             .select(id_col).distinct())
 

@@ -51,29 +51,32 @@ def _make_dup_update(idle_timeout_ms: Optional[int]):
             state.remove()
             return
         seen = state.get[0] > 0 if state.exists else False
-        frames = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("id")   # deterministic arrival order
-            dup = [False] * len(pdf)
-            for i in range(len(pdf)):
-                dup[i] = seen
-                seen = True
-            out = pdf[["id", "q", "lang", "cont"]].copy()
-            out["is_duplicate"] = dup
-            frames.append(out)
+        # concat ALL Arrow chunks before sorting: a group split across
+        # chunks in one micro-batch must still flag by global id order
+        # (min id first), or the streamed==batch equivalence breaks
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("id")
+        dup = [False] * len(pdf)
+        for i in range(len(pdf)):
+            dup[i] = seen
+            seen = True
         state.update((1 if seen else 0,))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
-        for f in frames:
-            yield f
+        if len(pdf):
+            out = pdf[["id", "q", "lang", "cont"]].copy()
+            out["is_duplicate"] = dup
+            yield out
 
     return _dup_update
 
 
-def _contaminated_col(text_col: Column, eval_hashes) -> Column:
+def _contaminated_col(word_array: Column, eval_hashes) -> Column:
     """Row-local contamination flag: any word-8-gram hash in the eval set
-    (a frozenset closed over an Arrow-batched UDF)."""
-    from ..datapipe.text import ngram_hashes, normalize_text, words
+    (a frozenset closed over an Arrow-batched UDF).  ``word_array`` must be
+    a STAGED words(normalize_text(...)) column — the ngram lambda would
+    otherwise re-normalize the text once per n-gram (the ngram_hashes
+    caveat)."""
+    from ..datapipe.text import ngram_hashes
 
     ev = frozenset(int(h) for h in eval_hashes)
 
@@ -83,7 +86,7 @@ def _contaminated_col(text_col: Column, eval_hashes) -> Column:
             any(int(g) in ev for g in (arr if arr is not None else []))
             for arr in grams])
 
-    return hit(ngram_hashes(words(normalize_text(text_col)), 8))
+    return hit(ngram_hashes(word_array, 8))
 
 
 def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
@@ -98,22 +101,22 @@ def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
     decisions MATCH the batch operator's (the equivalence the test pins),
     except that 'duplicate' marks arrival order (later arrival of equal
     content) instead of higher id, the only meaningful notion online."""
-    from ..datapipe.text import (fingerprint_md5, lang_id, ngram_hashes,
-                                 normalize_text, quality_score, words)
+    from ..datapipe.text import (exploded_ngram_hashes, fingerprint_md5,
+                                 lang_id, normalize_text, quality_score,
+                                 words)
 
+    staged = stream.withColumn("__w",
+                               words(normalize_text(F.col(text_col))))
     if eval_docs is not None:
         # bounded by the eval corpus' size (the batch path broadcasts the
-        # same set); one static collect, no stream-side state
-        ev_rows = (eval_docs
-                   .select(F.explode(ngram_hashes(
-                       words(normalize_text(F.col(text_col))), 8))
-                       .alias("h"))
+        # same set); one static collect through THE shared staged n-gram
+        # definition (text.exploded_ngram_hashes), no stream-side state
+        ev_rows = (exploded_ngram_hashes(eval_docs, text_col, 8)
                    .distinct().collect())
-        cont = _contaminated_col(F.col(text_col),
-                                 [r["h"] for r in ev_rows])
+        cont = _contaminated_col(F.col("__w"), [r["h"] for r in ev_rows])
     else:
         cont = F.lit(False)
-    base = stream.select(
+    base = staged.select(
         F.col(id_col).cast("long").alias("id"),
         fingerprint_md5(F.col(text_col)).alias("__fp"),
         quality_score(F.col(text_col)).alias("q"),
@@ -126,19 +129,12 @@ def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
                .applyInPandasWithState(
                    _make_dup_update(idle_timeout_ms), _OUT_SCHEMA,
                    _STATE_SCHEMA, "append", timeout))
+    from ..datapipe.filters import keep_reasons
+
     lang_bad = (F.lit(False) if langs is None
                 else ~F.col("lang").isin(*langs))
-    reasons = F.array_join(
-        F.filter(
-            F.array(
-                F.when(F.col("cont"), F.lit("contaminated")),
-                F.when(F.col("is_duplicate"), F.lit("duplicate")),
-                F.when(lang_bad, F.lit("lang")),
-                F.when(F.col("q") < F.lit(float(min_quality)),
-                       F.lit("low_quality")),
-            ),
-            lambda x: x.isNotNull()),
-        ",")
+    reasons = keep_reasons(F.col("cont"), F.col("is_duplicate"),
+                           lang_bad, F.col("q"), min_quality)
     return flagged.select(
         "id",
         (F.length(reasons) == 0).alias("keep"),
