@@ -334,7 +334,7 @@ def _link_predicate(rng: random.Random):
             glue.join(f"({d})" for _, d in leaves))
 
 
-@pytest.mark.parametrize("seed", [81411, 23, 777])
+@pytest.mark.parametrize("seed", [81411, 23, 777, 4242])
 def test_differential_link_surface(tsdb, duck, seed):
     """Random link-enrichment / semi- / anti-join queries vs DuckDB LEFT
     JOIN SQL: group keys and predicates drawn across own dims and
@@ -382,7 +382,7 @@ def test_differential_link_surface(tsdb, duck, seed):
 # rows.  DuckDB mirror: explicit OVER (PARTITION BY ... ORDER BY time,
 # o_orderkey) — o_orderkey is unique, so the tiebreak totalizes the order.
 # ---------------------------------------------------------------------------
-@pytest.mark.parametrize("seed", [91525, 31])
+@pytest.mark.parametrize("seed", [91525, 31, 6006])
 def test_differential_window_surface(tsdb, duck, seed):
     rng = random.Random(seed)
     slices = [("1995-01-01", "1995-04-01"), ("1996-03-01", "1996-07-01"),
@@ -442,7 +442,7 @@ EV_TRUNCS = [("trunc_day(time)",
               "CAST(extract(day FROM ts) AS INTEGER)")]
 
 
-@pytest.mark.parametrize("seed", [24011, 86])
+@pytest.mark.parametrize("seed", [24011, 86, 515])
 def test_differential_events_nanos(tsdb, duck, seed):
     rng = random.Random(seed)
     for i in range(15):
