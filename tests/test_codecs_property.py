@@ -653,3 +653,36 @@ def test_wav_8_and_24_bit_decode():
 
     with pytest.raises(NotImplementedError):
         decode_wav(wav(12, b"\x00\x00"))
+
+
+def test_avi_audio_track_roundtrip():
+    """PCM16 audio track muxed/demuxed alongside the MJPEG video stream:
+    samples roundtrip exactly (incl. block-align remainders and stereo),
+    the video frames still decode, and video-only files stay audio-free."""
+    from yupana_spark.datapipe.avi import (decode_avi_audio,
+                                           decode_avi_frames,
+                                           encode_avi_mjpeg, parse_avi)
+    from yupana_spark.datapipe.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(1)
+    frames = [encode_jpeg(rng.randint(0, 256, (16, 24, 3), np.uint8), 85)
+              for _ in range(5)]
+    tone = (2000 * np.sin(np.arange(8000) / 20.0)).astype(np.int16)
+    blob = encode_avi_mjpeg(frames, 24, 16, fps=5, audio=tone,
+                            audio_rate=8000)
+    r, c, back = decode_avi_audio(blob)
+    assert (r, c) == (8000, 1) and np.array_equal(back, tone)
+    # stereo with a non-divisible sample count: the last interleaved
+    # block carries the remainder — nothing drops
+    st = np.arange(7001 * 2, dtype=np.int16)
+    b2 = encode_avi_mjpeg(frames[:3], 24, 16, audio=st, audio_rate=22050,
+                          audio_channels=2)
+    r2, c2, s2 = decode_avi_audio(b2)
+    assert (r2, c2) == (22050, 2) and np.array_equal(s2, st)
+    dec = decode_avi_frames(blob, every_n=2)
+    assert [i for i, _ in dec] == [0, 2, 4]
+    assert np.array_equal(dec[0][1], decode_jpeg(frames[0]))
+    v = encode_avi_mjpeg(frames[:2], 24, 16)
+    assert "audio_bytes" not in parse_avi(v)
+    with pytest.raises(NotImplementedError):
+        decode_avi_audio(v)

@@ -2,10 +2,11 @@
 of the multimodal column support.
 
 The container is plain RIFF (public Microsoft 'AVI RIFF File Reference'):
-a `hdrl` LIST carrying the 56-byte `avih` main header and one video
-stream's `strh`/`strf` (BITMAPINFOHEADER with 'MJPG' compression), a
-`movi` LIST of `00dc` chunks each holding ONE complete baseline-JFIF
-image, and an `idx1` index.  Frames decode with the repo's own baseline
+a `hdrl` LIST carrying the 56-byte `avih` main header, one video
+stream's `strh`/`strf` (BITMAPINFOHEADER with 'MJPG' compression) and
+optionally a PCM16 'auds' stream (WAVEFORMAT strf), a `movi` LIST of
+`00dc` frame chunks with `01wb` audio blocks interleaved one per frame
+(the standard A/V lockstep layout), and an `idx1` index.  Frames decode with the repo's own baseline
 JPEG codec (datapipe/jpeg.py) — no imaging libraries.  Motion-JPEG is the
 one mainstream video codec expressible this way (every frame is an
 independent JPEG: no interframe prediction, no entropy context across
@@ -33,33 +34,66 @@ def _list(list_type: bytes, payload: bytes) -> bytes:
 
 
 def encode_avi_mjpeg(frames: List[bytes], width: int, height: int,
-                     fps: int = 10) -> bytes:
+                     fps: int = 10, audio=None, audio_rate: int = 16000,
+                     audio_channels: int = 1) -> bytes:
     """Mux pre-encoded JPEG frames into an AVI/MJPEG byte stream.
 
     ``frames`` are complete JFIF streams (e.g. from ``jpeg.encode_jpeg``);
     all must share ``width`` x ``height``.  Emits avih + one 'vids'/'MJPG'
     stream + movi + idx1 — the layout every mainstream demuxer accepts.
+
+    ``audio`` (optional int16 interleaved sample array) adds a PCM16
+    'auds' stream: a WAVEFORMAT strf and '01wb' chunks interleaved one per
+    video frame (the standard AVI layout — players read A/V in lockstep).
     """
     if not frames:
         raise ValueError("at least one frame required")
     us_per_frame = 1_000_000 // max(fps, 1)
     max_size = max(len(f) for f in frames)
+    n_streams = 2 if audio is not None else 1
     avih = struct.pack(
-        "<14I", us_per_frame, max_size * fps, 0, 0x10, len(frames), 0, 1,
-        max_size, width, height, 0, 0, 0, 0)
+        "<14I", us_per_frame, max_size * fps, 0, 0x10, len(frames), 0,
+        n_streams, max_size, width, height, 0, 0, 0, 0)
     strh = (b"vids" + b"MJPG" + struct.pack(
         "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), max_size,
         0xFFFFFFFF, 0) + struct.pack("<4H", 0, 0, width, height))
     strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
                        width * height * 3, 0, 0, 0, 0)
-    hdrl = _list(b"hdrl", _chunk(b"avih", avih)
-                 + _list(b"strl", _chunk(b"strh", strh)
-                         + _chunk(b"strf", strf)))
+    strls = _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
+    blocks: List[bytes] = []
+    if audio is not None:
+        import numpy as np
+
+        pcm = np.asarray(audio, dtype="<i2").tobytes()
+        block_align = 2 * audio_channels
+        n_blocks = len(pcm) // block_align
+        astrh = (b"auds" + b"\x00" * 4 + struct.pack(
+            "<IHHIIIIIIII", 0, 0, 0, 0, 1, audio_rate, 0, n_blocks,
+            len(pcm), 0xFFFFFFFF, block_align) + struct.pack("<4H", 0, 0,
+                                                             0, 0))
+        astrf = struct.pack("<HHIIHH", 1, audio_channels, audio_rate,
+                            audio_rate * block_align, block_align, 16)
+        strls += _list(b"strl", _chunk(b"strh", astrh)
+                       + _chunk(b"strf", astrf))
+        # one audio block per video frame, block-aligned; the LAST block
+        # takes the remainder so no trailing samples are dropped
+        per = -(-len(pcm) // len(frames))
+        per -= per % block_align
+        per = max(per, block_align)
+        blocks = [pcm[i * per:(i + 1) * per]
+                  for i in range(len(frames) - 1)]
+        blocks.append(pcm[(len(frames) - 1) * per:])
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih) + strls)
     movi_chunks, idx, off = [], [], 4  # offsets count from 'movi' fourcc
-    for f in frames:
+    for i, f in enumerate(frames):
         movi_chunks.append(_chunk(b"00dc", f))
         idx.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(f)))
         off += len(movi_chunks[-1])
+        if blocks and blocks[i]:
+            movi_chunks.append(_chunk(b"01wb", blocks[i]))
+            idx.append(struct.pack("<4sIII", b"01wb", 0, off,
+                                   len(blocks[i])))
+            off += len(movi_chunks[-1])
     movi = _list(b"movi", b"".join(movi_chunks))
     idx1 = _chunk(b"idx1", b"".join(idx))
     body = b"AVI " + hdrl + movi + idx1
@@ -94,11 +128,14 @@ def parse_avi(content: bytes) -> dict:
     compression: Optional[bytes] = None
     stream_no = -1
     video_stream: Optional[int] = None
+    audio_stream: Optional[int] = None
+    audio_fmt = audio_rate = audio_channels = audio_bits = 0
     chunks: List[Tuple[bytes, int, int]] = []
 
     def walk(pos: int, end: int) -> None:
         nonlocal width, height, us_per_frame, handler, compression
-        nonlocal stream_no, video_stream
+        nonlocal stream_no, video_stream, audio_stream
+        nonlocal audio_fmt, audio_rate, audio_channels, audio_bits
         for fourcc, dpos, size in _walk_chunks(content, pos, end):
             if fourcc == b"LIST":
                 walk(dpos + 4, dpos + size)
@@ -111,10 +148,17 @@ def parse_avi(content: bytes) -> dict:
                 if content[dpos:dpos + 4] == b"vids":
                     video_stream = stream_no
                     handler = content[dpos + 4:dpos + 8]
+                elif content[dpos:dpos + 4] == b"auds":
+                    audio_stream = stream_no
             elif fourcc == b"strf" and stream_no == video_stream \
                     and size >= 20:
                 # BITMAPINFOHEADER.biCompression at offset 16
                 compression = content[dpos + 16:dpos + 20]
+            elif fourcc == b"strf" and stream_no == audio_stream \
+                    and size >= 16:
+                # WAVEFORMAT(EX): tag, channels, rate, avg, align, bits
+                audio_fmt, audio_channels, audio_rate, _, _, audio_bits = \
+                    struct.unpack_from("<HHIIHH", content, dpos)
             else:
                 chunks.append((fourcc, dpos, size))
 
@@ -129,9 +173,36 @@ def parse_avi(content: bytes) -> dict:
     prefix = b"%02d" % video_stream
     frames = [content[dpos:dpos + size] for fourcc, dpos, size in chunks
               if fourcc in (prefix + b"dc", prefix + b"db")]
-    return {"width": width, "height": height,
-            "us_per_frame": us_per_frame, "n_frames": len(frames),
-            "frames": frames}
+    out = {"width": width, "height": height,
+           "us_per_frame": us_per_frame, "n_frames": len(frames),
+           "frames": frames}
+    if audio_stream is not None:
+        aprefix = b"%02d" % audio_stream
+        out["audio_bytes"] = b"".join(
+            content[dpos:dpos + size] for fourcc, dpos, size in chunks
+            if fourcc == aprefix + b"wb")
+        out["audio_fmt"] = audio_fmt
+        out["audio_rate"] = audio_rate
+        out["audio_channels"] = audio_channels
+        out["audio_bits"] = audio_bits
+    return out
+
+
+def decode_avi_audio(content: bytes):
+    """(rate, n_channels, int16 sample array) from the AVI's PCM16 audio
+    track — the same return contract as ``multimodal.decode_wav``; absent
+    or non-PCM16 audio raises NotImplementedError."""
+    import numpy as np
+
+    meta = parse_avi(content)
+    if "audio_bytes" not in meta:
+        raise NotImplementedError("AVI has no audio stream")
+    if meta["audio_fmt"] != 1 or meta["audio_bits"] != 16:
+        raise NotImplementedError(
+            f"AVI audio format={meta['audio_fmt']} "
+            f"bits={meta['audio_bits']} unsupported (PCM16 only)")
+    samples = np.frombuffer(meta["audio_bytes"], dtype="<i2")
+    return meta["audio_rate"], meta["audio_channels"], samples
 
 
 def decode_avi_frames(content: bytes, every_n: int = 1) -> List[Tuple]:
