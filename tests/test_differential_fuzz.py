@@ -513,3 +513,60 @@ def test_differential_placeholder_binding(tsdb, seed):
         got_d = _canon([tuple(r) for r in tsdb.sql(
             dollar, params=[v_dim, v_num, v_key]).collect()])
         assert got_d == got_inline, f"seed-case {i} $n-bind: {dollar!r}"
+
+
+# ---------------------------------------------------------------------------
+# tableless scalar surface: random constant expressions through the
+# dialect's non-ANSI spellings ('+' concatenates strings, {..} array
+# literals) vs the ANSI equivalents in DuckDB — rendered per dialect
+# ---------------------------------------------------------------------------
+def _scalar_expr(rng: random.Random):
+    """(yql, duckdb) for one random scalar expression of the same value."""
+    kind = rng.choice(["arith", "concat", "strfn", "case", "array"])
+    if kind == "arith":
+        a, b, c = (rng.randint(-99, 99) for _ in range(3))
+        op1, op2 = rng.choice(["+", "-", "*"]), rng.choice(["+", "-"])
+        e = f"abs({a} {op1} {b}) {op2} {c}"
+        return e, e
+    if kind == "concat":
+        parts = [rng.choice(["abc", "x", "", "12"])
+                 for _ in range(rng.randint(2, 4))]
+        y = " + ".join(f"'{p}'" for p in parts)
+        d = " || ".join(f"'{p}'" for p in parts)
+        return y, d
+    if kind == "strfn":
+        s = rng.choice(["Hello", "aBc", "", "MiXeD12"])
+        fn = rng.choice(["upper", "lower", "length"])
+        y = f"{fn}('{s}')"
+        d = f"len('{s}')" if fn == "length" else y
+        return y, d
+    if kind == "case":
+        a, bar = rng.randint(0, 9), rng.randint(0, 9)
+        v1, v2 = rng.randint(-5, 5), rng.randint(-5, 5)
+        e = f"CASE WHEN {a} > {bar} THEN {v1} ELSE {v2} END"
+        return e, e
+    vals = [rng.choice(["p", "q", "r", "s"]) for _ in range(rng.randint(1, 4))]
+    probe = rng.choice(["p", "q", "z"])
+    lst_y = ", ".join(f"'{v}'" for v in vals)
+    y = rng.choice([
+        (f"length({{{lst_y}}})", f"CAST(len([{lst_y}]) AS INTEGER)"),
+        (f"contains({{{lst_y}}}, '{probe}')",
+         f"list_contains([{lst_y}], '{probe}')"),
+        (f"array_to_string({{{lst_y}}})",
+         f"array_to_string([{lst_y}], ', ')"),
+    ])
+    return y
+
+
+@pytest.mark.parametrize("seed", [70707, 99])
+def test_differential_tableless_scalars(tsdb, duck, seed):
+    rng = random.Random(seed)
+    for i in range(25):
+        pairs = [_scalar_expr(rng) for _ in range(rng.randint(1, 4))]
+        sel_y = ", ".join(f"{y} AS c{j}" for j, (y, _) in enumerate(pairs))
+        sel_d = ", ".join(f"{d} AS c{j}" for j, (_, d) in enumerate(pairs))
+        got = _canon([tuple(r) for r in tsdb.sql(f"SELECT {sel_y}").collect()])
+        exp = _canon([tuple(r) for r in duck.sql(f"SELECT {sel_d}").fetchall()])
+        assert len(got) == len(exp) == 1, f"seed-case {i}: {sel_y!r}"
+        for g, e in zip(got[0], exp[0]):
+            assert _close(g, e), f"seed-case {i}: {g!r} != {e!r}\n{sel_y!r}"
