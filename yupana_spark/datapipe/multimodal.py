@@ -850,14 +850,106 @@ def nn_resize(px, width: int, height: int):
     return px[rows[:, None], cols]
 
 
+def bilinear_resize(px, width: int, height: int):
+    """Bilinear resample of an (h, w, c) uint8 array to (height, width, c)
+    — the standard training-pipeline kernel (each target pixel is the
+    area-weighted blend of its 4 source neighbors, align-corners=False
+    convention like torchvision/PIL)."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.float64)
+    h, w = px.shape[0], px.shape[1]
+    ys = (np.arange(height) + 0.5) * h / height - 0.5
+    xs = (np.arange(width) + 0.5) * w / width - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    gray = px.ndim == 2
+    if gray:
+        px = px[:, :, None]
+    top = px[y0[:, None], x0] * (1 - wx) + px[y0[:, None], x1] * wx
+    bot = px[y1[:, None], x0] * (1 - wx) + px[y1[:, None], x1] * wx
+    out = top * (1 - wy) + bot * wy
+    out = np.clip(np.round(out), 0, 255).astype(np.uint8)
+    return out[:, :, 0] if gray else out
+
+
+def center_crop(px, width: int, height: int):
+    """Deterministic center crop (pads by edge replication when the image
+    is smaller than the crop — the torchvision convention)."""
+    import numpy as np
+
+    px = np.asarray(px)
+    h, w = px.shape[0], px.shape[1]
+    if h < height or w < width:
+        pad_h, pad_w = max(height - h, 0), max(width - w, 0)
+        pads = [(pad_h // 2, pad_h - pad_h // 2),
+                (pad_w // 2, pad_w - pad_w // 2)]
+        if px.ndim == 3:
+            pads.append((0, 0))
+        px = np.pad(px, pads, mode="edge")
+        h, w = px.shape[0], px.shape[1]
+    y = (h - height) // 2
+    x = (w - width) // 2
+    return px[y:y + height, x:x + width]
+
+
+def seeded_crop(px, width: int, height: int, seed: int):
+    """Deterministic 'random' crop: offsets from a seeded hash, so the
+    augmentation is reproducible per (image, seed) across cluster runs —
+    nondeterministic augmentation breaks replayed training pipelines."""
+    import numpy as np
+
+    px = np.asarray(px)
+    h, w = px.shape[0], px.shape[1]
+    if h < height or w < width:
+        return center_crop(px, width, height)
+    rng = np.random.RandomState(seed & 0x7FFFFFFF)
+    y = int(rng.randint(0, h - height + 1))
+    x = int(rng.randint(0, w - width + 1))
+    return px[y:y + height, x:x + width]
+
+
+def resample_audio(samples, src_rate: int, dst_rate: int,
+                   n_channels: int = 1):
+    """Linear-interpolation resample of interleaved int16 PCM — the
+    bring-to-common-rate step every audio pipeline needs (16 kHz mono is
+    the usual ASR target).  Per channel: sample positions map by the rate
+    ratio, values interpolate between neighbors."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    if src_rate == dst_rate:
+        return np.asarray(samples, dtype=np.int16)
+    chans = [x[c::n_channels] for c in range(n_channels)]
+    n_out = max(1, int(round(len(chans[0]) * dst_rate / src_rate)))
+    pos = np.arange(n_out) * (len(chans[0]) - 1) / max(n_out - 1, 1)
+    i0 = np.floor(pos).astype(np.int64)
+    i1 = np.minimum(i0 + 1, len(chans[0]) - 1)
+    frac = pos - i0
+    out = np.empty(n_out * n_channels, dtype=np.int16)
+    for c, ch in enumerate(chans):
+        v = ch[i0] * (1 - frac) + ch[i1] * frac
+        out[c::n_channels] = np.clip(np.round(v), -32768, 32767) \
+            .astype(np.int16)
+    return out
+
+
 def resize_images(media: DataFrame, width: int = 224,
-                  height: int = 224) -> DataFrame:
+                  height: int = 224, method: str = "nearest") -> DataFrame:
     """REAL image resize through the repo's own codecs: decode (BMP / PPM /
-    PNG / GIF / baseline JPEG, magic-byte dispatch), nearest-neighbor
-    stride resample, re-encode in the SAME container (BMP->BMP, PPM->PPM,
-    PNG->PNG, GIF->GIF — NN keeps the palette subset valid — JPEG->JPEG at
-    q85).  One Arrow batch of binaries per task; unsupported containers
-    raise the decoders' honest NotImplementedError."""
+    PNG / GIF / baseline+progressive JPEG, magic-byte dispatch), resample
+    (``method``: 'nearest' stride indexing — keeps GIF palettes valid — or
+    'bilinear', the standard training-pipeline kernel), re-encode in the
+    SAME container (JPEG at q85; bilinear-resized GIFs re-encode as PNG —
+    interpolation can exceed 256 colors).  One Arrow batch of binaries per
+    task; unsupported containers raise the decoders' honest
+    NotImplementedError."""
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"unknown resize method {method!r}")
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
         T.StructField("kind", T.StringType()),
@@ -886,7 +978,14 @@ def resize_images(media: DataFrame, width: int = 224,
             for mid, kind, blob in zip(pdf["media_id"], pdf["kind"],
                                        pdf["content"]):
                 blob = bytes(blob)
-                px = nn_resize(decode_image(blob), width, height)
+                if method == "nearest":
+                    px = nn_resize(decode_image(blob), width, height)
+                else:
+                    px = bilinear_resize(decode_image(blob), width, height)
+                    if blob[:6] in (b"GIF87a", b"GIF89a"):
+                        # interpolated colors may exceed the 256-entry
+                        # palette: switch to a lossless truecolor container
+                        blob = _PNG_SIG
                 out, mime = reencode(px, blob)
                 rows.append({"media_id": int(mid), "kind": kind,
                              "content": out,
