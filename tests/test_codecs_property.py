@@ -762,3 +762,62 @@ def test_resize_images_bilinear_spark(spark):
     assert np.array_equal(decode_image(out[1][0]), want)
     assert out[2][1] == "image/png"            # GIF -> PNG under bilinear
     assert np.array_equal(decode_image(out[2][0]), want)
+
+
+def test_codec_input_guards():
+    """The honest-error convention on malformed INPUT, not just malformed
+    streams: misaligned interleaved PCM (resample + AVI mux) raises a
+    clear ValueError instead of a numpy shape error / inconsistent
+    container, and a truncated FLAC metadata walk raises the decoder's
+    NotImplementedError contract instead of raw IndexError."""
+    import pytest
+
+    from yupana_spark.datapipe.avi import encode_avi_mjpeg
+    from yupana_spark.datapipe.flac import decode_flac, encode_flac
+    from yupana_spark.datapipe.jpeg import encode_jpeg
+    from yupana_spark.datapipe.multimodal import resample_audio
+
+    with pytest.raises(ValueError, match="whole number"):
+        resample_audio(np.arange(7, dtype=np.int16), 8000, 16000,
+                       n_channels=2)
+    with pytest.raises(ValueError, match="n_channels"):
+        resample_audio(np.arange(8, dtype=np.int16), 8000, 16000,
+                       n_channels=0)
+    frames = [encode_jpeg(np.zeros((8, 8, 3), np.uint8))]
+    with pytest.raises(ValueError, match="block_align"):
+        encode_avi_mjpeg(frames, 8, 8, audio=np.arange(7, dtype=np.int16),
+                         audio_channels=2)
+
+    good = encode_flac(np.arange(64, dtype=np.int32) % 256 - 128,
+                       sample_rate=8000)
+    # cut inside the STREAMINFO metadata block: the walk must not read
+    # past the buffer
+    with pytest.raises(NotImplementedError, match="truncated metadata"):
+        decode_flac(good[:10])
+    with pytest.raises(NotImplementedError, match="truncated metadata"):
+        decode_flac(b"fLaC")
+
+
+def test_balanced_table_256_symbols():
+    """_balanced_table with all 256 RS symbols: counts fit the DHT byte
+    layout (each <= 255), codes are prefix-free by canonical
+    construction, and the all-ones code stays unassigned."""
+    from yupana_spark.datapipe.jpeg import _balanced_table
+
+    bits, vals, codes = _balanced_table(list(range(256)))
+    assert len(vals) == 256 and sum(bits) == 256
+    assert all(0 <= b <= 255 for b in bits)
+    # Kraft strictly < 1 leaves the all-ones code free
+    kraft = sum(b / (1 << (i + 1)) for i, b in enumerate(bits))
+    assert kraft < 1
+    seen = set()
+    for sym, (code, ln) in codes.items():
+        assert (code, ln) not in seen
+        seen.add((code, ln))
+        assert code != (1 << ln) - 1           # never all-ones
+    # prefix-freedom: no code is a prefix of a longer one
+    by_len = sorted(codes.values(), key=lambda cl: cl[1])
+    for i, (c1, l1) in enumerate(by_len):
+        for c2, l2 in by_len[i + 1:]:
+            if l2 > l1:
+                assert (c2 >> (l2 - l1)) != c1

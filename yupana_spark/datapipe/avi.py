@@ -66,6 +66,15 @@ def encode_avi_mjpeg(frames: List[bytes], width: int, height: int,
 
         pcm = np.asarray(audio, dtype="<i2").tobytes()
         block_align = 2 * audio_channels
+        if len(pcm) % block_align:
+            # a partial final frame would ride the last 01wb chunk while
+            # strh dwLength counts whole blocks only — an internally
+            # inconsistent stream whose tail de-interleaves misaligned
+            # (mirrors the FLAC encoder's partial-interframe guard)
+            raise ValueError(
+                f"encode_avi: {len(pcm)} PCM bytes is not a whole number "
+                f"of {audio_channels}-channel frames "
+                f"(block_align={block_align})")
         n_blocks = len(pcm) // block_align
         astrh = (b"auds" + b"\x00" * 4 + struct.pack(
             "<IHHIIIIIIII", 0, 0, 0, 0, 1, audio_rate, 0, n_blocks,

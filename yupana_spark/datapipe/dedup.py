@@ -61,6 +61,16 @@ def duplicated_span_stats(df: DataFrame, text_col: str = "text",
     then a groupBy(id) roll-up.  Complements the per-doc repetition ratios
     in ``text.repetition_stats`` (Gopher's WITHIN-doc signal) with the
     ACROSS-corpus signal that drives ExactSubstr span removal.
+
+    COVERAGE CONTRACT: every input document emits exactly one output row.
+    The shingler produces ``greatest(n_words - n + 1, 1)`` grams, so a doc
+    with fewer than ``n`` words (even zero words, even NULL text — the
+    normalizer maps NULL to the empty word array) contributes ONE short
+    gram and lands with ``n_spans = 1``; that single gram participates in
+    the corpus counts like any other, so two empty docs count each other
+    as duplicated spans.  Consumers may therefore inner-join on id without
+    losing docs; the dp_text_stats bundle LEFT-joins only as
+    belt-and-braces.
     """
     from .text import ngram_hashes, normalize_text, words
 

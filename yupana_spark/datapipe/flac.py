@@ -450,9 +450,13 @@ def decode_flac(content: bytes):
     pos = 4
     info = None
     while True:
+        if pos + 4 > len(content):
+            raise NotImplementedError("FLAC: truncated metadata header")
         hdr = content[pos]
         last, btype = hdr >> 7, hdr & 0x7F
         ln = int.from_bytes(content[pos + 1:pos + 4], "big")
+        if pos + 4 + ln > len(content):
+            raise NotImplementedError("FLAC: truncated metadata block")
         if btype == 0:
             info = content[pos + 4:pos + 4 + ln]
         pos += 4 + ln

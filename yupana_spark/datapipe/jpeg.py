@@ -289,7 +289,15 @@ def _balanced_table(syms):
     while (1 << L) - 1 < n:
         L += 1
     bits = [0] * 16
-    bits[L - 1] = len(vals)
+    if n <= 255:
+        bits[L - 1] = n
+    else:
+        # a DHT count byte holds at most 255; with all 256 RS symbols in
+        # play, put 255 at length L and the rest at L+1 (Kraft:
+        # 255/2^L + (n-255)/2^(L+1) < 1 for the chosen L, and the
+        # canonical assignment below still never reaches the all-ones code)
+        bits[L - 1] = 255
+        bits[L] = n - 255
     return bits, vals, _build_codes(bits, vals)
 
 

@@ -922,6 +922,17 @@ def resample_audio(samples, src_rate: int, dst_rate: int,
     import numpy as np
 
     x = np.asarray(samples, dtype=np.float64)
+    if n_channels < 1:
+        raise ValueError(f"resample_audio: n_channels must be >= 1, "
+                         f"got {n_channels}")
+    if len(x) % n_channels:
+        # interleaved PCM must hold whole frames; a partial final frame
+        # would leave the per-channel slices at unequal lengths and
+        # misalign every sample after it (same honest-error convention as
+        # the codecs' truncated-stream guards)
+        raise ValueError(
+            f"resample_audio: {len(x)} interleaved samples is not a whole "
+            f"number of {n_channels}-channel frames")
     if src_rate == dst_rate:
         return np.asarray(samples, dtype=np.int16)
     chans = [x[c::n_channels] for c in range(n_channels)]
