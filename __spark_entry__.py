@@ -551,6 +551,44 @@ def q_upsert_roundtrip(spark, sf_dir):
         F.concat(F.col("table_name"), F.lit(":"),
                  F.date_format("day", "yyyy-MM-dd")).alias("event_type"),
         F.lit(None).cast("double").alias("value"))
+    # WHERE filter surface (UpdatesIntervalsProvider.scala:95-117 — r6
+    # verdict ask #4): the provider's closed condition set, exercised as
+    # verdict rows — a placeholder-bound table+updated_by+recalculated_at
+    # BETWEEN match, the window-OVERLAP arm of the BETWEEN semantics
+    # (range start inside the [from,to) day window), an empty updated_by
+    # miss, and the 'Unsupported condition' reject
+    def _ivrow(kind, eid, df):
+        return df.select(
+            F.lit(kind).alias("kind"),
+            F.lit(eid).cast("long").alias("event_id"),
+            F.concat(F.col("table_name"), F.lit(":"),
+                     F.date_format("from_time", "yyyy-MM-dd"))
+            .alias("event_type"),
+            F.lit(None).cast("double").alias("value"))
+
+    ivf = _ivrow("interval_filtered", -3, tsdb.sql(
+        "SHOW UPDATES_INTERVALS WHERE table = ? "
+        "AND updated_by = 'anonymous' AND recalculated_at BETWEEN "
+        "TIMESTAMP '2024-02-15' AND TIMESTAMP '2024-03-15'",
+        params=["events"]))
+    ivo = _ivrow("interval_overlap", -5, tsdb.sql(
+        "SHOW UPDATES_INTERVALS WHERE recalculated_at BETWEEN "
+        "TIMESTAMP '2024-03-01 12:00:00' AND TIMESTAMP '2024-03-20'"))
+    ivm = (tsdb.sql("SHOW UPDATES_INTERVALS WHERE updated_by = 'nobody'")
+           .agg(F.count("*").alias("__n"))
+           .select(F.lit("interval_miss").alias("kind"),
+                   F.lit(-4).cast("long").alias("event_id"),
+                   F.concat(F.lit("rows:"), F.col("__n")).alias("event_type"),
+                   F.lit(None).cast("double").alias("value")))
+    try:
+        tsdb.sql("SHOW UPDATES_INTERVALS WHERE value > 3")
+        rej_info = "accepted"
+    except Exception as e:
+        rej_info = ("unsupported_condition"
+                    if "Unsupported condition" in str(e) else "other_error")
+    rej = spark.createDataFrame(
+        [("interval_reject", -6, rej_info, None)],
+        "kind string, event_id long, event_type string, value double")
 
     # ItemFixer hook (Schema.scala itemFixer + OfdItemFixer.scala): a
     # schema variant marks event_type as a hash-kind (item-like) dimension
@@ -577,7 +615,8 @@ def q_upsert_roundtrip(spark, sf_dir):
              F.lit(-2).cast("long").alias("event_id"),
              F.col("event_type"),
              F.lit(None).cast("double").alias("value"))
-    return rows.unionByName(iv).unionByName(fx)
+    return (rows.unionByName(iv).unionByName(ivf).unionByName(ivo)
+            .unionByName(ivm).unionByName(rej).unionByName(fx))
 
 
 def q_rollup_by_month(spark, sf_dir):
@@ -1910,6 +1949,10 @@ _ORACLES_REL: dict[str, str] = {
             ('row', 900001, 'upserted', 1.5),
             ('row', 900002, 'upserted', 3.5),
             ('interval', -1, 'events:2024-03-01', NULL),
+            ('interval_filtered', -3, 'events:2024-03-01', NULL),
+            ('interval_overlap', -5, 'events:2024-03-01', NULL),
+            ('interval_miss', -4, 'rows:0', NULL),
+            ('interval_reject', -6, 'unsupported_condition', NULL),
             ('fixer', -2, '"сут" ё', NULL)
         ) AS t(kind, event_id, event_type, value)
     """,

@@ -270,3 +270,54 @@ def test_dictionary_ids_ingest_parity(spark, tmp_path):
            "(TIMESTAMP '1996-02-03', 888883, 1, 1, 1, 'Z', 2.0)")
     ids3 = {r["l_returnflag"]: r["fid"] for r in t1.sql(q).collect()}
     assert ids3 == ids
+
+
+def test_updates_intervals_where_filters(spark, tmp_path):
+    """SHOW UPDATES_INTERVALS WHERE per UpdatesIntervalsProvider.scala
+    :95-117: the closed condition set filters, everything else rejects
+    with the reference's 'Unsupported condition' message."""
+    t = Tsdb(spark, default_schema(), "/root/testdata/sf0.001",
+             warehouse_root=str(tmp_path / "wh"), user="alice")
+    t.sql("UPSERT INTO lineitem (time, l_orderkey, l_partkey, l_suppkey, "
+          "l_linenumber, l_quantity) VALUES "
+          "(TIMESTAMP '1997-03-03', 888888, 1, 1, 1, 1.0)")
+    t.sql("UPSERT INTO events (time, event_id, user_id, event_type, value) "
+          "VALUES (TIMESTAMP '2024-03-01 10:00:00', 1, 1, 'x', 1.0)")
+
+    def n(sql, params=None):
+        return t.sql(sql, params=params).count()
+
+    assert n("SHOW UPDATES_INTERVALS") == 2
+    assert n("SHOW UPDATES_INTERVALS WHERE table = 'events'") == 1
+    assert n("SHOW UPDATES_INTERVALS WHERE 'events' = table") == 1
+    assert n("SHOW UPDATES_INTERVALS WHERE table = ?", ["lineitem"]) == 1
+    assert n("SHOW UPDATES_INTERVALS WHERE updated_by = 'alice'") == 2
+    assert n("SHOW UPDATES_INTERVALS WHERE updated_by = 'bob'") == 0
+    # updated_at is wall-clock 'now': a wide window matches, an old one not
+    assert n("SHOW UPDATES_INTERVALS WHERE updated_at BETWEEN "
+             "TIMESTAMP '2000-01-01' AND TIMESTAMP '2100-01-01'") == 2
+    assert n("SHOW UPDATES_INTERVALS WHERE updated_at BETWEEN "
+             "TIMESTAMP '2000-01-01' AND TIMESTAMP '2001-01-01'") == 0
+    # recalculated_at targets the rewritten day window [from, to)
+    assert n("SHOW UPDATES_INTERVALS WHERE recalculated_at >= "
+             "TIMESTAMP '2024-01-01'") == 1
+    assert n("SHOW UPDATES_INTERVALS WHERE recalculated_at BETWEEN "
+             "TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'") == 1
+    # overlap arm: the range START falls inside the day window
+    assert n("SHOW UPDATES_INTERVALS WHERE recalculated_at BETWEEN "
+             "TIMESTAMP '1997-03-03 12:00:00' "
+             "AND TIMESTAMP '1997-03-10'") == 1
+    # AND-composition narrows
+    assert n("SHOW UPDATES_INTERVALS WHERE table = 'events' AND "
+             "updated_by = 'alice' AND recalculated_at BETWEEN "
+             "TIMESTAMP '2024-02-01' AND TIMESTAMP '2024-04-01'") == 1
+    for bad in [
+        "SHOW UPDATES_INTERVALS WHERE value > 3",
+        "SHOW UPDATES_INTERVALS WHERE table <> 'events'",
+        "SHOW UPDATES_INTERVALS WHERE table = 'a' OR table = 'b'",
+        "SHOW UPDATES_INTERVALS WHERE updated_at BETWEEN 1 AND 2",
+    ]:
+        with pytest.raises(Exception, match="Unsupported|required"):
+            t.sql(bad)
+    with pytest.raises(Exception, match="not defined"):
+        t.sql("SHOW UPDATES_INTERVALS WHERE table = ?")

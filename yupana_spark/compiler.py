@@ -379,10 +379,12 @@ class Tsdb:
     """
 
     def __init__(self, spark: SparkSession, schema: Schema, sf_dir: str,
-                 warehouse_root: Optional[str] = None):
+                 warehouse_root: Optional[str] = None,
+                 user: str = "anonymous"):
         self.spark = spark
         self.schema = schema
         self.sf_dir = sf_dir
+        self.user = user
         self._warehouse = None
         self._warehouse_root = warehouse_root
         self._metrics_store = None
@@ -399,7 +401,8 @@ class Tsdb:
             from .operators.writes import Warehouse
 
             self._warehouse = Warehouse(
-                self.spark, self.schema, self.sf_dir, self._warehouse_root
+                self.spark, self.schema, self.sf_dir, self._warehouse_root,
+                user=self.user
             )
         return self._warehouse
 
@@ -683,7 +686,7 @@ class Tsdb:
             else:
                 from .operators.admin import execute_statement
 
-                out = execute_statement(self, stmt)
+                out = execute_statement(self, stmt, params=params)
                 REGISTRY.stage(qid, "execute", _time.perf_counter() - t1)
             REGISTRY.finish(qid)
             self._persist_metric(qid)

@@ -8,6 +8,7 @@ Users/roles are out of scope (auth belongs to the deployment, not the engine).
 
 from __future__ import annotations
 
+import dataclasses as _dataclasses
 from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame, types as T
@@ -64,7 +65,85 @@ def functions_for(type_name: str) -> list[str]:
     raise InvalidQueryError(f"unknown type {type_name}")
 
 
-def execute_statement(tsdb: "Tsdb", stmt: A.Statement) -> DataFrame:
+def _intervals_filter(cond, params=None):
+    """Translate a SHOW UPDATES_INTERVALS WHERE condition into the
+    provider's closed filter surface (UpdatesIntervalsProvider.scala:95-117
+    ``createFilter``): ``table = s`` (either side), ``updated_at BETWEEN``,
+    ``recalculated_at BETWEEN``, ``recalculated_at >= t``, ``updated_by =
+    s``, AND-combined — every other shape is rejected with the reference's
+    "Unsupported condition" message.  ``params`` binds ``?``/``$n``
+    placeholders the way the reference threads its parameter map."""
+    import datetime as _dtm
+
+    from .writes import UpdatesIntervalsFilter
+
+    def val(x, want, cond_repr):
+        if isinstance(x, A.PlaceholderV):
+            if params is None or x.index > len(params):
+                raise InvalidQueryError(
+                    f"Parameter #{x.index} is not defined")
+            v = params[x.index - 1]
+        elif isinstance(x, A.Constant):
+            v = x.value
+        else:
+            raise InvalidQueryError(f"Unsupported condition: {cond_repr}")
+        if want is str and isinstance(v, str):
+            return v
+        if want is _dtm.datetime and isinstance(v, _dtm.datetime):
+            return v
+        raise InvalidQueryError(
+            f"Got {v!r} but {'VARCHAR' if want is str else 'TIMESTAMP'} "
+            "is required")
+
+    f = UpdatesIntervalsFilter()
+
+    def one(c):
+        nonlocal f
+        if isinstance(c, A.BinOp) and c.op in ("=", ">="):
+            l, r = c.left, c.right
+            # accept constant-on-either-side for equality, like the
+            # reference's Eq(Constant, FieldName) arm
+            if c.op == "=" and isinstance(r, A.FieldName) \
+                    and not isinstance(l, A.FieldName):
+                l, r = r, l
+            if isinstance(l, A.FieldName):
+                nm = l.name.lower()
+                if c.op == "=" and nm in ("table", "table_name"):
+                    f = _dataclasses.replace(
+                        f, table_name=val(r, str, c))
+                    return
+                if c.op == "=" and nm == "updated_by":
+                    f = _dataclasses.replace(
+                        f, updated_by=val(r, str, c))
+                    return
+                if c.op == ">=" and nm == "recalculated_at":
+                    f = _dataclasses.replace(
+                        f, recalculated_after=val(r, _dtm.datetime, c))
+                    return
+        if isinstance(c, A.BetweenE) and isinstance(c.expr, A.FieldName):
+            nm = c.expr.name.lower()
+            lo = c.lo if isinstance(c.lo, A.SqlExpr) else A.Constant(c.lo)
+            hi = c.hi if isinstance(c.hi, A.SqlExpr) else A.Constant(c.hi)
+            if nm == "updated_at":
+                f = _dataclasses.replace(
+                    f, updated_after=val(lo, _dtm.datetime, c),
+                    updated_before=val(hi, _dtm.datetime, c))
+                return
+            if nm == "recalculated_at":
+                f = _dataclasses.replace(
+                    f, recalculated_after=val(lo, _dtm.datetime, c),
+                    recalculated_before=val(hi, _dtm.datetime, c))
+                return
+        raise InvalidQueryError(f"Unsupported condition: {c}")
+
+    parts = cond.parts if isinstance(cond, A.AndE) else (cond,)
+    for c in parts:
+        one(c)
+    return f
+
+
+def execute_statement(tsdb: "Tsdb", stmt: A.Statement,
+                      params=None) -> DataFrame:
     spark = tsdb.spark
     if isinstance(stmt, A.ShowTables):
         rows = [(n,) for n in sorted(tsdb.schema.tables)]
@@ -122,7 +201,9 @@ def execute_statement(tsdb: "Tsdb", stmt: A.Statement) -> DataFrame:
             T.StructField("COMPILE_S", T.DoubleType()),
         ]))
     if isinstance(stmt, A.ShowUpdatesIntervals):
-        return tsdb.warehouse.updates_intervals()
+        flt = (None if stmt.condition is None
+               else _intervals_filter(stmt.condition, params))
+        return tsdb.warehouse.updates_intervals(flt)
     if isinstance(stmt, A.KillQuery):
         ok = REGISTRY.kill(spark, stmt.query_id)
         if ok:

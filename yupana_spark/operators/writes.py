@@ -18,6 +18,7 @@ derived from incoming data and pushed as a filter on the existing side).
 
 from __future__ import annotations
 
+import dataclasses as _dataclasses
 import datetime as _dt
 import os
 import shutil
@@ -51,15 +52,35 @@ def _item_fixer_udf(fn):
     return _FIXER_UDFS[key]
 
 
+@_dataclasses.dataclass
+class UpdatesIntervalsFilter:
+    """SHOW UPDATES_INTERVALS WHERE surface (UpdatesIntervalsProvider.scala
+    :95-117 ``UpdatesIntervalsFilter``): the provider accepts exactly
+    ``table = s``, ``updated_at BETWEEN a AND b``, ``recalculated_at
+    BETWEEN a AND b``, ``recalculated_at >= a`` and ``updated_by = s``
+    (AND-combined); anything else is an "Unsupported condition"."""
+
+    table_name: Optional[str] = None
+    updated_after: Optional[_dt.datetime] = None
+    updated_before: Optional[_dt.datetime] = None
+    recalculated_after: Optional[_dt.datetime] = None
+    recalculated_before: Optional[_dt.datetime] = None
+    updated_by: Optional[str] = None
+
+
 class Warehouse:
     """Writable table store layered over the read-only sf_dir fixtures."""
 
     def __init__(self, spark: SparkSession, schema: Schema, sf_dir: str,
-                 root: Optional[str] = None):
+                 root: Optional[str] = None, user: str = "anonymous"):
         self.spark = spark
         self.schema = schema
         self.sf_dir = sf_dir
         self.root = root or tempfile.mkdtemp(prefix="yupana_wh_")
+        # ≙ the authenticated principal the reference stamps on every
+        # changelog row (UpdateInterval.updatedBy); auth itself is out of
+        # scope, so the writer identity is a plain constructor knob
+        self.user = user
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -297,18 +318,65 @@ class Warehouse:
         days = (incoming.select(F.date_trunc("day", F.col("time")).alias("day"))
                 .distinct()
                 .withColumn("table_name", F.lit(table))
-                .withColumn("updated_at", F.current_timestamp()))
+                .withColumn("updated_at", F.current_timestamp())
+                .withColumn("updated_by", F.lit(self.user)))
         path = os.path.join(self.root, CHANGELOG)
         days.write.mode("append").parquet(path)
 
-    def updates_intervals(self) -> DataFrame:
+    def updates_intervals(
+            self, flt: Optional[UpdatesIntervalsFilter] = None) -> DataFrame:
+        """The changelog, optionally filtered per the reference provider
+        (UpdatesIntervalsProvider.scala:95-117 + ChangelogDaoHBase.scala
+        :77-175 filter semantics).  Columns: (day, table_name, updated_at,
+        updated_by, from_time, to_time) — the rewritten window is the day
+        bucket, so from_time = day and to_time = day + 1 day (≙ the
+        reference's ``time .. time + rowTimeSpan``).
+
+        Filter mapping (mirroring the HBase DAO):
+        * ``table_name`` — equality;
+        * ``updated_after/before`` — ``updated_at`` BETWEEN;
+        * ``recalculated_after/before`` both set — the window filter:
+          from_time BETWEEN a AND b, OR (from_time <= a AND to_time >= a);
+          only ``recalculated_after`` — from_time >= a;
+        * ``updated_by`` — equality (rows from pre-``user`` changelogs read
+          back as 'anonymous' via the schema-merge coalesce).
+        """
         path = os.path.join(self.root, CHANGELOG)
         if not os.path.exists(path):
             from pyspark.sql import types as T
 
-            return self.spark.createDataFrame([], T.StructType([
+            df = self.spark.createDataFrame([], T.StructType([
                 T.StructField("day", T.TimestampType()),
                 T.StructField("table_name", T.StringType()),
                 T.StructField("updated_at", T.TimestampType()),
+                T.StructField("updated_by", T.StringType()),
             ]))
-        return self.spark.read.parquet(path)
+        else:
+            df = self.spark.read.option("mergeSchema", "true").parquet(path)
+            if "updated_by" not in df.columns:
+                df = df.withColumn("updated_by", F.lit(None).cast("string"))
+        df = (df.withColumn("updated_by",
+                            F.coalesce(F.col("updated_by"),
+                                       F.lit("anonymous")))
+              .withColumn("from_time", F.col("day"))
+              .withColumn("to_time",
+                          F.col("day") + F.expr("INTERVAL 1 DAY")))
+        if flt is None:
+            return df
+        if flt.table_name is not None:
+            df = df.filter(F.col("table_name") == F.lit(flt.table_name))
+        if flt.updated_after is not None and flt.updated_before is not None:
+            df = df.filter(F.col("updated_at").between(
+                F.lit(flt.updated_after), F.lit(flt.updated_before)))
+        if flt.recalculated_after is not None:
+            a = F.lit(flt.recalculated_after)
+            if flt.recalculated_before is not None:
+                b = F.lit(flt.recalculated_before)
+                df = df.filter(F.col("from_time").between(a, b)
+                               | ((F.col("from_time") <= a)
+                                  & (F.col("to_time") >= a)))
+            else:
+                df = df.filter(F.col("from_time") >= a)
+        if flt.updated_by is not None:
+            df = df.filter(F.col("updated_by") == F.lit(flt.updated_by))
+        return df
