@@ -47,6 +47,40 @@ _NEARDUP_ARTS: dict = {}
 # (appId, sf_dir) -> tokenized-corpus frame (see dp_lang_id)
 _BPE_TOKENS: dict = {}
 
+# -- cross-session fitted-artifact persistence (r6 verdict ask #1) ---------
+# every sample-fit artifact (LM vocab, KMeans/PQ/IVFADC codebooks, BPE
+# merges, the minhash/simhash index frames and their exact-pair oracles)
+# saves to a warehouse ArtifactStore keyed by a corpus-file fingerprint:
+# a RESTARTED deployment loads instead of refitting (zero fit jobs), and
+# any corpus write flips the fingerprint and invalidates.
+_ART_STORE = None
+_FX_TOKENS: dict = {}
+
+
+def _artifacts():
+    global _ART_STORE
+    if _ART_STORE is None:
+        from yupana_spark.datapipe.artifacts import default_store
+
+        _ART_STORE = default_store()
+    return _ART_STORE
+
+
+def _fx_token(sf_dir: str, *tables: str) -> str:
+    """Corpus fingerprint over the given fixture tables (memoized: the
+    fixtures are immutable for the life of the process)."""
+    import os
+
+    key = (sf_dir,) + tables
+    tok = _FX_TOKENS.get(key)
+    if tok is None:
+        from yupana_spark.datapipe.artifacts import corpus_token
+
+        tok = corpus_token(*[os.path.join(sf_dir, f"{t}.parquet")
+                             for t in tables])
+        _FX_TOKENS[key] = tok
+    return tok
+
 
 def _tsdb(spark: SparkSession, sf_dir: str) -> Tsdb:
     """Session-scoped Tsdb: schema construction, engine-conf application and
@@ -1220,23 +1254,34 @@ def dp_lang_id(spark, sf_dir):
     # models the UNCAPPED formula; the cap/OOV scale path is pinned by
     # test_unigram_lm_scores instead); LEFT join keeps token-less docs in
     # the per-doc output with xent NULL — full-coverage like lang_pred
-    xent = unigram_lm_scores(docs, vocab_cap=1 << 20, cache_key=sf_dir) \
+    st, tok = _artifacts(), _fx_token(sf_dir, "documents")
+    xent = unigram_lm_scores(docs, vocab_cap=1 << 20, cache_key=sf_dir,
+                             store=st, store_token=tok) \
         .withColumnRenamed("id", "doc_id")
     # the tokenized corpus is an INGEST-time artifact (production
-    # materializes it once and trains from it) — build the (id, words,
-    # tokens) frame once per session/corpus like the near-dup signature
-    # index; the roundtrip LAW below still evaluates live every pass,
-    # JVM-side, against the checkpointed frame
+    # materializes it once and trains from it) — built once per corpus and
+    # PERSISTED to the artifact store with the BPE merge table (r6 ask
+    # #1), so a restarted deployment reads the materialized frame; the
+    # roundtrip LAW below still evaluates live every pass, JVM-side
     bkey = (spark.sparkContext.applicationId, sf_dir)
     toked = _BPE_TOKENS.get(bkey)
     if toked is None:
-        merges = bpe_fit(docs, n_merges=128, cache_key=sf_dir)
-        staged = docs.withColumn("__w",
-                                 words(normalize_text(F.col("text"))))
-        toked = staged.select(
-            "doc_id", "__w",
-            bpe_tokens(F.col("__w"), merges).alias("__t")) \
-            .localCheckpoint(eager=True)
+        from yupana_spark.datapipe.artifacts import artifact_name
+
+        nm = artifact_name("bpe_tokens", sf_dir, 128)
+        got = st.load_df(spark, nm, tok)
+        if got is not None:
+            toked = got[0].localCheckpoint(eager=True)
+        else:
+            merges = bpe_fit(docs, n_merges=128, cache_key=sf_dir,
+                             store=st, store_token=tok)
+            staged = docs.withColumn("__w",
+                                     words(normalize_text(F.col("text"))))
+            toked = staged.select(
+                "doc_id", "__w",
+                bpe_tokens(F.col("__w"), merges).alias("__t")) \
+                .localCheckpoint(eager=True)
+            st.save_df(nm, tok, toked)
         _BPE_TOKENS[bkey] = toked
     bpe = toked.select(
         "doc_id",
@@ -1478,23 +1523,52 @@ def dp_neardup_scale(spark, sf_dir):
     akey = (spark.sparkContext.applicationId, sf_dir)
     cached = _NEARDUP_ARTS.get(akey)
     if cached is None:
-        arts = minhash_artifacts(docs).localCheckpoint(eager=True)
-        sigs = (simhash(docs).withColumnRenamed("doc_id", "id")
-                .localCheckpoint(eager=True))
-        # the three bounded exact-pair oracles are deterministic functions
-        # of the immutable corpus (hard-capped samples, seeded hashes) —
-        # checkpoint the tiny pair frames once; the completeness verdicts
-        # below still join them against the LIVE pipeline outputs, so the
-        # falsifiable direction (pipeline completeness) re-executes every
-        # pass
-        ex_mh = sampled_exact_jaccard_pairs(
-            docs, threshold=0.85, cap=400, hashed=arts,
-            n=n_docs).localCheckpoint(eager=True)
-        ex_sh = sampled_exact_hamming_pairs(
-            docs, max_hamming=3, cap=400, n=n_docs,
-            sigs=sigs).localCheckpoint(eager=True)
-        ex_el = sampled_exact_cosine_pairs(
-            emb, threshold=0.45, cap=512, n=n_emb).localCheckpoint(eager=True)
+        # cross-session path first: the signature index + pair oracles are
+        # WAREHOUSE artifacts now (r6 ask #1) — a restarted deployment
+        # reads the materialized parquet (zero fit/build jobs; the hot
+        # multi-referenced frames re-pin via localCheckpoint) instead of
+        # re-running the shingle scan + signature UDFs
+        from yupana_spark.datapipe.artifacts import artifact_name
+
+        st, tok = _artifacts(), _fx_token(sf_dir, "documents", "embeddings")
+        # fit params ride the NAME (identity), the corpus files ride the
+        # token (version) — changing either side refits
+        names = {"nd_arts": artifact_name("nd_arts", sf_dir, 5, 32),
+                 "nd_sigs": artifact_name("nd_sigs", sf_dir, 64),
+                 "nd_exmh": artifact_name("nd_exmh", sf_dir, 0.85, 400),
+                 "nd_exsh": artifact_name("nd_exsh", sf_dir, 3, 400),
+                 "nd_exel": artifact_name("nd_exel", sf_dir, 0.45, 512)}
+        loaded = {k: st.load_df(spark, nm, tok) for k, nm in names.items()}
+        if all(v is not None for v in loaded.values()):
+            arts = loaded["nd_arts"][0].localCheckpoint(eager=True)
+            sigs = loaded["nd_sigs"][0].localCheckpoint(eager=True)
+            ex_mh = loaded["nd_exmh"][0]
+            ex_sh = loaded["nd_exsh"][0]
+            ex_el = loaded["nd_exel"][0]
+        else:
+            arts = minhash_artifacts(docs).localCheckpoint(eager=True)
+            sigs = (simhash(docs).withColumnRenamed("doc_id", "id")
+                    .localCheckpoint(eager=True))
+            # the three bounded exact-pair oracles are deterministic
+            # functions of the immutable corpus (hard-capped samples,
+            # seeded hashes) — materialize the tiny pair frames once; the
+            # completeness verdicts below still join them against the LIVE
+            # pipeline outputs, so the falsifiable direction (pipeline
+            # completeness) re-executes every pass
+            ex_mh = sampled_exact_jaccard_pairs(
+                docs, threshold=0.85, cap=400, hashed=arts,
+                n=n_docs).localCheckpoint(eager=True)
+            ex_sh = sampled_exact_hamming_pairs(
+                docs, max_hamming=3, cap=400, n=n_docs,
+                sigs=sigs).localCheckpoint(eager=True)
+            ex_el = sampled_exact_cosine_pairs(
+                emb, threshold=0.45, cap=512,
+                n=n_emb).localCheckpoint(eager=True)
+            st.save_df(names["nd_arts"], tok, arts)
+            st.save_df(names["nd_sigs"], tok, sigs)
+            st.save_df(names["nd_exmh"], tok, ex_mh)
+            st.save_df(names["nd_exsh"], tok, ex_sh)
+            st.save_df(names["nd_exel"], tok, ex_el)
         cached = (arts, sigs, ex_mh, ex_sh, ex_el)
         _NEARDUP_ARTS[akey] = cached
     arts, sigs, ex_mh, ex_sh, ex_el = cached
@@ -1519,8 +1593,10 @@ def dp_neardup_scale(spark, sf_dir):
     # final action (its kmeans fit is memoized via cache_key), and letting
     # the scheduler overlap it with the minhash/simhash stages beats an
     # eager checkpoint that serializes a whole job ahead of the action
-    el = embedding_neardup_pairs_ivf(emb, threshold=0.45, n=n_emb,
-                                     cache_key=sf_dir).select("id_a", "id_b")
+    el = embedding_neardup_pairs_ivf(
+        emb, threshold=0.45, n=n_emb, cache_key=sf_dir,
+        store=_artifacts(),
+        store_token=_fx_token(sf_dir, "embeddings")).select("id_a", "id_b")
     checks = [
         _completeness_row("minhash_complete", ex_mh, mh),
         _completeness_row("simhash_complete", ex_sh, sh),
@@ -1562,9 +1638,12 @@ def dp_ann_approx(spark, sf_dir):
     n_emb = _fixture_count(spark, sf_dir, "embeddings", emb)
     brute_ids = _brute_topk_ids(spark, sf_dir, k=10)
     lsh = lsh_topk(emb, qv, k=10, max_hamming=6)
-    assigned, centers = ivf_build(emb, n_centroids=8, cache_key=sf_dir)
+    st, tok = _artifacts(), _fx_token(sf_dir, "embeddings")
+    assigned, centers = ivf_build(emb, n_centroids=8, cache_key=sf_dir,
+                                  store=st, store_token=tok)
     ivf = ivf_topk(assigned, centers, qv, k=10, nprobe=4)
-    books = pq_fit(emb, m=8, cache_key=sf_dir, n=n_emb)
+    books = pq_fit(emb, m=8, cache_key=sf_dir, n=n_emb,
+                   store=st, store_token=tok)
     encoded = emb.withColumn("pq_code",
                              pq_encode(F.col("embedding"), books))
     pq = pq_topk(encoded, books, qv, k=10, shortlist=100)
@@ -1572,7 +1651,8 @@ def dp_ann_approx(spark, sf_dir):
     # ADC-scored in probed cells only — the composed billion-vector layout
     # (measured recall@10 0.9/0.8/0.8 at sf0.001/0.01/0.1, nprobe 4/8)
     ac_centers, ac_books = ivfadc_fit(emb, n_centroids=8, m=8,
-                                      cache_key=sf_dir, n=n_emb)
+                                      cache_key=sf_dir, n=n_emb,
+                                      store=st, store_token=tok)
     ac_arr = ivfadc_encode(F.col("embedding"), ac_centers, ac_books)
     ac_enc = (emb.withColumn("__cc", ac_arr)
               .withColumn("cell", F.col("__cc")[0])

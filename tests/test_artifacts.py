@@ -1,0 +1,161 @@
+"""Cross-session persistence of fitted artifacts (r6 verdict ask #1).
+
+The contract under test: fit -> save -> (fresh session) -> load gives
+IDENTICAL scores/codes with ZERO fit jobs, and a corpus WRITE invalidates
+the artifact (token mismatch -> refit).  A "fresh session" is simulated by
+clearing the in-process memo dicts — their keys include applicationId, so
+a genuinely new session starts exactly this way: memory cold, store warm.
+"""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from yupana_spark.datapipe.artifacts import (ArtifactStore, artifact_name,
+                                             corpus_token)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _fresh_memo():
+    """Cold in-process memos = what a restarted deployment starts with."""
+    from yupana_spark.datapipe import bpe, simsearch, text
+
+    text._LM_CACHE.clear()
+    simsearch._CENTERS_CACHE.clear()
+    bpe._BPE_CACHE.clear()
+
+
+def _jobs_in_group(spark, group, fn):
+    """Run ``fn`` inside a named job group; return the job ids it fired."""
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try:
+        out = fn()
+    finally:
+        sc.setJobGroup(None, None)
+    return out, list(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_store_primitives(tmp_path):
+    st = ArtifactStore(str(tmp_path / "arts"))
+    st.save_arrays("a", "tok1", C=np.arange(6).reshape(2, 3))
+    got = st.load_arrays("a", "tok1")
+    assert got is not None and np.array_equal(got[0]["C"],
+                                              np.arange(6).reshape(2, 3))
+    assert st.load_arrays("a", "tok2") is None          # version mismatch
+    assert st.load_arrays("missing", "tok1") is None
+    st.save_json("j", "tok1", {"x": [1, 2]}, extra={"n": 3})
+    obj, extra = st.load_json("j", "tok1")
+    assert obj == {"x": [1, 2]} and extra == {"n": 3}
+    # overwrite in place under a new token
+    st.save_arrays("a", "tok9", C=np.zeros(2))
+    assert st.load_arrays("a", "tok1") is None
+    assert st.load_arrays("a", "tok9") is not None
+    with pytest.raises(ValueError):
+        st.save_json("../evil", "t", 1)
+
+
+def test_corpus_token_tracks_writes(tmp_path):
+    f = tmp_path / "t.parquet"
+    f.write_bytes(b"v1")
+    t1 = corpus_token(str(f))
+    assert corpus_token(str(f)) == t1                   # stable
+    time.sleep(0.01)
+    f.write_bytes(b"v2+")
+    assert corpus_token(str(f)) != t1                   # size/mtime moved
+    d = tmp_path / "dir"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"x")
+    td1 = corpus_token(str(d))
+    (d / "part-1.parquet").write_bytes(b"y")            # append = new file
+    assert corpus_token(str(d)) != td1
+    assert corpus_token(str(tmp_path / "nope")) != t1   # missing path ok
+
+
+def test_codebooks_persist_zero_fit_jobs(spark, tmp_path):
+    """KMeans / PQ / IVFADC codebooks: fit+save, then a cold-memo load
+    returns bit-identical arrays without firing a single Spark job."""
+    from yupana_spark.datapipe.simsearch import ivfadc_fit, kmeans_fit, pq_fit
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    st = ArtifactStore(str(tmp_path / "arts"))
+    tok = corpus_token(os.path.join(SF, "embeddings.parquet"))
+    C1 = kmeans_fit(emb, 8, cache_key="t", store=st, store_token=tok)
+    B1 = pq_fit(emb, m=8, cache_key="t", store=st, store_token=tok)
+    AC1, AB1 = ivfadc_fit(emb, n_centroids=8, m=8, cache_key="t",
+                          store=st, store_token=tok)
+
+    _fresh_memo()
+    (res, jobs) = _jobs_in_group(spark, "artifact-load-probe", lambda: (
+        kmeans_fit(emb, 8, cache_key="t", store=st, store_token=tok),
+        pq_fit(emb, m=8, cache_key="t", store=st, store_token=tok),
+        ivfadc_fit(emb, n_centroids=8, m=8, cache_key="t",
+                   store=st, store_token=tok),
+    ))
+    C2, B2, (AC2, AB2) = res
+    assert jobs == []                                   # ZERO fit jobs
+    assert np.array_equal(C1, C2) and np.array_equal(B1, B2)
+    assert np.array_equal(AC1, AC2) and np.array_equal(AB1, AB2)
+    # stale token -> refit happens (and fires jobs)
+    _fresh_memo()
+    (_, jobs2) = _jobs_in_group(
+        spark, "artifact-refit-probe",
+        lambda: kmeans_fit(emb, 8, cache_key="t", store=st,
+                           store_token="corpus-rewritten"))
+    assert jobs2 != []
+
+    # persistence requires an identity to name the artifact
+    with pytest.raises(ValueError, match="cache_key"):
+        kmeans_fit(emb, 8, store=st, store_token=tok)
+
+
+def test_lm_and_bpe_persist_identical_scores(spark, tmp_path):
+    """Unigram-LM scores and BPE merges: the loaded artifact reproduces the
+    fit session's outputs exactly; the LM load itself fires no fit jobs
+    (the vocab comes back as a lazy parquet read)."""
+    from yupana_spark.datapipe.bpe import bpe_fit
+    from yupana_spark.datapipe.text import unigram_lm_scores
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    st = ArtifactStore(str(tmp_path / "arts"))
+    tok = corpus_token(os.path.join(SF, "documents.parquet"))
+    xent1 = {r["id"]: r["xent"] for r in unigram_lm_scores(
+        docs, cache_key="d", store=st, store_token=tok).collect()}
+    merges1 = bpe_fit(docs, n_merges=32, cache_key="d",
+                      store=st, store_token=tok)
+
+    _fresh_memo()
+    (res, jobs) = _jobs_in_group(spark, "lm-load-probe", lambda: (
+        unigram_lm_scores(docs, cache_key="d", store=st, store_token=tok),
+        bpe_fit(docs, n_merges=32, cache_key="d", store=st,
+                store_token=tok)))
+    scored2, merges2 = res
+    assert jobs == []                 # plan built, no fit/collect job ran
+    assert merges2 == merges1
+    xent2 = {r["id"]: r["xent"] for r in scored2.collect()}
+    assert xent2 == xent1
+
+
+def test_tsdb_artifact_store_invalidates_on_write(spark, tmp_path):
+    """The Tsdb/Warehouse integration: table_token is the LIVE table's
+    fingerprint, so an UPSERT through the warehouse invalidates artifacts
+    fit on the pre-write corpus."""
+    from yupana_spark import Tsdb, default_schema
+
+    t = Tsdb(spark, default_schema(), SF,
+             warehouse_root=str(tmp_path / "wh"))
+    st = t.warehouse.artifact_store()
+    tok0 = t.warehouse.table_token("events")
+    assert t.warehouse.table_token("events") == tok0
+    st.save_json("probe", tok0, {"fit": "on-v0"})
+    assert st.load_json("probe", tok0) is not None
+    t.sql("UPSERT INTO events (time, event_id, user_id, event_type, value) "
+          "VALUES (TIMESTAMP '2024-03-01 10:00:00', 1, 1, 'x', 1.0)")
+    tok1 = t.warehouse.table_token("events")
+    assert tok1 != tok0                                  # corpus moved
+    assert st.load_json("probe", tok1) is None           # artifact stale
+    # the store lives under the warehouse root (deployment-local)
+    assert st.root.startswith(str(tmp_path / "wh"))

@@ -39,7 +39,9 @@ _BPE_CACHE: dict = {}
 
 def bpe_fit(df: DataFrame, text_col: str = "text", n_merges: int = 256,
             sample_cap: int = 2048, id_col: str = "doc_id",
-            cache_key: Optional[str] = None) -> List[Tuple[str, str]]:
+            cache_key: Optional[str] = None,
+            store=None, store_token: Optional[str] = None
+            ) -> List[Tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from a bounded deterministic sample.
 
     Words come from the same normalization as every text operator
@@ -47,6 +49,11 @@ def bpe_fit(df: DataFrame, text_col: str = "text", n_merges: int = 256,
     of its characters with ``_EOW`` appended to the last one.  Returns the
     merge list in rank order — the whole trained artifact (deterministic:
     ties break lexicographically).
+
+    ``store``/``store_token`` persist the merge table cross-session via
+    the shared :class:`~.artifacts.ArtifactStore` (the structured cousin
+    of ``bpe_save``/``bpe_load``): a fresh session loads the JSON with
+    zero Spark jobs; a corpus write invalidates by token.
     """
     key = None
     if cache_key is not None:
@@ -55,6 +62,20 @@ def bpe_fit(df: DataFrame, text_col: str = "text", n_merges: int = 256,
         hit = _BPE_CACHE.get(key)
         if hit is not None:
             return hit
+    name = None
+    if store is not None and store_token is not None:
+        if cache_key is None:
+            raise ValueError("store persistence requires cache_key")
+        from .artifacts import artifact_name
+
+        name = artifact_name("bpe", cache_key, text_col, n_merges,
+                             sample_cap)
+        got = store.load_json(name, store_token)
+        if got is not None:
+            merges = [tuple(p) for p in got[0]]
+            if key is not None:
+                _BPE_CACHE[key] = merges
+            return merges
     from .simsearch import sample_rows
     from .text import normalize_text, words
 
@@ -100,6 +121,8 @@ def bpe_fit(df: DataFrame, text_col: str = "text", n_merges: int = 256,
             t = tuple(ns)
             out[t] = out.get(t, 0) + c
         vocab = out
+    if name is not None:
+        store.save_json(name, store_token, [list(p) for p in merges])
     if key is not None:
         _BPE_CACHE[key] = merges
     return merges

@@ -104,8 +104,9 @@ def _fan_out(df: DataFrame) -> DataFrame:
 
 
 def shingle_sets(df: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id", k: int = 5) -> DataFrame:
-    """(id, sh) with the distinct char k-gram set materialized.
+                 id_col: str = "doc_id", k: int = 5,
+                 carry: tuple = ()) -> DataFrame:
+    """(id, *carry, sh) with the distinct char k-gram set materialized.
 
     Staged as separate projections on purpose: a nested
     ``transform(..., s -> f(shingles))`` would re-evaluate the shingle
@@ -116,10 +117,10 @@ def shingle_sets(df: DataFrame, text_col: str = "text",
     # single-file fixtures arrive as ONE split: fan the CPU-bound shingle
     # work across all cores (a real 100 TB input has file splits already,
     # so this repartition is a no-op cost there)
-    normed = _fan_out(df.select(F.col(id_col).alias("id"),
+    normed = _fan_out(df.select(F.col(id_col).alias("id"), *carry,
                                 normalize_text(F.col(text_col)).alias("__norm")))
     return normed.select(
-        "id",
+        "id", *carry,
         F.array_distinct(char_shingles(F.col("__norm"), k, normalized=True))
         .alias("sh"),
     )
@@ -201,12 +202,15 @@ def minhash_signature_np(hash_col: Column, num_hashes: int = 32) -> Column:
 
 
 def hashed_shingle_sets(df: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id", k: int = 5) -> DataFrame:
-    """(id, hs): distinct shingle-hash arrays — the shared build artifact for
-    signatures AND verification.  Callers reuse one persisted copy instead of
-    recomputing the normalize->shingle->hash chain per consumer."""
-    return shingle_sets(df, text_col, id_col, k).select(
-        "id", F.array_distinct(shingle_hashes(F.col("sh"))).alias("hs"))
+                        id_col: str = "doc_id", k: int = 5,
+                        carry: tuple = ()) -> DataFrame:
+    """(id, *carry, hs): distinct shingle-hash arrays — the shared build
+    artifact for signatures AND verification.  Callers reuse one persisted
+    copy instead of recomputing the normalize->shingle->hash chain per
+    consumer."""
+    return shingle_sets(df, text_col, id_col, k, carry).select(
+        "id", *carry,
+        F.array_distinct(shingle_hashes(F.col("sh"))).alias("hs"))
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
@@ -815,7 +819,10 @@ def embedding_neardup_pairs_ivf(df: DataFrame, vec_col: str = "embedding",
                                 n_centroids: int = 16, m_assign: int = 4,
                                 seed: int = 7,
                                 n: Optional[int] = None,
-                                cache_key: Optional[str] = None) -> DataFrame:
+                                cache_key: Optional[str] = None,
+                                store=None,
+                                store_token: Optional[str] = None
+                                ) -> DataFrame:
     """Moderate-threshold scale path: IVF multi-assignment candidates.
 
     SRP-LSH pruning collapses at moderate cosine thresholds (a 0.45 pair sits
@@ -841,7 +848,8 @@ def embedding_neardup_pairs_ivf(df: DataFrame, vec_col: str = "embedding",
     from .simsearch import assign_cells, kmeans_fit
 
     centers = kmeans_fit(df, n_centroids, vec_col, id_col, seed, n=n,
-                         cache_key=cache_key)
+                         cache_key=cache_key, store=store,
+                         store_token=store_token)
     # one shuffle: vectors move to their <= m_assign cells (row bytes x m,
     # NOT bytes x pairs); each cell verifies its own members with a single
     # numpy Gram matrix, so the exact-cosine work never ships per-pair

@@ -135,11 +135,25 @@ def sample_rows(df: DataFrame, cap: int, id_col: str,
 _CENTERS_CACHE: dict = {}
 
 
+def _store_name(prefix: str, cache_key, store, store_token, *params):
+    """Artifact name when cross-session persistence is requested (both
+    store and token present); persistence requires cache_key — it is the
+    corpus identity the name hashes."""
+    if store is None or store_token is None:
+        return None
+    if cache_key is None:
+        raise ValueError("store persistence requires cache_key")
+    from .artifacts import artifact_name
+
+    return artifact_name(prefix, cache_key, *params)
+
+
 def kmeans_fit(df: DataFrame, n_centroids: int, vec_col: str = "embedding",
                id_col: str = "vec_id", seed: int = 42,
                sample_cap: int = 4096, iters: int = 20,
                n: Optional[int] = None,
-               cache_key: Optional[str] = None) -> np.ndarray:
+               cache_key: Optional[str] = None,
+               store=None, store_token: Optional[str] = None) -> np.ndarray:
     """Driver-side Lloyd's KMeans on a bounded deterministic sample.
 
     At corpus scale a distributed KMeans over every row is wasted work — the
@@ -154,7 +168,10 @@ def kmeans_fit(df: DataFrame, n_centroids: int, vec_col: str = "embedding",
     coarse quantizer is fit once per corpus and shared by every index and
     query), keyed by (session, cache_key, k, seed, cap) — pass it only for
     immutable corpora; the fit is deterministic, so reuse changes nothing
-    but the job count.
+    but the job count.  ``store``/``store_token`` add cross-session
+    persistence (see ``artifacts.ArtifactStore``): the center matrix lands
+    as an ``.npz`` and a fresh session loads it with zero Spark jobs; a
+    corpus write changes the token and refits.
     """
     key = None
     if cache_key is not None:
@@ -163,6 +180,15 @@ def kmeans_fit(df: DataFrame, n_centroids: int, vec_col: str = "embedding",
         hit = _CENTERS_CACHE.get(key)
         if hit is not None:
             return hit
+    name = _store_name("kmeans", cache_key, store, store_token,
+                       n_centroids, seed, sample_cap)
+    if name is not None:
+        got = store.load_arrays(name, store_token)
+        if got is not None:
+            C = got[0]["C"]
+            if key is not None:
+                _CENTERS_CACHE[key] = C
+            return C
     pdf = (sample_rows(df.select(id_col, vec_col), sample_cap, id_col, n=n)
            .toPandas().sort_values(id_col))
     X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
@@ -174,6 +200,8 @@ def kmeans_fit(df: DataFrame, n_centroids: int, vec_col: str = "embedding",
         for j in range(len(C)):
             if (a == j).any():
                 C[j] = X[a == j].mean(axis=0)
+    if name is not None:
+        store.save_arrays(name, store_token, C=C)
     if key is not None:
         _CENTERS_CACHE[key] = C
     return C
@@ -203,7 +231,8 @@ def assign_cells(vec_col: Column, centers: np.ndarray, m: int = 1) -> Column:
 
 def ivf_build(df: DataFrame, n_centroids: int = 16,
               vec_col: str = "embedding", id_col: str = "vec_id",
-              seed: int = 42, cache_key: Optional[str] = None):
+              seed: int = 42, cache_key: Optional[str] = None,
+              store=None, store_token: Optional[str] = None):
     """Fit centroids (driver-side bounded-sample KMeans) and assign every
     vector to its cell with one Arrow-batched pass.
 
@@ -214,7 +243,8 @@ def ivf_build(df: DataFrame, n_centroids: int = 16,
     centroids converge on a sample.)
     """
     centers = kmeans_fit(df, n_centroids, vec_col, id_col, seed,
-                         cache_key=cache_key)
+                         cache_key=cache_key, store=store,
+                         store_token=store_token)
     assigned = df.withColumn(
         "cell", F.element_at(assign_cells(F.col(vec_col), centers, 1), 1))
     return assigned, centers
@@ -249,7 +279,8 @@ def pq_fit(df: DataFrame, m: int = 8, ks: int = 256,
            vec_col: str = "embedding", id_col: str = "vec_id",
            seed: int = 42, sample_cap: int = 4096, iters: int = 15,
            n: Optional[int] = None,
-           cache_key: Optional[str] = None) -> np.ndarray:
+           cache_key: Optional[str] = None,
+           store=None, store_token: Optional[str] = None) -> np.ndarray:
     """Per-subspace codebooks (m, ks, dim/m) — Jegou et al. 2011 (TPAMI,
     "Product Quantization for Nearest Neighbor Search", public).
 
@@ -269,6 +300,15 @@ def pq_fit(df: DataFrame, m: int = 8, ks: int = 256,
         hit = _CENTERS_CACHE.get(key)
         if hit is not None:
             return hit
+    name = _store_name("pq", cache_key, store, store_token,
+                       m, ks, seed, sample_cap)
+    if name is not None:
+        got = store.load_arrays(name, store_token)
+        if got is not None:
+            books = got[0]["books"]
+            if key is not None:
+                _CENTERS_CACHE[key] = books
+            return books
     pdf = (sample_rows(df.select(id_col, vec_col), sample_cap, id_col, n=n)
            .toPandas().sort_values(id_col))
     X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
@@ -293,6 +333,8 @@ def pq_fit(df: DataFrame, m: int = 8, ks: int = 256,
         if k_eff < ks:
             # pad unused slots far away so they are never argmin winners
             books[j, k_eff:] = 1e6
+    if name is not None:
+        store.save_arrays(name, store_token, books=books)
     if key is not None:
         _CENTERS_CACHE[key] = books
     return books
@@ -369,7 +411,8 @@ def ivfadc_fit(df: DataFrame, n_centroids: int = 16, m: int = 8,
                id_col: str = "vec_id", seed: int = 42,
                sample_cap: int = 4096, iters: int = 15,
                n: Optional[int] = None,
-               cache_key: Optional[str] = None):
+               cache_key: Optional[str] = None,
+               store=None, store_token: Optional[str] = None):
     """(centers, residual codebooks): coarse quantizer + per-subspace books
     fit on the RESIDUALS v - c(v), all in L2-normalized space so the ADC
     inner product <q, c + r> = <q, c> + <q, r> approximates cosine.
@@ -385,6 +428,15 @@ def ivfadc_fit(df: DataFrame, n_centroids: int = 16, m: int = 8,
         hit = _CENTERS_CACHE.get(key)
         if hit is not None:
             return hit
+    name = _store_name("ivfadc", cache_key, store, store_token,
+                       n_centroids, m, ks, seed, sample_cap)
+    if name is not None:
+        got = store.load_arrays(name, store_token)
+        if got is not None:
+            art = (got[0]["centers"], got[0]["books"])
+            if key is not None:
+                _CENTERS_CACHE[key] = art
+            return art
     pdf = (sample_rows(df.select(id_col, vec_col), sample_cap, id_col, n=n)
            .toPandas().sort_values(id_col))
     X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
@@ -423,6 +475,8 @@ def ivfadc_fit(df: DataFrame, n_centroids: int = 16, m: int = 8,
         if k_eff < ks:
             books[j, k_eff:] = 1e6
     art = (centers, books)
+    if name is not None:
+        store.save_arrays(name, store_token, centers=centers, books=books)
     if key is not None:
         _CENTERS_CACHE[key] = art
     return art

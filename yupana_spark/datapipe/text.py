@@ -280,9 +280,10 @@ _LM_CACHE: dict = {}
 
 def unigram_lm_fit(df: DataFrame, text_col: str = "text",
                    vocab_cap: int = 1 << 16,
-                   cache_key: str | None = None):
-    """Fit the unigram LM artifact once: (vocab DataFrame [w, __c]
-    localCheckpointed eagerly, corpus token total as a float).
+                   cache_key: str | None = None,
+                   store=None, store_token: str | None = None):
+    """Fit the unigram LM artifact once: (vocab DataFrame [w, __c],
+    corpus token total as a float).
 
     Same train-once posture as ``simsearch.kmeans_fit``/``pq_fit``: the
     vocabulary is bounded (<= vocab_cap rows) so eager materialization is
@@ -290,6 +291,13 @@ def unigram_lm_fit(df: DataFrame, text_col: str = "text",
     ``cache_key`` (pass only for immutable corpora) memoizes per
     (session, key, text_col, vocab_cap) — the fit is deterministic, so
     reuse changes nothing but the job count.
+
+    ``store``/``store_token`` (an :class:`~.artifacts.ArtifactStore` and a
+    corpus fingerprint) add CROSS-SESSION persistence: the vocab lands as
+    parquet + the total in the artifact meta, and a fresh session loads
+    both with ZERO fit jobs (the vocab comes back as a lazy parquet read
+    over bounded storage).  A corpus write changes the token and refits.
+    Requires ``cache_key`` (it names the artifact).
     """
     key = None
     if cache_key is not None:
@@ -298,6 +306,19 @@ def unigram_lm_fit(df: DataFrame, text_col: str = "text",
         hit = _LM_CACHE.get(key)
         if hit is not None:
             return hit
+    name = None
+    if store is not None and store_token is not None:
+        if cache_key is None:
+            raise ValueError("store persistence requires cache_key")
+        from .artifacts import artifact_name
+
+        name = artifact_name("unigram_lm", cache_key, text_col, vocab_cap)
+        got = store.load_df(df.sparkSession, name, store_token)
+        if got is not None:
+            art = (got[0], float(got[1]["total"]))
+            if key is not None:
+                _LM_CACHE[key] = art
+            return art
     toks = df.select(F.explode(words(F.lower(F.col(text_col)))).alias("w"))
     counts = toks.groupBy("w").agg(F.count("*").alias("__c"))
     vocab = (counts.orderBy(F.col("__c").desc(), F.col("w").asc())
@@ -305,6 +326,11 @@ def unigram_lm_fit(df: DataFrame, text_col: str = "text",
              .localCheckpoint(eager=True))
     total = float(counts.agg(F.sum("__c")).collect()[0][0] or 0.0)
     art = (vocab, total)
+    if name is not None:
+        store.save_df(name, store_token, vocab, extra={"total": total})
+        # read back from storage so THIS session already runs on the
+        # persisted artifact (and the checkpoint blocks can be reaped)
+        art = (store.load_df(df.sparkSession, name, store_token)[0], total)
     if key is not None:
         _LM_CACHE[key] = art
     return art
@@ -313,7 +339,9 @@ def unigram_lm_fit(df: DataFrame, text_col: str = "text",
 def unigram_lm_scores(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", vocab_cap: int = 1 << 16,
                       oov_count: float = 0.5, scale: int = 4,
-                      cache_key: str | None = None) -> DataFrame:
+                      cache_key: str | None = None,
+                      store=None, store_token: str | None = None
+                      ) -> DataFrame:
     """(id, xent) — per-document cross-entropy under a corpus-fit unigram
     LM, the CCNet-style statistical quality filter (Wenzek et al. 2020
     fit a LM and drop high-perplexity documents; a unigram model keeps the
@@ -339,7 +367,9 @@ def unigram_lm_scores(df: DataFrame, text_col: str = "text",
     toks = df.select(F.col(id_col).alias("id"),
                      F.explode(words(F.lower(F.col(text_col)))).alias("w"))
     if cache_key is not None:
-        vocab, total_v = unigram_lm_fit(df, text_col, vocab_cap, cache_key)
+        vocab, total_v = unigram_lm_fit(df, text_col, vocab_cap, cache_key,
+                                        store=store,
+                                        store_token=store_token)
         scored = (toks.join(F.broadcast(vocab), "w", "left")
                   .withColumn("__t", F.lit(total_v)))
     else:

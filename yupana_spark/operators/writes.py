@@ -85,6 +85,27 @@ class Warehouse:
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
+    def artifact_store(self):
+        """Fitted-artifact store under THIS warehouse root (≙ the
+        reference materializing its inverted index next to the data,
+        ItemsInvertedIndexImpl.scala): LM vocabularies, codebooks, merge
+        tables and signature indexes fit once per corpus version and
+        survive engine restarts over the same root."""
+        from ..datapipe.artifacts import ArtifactStore
+
+        return ArtifactStore(os.path.join(self.root, "_artifacts"))
+
+    def table_token(self, table: str) -> str:
+        """Corpus version fingerprint for ``table`` — the LIVE source: the
+        warehouse copy when the table has been written, else the sf_dir
+        fixture.  Any write through this warehouse changes it, which is
+        the artifact invalidation contract."""
+        from ..datapipe.artifacts import corpus_token
+
+        live = self.path(table) if self.exists(table) else os.path.join(
+            self.sf_dir, f"{table}.parquet")
+        return corpus_token(live)
+
     def exists(self, table: str) -> bool:
         return os.path.exists(self.path(table))
 

