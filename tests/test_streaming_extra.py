@@ -309,3 +309,133 @@ def test_streaming_corpus_filter_matches_batch(spark, tmp_path):
     assert streamed[5][0] is False and "duplicate" in streamed[5][1]
     assert streamed[2] == (False, "contaminated")
     assert streamed[3] == (False, "lang")
+
+
+def test_streaming_neardup_event_time_eviction(spark, tmp_path):
+    """EventTimeTimeout horizon (r6 verdict ask #3): eviction keyed to the
+    WATERMARK, so the eviction set is a function of the data + batch
+    boundaries, not wall-clock pacing.  The same 5-file replay runs (a)
+    fast (availableNow) and (b) slow (processingTime trigger) — identical
+    pair sets both times, with the past-horizon pair evicted in both —
+    while (c) the same data under ProcessingTimeTimeout with the same
+    horizon finds the past-horizon pair (nothing evicts in a fast replay),
+    demonstrating exactly the wall-clock dependence event time removes."""
+    import json
+    import os
+    import time
+
+    from pyspark.sql import types as T
+
+    from yupana_spark.streaming.neardup import streaming_neardup_pairs
+
+    a_text = "spark stream bucket shingle minhash corpus window state band"
+    u1 = "totally different words about databases indexes columns rows"
+    u2 = "another unrelated blob regarding compilers parsers grammars"
+    docs = [  # (doc_id, text, event ts); horizon = 1h
+        (1, a_text, "2024-01-01 00:00:00"),   # first member of bucket A
+        (50, u1, "2024-01-01 03:00:00"),      # advances watermark past 1h
+        (51, u2, "2024-01-01 03:00:30"),      # idle batch -> A evicted
+        (3, a_text, "2024-01-01 03:01:00"),   # near-dup of EVICTED 1
+        (4, a_text, "2024-01-01 03:02:00"),   # near-dup of LIVE 3
+    ]
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType()),
+                           T.StructField("ts", T.TimestampType())])
+    src = tmp_path / "et_src"
+    src.mkdir()
+    for i, (did, txt, ts) in enumerate(docs):
+        p = src / f"f{i}.json"
+        p.write_text(json.dumps({"doc_id": did, "text": txt, "ts": ts}))
+        os.utime(p, (1000 + i, 1000 + i))    # pin file processing order
+
+    def run(name, trigger, event_time=True, wait_for=(3, 4)):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        stream = stream.withWatermark("ts", "0 seconds")
+        out = streaming_neardup_pairs(
+            stream, threshold=0.5, idle_timeout_ms=3_600_000,
+            event_time_col="ts" if event_time else None)
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / f"{name}_ck"))
+             .trigger(**trigger).start())
+        try:
+            # poll rather than awaitTermination: under ProcessingTime-
+            # Timeout the engine keeps scheduling timeout micro-batches,
+            # so even an availableNow query need not terminate promptly
+            t0 = time.time()
+            while time.time() - t0 < 150:
+                got = {(r["id_a"], r["id_b"])
+                       for r in spark.table(name).collect()}
+                if wait_for in got:
+                    break
+                time.sleep(0.4)
+            time.sleep(1.0)              # grace: let trailing rows land
+            return {(r["id_a"], r["id_b"])
+                    for r in spark.table(name).collect()}
+        finally:
+            q.stop()
+            spark.catalog.dropTempView(name)
+
+    fast = run("et_fast", {"availableNow": True})
+    slow = run("et_slow", {"processingTime": "2 seconds"})
+    assert fast == slow == {(3, 4)}          # pacing-independent evictions
+    assert (1, 3) not in fast and (1, 4) not in fast   # horizon enforced
+    # contrast: PROCESSING-time horizon on the same replay evicts nothing
+    # (wall clock never reaches 1h), so the past-horizon pairs appear
+    wall = run("et_wall", {"availableNow": True}, event_time=False,
+               wait_for=(3, 4))
+    assert {(1, 3), (1, 4), (3, 4)} <= wall
+
+
+def test_streaming_corpus_filter_event_time_knob(spark, tmp_path):
+    """The corpus filter's event-time horizon: a re-sent fingerprint past
+    the event-time horizon is NOT flagged duplicate (state evicted by
+    watermark), and the knob validates its preconditions."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from yupana_spark.streaming.filters import streaming_corpus_filter
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different filler content for watermark advancement"
+    rows = [
+        (1, text, "2024-01-01 00:00:00"),
+        (60, other, "2024-01-01 03:00:00"),   # watermark past horizon
+        (61, other + " two", "2024-01-01 03:00:30"),  # idle batch: evict
+        (2, text, "2024-01-01 03:01:00"),     # same fp, state evicted
+        (3, text, "2024-01-01 03:02:00"),     # dup of LIVE 2
+    ]
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType()),
+                           T.StructField("ts", T.TimestampType())])
+    src = tmp_path / "cf_src"
+    src.mkdir()
+    for i, (did, txt, ts) in enumerate(rows):
+        p = src / f"f{i}.json"
+        p.write_text(json.dumps({"doc_id": did, "text": txt, "ts": ts}))
+        os.utime(p, (1000 + i, 1000 + i))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).json(str(src))
+              .withWatermark("ts", "0 seconds"))
+    out = streaming_corpus_filter(stream, langs=None, min_quality=0.0,
+                                  idle_timeout_ms=3_600_000,
+                                  event_time_col="ts")
+    q = (out.writeStream.format("memory").queryName("cf_et")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "cf_et_ck"))
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination()
+        got = {r["id"]: r["reasons"] for r in spark.table("cf_et").collect()}
+    finally:
+        q.stop()
+        spark.catalog.dropTempView("cf_et")
+    assert "duplicate" not in got[1]
+    assert "duplicate" not in got[2]          # doc 1's state was evicted
+    assert "duplicate" in got[3]              # doc 2 is live
+    with pytest.raises(ValueError, match="idle_timeout_ms"):
+        streaming_corpus_filter(stream, event_time_col="ts")

@@ -44,7 +44,8 @@ _STATE_SCHEMA = T.StructType([
 ])
 
 
-def _make_dup_update(idle_timeout_ms: Optional[int]):
+def _make_dup_update(idle_timeout_ms: Optional[int],
+                     event_time_col: Optional[str] = None):
     def _dup_update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
                     state: GroupState) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
@@ -61,7 +62,16 @@ def _make_dup_update(idle_timeout_ms: Optional[int]):
             seen = True
         state.update((1 if seen else 0,))
         if idle_timeout_ms is not None:
-            state.setTimeoutDuration(idle_timeout_ms)
+            if event_time_col is not None:
+                # event-time horizon: eviction is a function of the DATA
+                # (watermark passes last-arrival ts + horizon), so replays
+                # at any wall-clock speed evict identically
+                if len(pdf):
+                    ms = int(pd.Timestamp(pdf[event_time_col].max()).value
+                             // 1_000_000)
+                    state.setTimeoutTimestamp(ms + idle_timeout_ms)
+            else:
+                state.setTimeoutDuration(idle_timeout_ms)
         if len(pdf):
             out = pdf[["id", "q", "lang", "cont"]].copy()
             out["is_duplicate"] = dup
@@ -97,13 +107,19 @@ def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
                             min_quality: float = 0.7,
                             langs: Optional[Sequence[str]] = ("en",),
                             eval_docs: Optional[DataFrame] = None,
-                            idle_timeout_ms: Optional[int] = None
+                            idle_timeout_ms: Optional[int] = None,
+                            event_time_col: Optional[str] = None
                             ) -> DataFrame:
     """Streaming (id, keep, reasons): same rules, labels and reason order
     as the batch ``corpus_keep`` — on a full replay of a static corpus the
     decisions MATCH the batch operator's (the equivalence the test pins),
     except that 'duplicate' marks arrival order (later arrival of equal
-    content) instead of higher id, the only meaningful notion online."""
+    content) instead of higher id, the only meaningful notion online.
+
+    ``idle_timeout_ms`` bounds dup-fingerprint state by a horizon;
+    ``event_time_col`` (requires a watermark on that column) makes the
+    horizon EVENT-time — eviction keyed to the watermark, deterministic
+    under replay at any wall-clock pacing — instead of processing-time."""
     from ..datapipe.text import (exploded_ngram_hashes, fingerprint_md5,
                                  lang_id, normalize_text, quality_score,
                                  words)
@@ -123,19 +139,28 @@ def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
         cont = _contaminated_col(F.col("__w"), bc)
     else:
         cont = F.lit(False)
+    if event_time_col is not None and idle_timeout_ms is None:
+        raise ValueError("event_time_col needs idle_timeout_ms "
+                         "(the horizon length)")
+    carry = ((F.col(event_time_col),) if event_time_col is not None else ())
     base = staged.select(
         F.col(id_col).cast("long").alias("id"),
+        *carry,
         fingerprint_md5(F.col(text_col)).alias("__fp"),
         quality_score(F.col(text_col)).alias("q"),
         lang_id(F.col(text_col)).alias("lang"),
         cont.alias("cont"),
     )
-    timeout = (GroupStateTimeout.NoTimeout if idle_timeout_ms is None
-               else GroupStateTimeout.ProcessingTimeTimeout)
+    if idle_timeout_ms is None:
+        timeout = GroupStateTimeout.NoTimeout
+    elif event_time_col is not None:
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
     flagged = (base.groupBy("__fp")
                .applyInPandasWithState(
-                   _make_dup_update(idle_timeout_ms), _OUT_SCHEMA,
-                   _STATE_SCHEMA, "append", timeout))
+                   _make_dup_update(idle_timeout_ms, event_time_col),
+                   _OUT_SCHEMA, _STATE_SCHEMA, "append", timeout))
     from ..datapipe.filters import keep_reasons
 
     lang_bad = (F.lit(False) if langs is None

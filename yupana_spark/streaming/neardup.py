@@ -22,8 +22,11 @@ same layout as Spark's own streaming aggregation state.
 
 Scale posture: with the default NoTimeout, bucket state grows with corpus
 prefix size (band buckets are sparse, ~N/2^band_bits members each); the
-``idle_timeout_ms`` knob turns on ProcessingTimeTimeout eviction so a
-production run's state is bounded by the horizon's arrival volume instead.  A pair colliding in several bands (or re-observed across
+``idle_timeout_ms`` knob turns on horizon eviction so a production run's
+state is bounded by the horizon's arrival volume instead — wall-clock
+(ProcessingTimeTimeout) by default, or data-deterministic event-time
+(EventTimeTimeout, keyed to the watermark) when ``event_time_col`` is
+given.  A pair colliding in several bands (or re-observed across
 micro-batches for a re-sent id) is emitted once per collision — consumers
 dedupe with a batch `dropDuplicates` (the conservation check does), or a
 watermarked streaming distinct at production horizons.
@@ -53,7 +56,8 @@ BUCKET_STATE_SCHEMA = T.StructType([
 ])
 
 
-def _make_bucket_update(threshold: float, idle_timeout_ms: int | None = None):
+def _make_bucket_update(threshold: float, idle_timeout_ms: int | None = None,
+                        event_time_col: str | None = None):
     def _bucket_update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
                        state: GroupState) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -73,7 +77,12 @@ def _make_bucket_update(threshold: float, idle_timeout_ms: int | None = None):
             ids, sets = [], []
         out_a, out_b, out_j = [], [], []
         seen = set(ids)
+        max_ev_ms = None
         for pdf in pdfs:
+            if event_time_col is not None and len(pdf):
+                m = pdf[event_time_col].max()
+                ms = int(pd.Timestamp(m).value // 1_000_000)
+                max_ev_ms = ms if max_ev_ms is None else max(max_ev_ms, ms)
             # deterministic arrival order within the micro-batch
             pdf = pdf.sort_values("id")
             for rid, hs in zip(pdf["id"], pdf["hs"]):
@@ -116,7 +125,15 @@ def _make_bucket_update(threshold: float, idle_timeout_ms: int | None = None):
             # horizon policy: a bucket idle past the horizon is evicted
             # (hasTimedOut branch above) — pairs straddling the horizon are
             # then NOT re-found, the documented memory/recall trade
-            state.setTimeoutDuration(idle_timeout_ms)
+            if event_time_col is not None:
+                # EVENT-time horizon: eviction fires when the WATERMARK
+                # (a function of the data) passes last-member-ts + horizon
+                # — replaying the same corpus at any wall-clock speed with
+                # the same batch boundaries evicts identically
+                if max_ev_ms is not None:
+                    state.setTimeoutTimestamp(max_ev_ms + idle_timeout_ms)
+            else:
+                state.setTimeoutDuration(idle_timeout_ms)
         if out_a:
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b,
                                 "jaccard": out_j})
@@ -128,7 +145,8 @@ def streaming_neardup_pairs(stream: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", threshold: float = 0.5,
                             num_hashes: int = 32, bands: int = 8,
                             k: int = 5,
-                            idle_timeout_ms: int | None = None) -> DataFrame:
+                            idle_timeout_ms: int | None = None,
+                            event_time_col: str | None = None) -> DataFrame:
     """Streaming (id_a, id_b, jaccard) near-dup matches, id_a < id_b.
 
     Shingle/band/verification definitions are shared with the batch
@@ -143,26 +161,44 @@ def streaming_neardup_pairs(stream: DataFrame, text_col: str = "text",
 
     ``idle_timeout_ms`` is the state-horizon knob (the same shape as
     ``stateful.running_totals``' idle_timeout): when set, a bucket that
-    receives no member for that long is evicted (ProcessingTimeTimeout),
-    so per-bucket state is bounded by the horizon's arrival volume instead
-    of the whole corpus prefix — at the cost that a near-dup of an evicted
-    member is no longer found.  ``None`` (default) keeps NoTimeout, which
-    an availableNow replay requires (the superset-of-batch guarantee in
-    q_stream_dedup only holds with full-prefix state).
+    receives no member for that long is evicted, so per-bucket state is
+    bounded by the horizon's arrival volume instead of the whole corpus
+    prefix — at the cost that a near-dup of an evicted member is no longer
+    found.  ``None`` (default) keeps NoTimeout, which an availableNow
+    replay requires (the superset-of-batch guarantee in q_stream_dedup
+    only holds with full-prefix state).
+
+    ``event_time_col`` switches the horizon clock from WALL time
+    (ProcessingTimeTimeout — replaying the same data at different speeds
+    evicts differently) to EVENT time (EventTimeTimeout): a bucket is
+    evicted when the stream's watermark passes its last member's event
+    time + ``idle_timeout_ms``, making the eviction set a deterministic
+    function of the data and the batch boundaries, independent of
+    wall-clock pacing.  Requires ``idle_timeout_ms`` AND a watermark on
+    ``event_time_col`` (``stream.withWatermark(...)`` before calling).
     """
     from ..datapipe.dedup import (band_explode, hashed_shingle_sets,
                                   minhash_signature_np)
 
-    hashed = hashed_shingle_sets(stream, text_col, id_col, k)
+    if event_time_col is not None and idle_timeout_ms is None:
+        raise ValueError("event_time_col needs idle_timeout_ms "
+                         "(the horizon length)")
+    carry = (event_time_col,) if event_time_col is not None else ()
+    hashed = hashed_shingle_sets(stream, text_col, id_col, k, carry=carry)
     sig = hashed.select(
-        F.col("id").cast("long").alias("id"), "hs",
+        F.col("id").cast("long").alias("id"), *carry, "hs",
         minhash_signature_np(F.col("hs"), num_hashes).alias("sig"))
     # the band hash is THE shared definition (dedup.band_explode) — the
     # streaming-vs-batch superset guarantee depends on it byte-for-byte
-    banded = band_explode(sig, num_hashes, bands, "hs")
-    timeout = (GroupStateTimeout.NoTimeout if idle_timeout_ms is None
-               else GroupStateTimeout.ProcessingTimeTimeout)
+    banded = band_explode(sig, num_hashes, bands, "hs", *carry)
+    if idle_timeout_ms is None:
+        timeout = GroupStateTimeout.NoTimeout
+    elif event_time_col is not None:
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
     return (banded.groupBy("band", "bhash")
             .applyInPandasWithState(
-                _make_bucket_update(threshold, idle_timeout_ms), PAIR_SCHEMA,
+                _make_bucket_update(threshold, idle_timeout_ms,
+                                    event_time_col), PAIR_SCHEMA,
                 BUCKET_STATE_SCHEMA, "append", timeout))
