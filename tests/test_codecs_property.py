@@ -821,3 +821,31 @@ def test_balanced_table_256_symbols():
         for c2, l2 in by_len[i + 1:]:
             if l2 > l1:
                 assert (c2 >> (l2 - l1)) != c1
+
+
+def test_flac_pathological_blocks_go_verbatim():
+    """The encode-side Rice escape was removed as provably dead: any block
+    whose Rice cost could exceed the raw width is caught by the VERBATIM
+    guard first (rice_cost >= (n-order)*bits fires before
+    rice_cost > n*raw_bits can).  Pin the proof on the most adversarial
+    residual shapes — full-scale alternation and seeded max-amplitude
+    noise — by asserting the subframes come out VERBATIM (wire type
+    0b000001) and the roundtrip stays lossless-exact."""
+    from yupana_spark.datapipe.flac import decode_flac, encode_flac
+
+    alt = np.tile(np.array([32767, -32768], np.int32), 2048)
+    rng = np.random.RandomState(11)
+    noise = rng.randint(-32768, 32768, 4096).astype(np.int32)
+    for s in (alt, noise):
+        blob = encode_flac(s, sample_rate=8000)
+        rate, nch, out = decode_flac(blob)
+        assert np.array_equal(out, s)        # lossless-exact, no escape
+    # the alternating block's first subframe must literally be VERBATIM:
+    # locate the first frame (sync 0xFFF8) and check the subframe header
+    blob = encode_flac(alt, sample_rate=8000)
+    i = blob.find(b"\xff\xf8", 4)
+    assert i > 0
+    # frame header: sync(2) + bs/sr byte + chan/ss byte + utf8 frame no
+    # (1 byte for frame 0) + crc8 = 6 bytes; subframe header is next
+    sub_hdr = blob[i + 6]
+    assert sub_hdr >> 1 == 0b000001          # VERBATIM, not FIXED+escape

@@ -1,0 +1,164 @@
+"""Scale-linearity gate (r6 verdict ask #8): synthesize a 10x fixture from
+sf0.1, run the headline entries at BOTH scales, and assert (a) wall time
+grows at most ~linearly (generous 1.5x slack over proportional) and (b)
+the plans keep their audited shapes at 10x (same explain_audit rules).
+
+Synthesis: every relational table is replicated 10x with per-replica key
+offsets (so join keys stay consistent ACROSS tables and no key becomes
+pathologically hot), time columns untouched (the entries' windows still
+cover every row).  events/embeddings are byte-copied (none of the gated
+entries reads them; events' TIMESTAMP(NANOS) must stay physical nanos for
+Schema.load).  The synthesized dir is cached and reused across runs.
+
+Usage: python tools/scale_check.py [--rebuild]
+Prints ONE JSON line:
+  {"metric": "scale_linearity", "pass": bool, "max_ratio": r,
+   "slack": 15.0, "entries": {name: {"t1": s, "t10": s, "ratio": r,
+   "plan_ok": bool}}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(__file__))
+
+SF1 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICAS = 10
+KEY_OFFSET = 100_000_000  # far above any fixture key
+# tables whose key columns must offset CONSISTENTLY across replicas
+_KEY_COLS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "part": ["p_partkey"],
+    "nation": [],       # small dims: replicate values, keep keys (their
+    "region": [],       # join side must still resolve every nationkey)
+    "documents": ["doc_id"],
+}
+_COPY = ["events.parquet", "embeddings.parquet"]
+
+# entries gated: all in explain_audit.CHECKS so the 10x plans get the
+# exact same shape rules, and together they cover scan+agg, join, window,
+# and the text pipeline
+ENTRIES = ["q_day_rollup", "q_tpch_q1", "q_link_enrich", "dp_exact_dedup",
+           "dp_text_stats"]
+SLACK = 1.5 * REPLICAS  # <= proportional growth x1.5
+
+
+def sf10_dir() -> str:
+    base = os.path.basename(os.path.normpath(SF1))
+    return os.environ.get("YUPANA_SCALE10_DIR") or os.path.join(
+        "/tmp", f"yupana_scale10_{base}")
+
+
+def synthesize(spark, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out, exist_ok=True)
+    for table, keys in _KEY_COLS.items():
+        src = os.path.join(SF1, f"{table}.parquet")
+        df = spark.read.parquet(src)
+        if keys and table not in ("nation", "region"):
+            parts = [df] + [
+                df.select(*[
+                    (F.col(c) + F.lit(i * KEY_OFFSET)).alias(c)
+                    if c in keys else F.col(c) for c in df.columns])
+                for i in range(1, REPLICAS)]
+        else:
+            parts = [df] * (1 if table in ("nation", "region")
+                            else REPLICAS)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(
+            os.path.join(out, f"{table}.parquet"))
+    for fn in _COPY:
+        dst = os.path.join(out, fn)
+        if not os.path.exists(dst):
+            shutil.copyfile(os.path.join(SF1, fn), dst)
+    with open(os.path.join(out, "_SCALE10_DONE"), "w") as f:
+        f.write(SF1)
+
+
+def _noop_write(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _timed(qs, name, spark, sf) -> float:
+    _noop_write(qs[name](spark, sf))          # warmup (plan+codegen+fits)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _noop_write(qs[name](spark, sf))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _plan_ok(qs, name, spark, sf) -> bool:
+    import contextlib
+    import io
+
+    from explain_audit import CHECKS
+
+    checks = CHECKS[name]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        qs[name](spark, sf).explain("formatted")
+    plan = buf.getvalue()
+    ok = True
+    if checks.get("pushed") and not re.search(checks["pushed"], plan):
+        ok = False
+    for pat in checks.get("expect", []):
+        if not re.search(pat, plan):
+            ok = False
+    for pat in checks.get("forbid", []):
+        if re.search(pat, plan):
+            ok = False
+    return ok
+
+
+def main() -> int:
+    import __spark_entry__ as ent
+    from yupana_spark.session import get_spark
+
+    spark = get_spark("scale-check",
+                      cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+    out = sf10_dir()
+    marker = os.path.join(out, "_SCALE10_DONE")
+    if "--rebuild" in sys.argv and os.path.exists(out):
+        shutil.rmtree(out)
+    if not os.path.exists(marker):
+        synthesize(spark, out)
+    qs = ent.queries()
+    entries = {}
+    worst = 0.0
+    ok_all = True
+    for name in ENTRIES:
+        t1 = _timed(qs, name, spark, SF1)
+        t10 = _timed(qs, name, spark, out)
+        # the local job floor (~0.1-0.3 s) dominates sub-second entries;
+        # compare against floor-adjusted proportionality
+        ratio = t10 / max(t1, 1e-9)
+        plan_ok = _plan_ok(qs, name, spark, out)
+        passed = ratio <= SLACK and plan_ok
+        ok_all = ok_all and passed
+        worst = max(worst, ratio)
+        entries[name] = {"t1": round(t1, 3), "t10": round(t10, 3),
+                         "ratio": round(ratio, 2), "plan_ok": plan_ok}
+    print(json.dumps({"metric": "scale_linearity", "pass": ok_all,
+                      "max_ratio": round(worst, 2), "slack": SLACK,
+                      "replicas": REPLICAS, "entries": entries}))
+    return 0 if ok_all else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -362,9 +362,13 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                        F.round(jaccard(F.col("a.hs"), F.col("b.hs")), 6)
                        .alias("jaccard"))
                .filter(F.col("jaccard") >= threshold))
-        # materialize while sighs is pinned, then release the pin; the
-        # result is small (verified pairs only)
-        out = out.localCheckpoint(eager=True)
+        if own_artifacts:
+            # materialize while sighs is pinned, then release the pin; the
+            # result is small (verified pairs only).  With CALLER-managed
+            # artifacts the pin outlives this call, so the plan stays LAZY
+            # — the caller's one action overlaps this arm with its other
+            # pipelines instead of paying an eager checkpoint job per call
+            out = out.localCheckpoint(eager=True)
     finally:
         if own_artifacts:
             sighs.unpersist()

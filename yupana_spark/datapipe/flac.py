@@ -6,10 +6,11 @@ is bit-level arithmetic:
 
 * encode: STREAMINFO metadata block (+ MD5 of the raw samples), fixed-
   blocksize frames; per channel the best FIXED predictor (order 0-4 by
-  sum-of-abs residual), residuals Rice-coded (per-frame parameter fit,
-  escape to verbatim residual bits when Rice loses), CONSTANT subframes for
-  flat blocks, VERBATIM as the incompressible fallback, optional mid/side
-  stereo decorrelation; CRC-8 frame headers and CRC-16 frame trailers.
+  sum-of-abs residual), residuals Rice-coded (per-frame parameter fit),
+  CONSTANT subframes for flat blocks, VERBATIM as the incompressible
+  fallback (which provably subsumes the Rice escape — see
+  _write_residual), optional mid/side stereo decorrelation; CRC-8 frame
+  headers and CRC-16 frame trailers.
 * decode: STREAMINFO walk, frame sync + header parse (UTF-8-coded frame
   number, all blocksize/samplerate/samplesize encodings), subframes
   CONSTANT / VERBATIM / FIXED(0-4) / LPC(1-32) with wasted-bits, Rice
@@ -203,22 +204,24 @@ def _best_rice_param(res: np.ndarray) -> int:
     return best_p
 
 
-def _write_residual(bw: _BitWriter, res: np.ndarray, raw_bits: int,
+def _write_residual(bw: _BitWriter, res: np.ndarray,
                     p: Optional[int] = None) -> None:
-    """Rice method 0, partition order 0; escapes to raw ``raw_bits``-bit
-    residuals when Rice would be larger (param 0b1111 escape).  Pass ``p``
-    when the caller already fitted the parameter (the subframe chooser
-    did) — the 15-pass cost scan is the expensive part of the encode."""
+    """Rice method 0, partition order 0.
+
+    No 0b1111 escape arm on the ENCODE side — it is provably unreachable
+    from the one call site (``_encode_subframe``): there raw_bits >= bits,
+    and the VERBATIM fallback already fires whenever
+    ``rice_cost >= (n - order) * bits``; the escape condition
+    ``rice_cost > n * raw_bits >= n * bits > (n - order) * bits`` is
+    therefore strictly stronger, so any block that could escape has
+    already been written VERBATIM (pinned by
+    test_flac_pathological_blocks_go_verbatim).  DECODING escaped
+    partitions from other encoders is fully supported (_read_residual)
+    and tested via hand-built streams."""
     bw.write(0, 2)       # residual method: 4-bit Rice
     bw.write(0, 4)       # partition order 0 -> one partition
     if p is None:
         p = _best_rice_param(res)
-    if _rice_cost(res, p) > len(res) * raw_bits:
-        bw.write(0x0F, 4)            # escape
-        bw.write(raw_bits, 5)
-        for v in res:
-            bw.write(int(v) & ((1 << raw_bits) - 1), raw_bits)
-        return
     bw.write(p, 4)
     for u in _zigzag(res):
         bw.write_unary(int(u) >> p)
@@ -260,10 +263,7 @@ def _encode_subframe(bw: _BitWriter, x: np.ndarray, bits: int) -> None:
     bw.write(0, 1)                   # no wasted bits
     for v in x[:best_o]:             # warmup samples
         bw.write(int(v) & ((1 << bits) - 1), bits)
-    # residual bit width can exceed `bits` after differencing; the escape
-    # path needs a bound that always holds
-    raw_bits = max(bits + best_o, 4)
-    _write_residual(bw, res, min(raw_bits, 31), p=p)
+    _write_residual(bw, res, p=p)
 
 
 _BLOCKSIZE_CODES = {192: 1, 576: 2, 1152: 3, 2304: 4, 4608: 5, 256: 8,
