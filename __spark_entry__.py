@@ -1535,6 +1535,7 @@ def dp_neardup_scale(spark, sf_dir):
         # token (version) — changing either side refits
         names = {"nd_arts": artifact_name("nd_arts", sf_dir, 5, 32),
                  "nd_sigs": artifact_name("nd_sigs", sf_dir, 64),
+                 "nd_cells": artifact_name("nd_cells", sf_dir, 16, 4, 7),
                  "nd_exmh": artifact_name("nd_exmh", sf_dir, 0.85, 400),
                  "nd_exsh": artifact_name("nd_exsh", sf_dir, 3, 400),
                  "nd_exel": artifact_name("nd_exel", sf_dir, 0.45, 512)}
@@ -1542,13 +1543,22 @@ def dp_neardup_scale(spark, sf_dir):
         if all(v is not None for v in loaded.values()):
             arts = loaded["nd_arts"][0].localCheckpoint(eager=True)
             sigs = loaded["nd_sigs"][0].localCheckpoint(eager=True)
+            cells = loaded["nd_cells"][0].localCheckpoint(eager=True)
             ex_mh = loaded["nd_exmh"][0]
             ex_sh = loaded["nd_exsh"][0]
             ex_el = loaded["nd_exel"][0]
         else:
+            from yupana_spark.datapipe.dedup import ivf_assignment
+
             arts = minhash_artifacts(docs).localCheckpoint(eager=True)
             sigs = (simhash(docs).withColumnRenamed("doc_id", "id")
                     .localCheckpoint(eager=True))
+            # the IVF cell layout is the third index artifact (production
+            # assigns at ingest); exact verification stays live below
+            cells = ivf_assignment(
+                emb, n=n_emb, cache_key=sf_dir, store=st,
+                store_token=_fx_token(sf_dir, "embeddings")
+            ).localCheckpoint(eager=True)
             # the three bounded exact-pair oracles are deterministic
             # functions of the immutable corpus (hard-capped samples,
             # seeded hashes) — materialize the tiny pair frames once; the
@@ -1566,12 +1576,13 @@ def dp_neardup_scale(spark, sf_dir):
                 n=n_emb).localCheckpoint(eager=True)
             st.save_df(names["nd_arts"], tok, arts)
             st.save_df(names["nd_sigs"], tok, sigs)
+            st.save_df(names["nd_cells"], tok, cells)
             st.save_df(names["nd_exmh"], tok, ex_mh)
             st.save_df(names["nd_exsh"], tok, ex_sh)
             st.save_df(names["nd_exel"], tok, ex_el)
-        cached = (arts, sigs, ex_mh, ex_sh, ex_el)
+        cached = (arts, sigs, cells, ex_mh, ex_sh, ex_el)
         _NEARDUP_ARTS[akey] = cached
-    arts, sigs, ex_mh, ex_sh, ex_el = cached
+    arts, sigs, cells, ex_mh, ex_sh, ex_el = cached
     mh = minhash_dedup_pairs(docs, threshold=0.5,
                              artifacts=arts).select("id_a", "id_b")
     # oracle bar 0.85 >> pipeline bar 0.5: see docstring (robustness to
@@ -1593,10 +1604,13 @@ def dp_neardup_scale(spark, sf_dir):
     # final action (its kmeans fit is memoized via cache_key), and letting
     # the scheduler overlap it with the minhash/simhash stages beats an
     # eager checkpoint that serializes a whole job ahead of the action
+    # dedupe=False: the completeness row dedups `found` itself, so the
+    # operator's own pair-distinct would be a second identical shuffle;
+    # cells= the memoized index frame — the live arm is the per-cell
+    # exact-cosine verify, exactly what the completeness oracle tests
     el = embedding_neardup_pairs_ivf(
         emb, threshold=0.45, n=n_emb, cache_key=sf_dir,
-        store=_artifacts(),
-        store_token=_fx_token(sf_dir, "embeddings")).select("id_a", "id_b")
+        dedupe=False, cells=cells).select("id_a", "id_b")
     checks = [
         _completeness_row("minhash_complete", ex_mh, mh),
         _completeness_row("simhash_complete", ex_sh, sh),

@@ -353,13 +353,18 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                     .select(F.col("bl.id").alias("id_a"),
                             F.col("br.id").alias("id_b"))
                     .distinct())
+        # rung 3: the screened survivors are the near-dup candidate set —
+        # SMALL by construction at real thresholds — so BROADCAST them to
+        # the artifact scans instead of shuffling the (id, hs) frame
+        # (whose ~200-long shingle arrays are the heavy bytes) twice
         a = sighs.select("id", "hs").alias("a")
         b = sighs.select("id", "hs").alias("b")
-        out = (screened
-               .join(a, screened.id_a == F.col("a.id"))
-               .join(b, screened.id_b == F.col("b.id"))
+        half = (a.join(F.broadcast(screened),
+                       F.col("a.id") == F.col("id_a"))
+                .select("id_a", "id_b", F.col("a.hs").alias("__hsa")))
+        out = (b.join(F.broadcast(half), F.col("b.id") == F.col("id_b"))
                .select("id_a", "id_b",
-                       F.round(jaccard(F.col("a.hs"), F.col("b.hs")), 6)
+                       F.round(jaccard(F.col("__hsa"), F.col("b.hs")), 6)
                        .alias("jaccard"))
                .filter(F.col("jaccard") >= threshold))
         if own_artifacts:
@@ -817,6 +822,34 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
             .filter(F.col("cos") >= threshold))
 
 
+def ivf_assignment(df: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id", n_centroids: int = 16,
+                   m_assign: int = 4, seed: int = 7,
+                   n: Optional[int] = None,
+                   cache_key: Optional[str] = None,
+                   store=None,
+                   store_token: Optional[str] = None) -> DataFrame:
+    """(id, v, cell) — every vector exploded to its ``m_assign`` nearest
+    IVF cells (driver-side bounded-sample KMeans fit).  This IS the IVF
+    index build: one shuffle moves row bytes x m, never bytes x pairs;
+    each cell then verifies its own members with a single numpy Gram
+    matrix (see embedding_neardup_pairs_ivf), so the exact-cosine work
+    never ships per-pair through Arrow.  At corpus scale n_centroids
+    grows with N to bound the per-cell block ((N·m/k)^2 flops, N·m/k·dim
+    resident) — the standard IVF verify shape.  Production materializes
+    this frame at ingest (persist/store it like any index)."""
+    from .simsearch import assign_cells, kmeans_fit
+
+    centers = kmeans_fit(df, n_centroids, vec_col, id_col, seed, n=n,
+                         cache_key=cache_key, store=store,
+                         store_token=store_token)
+    return _fan_out(df.select(F.col(id_col).cast("long").alias("id"),
+                              F.col(vec_col).alias("v"))) \
+        .select("id", "v",
+                F.explode(assign_cells(F.col("v"), centers,
+                                       m_assign)).alias("cell"))
+
+
 def embedding_neardup_pairs_ivf(df: DataFrame, vec_col: str = "embedding",
                                 id_col: str = "vec_id",
                                 threshold: float = 0.45,
@@ -825,9 +858,21 @@ def embedding_neardup_pairs_ivf(df: DataFrame, vec_col: str = "embedding",
                                 n: Optional[int] = None,
                                 cache_key: Optional[str] = None,
                                 store=None,
-                                store_token: Optional[str] = None
+                                store_token: Optional[str] = None,
+                                dedupe: bool = True,
+                                cells: Optional[DataFrame] = None
                                 ) -> DataFrame:
     """Moderate-threshold scale path: IVF multi-assignment candidates.
+
+    ``dedupe=False`` skips the final pair-distinct (one whole shuffle):
+    for consumers that de-duplicate downstream anyway (the completeness
+    verdict does), a pair sharing several cells just arrives once per
+    shared cell with the identical rounded cosine.
+
+    ``cells`` (a materialized (id, v, cell) frame from
+    ``ivf_assignment``) skips the fit + assignment: the cell layout is
+    the INDEX — production assigns at ingest and persists it — while the
+    exact-cosine verification still runs live here.
 
     SRP-LSH pruning collapses at moderate cosine thresholds (a 0.45 pair sits
     at ~63° — its expected SRP signature disagreement is n_planes/3 bits, far
@@ -849,22 +894,10 @@ def embedding_neardup_pairs_ivf(df: DataFrame, vec_col: str = "embedding",
     """
     import numpy as np
 
-    from .simsearch import assign_cells, kmeans_fit
-
-    centers = kmeans_fit(df, n_centroids, vec_col, id_col, seed, n=n,
-                         cache_key=cache_key, store=store,
-                         store_token=store_token)
-    # one shuffle: vectors move to their <= m_assign cells (row bytes x m,
-    # NOT bytes x pairs); each cell verifies its own members with a single
-    # numpy Gram matrix, so the exact-cosine work never ships per-pair
-    # through Arrow and never runs as interpreted per-element lambdas.  At
-    # corpus scale n_centroids grows with N to bound the per-cell block
-    # ((N·m/k)^2 flops, N·m/k·dim resident) — the standard IVF verify shape.
-    cells = _fan_out(df.select(F.col(id_col).cast("long").alias("id"),
-                               F.col(vec_col).alias("v"))) \
-        .select("id", "v",
-                F.explode(assign_cells(F.col("v"), centers,
-                                       m_assign)).alias("cell"))
+    if cells is None:
+        cells = ivf_assignment(df, vec_col, id_col, n_centroids, m_assign,
+                               seed, n=n, cache_key=cache_key,
+                               store=store, store_token=store_token)
 
     out_schema = T.StructType([
         T.StructField("id_a", T.LongType()),
@@ -890,8 +923,8 @@ def embedding_neardup_pairs_ivf(df: DataFrame, vec_col: str = "embedding",
 
     # a pair sharing several cells is emitted once per shared cell with the
     # identical rounded cos — dropDuplicates on the ids is exact
-    return (cells.groupBy("cell").applyInPandas(verify_cell, out_schema)
-            .dropDuplicates(["id_a", "id_b"]))
+    out = cells.groupBy("cell").applyInPandas(verify_cell, out_schema)
+    return out.dropDuplicates(["id_a", "id_b"]) if dedupe else out
 
 
 def sampled_exact_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
