@@ -46,6 +46,9 @@ _TSDB_CACHE: dict = {}
 _NEARDUP_ARTS: dict = {}
 # (appId, sf_dir) -> tokenized-corpus frame (see dp_lang_id)
 _BPE_TOKENS: dict = {}
+# (appId, sf_dir) -> ANN index frames (SRP buckets / IVF cells / PQ codes
+# / IVFADC cell+code), built once per corpus like the near-dup artifacts
+_ANN_INDEX: dict = {}
 
 # -- cross-session fitted-artifact persistence (r6 verdict ask #1) ---------
 # every sample-fit artifact (LM vocab, KMeans/PQ/IVFADC codebooks, BPE
@@ -1600,10 +1603,6 @@ def dp_neardup_scale(spark, sf_dir):
     # SRP-LSH replaced by IVF multi-assignment for the moderate-threshold
     # regime: measured SRP recall at cos>=0.45 was 7% (63° pairs disagree on
     # ~n_planes/3 bits — unprunable); IVF k=16/m=4 measures 0.99-1.0
-    # left LAZY on purpose: the IVF assignment recomputes once inside the
-    # final action (its kmeans fit is memoized via cache_key), and letting
-    # the scheduler overlap it with the minhash/simhash stages beats an
-    # eager checkpoint that serializes a whole job ahead of the action
     # dedupe=False: the completeness row dedups `found` itself, so the
     # operator's own pair-distinct would be a second identical shuffle;
     # cells= the memoized index frame — the live arm is the per-cell
@@ -1642,36 +1641,78 @@ def dp_ann_approx(spark, sf_dir):
     sf0.001/0.01/0.1 — the 0.5 bar (0.7 for PQ, whose rerank removes
     quantization noise from the final ranking) has margin at every fixture
     scale while a broken bucket/probe/code layout (recall ~0.1) fails."""
-    from yupana_spark.datapipe.simsearch import (ivf_build, ivf_topk,
-                                                 ivfadc_encode, ivfadc_fit,
-                                                 ivfadc_topk, lsh_topk,
-                                                 pq_encode, pq_fit, pq_topk)
+    from yupana_spark.datapipe.simsearch import (hyperplane_lsh_buckets,
+                                                 hyperplanes, ivf_build,
+                                                 ivf_topk, ivfadc_encode,
+                                                 ivfadc_fit, ivfadc_topk,
+                                                 lsh_topk, pq_encode,
+                                                 pq_fit, pq_topk)
 
     emb = _emb(spark, sf_dir)
     qv = _query_vec(spark, sf_dir)
     n_emb = _fixture_count(spark, sf_dir, "embeddings", emb)
     brute_ids = _brute_topk_ids(spark, sf_dir, k=10)
-    lsh = lsh_topk(emb, qv, k=10, max_hamming=6)
     st, tok = _artifacts(), _fx_token(sf_dir, "embeddings")
-    assigned, centers = ivf_build(emb, n_centroids=8, cache_key=sf_dir,
-                                  store=st, store_token=tok)
-    ivf = ivf_topk(assigned, centers, qv, k=10, nprobe=4)
+    # the four index LAYOUTS (SRP buckets, IVF cells, PQ codes, IVFADC
+    # cell+code) are ingest-time artifacts — built once per (session,
+    # corpus), persisted to the store with the codebooks, loaded by a
+    # fresh session.  The SEARCHES below (probe selection, ADC scoring,
+    # rerank) and the recall verdicts stay live every pass — they are
+    # what the bundle tests.
+    akey = (spark.sparkContext.applicationId, sf_dir)
+    idx = _ANN_INDEX.get(akey)
+    if idx is None:
+        from yupana_spark.datapipe.artifacts import artifact_name
+
+        names = {"srp": artifact_name("ann_srp", sf_dir, 12, 42),
+                 "ivf": artifact_name("ann_ivf", sf_dir, 8),
+                 "pq": artifact_name("ann_pq", sf_dir, 8),
+                 "adc": artifact_name("ann_ivfadc", sf_dir, 8, 8)}
+        loaded = {k: st.load_df(spark, nm, tok) for k, nm in names.items()}
+        if all(v is not None for v in loaded.values()):
+            idx = {k: v[0].localCheckpoint(eager=True)
+                   for k, v in loaded.items()}
+        else:
+            planes = hyperplanes(len(qv), 12, 42)
+            bucketed = hyperplane_lsh_buckets(emb, planes)
+            assigned, _c = ivf_build(emb, n_centroids=8, cache_key=sf_dir,
+                                     store=st, store_token=tok)
+            books = pq_fit(emb, m=8, cache_key=sf_dir, n=n_emb,
+                           store=st, store_token=tok)
+            encoded = emb.withColumn("pq_code",
+                                     pq_encode(F.col("embedding"), books))
+            ac_centers, ac_books = ivfadc_fit(emb, n_centroids=8, m=8,
+                                              cache_key=sf_dir, n=n_emb,
+                                              store=st, store_token=tok)
+            ac_arr = ivfadc_encode(F.col("embedding"), ac_centers,
+                                   ac_books)
+            ac_enc = (emb.withColumn("__cc", ac_arr)
+                      .withColumn("cell", F.col("__cc")[0])
+                      .withColumn("pq_code", F.slice("__cc", 2, 8))
+                      .drop("__cc"))
+            idx = {"srp": bucketed.localCheckpoint(eager=True),
+                   "ivf": assigned.localCheckpoint(eager=True),
+                   "pq": encoded.localCheckpoint(eager=True),
+                   "adc": ac_enc.localCheckpoint(eager=True)}
+            for k, nm in names.items():
+                st.save_df(nm, tok, idx[k])
+        _ANN_INDEX[akey] = idx
+    # fits are memoized (session) / store-backed (cross-session): these
+    # calls cost no Spark job after the first build
+    centers = ivf_build(emb, n_centroids=8, cache_key=sf_dir,
+                        store=st, store_token=tok)[1]
     books = pq_fit(emb, m=8, cache_key=sf_dir, n=n_emb,
                    store=st, store_token=tok)
-    encoded = emb.withColumn("pq_code",
-                             pq_encode(F.col("embedding"), books))
-    pq = pq_topk(encoded, books, qv, k=10, shortlist=100)
-    # IVFADC (Jegou et al. 2011 §IV): residual-PQ codes per IVF cell,
-    # ADC-scored in probed cells only — the composed billion-vector layout
-    # (measured recall@10 0.9/0.8/0.8 at sf0.001/0.01/0.1, nprobe 4/8)
     ac_centers, ac_books = ivfadc_fit(emb, n_centroids=8, m=8,
                                       cache_key=sf_dir, n=n_emb,
                                       store=st, store_token=tok)
-    ac_arr = ivfadc_encode(F.col("embedding"), ac_centers, ac_books)
-    ac_enc = (emb.withColumn("__cc", ac_arr)
-              .withColumn("cell", F.col("__cc")[0])
-              .withColumn("pq_code", F.slice("__cc", 2, 8)).drop("__cc"))
-    ivfadc = ivfadc_topk(ac_enc, ac_centers, ac_books, qv, k=10,
+    lsh = lsh_topk(emb, qv, k=10, max_hamming=6, bucketed=idx["srp"])
+    ivf = ivf_topk(idx["ivf"], centers, qv, k=10, nprobe=4)
+    pq = pq_topk(idx["pq"], books, qv, k=10, shortlist=100)
+    # IVFADC (Jegou et al. 2011 §IV): residual-PQ codes per IVF cell,
+    # ADC-scored in probed cells only — the composed billion-vector layout
+    # (measured recall@10 0.9/0.8/0.8 at sf0.001/0.01/0.1, nprobe 4/8)
+    ivfadc = ivfadc_topk(idx["adc"], ac_centers, ac_books, qv, k=10,
                          nprobe=4, shortlist=100)
 
     def recall_row(name: str, approx: DataFrame,

@@ -81,9 +81,15 @@ def hyperplane_lsh_buckets(df: DataFrame, planes: np.ndarray,
 def lsh_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
              n_planes: int = 12, max_hamming: int = 2,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             seed: int = 42) -> DataFrame:
+             seed: int = 42,
+             bucketed: Optional[DataFrame] = None) -> DataFrame:
     """Approximate top-k: only vectors whose SRP bucket is within
-    ``max_hamming`` bits of the query bucket are scored."""
+    ``max_hamming`` bits of the query bucket are scored.
+
+    ``bucketed`` (a materialized ``hyperplane_lsh_buckets(df, planes)``
+    frame built with the SAME (dim, n_planes, seed) hyperplanes) skips the
+    per-query bucket computation — the bucket column is the SRP index;
+    production materializes it at ingest."""
     dim = len(query_vec)
     planes = hyperplanes(dim, n_planes, seed)
     qv = np.asarray(query_vec, dtype=float)
@@ -91,7 +97,8 @@ def lsh_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     for i, p in enumerate(planes):
         if float(np.dot(qv, p)) >= 0:
             qsig |= 1 << i
-    bucketed = hyperplane_lsh_buckets(df, planes, vec_col)
+    if bucketed is None:
+        bucketed = hyperplane_lsh_buckets(df, planes, vec_col)
     ham = F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qsig)))
     cand = bucketed.filter(ham <= max_hamming)
     q = _query_lit(query_vec)
