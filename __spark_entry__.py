@@ -1167,8 +1167,12 @@ def dp_text_stats(spark, sf_dir):
     benchmark-contamination flags (shared word-8-gram with the doc_id%97
     eval slice, hash semi-join).  Stats+repetition+PII are ONE scan of pure
     JVM expressions, zero UDFs; contamination adds the exploded-ngram
-    broadcast semi-join (datapipe/text.contaminated_ids).
-    Was dp_token_count + dp_quality."""
+    broadcast semi-join (datapipe/text.contaminated_ids).  Also bundles
+    the ExactSubstr duplicated-span stats, the RefinedWeb-style corpus-
+    wide exact LINE dedup (dedup.duplicated_line_stats over a
+    deterministically derived multi-line view: n_lines / n_dup_lines /
+    dup_line_ratio / cleaned_lines_len), and the composed corpus_keep
+    decision.  Was dp_token_count + dp_quality."""
     from yupana_spark.datapipe.text import (bpe_token_count, contaminated_ids,
                                             pii_counts, quality_metrics,
                                             quality_score, repetition_stats,
@@ -1221,6 +1225,20 @@ def dp_text_stats(spark, sf_dir):
     from yupana_spark.datapipe.dedup import duplicated_span_stats
 
     spans = duplicated_span_stats(docs).withColumnRenamed("id", "doc_id")
+    # RefinedWeb-style corpus-wide exact LINE dedup (duplicated_line_stats)
+    # — the fixture texts are single-line, so a deterministic transform
+    # both engines can compute (' spark ' -> newline) derives a multi-line
+    # view with real cross-doc repeated lines; cleaned text rides as its
+    # length (the driver canon dislikes huge strings, not the operator)
+    from yupana_spark.datapipe.dedup import duplicated_line_stats
+
+    lined = docs.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), " spark ", "\n").alias("text"))
+    lstats = (duplicated_line_stats(lined)
+              .withColumnRenamed("id", "doc_id")
+              .select("doc_id", "n_lines", "n_dup_lines", "dup_line_ratio",
+                      F.length("cleaned").alias("cleaned_lines_len")))
     # the COMPOSED pipeline decision (datapipe/filters.corpus_keep):
     # quality + language + exact-dup + decontamination -> keep/reasons,
     # every rule recomputed arithmetically by the oracle
@@ -1233,6 +1251,7 @@ def dp_text_stats(spark, sf_dir):
             .withColumn("contaminated",
                         F.coalesce(F.col("contaminated"), F.lit(False)))
             .join(spans, "doc_id", "left")
+            .join(lstats, "doc_id", "left")
             .join(keep, "doc_id", "left"))
 
 
@@ -2339,6 +2358,29 @@ _ORACLES_DP: dict[str, str] = {
                  CAST(sum(CASE WHEN gc.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_dup_spans
           FROM ngr o JOIN gc ON o.g = gc.g GROUP BY 1),
+        ln AS (
+          SELECT doc_id, pos, line, trim(line) AS t
+          FROM (SELECT doc_id,
+                       unnest(ls) AS line,
+                       generate_subscripts(ls, 1) AS pos
+                FROM (SELECT doc_id,
+                             string_split(regexp_replace(text, ' spark ',
+                                 chr(10), 'g'), chr(10)) AS ls
+                      FROM documents))
+          WHERE trim(line) <> ''),
+        lc AS (SELECT t, count(*) AS c FROM ln GROUP BY t),
+        lstat AS (
+          SELECT ln.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_lines,
+                 CAST(sum(CASE WHEN lc.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup_lines,
+                 round(sum(CASE WHEN lc.c >= 2 THEN 1 ELSE 0 END)
+                       / greatest(count(*), 1), 6) AS dup_line_ratio,
+                 CAST(coalesce(length(string_agg(
+                     CASE WHEN lc.c < 2 THEN ln.line END, chr(10)
+                     ORDER BY ln.pos)), 0) AS INTEGER)
+                     AS cleaned_lines_len
+          FROM ln JOIN lc ON ln.t = lc.t GROUP BY ln.doc_id),
         dupf AS (
           SELECT doc_id,
                  doc_id <> min(doc_id) OVER (PARTITION BY fp) AS isdup
@@ -2415,10 +2457,15 @@ _ORACLES_DP: dict[str, str] = {
                ss.n_spans, ss.n_dup_spans,
                round(ss.n_dup_spans / greatest(ss.n_spans, 1), 6)
                    AS dup_span_ratio,
+               coalesce(ls.n_lines, 0) AS n_lines,
+               coalesce(ls.n_dup_lines, 0) AS n_dup_lines,
+               coalesce(ls.dup_line_ratio, 0.0) AS dup_line_ratio,
+               coalesce(ls.cleaned_lines_len, 0) AS cleaned_lines_len,
                length(fr.reasons) = 0 AS keep, fr.reasons
         FROM m2 LEFT JOIN cont ON m2.doc_id = cont.doc_id
         JOIN rep ON m2.doc_id = rep.doc_id
         LEFT JOIN spanstats ss ON m2.doc_id = ss.doc_id
+        LEFT JOIN lstat ls ON m2.doc_id = ls.doc_id
         LEFT JOIN (
           SELECT m3.doc_id,
                  coalesce(array_to_string(list_filter([

@@ -1185,3 +1185,41 @@ def test_corpus_keep_reasons(spark):
             for r in corpus_keep(docs, min_quality=0.7,
                                  langs=("en",)).collect()}
     assert got2[1] == (True, "")
+
+
+def test_duplicated_line_stats(spark):
+    """RefinedWeb-style corpus-wide exact line dedup: trimmed non-empty
+    lines count across the corpus (within-doc repeats included), blanks
+    never count or strip, cleaned preserves original line text and order,
+    and every input doc (empty/NULL included) emits exactly one row."""
+    from yupana_spark.datapipe.dedup import duplicated_line_stats
+
+    df = spark.createDataFrame([
+        (1, "keep me\nCookie banner\nunique line one"),
+        (2, "Cookie banner\nanother unique\n\n  \nCookie banner"),
+        (3, ""),
+        (4, None),
+        (5, "  Cookie banner  \nfresh content"),
+    ], "doc_id long, text string")
+    rows = {r["id"]: r for r in duplicated_line_stats(df).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    assert (rows[1]["n_lines"], rows[1]["n_dup_lines"]) == (3, 1)
+    assert rows[1]["cleaned"] == "keep me\nunique line one"
+    # within-doc repeats each count; blank/whitespace lines don't
+    assert (rows[2]["n_lines"], rows[2]["n_dup_lines"]) == (3, 2)
+    assert rows[2]["cleaned"] == "another unique"
+    for empty_id in (3, 4):
+        r = rows[empty_id]
+        assert (r["n_lines"], r["n_dup_lines"], r["cleaned"]) == (0, 0, "")
+        assert r["dup_line_ratio"] == 0.0
+    # trimmed matching, original (untrimmed) text preserved in cleaned
+    assert rows[5]["n_dup_lines"] == 1
+    assert rows[5]["cleaned"] == "fresh content"
+    assert rows[2]["dup_line_ratio"] == 0.666667
+    # custom separator (literal, not regex)
+    df2 = spark.createDataFrame([(1, "a|b|a"), (2, "a|c")],
+                                "doc_id long, text string")
+    r2 = {r["id"]: r for r in
+          duplicated_line_stats(df2, sep="|").collect()}
+    assert r2[1]["n_dup_lines"] == 2 and r2[1]["cleaned"] == "b"
+    assert r2[2]["cleaned"] == "c"

@@ -89,6 +89,67 @@ def duplicated_span_stats(df: DataFrame, text_col: str = "text",
                                 / F.greatest(F.col("n_spans"), F.lit(1)), 6)))
 
 
+def duplicated_line_stats(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", min_count: int = 2,
+                          sep: str = "\n") -> DataFrame:
+    """(id, n_lines, n_dup_lines, dup_line_ratio, cleaned): corpus-wide
+    EXACT LINE dedup — the RefinedWeb/Falcon pipeline step (Penedo et al.
+    2023, public: remove lines repeated across the corpus — boilerplate
+    headers, navigation, cookie banners) at a caller-chosen separator.
+
+    Contract: lines split on ``sep``; a line PARTICIPATES iff its trimmed
+    form is non-empty (blank lines are never counted or removed); a
+    participating line is duplicated iff its trimmed form occurs >=
+    ``min_count`` times across the whole corpus (all occurrences count,
+    including within one document).  ``cleaned`` is the document with its
+    duplicated lines removed, remaining lines re-joined with ``sep`` in
+    their original order.  Every input doc emits exactly one row
+    (zero-participating docs get n_lines = 0, cleaned = '').
+
+    100 TB shape: posexplode the line array once (8-byte xxhash64 join
+    keys, never line text, leave the executor for the count), ONE
+    groupBy(hash) shuffle for the corpus counts, join occurrences to
+    counts co-partitioned on the same key, then one groupBy(id)
+    re-assembly whose ordered rebuild is an aggregate over (pos, line)
+    structs — no window, no global sort.
+    """
+    import re as _re
+
+    lines = (df.select(F.col(id_col).alias("id"),
+                       F.posexplode(F.split(F.col(text_col),
+                                            _re.escape(sep)))
+                       .alias("pos", "line"))
+             .withColumn("__t", F.trim(F.col("line")))
+             .filter(F.col("__t") != "")
+             .withColumn("h", F.xxhash64(F.col("__t"))))
+    counts = lines.groupBy("h").agg(F.count("*").alias("__c"))
+    marked = lines.join(counts, "h").withColumn(
+        "__dup", F.col("__c") >= F.lit(min_count))
+    per_doc = (marked.groupBy("id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("__dup"), 1).otherwise(0)).cast("long")
+        .alias("n_dup_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(~F.col("__dup"),
+                           F.struct(F.col("pos"), F.col("line"))))),
+                lambda s: s["line"]),
+            sep).alias("cleaned")))
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    return (ids.join(per_doc, "id", "left")
+            .select("id",
+                    F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+                    F.coalesce(F.col("n_dup_lines"), F.lit(0))
+                    .alias("n_dup_lines"),
+                    F.round(F.coalesce(F.col("n_dup_lines"), F.lit(0))
+                            / F.greatest(F.coalesce(F.col("n_lines"),
+                                                    F.lit(0)), F.lit(1)), 6)
+                    .alias("dup_line_ratio"),
+                    F.coalesce(F.col("cleaned"), F.lit(""))
+                    .alias("cleaned")))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
