@@ -1746,10 +1746,43 @@ def dp_ann_approx(spark, sf_dir):
                                & (F.col("__self") == 1),
                                "ok").otherwise("low_recall").alias("verdict")))
 
+    # SemDeDup (Abbas et al. 2023) over the same IVF cluster index:
+    # drop all but the min-id member of every >= 0.5-cosine component
+    # inside each cluster.  SELF-VALIDATED relationally, both directions
+    # live each pass: SOUNDNESS — every dropped id joins its kept rep's
+    # vector and the exact cosine clears the threshold; CONSERVATION —
+    # every component keeps exactly one member and it is the min id; plus
+    # a nonemptiness guard (the fixture has >= 0.5 pairs, so an empty
+    # drop set means a silently broken cluster layout, not a clean corpus)
+    from yupana_spark.datapipe.dedup import cosine, semantic_dedup
+
+    sd = semantic_dedup(emb, threshold=0.5, cells=idx["ivf"])
+    comp = sd.groupBy("rep").agg(
+        F.sum(F.col("keep").cast("int")).alias("__k"),
+        F.min("id").alias("__mn"))
+    bad_comp = comp.filter((F.col("__k") != 1)
+                           | (F.col("__mn") != F.col("rep"))) \
+        .agg(F.count("*").alias("__bad"))
+    ev = emb.select(F.col("vec_id").cast("long").alias("id"),
+                    F.col("embedding").alias("__va"))
+    er = emb.select(F.col("vec_id").cast("long").alias("rep"),
+                    F.col("embedding").alias("__vb"))
+    sound = (sd.filter(~F.col("keep")).join(ev, "id").join(er, "rep")
+             .agg(F.count("*").alias("__n"),
+                  F.count(F.when(
+                      F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+                      < F.lit(0.5), 1)).alias("__viol")))
+    semdedup = (sound.crossJoin(bad_comp).select(
+        F.lit("semdedup").alias("method"),
+        F.when((F.col("__viol") == 0) & (F.col("__bad") == 0)
+               & (F.col("__n") >= 1), "ok")
+        .otherwise("violations").alias("verdict")))
+
     return (recall_row("srp_lsh", lsh)
             .unionAll(recall_row("ivf", ivf))
             .unionAll(recall_row("pq_adc", pq, min_hits=7))
-            .unionAll(recall_row("ivfadc", ivfadc, min_hits=7)))
+            .unionAll(recall_row("ivfadc", ivfadc, min_hits=7))
+            .unionAll(semdedup))
 
 
 def _brute_topk_ids(spark, sf_dir, k: int = 10) -> DataFrame:
@@ -2699,6 +2732,8 @@ _ORACLES_DP: dict[str, str] = {
         SELECT 'pq_adc', 'ok'
         UNION ALL
         SELECT 'ivfadc', 'ok'
+        UNION ALL
+        SELECT 'semdedup', 'ok'
     """,
     # conservation totals recomputed from `documents` (token definition
     # matches dp_text_stats' oracled n_tokens; chunk layout — window 64 /

@@ -1223,3 +1223,42 @@ def test_duplicated_line_stats(spark):
           duplicated_line_stats(df2, sep="|").collect()}
     assert r2[1]["n_dup_lines"] == 2 and r2[1]["cleaned"] == "b"
     assert r2[2]["cleaned"] == "c"
+
+
+def test_semantic_dedup(spark):
+    """SemDeDup (Abbas et al. 2023): within each KMeans cluster, the
+    >= threshold cosine components keep exactly their min-id member;
+    orthogonal vectors and cross-component pairs survive."""
+    import numpy as np
+
+    from yupana_spark.datapipe.dedup import semantic_dedup
+
+    def vec(base, eps, seed):
+        rng = np.random.RandomState(seed)
+        v = np.asarray(base, dtype=float) + eps * rng.randn(4)
+        return [float(x) for x in v]
+
+    e1, e2 = [1.0, 0, 0, 0], [0, 1.0, 0, 0]
+    rows = [
+        (10, vec(e1, 0.01, 1)), (11, vec(e1, 0.01, 2)),   # dup group A
+        (12, vec(e1, 0.01, 3)),
+        (20, vec(e2, 0.01, 4)), (21, vec(e2, 0.01, 5)),   # dup group B
+        (30, [0.0, 0.0, 1.0, 0.0]),                       # singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["id"]: r for r in semantic_dedup(
+        df, threshold=0.9, n_centroids=2, cache_key=None).collect()}
+    assert set(out) == {10, 11, 12, 20, 21, 30}
+    # min-id member of each near-identical group survives
+    assert out[10]["keep"] and out[10]["rep"] == 10
+    assert not out[11]["keep"] and out[11]["rep"] == 10
+    assert not out[12]["keep"] and out[12]["rep"] == 10
+    assert out[20]["keep"] and out[20]["rep"] == 20
+    assert not out[21]["keep"] and out[21]["rep"] == 20
+    assert out[30]["keep"] and out[30]["rep"] == 30
+    # conservation law the driver verdict pins: one keep per component
+    reps = {}
+    for r in out.values():
+        reps.setdefault(r["rep"], []).append(r["keep"])
+    for rep, keeps in reps.items():
+        assert sum(keeps) == 1 and out[rep]["keep"]

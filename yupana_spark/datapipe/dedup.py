@@ -988,6 +988,87 @@ def embedding_neardup_pairs_ivf(df: DataFrame, vec_col: str = "embedding",
     return out.dropDuplicates(["id_a", "id_b"]) if dedupe else out
 
 
+def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id", threshold: float = 0.85,
+                   n_centroids: int = 16, seed: int = 7,
+                   n: Optional[int] = None,
+                   cache_key: Optional[str] = None,
+                   store=None, store_token: Optional[str] = None,
+                   cells: Optional[DataFrame] = None) -> DataFrame:
+    """(id, cluster, rep, keep): SemDeDup — Abbas et al. 2023 ("SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication",
+    public): cluster the embeddings (sample-fit KMeans), then inside each
+    cluster drop all but one member of every group of semantically
+    near-identical vectors (cosine >= ``threshold``).
+
+    Semantics: within a cluster, the >= threshold cosine graph's connected
+    components are the duplicate groups; each component keeps exactly its
+    MIN-id member (``rep``), every other member is dropped.  Disjoint
+    single-assignment clusters (SemDeDup's shape — a pair split across
+    clusters is by construction not near-identical at high thresholds).
+
+    100 TB shape: one shuffle moves each row to its cluster
+    (``ivf_assignment`` with m_assign=1 — pass a materialized ``cells``
+    frame to reuse a persisted index); the quadratic part is one numpy
+    Gram matrix + union-find per cluster, bounded by the cluster size
+    (n_centroids grows with N, the IVF contract).  Verification is
+    relational: soundness = every dropped id's cosine to its kept rep
+    clears the threshold; conservation = every component keeps exactly
+    one member, its min id (see the dp_ann_approx verdict rows).
+    """
+    import numpy as np
+
+    if cells is None:
+        cells = ivf_assignment(df, vec_col, id_col, n_centroids,
+                               m_assign=1, seed=seed, n=n,
+                               cache_key=cache_key, store=store,
+                               store_token=store_token)
+    cols = cells.columns
+    vcol = "v" if "v" in cols else vec_col
+    icol = "id" if "id" in cols else id_col
+    src = cells.select(F.col(icol).cast("long").alias("id"),
+                       F.col(vcol).alias("v"), "cell")
+
+    out_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("rep", T.LongType()),
+        T.StructField("keep", T.BooleanType()),
+    ])
+
+    def dedup_cell(key, pdf):
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy()
+        k = len(ids)
+        if k == 0:
+            return pd.DataFrame({"id": [], "cluster": [], "rep": [],
+                                 "keep": []})
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                            1e-300)
+        cos = np.round(Vn @ Vn.T, 6)
+        parent = np.arange(k)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        a, b = np.nonzero(np.triu(cos >= threshold, 1))
+        for i, j in zip(a, b):
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+        roots = np.array([find(i) for i in range(k)])
+        # ids are sorted ascending, so the component root IS the min id
+        rep = ids[roots]
+        return pd.DataFrame({"id": ids, "cluster": int(key[0]),
+                             "rep": rep, "keep": ids == rep})
+
+    return src.groupBy("cell").applyInPandas(dedup_cell, out_schema)
+
+
 def sampled_exact_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
                                id_col: str = "vec_id",
                                threshold: float = 0.45,
