@@ -1238,6 +1238,7 @@ def dp_text_stats(spark, sf_dir):
     lstats = (duplicated_line_stats(lined)
               .withColumnRenamed("id", "doc_id")
               .select("doc_id", "n_lines", "n_dup_lines", "dup_line_ratio",
+                      "dup_line_char_ratio",
                       F.length("cleaned").alias("cleaned_lines_len")))
     # the COMPOSED pipeline decision (datapipe/filters.corpus_keep):
     # quality + language + exact-dup + decontamination -> keep/reasons,
@@ -2409,6 +2410,10 @@ _ORACLES_DP: dict[str, str] = {
                      AS n_dup_lines,
                  round(sum(CASE WHEN lc.c >= 2 THEN 1 ELSE 0 END)
                        / greatest(count(*), 1), 6) AS dup_line_ratio,
+                 round(sum(CASE WHEN lc.c >= 2 THEN length(ln.line)
+                           ELSE 0 END)
+                       / greatest(sum(length(ln.line)), 1), 6)
+                     AS dup_line_char_ratio,
                  CAST(coalesce(length(string_agg(
                      CASE WHEN lc.c < 2 THEN ln.line END, chr(10)
                      ORDER BY ln.pos)), 0) AS INTEGER)
@@ -2493,6 +2498,8 @@ _ORACLES_DP: dict[str, str] = {
                coalesce(ls.n_lines, 0) AS n_lines,
                coalesce(ls.n_dup_lines, 0) AS n_dup_lines,
                coalesce(ls.dup_line_ratio, 0.0) AS dup_line_ratio,
+               coalesce(ls.dup_line_char_ratio, 0.0)
+                   AS dup_line_char_ratio,
                coalesce(ls.cleaned_lines_len, 0) AS cleaned_lines_len,
                length(fr.reasons) = 0 AS keep, fr.reasons
         FROM m2 LEFT JOIN cont ON m2.doc_id = cont.doc_id

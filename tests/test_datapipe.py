@@ -1223,6 +1223,9 @@ def test_duplicated_line_stats(spark):
           duplicated_line_stats(df2, sep="|").collect()}
     assert r2[1]["n_dup_lines"] == 2 and r2[1]["cleaned"] == "b"
     assert r2[2]["cleaned"] == "c"
+    # Gopher char-fraction companion: doc 1 = 2 dup chars of 3
+    assert r2[1]["dup_line_char_ratio"] == 0.666667
+    assert r2[2]["dup_line_char_ratio"] == 0.5
 
 
 def test_semantic_dedup(spark):

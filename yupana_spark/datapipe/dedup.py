@@ -129,6 +129,9 @@ def duplicated_line_stats(df: DataFrame, text_col: str = "text",
         F.count("*").alias("n_lines"),
         F.sum(F.when(F.col("__dup"), 1).otherwise(0)).cast("long")
         .alias("n_dup_lines"),
+        F.sum(F.length("line")).cast("long").alias("__chars"),
+        F.sum(F.when(F.col("__dup"), F.length("line")).otherwise(0))
+        .cast("long").alias("__dup_chars"),
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(
@@ -146,6 +149,14 @@ def duplicated_line_stats(df: DataFrame, text_col: str = "text",
                             / F.greatest(F.coalesce(F.col("n_lines"),
                                                     F.lit(0)), F.lit(1)), 6)
                     .alias("dup_line_ratio"),
+                    # Gopher's companion signal (Rae et al. 2021 appendix
+                    # A): the fraction of CHARACTERS sitting in duplicated
+                    # lines — a few long boilerplate blocks matter more
+                    # than many short ones; raw line lengths (untrimmed)
+                    F.round(F.coalesce(F.col("__dup_chars"), F.lit(0))
+                            / F.greatest(F.coalesce(F.col("__chars"),
+                                                    F.lit(0)), F.lit(1)), 6)
+                    .alias("dup_line_char_ratio"),
                     F.coalesce(F.col("cleaned"), F.lit(""))
                     .alias("cleaned")))
 
