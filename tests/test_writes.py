@@ -321,3 +321,43 @@ def test_updates_intervals_where_filters(spark, tmp_path):
             t.sql(bad)
     with pytest.raises(Exception, match="not defined"):
         t.sql("SHOW UPDATES_INTERVALS WHERE table = ?")
+
+
+def test_recalculate_incremental_since_filter(wtsdb):
+    """Incremental recalc: `since` restricts to changelog entries written
+    at or after that instant (the scheduled-rollup contract), and a
+    future `since` with nothing dirty leaves the rollup untouched."""
+    import datetime as dt2
+
+    from yupana_spark.operators.rollup import Rollup, recalculate, \
+        run_rollup
+
+    r = Rollup(
+        name="lineitem_by_month_inc",
+        from_table="lineitem",
+        to_table="lineitem_by_month_inc",
+        time_trunc="month",
+        group_by=("l_returnflag",),
+        aggregates=((E.count(E.Field("l_quantity", "DOUBLE")), "cnt"),),
+    )
+    run_rollup(wtsdb.warehouse, r)
+
+    def total():
+        return sum(x["cnt"] for x in
+                   wtsdb.warehouse.read("lineitem_by_month_inc").collect())
+
+    base = total()
+    # nothing written since the far future -> untouched (and no full rerun)
+    out = recalculate(wtsdb.warehouse, r,
+                      since=dt2.datetime(9000, 1, 1))
+    assert sum(x["cnt"] for x in out.collect()) == base
+    mark = dt2.datetime.now() - dt2.timedelta(seconds=1)
+    wtsdb.sql(
+        "UPSERT INTO lineitem (time, l_orderkey, l_partkey, l_suppkey, "
+        "l_linenumber, l_quantity) VALUES "
+        "(TIMESTAMP '1997-05-15', 777778, 1, 1, 1, 5.0)")
+    recalculate(wtsdb.warehouse, r, since=mark)
+    assert total() == base + 1
+    # updated_by narrowing: this warehouse writes as 'anonymous'
+    recalculate(wtsdb.warehouse, r, updated_by="somebody_else")
+    assert total() == base + 1                 # nothing matched, unchanged

@@ -97,14 +97,32 @@ def _bucket_bounds(time_trunc: str, day: _dt.datetime):
     raise ValueError(f"unsupported rollup time_trunc {time_trunc!r}")
 
 
-def recalculate(wh: Warehouse, rollup: Rollup) -> DataFrame:
+def recalculate(wh: Warehouse, rollup: Rollup,
+                since: Optional[_dt.datetime] = None,
+                updated_by: Optional[str] = None) -> DataFrame:
     """Recompute only intervals the changelog marks as rewritten, widened to
-    full rollup-bucket boundaries (TsdbBase.scala:415-423 recalc windows)."""
-    intervals = (wh.updates_intervals()
-                 .filter(F.col("table_name") == rollup.from_table)
+    full rollup-bucket boundaries (TsdbBase.scala:415-423 recalc windows).
+
+    ``since`` narrows to windows whose changelog entry was written at or
+    after that wall-clock instant — the INCREMENTAL form: a scheduled
+    rollup passes its last successful run time and touches only buckets
+    dirtied since (the reference threads the same filter through its
+    ChangelogDao, UpdatesIntervalsProvider.scala:95-117).  ``updated_by``
+    narrows to one writer's changes."""
+    from .writes import UpdatesIntervalsFilter
+
+    flt = UpdatesIntervalsFilter(
+        table_name=rollup.from_table,
+        updated_after=since,
+        updated_before=(_dt.datetime(9999, 1, 1) if since is not None
+                        else None),
+        updated_by=updated_by)
+    intervals = (wh.updates_intervals(flt)
                  .select("day").distinct().collect())
     if not intervals:
-        return run_rollup(wh, rollup)
+        if since is None and updated_by is None:
+            return run_rollup(wh, rollup)     # bootstrap: no changelog yet
+        return wh.read(rollup.to_table)       # incremental: nothing dirty
     buckets = sorted({_bucket_bounds(rollup.time_trunc, row["day"])
                       for row in intervals})
     for start, end in buckets:
