@@ -136,3 +136,31 @@ def test_ingest_gzip_jsonl(spark, wh, tmp_path):
     assert ingest_file(wh, "events", str(p)) == 1
     got = wh.read("events").filter("event_type = 'gz_loaded'").collect()
     assert [(r["event_id"], r["value"]) for r in got] == [(930001, 9.5)]
+
+
+def test_ingest_orc(spark, wh, tmp_path):
+    """ORC connector: same schema projection / try_cast quarantine /
+    standard write path as the other formats (ORC is a Spark built-in,
+    so the connector costs one extension mapping)."""
+    from yupana_spark.sources.files import ingest_file
+
+    src = tmp_path / "orc_src"
+    spark.createDataFrame(
+        [("2024-03-11 10:00:00", 920001, 7, "orc_loaded", 3.5, "drop-me"),
+         ("2024-03-11 11:00:00", 920002, 8, "orc_loaded", "bad", "x")],
+        "ts string, event_id long, user_id long, event_type string, "
+        "value string, extra_col string").coalesce(1) \
+        .write.mode("overwrite").orc(str(src))
+    import glob
+    import shutil
+
+    part = glob.glob(str(src / "part-*.orc"))[0]
+    p = tmp_path / "batch.orc"
+    shutil.copyfile(part, str(p))
+    n = ingest_file(wh, "events", str(p))
+    assert n == 2
+    got = (wh.read("events").filter("event_type = 'orc_loaded'")
+           .orderBy("event_id").collect())
+    # malformed 'bad' value quarantines to NULL, row still lands
+    assert [(r["event_id"], r["value"]) for r in got] == \
+        [(920001, 3.5), (920002, None)]

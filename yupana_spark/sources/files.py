@@ -25,7 +25,7 @@ from .. import types as yt
 from ..schema import Table
 
 _EXT_FORMATS = {".csv": "csv", ".json": "json", ".jsonl": "json",
-                ".ndjson": "json", ".parquet": "parquet"}
+                ".ndjson": "json", ".parquet": "parquet", ".orc": "orc"}
 
 
 _COMPRESSION_EXTS = {".gz", ".bz2", ".zst", ".lz4", ".snappy", ".deflate"}
