@@ -1660,7 +1660,14 @@ def dp_ann_approx(spark, sf_dir):
     pq(m=8, shortlist 100, exact rerank) 1.0/1.0/1.0 at
     sf0.001/0.01/0.1 — the 0.5 bar (0.7 for PQ, whose rerank removes
     quantization noise from the final ranking) has margin at every fixture
-    scale while a broken bucket/probe/code layout (recall ~0.1) fails."""
+    scale while a broken bucket/probe/code layout (recall ~0.1) fails.
+
+    The bundle also hosts the MODEL-BASED CURATION verdicts that share
+    its (method, verdict) shape: SemDeDup semantic dedup over the same
+    IVF cluster index (soundness + conservation + nonemptiness, see
+    below) and the LR quality classifier (datapipe/classify.py —
+    FineWeb-Edu/DCLM-style model filtering plumbing; held-out agreement
+    >= 0.85 with its labeling rule)."""
     from yupana_spark.datapipe.simsearch import (hyperplane_lsh_buckets,
                                                  hyperplanes, ivf_build,
                                                  ivf_topk, ivfadc_encode,
@@ -1779,11 +1786,33 @@ def dp_ann_approx(spark, sf_dir):
                & (F.col("__n") >= 1), "ok")
         .otherwise("violations").alias("verdict")))
 
+    # model-based quality classifier (FineWeb-Edu/DCLM-style plumbing:
+    # tiny LR over engineered features, driver-fit on a bounded sample,
+    # store-persisted weights, PURE-JVM sigmoid scoring).  Label = a
+    # threshold on one feature with real fixture variance, so the fit has
+    # both classes to learn; verdict 'ok' iff held-out agreement >= 0.85
+    # (measured 0.956-0.963 at sf0.001/0.01/0.1; a broken fit, feature,
+    # standardization or scoring expression lands near coin-flip)
+    from yupana_spark.datapipe.classify import (quality_lr_features,
+                                                quality_lr_fit,
+                                                quality_lr_holdout_accuracy)
+
+    docs = _docs(spark, sf_dir)
+    dtok = _fx_token(sf_dir, "documents")
+    lab = quality_lr_features(F.col("text"))["stopword_ratio"] >= 0.03
+    lr_art = quality_lr_fit(docs, label=lab, cache_key=sf_dir,
+                            store=st, store_token=dtok)
+    lr = (quality_lr_holdout_accuracy(docs, lr_art, label=lab)
+          .select(F.lit("quality_lr").alias("method"),
+                  F.when(F.col("agree") >= F.col("n") * 0.85, "ok")
+                  .otherwise("low_agreement").alias("verdict")))
+
     return (recall_row("srp_lsh", lsh)
             .unionAll(recall_row("ivf", ivf))
             .unionAll(recall_row("pq_adc", pq, min_hits=7))
             .unionAll(recall_row("ivfadc", ivfadc, min_hits=7))
-            .unionAll(semdedup))
+            .unionAll(semdedup)
+            .unionAll(lr))
 
 
 def _brute_topk_ids(spark, sf_dir, k: int = 10) -> DataFrame:
@@ -2741,6 +2770,8 @@ _ORACLES_DP: dict[str, str] = {
         SELECT 'ivfadc', 'ok'
         UNION ALL
         SELECT 'semdedup', 'ok'
+        UNION ALL
+        SELECT 'quality_lr', 'ok'
     """,
     # conservation totals recomputed from `documents` (token definition
     # matches dp_text_stats' oracled n_tokens; chunk layout — window 64 /

@@ -1265,3 +1265,50 @@ def test_semantic_dedup(spark):
         reps.setdefault(r["rep"], []).append(r["keep"])
     for rep, keeps in reps.items():
         assert sum(keeps) == 1 and out[rep]["keep"]
+
+
+def test_quality_lr_classifier(spark):
+    """LR quality classifier: driver-fit on a bounded sample, pure-JVM
+    sigmoid scoring, held-out agreement with its labeling rule high; a
+    scrambled weight artifact drops agreement toward chance (the verdict
+    is falsifiable, not vacuous); the artifact persists via the store
+    with zero fit jobs on reload."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from yupana_spark.datapipe.artifacts import ArtifactStore, corpus_token
+    from yupana_spark.datapipe.classify import (_LR_CACHE,
+                                                quality_lr_features,
+                                                quality_lr_fit,
+                                                quality_lr_holdout_accuracy,
+                                                quality_lr_score)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lab = quality_lr_features(F.col("text"))["stopword_ratio"] >= 0.03
+    art = quality_lr_fit(docs, label=lab)
+    r = quality_lr_holdout_accuracy(docs, art, label=lab).collect()[0]
+    assert r["agree"] / r["n"] >= 0.9
+    # scores are probabilities, JVM-computed
+    s = docs.select(quality_lr_score(F.col("text"), art).alias("p")) \
+        .agg(F.min("p").alias("lo"), F.max("p").alias("hi")).collect()[0]
+    assert 0.0 <= s["lo"] <= s["hi"] <= 1.0
+    # falsifiability: negated weights ~invert the decision
+    bad = (art[0], art[1], -art[2], -art[3])
+    rb = quality_lr_holdout_accuracy(docs, bad, label=lab).collect()[0]
+    assert rb["agree"] / rb["n"] <= 0.5
+    # store roundtrip, zero-job reload
+    import tempfile
+
+    st = ArtifactStore(tempfile.mkdtemp())
+    tok = corpus_token("/root/testdata/sf0.001/documents.parquet")
+    art2 = quality_lr_fit(docs, label=lab, cache_key="t",
+                          store=st, store_token=tok)
+    _LR_CACHE.clear()
+    sc = spark.sparkContext
+    sc.setJobGroup("qlr-load", "qlr-load")
+    art3 = quality_lr_fit(docs, label=lab, cache_key="t",
+                          store=st, store_token=tok)
+    sc.setJobGroup(None, None)
+    assert list(sc.statusTracker().getJobIdsForGroup("qlr-load")) == []
+    assert np.array_equal(art2[2], art3[2]) and art2[3] == art3[3]

@@ -1,0 +1,157 @@
+"""Model-based quality classification: the FineWeb-Edu / DCLM-style step
+(Penedo et al. 2024; Li et al. 2024 — both public) where a TRAINED
+classifier, not a hand rule, scores every document for keep/drop.
+
+Honest scope: the container ships no torch/fasttext, so the model is a
+tiny logistic regression over the repo's own engineered text features —
+which is exactly the right PLUMBING to test at 100 TB: a sample-bounded
+driver-side fit (any real classifier trains off-cluster anyway), a
+persistable weight artifact, and corpus-wide scoring that compiles to
+PURE JVM arithmetic (a dot product + sigmoid over feature columns — no
+UDF in the hot path, whole-stage codegen keeps it in the scan).
+
+* ``quality_lr_features`` — the feature columns (shared by fit + score);
+* ``quality_lr_fit`` — standardized-feature logistic regression via
+  full-batch gradient descent on a bounded deterministic sample, labels
+  from any boolean Column (default: the heuristic ``quality_score >=
+  0.6``, making the classifier a smooth, generalizing surrogate of the
+  rule — swap in human/LLM labels by passing ``label``);
+* ``quality_lr_score`` — sigmoid(w·(x-mean)/std + b) as a Column;
+* memoized per session and persistable via the shared ArtifactStore
+  (same train-once posture as the KMeans/PQ/BPE artifacts).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+_LR_CACHE: dict = {}
+
+FEATURE_NAMES = ("log_chars", "n_words_log", "alpha_ratio", "digit_ratio",
+                 "punct_ratio", "stopword_ratio", "dup_word_ratio")
+
+
+def quality_lr_features(text: Column) -> Dict[str, Column]:
+    """The classifier's feature columns — engineered from the existing
+    quality/repetition primitives, all JVM expressions."""
+    from .text import quality_metrics, repetition_stats
+
+    m = quality_metrics(text)
+    r = repetition_stats(text)
+    return {
+        "log_chars": F.round(F.log(m["n_chars"] + F.lit(1.0)), 6),
+        "n_words_log": F.round(F.log(m["n_words"] + F.lit(1.0)), 6),
+        "alpha_ratio": m["alpha_ratio"],
+        "digit_ratio": m["digit_ratio"],
+        "punct_ratio": m["punct_ratio"],
+        "stopword_ratio": m["stopword_ratio"],
+        "dup_word_ratio": r["dup_word_ratio"],
+    }
+
+
+def quality_lr_fit(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   label: Optional[Column] = None,
+                   sample_cap: int = 2048, iters: int = 400,
+                   step: float = 0.5, seed_threshold: float = 0.6,
+                   cache_key: Optional[str] = None,
+                   store=None, store_token: Optional[str] = None):
+    """(means, stds, weights, bias): fit the LR on a bounded deterministic
+    sample.  Features standardize before the fit so one step size works
+    across scales; the returned artifact carries the standardization so
+    scoring is self-contained.  Deterministic: fixed init, full-batch
+    gradient descent, sorted sample."""
+    from .simsearch import sample_rows
+    from .text import quality_score
+
+    key = None
+    if cache_key is not None:
+        key = ("qlr", df.sparkSession.sparkContext.applicationId,
+               cache_key, text_col, sample_cap, iters)
+        hit = _LR_CACHE.get(key)
+        if hit is not None:
+            return hit
+    name = None
+    if store is not None and store_token is not None:
+        if cache_key is None:
+            raise ValueError("store persistence requires cache_key")
+        from .artifacts import artifact_name
+
+        name = artifact_name("quality_lr", cache_key, text_col,
+                             sample_cap, iters)
+        got = store.load_arrays(name, store_token)
+        if got is not None:
+            art = (got[0]["means"], got[0]["stds"], got[0]["weights"],
+                   float(got[0]["bias"]))
+            if key is not None:
+                _LR_CACHE[key] = art
+            return art
+
+    feats = quality_lr_features(F.col(text_col))
+    lab = label if label is not None else (
+        quality_score(F.col(text_col)) >= F.lit(seed_threshold))
+    sampled = sample_rows(df.select(id_col, text_col), sample_cap, id_col)
+    rows = (sampled.select(
+        F.col(id_col).alias("__id"),
+        *[c.alias(n) for n, c in feats.items()],
+        lab.cast("double").alias("__y")).collect())
+    rows.sort(key=lambda r: r["__id"])
+    X = np.array([[float(r[n]) for n in FEATURE_NAMES] for r in rows])
+    y = np.array([float(r["__y"]) for r in rows])
+    means = X.mean(axis=0)
+    stds = np.maximum(X.std(axis=0), 1e-9)
+    Z = (X - means) / stds
+    w = np.zeros(Z.shape[1])
+    b = 0.0
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(Z @ w + b)))
+        g = p - y
+        w -= step * (Z.T @ g) / len(y)
+        b -= step * float(g.mean())
+    art = (means, stds, w, float(b))
+    if name is not None:
+        store.save_arrays(name, store_token, means=means, stds=stds,
+                          weights=w, bias=np.float64(b))
+    if key is not None:
+        _LR_CACHE[key] = art
+    return art
+
+
+def quality_lr_score(text: Column, art) -> Column:
+    """sigmoid(w·(x - mean)/std + b) as one JVM expression — corpus-wide
+    scoring costs a scan, no shuffle, no Python."""
+    means, stds, w, b = art
+    feats = quality_lr_features(text)
+    z = F.lit(float(b))
+    for i, nm in enumerate(FEATURE_NAMES):
+        z = z + F.lit(float(w[i])) * (
+            (feats[nm] - F.lit(float(means[i]))) / F.lit(float(stds[i])))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def quality_lr_holdout_accuracy(df: DataFrame, art,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                holdout_cap: int = 512,
+                                seed_threshold: float = 0.6,
+                                label: Optional[Column] = None
+                                ) -> DataFrame:
+    """Single-row (n, agree) frame: classifier decision (score >= 0.5) vs
+    the labeling rule on a DIFFERENT deterministic sample (ids hashed with
+    a shifted salt, so train/holdout overlap is incidental, not built in).
+    The self-validation consumers turn this into a verdict: a broken fit,
+    feature drift, or scoring bug drops agreement to ~coin-flip."""
+    from .text import quality_score
+
+    h = F.abs(F.xxhash64(F.col(id_col).cast("string"), F.lit("holdout")))
+    sampled = (df.select(id_col, text_col)
+               .orderBy(h.asc(), F.col(id_col).asc()).limit(holdout_cap))
+    score = quality_lr_score(F.col(text_col), art)
+    rule = label if label is not None else (
+        quality_score(F.col(text_col)) >= F.lit(seed_threshold))
+    return sampled.agg(
+        F.count("*").alias("n"),
+        F.sum(((score >= 0.5) == rule).cast("int")).alias("agree"))
