@@ -1754,36 +1754,55 @@ def dp_ann_approx(spark, sf_dir):
                                & (F.col("__self") == 1),
                                "ok").otherwise("low_recall").alias("verdict")))
 
-    # SemDeDup (Abbas et al. 2023) over the same IVF cluster index:
-    # drop all but the min-id member of every >= 0.5-cosine component
-    # inside each cluster.  SELF-VALIDATED relationally, both directions
-    # live each pass: SOUNDNESS — every dropped id joins its kept rep's
-    # vector and the exact cosine clears the threshold; CONSERVATION —
-    # every component keeps exactly one member and it is the min id; plus
-    # a nonemptiness guard (the fixture has >= 0.5 pairs, so an empty
-    # drop set means a silently broken cluster layout, not a clean corpus)
-    from yupana_spark.datapipe.dedup import cosine, semantic_dedup
+    # SemDeDup (Abbas et al. 2023) over the same IVF cluster index: drop
+    # all but the min-id member of every >= 0.45-cosine component inside
+    # each cluster.  SELF-VALIDATED relationally, three live directions
+    # per pass against the LIVE same-cluster pair set (the single-
+    # assignment twin of the dp_neardup_scale verify machinery):
+    # * SOUNDNESS — every dropped id has a >= threshold edge to some
+    #   member of ITS OWN component (components are edge-connected, not
+    #   cliques — a chain's endpoints need not clear the threshold
+    #   directly, so the check follows edges, not rep cosines);
+    # * CONSERVATION — every component keeps exactly one member, the min;
+    # * MAXIMALITY — no same-cluster >= threshold pair survives with both
+    #   sides kept (an everything-keeps layout fails here whenever the
+    #   fixture has any same-cluster pair, which sf0.01+ does).
+    from yupana_spark.datapipe.dedup import (embedding_neardup_pairs_ivf,
+                                             semantic_dedup)
 
-    sd = semantic_dedup(emb, threshold=0.5, cells=idx["ivf"])
+    sd_th = 0.45
+    sd = semantic_dedup(emb, threshold=sd_th, cells=idx["ivf"])
+    pairs = embedding_neardup_pairs_ivf(
+        emb, threshold=sd_th, cells=idx["ivf"],
+        dedupe=False).select("id_a", "id_b")
     comp = sd.groupBy("rep").agg(
         F.sum(F.col("keep").cast("int")).alias("__k"),
         F.min("id").alias("__mn"))
     bad_comp = comp.filter((F.col("__k") != 1)
                            | (F.col("__mn") != F.col("rep"))) \
         .agg(F.count("*").alias("__bad"))
-    ev = emb.select(F.col("vec_id").cast("long").alias("id"),
-                    F.col("embedding").alias("__va"))
-    er = emb.select(F.col("vec_id").cast("long").alias("rep"),
-                    F.col("embedding").alias("__vb"))
-    sound = (sd.filter(~F.col("keep")).join(ev, "id").join(er, "rep")
-             .agg(F.count("*").alias("__n"),
-                  F.count(F.when(
-                      F.round(cosine(F.col("__va"), F.col("__vb")), 6)
-                      < F.lit(0.5), 1)).alias("__viol")))
-    semdedup = (sound.crossJoin(bad_comp).select(
+    edges = pairs.unionAll(pairs.select(F.col("id_b").alias("id_a"),
+                                        F.col("id_a").alias("id_b")))
+    dmap = sd.select("id", "rep", "keep")
+    dropped = dmap.filter(~F.col("keep")).select("id", "rep")
+    supported = (dropped.alias("d")
+                 .join(edges, F.col("d.id") == edges.id_a)
+                 .join(dmap.select(F.col("id").alias("__oid"),
+                                   F.col("rep").alias("__orep")),
+                       edges.id_b == F.col("__oid"))
+                 .filter(F.col("__orep") == F.col("d.rep"))
+                 .select(F.col("d.id").alias("id")).distinct())
+    sound = (dropped.join(supported, "id", "left_anti")
+             .agg(F.count("*").alias("__sviol")))
+    kept = dmap.filter(F.col("keep")).select("id")
+    maxi = (pairs
+            .join(kept.withColumnRenamed("id", "id_a"), "id_a", "semi")
+            .join(kept.withColumnRenamed("id", "id_b"), "id_b", "semi")
+            .agg(F.count("*").alias("__mviol")))
+    semdedup = (sound.crossJoin(bad_comp).crossJoin(maxi).select(
         F.lit("semdedup").alias("method"),
-        F.when((F.col("__viol") == 0) & (F.col("__bad") == 0)
-               & (F.col("__n") >= 1), "ok")
+        F.when((F.col("__sviol") == 0) & (F.col("__bad") == 0)
+               & (F.col("__mviol") == 0), "ok")
         .otherwise("violations").alias("verdict")))
 
     # model-based quality classifier (FineWeb-Edu/DCLM-style plumbing:

@@ -439,3 +439,70 @@ def test_streaming_corpus_filter_event_time_knob(spark, tmp_path):
     assert "duplicate" in got[3]              # doc 2 is live
     with pytest.raises(ValueError, match="idle_timeout_ms"):
         streaming_corpus_filter(stream, event_time_col="ts")
+
+
+def test_corpus_filter_model_quality_twins(spark, tmp_path):
+    """The model-quality (LR classifier) rule in the composed filter:
+    batch and streaming twins produce IDENTICAL decisions with the rule
+    on, the 'model_quality' label lands in alphabetical position, and
+    disabling the rule (lr_art=None) restores the old decisions."""
+    from pyspark.sql import types as T
+
+    from pyspark.sql import functions as F
+
+    from yupana_spark.datapipe.classify import (quality_lr_features,
+                                                quality_lr_fit)
+    from yupana_spark.datapipe.filters import corpus_keep
+    from yupana_spark.streaming.filters import streaming_corpus_filter
+
+    fixture = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    # fit on the real fixture (bounded sample) with the variance-bearing
+    # label (the default heuristic is all-positive on this corpus);
+    # score a tiny replay corpus
+    lab = quality_lr_features(F.col("text"))["stopword_ratio"] >= 0.03
+    art = quality_lr_fit(fixture, label=lab)
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs far "
+            "into the quiet green field for a long while today"),
+        (2, "zzz qqq xxx vvv kkk www yyy hhh jjj fff ggg ddd sss aaa "
+            "bbb ccc eee rrr ttt uuu iii ooo ppp lll mmm nnn"),
+        (3, "!!! ??? ### $$$"),
+    ]
+    schema = "doc_id long, text string"
+    docs = spark.createDataFrame(rows, schema)
+    with_lr = {r["id"]: (r["keep"], r["reasons"])
+               for r in corpus_keep(docs, min_quality=0.0, langs=None,
+                                    lr_art=art, min_lr=0.5).collect()}
+    without = {r["id"]: (r["keep"], r["reasons"])
+               for r in corpus_keep(docs, min_quality=0.0,
+                                    langs=None).collect()}
+    # the rule must actually fire somewhere and nowhere else change
+    fired = {i for i, (_, rs) in with_lr.items() if "model_quality" in rs}
+    assert fired, "LR rule never fired on the adversarial docs"
+    for i in with_lr:
+        stripped = ",".join(x for x in with_lr[i][1].split(",")
+                            if x and x != "model_quality")
+        assert stripped == without[i][1]
+    # streaming twin: identical decisions
+    src = tmp_path / "mq_src"
+    src.mkdir()
+    docs.coalesce(1).write.parquet(str(src / "a"))
+    stream = (spark.readStream
+              .schema(T.StructType([T.StructField("doc_id", T.LongType()),
+                                    T.StructField("text", T.StringType())]))
+              .parquet(str(src / "*")))
+    out = streaming_corpus_filter(stream, min_quality=0.0, langs=None,
+                                  lr_art=art, min_lr=0.5)
+    q = (out.writeStream.format("memory").queryName("mq")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "mq_ck"))
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination()
+        streamed = {r["id"]: (r["keep"], r["reasons"])
+                    for r in spark.table("mq").collect()}
+    finally:
+        q.stop()
+        spark.catalog.dropTempView("mq")
+    assert streamed == with_lr

@@ -970,6 +970,13 @@ def embedding_neardup_pairs_ivf(df: DataFrame, vec_col: str = "embedding",
         cells = ivf_assignment(df, vec_col, id_col, n_centroids, m_assign,
                                seed, n=n, cache_key=cache_key,
                                store=store, store_token=store_token)
+    else:
+        # accept either the ivf_assignment layout (id, v, cell) or a raw
+        # assigned frame carrying the original id/vector column names
+        c = cells.columns
+        cells = cells.select(
+            F.col("id" if "id" in c else id_col).cast("long").alias("id"),
+            F.col("v" if "v" in c else vec_col).alias("v"), "cell")
 
     out_schema = T.StructType([
         T.StructField("id_a", T.LongType()),

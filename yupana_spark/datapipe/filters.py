@@ -21,10 +21,13 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def keep_reasons(cont: Column, is_dup: Column, lang_bad: Column,
-                 quality: Column, min_quality: float) -> Column:
+                 quality: Column, min_quality: float,
+                 model_low: Optional[Column] = None) -> Column:
     """The ONE definition of the decision labels and their (alphabetical)
     order — shared by the batch and streaming operators so their
-    pinned-equal decisions cannot drift apart."""
+    pinned-equal decisions cannot drift apart.  ``model_low`` (optional)
+    is the model-based rule's fire flag — 'model_quality' sorts after
+    'low_quality', keeping the order alphabetical."""
     return F.array_join(
         F.filter(
             F.array(
@@ -33,6 +36,8 @@ def keep_reasons(cont: Column, is_dup: Column, lang_bad: Column,
                 F.when(lang_bad, F.lit("lang")),
                 F.when(quality < F.lit(float(min_quality)),
                        F.lit("low_quality")),
+                F.when(model_low if model_low is not None else F.lit(False),
+                       F.lit("model_quality")),
             ),
             lambda x: x.isNotNull()),
         ",")
@@ -41,25 +46,36 @@ def keep_reasons(cont: Column, is_dup: Column, lang_bad: Column,
 def corpus_keep(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", min_quality: float = 0.7,
                 langs: Optional[Sequence[str]] = ("en",),
-                eval_docs: Optional[DataFrame] = None) -> DataFrame:
+                eval_docs: Optional[DataFrame] = None,
+                lr_art=None, min_lr: float = 0.5) -> DataFrame:
     """(id, keep, reasons): keep iff NO rule fires; ``reasons`` lists the
     fired rules in fixed alphabetical order ('contaminated', 'duplicate',
-    'lang', 'low_quality'), comma-joined ('' when kept).
+    'lang', 'low_quality', 'model_quality'), comma-joined ('' when kept).
 
     Rules (each optional):
     * quality_score < ``min_quality``          -> 'low_quality'
     * predicted language not in ``langs``      -> 'lang'  (None disables)
     * exact-duplicate (non-min-id fingerprint) -> 'duplicate'
     * shares a word-8-gram with ``eval_docs``  -> 'contaminated'
+    * classifier score < ``min_lr``            -> 'model_quality'
+      (``lr_art`` = a ``classify.quality_lr_fit`` artifact; the score is
+      pure JVM arithmetic riding the same scan — the FineWeb-Edu/DCLM
+      model-filter composed with the rule filters)
     """
     from .dedup import exact_dedup
     from .text import contaminated_ids, lang_id, quality_score
 
+    mq = F.lit(False)
+    if lr_art is not None:
+        from .classify import quality_lr_score
+
+        mq = quality_lr_score(F.col(text_col), lr_art) < F.lit(min_lr)
     out = exact_dedup(df, text_col, id_col).select(
         F.col(id_col).alias("id"),
         F.col("is_duplicate"),
         quality_score(F.col(text_col)).alias("__q"),
         lang_id(F.col(text_col)).alias("__lang"),
+        mq.alias("__mq"),
     )
     if eval_docs is not None:
         flags = (contaminated_ids(df, eval_docs, text_col, id_col)
@@ -73,7 +89,8 @@ def corpus_keep(df: DataFrame, text_col: str = "text",
     lang_bad = (F.lit(False) if langs is None
                 else ~F.col("__lang").isin(*langs))
     reasons = keep_reasons(F.col("__cont"), F.col("is_duplicate"),
-                           lang_bad, F.col("__q"), min_quality)
+                           lang_bad, F.col("__q"), min_quality,
+                           model_low=F.col("__mq"))
     return out.select(
         "id",
         (F.length(reasons) == 0).alias("keep"),

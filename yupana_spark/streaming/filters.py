@@ -36,6 +36,7 @@ _OUT_SCHEMA = T.StructType([
     T.StructField("q", T.DoubleType()),
     T.StructField("lang", T.StringType()),
     T.StructField("cont", T.BooleanType()),
+    T.StructField("mq", T.BooleanType()),
     T.StructField("is_duplicate", T.BooleanType()),
 ])
 
@@ -73,7 +74,7 @@ def _make_dup_update(idle_timeout_ms: Optional[int],
             else:
                 state.setTimeoutDuration(idle_timeout_ms)
         if len(pdf):
-            out = pdf[["id", "q", "lang", "cont"]].copy()
+            out = pdf[["id", "q", "lang", "cont", "mq"]].copy()
             out["is_duplicate"] = dup
             yield out
 
@@ -108,7 +109,8 @@ def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
                             langs: Optional[Sequence[str]] = ("en",),
                             eval_docs: Optional[DataFrame] = None,
                             idle_timeout_ms: Optional[int] = None,
-                            event_time_col: Optional[str] = None
+                            event_time_col: Optional[str] = None,
+                            lr_art=None, min_lr: float = 0.5
                             ) -> DataFrame:
     """Streaming (id, keep, reasons): same rules, labels and reason order
     as the batch ``corpus_keep`` — on a full replay of a static corpus the
@@ -119,7 +121,10 @@ def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
     ``idle_timeout_ms`` bounds dup-fingerprint state by a horizon;
     ``event_time_col`` (requires a watermark on that column) makes the
     horizon EVENT-time — eviction keyed to the watermark, deterministic
-    under replay at any wall-clock pacing — instead of processing-time."""
+    under replay at any wall-clock pacing — instead of processing-time.
+    ``lr_art``/``min_lr`` enable the model-quality rule exactly as in the
+    batch twin (the LR score is row-local JVM arithmetic, so it rides the
+    stream scan like the other stateless rules)."""
     from ..datapipe.text import (exploded_ngram_hashes, fingerprint_md5,
                                  lang_id, normalize_text, quality_score,
                                  words)
@@ -142,6 +147,11 @@ def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
     if event_time_col is not None and idle_timeout_ms is None:
         raise ValueError("event_time_col needs idle_timeout_ms "
                          "(the horizon length)")
+    mq = F.lit(False)
+    if lr_art is not None:
+        from ..datapipe.classify import quality_lr_score
+
+        mq = quality_lr_score(F.col(text_col), lr_art) < F.lit(min_lr)
     carry = ((F.col(event_time_col),) if event_time_col is not None else ())
     base = staged.select(
         F.col(id_col).cast("long").alias("id"),
@@ -150,6 +160,7 @@ def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
         quality_score(F.col(text_col)).alias("q"),
         lang_id(F.col(text_col)).alias("lang"),
         cont.alias("cont"),
+        mq.alias("mq"),
     )
     if idle_timeout_ms is None:
         timeout = GroupStateTimeout.NoTimeout
@@ -166,7 +177,8 @@ def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
     lang_bad = (F.lit(False) if langs is None
                 else ~F.col("lang").isin(*langs))
     reasons = keep_reasons(F.col("cont"), F.col("is_duplicate"),
-                           lang_bad, F.col("q"), min_quality)
+                           lang_bad, F.col("q"), min_quality,
+                           model_low=F.col("mq"))
     return flagged.select(
         "id",
         (F.length(reasons) == 0).alias("keep"),
