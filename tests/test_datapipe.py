@@ -1312,3 +1312,45 @@ def test_quality_lr_classifier(spark):
     sc.setJobGroup(None, None)
     assert list(sc.statusTracker().getJobIdsForGroup("qlr-load")) == []
     assert np.array_equal(art2[2], art3[2]) and art2[3] == art3[3]
+
+
+def test_build_training_shards_end_to_end(spark):
+    """The composed token-level prep pipeline: real BPE tokens -> sliding
+    windows -> FFD packs -> shard manifest, with token conservation at
+    every stage boundary."""
+    from pyspark.sql import functions as F
+
+    from yupana_spark.datapipe.bpe import bpe_fit
+    from yupana_spark.datapipe.pack import build_training_shards
+    from yupana_spark.datapipe.text import normalize_text, words
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(200)
+    merges = bpe_fit(docs, n_merges=64)
+    chunks, packed, manifest = build_training_shards(
+        docs, merges, seq_len=32, stride=32, budget=96,
+        shard_budget=1024)
+    # stage 0->1: token conservation (stride == seq_len: no overlap)
+    from yupana_spark.datapipe.bpe import bpe_tokens
+
+    staged = docs.withColumn("__w", words(normalize_text(F.col("text"))))
+    total_tokens = staged.select(
+        F.sum(F.size(bpe_tokens(F.col("__w"), merges))).alias("t")
+    ).collect()[0]["t"]
+    chunk_rows = chunks.select(
+        F.sum("n_tokens").alias("t"), F.count("*").alias("c"),
+        F.sum(F.size("chunk_tokens")).alias("arr")).collect()[0]
+    assert chunk_rows["t"] == total_tokens
+    assert chunk_rows["arr"] == total_tokens   # arrays match the counts
+    # stage 1->2: every chunk in exactly one pack, budget respected
+    assert packed.count() == chunk_rows["c"]
+    assert packed.select("id").distinct().count() == chunk_rows["c"]
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("s"), F.count("*").alias("k"))
+    over = per_pack.filter("s > 96 AND k > 1").count()
+    assert over == 0                           # only singletons may exceed
+    assert per_pack.select(F.sum("s")).collect()[0][0] == total_tokens
+    # stage 2->3: shards conserve the packed totals
+    sh = manifest.groupBy("shard_id").agg(F.sum("n_tokens").alias("s"))
+    assert sh.select(F.sum("s")).collect()[0][0] == total_tokens
+    assert sh.count() >= 2                     # actually sharded

@@ -16,6 +16,8 @@ key set regardless of cluster layout or input partitioning.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F, types as T
@@ -198,3 +200,84 @@ def assign_shards(per_pack: DataFrame, size_col: str = "n_tokens",
             .withColumn("shard_id",
                         F.floor(start / F.lit(shard_budget)).cast("long"))
             .drop("__pid", "__cum", "__off"))
+
+
+def chunk_token_sequences(df: DataFrame, tokens_col: str = "tokens",
+                          id_col: str = "doc_id", window: int = 2048,
+                          stride: Optional[int] = None) -> DataFrame:
+    """(doc_id, chunk_no, start_tok, n_tokens, chunk_tokens): sliding
+    windows over a TOKEN array column — the token-level twin of
+    ``chunk_documents`` (which windows words) for pipelines that already
+    materialized real tokenizer output (``bpe.bpe_tokens``).
+
+    Same coverage law: chunk i covers tokens [i*stride, i*stride+window);
+    a doc of n tokens yields ``1 if n <= window else
+    ceil((n - window)/stride) + 1`` chunks (an empty doc yields one empty
+    chunk), so every token is covered and consecutive chunks overlap by
+    ``window - stride``.  Pure JVM slice/explode — one scan, no shuffle.
+    """
+    stride = window if stride is None else stride
+    prepared = df.select(
+        F.col(id_col),
+        F.col(tokens_col).alias("__t"),
+        F.size(F.col(tokens_col)).alias("__n"),
+    ).select(
+        id_col, "__t", "__n",
+        F.when(F.col("__n") <= window, F.lit(1))
+        .otherwise(F.ceil((F.col("__n") - F.lit(window)) / F.lit(stride))
+                   .cast("int") + 1).alias("__k"),
+    )
+    start = F.col("chunk_no") * stride
+    return (prepared
+            .select(id_col, "__t", "__n",
+                    F.explode(F.sequence(F.lit(0), F.col("__k") - 1))
+                    .alias("chunk_no"))
+            .select(
+                id_col, "chunk_no",
+                start.alias("start_tok"),
+                F.least(F.col("__n") - start, F.lit(window))
+                .cast("int").alias("n_tokens"),
+                F.slice(F.col("__t"), start + 1, window)
+                .alias("chunk_tokens")))
+
+
+def build_training_shards(df: DataFrame, merges, text_col: str = "text",
+                          id_col: str = "doc_id", seq_len: int = 128,
+                          stride: Optional[int] = None, budget: int = 512,
+                          shard_budget: int = 1 << 14):
+    """The composed LLM-data prep pipeline, REAL tokens end to end:
+    normalize -> BPE-tokenize (trained ``merges``) -> sliding token
+    windows (``chunk_token_sequences``) -> token-budget FFD packing
+    (``pack_sequences``) -> deterministic shard manifest
+    (``assign_shards``).  Returns (chunks, packed, manifest).
+
+    Chunk identity: ``chunk_id = doc_id * 2^20 + chunk_no`` (documented
+    cap: <= 2^20 chunks/doc — a million seq_len windows per document is
+    beyond any real corpus row).  Conservation laws the test pins:
+    * sum of chunk token counts == sum over docs of token counts
+      (overlap-adjusted when stride < seq_len);
+    * every chunk appears in exactly one pack, packs respect ``budget``
+      except singleton overlength chunks (impossible when budget >=
+      seq_len, the sane configuration);
+    * shard totals conserve the packed totals.
+    Every stage is the already-audited operator — this function only
+    fixes the plumbing between them."""
+    from .bpe import bpe_tokens
+    from .text import normalize_text, words
+
+    staged = df.withColumn("__w", words(normalize_text(F.col(text_col))))
+    toked = staged.select(
+        F.col(id_col),
+        bpe_tokens(F.col("__w"), merges).alias("tokens"))
+    chunks = (chunk_token_sequences(toked, "tokens", id_col,
+                                    window=seq_len, stride=stride)
+              .withColumn("chunk_id",
+                          F.col(id_col).cast("long") * F.lit(1 << 20)
+                          + F.col("chunk_no")))
+    packed = pack_sequences(chunks, id_col="chunk_id",
+                            tokens_col="n_tokens", budget=budget)
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("n_tokens"),
+        F.count("*").alias("n_chunks"))
+    manifest = assign_shards(per_pack, shard_budget=shard_budget)
+    return chunks, packed, manifest
