@@ -159,3 +159,28 @@ def test_tsdb_artifact_store_invalidates_on_write(spark, tmp_path):
     assert st.load_json("probe", tok1) is None           # artifact stale
     # the store lives under the warehouse root (deployment-local)
     assert st.root.startswith(str(tmp_path / "wh"))
+
+
+def test_store_crash_and_corruption_resilience(tmp_path):
+    """A half-written (metaless) staging dir never loads; a corrupt
+    payload is a clean miss (refit), not a crash; a commit atomically
+    replaces the previous artifact."""
+    import os
+
+    st = ArtifactStore(str(tmp_path / "arts"))
+    st.save_arrays("a", "t1", C=np.arange(3))
+    # simulate a crashed writer: staging dir left behind without meta
+    os.makedirs(str(tmp_path / "arts" / "b.tmp.999"))
+    assert st.load_arrays("b", "t1") is None
+    # corrupt payload -> miss, not crash
+    with open(str(tmp_path / "arts" / "a" / "arrays.npz"), "wb") as f:
+        f.write(b"not a zipfile")
+    assert st.load_arrays("a", "t1") is None
+    # a fresh save replaces it wholesale
+    st.save_arrays("a", "t2", C=np.arange(4))
+    got = st.load_arrays("a", "t2")
+    assert got is not None and np.array_equal(got[0]["C"], np.arange(4))
+    st.save_json("j", "t1", [1, 2])
+    with open(str(tmp_path / "arts" / "j" / "data.json"), "w") as f:
+        f.write("{broken")
+    assert st.load_json("j", "t1") is None

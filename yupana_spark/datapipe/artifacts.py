@@ -86,7 +86,12 @@ class ArtifactStore:
             return None
 
     def _begin(self, name: str) -> str:
-        d = self._dir(name)
+        # writes build in a pid-suffixed staging dir and swap in at commit:
+        # a crash leaves only invisible staging garbage, and a concurrent
+        # reader of the OLD artifact races a directory swap at worst —
+        # which the load_* except-arms turn into a clean miss (refit), not
+        # a crash
+        d = f"{self._dir(name)}.tmp.{os.getpid()}"
         if os.path.exists(d):
             shutil.rmtree(d)
         os.makedirs(d)
@@ -94,11 +99,16 @@ class ArtifactStore:
 
     def _commit(self, name: str, token: str, kind: str,
                 extra: Optional[dict] = None) -> None:
-        # meta written LAST: a crashed save leaves a metaless (= invisible)
-        # directory, never a half-artifact that loads
+        # meta written LAST inside staging, then the whole directory swaps
+        # into place — a metaless or half-written artifact can never load
+        staged = f"{self._dir(name)}.tmp.{os.getpid()}"
         meta = {"token": token, "kind": kind, "extra": extra or {}}
-        with open(os.path.join(self._dir(name), _META), "w") as f:
+        with open(os.path.join(staged, _META), "w") as f:
             json.dump(meta, f)
+        final = self._dir(name)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(staged, final)
 
     def valid(self, name: str, token: str) -> bool:
         m = self._meta(name)
@@ -115,8 +125,11 @@ class ArtifactStore:
                     ) -> Optional[Tuple[Dict[str, np.ndarray], dict]]:
         if not self.valid(name, token):
             return None
-        with np.load(os.path.join(self._dir(name), "arrays.npz")) as z:
-            out = {k: z[k] for k in z.files}
+        try:
+            with np.load(os.path.join(self._dir(name), "arrays.npz")) as z:
+                out = {k: z[k] for k in z.files}
+        except (OSError, ValueError):
+            return None            # swapped/corrupt mid-read: miss, refit
         return out, (self._meta(name) or {}).get("extra", {})
 
     # -- JSON payloads (merge tables, scalars) -----------------------------
@@ -131,8 +144,11 @@ class ArtifactStore:
                   ) -> Optional[Tuple[Any, dict]]:
         if not self.valid(name, token):
             return None
-        with open(os.path.join(self._dir(name), "data.json")) as f:
-            obj = json.load(f)
+        try:
+            with open(os.path.join(self._dir(name), "data.json")) as f:
+                obj = json.load(f)
+        except (OSError, ValueError):
+            return None            # swapped/corrupt mid-read: miss, refit
         return obj, (self._meta(name) or {}).get("extra", {})
 
     # -- DataFrame artifacts (vocab, signature index, pair oracles) --------
@@ -149,7 +165,10 @@ class ArtifactStore:
     def load_df(self, spark, name: str, token: str):
         """(DataFrame, extra) or None.  ZERO Spark jobs: the schema comes
         from the meta (no footer-read job) and the parquet scan is lazy
-        until the artifact is actually used."""
+        until the artifact is actually used.  Laziness caveat: a writer
+        swapping this artifact between load and first action surfaces as
+        a read error then — consumers that pin (localCheckpoint) the
+        frame at load time (all of this repo's do) close that window."""
         if not self.valid(name, token):
             return None
         extra = dict((self._meta(name) or {}).get("extra", {}))
