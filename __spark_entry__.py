@@ -1819,8 +1819,9 @@ def dp_ann_approx(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     dtok = _fx_token(sf_dir, "documents")
     lab = quality_lr_features(F.col("text"))["stopword_ratio"] >= 0.03
-    lr_art = quality_lr_fit(docs, label=lab, cache_key=sf_dir,
-                            store=st, store_token=dtok)
+    lr_art = quality_lr_fit(docs, label=lab,
+                            label_key="stopword_ratio>=0.03",
+                            cache_key=sf_dir, store=st, store_token=dtok)
     lr = (quality_lr_holdout_accuracy(docs, lr_art, label=lab)
           .select(F.lit("quality_lr").alias("method"),
                   F.when(F.col("agree") >= F.col("n") * 0.85, "ok")

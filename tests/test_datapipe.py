@@ -1302,13 +1302,13 @@ def test_quality_lr_classifier(spark):
 
     st = ArtifactStore(tempfile.mkdtemp())
     tok = corpus_token("/root/testdata/sf0.001/documents.parquet")
-    art2 = quality_lr_fit(docs, label=lab, cache_key="t",
-                          store=st, store_token=tok)
+    art2 = quality_lr_fit(docs, label=lab, label_key="sw>=0.03",
+                          cache_key="t", store=st, store_token=tok)
     _LR_CACHE.clear()
     sc = spark.sparkContext
     sc.setJobGroup("qlr-load", "qlr-load")
-    art3 = quality_lr_fit(docs, label=lab, cache_key="t",
-                          store=st, store_token=tok)
+    art3 = quality_lr_fit(docs, label=lab, label_key="sw>=0.03",
+                          cache_key="t", store=st, store_token=tok)
     sc.setJobGroup(None, None)
     assert list(sc.statusTracker().getJobIdsForGroup("qlr-load")) == []
     assert np.array_equal(art2[2], art3[2]) and art2[3] == art3[3]
@@ -1354,3 +1354,56 @@ def test_build_training_shards_end_to_end(spark):
     sh = manifest.groupBy("shard_id").agg(F.sum("n_tokens").alias("s"))
     assert sh.select(F.sum("s")).collect()[0][0] == total_tokens
     assert sh.count() >= 2                     # actually sharded
+
+
+def test_quality_lr_label_identity_and_nulls(spark):
+    """Review findings pinned: a custom label without label_key cannot
+    cache/persist (stale-weights hazard), two label_keys fit DISTINCT
+    artifacts under one cache_key, and NULL-text rows are excluded from
+    the fit instead of crashing it."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from yupana_spark.datapipe.classify import (_LR_CACHE,
+                                                quality_lr_features,
+                                                quality_lr_fit)
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog in the field"),
+         (2, "zzz qqq xxx vvv kkk www yyy hhh"),
+         (3, None),
+         (4, "a small red bird sits on the old stone wall today")],
+        "doc_id long, text string")
+    feats = quality_lr_features(F.col("text"))
+    with pytest.raises(ValueError, match="label_key"):
+        quality_lr_fit(docs, label=feats["stopword_ratio"] >= 0.1,
+                       cache_key="x")
+    _LR_CACHE.clear()
+    a1 = quality_lr_fit(docs, label=feats["stopword_ratio"] >= 0.1,
+                        label_key="sw", cache_key="x")
+    a2 = quality_lr_fit(docs, label=feats["alpha_ratio"] >= 0.99,
+                        label_key="al", cache_key="x")
+    import numpy as np
+
+    assert not np.array_equal(a1[2], a2[2])   # distinct rules, distinct fits
+    all_null = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-NULL"):
+        quality_lr_fit(all_null)
+
+
+def test_chunk_token_sequences_null_tokens(spark):
+    """NULL token arrays normalize to empty (one zero-token chunk), never
+    a negative n_tokens flowing into the packer."""
+    from pyspark.sql import functions as F
+
+    from yupana_spark.datapipe.pack import chunk_token_sequences
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, None), (3, [])],
+        "doc_id long, tokens array<string>")
+    rows = {r["doc_id"]: r for r in
+            chunk_token_sequences(df, window=2, stride=2).collect()
+            if r["chunk_no"] == 0}
+    assert rows[1]["n_tokens"] == 2
+    assert rows[2]["n_tokens"] == 0 and rows[2]["chunk_tokens"] == []
+    assert rows[3]["n_tokens"] == 0

@@ -106,9 +106,17 @@ class ArtifactStore:
         with open(os.path.join(staged, _META), "w") as f:
             json.dump(meta, f)
         final = self._dir(name)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.rename(staged, final)
+        try:
+            if os.path.exists(final):
+                shutil.rmtree(final)
+            os.rename(staged, final)
+        except OSError:
+            # a concurrent writer won the swap between our rmtree and
+            # rename (shared per-host store, two fresh sessions fitting
+            # the same miss).  Fits are deterministic functions of
+            # (corpus, params), so the winner's artifact is identical —
+            # losing is fine; just discard our staging copy
+            shutil.rmtree(staged, ignore_errors=True)
 
     def valid(self, name: str, token: str) -> bool:
         m = self._meta(name)
@@ -125,10 +133,13 @@ class ArtifactStore:
                     ) -> Optional[Tuple[Dict[str, np.ndarray], dict]]:
         if not self.valid(name, token):
             return None
+        import zipfile
+
         try:
             with np.load(os.path.join(self._dir(name), "arrays.npz")) as z:
                 out = {k: z[k] for k in z.files}
-        except (OSError, ValueError):
+        except (OSError, ValueError, EOFError, KeyError,
+                zipfile.BadZipFile):
             return None            # swapped/corrupt mid-read: miss, refit
         return out, (self._meta(name) or {}).get("extra", {})
 
@@ -191,6 +202,21 @@ def artifact_name(prefix: str, *params: Any) -> str:
     its stale artifact in place instead of accumulating."""
     digest = hashlib.md5(repr(params).encode()).hexdigest()[:12]
     return f"{prefix}_{digest}"
+
+
+def store_name(prefix: str, cache_key, store, store_token,
+               *params: Any) -> Optional[str]:
+    """The shared store-gating guard every fit function uses: None unless
+    BOTH store and token are present; persistence requires ``cache_key``
+    (the corpus identity the name hashes).  ``params`` must carry every
+    fit input that changes the artifact — hyperparameters INCLUDING
+    iteration counts and any label identity — so a changed fit never
+    silently loads a stale artifact."""
+    if store is None or store_token is None:
+        return None
+    if cache_key is None:
+        raise ValueError("store persistence requires cache_key")
+    return artifact_name(prefix, cache_key, *params)
 
 
 def default_store() -> ArtifactStore:

@@ -62,14 +62,11 @@ def bpe_fit(df: DataFrame, text_col: str = "text", n_merges: int = 256,
         hit = _BPE_CACHE.get(key)
         if hit is not None:
             return hit
-    name = None
-    if store is not None and store_token is not None:
-        if cache_key is None:
-            raise ValueError("store persistence requires cache_key")
-        from .artifacts import artifact_name
+    from .artifacts import store_name
 
-        name = artifact_name("bpe", cache_key, text_col, n_merges,
-                             sample_cap)
+    name = store_name("bpe", cache_key, store, store_token,
+                      text_col, n_merges, sample_cap)
+    if name is not None:
         got = store.load_json(name, store_token)
         if got is not None:
             merges = [tuple(p) for p in got[0]]

@@ -55,6 +55,7 @@ def quality_lr_features(text: Column) -> Dict[str, Column]:
 def quality_lr_fit(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id",
                    label: Optional[Column] = None,
+                   label_key: Optional[str] = None,
                    sample_cap: int = 2048, iters: int = 400,
                    step: float = 0.5, seed_threshold: float = 0.6,
                    cache_key: Optional[str] = None,
@@ -63,25 +64,36 @@ def quality_lr_fit(df: DataFrame, text_col: str = "text",
     sample.  Features standardize before the fit so one step size works
     across scales; the returned artifact carries the standardization so
     scoring is self-contained.  Deterministic: fixed init, full-batch
-    gradient descent, sorted sample."""
+    gradient descent, sorted sample.  Rows with NULL text are excluded
+    from the fit (the rule filters tolerate them; a classifier cannot
+    learn from NULL features).
+
+    ``label_key`` names the labeling rule and is REQUIRED for caching or
+    persistence with a custom ``label`` — the Column itself cannot hash,
+    and omitting it would let a refit under a different rule silently
+    return the previous rule's weights."""
+    from .artifacts import store_name
     from .simsearch import sample_rows
     from .text import quality_score
 
+    if label is not None and label_key is None \
+            and (cache_key is not None or store is not None):
+        raise ValueError("a custom label needs label_key when caching or "
+                         "persisting (the label identity must reach the "
+                         "cache key / artifact name)")
+    lkey = label_key if label is not None else "default"
     key = None
     if cache_key is not None:
         key = ("qlr", df.sparkSession.sparkContext.applicationId,
-               cache_key, text_col, sample_cap, iters)
+               cache_key, text_col, lkey, sample_cap, iters, step,
+               seed_threshold)
         hit = _LR_CACHE.get(key)
         if hit is not None:
             return hit
-    name = None
-    if store is not None and store_token is not None:
-        if cache_key is None:
-            raise ValueError("store persistence requires cache_key")
-        from .artifacts import artifact_name
-
-        name = artifact_name("quality_lr", cache_key, text_col,
-                             sample_cap, iters)
+    name = store_name("quality_lr", cache_key, store, store_token,
+                      text_col, lkey, sample_cap, iters, step,
+                      seed_threshold)
+    if name is not None:
         got = store.load_arrays(name, store_token)
         if got is not None:
             art = (got[0]["means"], got[0]["stds"], got[0]["weights"],
@@ -93,12 +105,20 @@ def quality_lr_fit(df: DataFrame, text_col: str = "text",
     feats = quality_lr_features(F.col(text_col))
     lab = label if label is not None else (
         quality_score(F.col(text_col)) >= F.lit(seed_threshold))
-    sampled = sample_rows(df.select(id_col, text_col), sample_cap, id_col)
+    sampled = sample_rows(
+        df.filter(F.col(text_col).isNotNull()).select(id_col, text_col),
+        sample_cap, id_col)
     rows = (sampled.select(
         F.col(id_col).alias("__id"),
         *[c.alias(n) for n, c in feats.items()],
         lab.cast("double").alias("__y")).collect())
     rows.sort(key=lambda r: r["__id"])
+    rows = [r for r in rows
+            if r["__y"] is not None
+            and all(r[n] is not None for n in FEATURE_NAMES)]
+    if not rows:
+        raise ValueError("quality_lr_fit: no usable (non-NULL) rows in "
+                         "the fit sample")
     X = np.array([[float(r[n]) for n in FEATURE_NAMES] for r in rows])
     y = np.array([float(r["__y"]) for r in rows])
     means = X.mean(axis=0)

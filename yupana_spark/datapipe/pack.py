@@ -217,10 +217,16 @@ def chunk_token_sequences(df: DataFrame, tokens_col: str = "tokens",
     ``window - stride``.  Pure JVM slice/explode — one scan, no shuffle.
     """
     stride = window if stride is None else stride
+    # NULL token arrays (e.g. tokens left-joined onto docs) normalize to
+    # empty: F.size(NULL) is -1, which would otherwise flow a negative
+    # n_tokens into the packer and INCREASE pack capacity
+    toks = F.coalesce(
+        F.col(tokens_col),
+        F.array().cast(df.schema[tokens_col].dataType))
     prepared = df.select(
         F.col(id_col),
-        F.col(tokens_col).alias("__t"),
-        F.size(F.col(tokens_col)).alias("__n"),
+        toks.alias("__t"),
+        F.size(toks).alias("__n"),
     ).select(
         id_col, "__t", "__n",
         F.when(F.col("__n") <= window, F.lit(1))

@@ -143,16 +143,10 @@ _CENTERS_CACHE: dict = {}
 
 
 def _store_name(prefix: str, cache_key, store, store_token, *params):
-    """Artifact name when cross-session persistence is requested (both
-    store and token present); persistence requires cache_key — it is the
-    corpus identity the name hashes."""
-    if store is None or store_token is None:
-        return None
-    if cache_key is None:
-        raise ValueError("store persistence requires cache_key")
-    from .artifacts import artifact_name
+    """Shared store-gating guard — see ``artifacts.store_name``."""
+    from .artifacts import store_name
 
-    return artifact_name(prefix, cache_key, *params)
+    return store_name(prefix, cache_key, store, store_token, *params)
 
 
 def kmeans_fit(df: DataFrame, n_centroids: int, vec_col: str = "embedding",
@@ -183,12 +177,12 @@ def kmeans_fit(df: DataFrame, n_centroids: int, vec_col: str = "embedding",
     key = None
     if cache_key is not None:
         key = (df.sparkSession.sparkContext.applicationId, cache_key,
-               n_centroids, seed, sample_cap)
+               n_centroids, seed, sample_cap, iters)
         hit = _CENTERS_CACHE.get(key)
         if hit is not None:
             return hit
     name = _store_name("kmeans", cache_key, store, store_token,
-                       n_centroids, seed, sample_cap)
+                       n_centroids, seed, sample_cap, iters)
     if name is not None:
         got = store.load_arrays(name, store_token)
         if got is not None:
@@ -303,12 +297,12 @@ def pq_fit(df: DataFrame, m: int = 8, ks: int = 256,
     key = None
     if cache_key is not None:
         key = ("pq", df.sparkSession.sparkContext.applicationId, cache_key,
-               m, ks, seed, sample_cap)
+               m, ks, seed, sample_cap, iters)
         hit = _CENTERS_CACHE.get(key)
         if hit is not None:
             return hit
     name = _store_name("pq", cache_key, store, store_token,
-                       m, ks, seed, sample_cap)
+                       m, ks, seed, sample_cap, iters)
     if name is not None:
         got = store.load_arrays(name, store_token)
         if got is not None:
@@ -431,12 +425,12 @@ def ivfadc_fit(df: DataFrame, n_centroids: int = 16, m: int = 8,
     key = None
     if cache_key is not None:
         key = ("ivfadc", df.sparkSession.sparkContext.applicationId,
-               cache_key, n_centroids, m, ks, seed, sample_cap)
+               cache_key, n_centroids, m, ks, seed, sample_cap, iters)
         hit = _CENTERS_CACHE.get(key)
         if hit is not None:
             return hit
     name = _store_name("ivfadc", cache_key, store, store_token,
-                       n_centroids, m, ks, seed, sample_cap)
+                       n_centroids, m, ks, seed, sample_cap, iters)
     if name is not None:
         got = store.load_arrays(name, store_token)
         if got is not None:

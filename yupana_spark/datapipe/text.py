@@ -306,13 +306,11 @@ def unigram_lm_fit(df: DataFrame, text_col: str = "text",
         hit = _LM_CACHE.get(key)
         if hit is not None:
             return hit
-    name = None
-    if store is not None and store_token is not None:
-        if cache_key is None:
-            raise ValueError("store persistence requires cache_key")
-        from .artifacts import artifact_name
+    from .artifacts import store_name
 
-        name = artifact_name("unigram_lm", cache_key, text_col, vocab_cap)
+    name = store_name("unigram_lm", cache_key, store, store_token,
+                      text_col, vocab_cap)
+    if name is not None:
         got = store.load_df(df.sparkSession, name, store_token)
         if got is not None:
             art = (got[0], float(got[1]["total"]))

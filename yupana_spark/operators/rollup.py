@@ -120,8 +120,11 @@ def recalculate(wh: Warehouse, rollup: Rollup,
     intervals = (wh.updates_intervals(flt)
                  .select("day").distinct().collect())
     if not intervals:
-        if since is None and updated_by is None:
-            return run_rollup(wh, rollup)     # bootstrap: no changelog yet
+        if (since is None and updated_by is None) \
+                or not wh.exists(rollup.to_table):
+            # bootstrap: no changelog yet, or the target was never
+            # materialized (a first incremental run must still build it)
+            return run_rollup(wh, rollup)
         return wh.read(rollup.to_table)       # incremental: nothing dirty
     buckets = sorted({_bucket_bounds(rollup.time_trunc, row["day"])
                       for row in intervals})
