@@ -585,8 +585,8 @@ def q_upsert_roundtrip(spark, sf_dir):
     iv = tsdb.sql("SHOW UPDATES_INTERVALS").select(
         F.lit("interval").alias("kind"),
         F.lit(-1).cast("long").alias("event_id"),
-        F.concat(F.col("table_name"), F.lit(":"),
-                 F.date_format("day", "yyyy-MM-dd")).alias("event_type"),
+        F.concat(F.col("table"), F.lit(":"),
+                 F.date_format("from", "yyyy-MM-dd")).alias("event_type"),
         F.lit(None).cast("double").alias("value"))
     # WHERE filter surface (UpdatesIntervalsProvider.scala:95-117 — r6
     # verdict ask #4): the provider's closed condition set, exercised as
@@ -598,8 +598,8 @@ def q_upsert_roundtrip(spark, sf_dir):
         return df.select(
             F.lit(kind).alias("kind"),
             F.lit(eid).cast("long").alias("event_id"),
-            F.concat(F.col("table_name"), F.lit(":"),
-                     F.date_format("from_time", "yyyy-MM-dd"))
+            F.concat(F.col("table"), F.lit(":"),
+                     F.date_format("from", "yyyy-MM-dd"))
             .alias("event_type"),
             F.lit(None).cast("double").alias("value"))
 

@@ -85,8 +85,12 @@ def test_updates_intervals_changelog(wtsdb):
         "l_linenumber, l_quantity) VALUES (TIMESTAMP '1997-03-03', 888888, 1, 1, 1, 1.0)")
     iv = wtsdb.sql("SHOW UPDATES_INTERVALS")
     rows = iv.collect()
-    assert any(r["table_name"] == "lineitem"
-               and r["day"] == dt.datetime(1997, 3, 3) for r in rows)
+    # statement-facing shape = the reference's five columns
+    assert set(iv.columns) == {"table", "updated_at", "from", "to",
+                               "updated_by"}
+    assert any(r["table"] == "lineitem"
+               and r["from"] == dt.datetime(1997, 3, 3)
+               and r["to"] == dt.datetime(1997, 3, 4) for r in rows)
 
 
 def test_admin_statements(wtsdb):

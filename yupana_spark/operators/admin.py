@@ -11,7 +11,7 @@ from __future__ import annotations
 import dataclasses as _dataclasses
 from typing import TYPE_CHECKING
 
-from pyspark.sql import DataFrame, types as T
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from .. import __version__ as _pkg_version_guard  # noqa: F401
 from .. import types as yt
@@ -203,7 +203,16 @@ def execute_statement(tsdb: "Tsdb", stmt: A.Statement,
     if isinstance(stmt, A.ShowUpdatesIntervals):
         flt = (None if stmt.condition is None
                else _intervals_filter(stmt.condition, params))
-        return tsdb.warehouse.updates_intervals(flt)
+        # statement-facing shape = the reference's exact five columns
+        # (UpdatesIntervalsProvider.scala:55-62: table, updated_at, from,
+        # to, updated_by); the warehouse keeps its internal day-bucket
+        # names for programmatic consumers
+        iv = tsdb.warehouse.updates_intervals(flt)
+        return iv.select(F.col("table_name").alias("table"),
+                         F.col("updated_at"),
+                         F.col("from_time").alias("from"),
+                         F.col("to_time").alias("to"),
+                         F.col("updated_by"))
     if isinstance(stmt, A.KillQuery):
         ok = REGISTRY.kill(spark, stmt.query_id)
         if ok:
