@@ -456,3 +456,22 @@ def test_idle_cancel_does_not_poison_next_extended_statement(server):
     row = next(b for t, b in msgs if t == b"D")
     assert PgClient._row(row) == ["9"]
     c.close()
+
+
+def test_show_updates_intervals_over_wire(client):
+    """The UPDATES_INTERVALS surface over the wire: the reference's exact
+    five-column shape comes back, the WHERE filter surface parses and
+    executes, and an unsupported condition maps to an ErrorResponse the
+    session recovers from."""
+    cols, rows, errors = client.query("SHOW UPDATES_INTERVALS")
+    assert not errors
+    assert [c[0] for c in cols] == ["table", "updated_at", "from", "to",
+                                    "updated_by"]
+    cols2, rows2, errors2 = client.query(
+        "SHOW UPDATES_INTERVALS WHERE table = 'events' AND updated_at "
+        "BETWEEN TIMESTAMP '2020-01-01' AND TIMESTAMP '2030-01-01'")
+    assert not errors2 and rows2 == []
+    _, _, errors3 = client.query("SHOW UPDATES_INTERVALS WHERE value > 3")
+    assert errors3 and b"Unsupported condition" in errors3[0]
+    _, rows4, errors4 = client.query("SELECT 1 AS ok")
+    assert not errors4 and rows4 == [["1"]]
