@@ -242,3 +242,82 @@ def test_differential_group_quantiles(spark, duck_rel, seed):
                     f"{tbl} group {g} p{p}: {a} != {b}"
                 checked += 1
     assert checked >= 1000, f"only {checked} (group, q) cases checked"
+
+
+# -- corpus-wide line dedup: random separators/min_count/corpora -----------
+@pytest.mark.parametrize("seed", [20260814, 21, 888])
+def test_differential_line_dedup(spark, seed):
+    """duplicated_line_stats vs a DuckDB recomputation on synthesized
+    corpora with injected boilerplate lines: counts, both ratios and the
+    EXACT cleaned text must agree for random (separator, min_count)
+    configs."""
+    from yupana_spark.datapipe.dedup import duplicated_line_stats
+
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    boiler = ["cookie banner accept all", "subscribe to the newsletter",
+              "all rights reserved"]
+    for case in range(4):
+        sep, qsep = rng.choice([("\n", "chr(10)"), ("|", "'|'"),
+                                ("#", "'#'")])
+        min_count = rng.choice([2, 3])
+        docs = []
+        for i in range(120):
+            lines = []
+            for _ in range(rng.randint(1, 6)):
+                if rng.random() < 0.4:
+                    lines.append(rng.choice(boiler))
+                elif rng.random() < 0.1:
+                    lines.append(rng.choice(["", "   "]))   # blanks
+                else:
+                    lines.append(" ".join(
+                        rng.choice(vocab)
+                        for _ in range(rng.randint(2, 6))))
+            docs.append((i, sep.join(lines)))
+        import pandas as pd
+
+        pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+        sdf = spark.createDataFrame(pdf)
+        got = {r["id"]: (r["n_lines"], r["n_dup_lines"],
+                         r["dup_line_ratio"], r["dup_line_char_ratio"],
+                         r["cleaned"])
+               for r in duplicated_line_stats(
+                   sdf, min_count=min_count, sep=sep).collect()}
+        con = duckdb.connect()
+        con.register("docs", pdf)
+        sql = f"""
+        WITH lnf AS (
+          SELECT doc_id, pos, line, trim(line) AS t
+          FROM (SELECT doc_id, generate_subscripts(ls, 1) AS pos,
+                       unnest(ls) AS line
+                FROM (SELECT doc_id, string_split(text, {qsep}) AS ls
+                      FROM docs))
+          WHERE trim(line) <> ''),
+        lc AS (SELECT t, count(*) AS c FROM lnf GROUP BY t),
+        st AS (
+          SELECT lnf.doc_id,
+                 count(*) AS n_lines,
+                 sum(CASE WHEN lc.c >= {min_count} THEN 1 ELSE 0 END)
+                     AS n_dup,
+                 round(sum(CASE WHEN lc.c >= {min_count} THEN 1 ELSE 0
+                           END) / greatest(count(*), 1), 6) AS r1,
+                 round(sum(CASE WHEN lc.c >= {min_count}
+                           THEN length(lnf.line) ELSE 0 END)
+                       / greatest(sum(length(lnf.line)), 1), 6) AS r2,
+                 coalesce(string_agg(
+                     CASE WHEN lc.c < {min_count} THEN lnf.line END,
+                     {qsep} ORDER BY lnf.pos), '') AS cleaned
+          FROM lnf JOIN lc ON lnf.t = lc.t GROUP BY lnf.doc_id)
+        SELECT d.doc_id, coalesce(st.n_lines, 0),
+               coalesce(st.n_dup, 0), coalesce(st.r1, 0.0),
+               coalesce(st.r2, 0.0), coalesce(st.cleaned, '')
+        FROM docs d LEFT JOIN st ON d.doc_id = st.doc_id
+        """
+        exp = {r[0]: (r[1], r[2], r[3], r[4], r[5])
+               for r in con.sql(sql).fetchall()}
+        con.close()
+        assert set(got) == set(exp)
+        for i in got:
+            assert got[i] == exp[i], \
+                f"case {case} sep={sep!r} mc={min_count} doc {i}: " \
+                f"{got[i]} != {exp[i]}"
