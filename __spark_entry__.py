@@ -1726,8 +1726,10 @@ def dp_ann_approx(spark, sf_dir):
         _ANN_INDEX[akey] = idx
     # fits are memoized (session) / store-backed (cross-session): these
     # calls cost no Spark job after the first build
-    centers = ivf_build(emb, n_centroids=8, cache_key=sf_dir,
-                        store=st, store_token=tok)[1]
+    from yupana_spark.datapipe.simsearch import kmeans_fit
+
+    centers = kmeans_fit(emb, 8, cache_key=sf_dir,
+                         store=st, store_token=tok)
     books = pq_fit(emb, m=8, cache_key=sf_dir, n=n_emb,
                    store=st, store_token=tok)
     ac_centers, ac_books = ivfadc_fit(emb, n_centroids=8, m=8,

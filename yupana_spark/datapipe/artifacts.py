@@ -37,11 +37,16 @@ import hashlib
 import json
 import os
 import shutil
+import zipfile
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
 _META = "meta.json"
+# everything a torn/corrupt payload read can raise — all degrade to a
+# clean miss (refit), never a crash
+_READ_ERRORS = (OSError, ValueError, EOFError, KeyError,
+                zipfile.BadZipFile)
 
 
 def corpus_token(*paths: str) -> str:
@@ -119,8 +124,13 @@ class ArtifactStore:
             shutil.rmtree(staged, ignore_errors=True)
 
     def valid(self, name: str, token: str) -> bool:
+        return self._meta_if(name, token) is not None
+
+    def _meta_if(self, name: str, token: str) -> Optional[dict]:
+        """The meta iff present AND current — one read serves both the
+        version check and the extra payload."""
         m = self._meta(name)
-        return m is not None and m.get("token") == token
+        return m if m is not None and m.get("token") == token else None
 
     # -- numpy arrays (codebooks, centers) ---------------------------------
     def save_arrays(self, name: str, token: str,
@@ -131,17 +141,15 @@ class ArtifactStore:
 
     def load_arrays(self, name: str, token: str
                     ) -> Optional[Tuple[Dict[str, np.ndarray], dict]]:
-        if not self.valid(name, token):
+        m = self._meta_if(name, token)
+        if m is None:
             return None
-        import zipfile
-
         try:
             with np.load(os.path.join(self._dir(name), "arrays.npz")) as z:
                 out = {k: z[k] for k in z.files}
-        except (OSError, ValueError, EOFError, KeyError,
-                zipfile.BadZipFile):
+        except _READ_ERRORS:
             return None            # swapped/corrupt mid-read: miss, refit
-        return out, (self._meta(name) or {}).get("extra", {})
+        return out, m.get("extra", {})
 
     # -- JSON payloads (merge tables, scalars) -----------------------------
     def save_json(self, name: str, token: str, obj: Any,
@@ -153,14 +161,15 @@ class ArtifactStore:
 
     def load_json(self, name: str, token: str
                   ) -> Optional[Tuple[Any, dict]]:
-        if not self.valid(name, token):
+        m = self._meta_if(name, token)
+        if m is None:
             return None
         try:
             with open(os.path.join(self._dir(name), "data.json")) as f:
                 obj = json.load(f)
-        except (OSError, ValueError):
+        except _READ_ERRORS:
             return None            # swapped/corrupt mid-read: miss, refit
-        return obj, (self._meta(name) or {}).get("extra", {})
+        return obj, m.get("extra", {})
 
     # -- DataFrame artifacts (vocab, signature index, pair oracles) --------
     def save_df(self, name: str, token: str, df,
@@ -180,9 +189,10 @@ class ArtifactStore:
         swapping this artifact between load and first action surfaces as
         a read error then — consumers that pin (localCheckpoint) the
         frame at load time (all of this repo's do) close that window."""
-        if not self.valid(name, token):
+        m = self._meta_if(name, token)
+        if m is None:
             return None
-        extra = dict((self._meta(name) or {}).get("extra", {}))
+        extra = dict(m.get("extra", {}))
         schema_json = extra.pop("__schema", None)
         reader = spark.read
         if schema_json is not None:

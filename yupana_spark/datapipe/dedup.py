@@ -922,6 +922,17 @@ def ivf_assignment(df: DataFrame, vec_col: str = "embedding",
                                        m_assign)).alias("cell"))
 
 
+def _normalize_cells(cells: DataFrame, vec_col: str,
+                     id_col: str) -> DataFrame:
+    """Accept either the ``ivf_assignment`` layout (id, v, cell) or a raw
+    assigned frame carrying the original id/vector column names; emit the
+    canonical (id, v, cell)."""
+    c = cells.columns
+    return cells.select(
+        F.col("id" if "id" in c else id_col).cast("long").alias("id"),
+        F.col("v" if "v" in c else vec_col).alias("v"), "cell")
+
+
 def embedding_neardup_pairs_ivf(df: DataFrame, vec_col: str = "embedding",
                                 id_col: str = "vec_id",
                                 threshold: float = 0.45,
@@ -971,12 +982,7 @@ def embedding_neardup_pairs_ivf(df: DataFrame, vec_col: str = "embedding",
                                seed, n=n, cache_key=cache_key,
                                store=store, store_token=store_token)
     else:
-        # accept either the ivf_assignment layout (id, v, cell) or a raw
-        # assigned frame carrying the original id/vector column names
-        c = cells.columns
-        cells = cells.select(
-            F.col("id" if "id" in c else id_col).cast("long").alias("id"),
-            F.col("v" if "v" in c else vec_col).alias("v"), "cell")
+        cells = _normalize_cells(cells, vec_col, id_col)
 
     out_schema = T.StructType([
         T.StructField("id_a", T.LongType()),
@@ -1041,11 +1047,7 @@ def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
                                m_assign=1, seed=seed, n=n,
                                cache_key=cache_key, store=store,
                                store_token=store_token)
-    cols = cells.columns
-    vcol = "v" if "v" in cols else vec_col
-    icol = "id" if "id" in cols else id_col
-    src = cells.select(F.col(icol).cast("long").alias("id"),
-                       F.col(vcol).alias("v"), "cell")
+    src = _normalize_cells(cells, vec_col, id_col)
 
     out_schema = T.StructType([
         T.StructField("id", T.LongType()),

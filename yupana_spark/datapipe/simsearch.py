@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
+from .artifacts import store_name as _artifact_store_name
 from .dedup import cosine
 
 
@@ -142,13 +143,6 @@ def sample_rows(df: DataFrame, cap: int, id_col: str,
 _CENTERS_CACHE: dict = {}
 
 
-def _store_name(prefix: str, cache_key, store, store_token, *params):
-    """Shared store-gating guard — see ``artifacts.store_name``."""
-    from .artifacts import store_name
-
-    return store_name(prefix, cache_key, store, store_token, *params)
-
-
 def kmeans_fit(df: DataFrame, n_centroids: int, vec_col: str = "embedding",
                id_col: str = "vec_id", seed: int = 42,
                sample_cap: int = 4096, iters: int = 20,
@@ -181,7 +175,7 @@ def kmeans_fit(df: DataFrame, n_centroids: int, vec_col: str = "embedding",
         hit = _CENTERS_CACHE.get(key)
         if hit is not None:
             return hit
-    name = _store_name("kmeans", cache_key, store, store_token,
+    name = _artifact_store_name("kmeans", cache_key, store, store_token,
                        n_centroids, seed, sample_cap, iters)
     if name is not None:
         got = store.load_arrays(name, store_token)
@@ -301,7 +295,7 @@ def pq_fit(df: DataFrame, m: int = 8, ks: int = 256,
         hit = _CENTERS_CACHE.get(key)
         if hit is not None:
             return hit
-    name = _store_name("pq", cache_key, store, store_token,
+    name = _artifact_store_name("pq", cache_key, store, store_token,
                        m, ks, seed, sample_cap, iters)
     if name is not None:
         got = store.load_arrays(name, store_token)
@@ -429,7 +423,7 @@ def ivfadc_fit(df: DataFrame, n_centroids: int = 16, m: int = 8,
         hit = _CENTERS_CACHE.get(key)
         if hit is not None:
             return hit
-    name = _store_name("ivfadc", cache_key, store, store_token,
+    name = _artifact_store_name("ivfadc", cache_key, store, store_token,
                        n_centroids, m, ks, seed, sample_cap, iters)
     if name is not None:
         got = store.load_arrays(name, store_token)

@@ -29,7 +29,9 @@ from typing import Any, Iterator, Optional, Sequence, Tuple
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupState
+
+from .horizon import arm_timeout, event_ms, timeout_mode
 
 _OUT_SCHEMA = T.StructType([
     T.StructField("id", T.LongType()),
@@ -62,17 +64,9 @@ def _make_dup_update(idle_timeout_ms: Optional[int],
             dup[i] = seen
             seen = True
         state.update((1 if seen else 0,))
-        if idle_timeout_ms is not None:
-            if event_time_col is not None:
-                # event-time horizon: eviction is a function of the DATA
-                # (watermark passes last-arrival ts + horizon), so replays
-                # at any wall-clock speed evict identically
-                if len(pdf):
-                    ms = int(pd.Timestamp(pdf[event_time_col].max()).value
-                             // 1_000_000)
-                    state.setTimeoutTimestamp(ms + idle_timeout_ms)
-            else:
-                state.setTimeoutDuration(idle_timeout_ms)
+        arm_timeout(state, idle_timeout_ms, event_time_col,
+                    event_ms(pdf[event_time_col])
+                    if event_time_col is not None else None)
         if len(pdf):
             out = pdf[["id", "q", "lang", "cont", "mq"]].copy()
             out["is_duplicate"] = dup
@@ -144,9 +138,7 @@ def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
         cont = _contaminated_col(F.col("__w"), bc)
     else:
         cont = F.lit(False)
-    if event_time_col is not None and idle_timeout_ms is None:
-        raise ValueError("event_time_col needs idle_timeout_ms "
-                         "(the horizon length)")
+    timeout = timeout_mode(idle_timeout_ms, event_time_col)
     mq = F.lit(False)
     if lr_art is not None:
         from ..datapipe.classify import quality_lr_score
@@ -162,12 +154,6 @@ def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
         cont.alias("cont"),
         mq.alias("mq"),
     )
-    if idle_timeout_ms is None:
-        timeout = GroupStateTimeout.NoTimeout
-    elif event_time_col is not None:
-        timeout = GroupStateTimeout.EventTimeTimeout
-    else:
-        timeout = GroupStateTimeout.ProcessingTimeTimeout
     flagged = (base.groupBy("__fp")
                .applyInPandasWithState(
                    _make_dup_update(idle_timeout_ms, event_time_col),

@@ -39,7 +39,9 @@ from typing import Any, Iterator, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupState
+
+from .horizon import arm_timeout, event_ms, timeout_mode
 
 PAIR_SCHEMA = T.StructType([
     T.StructField("id_a", T.LongType()),
@@ -79,10 +81,11 @@ def _make_bucket_update(threshold: float, idle_timeout_ms: int | None = None,
         seen = set(ids)
         max_ev_ms = None
         for pdf in pdfs:
-            if event_time_col is not None and len(pdf):
-                m = pdf[event_time_col].max()
-                ms = int(pd.Timestamp(m).value // 1_000_000)
-                max_ev_ms = ms if max_ev_ms is None else max(max_ev_ms, ms)
+            if event_time_col is not None:
+                ms = event_ms(pdf[event_time_col])
+                if ms is not None:
+                    max_ev_ms = (ms if max_ev_ms is None
+                                 else max(max_ev_ms, ms))
             # deterministic arrival order within the micro-batch
             pdf = pdf.sort_values("id")
             for rid, hs in zip(pdf["id"], pdf["hs"]):
@@ -121,19 +124,10 @@ def _make_bucket_update(threshold: float, idle_timeout_ms: int | None = None,
         state.update((ids,
                       [int(len(s)) for s in sets],
                       [int(x) for s in sets for x in s]))
-        if idle_timeout_ms is not None:
-            # horizon policy: a bucket idle past the horizon is evicted
-            # (hasTimedOut branch above) — pairs straddling the horizon are
-            # then NOT re-found, the documented memory/recall trade
-            if event_time_col is not None:
-                # EVENT-time horizon: eviction fires when the WATERMARK
-                # (a function of the data) passes last-member-ts + horizon
-                # — replaying the same corpus at any wall-clock speed with
-                # the same batch boundaries evicts identically
-                if max_ev_ms is not None:
-                    state.setTimeoutTimestamp(max_ev_ms + idle_timeout_ms)
-            else:
-                state.setTimeoutDuration(idle_timeout_ms)
+        # horizon policy: a bucket idle past the horizon is evicted
+        # (hasTimedOut branch above) — pairs straddling the horizon are
+        # then NOT re-found, the documented memory/recall trade
+        arm_timeout(state, idle_timeout_ms, event_time_col, max_ev_ms)
         if out_a:
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b,
                                 "jaccard": out_j})
@@ -180,9 +174,7 @@ def streaming_neardup_pairs(stream: DataFrame, text_col: str = "text",
     from ..datapipe.dedup import (band_explode, hashed_shingle_sets,
                                   minhash_signature_np)
 
-    if event_time_col is not None and idle_timeout_ms is None:
-        raise ValueError("event_time_col needs idle_timeout_ms "
-                         "(the horizon length)")
+    timeout = timeout_mode(idle_timeout_ms, event_time_col)
     carry = (event_time_col,) if event_time_col is not None else ()
     hashed = hashed_shingle_sets(stream, text_col, id_col, k, carry=carry)
     sig = hashed.select(
@@ -191,12 +183,6 @@ def streaming_neardup_pairs(stream: DataFrame, text_col: str = "text",
     # the band hash is THE shared definition (dedup.band_explode) — the
     # streaming-vs-batch superset guarantee depends on it byte-for-byte
     banded = band_explode(sig, num_hashes, bands, "hs", *carry)
-    if idle_timeout_ms is None:
-        timeout = GroupStateTimeout.NoTimeout
-    elif event_time_col is not None:
-        timeout = GroupStateTimeout.EventTimeTimeout
-    else:
-        timeout = GroupStateTimeout.ProcessingTimeTimeout
     return (banded.groupBy("band", "bhash")
             .applyInPandasWithState(
                 _make_bucket_update(threshold, idle_timeout_ms,
