@@ -1543,6 +1543,9 @@ def dp_neardup_scale(spark, sf_dir):
     # the verdict rows below still execute live against the checkpointed
     # frames on every pass, and reusing the same checkpoint blocks also
     # stops dead-block accumulation across passes.
+    # all three arms run dedupe=False: the completeness rows pair-distinct
+    # `found` themselves, so the operators' own pair-distinct shuffles
+    # would be pure duplicates under this consumer
     akey = (spark.sparkContext.applicationId, sf_dir)
     cached = _NEARDUP_ARTS.get(akey)
     if cached is None:
@@ -1606,8 +1609,8 @@ def dp_neardup_scale(spark, sf_dir):
         cached = (arts, sigs, cells, ex_mh, ex_sh, ex_el)
         _NEARDUP_ARTS[akey] = cached
     arts, sigs, cells, ex_mh, ex_sh, ex_el = cached
-    mh = minhash_dedup_pairs(docs, threshold=0.5,
-                             artifacts=arts).select("id_a", "id_b")
+    mh = minhash_dedup_pairs(docs, threshold=0.5, artifacts=arts,
+                             dedupe=False).select("id_a", "id_b")
     # oracle bar 0.85 >> pipeline bar 0.5: see docstring (robustness to
     # mid-similarity pairs where band detection is genuinely <1)
     # radius 3 -> 4 x 16-bit blocks: background (blk,bval) collisions are
@@ -1618,8 +1621,8 @@ def dp_neardup_scale(spark, sf_dir):
     # the audit targets the BLOCK LAYOUT, which the brute hamming join
     # never touches, so sharing signature values keeps it falsifiable for
     # the thing under test.
-    sh = simhash_near_pairs(docs, max_hamming=3,
-                            sigs=sigs).select("id_a", "id_b")
+    sh = simhash_near_pairs(docs, max_hamming=3, sigs=sigs,
+                            dedupe=False).select("id_a", "id_b")
     # SRP-LSH replaced by IVF multi-assignment for the moderate-threshold
     # regime: measured SRP recall at cos>=0.45 was 7% (63° pairs disagree on
     # ~n_planes/3 bits — unprunable); IVF k=16/m=4 measures 0.99-1.0

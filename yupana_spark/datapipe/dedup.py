@@ -371,7 +371,8 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", threshold: float = 0.7,
                         num_hashes: int = 32, bands: int = 8,
                         k: int = 5, est_margin: float = 0.15,
-                        artifacts: Optional[DataFrame] = None) -> DataFrame:
+                        artifacts: Optional[DataFrame] = None,
+                        dedupe: bool = True) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard >= threshold.
 
     Three-rung verification ladder (each rung orders of magnitude cheaper
@@ -418,13 +419,18 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
             F.zip_with(F.col("bl.sig"), F.col("br.sig"),
                        lambda x, y: x == y), lambda v: v))
         est = (agree - F.lit(r)) / F.lit(float(num_hashes - r))
+        # dedupe=False (for consumers that pair-distinct downstream — the
+        # completeness verdicts do) skips this shuffle: a pair colliding
+        # in several bands just reruns the cheap rung-3 compare per
+        # collision (~1.3x rows at the default band layout)
         screened = (bl.join(br, (F.col("bl.band") == F.col("br.band"))
                     & (F.col("bl.bhash") == F.col("br.bhash"))
                     & (F.col("bl.id") < F.col("br.id")))
                     .filter(est >= threshold - est_margin)
                     .select(F.col("bl.id").alias("id_a"),
-                            F.col("br.id").alias("id_b"))
-                    .distinct())
+                            F.col("br.id").alias("id_b")))
+        if dedupe:
+            screened = screened.distinct()
         # rung 3: the screened survivors are the near-dup candidate set —
         # SMALL by construction at real thresholds — so BROADCAST them to
         # the artifact scans instead of shuffling the (id, hs) frame
@@ -714,7 +720,8 @@ def simhash(df: DataFrame, text_col: str = "text",
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 3,
-                       sigs: Optional[DataFrame] = None) -> DataFrame:
+                       sigs: Optional[DataFrame] = None,
+                       dedupe: bool = True) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance.
 
     Candidate generation: split the 64-bit signature into ``max_hamming + 1``
@@ -763,8 +770,13 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                     & (F.col("l.id") < F.col("r.id")))
              .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
                      F.col("l.simhash").alias("sig_a"),
-                     F.col("r.simhash").alias("sig_b"))
-             .distinct())
+                     F.col("r.simhash").alias("sig_b")))
+    if dedupe:
+        cands = cands.distinct()
+    # dedupe=False: consumers that pair-distinct downstream (the
+    # completeness verdicts) skip this shuffle — a pair agreeing on
+    # several pigeonhole blocks just re-runs the cheap bit_count per
+    # collision
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (cands.withColumn("hamming", hamming)
             .filter(F.col("hamming") <= max_hamming)
