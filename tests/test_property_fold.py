@@ -77,3 +77,81 @@ def test_fold_matches_spark(_spark_eval, exprs):
             assert bool(g) == f
         else:
             assert g == f
+
+
+# ---------------------------------------------------------------------------
+# chunking coverage law (round 7: token-level chunker)
+# ---------------------------------------------------------------------------
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(st.sampled_from(["a", "bb", "c"]),
+                         min_size=0, max_size=25),
+                min_size=1, max_size=6),
+       st.integers(min_value=2, max_value=8),
+       st.integers(min_value=1, max_value=8))
+def test_chunk_token_sequences_coverage_law(spark, docs, window, stride):
+    """Every token is covered exactly once per window position, chunk
+    count follows the documented formula, and concatenating
+    stride-sized prefixes of consecutive chunks (plus the tail) restores
+    the original token sequence when stride <= window."""
+    from yupana_spark.datapipe.pack import chunk_token_sequences
+
+    stride = min(stride, window)
+    df = spark.createDataFrame(
+        [(i, toks) for i, toks in enumerate(docs)],
+        "doc_id long, tokens array<string>")
+    rows = chunk_token_sequences(df, window=window, stride=stride).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, toks in enumerate(docs):
+        n = len(toks)
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_no"])
+        want_k = 1 if n <= window else -(-(n - window) // stride) + 1
+        assert len(chunks) == want_k
+        # reconstruct: stride-prefix of every chunk + remainder of last
+        rebuilt = []
+        for c in chunks[:-1]:
+            rebuilt.extend(c["chunk_tokens"][:stride])
+        rebuilt.extend(chunks[-1]["chunk_tokens"])
+        assert rebuilt == toks
+        for c in chunks:
+            assert c["n_tokens"] == len(c["chunk_tokens"])
+            assert c["start_tok"] == c["chunk_no"] * stride
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(st.sampled_from(
+    ["boiler plate", "fresh one", "fresh two", "", "  "]),
+    min_size=0, max_size=5), min_size=1, max_size=8))
+def test_duplicated_line_stats_laws(spark, docs):
+    """Invariants for any corpus: full id coverage, n_dup_lines <=
+    n_lines, ratios in [0,1], cleaned contains exactly the non-dup
+    participating lines in order, and global dup counting is symmetric
+    (a trimmed line is dup for everyone or no one)."""
+    from yupana_spark.datapipe.dedup import duplicated_line_stats
+
+    df = spark.createDataFrame(
+        [(i, "\n".join(lines)) for i, lines in enumerate(docs)],
+        "doc_id long, text string")
+    out = {r["id"]: r for r in duplicated_line_stats(df).collect()}
+    assert set(out) == set(range(len(docs)))
+    # recompute expected globally in python
+    from collections import Counter
+
+    counts = Counter()
+    for lines in docs:
+        for ln in lines:
+            if ln.strip():
+                counts[ln.strip()] += 1
+    for i, lines in enumerate(docs):
+        part = [ln for ln in lines if ln.strip()]
+        dup = [ln for ln in part if counts[ln.strip()] >= 2]
+        r = out[i]
+        assert r["n_lines"] == len(part)
+        assert r["n_dup_lines"] == len(dup)
+        assert 0.0 <= r["dup_line_ratio"] <= 1.0
+        assert 0.0 <= r["dup_line_char_ratio"] <= 1.0
+        kept = [ln for ln in part if counts[ln.strip()] < 2]
+        assert r["cleaned"] == "\n".join(kept)
