@@ -1797,7 +1797,12 @@ def dp_ann_approx(spark, sf_dir):
                        edges.id_b == F.col("__oid"))
                  .filter(F.col("__orep") == F.col("d.rep"))
                  .select(F.col("d.id").alias("id")).distinct())
-    sound = (dropped.join(supported, "id", "left_anti")
+    # shuffle_hash: the anti-join's sides carry no stats (UDF outputs), so
+    # the planner would fall back to sort-merge — hash join on the 8-byte
+    # id is the shape this entry's audit pins (and the right one at scale:
+    # neither side is broadcastable when dup volume is high)
+    sound = (dropped.join(supported.hint("shuffle_hash"), "id",
+                          "left_anti")
              .agg(F.count("*").alias("__sviol")))
     kept = dmap.filter(F.col("keep")).select("id")
     maxi = (pairs
