@@ -1567,12 +1567,16 @@ def dp_neardup_scale(spark, sf_dir):
                  "nd_exel": artifact_name("nd_exel", sf_dir, 0.45, 512)}
         loaded = {k: st.load_df(spark, nm, tok) for k, nm in names.items()}
         if all(v is not None for v in loaded.values()):
+            # every loaded frame pins (the pair oracles are tiny, the
+            # index frames hot): after this point the session never
+            # re-reads the store files, so a concurrent corpus rewrite
+            # cannot fail a mid-session pass
             arts = loaded["nd_arts"][0].localCheckpoint(eager=True)
             sigs = loaded["nd_sigs"][0].localCheckpoint(eager=True)
             cells = loaded["nd_cells"][0].localCheckpoint(eager=True)
-            ex_mh = loaded["nd_exmh"][0]
-            ex_sh = loaded["nd_exsh"][0]
-            ex_el = loaded["nd_exel"][0]
+            ex_mh = loaded["nd_exmh"][0].localCheckpoint(eager=True)
+            ex_sh = loaded["nd_exsh"][0].localCheckpoint(eager=True)
+            ex_el = loaded["nd_exel"][0].localCheckpoint(eager=True)
         else:
             from yupana_spark.datapipe.dedup import ivf_assignment
 

@@ -184,3 +184,28 @@ def test_store_crash_and_corruption_resilience(tmp_path):
     with open(str(tmp_path / "arts" / "j" / "data.json"), "w") as f:
         f.write("{broken")
     assert st.load_json("j", "t1") is None
+
+
+def test_store_swap_revalidation_and_staging_sweep(tmp_path):
+    """Post-read re-validation: a payload swapped in under a NEW token
+    mid-read never returns as a hit for the old token; hours-old orphan
+    staging dirs are swept on the next write."""
+    import os
+    import time
+
+    st = ArtifactStore(str(tmp_path / "arts"))
+    st.save_json("a", "t1", {"v": 1})
+    # simulate the mid-read swap: meta says t2 now, caller asks for t1
+    st.save_json("a", "t2", {"v": 2})
+    assert st.load_json("a", "t1") is None
+    assert st.load_json("a", "t2") == ({"v": 2}, {})
+    # orphan staging dir from a crashed writer, aged past the sweep gate
+    orphan = tmp_path / "arts" / "dead.tmp.424242"
+    orphan.mkdir()
+    old = time.time() - 7 * 3600
+    os.utime(str(orphan), (old, old))
+    fresh = tmp_path / "arts" / "live.tmp.424243"
+    fresh.mkdir()                     # recent: must survive the sweep
+    st.save_json("b", "t1", {})
+    assert not orphan.exists()
+    assert fresh.exists()

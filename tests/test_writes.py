@@ -365,3 +365,27 @@ def test_recalculate_incremental_since_filter(wtsdb):
     # updated_by narrowing: this warehouse writes as 'anonymous'
     recalculate(wtsdb.warehouse, r, updated_by="somebody_else")
     assert total() == base + 1                 # nothing matched, unchanged
+
+
+def test_recalculate_bootstraps_full_target_with_dirty_changelog(wtsdb):
+    """A never-materialized rollup target + a NON-empty changelog must
+    still bootstrap the FULL table — replaying only the dirty buckets
+    would install a partial rollup that later runs never repair."""
+    from yupana_spark.operators.rollup import Rollup, recalculate
+
+    # dirty exactly one day BEFORE the target ever exists
+    wtsdb.sql(
+        "UPSERT INTO lineitem (time, l_orderkey, l_partkey, l_suppkey, "
+        "l_linenumber, l_quantity) VALUES "
+        "(TIMESTAMP '1997-07-07', 777779, 1, 1, 1, 2.0)")
+    r = Rollup(
+        name="lineitem_by_month_boot",
+        from_table="lineitem",
+        to_table="lineitem_by_month_boot",
+        time_trunc="month",
+        group_by=("l_returnflag",),
+        aggregates=((E.count(E.Field("l_quantity", "DOUBLE")), "cnt"),),
+    )
+    out = recalculate(wtsdb.warehouse, r)
+    months = {x["time"] for x in out.select("time").distinct().collect()}
+    assert len(months) > 12          # full history, not just 1997-07

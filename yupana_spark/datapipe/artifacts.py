@@ -90,38 +90,74 @@ class ArtifactStore:
         except (OSError, ValueError):
             return None
 
+    _STAGING_MAX_AGE_S = 6 * 3600
+
+    def _sweep_stale_staging(self) -> None:
+        """Reap staging/trash dirs from CRASHED writers (the store is a
+        long-lived per-host directory, so orphans would otherwise leak
+        disk forever).  Age-gated: a live writer's staging dir is at most
+        minutes old, so only hours-old entries are swept."""
+        import time
+
+        try:
+            entries = os.scandir(self.root)
+        except OSError:
+            return
+        now = time.time()
+        for e in entries:
+            if (".tmp." in e.name or ".old." in e.name):
+                try:
+                    if now - e.stat().st_mtime > self._STAGING_MAX_AGE_S:
+                        shutil.rmtree(e.path, ignore_errors=True)
+                except OSError:
+                    pass
+
     def _begin(self, name: str) -> str:
         # writes build in a pid-suffixed staging dir and swap in at commit:
-        # a crash leaves only invisible staging garbage, and a concurrent
-        # reader of the OLD artifact races a directory swap at worst —
-        # which the load_* except-arms turn into a clean miss (refit), not
-        # a crash
+        # a crash leaves only invisible staging garbage (age-swept), and a
+        # concurrent reader of the OLD artifact races a directory swap at
+        # worst — which the load_* re-validation turns into a clean miss
+        # (refit), not a crash or a wrong hit
         d = f"{self._dir(name)}.tmp.{os.getpid()}"
         if os.path.exists(d):
             shutil.rmtree(d)
         os.makedirs(d)
+        self._sweep_stale_staging()
         return d
 
     def _commit(self, name: str, token: str, kind: str,
                 extra: Optional[dict] = None) -> None:
         # meta written LAST inside staging, then the whole directory swaps
-        # into place — a metaless or half-written artifact can never load
+        # into place via move-aside + rename — a metaless or half-written
+        # artifact can never load, and the OLD artifact survives a failed
+        # install (restored below) instead of being destroyed
         staged = f"{self._dir(name)}.tmp.{os.getpid()}"
         meta = {"token": token, "kind": kind, "extra": extra or {}}
         with open(os.path.join(staged, _META), "w") as f:
             json.dump(meta, f)
         final = self._dir(name)
+        trash = f"{final}.old.{os.getpid()}"
         try:
             if os.path.exists(final):
-                shutil.rmtree(final)
+                os.rename(final, trash)
             os.rename(staged, final)
         except OSError:
-            # a concurrent writer won the swap between our rmtree and
-            # rename (shared per-host store, two fresh sessions fitting
-            # the same miss).  Fits are deterministic functions of
-            # (corpus, params), so the winner's artifact is identical —
-            # losing is fine; just discard our staging copy
             shutil.rmtree(staged, ignore_errors=True)
+            if not os.path.exists(final) and os.path.exists(trash):
+                try:                  # failed install: restore the old one
+                    os.rename(trash, final)
+                except OSError:
+                    pass
+            if self._meta(name) is None:
+                # nothing loadable at the destination: this was a REAL
+                # persistence failure (ENOSPC, permissions), not the
+                # benign lost-the-swap race — surface it
+                raise
+            # else: a concurrent writer won the swap.  Fits are
+            # deterministic functions of (corpus, params), so the
+            # winner's artifact is identical — losing is fine.
+        finally:
+            shutil.rmtree(trash, ignore_errors=True)
 
     def valid(self, name: str, token: str) -> bool:
         return self._meta_if(name, token) is not None
@@ -149,6 +185,9 @@ class ArtifactStore:
                 out = {k: z[k] for k in z.files}
         except _READ_ERRORS:
             return None            # swapped/corrupt mid-read: miss, refit
+        if self._meta_if(name, token) is None:
+            return None            # swapped DURING the read (the payload
+            # we just loaded belongs to a newer-token artifact): miss
         return out, m.get("extra", {})
 
     # -- JSON payloads (merge tables, scalars) -----------------------------
@@ -169,6 +208,8 @@ class ArtifactStore:
                 obj = json.load(f)
         except _READ_ERRORS:
             return None            # swapped/corrupt mid-read: miss, refit
+        if self._meta_if(name, token) is None:
+            return None            # swapped during the read: miss, refit
         return obj, m.get("extra", {})
 
     # -- DataFrame artifacts (vocab, signature index, pair oracles) --------
@@ -186,9 +227,12 @@ class ArtifactStore:
         """(DataFrame, extra) or None.  ZERO Spark jobs: the schema comes
         from the meta (no footer-read job) and the parquet scan is lazy
         until the artifact is actually used.  Laziness caveat: a writer
-        swapping this artifact between load and first action surfaces as
-        a read error then — consumers that pin (localCheckpoint) the
-        frame at load time (all of this repo's do) close that window."""
+        swapping this artifact between load and an action surfaces as a
+        read error at that action — consumers either pin the frame
+        (localCheckpoint) at load, or accept that a concurrent corpus
+        rewrite fails the in-flight pass and the NEXT call refits
+        cleanly (both postures exist in this repo; hot multi-referenced
+        index frames pin, single-pass frames stay lazy)."""
         m = self._meta_if(name, token)
         if m is None:
             return None

@@ -76,8 +76,9 @@ def quality_lr_fit(df: DataFrame, text_col: str = "text",
     from .simsearch import sample_rows
     from .text import quality_score
 
+    persisting = store is not None and store_token is not None
     if label is not None and label_key is None \
-            and (cache_key is not None or store is not None):
+            and (cache_key is not None or persisting):
         raise ValueError("a custom label needs label_key when caching or "
                          "persisting (the label identity must reach the "
                          "cache key / artifact name)")

@@ -111,6 +111,12 @@ def recalculate(wh: Warehouse, rollup: Rollup,
     narrows to one writer's changes."""
     from .writes import UpdatesIntervalsFilter
 
+    if not wh.exists(rollup.to_table):
+        # the target was never materialized: ANY recalc (filtered or not)
+        # must build the full table first — replaying only the dirty
+        # buckets would install a partial rollup that later incremental
+        # runs never repair
+        return run_rollup(wh, rollup)
     flt = UpdatesIntervalsFilter(
         table_name=rollup.from_table,
         updated_after=since,
@@ -120,11 +126,8 @@ def recalculate(wh: Warehouse, rollup: Rollup,
     intervals = (wh.updates_intervals(flt)
                  .select("day").distinct().collect())
     if not intervals:
-        if (since is None and updated_by is None) \
-                or not wh.exists(rollup.to_table):
-            # bootstrap: no changelog yet, or the target was never
-            # materialized (a first incremental run must still build it)
-            return run_rollup(wh, rollup)
+        if since is None and updated_by is None:
+            return run_rollup(wh, rollup)     # no changelog: recompute all
         return wh.read(rollup.to_table)       # incremental: nothing dirty
     buckets = sorted({_bucket_bounds(rollup.time_trunc, row["day"])
                       for row in intervals})
