@@ -1513,7 +1513,8 @@ def dp_neardup_scale(spark, sf_dir):
       fixture (measured 7/7, 14/14, 143/144 at sf0.001/0.01/0.1); tol 10%.
     Sample caps make the audit cost CONSTANT in corpus size — the checks
     would run unchanged (and cheaply) against a 100 TB input."""
-    from yupana_spark.datapipe.dedup import (embedding_neardup_pairs_ivf,
+    from yupana_spark.datapipe.dedup import (band_explode,
+                                             embedding_neardup_pairs_ivf,
                                              minhash_artifacts,
                                              minhash_dedup_pairs,
                                              sampled_exact_cosine_pairs,
@@ -1543,9 +1544,11 @@ def dp_neardup_scale(spark, sf_dir):
     # the verdict rows below still execute live against the checkpointed
     # frames on every pass, and reusing the same checkpoint blocks also
     # stops dead-block accumulation across passes.
-    # all three arms run dedupe=False: the completeness rows pair-distinct
-    # `found` themselves, so the operators' own pair-distinct shuffles
-    # would be pure duplicates under this consumer
+    # the embedding arm runs dedupe=False (the completeness row
+    # pair-distincts `found` itself); the minhash/simhash arms KEEP their
+    # internal distinct — measured: removing it made the banded self-join
+    # re-execute inside the broadcast-build stage instead of reusing the
+    # distinct's exchange, a net loss
     akey = (spark.sparkContext.applicationId, sf_dir)
     cached = _NEARDUP_ARTS.get(akey)
     if cached is None:
@@ -1574,6 +1577,8 @@ def dp_neardup_scale(spark, sf_dir):
             arts = loaded["nd_arts"][0].localCheckpoint(eager=True)
             sigs = loaded["nd_sigs"][0].localCheckpoint(eager=True)
             cells = loaded["nd_cells"][0].localCheckpoint(eager=True)
+            banded = band_explode(arts, 32, 8, "sig") \
+                .localCheckpoint(eager=True)
             ex_mh = loaded["nd_exmh"][0].localCheckpoint(eager=True)
             ex_sh = loaded["nd_exsh"][0].localCheckpoint(eager=True)
             ex_el = loaded["nd_exel"][0].localCheckpoint(eager=True)
@@ -1604,17 +1609,19 @@ def dp_neardup_scale(spark, sf_dir):
             ex_el = sampled_exact_cosine_pairs(
                 emb, threshold=0.45, cap=512,
                 n=n_emb).localCheckpoint(eager=True)
+            banded = band_explode(arts, 32, 8, "sig") \
+                .localCheckpoint(eager=True)
             st.save_df(names["nd_arts"], tok, arts)
             st.save_df(names["nd_sigs"], tok, sigs)
             st.save_df(names["nd_cells"], tok, cells)
             st.save_df(names["nd_exmh"], tok, ex_mh)
             st.save_df(names["nd_exsh"], tok, ex_sh)
             st.save_df(names["nd_exel"], tok, ex_el)
-        cached = (arts, sigs, cells, ex_mh, ex_sh, ex_el)
+        cached = (arts, sigs, cells, banded, ex_mh, ex_sh, ex_el)
         _NEARDUP_ARTS[akey] = cached
-    arts, sigs, cells, ex_mh, ex_sh, ex_el = cached
+    arts, sigs, cells, banded, ex_mh, ex_sh, ex_el = cached
     mh = minhash_dedup_pairs(docs, threshold=0.5, artifacts=arts,
-                             dedupe=False).select("id_a", "id_b")
+                             banded=banded).select("id_a", "id_b")
     # oracle bar 0.85 >> pipeline bar 0.5: see docstring (robustness to
     # mid-similarity pairs where band detection is genuinely <1)
     # radius 3 -> 4 x 16-bit blocks: background (blk,bval) collisions are
@@ -1625,8 +1632,8 @@ def dp_neardup_scale(spark, sf_dir):
     # the audit targets the BLOCK LAYOUT, which the brute hamming join
     # never touches, so sharing signature values keeps it falsifiable for
     # the thing under test.
-    sh = simhash_near_pairs(docs, max_hamming=3, sigs=sigs,
-                            dedupe=False).select("id_a", "id_b")
+    sh = simhash_near_pairs(docs, max_hamming=3,
+                            sigs=sigs).select("id_a", "id_b")
     # SRP-LSH replaced by IVF multi-assignment for the moderate-threshold
     # regime: measured SRP recall at cos>=0.45 was 7% (63° pairs disagree on
     # ~n_planes/3 bits — unprunable); IVF k=16/m=4 measures 0.99-1.0

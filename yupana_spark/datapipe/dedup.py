@@ -372,7 +372,8 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         num_hashes: int = 32, bands: int = 8,
                         k: int = 5, est_margin: float = 0.15,
                         artifacts: Optional[DataFrame] = None,
-                        dedupe: bool = True) -> DataFrame:
+                        dedupe: bool = True,
+                        banded: Optional[DataFrame] = None) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard >= threshold.
 
     Three-rung verification ladder (each rung orders of magnitude cheaper
@@ -413,7 +414,12 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
         # pair-distinct runs on the (orders of magnitude smaller) screened
         # set instead of the raw collision set
         r = num_hashes // bands
-        banded = band_explode(sighs, num_hashes, bands, "sig")
+        if banded is None:
+            banded = band_explode(sighs, num_hashes, bands, "sig")
+        # else: a caller-materialized band frame (the banded explode is a
+        # pure function of the signature index — production materializes
+        # it WITH the index; must carry (id, sig, band, bhash) built by
+        # band_explode with the same layout)
         bl, br = banded.alias("bl"), banded.alias("br")
         agree = F.size(F.filter(
             F.zip_with(F.col("bl.sig"), F.col("br.sig"),
