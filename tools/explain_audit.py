@@ -84,6 +84,16 @@ CHECKS = {
         pushed=None, expect=[],
         forbid=[r"windowspecdefinition\([^,()]* (?:ASC|DESC)",
                 "SortMergeJoin"]),
+    # near-dup scale bundle: candidate generation is equi-joins on derived
+    # keys (band hash / pigeonhole block / IVF cell) — never a cartesian
+    # or a global sort; the rung-3 verify joins broadcast the tiny
+    # screened pair set.  (SortMergeJoin is NOT forbidden here: the
+    # banded/block self-joins are medium-cardinality equi-joins where SMJ
+    # is a legitimate static choice pre-AQE.)
+    "dp_neardup_scale": dict(
+        pushed=None, expect=["BroadcastHashJoin", "HashAggregate"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "rangepartitioning"]),
     # text-stats bundle (quality + PII + contamination + span stats + BPE
     # law): candidate generation is equi-joins on derived keys only — no
     # cartesian products, no global sorts; the contamination semi-join
