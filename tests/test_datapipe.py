@@ -1407,3 +1407,35 @@ def test_chunk_token_sequences_null_tokens(spark):
     assert rows[1]["n_tokens"] == 2
     assert rows[2]["n_tokens"] == 0 and rows[2]["chunk_tokens"] == []
     assert rows[3]["n_tokens"] == 0
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """materialize_ivf_index + ivf_topk_from_index: the probe is
+    PARTITION PRUNING (the scan's PartitionFilters carries the cell
+    IN-list and only probed directories are read), and the pruned search
+    returns exactly what searching the full assigned frame returns."""
+    import contextlib
+    import io
+    import re
+
+    from yupana_spark.datapipe.simsearch import (ivf_build, ivf_topk,
+                                                 ivf_topk_from_index,
+                                                 materialize_ivf_index)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned, centers = ivf_build(emb, n_centroids=8)
+    path = str(tmp_path / "ivf_index")
+    materialize_ivf_index(assigned, path)
+    qv = [float(x) for x in
+          emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    pruned = ivf_topk_from_index(spark, path, centers, qv, k=10, nprobe=4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert re.search(r"PartitionFilters: \[.*cell.*IN", plan, re.S), \
+        "cell probe must reach PartitionFilters, not a post-scan Filter"
+    got = [(r["vec_id"], r["score"]) for r in pruned.collect()]
+    want = [(r["vec_id"], r["score"]) for r in
+            ivf_topk(assigned, centers, qv, k=10, nprobe=4).collect()]
+    assert got == want and got[0][0] == 0    # self-hit tops the list
