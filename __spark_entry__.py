@@ -1313,13 +1313,30 @@ def dp_lang_id(spark, sf_dir):
 
 
 def dp_exact_dedup(spark, sf_dir):
-    """Exact dedup via normalized-content md5 fingerprint + min-id window;
-    the fp column doubles as the document-fingerprint operator (subsumes the
-    former dp_fingerprint entry)."""
-    from yupana_spark.datapipe.dedup import exact_dedup
+    """Bundle: exact dedup via normalized-content md5 fingerprint + min-id
+    window (the fp column doubles as the document-fingerprint operator),
+    plus CROSS-CORPUS exact dedup (``dup_vs_ref``): flag documents whose
+    normalized content already exists in a reference corpus — the "dedup
+    the new crawl against the training set" step (dedup.cross_corpus_flags,
+    one equi-join on the reference's distinct 32-byte fingerprints).
 
-    return exact_dedup(_docs(spark, sf_dir)).select(
-        "doc_id", "fp", "is_duplicate")
+    The fixture corpus has no natural exact duplicates, so the reference
+    is DERIVED deterministically (house pattern — dp_text_stats injects
+    its PII the same way): every doc_id % 7 == 0 document, with the text
+    of the doc_id % 14 == 0 half mutated by an appended token.  The flag
+    is therefore true exactly where the fp join finds the unmutated half —
+    variance the oracle recomputes from the same rule."""
+    from yupana_spark.datapipe.dedup import cross_corpus_flags, exact_dedup
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ref = (docs.filter(did % 7 == 0)
+           .withColumn("text", F.when(did % 14 == 0,
+                                      F.concat(F.col("text"),
+                                               F.lit(" mutated")))
+                       .otherwise(F.col("text"))))
+    return cross_corpus_flags(exact_dedup(docs), ref).select(
+        "doc_id", "fp", "is_duplicate", "dup_vs_ref")
 
 
 def dp_ngram_jaccard(spark, sf_dir):
@@ -1386,14 +1403,42 @@ def dp_multimodal(spark, sf_dir):
 
 
 def dp_sample(spark, sf_dir):
-    """Deterministic md5-prefix Bernoulli sample, per-stratum rates: the
-    same subset on any engine/run (reproducible corpus sampling)."""
-    from yupana_spark.datapipe.sample import deterministic_sample
+    """Bundle: three deterministic data-selection operators over documents,
+    tagged by ``kind`` —
 
-    return deterministic_sample(
-        _docs(spark, sf_dir), "doc_id", 0.2,
-        stratum_col="lang", stratum_rates={"en": 0.5},
-    ).select("doc_id", "lang")
+    * ``bern``: md5-prefix Bernoulli sample with per-stratum rates (the
+      same subset on any engine/run; row-local, zero shuffles);
+    * ``quota``: EXACT per-stratum quotas — md5-ranked row_number within
+      each stratum (eval-set carving / per-language caps);
+    * ``dsir``: DSIR importance resampling (Xie et al. 2023,
+      datapipe/dsir.py) — hashed uni+bigram bucket LMs fit on the src0
+      "curated target" vs the whole corpus, per-doc log importance
+      weights, deterministic Gumbel top-k selection.  ``wt`` carries the
+      rounded log weight; the fit, scoring and TakeOrderedAndProject
+      selection are all JVM-side lazy plan (no driver fit, no UDF).
+
+    All three are value-oracled: DuckDB recomputes the md5 thresholds, the
+    quota ranks, and the full DSIR estimator (bucket hash, smoothed
+    log-ratio table, Gumbel keys) from the same parquet."""
+    from yupana_spark.datapipe.dsir import dsir_select
+    from yupana_spark.datapipe.sample import (deterministic_sample,
+                                              stratified_quota_sample)
+
+    docs = _docs(spark, sf_dir)
+    null_wt = F.lit(None).cast("double").alias("wt")
+    bern = deterministic_sample(
+        docs, "doc_id", 0.2, stratum_col="lang",
+        stratum_rates={"en": 0.5},
+    ).select(F.lit("bern").alias("kind"), "doc_id", "lang", null_wt)
+    quota = stratified_quota_sample(
+        docs, "doc_id", "lang", {"en": 25, "de": 10},
+    ).select(F.lit("quota").alias("kind"), "doc_id", "lang", null_wt)
+    dsir = dsir_select(
+        docs, docs.filter(F.col("source") == "src0"), k=40,
+        n_buckets=1024, alpha=0.5, keep_cols=["lang"],
+    ).select(F.lit("dsir").alias("kind"), "doc_id", "lang",
+             F.round("logw", 6).alias("wt"))
+    return bern.unionByName(quota).unionByName(dsir)
 
 
 def dp_dedup_resolve(spark, sf_dir):
@@ -2635,14 +2680,24 @@ _ORACLES_DP: dict[str, str] = {
           GROUP BY tk.doc_id
         ) x ON s.doc_id = x.doc_id
     """,
+    # dup_vs_ref mirrors the bundle's derived reference corpus: doc_id%7==0
+    # docs, the %14==0 half mutated (' mutated' appended) so only the
+    # unmutated half matches by normalized fingerprint
     "dp_exact_dedup": """
         WITH f AS (
           SELECT doc_id,
                  md5(trim(regexp_replace(regexp_replace(lower(text),
                      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
-          FROM documents)
+          FROM documents),
+        ref AS (
+          SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(
+                     CASE WHEN doc_id % 14 = 0 THEN text || ' mutated'
+                          ELSE text END),
+                     '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+          FROM documents WHERE doc_id % 7 = 0)
         SELECT doc_id, fp,
-               doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_duplicate
+               doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_duplicate,
+               fp IN (SELECT fp FROM ref) AS dup_vs_ref
         FROM f
     """,
     "dp_ngram_jaccard": """
@@ -2747,11 +2802,55 @@ _ORACLES_DP: dict[str, str] = {
                f.n_samples, f.max_abs
         FROM fr JOIN feat f USING (media_id)
     """,
+    # three selection arms; the dsir arm recomputes the full estimator —
+    # hashed uni+bigram buckets (first 24 md5 bits mod B), add-alpha
+    # smoothed log p_target/p_raw table, per-doc weight sums, deterministic
+    # Gumbel keys — from the same parquet (see datapipe/dsir.py)
     "dp_sample": f"""
-        SELECT doc_id, lang FROM documents
+        WITH d AS (
+          SELECT doc_id, lang, source,
+                 list_filter(string_split_regex(trim(regexp_replace(
+                     regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                     '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS ws
+          FROM documents),
+        g AS (
+          SELECT doc_id, source,
+                 ('0x' || substr(md5(gram), 1, 6))::BIGINT % 1024 AS bucket
+          FROM (
+            SELECT doc_id, source, unnest(ws) AS gram FROM d
+            UNION ALL
+            SELECT doc_id, source, ws[i] || ' ' || ws[i+1] AS gram
+            FROM d, LATERAL (SELECT unnest(generate_series(1, len(ws)-1))
+                             AS i) t)),
+        tc AS (SELECT bucket, count(*) AS c FROM g
+               WHERE source = 'src0' GROUP BY 1),
+        rc AS (SELECT bucket, count(*) AS c FROM g GROUP BY 1),
+        tot AS (SELECT (SELECT count(*) FROM g WHERE source = 'src0') AS nt,
+                       (SELECT count(*) FROM g) AS nr),
+        lr AS (SELECT rc.bucket,
+                      ln(coalesce(tc.c, 0) + 0.5) - ln(nt + 0.5*1024)
+                      - ln(rc.c + 0.5) + ln(nr + 0.5*1024) AS lr
+               FROM rc LEFT JOIN tc USING (bucket), tot),
+        wt AS (SELECT g.doc_id, sum(lr.lr) AS logw
+               FROM g JOIN lr USING (bucket) GROUP BY g.doc_id),
+        sel AS (SELECT doc_id, logw FROM wt
+                ORDER BY logw - ln(-ln((('0x' || substr(md5(CAST(doc_id
+                    AS VARCHAR)), 1, 8))::BIGINT + 0.5) / 4294967296.0))
+                    DESC, doc_id
+                LIMIT 40)
+        SELECT 'bern' AS kind, doc_id, lang, CAST(NULL AS DOUBLE) AS wt
+        FROM documents
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
               CASE WHEN lang = 'en' THEN '{_hex(0.5)}'
                    ELSE '{_hex(0.2)}' END
+        UNION ALL
+        SELECT 'quota', doc_id, lang, NULL FROM documents
+        QUALIFY row_number() OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <=
+            CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 10 ELSE 0 END
+        UNION ALL
+        SELECT 'dsir', sel.doc_id, d2.lang, round(sel.logw, 6)
+        FROM sel JOIN documents d2 ON sel.doc_id = d2.doc_id
     """,
     "dp_dedup_resolve": f"""
         WITH RECURSIVE {_NEARDUP_PAIRS_CTE},

@@ -1439,3 +1439,161 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     want = [(r["vec_id"], r["score"]) for r in
             ivf_topk(assigned, centers, qv, k=10, nprobe=4).collect()]
     assert got == want and got[0][0] == 0    # self-hit tops the list
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling / quota sampling / cross-corpus dedup (round 7)
+# ---------------------------------------------------------------------------
+def test_dsir_weights_match_python_mirror(spark):
+    """Per-doc log importance weight == a pure-python recompute of the
+    hashed-bucket estimator (buckets, smoothing, totals, sums)."""
+    import math
+
+    from yupana_spark.datapipe.dsir import dsir_log_weights, py_bucket
+
+    rows = [(1, "the cat sat"), (2, "dogs bark loud"),
+            (3, "the cat ran far"), (4, "cat")]
+    target_rows = [(9, "the cat sat"), (10, "cat naps often")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(target_rows, "doc_id long, text string")
+    B, A = 64, 0.5
+
+    def grams(text):
+        ws = text.split()
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    tc, rc = {}, {}
+    nt = nr = 0
+    for _, t in target_rows:
+        for g in grams(t):
+            tc[py_bucket(g, B)] = tc.get(py_bucket(g, B), 0) + 1
+            nt += 1
+    for _, t in rows:
+        for g in grams(t):
+            rc[py_bucket(g, B)] = rc.get(py_bucket(g, B), 0) + 1
+            nr += 1
+
+    def lr(b):
+        return (math.log(tc.get(b, 0) + A) - math.log(nt + A * B)
+                - math.log(rc.get(b, 0) + A) + math.log(nr + A * B))
+
+    expect = {i: sum(lr(py_bucket(g, B)) for g in grams(t))
+              for i, t in rows}
+    got = {r["doc_id"]: r["logw"]
+           for r in dsir_log_weights(docs, target, n_buckets=B,
+                                     alpha=A).collect()}
+    assert set(got) == set(expect)
+    for i in expect:
+        assert got[i] == pytest.approx(expect[i], abs=1e-9)
+
+
+def test_dsir_select_is_gumbel_top_k(spark):
+    """Selection == top-k by the md5-derived Gumbel-perturbed key, and the
+    target-heavy docs carry higher raw weights than off-target ones."""
+    from yupana_spark.datapipe.dsir import (dsir_log_weights, dsir_select,
+                                            py_gumbel)
+
+    on = [(i, "spark shuffle join window aggregate") for i in range(10)]
+    off = [(i, "violets bloom beside quiet rivers") for i in range(10, 20)]
+    docs = spark.createDataFrame(on + off, "doc_id long, text string")
+    target = spark.createDataFrame([(99, "spark shuffle join")],
+                                   "doc_id long, text string")
+    w = {r["doc_id"]: r["logw"]
+         for r in dsir_log_weights(docs, target, n_buckets=256).collect()}
+    assert min(w[i] for i in range(10)) > max(w[i] for i in range(10, 20))
+    k = 7
+    expect = sorted(w, key=lambda i: (-py_gumbel(i, w[i]), i))[:k]
+    got = [r["doc_id"]
+           for r in dsir_select(docs, target, k=k, n_buckets=256).collect()]
+    assert sorted(got) == sorted(expect)
+
+
+def test_dsir_zero_gram_docs_omitted(spark):
+    from yupana_spark.datapipe.dsir import dsir_log_weights
+
+    docs = spark.createDataFrame([(1, "real words"), (2, "   "), (3, "!!")],
+                                 "doc_id long, text string")
+    target = spark.createDataFrame([(9, "real words")],
+                                   "doc_id long, text string")
+    got = {r["doc_id"] for r in dsir_log_weights(docs, target).collect()}
+    assert got == {1}
+
+
+def test_stratified_quota_sample_exact_counts(docs):
+    from yupana_spark.datapipe.sample import stratified_quota_sample
+
+    out = stratified_quota_sample(docs, "doc_id", "lang",
+                                  {"en": 5, "de": 3}).collect()
+    by_lang = {}
+    for r in out:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    assert by_lang == {"en": 5, "de": 3}
+    # reproducible: second run selects the identical ids
+    again = stratified_quota_sample(docs, "doc_id", "lang",
+                                    {"en": 5, "de": 3}).collect()
+    assert {r["doc_id"] for r in out} == {r["doc_id"] for r in again}
+
+
+def test_stratified_quota_prefilter_invariance(docs):
+    """A Bernoulli prefilter (survivors >> quota) must not change the
+    selected subset — the md5-prefix filter keeps exactly the lowest-hash
+    superset the rank would pick from."""
+    from yupana_spark.datapipe.sample import stratified_quota_sample
+
+    base = {r["doc_id"]
+            for r in stratified_quota_sample(docs, "doc_id", "lang",
+                                             {"en": 3}).collect()}
+    pre = {r["doc_id"]
+           for r in stratified_quota_sample(docs, "doc_id", "lang",
+                                            {"en": 3},
+                                            prefilter_rate=0.5).collect()}
+    assert base == pre
+
+
+def test_cross_corpus_flags(spark):
+    from yupana_spark.datapipe.dedup import cross_corpus_flags
+
+    docs = spark.createDataFrame(
+        [(1, "Shared Content!"), (2, "only in the new crawl"),
+         (3, "another shared one")], "doc_id long, text string")
+    ref = spark.createDataFrame(
+        [(101, "shared content"), (102, "another  SHARED one"),
+         (103, "ref only text")], "doc_id long, text string")
+    got = {r["doc_id"]: r["dup_vs_ref"]
+           for r in cross_corpus_flags(docs, ref).collect()}
+    # normalization (case, punctuation, whitespace) makes 1 and 3 match
+    assert got == {1: True, 2: False, 3: True}
+
+
+def test_minhash_cross_pairs_matches_exact_jaccard(spark):
+    """Cross-corpus LSH pairs == brute-force exact shingle Jaccard over the
+    A x B product (small N differential oracle), and no within-corpus pair
+    is ever emitted."""
+    from yupana_spark.datapipe.dedup import (hashed_shingle_sets,
+                                             minhash_cross_pairs)
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill in the late afternoon sun")
+    variants = [
+        base,
+        base.replace("quick", "swift"),
+        base.replace("lazy dog", "sleepy hound"),
+        "completely different words about spark shuffle partitions and "
+        "adaptive query execution plans running on the cluster",
+    ]
+    a_rows = [(i, t) for i, t in enumerate(variants)]
+    b_rows = [(100 + i, t) for i, t in
+              enumerate(variants[:2] + ["nothing alike here at all in any "
+                                        "way shape or form whatsoever"])]
+    a = spark.createDataFrame(a_rows, "doc_id long, text string")
+    b = spark.createDataFrame(b_rows, "doc_id long, text string")
+    thr = 0.6
+    got = {(r["id_a"], r["id_b"])
+           for r in minhash_cross_pairs(a, b, threshold=thr).collect()}
+    # brute-force oracle over the full A x B product
+    ha = {r["id"]: set(r["hs"]) for r in hashed_shingle_sets(a).collect()}
+    hb = {r["id"]: set(r["hs"]) for r in hashed_shingle_sets(b).collect()}
+    expect = {(i, j) for i in ha for j in hb
+              if len(ha[i] & hb[j]) / max(len(ha[i] | hb[j]), 1) >= thr}
+    assert got == expect and len(expect) >= 3
+    assert all(i < 100 <= j for i, j in got)

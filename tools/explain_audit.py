@@ -62,8 +62,17 @@ CHECKS = {
     # bundled features+frames: one broadcast join, no sort-merge
     "dp_multimodal": dict(pushed=None, expect=["ArrowEvalPython|MapInPandas"],
                           forbid=["SortMergeJoin"]),
-    # pure row-local predicate: sampling must not shuffle
-    "dp_sample": dict(pushed=None, expect=[], forbid=["Exchange"]),
+    # three-arm selection bundle: the Bernoulli arm stays row-local (probed
+    # separately below — its standalone plan must be Exchange-free), the
+    # quota rank is a stratum-PARTITIONED window (hash partitioning, never
+    # a global rangepartitioning sort), and the DSIR top-k must lower to
+    # TakeOrderedAndProject (per-partition heaps), never sort-the-world.
+    # The only nested-loop joins are the documented single-row gram-total
+    # crossJoins, so CartesianProduct over data frames stays forbidden.
+    "dp_sample": dict(pushed=None,
+                      expect=["TakeOrderedAndProject", "Window",
+                              "BroadcastHashJoin"],
+                      forbid=["CartesianProduct", "rangepartitioning"]),
     # group-key window, never a global sort (rangepartitioning)
     "dp_top_k_per_group": dict(pushed=None, expect=["Window"],
                                forbid=["rangepartitioning"]),
@@ -186,6 +195,30 @@ def main(only=None):
         if not ok:
             failures.append("assign_shards_phase1")
             print(plan[:4000])
+
+    # the Bernoulli sampling arm's zero-shuffle contract (formerly pinned on
+    # the whole dp_sample plan, now probed standalone since the bundle
+    # gained quota/DSIR arms that legitimately shuffle): a deterministic
+    # md5-prefix sample over a scan must contain NO Exchange at all
+    if not only or "dp_sample" in (only or set()):
+        from yupana_spark.datapipe.sample import deterministic_sample
+
+        probe = deterministic_sample(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+            "doc_id", 0.2, stratum_col="lang", stratum_rates={"en": 0.5})
+        import contextlib, io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            probe.explain("formatted")
+        plan = buf.getvalue()
+        print("\n===== deterministic_sample (row-local arm) =====")
+        if re.search(r"\bExchange\b", plan):
+            print("  FORBIDDEN present: Exchange\n  AUDIT FAILED")
+            failures.append("deterministic_sample_rowlocal")
+            print(plan[:4000])
+        else:
+            print("  OK")
 
     if failures:
         print(f"\naudit failures: {failures}")

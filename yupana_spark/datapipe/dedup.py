@@ -465,6 +465,79 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# cross-corpus dedup (new crawl vs existing training set)
+# ---------------------------------------------------------------------------
+def cross_corpus_flags(docs: DataFrame, ref: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       ref_text_col: Optional[str] = None,
+                       flag_col: str = "dup_vs_ref") -> DataFrame:
+    """``docs`` plus ``fp`` and a ``flag_col`` boolean: does the document's
+    normalized content already exist in a REFERENCE corpus?  The standard
+    "dedup the new crawl against what the model already trained on" step.
+
+    100 TB shape: the reference side reduces to its distinct 32-byte
+    fingerprints (text never crosses the exchange) and the membership test
+    is one equi-join on fp — broadcast when the reference fingerprint set
+    is small, shuffle-hash otherwise (AQE picks).  Left join against the
+    DISTINCT fp set cannot multiply rows."""
+    rfp = (ref.select(fingerprint_md5(F.col(ref_text_col or text_col))
+                      .alias("fp"))
+           .dropDuplicates())
+    return (docs.withColumn("fp", fingerprint_md5(F.col(text_col)))
+            .join(rfp.withColumn("__r", F.lit(True)), "fp", "left")
+            .withColumn(flag_col, F.coalesce(F.col("__r"), F.lit(False)))
+            .drop("__r"))
+
+
+def minhash_cross_pairs(docs: DataFrame, ref: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        threshold: float = 0.7, num_hashes: int = 32,
+                        bands: int = 8, k: int = 5,
+                        est_margin: float = 0.15) -> DataFrame:
+    """Near-dup pairs BETWEEN two corpora: ``id_a`` from ``docs``, ``id_b``
+    from ``ref`` (id spaces independent — no ordering relation).
+
+    Same three-rung ladder as ``minhash_dedup_pairs`` but candidate
+    generation is an A-side × B-side equi-join on (band, bhash): within-
+    corpus pairs are never generated, so cross-deduplicating a new crawl
+    against an N-times-larger training set costs the band join only on the
+    crawl's collisions, not O((N+1)^2) self-join work.  ``band_explode``
+    is the shared band-hash definition, so batch, streaming and cross
+    candidates stay collision-compatible."""
+    r = num_hashes // bands
+    a = minhash_artifacts(docs, text_col, id_col, k, num_hashes).persist()
+    b = minhash_artifacts(ref, text_col, id_col, k, num_hashes).persist()
+    try:
+        ba = band_explode(a, num_hashes, bands, "sig").alias("ba")
+        bb = band_explode(b, num_hashes, bands, "sig").alias("bb")
+        agree = F.size(F.filter(
+            F.zip_with(F.col("ba.sig"), F.col("bb.sig"),
+                       lambda x, y: x == y), lambda v: v))
+        est = (agree - F.lit(r)) / F.lit(float(num_hashes - r))
+        screened = (ba.join(bb, (F.col("ba.band") == F.col("bb.band"))
+                            & (F.col("ba.bhash") == F.col("bb.bhash")))
+                    .filter(est >= threshold - est_margin)
+                    .select(F.col("ba.id").alias("id_a"),
+                            F.col("bb.id").alias("id_b"))
+                    .distinct())
+        ha = a.select("id", "hs").alias("ha")
+        hb = b.select("id", "hs").alias("hb")
+        half = (ha.join(F.broadcast(screened),
+                        F.col("ha.id") == F.col("id_a"))
+                .select("id_a", "id_b", F.col("ha.hs").alias("__hsa")))
+        out = (hb.join(F.broadcast(half), F.col("hb.id") == F.col("id_b"))
+               .select("id_a", "id_b",
+                       F.round(jaccard(F.col("__hsa"), F.col("hb.hs")), 6)
+                       .alias("jaccard"))
+               .filter(F.col("jaccard") >= threshold)
+               .localCheckpoint(eager=True))
+    finally:
+        a.unpersist()
+        b.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, brute force — for small inputs / verification)
 # ---------------------------------------------------------------------------
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

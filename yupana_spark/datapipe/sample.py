@@ -62,6 +62,41 @@ def deterministic_sample(df: DataFrame, id_col: str, rate: float,
     return df.filter(bucket < thresh)
 
 
+def stratified_quota_sample(df: DataFrame, id_col: str, stratum_col: str,
+                            quotas: Dict[str, int], default_quota: int = 0,
+                            prefilter_rate: Optional[float] = None
+                            ) -> DataFrame:
+    """EXACT per-stratum quotas: within each stratum, rank rows by
+    ``(md5(id), id)`` — a uniform, engine-reproducible order — and keep the
+    first ``quotas[stratum]`` rows (``default_quota`` elsewhere; 0 drops
+    unlisted strata).
+
+    Complements ``deterministic_sample``: Bernoulli rates give *expected*
+    sizes, quota sampling gives exact counts (eval-set carving, per-language
+    caps in a corpus mixture).  The rank is a window partitioned BY STRATUM
+    — never a global sort.  For a stratum far larger than its quota the
+    full in-stratum sort is wasted work at 100 TB; pass ``prefilter_rate``
+    to cut each stratum with the row-local Bernoulli predicate first (pick
+    rate so the survivor count still safely exceeds every quota, e.g.
+    10*quota/stratum_rows) — the ranking then runs over the small survivor
+    set and, because the Bernoulli filter keeps exactly the lowest-hash
+    rows' superset, the selected subset is unchanged.
+    """
+    from pyspark.sql import Window
+
+    if prefilter_rate is not None:
+        df = deterministic_sample(df, id_col, prefilter_rate)
+    quota = F.lit(default_quota)
+    for value, q in sorted(quotas.items()):
+        quota = F.when(F.col(stratum_col) == value, F.lit(q)).otherwise(quota)
+    w = (Window.partitionBy(stratum_col)
+         .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")),
+                  F.col(id_col)))
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= quota)
+            .drop("__rk"))
+
+
 # ---------------------------------------------------------------------------
 # dedup cluster resolution (connected components)
 # ---------------------------------------------------------------------------
