@@ -2515,25 +2515,31 @@ _ORACLES_DP: dict[str, str] = {
                 FROM (SELECT doc_id,
                              string_split(regexp_replace(text, ' spark ',
                                  chr(10), 'g'), chr(10)) AS ls
-                      FROM documents))
-          WHERE trim(line) <> ''),
-        lc AS (SELECT t, count(*) AS c FROM ln GROUP BY t),
+                      FROM documents))),
+        lc AS (SELECT t, count(*) AS c FROM ln WHERE t <> '' GROUP BY t),
         lstat AS (
           SELECT ln.doc_id,
-                 CAST(count(*) AS BIGINT) AS n_lines,
-                 CAST(sum(CASE WHEN lc.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 CAST(sum(CASE WHEN ln.t <> '' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_lines,
+                 CAST(sum(CASE WHEN ln.t <> '' AND lc.c >= 2
+                          THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_dup_lines,
-                 round(sum(CASE WHEN lc.c >= 2 THEN 1 ELSE 0 END)
-                       / greatest(count(*), 1), 6) AS dup_line_ratio,
-                 round(sum(CASE WHEN lc.c >= 2 THEN length(ln.line)
-                           ELSE 0 END)
-                       / greatest(sum(length(ln.line)), 1), 6)
-                     AS dup_line_char_ratio,
+                 round(sum(CASE WHEN ln.t <> '' AND lc.c >= 2
+                           THEN 1 ELSE 0 END)
+                       / greatest(sum(CASE WHEN ln.t <> '' THEN 1
+                                      ELSE 0 END), 1), 6)
+                     AS dup_line_ratio,
+                 round(sum(CASE WHEN ln.t <> '' AND lc.c >= 2
+                           THEN length(ln.line) ELSE 0 END)
+                       / greatest(sum(CASE WHEN ln.t <> ''
+                                      THEN length(ln.line) ELSE 0 END), 1),
+                       6) AS dup_line_char_ratio,
                  CAST(coalesce(length(string_agg(
-                     CASE WHEN lc.c < 2 THEN ln.line END, chr(10)
+                     CASE WHEN NOT (ln.t <> '' AND coalesce(lc.c, 0) >= 2)
+                     THEN ln.line END, chr(10)
                      ORDER BY ln.pos)), 0) AS INTEGER)
                      AS cleaned_lines_len
-          FROM ln JOIN lc ON ln.t = lc.t GROUP BY ln.doc_id),
+          FROM ln LEFT JOIN lc ON ln.t = lc.t GROUP BY ln.doc_id),
         dupf AS (
           SELECT doc_id,
                  doc_id <> min(doc_id) OVER (PARTITION BY fp) AS isdup

@@ -1190,8 +1190,9 @@ def test_corpus_keep_reasons(spark):
 def test_duplicated_line_stats(spark):
     """RefinedWeb-style corpus-wide exact line dedup: trimmed non-empty
     lines count across the corpus (within-doc repeats included), blanks
-    never count or strip, cleaned preserves original line text and order,
-    and every input doc (empty/NULL included) emits exactly one row."""
+    never count but RIDE THROUGH to cleaned in place (document structure
+    preserved), cleaned keeps original line text and order, and every
+    input doc (empty/NULL included) emits exactly one row."""
     from yupana_spark.datapipe.dedup import duplicated_line_stats
 
     df = spark.createDataFrame([
@@ -1205,9 +1206,10 @@ def test_duplicated_line_stats(spark):
     assert set(rows) == {1, 2, 3, 4, 5}
     assert (rows[1]["n_lines"], rows[1]["n_dup_lines"]) == (3, 1)
     assert rows[1]["cleaned"] == "keep me\nunique line one"
-    # within-doc repeats each count; blank/whitespace lines don't
+    # within-doc repeats each count; blank/whitespace lines don't count
+    # but survive into cleaned (structure preserved)
     assert (rows[2]["n_lines"], rows[2]["n_dup_lines"]) == (3, 2)
-    assert rows[2]["cleaned"] == "another unique"
+    assert rows[2]["cleaned"] == "another unique\n\n  "
     for empty_id in (3, 4):
         r = rows[empty_id]
         assert (r["n_lines"], r["n_dup_lines"], r["cleaned"]) == (0, 0, "")

@@ -291,23 +291,28 @@ def test_differential_line_dedup(spark, seed):
           FROM (SELECT doc_id, generate_subscripts(ls, 1) AS pos,
                        unnest(ls) AS line
                 FROM (SELECT doc_id, string_split(text, {qsep}) AS ls
-                      FROM docs))
-          WHERE trim(line) <> ''),
-        lc AS (SELECT t, count(*) AS c FROM lnf GROUP BY t),
+                      FROM docs))),
+        lc AS (SELECT t, count(*) AS c FROM lnf WHERE t <> '' GROUP BY t),
         st AS (
           SELECT lnf.doc_id,
-                 count(*) AS n_lines,
-                 sum(CASE WHEN lc.c >= {min_count} THEN 1 ELSE 0 END)
-                     AS n_dup,
-                 round(sum(CASE WHEN lc.c >= {min_count} THEN 1 ELSE 0
-                           END) / greatest(count(*), 1), 6) AS r1,
-                 round(sum(CASE WHEN lc.c >= {min_count}
+                 sum(CASE WHEN lnf.t <> '' THEN 1 ELSE 0 END) AS n_lines,
+                 sum(CASE WHEN lnf.t <> '' AND lc.c >= {min_count}
+                     THEN 1 ELSE 0 END) AS n_dup,
+                 round(sum(CASE WHEN lnf.t <> '' AND lc.c >= {min_count}
+                           THEN 1 ELSE 0 END)
+                       / greatest(sum(CASE WHEN lnf.t <> '' THEN 1
+                                      ELSE 0 END), 1), 6) AS r1,
+                 round(sum(CASE WHEN lnf.t <> '' AND lc.c >= {min_count}
                            THEN length(lnf.line) ELSE 0 END)
-                       / greatest(sum(length(lnf.line)), 1), 6) AS r2,
+                       / greatest(sum(CASE WHEN lnf.t <> ''
+                                      THEN length(lnf.line) ELSE 0 END),
+                                  1), 6) AS r2,
                  coalesce(string_agg(
-                     CASE WHEN lc.c < {min_count} THEN lnf.line END,
+                     CASE WHEN NOT (lnf.t <> ''
+                                    AND coalesce(lc.c, 0) >= {min_count})
+                     THEN lnf.line END,
                      {qsep} ORDER BY lnf.pos), '') AS cleaned
-          FROM lnf JOIN lc ON lnf.t = lc.t GROUP BY lnf.doc_id)
+          FROM lnf LEFT JOIN lc ON lnf.t = lc.t GROUP BY lnf.doc_id)
         SELECT d.doc_id, coalesce(st.n_lines, 0),
                coalesce(st.n_dup, 0), coalesce(st.r1, 0.0),
                coalesce(st.r2, 0.0), coalesce(st.cleaned, '')

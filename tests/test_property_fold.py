@@ -127,9 +127,9 @@ def test_chunk_token_sequences_coverage_law(spark, docs, window, stride):
     min_size=0, max_size=5), min_size=1, max_size=8))
 def test_duplicated_line_stats_laws(spark, docs):
     """Invariants for any corpus: full id coverage, n_dup_lines <=
-    n_lines, ratios in [0,1], cleaned contains exactly the non-dup
-    participating lines in order, and global dup counting is symmetric
-    (a trimmed line is dup for everyone or no one)."""
+    n_lines, ratios in [0,1], cleaned contains exactly the non-dup lines
+    (blanks preserved in place) in order, and global dup counting is
+    symmetric (a trimmed line is dup for everyone or no one)."""
     from yupana_spark.datapipe.dedup import duplicated_line_stats
 
     df = spark.createDataFrame(
@@ -153,5 +153,6 @@ def test_duplicated_line_stats_laws(spark, docs):
         assert r["n_dup_lines"] == len(dup)
         assert 0.0 <= r["dup_line_ratio"] <= 1.0
         assert 0.0 <= r["dup_line_char_ratio"] <= 1.0
-        kept = [ln for ln in part if counts[ln.strip()] < 2]
+        kept = [ln for ln in lines
+                if not (ln.strip() and counts[ln.strip()] >= 2)]
         assert r["cleaned"] == "\n".join(kept)

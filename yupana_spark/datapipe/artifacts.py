@@ -148,10 +148,18 @@ class ArtifactStore:
                     os.rename(trash, final)
                 except OSError:
                     pass
-            if self._meta(name) is None:
-                # nothing loadable at the destination: this was a REAL
-                # persistence failure (ENOSPC, permissions), not the
-                # benign lost-the-swap race — surface it
+            # A concurrent winner can be mid-swap right now (old artifact
+            # moved aside, staged dir not yet installed) — the meta probe
+            # would transiently see nothing and misreport a benign race as
+            # a persistence failure.  Retry briefly before concluding the
+            # destination is truly unloadable (ENOSPC, permissions).
+            import time
+
+            for _ in range(10):
+                if self._meta(name) is not None:
+                    break
+                time.sleep(0.05)
+            else:
                 raise
             # else: a concurrent writer won the swap.  Fits are
             # deterministic functions of (corpus, params), so the

@@ -98,20 +98,24 @@ def duplicated_line_stats(df: DataFrame, text_col: str = "text",
     headers, navigation, cookie banners) at a caller-chosen separator.
 
     Contract: lines split on ``sep``; a line PARTICIPATES iff its trimmed
-    form is non-empty (blank lines are never counted or removed); a
-    participating line is duplicated iff its trimmed form occurs >=
-    ``min_count`` times across the whole corpus (all occurrences count,
-    including within one document).  ``cleaned`` is the document with its
-    duplicated lines removed, remaining lines re-joined with ``sep`` in
-    their original order.  Every input doc emits exactly one row
-    (zero-participating docs get n_lines = 0, cleaned = '').
+    form is non-empty — blank/whitespace-only lines are never counted as
+    lines, never count toward duplication, and are NEVER REMOVED: they
+    ride through to ``cleaned`` in place, preserving document structure
+    (paragraph breaks survive the dedup, per the RefinedWeb posture of
+    removing only the repeated content lines).  A participating line is
+    duplicated iff its trimmed form occurs >= ``min_count`` times across
+    the whole corpus (all occurrences count, including within one
+    document).  ``cleaned`` is the document with its duplicated lines
+    removed, all remaining lines (blanks included) re-joined with ``sep``
+    in their original order.  Every input doc emits exactly one row
+    (NULL-text docs get n_lines = 0, cleaned = '').
 
     100 TB shape: posexplode the line array once (8-byte xxhash64 join
     keys, never line text, leave the executor for the count), ONE
-    groupBy(hash) shuffle for the corpus counts, join occurrences to
-    counts co-partitioned on the same key, then one groupBy(id)
-    re-assembly whose ordered rebuild is an aggregate over (pos, line)
-    structs — no window, no global sort.
+    groupBy(hash) shuffle for the corpus counts over participating lines,
+    left-join occurrences to counts co-partitioned on the same key, then
+    one groupBy(id) re-assembly whose ordered rebuild is an aggregate over
+    (pos, line) structs — no window, no global sort.
     """
     import re as _re
 
@@ -120,16 +124,20 @@ def duplicated_line_stats(df: DataFrame, text_col: str = "text",
                                             _re.escape(sep)))
                        .alias("pos", "line"))
              .withColumn("__t", F.trim(F.col("line")))
-             .filter(F.col("__t") != "")
              .withColumn("h", F.xxhash64(F.col("__t"))))
-    counts = lines.groupBy("h").agg(F.count("*").alias("__c"))
-    marked = lines.join(counts, "h").withColumn(
-        "__dup", F.col("__c") >= F.lit(min_count))
+    part = F.col("__t") != ""
+    counts = (lines.filter(part)
+              .groupBy("h").agg(F.count("*").alias("__c")))
+    # left join: blank lines carry no count row and mark __dup = false
+    marked = lines.join(counts, "h", "left").withColumn(
+        "__dup", part & (F.coalesce(F.col("__c"), F.lit(0))
+                         >= F.lit(min_count)))
     per_doc = (marked.groupBy("id").agg(
-        F.count("*").alias("n_lines"),
+        F.sum(F.when(part, 1).otherwise(0)).cast("long").alias("n_lines"),
         F.sum(F.when(F.col("__dup"), 1).otherwise(0)).cast("long")
         .alias("n_dup_lines"),
-        F.sum(F.length("line")).cast("long").alias("__chars"),
+        F.sum(F.when(part, F.length("line")).otherwise(0))
+        .cast("long").alias("__chars"),
         F.sum(F.when(F.col("__dup"), F.length("line")).otherwise(0))
         .cast("long").alias("__dup_chars"),
         F.array_join(

@@ -120,8 +120,6 @@ def recalculate(wh: Warehouse, rollup: Rollup,
     flt = UpdatesIntervalsFilter(
         table_name=rollup.from_table,
         updated_after=since,
-        updated_before=(_dt.datetime(9999, 1, 1) if since is not None
-                        else None),
         updated_by=updated_by)
     intervals = (wh.updates_intervals(flt)
                  .select("day").distinct().collect())

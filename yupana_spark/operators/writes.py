@@ -355,7 +355,10 @@ class Warehouse:
 
         Filter mapping (mirroring the HBase DAO):
         * ``table_name`` — equality;
-        * ``updated_after/before`` — ``updated_at`` BETWEEN;
+        * ``updated_after/before`` — ``updated_at`` BETWEEN when both
+          bounds are set, ``>= after`` / ``<= before`` when only one is
+          (ChangelogDaoHBase dateRangeFilter applies each bound
+          independently);
         * ``recalculated_after/before`` both set — the window filter:
           from_time BETWEEN a AND b, OR (from_time <= a AND to_time >= a);
           only ``recalculated_after`` — from_time >= a;
@@ -389,6 +392,13 @@ class Warehouse:
         if flt.updated_after is not None and flt.updated_before is not None:
             df = df.filter(F.col("updated_at").between(
                 F.lit(flt.updated_after), F.lit(flt.updated_before)))
+        elif flt.updated_after is not None:
+            # reference ChangelogDaoHBase dateRangeFilter applies the lower
+            # bound alone as updated_at >= from (half-open programmatic
+            # filters work without a far-future sentinel)
+            df = df.filter(F.col("updated_at") >= F.lit(flt.updated_after))
+        elif flt.updated_before is not None:
+            df = df.filter(F.col("updated_at") <= F.lit(flt.updated_before))
         if flt.recalculated_after is not None:
             a = F.lit(flt.recalculated_after)
             if flt.recalculated_before is not None:

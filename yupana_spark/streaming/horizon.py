@@ -51,6 +51,17 @@ def arm_timeout(state: GroupState, idle_timeout_ms: Optional[int],
         return
     if event_time_col is not None:
         if max_event_ms is not None:
-            state.setTimeoutTimestamp(max_event_ms + idle_timeout_ms)
+            ts = max_event_ms + idle_timeout_ms
+            # a batch holding only LATE rows (watermark delay > horizon)
+            # can put last-member-ts + horizon at or below the current
+            # watermark — Spark rejects such a timestamp with an
+            # IllegalArgumentException that fails the whole micro-batch.
+            # Clamp to just past the watermark: the group then times out
+            # at the next watermark advance, which is the earliest legal
+            # reading of "this member was already expired on arrival".
+            wm = state.getCurrentWatermarkMs()
+            if ts <= wm:
+                ts = wm + 1
+            state.setTimeoutTimestamp(ts)
     else:
         state.setTimeoutDuration(idle_timeout_ms)
