@@ -74,6 +74,58 @@ def test_minhash_lsh_finds_neardup(docs_with_dups):
     assert (0, 10002) in pairs    # light edit: high jaccard, caught by LSH
 
 
+def test_minhash_rung3_gate_large_path(docs_with_dups):
+    """The rung-3 verify join volume gate: forcing the LARGE path (a
+    pair_gate every corpus exceeds) flips both verify joins from broadcast
+    to shuffle-hash equi-joins and yields IDENTICAL pairs — the gate
+    changes the physical strategy, never the answer."""
+    import contextlib
+    import io
+
+    from yupana_spark.datapipe.dedup import (minhash_artifacts,
+                                             minhash_dedup_pairs)
+
+    small = minhash_dedup_pairs(docs_with_dups, threshold=0.7)
+    # caller-managed artifacts keep the output plan lazy (no checkpoint)
+    # so the join strategy is visible in the explain output
+    arts = minhash_artifacts(docs_with_dups).persist()
+    try:
+        large = minhash_dedup_pairs(docs_with_dups, threshold=0.7,
+                                    artifacts=arts, pair_gate=0)
+        as_set = lambda df: {(r["id_a"], r["id_b"], r["jaccard"])
+                             for r in df.collect()}
+        got = as_set(large)
+        assert got == as_set(small)
+        assert (0, 10001, 1.0) in got
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            large.explain("formatted")
+        plan = buf.getvalue()
+        assert "ShuffledHashJoin" in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        arts.unpersist()
+
+
+def test_minhash_cross_pairs_gate_large_path(spark):
+    """Same gate contract for the cross-corpus ladder: pair_gate=0 forces
+    the shuffle-hash shape with unchanged pairs."""
+    from yupana_spark.datapipe.dedup import minhash_cross_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill in the late afternoon sun")
+    a = spark.createDataFrame(
+        [(0, base), (1, base.replace("quick", "swift"))],
+        "doc_id long, text string")
+    b = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    small = {(r["id_a"], r["id_b"], r["jaccard"])
+             for r in minhash_cross_pairs(a, b, threshold=0.6).collect()}
+    forced = minhash_cross_pairs(a, b, threshold=0.6, pair_gate=0)
+    assert {(r["id_a"], r["id_b"], r["jaccard"])
+            for r in forced.collect()} == small
+    assert (0, 100, 1.0) in small
+
+
 def test_ngram_jaccard_exactness(docs_with_dups):
     from yupana_spark.datapipe.dedup import ngram_jaccard_pairs
 

@@ -95,8 +95,10 @@ CHECKS = {
                 "SortMergeJoin"]),
     # near-dup scale bundle: candidate generation is equi-joins on derived
     # keys (band hash / pigeonhole block / IVF cell) — never a cartesian
-    # or a global sort; the rung-3 verify joins broadcast the tiny
-    # screened pair set.  (SortMergeJoin is NOT forbidden here: the
+    # or a global sort; the rung-3 verify joins are VOLUME-GATED
+    # (dedup._rung3_exact): broadcast under PAIR_GATE screened pairs,
+    # shuffle-hash equi-join above it — both shapes pass (ShuffledHashJoin
+    # is not forbidden).  (SortMergeJoin is NOT forbidden here either: the
     # banded/block self-joins are medium-cardinality equi-joins where SMJ
     # is a legitimate static choice pre-AQE.)
     "dp_neardup_scale": dict(

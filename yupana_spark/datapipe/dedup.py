@@ -375,13 +375,60 @@ def minhash_artifacts(df: DataFrame, text_col: str = "text",
                     .alias("sig")))
 
 
+#: Default rung-3 join-strategy gate (pairs).  Sized by the HALF frame —
+#: each screened pair carries one ~200-long shingle array (~1.6 KB/row)
+#: through the second verify join, so 100k pairs is a ~160 MB broadcast
+#: upper bound; above that the shuffle-hash shape is strictly safer.
+PAIR_GATE = 100_000
+
+
+def _rung3_exact(sighs_a: DataFrame, sighs_b: DataFrame,
+                 screened: DataFrame, threshold: float,
+                 pair_gate: Optional[int]) -> DataFrame:
+    """Rung 3 of the near-dup ladder: exact Jaccard over the hashed
+    shingle arrays, restricted to the screened candidate pairs.
+
+    Join-strategy VOLUME GATE (the house bounded ``limit(k+1)`` posture,
+    cf. ``sample.dedup_clusters``): the screened set's size is
+    proportional to TRUE dup volume — tiny on a clean corpus, but a
+    boilerplate/mirror cluster of size m contributes O(m^2) pairs, so a
+    dup-heavy crawl can put billions of rows here, and the ``half`` frame
+    additionally carries the ~200-long shingle arrays (~1.6 KB/row).
+    Under the gate the pair set (and the half frame built from it)
+    broadcast — zero exchange of the heavy artifact scans.  Above it both
+    verify joins become shuffle-hash equi-joins on id: the screened side
+    shuffles on the same id key as the artifact frame, nothing is
+    collected or broadcast, and AQE sizes the exchanges.
+    ``pair_gate=None`` skips the gate count and forces the broadcast
+    shape (for callers that independently bound the pair set).  The gate
+    count itself is bounded (``limit(gate+1).count()``) and runs over a
+    checkpointed pair set so the band join is never re-executed for it.
+    """
+    small = True
+    if pair_gate is not None:
+        screened = screened.localCheckpoint(eager=True)
+        small = screened.limit(pair_gate + 1).count() <= pair_gate
+    ha = sighs_a.select("id", "hs").alias("ha")
+    hb = sighs_b.select("id", "hs").alias("hb")
+    scr = F.broadcast(screened) if small else screened.hint("shuffle_hash")
+    half = (ha.join(scr, F.col("ha.id") == F.col("id_a"))
+            .select("id_a", "id_b", F.col("ha.hs").alias("__hsa")))
+    half = F.broadcast(half) if small else half.hint("shuffle_hash")
+    return (hb.join(half, F.col("hb.id") == F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(jaccard(F.col("__hsa"), F.col("hb.hs")), 6)
+                    .alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", threshold: float = 0.7,
                         num_hashes: int = 32, bands: int = 8,
                         k: int = 5, est_margin: float = 0.15,
                         artifacts: Optional[DataFrame] = None,
                         dedupe: bool = True,
-                        banded: Optional[DataFrame] = None) -> DataFrame:
+                        banded: Optional[DataFrame] = None,
+                        pair_gate: Optional[int] = PAIR_GATE) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard >= threshold.
 
     Three-rung verification ladder (each rung orders of magnitude cheaper
@@ -445,20 +492,11 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                             F.col("br.id").alias("id_b")))
         if dedupe:
             screened = screened.distinct()
-        # rung 3: the screened survivors are the near-dup candidate set —
-        # SMALL by construction at real thresholds — so BROADCAST them to
-        # the artifact scans instead of shuffling the (id, hs) frame
-        # (whose ~200-long shingle arrays are the heavy bytes) twice
-        a = sighs.select("id", "hs").alias("a")
-        b = sighs.select("id", "hs").alias("b")
-        half = (a.join(F.broadcast(screened),
-                       F.col("a.id") == F.col("id_a"))
-                .select("id_a", "id_b", F.col("a.hs").alias("__hsa")))
-        out = (b.join(F.broadcast(half), F.col("b.id") == F.col("id_b"))
-               .select("id_a", "id_b",
-                       F.round(jaccard(F.col("__hsa"), F.col("b.hs")), 6)
-                       .alias("jaccard"))
-               .filter(F.col("jaccard") >= threshold))
+        # rung 3: exact verify over the screened survivors — broadcast vs
+        # shuffle-hash chosen by the _rung3_exact volume gate (screened
+        # volume tracks TRUE dup volume, which at crawl scale is
+        # unbounded; a forced broadcast there would OOM)
+        out = _rung3_exact(sighs, sighs, screened, threshold, pair_gate)
         if own_artifacts:
             # materialize while sighs is pinned, then release the pin; the
             # result is small (verified pairs only).  With CALLER-managed
@@ -501,7 +539,8 @@ def minhash_cross_pairs(docs: DataFrame, ref: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         threshold: float = 0.7, num_hashes: int = 32,
                         bands: int = 8, k: int = 5,
-                        est_margin: float = 0.15) -> DataFrame:
+                        est_margin: float = 0.15,
+                        pair_gate: Optional[int] = PAIR_GATE) -> DataFrame:
     """Near-dup pairs BETWEEN two corpora: ``id_a`` from ``docs``, ``id_b``
     from ``ref`` (id spaces independent — no ordering relation).
 
@@ -528,16 +567,7 @@ def minhash_cross_pairs(docs: DataFrame, ref: DataFrame,
                     .select(F.col("ba.id").alias("id_a"),
                             F.col("bb.id").alias("id_b"))
                     .distinct())
-        ha = a.select("id", "hs").alias("ha")
-        hb = b.select("id", "hs").alias("hb")
-        half = (ha.join(F.broadcast(screened),
-                        F.col("ha.id") == F.col("id_a"))
-                .select("id_a", "id_b", F.col("ha.hs").alias("__hsa")))
-        out = (hb.join(F.broadcast(half), F.col("hb.id") == F.col("id_b"))
-               .select("id_a", "id_b",
-                       F.round(jaccard(F.col("__hsa"), F.col("hb.hs")), 6)
-                       .alias("jaccard"))
-               .filter(F.col("jaccard") >= threshold)
+        out = (_rung3_exact(a, b, screened, threshold, pair_gate)
                .localCheckpoint(eager=True))
     finally:
         a.unpersist()
