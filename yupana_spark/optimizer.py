@@ -24,6 +24,28 @@ from .expressions import Expr
 from .query import Query, QueryField
 
 
+_INT_BITS = {yt.BYTE: 8, yt.SHORT: 16, yt.INT: 32, yt.LONG: 64}
+
+
+def _wrap_integral(v: Any, dtype: str) -> Any:
+    """Wrap a python int to the JVM two's-complement width of ``dtype``.
+
+    The reference evaluates constant subtrees with JVM primitives
+    (ConstantCalculator.scala:29-160 — scala ``Int``/``Long`` arithmetic),
+    and Spark's non-ANSI codegen does the same, so both wrap on overflow
+    while an unbounded python int would not.  Mask-and-sign-extend keeps
+    the folder bit-identical to both engines; non-int values (bool,
+    Decimal, float, str, ...) pass through untouched.
+    """
+    if type(v) is not int:
+        return v
+    bits = _INT_BITS.get(yt.base(dtype))
+    if bits is None:
+        return v
+    half = 1 << (bits - 1)
+    return ((v + half) & ((1 << bits) - 1)) - half
+
+
 class ConstantCalculator:
     """Evaluate a Const-kind subtree to a python value
     (≙ ConstantCalculator.scala)."""
@@ -37,16 +59,17 @@ class ConstantCalculator:
                 return None
             op = e.op
             if op == "+":
-                return l + r
+                return _wrap_integral(l + r, e.dtype)
             if op == "-":
-                return l - r
+                return _wrap_integral(l - r, e.dtype)
             if op == "*":
-                return l * r
+                return _wrap_integral(l * r, e.dtype)
             if op == "/":
                 lt, rt = e.left.dtype, e.right.dtype
                 if lt in yt.INTEGRAL and rt in yt.INTEGRAL:
                     q = abs(l) // abs(r)
-                    return q if (l >= 0) == (r >= 0) else -q
+                    q = q if (l >= 0) == (r >= 0) else -q
+                    return _wrap_integral(q, e.dtype)
                 return l / r
             if op == "=":
                 return l == r
@@ -101,9 +124,10 @@ class ConstantCalculator:
         if n == "upper":
             return args[0].upper()
         if n == "abs":
-            return abs(args[0])
+            # JVM abs(MIN_VALUE) wraps back to MIN_VALUE; match it.
+            return _wrap_integral(abs(args[0]), e.dtype)
         if n == "-":
-            return -args[0]
+            return _wrap_integral(-args[0], e.dtype)
         if n == "split":
             import re
 
@@ -168,7 +192,8 @@ class ConstantCalculator:
             return None
         t = yt.base(target)
         if t in yt.INTEGRAL:
-            return int(v)
+            # Spark non-ANSI CAST truncates toward zero then wraps to width.
+            return _wrap_integral(int(v), t)
         if t == yt.DOUBLE:
             return float(v)
         if t in (yt.DECIMAL, yt.CURRENCY):
