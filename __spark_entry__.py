@@ -1534,10 +1534,12 @@ def _completeness_row(name: str, exact: DataFrame, found: DataFrame,
 
 
 def dp_neardup_scale(spark, sf_dir):
-    """Bundle of the three 100TB-scale near-dup paths — MinHash+LSH with
+    """Bundle of the 100TB-scale near-dup paths — MinHash+LSH with
     3-rung verification, SimHash pigeonhole blocks, IVF multi-assignment
-    embedding cosine — each SELF-VALIDATED for completeness against a
-    bounded-sample exact oracle (round-2 verdict ask #1).
+    embedding cosine, and CROSS-corpus MinHash (new-crawl x training-set
+    A x B band join, minhash_cross_pairs) — each SELF-VALIDATED for
+    completeness against a bounded-sample exact oracle (round-2 verdict
+    ask #1; cross arm round-9 ask #2).
 
     Output: one (chk, violations, verdict) row per path; the DuckDB oracle
     is the constant ('ok', 0) rows.  Soundness needs no separate check —
@@ -1554,6 +1556,9 @@ def dp_neardup_scale(spark, sf_dir):
       the row although the pipeline behaves as designed;
     * simhash: pigeonhole blocks are deterministically complete for
       hamming <= 3, so tolerance is 0 by mathematics, not tuning;
+    * minhash_cross: corpora A/B are the doc_id-parity halves, the exact
+      bar is ex_mh's straddling pairs normalized to (even, odd) — same
+      0.85-bar band-probability regime as the self arm, tol 0;
     * embed_ivf: k=16/m=4 multi-assignment holds recall >= 0.9 on the
       fixture (measured 7/7, 14/14, 143/144 at sf0.001/0.01/0.1); tol 10%.
     Sample caps make the audit cost CONSTANT in corpus size — the checks
@@ -1561,6 +1566,7 @@ def dp_neardup_scale(spark, sf_dir):
     from yupana_spark.datapipe.dedup import (band_explode,
                                              embedding_neardup_pairs_ivf,
                                              minhash_artifacts,
+                                             minhash_cross_pairs,
                                              minhash_dedup_pairs,
                                              sampled_exact_cosine_pairs,
                                              sampled_exact_hamming_pairs,
@@ -1689,10 +1695,28 @@ def dp_neardup_scale(spark, sf_dir):
     el = embedding_neardup_pairs_ivf(
         emb, threshold=0.45, n=n_emb, cache_key=sf_dir,
         dedupe=False, cells=cells).select("id_a", "id_b")
+    # CROSS-corpus ladder (minhash_cross_pairs): two overlapping corpora
+    # derived by doc_id parity — A = even ids, B = odd ids — so the A x B
+    # band join generates exactly the pairs that STRADDLE the split, and
+    # the exact oracle is the already-materialized self-pair frame ex_mh
+    # filtered to straddling pairs (normalized to (even, odd) to match
+    # the cross output's independent id spaces).  Both sides reuse the
+    # memoized signature index via artifacts_a/_b (parity filters of
+    # arts), so the arm costs one extra band join, no new shingle scan.
+    pa, pb = F.col("id_a"), F.col("id_b")
+    ex_cr = (ex_mh.filter((pa % 2) != (pb % 2))
+             .select(F.when(pa % 2 == 0, pa).otherwise(pb).alias("id_a"),
+                     F.when(pa % 2 == 0, pb).otherwise(pa).alias("id_b")))
+    idc = F.col("id")
+    cr = minhash_cross_pairs(
+        docs, docs, threshold=0.5,
+        artifacts_a=arts.filter(idc % 2 == 0),
+        artifacts_b=arts.filter(idc % 2 == 1)).select("id_a", "id_b")
     checks = [
         _completeness_row("minhash_complete", ex_mh, mh),
         _completeness_row("simhash_complete", ex_sh, sh),
         _completeness_row("embed_ivf_complete", ex_el, el, tol_frac=0.1),
+        _completeness_row("minhash_cross_complete", ex_cr, cr),
     ]
     out = checks[0]
     for c in checks[1:]:
@@ -2903,6 +2927,8 @@ _ORACLES_DP: dict[str, str] = {
         SELECT 'simhash_complete', CAST(0 AS BIGINT), 'ok'
         UNION ALL
         SELECT 'embed_ivf_complete', CAST(0 AS BIGINT), 'ok'
+        UNION ALL
+        SELECT 'minhash_cross_complete', CAST(0 AS BIGINT), 'ok'
     """,
     # constant oracle: 'ok' iff recall@10 >= 0.5 vs the (separately oracled)
     # exact brute-force baseline AND the probe vector itself is found

@@ -1651,3 +1651,14 @@ def test_minhash_cross_pairs_matches_exact_jaccard(spark):
               if len(ha[i] & hb[j]) / max(len(ha[i] | hb[j]), 1) >= thr}
     assert got == expect and len(expect) >= 3
     assert all(i < 100 <= j for i, j in got)
+    # caller-managed artifacts (parity-filter pattern used by
+    # dp_neardup_scale's cross arm): identical pairs, no re-shingling
+    from yupana_spark.datapipe.dedup import minhash_artifacts
+
+    arts_a = minhash_artifacts(a).localCheckpoint(eager=True)
+    arts_b = minhash_artifacts(b).localCheckpoint(eager=True)
+    got2 = {(r["id_a"], r["id_b"])
+            for r in minhash_cross_pairs(
+                a, b, threshold=thr,
+                artifacts_a=arts_a, artifacts_b=arts_b).collect()}
+    assert got2 == expect

@@ -406,7 +406,16 @@ def _rung3_exact(sighs_a: DataFrame, sighs_b: DataFrame,
     """
     small = True
     if pair_gate is not None:
-        screened = screened.localCheckpoint(eager=True)
+        # persist (recomputable lineage), NOT localCheckpoint: a pair set
+        # above the gate is potentially huge, and pinning it with
+        # non-recomputable lineage would fail the whole job on a single
+        # executor loss.  MEMORY_AND_DISK spills instead of OOMing; the
+        # bounded count materializes the partitions it scans, so the band
+        # join is not re-executed for the gate probe, and any partition
+        # the probe skipped is cached on first touch by the verify join.
+        from pyspark import StorageLevel
+
+        screened = screened.persist(StorageLevel.MEMORY_AND_DISK)
         small = screened.limit(pair_gate + 1).count() <= pair_gate
     ha = sighs_a.select("id", "hs").alias("ha")
     hb = sighs_b.select("id", "hs").alias("hb")
@@ -500,9 +509,11 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
         if own_artifacts:
             # materialize while sighs is pinned, then release the pin; the
             # result is small (verified pairs only).  With CALLER-managed
-            # artifacts the pin outlives this call, so the plan stays LAZY
-            # — the caller's one action overlaps this arm with its other
-            # pipelines instead of paying an eager checkpoint job per call
+            # artifacts the RESULT subtree stays lazy (no eager job per
+            # call; the caller's one action overlaps this arm with its
+            # other pipelines) — though under the default pair_gate the
+            # rung-3 gate probe still runs one bounded count over the
+            # recomputably-persisted screened pair set (see _rung3_exact)
             out = out.localCheckpoint(eager=True)
     finally:
         if own_artifacts:
@@ -540,7 +551,9 @@ def minhash_cross_pairs(docs: DataFrame, ref: DataFrame,
                         threshold: float = 0.7, num_hashes: int = 32,
                         bands: int = 8, k: int = 5,
                         est_margin: float = 0.15,
-                        pair_gate: Optional[int] = PAIR_GATE) -> DataFrame:
+                        pair_gate: Optional[int] = PAIR_GATE,
+                        artifacts_a: Optional[DataFrame] = None,
+                        artifacts_b: Optional[DataFrame] = None) -> DataFrame:
     """Near-dup pairs BETWEEN two corpora: ``id_a`` from ``docs``, ``id_b``
     from ``ref`` (id spaces independent — no ordering relation).
 
@@ -550,10 +563,20 @@ def minhash_cross_pairs(docs: DataFrame, ref: DataFrame,
     against an N-times-larger training set costs the band join only on the
     crawl's collisions, not O((N+1)^2) self-join work.  ``band_explode``
     is the shared band-hash definition, so batch, streaming and cross
-    candidates stay collision-compatible."""
+    candidates stay collision-compatible.
+
+    ``artifacts_a`` / ``artifacts_b`` take caller-managed (id, hs, sig)
+    frames (``minhash_artifacts`` layout — e.g. parity/source filters of
+    one shared signature index) so the shingle scan is not re-run per
+    call; with caller artifacts the result subtree also stays lazy (no
+    eager checkpoint job) mirroring ``minhash_dedup_pairs``."""
     r = num_hashes // bands
-    a = minhash_artifacts(docs, text_col, id_col, k, num_hashes).persist()
-    b = minhash_artifacts(ref, text_col, id_col, k, num_hashes).persist()
+    own = artifacts_a is None or artifacts_b is None
+    if own:
+        a = minhash_artifacts(docs, text_col, id_col, k, num_hashes).persist()
+        b = minhash_artifacts(ref, text_col, id_col, k, num_hashes).persist()
+    else:
+        a, b = artifacts_a, artifacts_b
     try:
         ba = band_explode(a, num_hashes, bands, "sig").alias("ba")
         bb = band_explode(b, num_hashes, bands, "sig").alias("bb")
@@ -567,11 +590,13 @@ def minhash_cross_pairs(docs: DataFrame, ref: DataFrame,
                     .select(F.col("ba.id").alias("id_a"),
                             F.col("bb.id").alias("id_b"))
                     .distinct())
-        out = (_rung3_exact(a, b, screened, threshold, pair_gate)
-               .localCheckpoint(eager=True))
+        out = _rung3_exact(a, b, screened, threshold, pair_gate)
+        if own:
+            out = out.localCheckpoint(eager=True)
     finally:
-        a.unpersist()
-        b.unpersist()
+        if own:
+            a.unpersist()
+            b.unpersist()
     return out
 
 
