@@ -1433,9 +1433,15 @@ def dp_sample(spark, sf_dir):
     quota = stratified_quota_sample(
         docs, "doc_id", "lang", {"en": 25, "de": 10},
     ).select(F.lit("quota").alias("kind"), "doc_id", "lang", null_wt)
+    # the bucket-LM ratio table is a train-once ARTIFACT (r9 ask #3):
+    # cache_key identifies target ("src0" filter) + raw (whole corpus),
+    # so repeat calls — and fresh sessions over the persisted store —
+    # skip both corpus-wide fit shuffles; scoring values are unchanged
     dsir = dsir_select(
         docs, docs.filter(F.col("source") == "src0"), k=40,
         n_buckets=1024, alpha=0.5, keep_cols=["lang"],
+        cache_key=f"{sf_dir}:src0", store=_artifacts(),
+        store_token=_fx_token(sf_dir, "documents"),
     ).select(F.lit("dsir").alias("kind"), "doc_id", "lang",
              F.round("logw", 6).alias("wt"))
     return bern.unionByName(quota).unionByName(dsir)

@@ -21,11 +21,12 @@ SF = "/root/testdata/sf0.001"
 
 def _fresh_memo():
     """Cold in-process memos = what a restarted deployment starts with."""
-    from yupana_spark.datapipe import bpe, simsearch, text
+    from yupana_spark.datapipe import bpe, dsir, simsearch, text
 
     text._LM_CACHE.clear()
     simsearch._CENTERS_CACHE.clear()
     bpe._BPE_CACHE.clear()
+    dsir._RATIO_CACHE.clear()
 
 
 def _jobs_in_group(spark, group, fn):
@@ -209,3 +210,54 @@ def test_store_swap_revalidation_and_staging_sweep(tmp_path):
     st.save_json("b", "t1", {})
     assert not orphan.exists()
     assert fresh.exists()
+
+
+def test_dsir_ratio_persists_zero_fit_jobs(spark, tmp_path):
+    """DSIR bucket-LM ratio artifact (round-9 ask #3): fit+save once, a
+    cold-memo session loads with ZERO Spark jobs, and the cached scoring
+    path is value-identical to the lazy (uncached) estimator."""
+    from yupana_spark.datapipe.dsir import dsir_log_weights, dsir_ratio_fit
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    target = docs.filter("source = 'src0'")
+    st = ArtifactStore(str(tmp_path / "arts"))
+    tok = corpus_token(os.path.join(SF, "documents.parquet"))
+
+    counts1, n_t1, n_r1 = dsir_ratio_fit(
+        target, docs, n_buckets=256, cache_key="d", store=st,
+        store_token=tok)
+    assert n_t1 > 0 and n_r1 > 0
+
+    _fresh_memo()
+    (res, jobs) = _jobs_in_group(
+        spark, "dsir-load-probe",
+        lambda: dsir_ratio_fit(target, docs, n_buckets=256, cache_key="d",
+                               store=st, store_token=tok))
+    counts2, n_t2, n_r2 = res
+    assert jobs == []                                   # ZERO fit jobs
+    assert (n_t1, n_r1) == (n_t2, n_r2)
+    assert sorted(map(tuple, counts1.collect())) == \
+        sorted(map(tuple, counts2.collect()))
+
+    # cached scoring == lazy scoring, bit-identical logw
+    plain = {r["doc_id"]: r["logw"]
+             for r in dsir_log_weights(docs, target, n_buckets=256)
+             .collect()}
+    cached = {r["doc_id"]: r["logw"]
+              for r in dsir_log_weights(docs, target, n_buckets=256,
+                                        cache_key="d", store=st,
+                                        store_token=tok).collect()}
+    assert plain == cached and len(plain) > 0
+
+    # stale token -> refit fires jobs
+    _fresh_memo()
+    (_, jobs2) = _jobs_in_group(
+        spark, "dsir-refit-probe",
+        lambda: dsir_ratio_fit(target, docs, n_buckets=256, cache_key="d",
+                               store=st, store_token="corpus-rewritten"))
+    assert jobs2 != []
+
+    # persistence requires an identity to name the artifact
+    with pytest.raises(ValueError, match="cache_key"):
+        dsir_ratio_fit(target, docs, n_buckets=256, store=st,
+                       store_token=tok)

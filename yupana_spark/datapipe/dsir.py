@@ -23,7 +23,10 @@ never leaves the executor — buckets are hashed projections); the ratio
 table is ``n_buckets`` rows, broadcast back; per-doc weights are one
 groupBy(id) shuffle; selection is ``orderBy(key).limit(k)`` which Spark
 executes as TakeOrderedAndProject (per-partition heaps + driver merge of
-k-row heads), NOT a global sort.  Zero UDFs, zero driver-side fit.
+k-row heads), NOT a global sort.  Zero UDFs, zero driver-side fit — and
+with ``cache_key``/``store`` the two fit shuffles run once per corpus
+ever (``dsir_ratio_fit`` persists the bounded bucket-count frame through
+the ArtifactStore like every other fit in this package).
 """
 
 from __future__ import annotations
@@ -99,27 +102,126 @@ def dsir_log_ratio(target: DataFrame, raw: DataFrame, text_col: str = "text",
     return tbl, totals
 
 
+_RATIO_CACHE: dict = {}
+
+
+def dsir_ratio_fit(target: DataFrame, raw: DataFrame,
+                   text_col: str = "text", n_buckets: int = 4096,
+                   alpha: float = 0.5, bigrams: bool = True,
+                   cache_key: Optional[str] = None, store=None,
+                   store_token: Optional[str] = None
+                   ) -> tuple[DataFrame, float, float]:
+    """Fit the DSIR bucket-count artifact ONCE: (counts DataFrame
+    [bucket, c_t, c_r] — <= ``n_buckets`` rows, the full-outer of the two
+    LM count frames — plus the two gram totals as floats).
+
+    Same train-once posture as ``text.unigram_lm_fit``: the counts frame
+    is bounded so eager materialization is a constant-size artifact;
+    ``cache_key`` (pass only for immutable corpora — it must identify
+    BOTH the target and raw corpus) memoizes per (session, key, params);
+    ``store``/``store_token`` persist cross-session, so a fresh session
+    loads with ZERO fit jobs.  Persisting raw COUNTS rather than the
+    smoothed log-ratio keeps the artifact alpha-agnostic in value (alpha
+    still rides the name — a changed smoothing refits) and lets totals
+    live in the meta: n_t/n_r are exact bucket-count sums, so the smoothed
+    ``lr`` rebuilt from the artifact is bit-identical to the lazy path's.
+    """
+    key = None
+    if cache_key is not None:
+        key = (target.sparkSession.sparkContext.applicationId, cache_key,
+               text_col, n_buckets, alpha, bigrams)
+        hit = _RATIO_CACHE.get(key)
+        if hit is not None:
+            return hit
+    from .artifacts import store_name
+
+    name = store_name("dsir_ratio", cache_key, store, store_token,
+                      text_col, n_buckets, alpha, bigrams)
+    if name is not None:
+        got = store.load_df(target.sparkSession, name, store_token)
+        if got is not None:
+            art = (got[0], float(got[1]["n_t"]), float(got[1]["n_r"]))
+            if key is not None:
+                _RATIO_CACHE[key] = art
+            return art
+    tg = _exploded(target, text_col, None, n_buckets, bigrams)
+    rg = _exploded(raw, text_col, None, n_buckets, bigrams)
+    counts = (rg.groupBy("bucket").agg(F.count("*").alias("c_r"))
+              .join(tg.groupBy("bucket").agg(F.count("*").alias("c_t")),
+                    "bucket", "full")
+              .select("bucket", "c_t", "c_r")
+              .localCheckpoint(eager=True))
+    # totals = exact column sums over the bounded counts frame (every gram
+    # lands in some bucket), so pricing needs no second corpus pass
+    tot = counts.agg(F.sum("c_t").alias("n_t"),
+                     F.sum("c_r").alias("n_r")).collect()[0]
+    art = (counts, float(tot["n_t"] or 0.0), float(tot["n_r"] or 0.0))
+    if name is not None:
+        store.save_df(name, store_token, counts,
+                      extra={"n_t": art[1], "n_r": art[2]})
+        # run THIS session on the persisted artifact too (reaps the
+        # checkpoint blocks; identical values by construction)
+        art = (store.load_df(target.sparkSession, name, store_token)[0],
+               art[1], art[2])
+    if key is not None:
+        _RATIO_CACHE[key] = art
+    return art
+
+
+def _lr_from_counts(counts: DataFrame, n_t: float, n_r: float,
+                    n_buckets: int, alpha: float) -> DataFrame:
+    """Rebuild the smoothed (bucket, lr) table from the persisted count
+    artifact — the same Catalyst log expressions as ``dsir_log_ratio``
+    with the totals folded in as literals, so values are bit-identical."""
+    ab = F.lit(float(alpha) * n_buckets)
+    a = F.lit(float(alpha))
+    return counts.select(
+        "bucket",
+        (F.log(F.coalesce(F.col("c_t"), F.lit(0)) + a)
+         - F.log(F.lit(n_t) + ab)
+         - F.log(F.coalesce(F.col("c_r"), F.lit(0)) + a)
+         + F.log(F.lit(n_r) + ab)).alias("lr"))
+
+
 def dsir_log_weights(docs: DataFrame, target: DataFrame,
                      raw: Optional[DataFrame] = None,
                      text_col: str = "text", id_col: str = "doc_id",
                      n_buckets: int = 4096, alpha: float = 0.5,
-                     bigrams: bool = True) -> DataFrame:
+                     bigrams: bool = True,
+                     cache_key: Optional[str] = None, store=None,
+                     store_token: Optional[str] = None) -> DataFrame:
     """(id_col, logw, n_grams) per document with at least one gram.
 
     ``raw`` defaults to ``docs`` (score the corpus the raw LM was fit on).
     Documents whose normalized text yields zero grams carry no information
     for the estimator and are omitted — document the join back if full
     coverage is needed (same contract as ``dedup.duplicated_span_stats``).
+
+    ``cache_key`` switches the ratio table to the train-once artifact
+    path (``dsir_ratio_fit``): the two corpus-wide explode+groupBy fit
+    shuffles run at most once per (session, corpus) — and zero times in
+    a session that loads the persisted artifact — instead of on every
+    scoring call.  Values are identical either way.
     """
     raw = raw if raw is not None else docs
-    tbl, totals = dsir_log_ratio(target, raw, text_col, n_buckets, alpha,
-                                 bigrams)
-    # unseen-bucket price: c_t = c_r = 0 under the same smoothing
-    default_lr = F.log(F.col("n_t") + F.lit(float(alpha) * n_buckets)) * -1 \
-        + F.log(F.col("n_r") + F.lit(float(alpha) * n_buckets))
     grams = _exploded(docs, text_col, id_col, n_buckets, bigrams)
-    return (grams.join(F.broadcast(tbl), "bucket", "left")
-            .crossJoin(F.broadcast(totals))
+    ab = F.lit(float(alpha) * n_buckets)
+    if cache_key is not None:
+        counts, n_t, n_r = dsir_ratio_fit(target, raw, text_col, n_buckets,
+                                          alpha, bigrams, cache_key, store,
+                                          store_token)
+        tbl = _lr_from_counts(counts, n_t, n_r, n_buckets, alpha)
+        # unseen-bucket price: c_t = c_r = 0 under the same smoothing
+        default_lr = F.log(F.lit(n_t) + ab) * -1 + F.log(F.lit(n_r) + ab)
+        joined = grams.join(F.broadcast(tbl), "bucket", "left")
+    else:
+        tbl, totals = dsir_log_ratio(target, raw, text_col, n_buckets,
+                                     alpha, bigrams)
+        default_lr = F.log(F.col("n_t") + ab) * -1 \
+            + F.log(F.col("n_r") + ab)
+        joined = (grams.join(F.broadcast(tbl), "bucket", "left")
+                  .crossJoin(F.broadcast(totals)))
+    return (joined
             .withColumn("lr", F.coalesce(F.col("lr"), default_lr))
             .groupBy(id_col)
             .agg(F.sum("lr").alias("logw"),
@@ -140,7 +242,9 @@ def dsir_select(docs: DataFrame, target: DataFrame, k: int,
                 raw: Optional[DataFrame] = None, text_col: str = "text",
                 id_col: str = "doc_id", n_buckets: int = 4096,
                 alpha: float = 0.5, bigrams: bool = True,
-                keep_cols: Optional[list] = None) -> DataFrame:
+                keep_cols: Optional[list] = None,
+                cache_key: Optional[str] = None, store=None,
+                store_token: Optional[str] = None) -> DataFrame:
     """The k documents Gumbel-top-k resampling selects (id_col, logw,
     plus ``keep_cols`` carried from ``docs``).
 
@@ -153,7 +257,8 @@ def dsir_select(docs: DataFrame, target: DataFrame, k: int,
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     w = dsir_log_weights(docs, target, raw, text_col, id_col, n_buckets,
-                         alpha, bigrams)
+                         alpha, bigrams, cache_key=cache_key, store=store,
+                         store_token=store_token)
     if keep_cols:
         w = w.join(docs.select(id_col, *keep_cols), id_col, "left")
     key = gumbel_key(F.col(id_col), F.col("logw"))
