@@ -85,6 +85,41 @@ def _fx_token(sf_dir: str, *tables: str) -> str:
     return tok
 
 
+def _bpe_toked(spark: SparkSession, sf_dir: str):
+    """The BPE-tokenized corpus (doc_id, __w word array, __t token array)
+    — an INGEST-time artifact (production materializes it once and trains
+    from it): built once per corpus, PERSISTED to the artifact store with
+    the BPE merge table (r6 ask #1) so a restarted deployment reads the
+    materialized frame.  Shared by dp_lang_id (roundtrip law) and
+    dp_pack_sequences (token-level shard chain, r9 ask #4)."""
+    from yupana_spark.datapipe.bpe import bpe_fit, bpe_tokens
+    from yupana_spark.datapipe.text import normalize_text, words
+
+    bkey = (spark.sparkContext.applicationId, sf_dir)
+    toked = _BPE_TOKENS.get(bkey)
+    if toked is None:
+        from yupana_spark.datapipe.artifacts import artifact_name
+
+        st, tok = _artifacts(), _fx_token(sf_dir, "documents")
+        nm = artifact_name("bpe_tokens", sf_dir, 128)
+        got = st.load_df(spark, nm, tok)
+        if got is not None:
+            toked = got[0].localCheckpoint(eager=True)
+        else:
+            docs = _docs(spark, sf_dir, fan_out=True)
+            merges = bpe_fit(docs, n_merges=128, cache_key=sf_dir,
+                             store=st, store_token=tok)
+            staged = docs.withColumn("__w",
+                                     words(normalize_text(F.col("text"))))
+            toked = staged.select(
+                "doc_id", "__w",
+                bpe_tokens(F.col("__w"), merges).alias("__t")) \
+                .localCheckpoint(eager=True)
+            st.save_df(nm, tok, toked)
+        _BPE_TOKENS[bkey] = toked
+    return toked
+
+
 def _tsdb(spark: SparkSession, sf_dir: str) -> Tsdb:
     """Session-scoped Tsdb: schema construction, engine-conf application and
     the per-table scan-split memo amortize across entries instead of being
@@ -1266,10 +1301,8 @@ def dp_lang_id(spark, sf_dir):
     concatenate back to the exact word sequence) is the self-validating
     verdict, TRUE for every doc by construction — a broken merge table,
     encoder or marker handling flips rows and breaks the hash."""
-    from yupana_spark.datapipe.bpe import (bpe_fit, bpe_roundtrip_ok,
-                                           bpe_tokens)
-    from yupana_spark.datapipe.text import (lang_id, normalize_text,
-                                            unigram_lm_scores, words)
+    from yupana_spark.datapipe.bpe import bpe_roundtrip_ok
+    from yupana_spark.datapipe.text import lang_id, unigram_lm_scores
 
     docs = _docs(spark, sf_dir, fan_out=True)
     lang = docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
@@ -1281,31 +1314,7 @@ def dp_lang_id(spark, sf_dir):
     xent = unigram_lm_scores(docs, vocab_cap=1 << 20, cache_key=sf_dir,
                              store=st, store_token=tok) \
         .withColumnRenamed("id", "doc_id")
-    # the tokenized corpus is an INGEST-time artifact (production
-    # materializes it once and trains from it) — built once per corpus and
-    # PERSISTED to the artifact store with the BPE merge table (r6 ask
-    # #1), so a restarted deployment reads the materialized frame; the
-    # roundtrip LAW below still evaluates live every pass, JVM-side
-    bkey = (spark.sparkContext.applicationId, sf_dir)
-    toked = _BPE_TOKENS.get(bkey)
-    if toked is None:
-        from yupana_spark.datapipe.artifacts import artifact_name
-
-        nm = artifact_name("bpe_tokens", sf_dir, 128)
-        got = st.load_df(spark, nm, tok)
-        if got is not None:
-            toked = got[0].localCheckpoint(eager=True)
-        else:
-            merges = bpe_fit(docs, n_merges=128, cache_key=sf_dir,
-                             store=st, store_token=tok)
-            staged = docs.withColumn("__w",
-                                     words(normalize_text(F.col("text"))))
-            toked = staged.select(
-                "doc_id", "__w",
-                bpe_tokens(F.col("__w"), merges).alias("__t")) \
-                .localCheckpoint(eager=True)
-            st.save_df(nm, tok, toked)
-        _BPE_TOKENS[bkey] = toked
+    toked = _bpe_toked(spark, sf_dir)
     bpe = toked.select(
         "doc_id",
         bpe_roundtrip_ok(F.col("__w"), F.col("__t")).alias("bpe_roundtrip"))
@@ -1949,9 +1958,26 @@ def dp_pack_sequences(spark, sf_dir):
     budget except singleton oversized docs — FFD's invariant), plus the
     SHARD MANIFEST stage (pack.assign_shards): shard_tokens conservation
     (hash-checked against the same arithmetic total) and the offset-
-    sharding size invariant as a constant-oracle verdict."""
+    sharding size invariant as a constant-oracle verdict.
+
+    TOKEN-LEVEL SHARD CHAIN (r9 ask #4): the REAL-token pipeline —
+    memoized BPE tokenize -> chunk_token_sequences (stride == window, so
+    chunks PARTITION each doc's token array) -> FFD pack -> shard
+    manifest (the build_training_shards composition over the shared
+    ingest-time token frame).  Two new columns close the loop:
+    * ``bpe_chunk_chars`` (hash-checked): total characters across every
+      chunk's token arrays.  The BPE roundtrip law makes this an
+      ARITHMETIC function of the raw text — each token string is word
+      characters plus one 4-char end-of-word marker per word, so the
+      oracle recomputes sum(len(words)) + 4*n_words from the normalized
+      text; a chunker that overlaps, drops a tail, or a tokenizer that
+      loses a character breaks the hash;
+    * ``token_chain_ok`` (constant-oracle): token totals conserve
+      chunks -> packs -> shards, every chunk lands in exactly one pack,
+      and packs respect the budget (singleton-overlength exemption)."""
     from yupana_spark.datapipe.pack import (assign_shards,
                                             chunk_documents,
+                                            chunk_token_sequences,
                                             pack_sequences)
     from yupana_spark.datapipe.text import token_count
 
@@ -2000,15 +2026,63 @@ def dp_pack_sequences(spark, sf_dir):
                               | (F.col("shard_id") == F.col("__last")))))
                  .agg(F.count("*").alias("__sbad")))
     shard_tok = shards.agg(F.sum("__stok").cast("long").alias("shard_tokens"))
+    # --- token-level shard chain over the shared BPE token frame ---
+    seq_len, tbudget, tshard = 128, 512, 1 << 14
+    toked = _bpe_toked(spark, sf_dir)
+    tchunks = (chunk_token_sequences(
+        toked.select("doc_id", F.col("__t").alias("tokens")),
+        "tokens", "doc_id", window=seq_len)
+        .select(
+            # char totals computed IN the chunk scan so the wide token
+            # arrays never reach the checkpoint; chunk_id = doc*2^20 +
+            # chunk_no (build_training_shards' documented identity)
+            (F.col("doc_id").cast("long") * F.lit(1 << 20)
+             + F.col("chunk_no")).alias("chunk_id"),
+            "n_tokens",
+            F.aggregate("chunk_tokens", F.lit(0).cast("long"),
+                        lambda acc, t: acc + F.length(t)).alias("__chars"))
+        .localCheckpoint(eager=True))  # feeds the stats arm AND the packer
+    tstats = tchunks.agg(
+        F.count("*").alias("__tcn"),
+        F.sum("n_tokens").cast("long").alias("__ttok"),
+        F.sum("__chars").cast("long").alias("bpe_chunk_chars"))
+    tpacked = pack_sequences(tchunks.select("chunk_id", "n_tokens"),
+                             id_col="chunk_id", tokens_col="n_tokens",
+                             budget=tbudget, num_buckets=64)
+    tper_pack = (tpacked.groupBy("pack_id")
+                 .agg(F.sum("n_tokens").alias("n_tokens"),
+                      F.count("*").alias("__chunks"))
+                 .localCheckpoint(eager=True))
+    tpack_stats = tper_pack.agg(
+        F.sum("n_tokens").cast("long").alias("__ptok"),
+        F.sum("__chunks").cast("long").alias("__pcn"),
+        F.sum(F.when(~((F.col("n_tokens") <= tbudget)
+                       | (F.col("__chunks") == 1)), 1).otherwise(0))
+        .alias("__pbad"))
+    tdistinct = tpacked.agg(
+        F.countDistinct("id").cast("long").alias("__pdn"))
+    tshards = (assign_shards(tper_pack.select("pack_id", "n_tokens"),
+                             shard_budget=tshard)
+               .agg(F.sum("n_tokens").cast("long").alias("__stok2")))
+    chain_ok = ((F.col("__ptok") == F.col("__ttok"))
+                & (F.col("__pcn") == F.col("__tcn"))
+                & (F.col("__pdn") == F.col("__tcn"))
+                & (F.col("__pbad") == 0)
+                & (F.col("__stok2") == F.col("__ttok")))
     return (stats.crossJoin(bad).crossJoin(chunk_stats)
             .crossJoin(shard_bad).crossJoin(shard_tok)
+            .crossJoin(tstats).crossJoin(tpack_stats)
+            .crossJoin(tdistinct).crossJoin(tshards)
             .select("n_docs", "n_distinct_docs", "total_tokens", "n_oversize",
                     "n_chunks", "chunk_words",
                     F.when(F.col("__bad") == 0, "ok").otherwise("over_budget")
                     .alias("packing_ok"),
                     "shard_tokens",
                     F.when(F.col("__sbad") == 0, "ok").otherwise("bad_shard")
-                    .alias("sharding_ok")))
+                    .alias("sharding_ok"),
+                    "bpe_chunk_chars",
+                    F.when(chain_ok, "ok").otherwise("broken")
+                    .alias("token_chain_ok")))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2974,7 +3048,21 @@ _ORACLES_DP: dict[str, str] = {
         cw AS (
           SELECT doc_id, max(n_chunks) AS n_chunks,
                  sum(least(i * 48 + 64, n_tokens) - i * 48) AS words
-          FROM cw0 GROUP BY doc_id)
+          FROM cw0 GROUP BY doc_id),
+        -- BPE char conservation: tokens concatenate back to the word
+        -- sequence (roundtrip law) with one 4-char </w> marker per word,
+        -- so total chunk token chars = word chars + 4 * n_words of the
+        -- NORMALIZED text, independent of the learned merges
+        bc AS (
+          SELECT doc_id,
+                 length(replace(nt, ' ', '')) AS wchars,
+                 CASE WHEN nt = '' THEN 0
+                      ELSE length(nt) - length(replace(nt, ' ', '')) + 1
+                 END AS nwords
+          FROM (SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                           '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS nt
+                FROM documents))
         SELECT CAST(count(*) AS BIGINT) AS n_docs,
                CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_distinct_docs,
                CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
@@ -2984,7 +3072,11 @@ _ORACLES_DP: dict[str, str] = {
                CAST(sum(cw.words) AS BIGINT) AS chunk_words,
                'ok' AS packing_ok,
                CAST(sum(t.n_tokens) AS BIGINT) AS shard_tokens,
-               'ok' AS sharding_ok
+               'ok' AS sharding_ok,
+               CAST(sum(bc.wchars + 4 * bc.nwords) AS BIGINT)
+                    AS bpe_chunk_chars,
+               'ok' AS token_chain_ok
         FROM t JOIN cw ON t.doc_id = cw.doc_id
+        JOIN bc ON t.doc_id = bc.doc_id
     """,
 }
