@@ -1604,6 +1604,29 @@ def test_stratified_quota_prefilter_invariance(docs):
     assert base == pre
 
 
+def test_stratified_quota_prefilter_underfill_guard(docs):
+    """Round-9 ask #5: an aggressive prefilter_rate must never silently
+    under-fill a quota — the guard falls back to the unfiltered ranking,
+    so the selected subset is always the exact quota sample; and
+    default_quota strata (unguardable without a full pass) raise."""
+    import pytest
+
+    from yupana_spark.datapipe.sample import stratified_quota_sample
+
+    base = {r["doc_id"]
+            for r in stratified_quota_sample(docs, "doc_id", "lang",
+                                             {"en": 5}).collect()}
+    # rate so small essentially nothing survives -> quota would be short
+    starved = {r["doc_id"]
+               for r in stratified_quota_sample(
+                   docs, "doc_id", "lang", {"en": 5},
+                   prefilter_rate=1e-9).collect()}
+    assert starved == base and len(base) == 5
+    with pytest.raises(ValueError, match="default_quota"):
+        stratified_quota_sample(docs, "doc_id", "lang", {"en": 5},
+                                default_quota=2, prefilter_rate=0.5)
+
+
 def test_cross_corpus_flags(spark):
     from yupana_spark.datapipe.dedup import cross_corpus_flags
 

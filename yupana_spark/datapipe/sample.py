@@ -81,11 +81,34 @@ def stratified_quota_sample(df: DataFrame, id_col: str, stratum_col: str,
     10*quota/stratum_rows) — the ranking then runs over the small survivor
     set and, because the Bernoulli filter keeps exactly the lowest-hash
     rows' superset, the selected subset is unchanged.
+
+    GUARDED (round-9 ask #5): a too-aggressive rate can leave a stratum
+    with fewer survivors than its quota, which would silently under-fill.
+    The prefilter path therefore counts survivors per quota'd stratum
+    first (one groupBy over the already-filtered scan — bounded output,
+    one row per stratum) and FALLS BACK to the unfiltered ranking when
+    any quota is short: exact quotas always win over the scan savings.
+    ``default_quota > 0`` cannot be guarded without an unfiltered corpus
+    pass (a stratum with zero survivors is invisible), so combining it
+    with ``prefilter_rate`` raises instead of guessing.
     """
     from pyspark.sql import Window
 
     if prefilter_rate is not None:
-        df = deterministic_sample(df, id_col, prefilter_rate)
+        if default_quota > 0:
+            raise ValueError(
+                "prefilter_rate cannot guarantee default_quota strata: a "
+                "stratum with zero survivors is undetectable without a "
+                "full pass; list every stratum in quotas or drop the "
+                "prefilter")
+        filtered = deterministic_sample(df, id_col, prefilter_rate)
+        got = {r[0]: r[1] for r in
+               filtered.filter(F.col(stratum_col).isin(list(quotas)))
+               .groupBy(stratum_col).agg(F.count("*").alias("__c"))
+               .collect()}
+        if all(got.get(s, 0) >= q for s, q in quotas.items()):
+            df = filtered
+        # else: survivors short somewhere -> rank the full frame
     quota = F.lit(default_quota)
     for value, q in sorted(quotas.items()):
         quota = F.when(F.col(stratum_col) == value, F.lit(q)).otherwise(quota)
