@@ -261,3 +261,32 @@ def test_dsir_ratio_persists_zero_fit_jobs(spark, tmp_path):
     with pytest.raises(ValueError, match="cache_key"):
         dsir_ratio_fit(target, docs, n_buckets=256, store=st,
                        store_token=tok)
+
+
+def test_commit_race_probe_token_strict(tmp_path, monkeypatch):
+    """The commit-race probe only swallows an install failure when the
+    artifact now present carries the token being committed (a concurrent
+    winner of the same deterministic fit).  A restored STALE artifact
+    (older token) must surface the failure, not masquerade as success."""
+    st = ArtifactStore(str(tmp_path / "arts"))
+    st.save_json("a", "t1", {"v": 1})
+    real_rename = os.rename
+    final = st._dir("a")
+
+    def failing(src, dst):
+        if f".tmp.{os.getpid()}" in src and dst == final:
+            raise OSError("simulated install failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing)
+    # same-token commit: after restore the present artifact IS current
+    # (identical deterministic fit) -> failure swallowed, load still hits
+    st.save_json("a", "t1", {"v": 1})
+    assert st.load_json("a", "t1") == ({"v": 1}, {})
+    # new-token commit: the restored artifact is stale -> must raise,
+    # and the old artifact survives for its own token
+    monkeypatch.setattr(st, "_probe_budget", 2, raising=False)
+    with pytest.raises(OSError, match="simulated"):
+        st.save_json("a", "t2", {"v": 2})
+    assert st.load_json("a", "t1") == ({"v": 1}, {})
+    assert st.load_json("a", "t2") is None

@@ -325,6 +325,19 @@ def test_updates_intervals_where_filters(spark, tmp_path):
             t.sql(bad)
     with pytest.raises(Exception, match="not defined"):
         t.sql("SHOW UPDATES_INTERVALS WHERE table = ?")
+    # programmatic filter parity with ChangelogDaoHBase.dateRangeFilter:
+    # a BEFORE-only updated_at bound is `case _ => None` — NO filter
+    from yupana_spark.operators.writes import UpdatesIntervalsFilter
+
+    wh = t.warehouse
+    old = dt.datetime(2000, 1, 1)
+    assert wh.updates_intervals(
+        UpdatesIntervalsFilter(updated_before=old)).count() == 2
+    assert wh.updates_intervals(
+        UpdatesIntervalsFilter(updated_after=old)).count() == 2
+    assert wh.updates_intervals(
+        UpdatesIntervalsFilter(updated_after=dt.datetime(2100, 1, 1))
+    ).count() == 0
 
 
 def test_recalculate_incremental_since_filter(wtsdb):

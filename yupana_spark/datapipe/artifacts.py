@@ -91,6 +91,7 @@ class ArtifactStore:
             return None
 
     _STAGING_MAX_AGE_S = 6 * 3600
+    _probe_budget = 12      # commit-race probe attempts (~2.5 s backoff)
 
     def _sweep_stale_staging(self) -> None:
         """Reap staging/trash dirs from CRASHED writers (the store is a
@@ -151,14 +152,22 @@ class ArtifactStore:
             # A concurrent winner can be mid-swap right now (old artifact
             # moved aside, staged dir not yet installed) — the meta probe
             # would transiently see nothing and misreport a benign race as
-            # a persistence failure.  Retry briefly before concluding the
-            # destination is truly unloadable (ENOSPC, permissions).
+            # a persistence failure.  Retry with backoff (~2.5 s total —
+            # slow shared filesystems can hold a swap open well past the
+            # old fixed 0.5 s) before concluding the destination is truly
+            # unloadable (ENOSPC, permissions).  The probe demands the
+            # CURRENT token: a restored stale OLD artifact (different
+            # token) must not make a genuine install failure look like
+            # success — only a concurrent winner of the same deterministic
+            # fit (same name, same token, identical content) does.
             import time
 
-            for _ in range(10):
-                if self._meta(name) is not None:
+            delay = 0.05
+            for _ in range(self._probe_budget):
+                if self._meta_if(name, token) is not None:
                     break
-                time.sleep(0.05)
+                time.sleep(delay)
+                delay = min(delay * 1.5, 0.5)
             else:
                 raise
             # else: a concurrent writer won the swap.  Fits are

@@ -356,9 +356,9 @@ class Warehouse:
         Filter mapping (mirroring the HBase DAO):
         * ``table_name`` — equality;
         * ``updated_after/before`` — ``updated_at`` BETWEEN when both
-          bounds are set, ``>= after`` / ``<= before`` when only one is
-          (ChangelogDaoHBase dateRangeFilter applies each bound
-          independently);
+          bounds are set, ``>= after`` when only the lower is; a
+          before-only bound applies NO filter (dateRangeFilter's
+          ``case _ => None`` — mirrored exactly);
         * ``recalculated_after/before`` both set — the window filter:
           from_time BETWEEN a AND b, OR (from_time <= a AND to_time >= a);
           only ``recalculated_after`` — from_time >= a;
@@ -393,12 +393,14 @@ class Warehouse:
             df = df.filter(F.col("updated_at").between(
                 F.lit(flt.updated_after), F.lit(flt.updated_before)))
         elif flt.updated_after is not None:
-            # reference ChangelogDaoHBase dateRangeFilter applies the lower
-            # bound alone as updated_at >= from (half-open programmatic
-            # filters work without a far-future sentinel)
+            # reference ChangelogDaoHBase.dateRangeFilter:88-142 — only
+            # (Some(from), _) applies a bound alone (updated_at >= from);
+            # (None, Some(to)) falls to `case _ => None`, i.e. a
+            # before-only bound applies NO filter.  Mirrored exactly: the
+            # admin WHERE surface only produces BETWEEN anyway, so the
+            # before-only shape is reachable solely from programmatic
+            # filters, where reference parity wins.
             df = df.filter(F.col("updated_at") >= F.lit(flt.updated_after))
-        elif flt.updated_before is not None:
-            df = df.filter(F.col("updated_at") <= F.lit(flt.updated_before))
         if flt.recalculated_after is not None:
             a = F.lit(flt.recalculated_after)
             if flt.recalculated_before is not None:
