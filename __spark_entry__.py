@@ -1911,11 +1911,14 @@ def dp_ann_approx(spark, sf_dir):
         .otherwise("violations").alias("verdict")))
 
     # model-based quality classifier (FineWeb-Edu/DCLM-style plumbing:
-    # tiny LR over engineered features, driver-fit on a bounded sample,
-    # store-persisted weights, PURE-JVM sigmoid scoring).  Label = a
-    # threshold on one feature with real fixture variance, so the fit has
-    # both classes to learn; verdict 'ok' iff held-out agreement >= 0.85
-    # (measured 0.956-0.963 at sf0.001/0.01/0.1; a broken fit, feature,
+    # LR over 7 engineered scalars + a 256-bucket bag-of-hashed-grams
+    # block (fastText recipe, r9 ask #6), driver-fit on a bounded
+    # sample, store-persisted weights, PURE-JVM sigmoid scoring — the
+    # gram block scores as one aggregate over the hashed gram array
+    # against a folded weight-array literal).  Label = a threshold on
+    # one feature with real fixture variance, so the fit has both
+    # classes to learn; verdict 'ok' iff held-out agreement >= 0.85
+    # (measured 0.945-1.0 at sf0.001/0.01/0.1; a broken fit, feature,
     # standardization or scoring expression lands near coin-flip)
     from yupana_spark.datapipe.classify import (quality_lr_features,
                                                 quality_lr_fit,
@@ -1926,6 +1929,7 @@ def dp_ann_approx(spark, sf_dir):
     lab = quality_lr_features(F.col("text"))["stopword_ratio"] >= 0.03
     lr_art = quality_lr_fit(docs, label=lab,
                             label_key="stopword_ratio>=0.03",
+                            ngram_buckets=256,
                             cache_key=sf_dir, store=st, store_token=dtok)
     lr = (quality_lr_holdout_accuracy(docs, lr_art, label=lab)
           .select(F.lit("quality_lr").alias("method"),

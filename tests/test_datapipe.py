@@ -1367,6 +1367,27 @@ def test_quality_lr_classifier(spark):
     assert list(sc.statusTracker().getJobIdsForGroup("qlr-load")) == []
     assert np.array_equal(art2[2], art3[2]) and art2[3] == art3[3]
 
+    # hashed-gram block (r9 ask #6): agreement holds, the 6-element
+    # artifact round-trips through the store bit-identically, and the
+    # gram weights actually carry signal (nonzero block)
+    artn = quality_lr_fit(docs, label=lab, label_key="sw>=0.03",
+                          ngram_buckets=128, cache_key="tn",
+                          store=st, store_token=tok)
+    assert len(artn) == 6 and artn[5] == 128 and len(artn[4]) == 128
+    assert float(np.abs(artn[4]).sum()) > 0.0
+    rn = quality_lr_holdout_accuracy(docs, artn, label=lab).collect()[0]
+    assert rn["agree"] / rn["n"] >= 0.85
+    sn = docs.select(quality_lr_score(F.col("text"), artn).alias("p")) \
+        .agg(F.min("p").alias("lo"), F.max("p").alias("hi")).collect()[0]
+    assert 0.0 <= sn["lo"] <= sn["hi"] <= 1.0
+    _LR_CACHE.clear()
+    artn2 = quality_lr_fit(docs, label=lab, label_key="sw>=0.03",
+                           ngram_buckets=128, cache_key="tn",
+                           store=st, store_token=tok)
+    assert np.array_equal(artn[4], artn2[4]) and artn[3] == artn2[3]
+    # the two configurations name DISTINCT artifacts (no stale crosstalk)
+    assert len(art3) == 4
+
 
 def test_build_training_shards_end_to_end(spark):
     """The composed token-level prep pipeline: real BPE tokens -> sliding
