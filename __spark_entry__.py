@@ -1318,7 +1318,23 @@ def dp_lang_id(spark, sf_dir):
     bpe = toked.select(
         "doc_id",
         bpe_roundtrip_ok(F.col("__w"), F.col("__t")).alias("bpe_roundtrip"))
-    return lang.join(xent, "doc_id", "left").join(bpe, "doc_id", "left")
+    # CCNet perplexity (r7 stretch ask #9 / r9 #8): interpolated bigram
+    # LM fit ONCE on the src0 "clean reference" slice (train-once
+    # artifact like every fit), every doc scored — big_xent is a VALUE
+    # column the oracle recomputes from the same formula (binary-exact
+    # lam=0.75/alpha=0.5 literals, identical expression shape).  Docs
+    # with < 2 words stay NULL (no bigram evidence), full coverage via
+    # the left join like xent.
+    from yupana_spark.datapipe.ppx import bigram_lm_fit, bigram_xent_scores
+
+    ppx_art = bigram_lm_fit(docs.filter(F.col("source") == "src0"),
+                            cache_key=f"{sf_dir}:src0", store=st,
+                            store_token=tok)
+    bx = bigram_xent_scores(docs, ppx_art) \
+        .withColumnRenamed("id", "doc_id")
+    return (lang.join(xent, "doc_id", "left")
+            .join(bpe, "doc_id", "left")
+            .join(bx, "doc_id", "left"))
 
 
 def dp_exact_dedup(spark, sf_dir):
@@ -2778,7 +2794,8 @@ _ORACLES_DP: dict[str, str] = {
                     WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
                     ELSE 'fr' END AS lang_pred,
                x.xent,
-               TRUE AS bpe_roundtrip
+               TRUE AS bpe_roundtrip,
+               px.big_xent
         FROM s LEFT JOIN (
           WITH tk AS (
             SELECT doc_id,
@@ -2793,6 +2810,43 @@ _ORACLES_DP: dict[str, str] = {
           FROM tk JOIN c USING (w) CROSS JOIN tot
           GROUP BY tk.doc_id
         ) x ON s.doc_id = x.doc_id
+        -- CCNet interpolated bigram LM fit on the src0 reference slice:
+        -- p = 0.75*ml_bigram + 0.25*add-half unigram; binary-exact
+        -- literals, same expression shape as ppx.bigram_xent_scores
+        LEFT JOIN (
+          WITH dw AS (
+            SELECT doc_id, source,
+                   list_filter(string_split_regex(trim(lower(text)),
+                                                  '\\s+'),
+                               t -> t <> '') AS ws
+            FROM documents),
+          tt AS (SELECT unnest(ws) AS w FROM dw WHERE source = 'src0'),
+          uni AS (SELECT w, count(*) AS cu FROM tt GROUP BY w),
+          tot2 AS (SELECT CAST(sum(cu) AS DOUBLE) AS N,
+                          CAST(count(*) AS DOUBLE) AS V FROM uni),
+          tp AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+                 FROM (SELECT ws, unnest(generate_series(1, len(ws)-1))
+                              AS i
+                       FROM dw WHERE source = 'src0')),
+          bigm AS (SELECT b.w1, b.w2,
+                          CAST(b.cb AS DOUBLE)/CAST(u.cu AS DOUBLE) AS m
+                   FROM (SELECT w1, w2, count(*) AS cb FROM tp
+                         GROUP BY w1, w2) b
+                   JOIN uni u ON b.w1 = u.w),
+          dp AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+                 FROM (SELECT doc_id, ws,
+                              unnest(generate_series(1, len(ws)-1)) AS i
+                       FROM dw))
+          SELECT dp.doc_id,
+                 round(avg(-ln(
+                     0.75 * coalesce(bm.m, 0.0)
+                     + 0.25 * ((coalesce(CAST(u.cu AS DOUBLE), 0.0) + 0.5)
+                               / (tot2.N + 0.5 * (tot2.V + 1.0))))),
+                       4) AS big_xent
+          FROM dp LEFT JOIN bigm bm ON dp.w1 = bm.w1 AND dp.w2 = bm.w2
+                  LEFT JOIN uni u ON dp.w2 = u.w, tot2
+          GROUP BY dp.doc_id
+        ) px ON s.doc_id = px.doc_id
     """,
     # dup_vs_ref mirrors the bundle's derived reference corpus: doc_id%7==0
     # docs, the %14==0 half mutated (' mutated' appended) so only the

@@ -23,10 +23,13 @@ def _fresh_memo():
     """Cold in-process memos = what a restarted deployment starts with."""
     from yupana_spark.datapipe import bpe, dsir, simsearch, text
 
+    from yupana_spark.datapipe import ppx
+
     text._LM_CACHE.clear()
     simsearch._CENTERS_CACHE.clear()
     bpe._BPE_CACHE.clear()
     dsir._RATIO_CACHE.clear()
+    ppx._PPX_CACHE.clear()
 
 
 def _jobs_in_group(spark, group, fn):
@@ -290,3 +293,36 @@ def test_commit_race_probe_token_strict(tmp_path, monkeypatch):
         st.save_json("a", "t2", {"v": 2})
     assert st.load_json("a", "t1") == ({"v": 1}, {})
     assert st.load_json("a", "t2") is None
+
+
+def test_bigram_lm_persists_zero_fit_jobs(spark, tmp_path):
+    """CCNet bigram-LM artifact: fit+save once, cold-memo load fires zero
+    Spark jobs, scores identical."""
+    from yupana_spark.datapipe.ppx import bigram_lm_fit, bigram_xent_scores
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    target = docs.filter("source = 'src0'")
+    st = ArtifactStore(str(tmp_path / "arts"))
+    tok = corpus_token(os.path.join(SF, "documents.parquet"))
+    a1 = bigram_lm_fit(target, cache_key="p", store=st, store_token=tok)
+    s1 = {r["id"]: r["big_xent"]
+          for r in bigram_xent_scores(docs, a1).collect()}
+    assert len(s1) > 0
+
+    _fresh_memo()
+    (a2, jobs) = _jobs_in_group(
+        spark, "ppx-load-probe",
+        lambda: bigram_lm_fit(target, cache_key="p", store=st,
+                              store_token=tok))
+    assert jobs == []                                   # ZERO fit jobs
+    assert (a1[2], a1[3]) == (a2[2], a2[3])
+    s2 = {r["id"]: r["big_xent"]
+          for r in bigram_xent_scores(docs, a2).collect()}
+    assert s1 == s2
+    # stale token -> refit
+    _fresh_memo()
+    (_, jobs2) = _jobs_in_group(
+        spark, "ppx-refit-probe",
+        lambda: bigram_lm_fit(target, cache_key="p", store=st,
+                              store_token="rewritten"))
+    assert jobs2 != []

@@ -1706,3 +1706,51 @@ def test_minhash_cross_pairs_matches_exact_jaccard(spark):
                 a, b, threshold=thr,
                 artifacts_a=arts_a, artifacts_b=arts_b).collect()}
     assert got2 == expect
+
+
+def test_bigram_xent_gate_and_rule(spark):
+    """CCNet bigram-LM perplexity: (a) the fitted model scores in-domain
+    text lower than garbage; (b) vocab_gate=None forces the shuffle-hash
+    (never-broadcast) join shape with identical scores; (c) the
+    'perplexity' corpus_keep rule fires on exactly the high-xent docs;
+    (d) < 2-word docs carry no score and never fire the rule."""
+    import contextlib
+    import io
+
+    from yupana_spark.datapipe.filters import corpus_keep
+    from yupana_spark.datapipe.ppx import bigram_lm_fit, bigram_xent_scores
+
+    ref_rows = [(i, "the quick brown fox jumps over the lazy dog again "
+                    "and the dog sleeps in the warm sun")
+                for i in range(8)]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "zxq vplk wohr qqzt mnbv plonk wibble zorp"),
+         (2, "single"),
+         (3, "")],
+        "doc_id long, text string")
+    art = bigram_lm_fit(ref)
+    scores = {r["id"]: r["big_xent"]
+              for r in bigram_xent_scores(docs, art).collect()}
+    # in-domain text is much more probable than garbage
+    assert scores[0] < scores[1]
+    assert 2 not in scores and 3 not in scores     # no bigram evidence
+    # forced large path: no broadcast anywhere, same values
+    forced = bigram_xent_scores(docs, art, vocab_gate=None)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        forced.explain("formatted")
+    plan = buf.getvalue()
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert {r["id"]: r["big_xent"] for r in forced.collect()} == scores
+    # the corpus_keep rule: threshold between the two scores
+    thr = (scores[0] + scores[1]) / 2
+    out = {r["id"]: (r["keep"], r["reasons"])
+           for r in corpus_keep(docs, langs=None, min_quality=0.0,
+                                ppx_art=art, max_xent=thr).collect()}
+    assert "perplexity" in out[1][1] and not out[1][0]
+    assert "perplexity" not in out[0][1]
+    assert "perplexity" not in out[2][1]            # NULL never fires
+    assert "perplexity" not in out[3][1]

@@ -22,12 +22,14 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 def keep_reasons(cont: Column, is_dup: Column, lang_bad: Column,
                  quality: Column, min_quality: float,
-                 model_low: Optional[Column] = None) -> Column:
+                 model_low: Optional[Column] = None,
+                 ppx_high: Optional[Column] = None) -> Column:
     """The ONE definition of the decision labels and their (alphabetical)
     order — shared by the batch and streaming operators so their
     pinned-equal decisions cannot drift apart.  ``model_low`` (optional)
     is the model-based rule's fire flag — 'model_quality' sorts after
-    'low_quality', keeping the order alphabetical."""
+    'low_quality'; ``ppx_high`` (optional) is the CCNet perplexity
+    rule's — 'perplexity' sorts last, keeping the order alphabetical."""
     return F.array_join(
         F.filter(
             F.array(
@@ -38,6 +40,8 @@ def keep_reasons(cont: Column, is_dup: Column, lang_bad: Column,
                        F.lit("low_quality")),
                 F.when(model_low if model_low is not None else F.lit(False),
                        F.lit("model_quality")),
+                F.when(ppx_high if ppx_high is not None else F.lit(False),
+                       F.lit("perplexity")),
             ),
             lambda x: x.isNotNull()),
         ",")
@@ -47,10 +51,12 @@ def corpus_keep(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", min_quality: float = 0.7,
                 langs: Optional[Sequence[str]] = ("en",),
                 eval_docs: Optional[DataFrame] = None,
-                lr_art=None, min_lr: float = 0.5) -> DataFrame:
+                lr_art=None, min_lr: float = 0.5,
+                ppx_art=None, max_xent: float = 10.0) -> DataFrame:
     """(id, keep, reasons): keep iff NO rule fires; ``reasons`` lists the
     fired rules in fixed alphabetical order ('contaminated', 'duplicate',
-    'lang', 'low_quality', 'model_quality'), comma-joined ('' when kept).
+    'lang', 'low_quality', 'model_quality', 'perplexity'), comma-joined
+    ('' when kept).
 
     Rules (each optional):
     * quality_score < ``min_quality``          -> 'low_quality'
@@ -61,6 +67,12 @@ def corpus_keep(df: DataFrame, text_col: str = "text",
       (``lr_art`` = a ``classify.quality_lr_fit`` artifact; the score is
       pure JVM arithmetic riding the same scan — the FineWeb-Edu/DCLM
       model-filter composed with the rule filters)
+    * bigram-LM cross-entropy > ``max_xent``   -> 'perplexity'
+      (``ppx_art`` = a ``ppx.bigram_lm_fit`` artifact; the CCNet-style
+      statistical filter — Wenzek et al. 2020 drop the high-perplexity
+      tail of the crawl.  Unlike the row-local rules this one joins the
+      per-doc score frame on id; docs with < 2 words carry no bigram
+      evidence and never fire it)
     """
     from .dedup import exact_dedup
     from .text import contaminated_ids, lang_id, quality_score
@@ -86,11 +98,24 @@ def corpus_keep(df: DataFrame, text_col: str = "text",
                                                 F.lit(False))))
     else:
         out = out.withColumn("__cont", F.lit(False))
+    if ppx_art is not None:
+        from .ppx import bigram_xent_scores
+
+        xs = bigram_xent_scores(df, ppx_art, text_col, id_col)
+        out = (out.join(xs, "id", "left")
+               .withColumn("__px",
+                           F.coalesce(F.col("big_xent")
+                                      > F.lit(float(max_xent)),
+                                      F.lit(False)))
+               .drop("big_xent"))
+    else:
+        out = out.withColumn("__px", F.lit(False))
     lang_bad = (F.lit(False) if langs is None
                 else ~F.col("__lang").isin(*langs))
     reasons = keep_reasons(F.col("__cont"), F.col("is_duplicate"),
                            lang_bad, F.col("__q"), min_quality,
-                           model_low=F.col("__mq"))
+                           model_low=F.col("__mq"),
+                           ppx_high=F.col("__px"))
     return out.select(
         "id",
         (F.length(reasons) == 0).alias("keep"),

