@@ -1734,15 +1734,22 @@ def dp_neardup_scale(spark, sf_dir):
     # the cross output's independent id spaces).  Both sides reuse the
     # memoized signature index via artifacts_a/_b (parity filters of
     # arts), so the arm costs one extra band join, no new shingle scan.
+    # pmod: sign-safe parity (Spark % keeps the dividend's sign; fixture
+    # ids are non-negative, but the split must not silently misclassify
+    # if that ever changes).  Non-vacuity verified per fixture: the
+    # sampled exact set holds 6/9/2 straddling pairs at sf0.001/0.01/0.1,
+    # so _completeness_row's nonemptiness guard stays falsifiable.
     pa, pb = F.col("id_a"), F.col("id_b")
-    ex_cr = (ex_mh.filter((pa % 2) != (pb % 2))
-             .select(F.when(pa % 2 == 0, pa).otherwise(pb).alias("id_a"),
-                     F.when(pa % 2 == 0, pb).otherwise(pa).alias("id_b")))
-    idc = F.col("id")
+    ex_cr = (ex_mh.filter(F.pmod(pa, 2) != F.pmod(pb, 2))
+             .select(F.when(F.pmod(pa, 2) == 0, pa).otherwise(pb)
+                     .alias("id_a"),
+                     F.when(F.pmod(pa, 2) == 0, pb).otherwise(pa)
+                     .alias("id_b")))
+    idp = F.pmod(F.col("id"), 2)
     cr = minhash_cross_pairs(
         docs, docs, threshold=0.5,
-        artifacts_a=arts.filter(idc % 2 == 0),
-        artifacts_b=arts.filter(idc % 2 == 1)).select("id_a", "id_b")
+        artifacts_a=arts.filter(idp == 0),
+        artifacts_b=arts.filter(idp == 1)).select("id_a", "id_b")
     checks = [
         _completeness_row("minhash_complete", ex_mh, mh),
         _completeness_row("simhash_complete", ex_sh, sh),
@@ -2066,13 +2073,18 @@ def dp_pack_sequences(spark, sf_dir):
         F.count("*").alias("__tcn"),
         F.sum("n_tokens").cast("long").alias("__ttok"),
         F.sum("__chars").cast("long").alias("bpe_chunk_chars"))
+    # checkpoint the PACKER output (the expensive FFD applyInPandas),
+    # not its per-pack rollup: tpack_stats, tdistinct and the shard arm
+    # all derive from it, and exchange reuse does not reliably kick in
+    # under the bench's noop-write action — un-checkpointed, the Python
+    # packer executed twice per pass
     tpacked = pack_sequences(tchunks.select("chunk_id", "n_tokens"),
                              id_col="chunk_id", tokens_col="n_tokens",
-                             budget=tbudget, num_buckets=64)
+                             budget=tbudget, num_buckets=64) \
+        .localCheckpoint(eager=True)
     tper_pack = (tpacked.groupBy("pack_id")
                  .agg(F.sum("n_tokens").alias("n_tokens"),
-                      F.count("*").alias("__chunks"))
-                 .localCheckpoint(eager=True))
+                      F.count("*").alias("__chunks")))
     tpack_stats = tper_pack.agg(
         F.sum("n_tokens").cast("long").alias("__ptok"),
         F.sum("__chunks").cast("long").alias("__pcn"),

@@ -612,7 +612,8 @@ def test_self_validating_entries_verdicts(spark):
           for r in ent.queries()["dp_neardup_scale"](spark, SF).collect()}
     assert nd == {"minhash_complete": (0, "ok"),
                   "simhash_complete": (0, "ok"),
-                  "embed_ivf_complete": (0, "ok")}
+                  "embed_ivf_complete": (0, "ok"),
+                  "minhash_cross_complete": (0, "ok")}
 
     ann = {r["method"]: r["verdict"]
            for r in ent.queries()["dp_ann_approx"](spark, SF).collect()}

@@ -136,3 +136,31 @@ def test_fold_wrap_edges():
         E.BinaryOp("+", E.const(1.5), E.const(2.25))) == 3.75
     assert calc.evaluate(
         E.BinaryOp("+", E.const("a"), E.const("b"))) == "ab"
+
+
+def test_cast_fold_saturation_punt():
+    """Non-integral -> integral casts fold only in range: Spark non-ANSI
+    SATURATES double->int (JVM d2i) while integral sources wrap, so an
+    out-of-range float cast must stay unfolded rather than wrap to a
+    value Spark would never produce."""
+    calc = ConstantCalculator()
+    # in range: truncate toward zero, folds
+    assert calc.evaluate(E.Cast(E.const(3.9), "INTEGER")) == 3
+    assert calc.evaluate(E.Cast(E.const(-3.9), "INTEGER")) == -3
+    # out of range / non-finite / string: refuse to fold (left to Spark)
+    import pytest
+
+    from yupana_spark import types as yt
+
+    for v, t in [(3e9, "INTEGER"), (float("nan"), "INTEGER"),
+                 (float("inf"), "BIGINT"), ("123", "INTEGER")]:
+        with pytest.raises(yt.YupanaTypeError):
+            calc.evaluate(E.Cast(E.const(v), t))
+    # the optimizer leaves such subtrees intact instead of crashing
+    e = E.Cast(E.const(3e9), "INTEGER")
+    assert fold_constants(e) == e
+    # integral -> integral still wraps
+    assert calc.evaluate(E.Cast(E.const(2**31, "BIGINT"), "INTEGER")) \
+        == -(2**31)
+    # bool -> int folds to 0/1
+    assert calc.evaluate(E.Cast(E.const(True), "INTEGER")) == 1

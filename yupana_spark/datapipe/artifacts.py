@@ -91,7 +91,8 @@ class ArtifactStore:
             return None
 
     _STAGING_MAX_AGE_S = 6 * 3600
-    _probe_budget = 12      # commit-race probe attempts (~2.5 s backoff)
+    _probe_budget = 12      # commit-race probe attempts (~4 s backoff:
+    # 0.05*1.5^k capped at 0.5 -> 0.05+0.075+...+6x0.5 ≈ 4.0 s worst case)
 
     def _sweep_stale_staging(self) -> None:
         """Reap staging/trash dirs from CRASHED writers (the store is a
@@ -152,7 +153,7 @@ class ArtifactStore:
             # A concurrent winner can be mid-swap right now (old artifact
             # moved aside, staged dir not yet installed) — the meta probe
             # would transiently see nothing and misreport a benign race as
-            # a persistence failure.  Retry with backoff (~2.5 s total —
+            # a persistence failure.  Retry with backoff (~4 s total —
             # slow shared filesystems can hold a swap open well past the
             # old fixed 0.5 s) before concluding the destination is truly
             # unloadable (ENOSPC, permissions).  The probe demands the

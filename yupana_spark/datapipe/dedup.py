@@ -571,7 +571,12 @@ def minhash_cross_pairs(docs: DataFrame, ref: DataFrame,
     call; with caller artifacts the result subtree also stays lazy (no
     eager checkpoint job) mirroring ``minhash_dedup_pairs``."""
     r = num_hashes // bands
-    own = artifacts_a is None or artifacts_b is None
+    if (artifacts_a is None) != (artifacts_b is None):
+        raise ValueError(
+            "minhash_cross_pairs: pass artifacts_a and artifacts_b "
+            "together or neither — a lone artifact would be silently "
+            "discarded and both sides re-shingled")
+    own = artifacts_a is None
     if own:
         a = minhash_artifacts(docs, text_col, id_col, k, num_hashes).persist()
         b = minhash_artifacts(ref, text_col, id_col, k, num_hashes).persist()

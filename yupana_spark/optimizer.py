@@ -15,6 +15,7 @@ where optimize runs before TsdbBase.query plans the scan.
 from __future__ import annotations
 
 import datetime as _dt
+import math as _math
 from decimal import Decimal
 from typing import Any, Optional
 
@@ -192,8 +193,26 @@ class ConstantCalculator:
             return None
         t = yt.base(target)
         if t in yt.INTEGRAL:
-            # Spark non-ANSI CAST truncates toward zero then wraps to width.
-            return _wrap_integral(int(v), t)
+            if isinstance(v, bool):
+                return 1 if v else 0
+            if isinstance(v, int):
+                # integral -> integral: JVM l2i/i2b-style width wrap
+                return _wrap_integral(v, t)
+            if isinstance(v, (float, Decimal)):
+                # Spark non-ANSI double->int SATURATES (JVM d2i), it does
+                # not wrap — fold only the in-range case (where truncate-
+                # toward-zero and saturation agree) and punt the rest to
+                # Spark so the folded plan never diverges from runtime
+                if isinstance(v, float) and not _math.isfinite(v):
+                    raise yt.YupanaTypeError("cannot fold non-finite cast")
+                tv = int(v)
+                if _wrap_integral(tv, t) == tv:
+                    return tv
+                raise yt.YupanaTypeError("cannot fold out-of-range cast")
+            # strings etc.: Spark's parse/NULL-on-overflow semantics are
+            # not mirrored here — leave the cast to Spark
+            raise yt.YupanaTypeError(
+                f"cannot fold cast {type(v).__name__} -> {t}")
         if t == yt.DOUBLE:
             return float(v)
         if t in (yt.DECIMAL, yt.CURRENCY):
