@@ -326,3 +326,80 @@ def test_differential_line_dedup(spark, seed):
             assert got[i] == exp[i], \
                 f"case {case} sep={sep!r} mc={min_count} doc {i}: " \
                 f"{got[i]} != {exp[i]}"
+
+
+# -- bigram-LM perplexity: random corpora + exact-binary lam/alpha ---------
+_PPX_SQL = r"""
+WITH w AS (
+  SELECT doc_id, is_ref,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS ws
+  FROM docs),
+tt AS (SELECT unnest(ws) AS w FROM w WHERE is_ref),
+uni AS (SELECT w, count(*) AS cu FROM tt GROUP BY w),
+tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS N,
+               CAST(count(*) AS DOUBLE) AS V FROM uni),
+tp AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+       FROM (SELECT ws, unnest(generate_series(1, len(ws)-1)) AS i
+             FROM w WHERE is_ref)),
+bigm AS (SELECT b.w1, b.w2, CAST(b.cb AS DOUBLE)/CAST(u.cu AS DOUBLE) AS m
+         FROM (SELECT w1, w2, count(*) AS cb FROM tp GROUP BY w1, w2) b
+         JOIN uni u ON b.w1 = u.w),
+dp AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) AS i
+             FROM w WHERE NOT is_ref))
+SELECT dp.doc_id,
+       round(avg(-ln(
+           {lam} * coalesce(bm.m, 0.0)
+           + {om} * ((coalesce(CAST(u.cu AS DOUBLE), 0.0) + {alpha})
+                     / (tot.N + {alpha} * (tot.V + 1.0))))), 4) AS big_xent
+FROM dp LEFT JOIN bigm bm ON dp.w1 = bm.w1 AND dp.w2 = bm.w2
+        LEFT JOIN uni u ON dp.w2 = u.w, tot
+GROUP BY dp.doc_id
+"""
+
+_PPX_WORDS = ["the", "cat", "dog", "runs", "fast", "blue", "qq", "zz",
+              "a", "on", "Über", "naïve", "x1", ""]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_differential_bigram_xent(spark, seed):
+    """Random reference/score corpora + binary-exact (lam, alpha) pairs:
+    Spark's interpolated bigram xent must match DuckDB's recomputation
+    bit-for-bit at round-4 — both the gated (broadcast) and forced
+    shuffle-hash shapes."""
+    from yupana_spark.datapipe.ppx import bigram_lm_fit, bigram_xent_scores
+
+    rng = random.Random(1000 + seed)
+    lam, alpha = rng.choice([(0.75, 0.5), (0.5, 0.5), (0.25, 1.0),
+                             (0.875, 0.25)])
+
+    def mk_doc():
+        return " ".join(rng.choice(_PPX_WORDS)
+                        for _ in range(rng.randint(0, 12)))
+
+    ref_rows = [(i, mk_doc(), True) for i in range(rng.randint(1, 40))]
+    doc_rows = [(100 + i, mk_doc(), False)
+                for i in range(rng.randint(1, 60))]
+    sdf = spark.createDataFrame(ref_rows + doc_rows,
+                                "doc_id long, text string, is_ref boolean")
+    art = bigram_lm_fit(sdf.filter("is_ref"))
+    got = {r["id"]: r["big_xent"]
+           for r in bigram_xent_scores(sdf.filter("NOT is_ref"), art,
+                                       lam=lam, alpha=alpha).collect()}
+    forced = {r["id"]: r["big_xent"]
+              for r in bigram_xent_scores(sdf.filter("NOT is_ref"), art,
+                                          lam=lam, alpha=alpha,
+                                          vocab_gate=None).collect()}
+    assert forced == got
+
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("docs", pd.DataFrame(ref_rows + doc_rows,
+                                      columns=["doc_id", "text", "is_ref"]))
+    q = _PPX_SQL.format(lam=lam, om=1.0 - lam, alpha=alpha)
+    want = {int(r[0]): (float(r[1]) if r[1] is not None else None)
+            for r in con.execute(q).fetchall()}
+    con.close()
+    assert got == want
