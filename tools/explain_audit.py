@@ -113,6 +113,15 @@ CHECKS = {
         pushed=None, expect=["LeftSemi"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
                 "rangepartitioning"]),
+    # lang-ID + unigram/bigram-LM bundle: every LM lookup is an equi-join
+    # (vocab broadcast for the unigram scorer; the CCNet bigram scorer is
+    # volume-gated — broadcast under VOCAB_GATE, shuffle-hash above, both
+    # shapes pass) feeding hash aggregations — never a cartesian, nested-
+    # loop join or global sort
+    "dp_lang_id": dict(
+        pushed=None, expect=["HashAggregate", "BroadcastHashJoin"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "rangepartitioning"]),
 }
 
 
