@@ -278,9 +278,22 @@ def test_streaming_corpus_filter_matches_batch(spark, tmp_path):
     schema = "doc_id long, text string"
     docs = spark.createDataFrame(rows, schema)
     evals = spark.createDataFrame([(99, extra)], schema)
+    # CCNet perplexity rule in BOTH twins: LM fit on the English rows, a
+    # threshold between in-domain and out-of-domain xent, decisions pinned
+    from yupana_spark.datapipe.ppx import bigram_lm_fit, bigram_xent_scores
+
+    ref = spark.createDataFrame([(0, good), (1, extra)], schema)
+    ppx_art = bigram_lm_fit(ref)
+    xs = {r["id"]: r["big_xent"]
+          for r in bigram_xent_scores(docs, ppx_art).collect()}
+    assert xs[1] < xs[3]            # in-domain beats German text
+    thr = (xs[1] + xs[3]) / 2
     batch = {r["id"]: (r["keep"], r["reasons"])
              for r in corpus_keep(docs, min_quality=0.7, langs=("en",),
-                                  eval_docs=evals).collect()}
+                                  eval_docs=evals, ppx_art=ppx_art,
+                                  max_xent=thr).collect()}
+    assert "perplexity" in batch[3][1]
+    assert "perplexity" not in batch[1][1]
 
     src = tmp_path / "cf_src"
     src.mkdir()
@@ -293,7 +306,8 @@ def test_streaming_corpus_filter_matches_batch(spark, tmp_path):
                                     T.StructField("text", T.StringType())]))
               .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
     out = streaming_corpus_filter(stream, min_quality=0.7, langs=("en",),
-                                  eval_docs=evals)
+                                  eval_docs=evals, ppx_art=ppx_art,
+                                  max_xent=thr)
     q = (out.writeStream.format("memory").queryName("cf")
          .outputMode("append")
          .option("checkpointLocation", str(tmp_path / "cf_ck"))
@@ -308,7 +322,7 @@ def test_streaming_corpus_filter_matches_batch(spark, tmp_path):
     assert streamed == batch
     assert streamed[5][0] is False and "duplicate" in streamed[5][1]
     assert streamed[2] == (False, "contaminated")
-    assert streamed[3] == (False, "lang")
+    assert streamed[3] == (False, "lang,perplexity")
 
 
 def test_streaming_neardup_event_time_eviction(spark, tmp_path):

@@ -39,6 +39,7 @@ _OUT_SCHEMA = T.StructType([
     T.StructField("lang", T.StringType()),
     T.StructField("cont", T.BooleanType()),
     T.StructField("mq", T.BooleanType()),
+    T.StructField("px", T.BooleanType()),
     T.StructField("is_duplicate", T.BooleanType()),
 ])
 
@@ -68,11 +69,46 @@ def _make_dup_update(idle_timeout_ms: Optional[int],
                     event_ms(pdf[event_time_col])
                     if event_time_col is not None else None)
         if len(pdf):
-            out = pdf[["id", "q", "lang", "cont", "mq"]].copy()
+            out = pdf[["id", "q", "lang", "cont", "mq", "px"]].copy()
             out["is_duplicate"] = dup
             yield out
 
     return _dup_update
+
+
+def _ppx_flag_col(hbs: Column, h2s: Column, lm_bc, lam: float,
+                 alpha: float, max_xent: float) -> Column:
+    """Row-local perplexity flag: the CCNet bigram-LM rule without a join.
+
+    The LM frames are bounded artifacts (capped fits), so — exactly like
+    the decontamination rule — they collect once and ship as an explicit
+    ``sc.broadcast`` read by an Arrow-batched UDF: the same data movement
+    as the batch path's gated broadcast join, minus the join machinery a
+    stream cannot use.  The gram hashes are computed JVM-side with the
+    SAME xxhash64 expressions as ``ppx.bigram_xent_scores``, and the
+    per-doc mean rounds at 4 like the batch scorer, so streamed and batch
+    decisions agree."""
+    import math
+
+    @F.pandas_udf(T.BooleanType())
+    def flag(hb_arr: pd.Series, h2_arr: pd.Series) -> pd.Series:
+        uni, big, n_total, v_total = lm_bc.value
+        om = 1.0 - lam
+        denom = n_total + alpha * (v_total + 1.0)
+        out = []
+        for hb_l, h2_l in zip(hb_arr, h2_arr):
+            if hb_l is None or len(hb_l) == 0:
+                out.append(False)       # < 2 words: no bigram evidence
+                continue
+            s = 0.0
+            for hb, h2 in zip(hb_l, h2_l):
+                p = (lam * big.get(hb, 0.0)
+                     + om * ((uni.get(h2, 0.0) + alpha) / denom))
+                s -= math.log(p)
+            out.append(round(s / len(hb_l), 4) > max_xent)
+        return pd.Series(out)
+
+    return flag(hbs, h2s)
 
 
 def _contaminated_col(word_array: Column, eval_hashes_bc) -> Column:
@@ -104,7 +140,8 @@ def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
                             eval_docs: Optional[DataFrame] = None,
                             idle_timeout_ms: Optional[int] = None,
                             event_time_col: Optional[str] = None,
-                            lr_art=None, min_lr: float = 0.5
+                            lr_art=None, min_lr: float = 0.5,
+                            ppx_art=None, max_xent: float = 10.0
                             ) -> DataFrame:
     """Streaming (id, keep, reasons): same rules, labels and reason order
     as the batch ``corpus_keep`` — on a full replay of a static corpus the
@@ -118,7 +155,10 @@ def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
     under replay at any wall-clock pacing — instead of processing-time.
     ``lr_art``/``min_lr`` enable the model-quality rule exactly as in the
     batch twin (the LR score is row-local JVM arithmetic, so it rides the
-    stream scan like the other stateless rules)."""
+    stream scan like the other stateless rules).  ``ppx_art``/``max_xent``
+    enable the CCNet perplexity rule: the bounded LM artifacts ship via
+    ``sc.broadcast`` to a row-local Arrow UDF (the decontamination
+    pattern), same hashes/formula/rounding as the batch scorer."""
     from ..datapipe.text import (exploded_ngram_hashes, fingerprint_md5,
                                  lang_id, normalize_text, quality_score,
                                  words)
@@ -144,6 +184,21 @@ def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
         from ..datapipe.classify import quality_lr_score
 
         mq = quality_lr_score(F.col(text_col), lr_art) < F.lit(min_lr)
+    px = F.lit(False)
+    if ppx_art is not None:
+        from ..datapipe.ppx import _pairs as _ppx_pairs
+        from ..datapipe.text import words as _words
+
+        uni_f, big_f, n_total, v_total = ppx_art
+        lm_bc = stream.sparkSession.sparkContext.broadcast(
+            ({int(r["h"]): float(r["c_u"]) for r in uni_f.collect()},
+             {int(r["hb"]): float(r["m"]) for r in big_f.collect()},
+             float(n_total), float(v_total)))
+        pw = _ppx_pairs(_words(F.lower(F.col(text_col))))
+        px = _ppx_flag_col(
+            F.transform(pw, lambda s: F.xxhash64(s["w1"], s["w2"])),
+            F.transform(pw, lambda s: F.xxhash64(s["w2"])),
+            lm_bc, 0.75, 0.5, max_xent)
     carry = ((F.col(event_time_col),) if event_time_col is not None else ())
     base = staged.select(
         F.col(id_col).cast("long").alias("id"),
@@ -153,6 +208,7 @@ def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
         lang_id(F.col(text_col)).alias("lang"),
         cont.alias("cont"),
         mq.alias("mq"),
+        px.alias("px"),
     )
     flagged = (base.groupBy("__fp")
                .applyInPandasWithState(
@@ -164,7 +220,7 @@ def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
                 else ~F.col("lang").isin(*langs))
     reasons = keep_reasons(F.col("cont"), F.col("is_duplicate"),
                            lang_bad, F.col("q"), min_quality,
-                           model_low=F.col("mq"))
+                           model_low=F.col("mq"), ppx_high=F.col("px"))
     return flagged.select(
         "id",
         (F.length(reasons) == 0).alias("keep"),
