@@ -1749,7 +1749,10 @@ def dp_neardup_scale(spark, sf_dir):
     cr = minhash_cross_pairs(
         docs, docs, threshold=0.5,
         artifacts_a=arts.filter(idp == 0),
-        artifacts_b=arts.filter(idp == 1)).select("id_a", "id_b")
+        artifacts_b=arts.filter(idp == 1),
+        # filters of the ONE memoized banded index — no per-pass explode
+        banded_a=banded.filter(idp == 0),
+        banded_b=banded.filter(idp == 1)).select("id_a", "id_b")
     checks = [
         _completeness_row("minhash_complete", ex_mh, mh),
         _completeness_row("simhash_complete", ex_sh, sh),

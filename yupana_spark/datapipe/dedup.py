@@ -553,7 +553,9 @@ def minhash_cross_pairs(docs: DataFrame, ref: DataFrame,
                         est_margin: float = 0.15,
                         pair_gate: Optional[int] = PAIR_GATE,
                         artifacts_a: Optional[DataFrame] = None,
-                        artifacts_b: Optional[DataFrame] = None) -> DataFrame:
+                        artifacts_b: Optional[DataFrame] = None,
+                        banded_a: Optional[DataFrame] = None,
+                        banded_b: Optional[DataFrame] = None) -> DataFrame:
     """Near-dup pairs BETWEEN two corpora: ``id_a`` from ``docs``, ``id_b``
     from ``ref`` (id spaces independent — no ordering relation).
 
@@ -569,7 +571,10 @@ def minhash_cross_pairs(docs: DataFrame, ref: DataFrame,
     frames (``minhash_artifacts`` layout — e.g. parity/source filters of
     one shared signature index) so the shingle scan is not re-run per
     call; with caller artifacts the result subtree also stays lazy (no
-    eager checkpoint job) mirroring ``minhash_dedup_pairs``."""
+    eager checkpoint job) mirroring ``minhash_dedup_pairs``.
+    ``banded_a``/``banded_b`` additionally reuse a caller-materialized
+    band frame (``band_explode`` layout — e.g. filters of ONE shared
+    banded index), skipping the per-call band explode too."""
     r = num_hashes // bands
     if (artifacts_a is None) != (artifacts_b is None):
         raise ValueError(
@@ -583,8 +588,10 @@ def minhash_cross_pairs(docs: DataFrame, ref: DataFrame,
     else:
         a, b = artifacts_a, artifacts_b
     try:
-        ba = band_explode(a, num_hashes, bands, "sig").alias("ba")
-        bb = band_explode(b, num_hashes, bands, "sig").alias("bb")
+        ba = (banded_a if banded_a is not None
+              else band_explode(a, num_hashes, bands, "sig")).alias("ba")
+        bb = (banded_b if banded_b is not None
+              else band_explode(b, num_hashes, bands, "sig")).alias("bb")
         agree = F.size(F.filter(
             F.zip_with(F.col("ba.sig"), F.col("bb.sig"),
                        lambda x, y: x == y), lambda v: v))
