@@ -129,3 +129,26 @@ def test_in_empty_semantics(tsdb):
               fields=[(E.count(E.Field("l_orderkey")), "c")],
               filter=E.In(E.Field("l_returnflag"), ("Z",)))
     assert tsdb.query(q).collect()[0]["c"] == 0
+
+
+def test_integral_division_exact_and_null(spark):
+    """The compiled integral `/` is exact long division (SQL div), not
+    double-division-then-cast: (2^62+1)/1 must come back exactly (the
+    double path was off by one above 2^53), MIN/-1 wraps like JVM int
+    division, and /0 is NULL under the non-ANSI dialect."""
+    from yupana_spark import E
+    from yupana_spark.operators.tableless import select_constants
+
+    big = (1 << 62) + 1
+    row = select_constants(spark, [
+        (E.BinaryOp("/", E.const(big, "BIGINT"), E.const(1, "BIGINT")),
+         "exact"),
+        (E.BinaryOp("/", E.const(-(2**31), "INTEGER"),
+                    E.const(-1, "INTEGER")), "minwrap"),
+        (E.BinaryOp("/", E.const(7), E.const(0)), "bzero"),
+        (E.BinaryOp("/", E.const(-7), E.const(2)), "tozero"),
+    ]).collect()[0]
+    assert row["exact"] == big
+    assert row["minwrap"] == -(2**31)
+    assert row["bzero"] is None
+    assert row["tozero"] == -3

@@ -164,3 +164,17 @@ def test_cast_fold_saturation_punt():
         == -(2**31)
     # bool -> int folds to 0/1
     assert calc.evaluate(E.Cast(E.const(True), "INTEGER")) == 1
+
+
+def test_division_by_zero_folds_to_null():
+    """Engine dialect = Spark non-ANSI: constant x/0 folds to NULL (the
+    runtime Divide produces NULL) instead of crashing the optimizer."""
+    calc = ConstantCalculator()
+    assert calc.evaluate(E.BinaryOp("/", E.const(1), E.const(0))) is None
+    assert calc.evaluate(E.BinaryOp("/", E.const(1.5), E.const(0.0))) is None
+    folded = fold_constants(E.BinaryOp("/", E.const(1), E.const(0)))
+    assert isinstance(folded, E.Const) and folded.value is None
+    # and a /0 deep inside a const subtree propagates NULL, not a crash
+    e = E.BinaryOp("+", E.const(5),
+                   E.BinaryOp("/", E.const(1), E.const(0)))
+    assert calc.evaluate(e) is None

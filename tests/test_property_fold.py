@@ -17,7 +17,7 @@ def _num_expr(depth):
         return _ints.map(E.const)
     return st.deferred(lambda: st.one_of(
         _ints.map(E.const),
-        st.tuples(st.sampled_from(["+", "-", "*"]),
+        st.tuples(st.sampled_from(["+", "-", "*", "/"]),
                   _num_expr(depth - 1), _num_expr(depth - 1))
         .map(lambda t: E.BinaryOp(*t)),
         st.tuples(_num_expr(depth - 1)).map(lambda t: E.Fun("abs", t)),

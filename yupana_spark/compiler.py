@@ -228,8 +228,14 @@ class ExpressionCompiler:
             if lt == yt.CURRENCY:
                 return (l / r).cast(yt.spark_type(yt.CURRENCY))
             if lt in yt.INTEGRAL and rt in yt.INTEGRAL:
-                # integral division (Scala Long/Long -> Long)
-                return (l / r).cast(yt.spark_type(e.dtype))
+                # integral division (Scala Long/Long -> Long): SQL `div`
+                # is exact long division (truncate toward zero, NULL on
+                # zero divisor under non-ANSI) — the previous double-
+                # division-then-cast shape lost precision above 2^53
+                # ((2^62+1)/1 came back off by one); the width cast also
+                # reproduces the JVM MIN/-1 wrap for sub-long types
+                return F.call_function("div", l, r) \
+                    .cast(yt.spark_type(e.dtype))
             return l / r
         raise InvalidQueryError(f"unknown operator {op}")
 

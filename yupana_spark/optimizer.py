@@ -67,11 +67,18 @@ class ConstantCalculator:
                 return _wrap_integral(l * r, e.dtype)
             if op == "/":
                 lt, rt = e.left.dtype, e.right.dtype
-                if lt in yt.INTEGRAL and rt in yt.INTEGRAL:
-                    q = abs(l) // abs(r)
-                    q = q if (l >= 0) == (r >= 0) else -q
-                    return _wrap_integral(q, e.dtype)
-                return l / r
+                try:
+                    if lt in yt.INTEGRAL and rt in yt.INTEGRAL:
+                        q = abs(l) // abs(r)
+                        q = q if (l >= 0) == (r >= 0) else -q
+                        return _wrap_integral(q, e.dtype)
+                    return l / r
+                except ZeroDivisionError:
+                    # engine dialect = Spark non-ANSI: x / 0 is NULL (the
+                    # runtime Divide produces NULL, so the folded plan
+                    # must too — an uncaught ZeroDivisionError here used
+                    # to crash the optimizer on constant `1/0`)
+                    return None
             if op == "=":
                 return l == r
             if op == "<>":

@@ -93,6 +93,12 @@ def get_spark(app: str = "yupana-spark", cpus: int | None = None) -> SparkSessio
         SparkSession.builder.appName(app)
         .master(f"local[{cpus}]")
         .config("spark.sql.session.timeZone", "UTC")
+        # the engine dialect is non-ANSI (JVM wrap on overflow, NULL on
+        # div-by-zero — Spark 4 defaults ansi=true); ensure_engine_confs
+        # re-asserts this on foreign sessions, but the factory must not
+        # depend on a Tsdb being constructed first (test ordering made
+        # direct-operator semantics flip otherwise)
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(max(cpus // 2, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
