@@ -1415,7 +1415,10 @@ def dp_multimodal(spark, sf_dir):
     actual decoders (multimodal.decode_bmp/decode_wav) — the DuckDB oracle
     recomputes every value arithmetically, so a decoder that mishandles row
     padding, bottom-up order, BGR swizzle or the RIFF chunk walk fails the
-    hash.  Formats needing imaging libs stay honestly stubbed
+    hash.  Images additionally carry their 64-bit block-mean PERCEPTUAL
+    hash (multimodal.image_blockhash, the LAION-style image-dedup
+    signature; exact integer bit definition, oracle-recomputed per bit).
+    Formats needing imaging libs stay honestly stubbed
     (multimodal.decode_image)."""
     from yupana_spark.datapipe.multimodal import (codec_features,
                                                   frame_sample,
@@ -1424,7 +1427,16 @@ def dp_multimodal(spark, sf_dir):
     media = synth_codec_media_table(_docs(spark, sf_dir, fan_out=True))
     feats = codec_features(media)
     frames = frame_sample(media).select("media_id", "frame_no")
-    return frames.join(feats, "media_id")
+    # perceptual 64-bit block-mean hash (image_blockhash — the LAION-style
+    # image-dedup signature) through the REAL decode: the oracle recomputes
+    # every bit arithmetically via exact integer cross-multiplication, so a
+    # decoder or block-mapping bug flips the BIGINT and breaks the hash
+    from yupana_spark.datapipe.multimodal import image_blockhash
+
+    ph = (image_blockhash(media)
+          .withColumnRenamed("id", "media_id")
+          .withColumnRenamed("simhash", "phash"))
+    return frames.join(feats, "media_id").join(ph, "media_id", "left")
 
 
 def dp_sample(spark, sf_dir):
@@ -2979,11 +2991,37 @@ _ORACLES_DP: dict[str, str] = {
                       CAST(unnest(generate_series(0,
                            greatest(CAST(n_bytes // 100 AS INTEGER) - 1, 0)))
                            AS INTEGER) AS frame_no
-               FROM feat)
+               FROM feat),
+        -- 64-bit block-mean perceptual hash: pixel (y=t//w, x=t%w) maps
+        -- to grid cell (y*8//h)*8 + (x*8//w); bit set iff the cell's
+        -- gray mean beats the image mean by exact integer
+        -- cross-multiplication; bit 63 = two's-complement sign
+        phe AS (SELECT media_id, w, h,
+                       unnest(generate_series(0, w * h - 1)) AS t
+                FROM img),
+        phx AS (SELECT media_id,
+                       (t // w * 8 // h) * 8 + (t % w * 8 // w) AS b,
+                       ((t % w * 13 + t // w * 17 + media_id * 3) % 256
+                        + (t % w * 5 + t // w * 11 + media_id * 2) % 256
+                        + (t % w * 7 + t // w * 3 + media_id) % 256) AS g
+                FROM phe),
+        phb AS (SELECT media_id, b, sum(g) AS sb, count(*) AS nb
+                FROM phx GROUP BY media_id, b),
+        pht AS (SELECT media_id, sum(sb) AS s, sum(nb) AS n
+                FROM phb GROUP BY media_id),
+        ph AS (SELECT phb.media_id,
+                      CAST(sum(CASE WHEN sb * n > s * nb THEN
+                                 CASE WHEN b = 63
+                                      THEN -9223372036854775807 - 1
+                                      ELSE (CAST(1 AS BIGINT) << b) END
+                               ELSE 0 END) AS BIGINT) AS phash
+               FROM phb JOIN pht USING (media_id)
+               GROUP BY phb.media_id)
         SELECT fr.media_id, fr.frame_no, f.kind, f.n_bytes, f.width,
                f.height, f.channels, f.pix_sum, f.corner_r, f.sample_rate,
-               f.n_samples, f.max_abs
+               f.n_samples, f.max_abs, ph.phash
         FROM fr JOIN feat f USING (media_id)
+        LEFT JOIN ph ON fr.media_id = ph.media_id
     """,
     # three selection arms; the dsir arm recomputes the full estimator —
     # hashed uni+bigram buckets (first 24 md5 bits mod B), add-alpha

@@ -1755,3 +1755,59 @@ def test_bigram_xent_gate_and_rule(spark):
     assert "perplexity" not in out[0][1]
     assert "perplexity" not in out[2][1]            # NULL never fires
     assert "perplexity" not in out[3][1]
+
+
+def test_image_blockhash_and_near_pairs(spark):
+    """Perceptual image dedup: (a) the block-mean hash matches an
+    independent pure-python recompute of the documented definition;
+    (b) a one-pixel edit stays within a small hamming radius of the
+    original while a different image does not; (c) the pair operator
+    finds exactly the near-identical pair."""
+    import numpy as np
+
+    from yupana_spark.datapipe.multimodal import (decode_image, encode_bmp,
+                                                  image_blockhash,
+                                                  image_near_pairs)
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, size=(12, 16, 3)).astype(np.uint8)
+    near = base.copy()
+    near[3, 5] = [0, 0, 0]                       # one-pixel edit
+    other = rng.randint(0, 256, size=(12, 16, 3)).astype(np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(encode_bmp(base))),
+         (2, "image", bytearray(encode_bmp(near))),
+         (3, "image", bytearray(encode_bmp(other))),
+         (4, "audio", bytearray(b"RIFFnotdecoded"))],
+        "media_id long, kind string, content binary")
+    hashes = {r["id"]: r["simhash"]
+              for r in image_blockhash(media).collect()}
+    assert set(hashes) == {1, 2, 3}              # audio rows skipped
+
+    def py_hash(px):
+        g = px.astype(int).sum(axis=2)
+        h, w = g.shape
+        sums, cnts = [0] * 64, [0] * 64
+        for i in range(h):
+            for j in range(w):
+                b = (i * 8 // h) * 8 + (j * 8 // w)
+                sums[b] += int(g[i, j])
+                cnts[b] += 1
+        total, n = int(g.sum()), h * w
+        raw = sum(1 << b for b in range(64)
+                  if sums[b] * n > total * cnts[b])
+        return raw - (1 << 64) if raw >= 1 << 63 else raw
+
+    for mid, px in [(1, base), (2, near), (3, other)]:
+        assert hashes[mid] == py_hash(px)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(hashes[1], hashes[2]) <= 6
+    assert ham(hashes[1], hashes[3]) > 6
+    pairs = {(r["id_a"], r["id_b"])
+             for r in image_near_pairs(media, max_hamming=6).collect()}
+    assert pairs == {(1, 2)}
+    # decode -> hash roundtrip consistency through the real codec
+    assert np.array_equal(decode_image(encode_bmp(base)), base)

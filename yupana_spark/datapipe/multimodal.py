@@ -21,7 +21,7 @@ binaries is decoded per task without a per-row Python round trip.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+from typing import Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -789,6 +789,81 @@ def codec_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(per_batch, schema=CODEC_FEATURE_SCHEMA)
+
+
+def image_blockhash(media: DataFrame) -> DataFrame:
+    """(id, simhash): 64-bit BLOCK-MEAN perceptual hash per IMAGE row —
+    the LAION-style image-dedup signature (Zauner 2010 block-mean hash;
+    pHash family), computed through the REAL decoders.
+
+    Definition (exactly SQL-mirrorable — the dp_multimodal oracle
+    recomputes it arithmetically): gray(i,j) = r+g+b (integer, no
+    division); pixel (i,j) of an h x w image maps to the 8x8 grid cell
+    (i*8//h, j*8//w); bit b is set iff the cell's gray MEAN exceeds the
+    image mean, compared exactly by integer cross-multiplication
+    (sum_b * N > S * n_b) — no float rounding anywhere.  Cells with no
+    pixels (w or h < 8) stay 0.  Bit 63 makes the value negative in
+    two's complement, matching BIGINT storage on any engine.
+
+    Output column is ``simhash`` so the frame drops straight into
+    ``dedup.simhash_near_pairs(sigs=...)`` — hamming-radius candidate
+    generation reuses the pigeonhole block machinery unchanged."""
+    import numpy as np
+
+    out_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ])
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, kind, blob in zip(pdf["media_id"], pdf["kind"],
+                                       pdf["content"]):
+                if kind != "image":
+                    continue
+                px = decode_image(bytes(blob))
+                g = px.astype(np.int64).sum(axis=2)
+                hh, ww = g.shape
+                cell = ((np.arange(hh)[:, None] * 8) // hh * 8
+                        + (np.arange(ww)[None, :] * 8) // ww).ravel()
+                sums = np.zeros(64, np.int64)
+                cnts = np.zeros(64, np.int64)
+                np.add.at(sums, cell, g.ravel())
+                np.add.at(cnts, cell, 1)
+                total, n = int(g.sum()), hh * ww
+                bits = sums * n > total * cnts
+                raw = 0
+                for k in np.nonzero(bits)[0]:
+                    raw |= 1 << int(k)
+                if raw >= 1 << 63:
+                    raw -= 1 << 64          # two's-complement BIGINT
+                ids.append(int(mid))
+                hashes.append(raw)
+            yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"),
+                                "simhash": pd.Series(hashes,
+                                                     dtype="int64")})
+
+    return media.mapInPandas(per_batch, schema=out_schema)
+
+
+def image_near_pairs(media: DataFrame, max_hamming: int = 6,
+                     sigs: Optional[DataFrame] = None,
+                     dedupe: bool = True) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash hamming distance —
+    exact dedup catches byte-identical files; this catches re-encodes /
+    small edits whose block-mean structure survives (the image twin of
+    the text SimHash path, and the same 100 TB shape: pigeonhole-block
+    equi-join candidates, exact hamming verify, never all-pairs).
+
+    Pass ``sigs`` (a materialized ``image_blockhash`` frame) to reuse one
+    decode pass across the pipeline."""
+    from .dedup import simhash_near_pairs
+
+    if sigs is None:
+        sigs = image_blockhash(media).localCheckpoint(eager=True)
+    return simhash_near_pairs(media, max_hamming=max_hamming, sigs=sigs,
+                              dedupe=dedupe)
 
 
 def fake_decode_dims(content: bytes) -> tuple:
