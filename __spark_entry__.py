@@ -1431,9 +1431,10 @@ def dp_multimodal(spark, sf_dir):
     # image-dedup signature) through the REAL decode: the oracle recomputes
     # every bit arithmetically via exact integer cross-multiplication, so a
     # decoder or block-mapping bug flips the BIGINT and breaks the hash
-    from yupana_spark.datapipe.multimodal import image_blockhash
+    from yupana_spark.datapipe.multimodal import (audio_blockhash,
+                                                  image_blockhash)
 
-    ph = (image_blockhash(media)
+    ph = (image_blockhash(media).unionAll(audio_blockhash(media))
           .withColumnRenamed("id", "media_id")
           .withColumnRenamed("simhash", "phash"))
     return frames.join(feats, "media_id").join(ph, "media_id", "left")
@@ -3016,12 +3017,35 @@ _ORACLES_DP: dict[str, str] = {
                                       ELSE (CAST(1 AS BIGINT) << b) END
                                ELSE 0 END) AS BIGINT) AS phash
                FROM phb JOIN pht USING (media_id)
-               GROUP BY phb.media_id)
+               GROUP BY phb.media_id),
+        -- audio energy-envelope hash: sample i -> segment i*64//n, bit
+        -- set iff segment mean |amplitude| beats the stream mean (same
+        -- exact cross-multiplied compare)
+        pae AS (SELECT media_id, nf * ch AS n,
+                       unnest(generate_series(0, nf * ch - 1)) AS i
+                FROM aud),
+        pax AS (SELECT media_id, n, i * 64 // n AS b,
+                       abs((media_id * 31 + i * 17) % 65536 - 32768) AS a
+                FROM pae),
+        pab AS (SELECT media_id, b, sum(a) AS sb, count(*) AS nb
+                FROM pax GROUP BY media_id, b),
+        pat AS (SELECT media_id, sum(sb) AS s, sum(nb) AS n
+                FROM pab GROUP BY media_id),
+        pah AS (SELECT pab.media_id,
+                       CAST(sum(CASE WHEN sb * n > s * nb THEN
+                                  CASE WHEN b = 63
+                                       THEN -9223372036854775807 - 1
+                                       ELSE (CAST(1 AS BIGINT) << b) END
+                                ELSE 0 END) AS BIGINT) AS phash
+                FROM pab JOIN pat USING (media_id)
+                GROUP BY pab.media_id)
         SELECT fr.media_id, fr.frame_no, f.kind, f.n_bytes, f.width,
                f.height, f.channels, f.pix_sum, f.corner_r, f.sample_rate,
-               f.n_samples, f.max_abs, ph.phash
+               f.n_samples, f.max_abs,
+               coalesce(ph.phash, pah.phash) AS phash
         FROM fr JOIN feat f USING (media_id)
         LEFT JOIN ph ON fr.media_id = ph.media_id
+        LEFT JOIN pah ON fr.media_id = pah.media_id
     """,
     # three selection arms; the dsir arm recomputes the full estimator —
     # hashed uni+bigram buckets (first 24 md5 bits mod B), add-alpha

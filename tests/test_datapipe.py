@@ -1811,3 +1811,48 @@ def test_image_blockhash_and_near_pairs(spark):
     assert pairs == {(1, 2)}
     # decode -> hash roundtrip consistency through the real codec
     assert np.array_equal(decode_image(encode_bmp(base)), base)
+
+
+def test_audio_blockhash_recompute_and_sensitivity(spark):
+    """Audio energy-envelope hash: matches an independent recompute, is
+    invariant to a gain-preserving one-sample dropout staying within a
+    small hamming radius, and differs for unrelated streams."""
+    import numpy as np
+
+    from yupana_spark.datapipe.multimodal import (audio_blockhash,
+                                                  encode_wav)
+
+    rng = np.random.RandomState(11)
+    base = (rng.randint(-20000, 20000, size=1024)).astype(np.int16)
+    near = base.copy()
+    near[100] = 0                               # single-sample dropout
+    other = (rng.randint(-20000, 20000, size=1024)).astype(np.int16)
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(encode_wav(base, 8000, 1))),
+         (2, "audio", bytearray(encode_wav(near, 8000, 1))),
+         (3, "audio", bytearray(encode_wav(other, 8000, 1))),
+         (4, "image", bytearray(b"BMnotdecoded"))],
+        "media_id long, kind string, content binary")
+    hashes = {r["id"]: r["simhash"]
+              for r in audio_blockhash(media).collect()}
+    assert set(hashes) == {1, 2, 3}
+
+    def py_hash(samples):
+        a = [abs(int(s)) for s in samples]
+        n = len(a)
+        sums, cnts = [0] * 64, [0] * 64
+        for i, v in enumerate(a):
+            sums[i * 64 // n] += v
+            cnts[i * 64 // n] += 1
+        total = sum(a)
+        raw = sum(1 << b for b in range(64)
+                  if sums[b] * n > total * cnts[b])
+        return raw - (1 << 64) if raw >= 1 << 63 else raw
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    for mid, s in [(1, base), (2, near), (3, other)]:
+        assert hashes[mid] == py_hash(s)
+    assert ham(hashes[1], hashes[2]) <= 4
+    assert ham(hashes[1], hashes[3]) > 4

@@ -847,6 +847,56 @@ def image_blockhash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(per_batch, schema=out_schema)
 
 
+def audio_blockhash(media: DataFrame) -> DataFrame:
+    """(id, simhash): 64-bit energy-envelope hash per AUDIO row — the
+    audio twin of ``image_blockhash`` (a chromaprint-style signature
+    reduced to SQL-exact arithmetic): the interleaved sample stream
+    splits into 64 segments (sample i -> segment i*64//n), a bit is set
+    iff the segment's MEAN |amplitude| exceeds the stream mean, compared
+    exactly by integer cross-multiplication.  Survives re-encoding/gain
+    -preserving container changes the byte fingerprint cannot."""
+    import numpy as np
+
+    out_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ])
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, kind, blob in zip(pdf["media_id"], pdf["kind"],
+                                       pdf["content"]):
+                if kind != "audio":
+                    continue
+                _rate, _ch, samples = decode_wav(bytes(blob))
+                a = np.abs(samples.astype(np.int64))
+                n = len(a)
+                if n == 0:
+                    ids.append(int(mid))
+                    hashes.append(0)
+                    continue
+                seg = (np.arange(n) * 64) // n
+                sums = np.zeros(64, np.int64)
+                cnts = np.zeros(64, np.int64)
+                np.add.at(sums, seg, a)
+                np.add.at(cnts, seg, 1)
+                total = int(a.sum())
+                bits = sums * n > total * cnts
+                raw = 0
+                for k in np.nonzero(bits)[0]:
+                    raw |= 1 << int(k)
+                if raw >= 1 << 63:
+                    raw -= 1 << 64
+                ids.append(int(mid))
+                hashes.append(raw)
+            yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"),
+                                "simhash": pd.Series(hashes,
+                                                     dtype="int64")})
+
+    return media.mapInPandas(per_batch, schema=out_schema)
+
+
 def image_near_pairs(media: DataFrame, max_hamming: int = 6,
                      sigs: Optional[DataFrame] = None,
                      dedupe: bool = True) -> DataFrame:
