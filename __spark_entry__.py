@@ -1418,8 +1418,15 @@ def dp_multimodal(spark, sf_dir):
     hash.  Images additionally carry their 64-bit block-mean PERCEPTUAL
     hash (multimodal.image_blockhash, the LAION-style image-dedup
     signature; exact integer bit definition, oracle-recomputed per bit).
-    Formats needing imaging libs stay honestly stubbed
-    (multimodal.decode_image)."""
+    VIDEO rows ride a third synthetic modality (multimodal.
+    synth_video_media_table — doc_id % 3 == 0 documents become
+    palette-bounded animated GIFs, the one video container the repo
+    decodes losslessly): video_temphash derives the 64-bit
+    temporal-envelope perceptual hash (brightness-over-time twin of the
+    image/audio hashes) plus frame-count/canvas features through the REAL
+    multi-frame decoder, and the oracle recomputes every value — per-frame
+    composited gray sums included — in closed form.  Formats needing
+    imaging libs stay honestly stubbed (multimodal.decode_image)."""
     from yupana_spark.datapipe.multimodal import (codec_features,
                                                   frame_sample,
                                                   synth_codec_media_table)
@@ -1432,12 +1439,19 @@ def dp_multimodal(spark, sf_dir):
     # every bit arithmetically via exact integer cross-multiplication, so a
     # decoder or block-mapping bug flips the BIGINT and breaks the hash
     from yupana_spark.datapipe.multimodal import (audio_blockhash,
-                                                  image_blockhash)
+                                                  image_blockhash,
+                                                  synth_video_media_table,
+                                                  video_temphash)
 
     ph = (image_blockhash(media).unionAll(audio_blockhash(media))
           .withColumnRenamed("id", "media_id")
           .withColumnRenamed("simhash", "phash"))
-    return frames.join(feats, "media_id").join(ph, "media_id", "left")
+    vids = synth_video_media_table(_docs(spark, sf_dir, fan_out=True))
+    vh = (video_temphash(vids)
+          .withColumnRenamed("id", "media_id")
+          .withColumnRenamed("simhash", "vhash"))
+    return (frames.join(feats, "media_id").join(ph, "media_id", "left")
+            .join(vh, "media_id", "left"))
 
 
 def dp_sample(spark, sf_dir):
@@ -3038,14 +3052,57 @@ _ORACLES_DP: dict[str, str] = {
                                        ELSE (CAST(1 AS BIGINT) << b) END
                                 ELSE 0 END) AS BIGINT) AS phash
                 FROM pab JOIN pat USING (media_id)
-                GROUP BY pab.media_id)
+                GROUP BY pab.media_id),
+        -- video arm: doc_id % 3 = 0 documents are animated GIFs with
+        -- nf = 4 + id%5 full-canvas frames of (5 + nc%6) x (4 + id%4)
+        -- pixels drawn from the 8-color palette p = (x + 2y + 3t + id)%8;
+        -- per-frame composited gray sums and the 64-bit temporal-envelope
+        -- hash (frame t -> segment t*64//nf, bit set iff segment mean
+        -- frame-gray beats the video mean, exact cross-multiplication)
+        -- are recomputed in closed form
+        vid AS (SELECT media_id, CAST(4 + media_id % 5 AS INTEGER) AS vf,
+                       CAST(5 + nc % 6 AS INTEGER) AS vw,
+                       CAST(4 + media_id % 4 AS INTEGER) AS vhh
+                FROM base WHERE media_id % 3 = 0),
+        vexp AS (SELECT media_id, vf, vw, vhh,
+                        unnest(generate_series(0, vf * vw * vhh - 1)) AS t
+                 FROM vid),
+        vpx AS (SELECT media_id, vf, t // (vw * vhh) AS frm,
+                       (t % (vw * vhh) % vw + 2 * (t % (vw * vhh) // vw)
+                        + 3 * (t // (vw * vhh)) + media_id) % 8 AS p
+                FROM vexp),
+        vg AS (SELECT media_id, vf, frm,
+                      sum((p * 29 + media_id * 7) % 256
+                          + (p * 13 + media_id * 5) % 256
+                          + (p * 7 + media_id * 11) % 256) AS gsum
+               FROM vpx GROUP BY media_id, vf, frm),
+        vsb AS (SELECT media_id, vf, frm * 64 // vf AS b,
+                       sum(gsum) AS sb, count(*) AS nb
+                FROM vg GROUP BY media_id, vf, frm * 64 // vf),
+        vtt AS (SELECT media_id, sum(sb) AS s FROM vsb GROUP BY media_id),
+        vph AS (SELECT vsb.media_id,
+                       CAST(sum(CASE WHEN sb * vf > t.s * nb THEN
+                                  CASE WHEN b = 63
+                                       THEN -9223372036854775807 - 1
+                                       ELSE (CAST(1 AS BIGINT) << b) END
+                                ELSE 0 END) AS BIGINT) AS vhash
+                FROM vsb JOIN vtt t USING (media_id)
+                GROUP BY vsb.media_id),
+        vfeat AS (SELECT v.media_id, v.vf AS v_frames, v.vw AS v_width,
+                         v.vhh AS v_height, CAST(t.s AS BIGINT) AS v_gray,
+                         vph.vhash
+                  FROM vid v JOIN vtt t USING (media_id)
+                  JOIN vph USING (media_id))
         SELECT fr.media_id, fr.frame_no, f.kind, f.n_bytes, f.width,
                f.height, f.channels, f.pix_sum, f.corner_r, f.sample_rate,
                f.n_samples, f.max_abs,
-               coalesce(ph.phash, pah.phash) AS phash
+               coalesce(ph.phash, pah.phash) AS phash,
+               vfeat.v_frames, vfeat.v_width, vfeat.v_height,
+               vfeat.v_gray, vfeat.vhash
         FROM fr JOIN feat f USING (media_id)
         LEFT JOIN ph ON fr.media_id = ph.media_id
         LEFT JOIN pah ON fr.media_id = pah.media_id
+        LEFT JOIN vfeat ON fr.media_id = vfeat.media_id
     """,
     # three selection arms; the dsir arm recomputes the full estimator —
     # hashed uni+bigram buckets (first 24 md5 bits mod B), add-alpha

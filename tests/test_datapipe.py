@@ -1856,3 +1856,72 @@ def test_audio_blockhash_recompute_and_sensitivity(spark):
         assert hashes[mid] == py_hash(s)
     assert ham(hashes[1], hashes[2]) <= 4
     assert ham(hashes[1], hashes[3]) > 4
+
+def test_video_temphash_recompute_and_near_pairs(spark):
+    """Video temporal-envelope hash: (a) matches an independent pure-python
+    recompute of the documented definition through the real animated-GIF
+    roundtrip; (b) is INVARIANT to re-encodes that preserve frame content
+    (different per-frame delays — hamming 0); (c) a brightness-preserving
+    single-frame edit stays within a small hamming radius while an
+    unrelated video does not; (d) the pair operator finds exactly the
+    near-identical pairs."""
+    import numpy as np
+
+    from yupana_spark.datapipe.multimodal import (decode_gif_frames,
+                                                  encode_gif_animated,
+                                                  video_near_pairs,
+                                                  video_temphash)
+
+    rng = np.random.RandomState(5)
+    pal = rng.randint(0, 256, size=(8, 3)).astype(np.uint8)
+
+    def vid(seed, nf=16, h=6, w=8):
+        r = np.random.RandomState(seed)
+        return [pal[r.randint(0, 8, size=(h, w))] for _ in range(nf)]
+
+    base = vid(1)
+    near = [f.copy() for f in base]
+    near[3] = base[3].copy()
+    near[3][0, 0] = pal[(int(np.argmax(pal.sum(1))))]   # tiny bright edit
+    other = vid(2)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(encode_gif_animated(base))),
+         (2, "video", bytearray(encode_gif_animated(near))),
+         (3, "video", bytearray(encode_gif_animated(other))),
+         (4, "video", bytearray(encode_gif_animated(base, delay_cs=77))),
+         (5, "image", bytearray(b"BMnotdecoded"))],
+        "media_id long, kind string, content binary")
+    rows = {r["id"]: r for r in video_temphash(media).collect()}
+    assert set(rows) == {1, 2, 3, 4}              # non-video rows skipped
+    assert rows[1]["v_frames"] == 16
+    assert (rows[1]["v_width"], rows[1]["v_height"]) == (8, 6)
+
+    def py_hash(frames):
+        fsums = [int(f.astype(np.int64).sum()) for f in frames]
+        nf = len(frames)
+        sums, cnts = [0] * 64, [0] * 64
+        for t, v in enumerate(fsums):
+            sums[t * 64 // nf] += v
+            cnts[t * 64 // nf] += 1
+        total = sum(fsums)
+        raw = sum(1 << b for b in range(64)
+                  if sums[b] * nf > total * cnts[b])
+        return raw - (1 << 64) if raw >= 1 << 63 else raw
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    for mid, fr in [(1, base), (2, near), (3, other)]:
+        assert rows[mid]["simhash"] == py_hash(fr)
+        assert rows[mid]["v_gray"] == sum(int(f.astype(np.int64).sum())
+                                          for f in fr)
+    # re-encode (delay change) hashes identically: hamming 0
+    assert rows[4]["simhash"] == rows[1]["simhash"]
+    assert ham(rows[1]["simhash"], rows[2]["simhash"]) <= 3
+    assert ham(rows[1]["simhash"], rows[3]["simhash"]) > 3
+    pairs = {(r["id_a"], r["id_b"])
+             for r in video_near_pairs(media, max_hamming=3).collect()}
+    assert pairs == {(1, 2), (1, 4), (2, 4)}
+    # lossless roundtrip through the real codec
+    dec = decode_gif_frames(encode_gif_animated(base))
+    assert all(np.array_equal(a, b) for a, b in zip(dec, base))

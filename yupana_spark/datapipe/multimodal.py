@@ -897,6 +897,133 @@ def audio_blockhash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(per_batch, schema=out_schema)
 
 
+def synth_video_media_table(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL videos from the documents fixture: every
+    ``doc_id % 3 == 0`` document becomes an animated GIF (the one video
+    container the repo decodes losslessly end-to-end — see
+    ``encode_gif_animated``/``decode_gif_frames``) whose frame count,
+    canvas and per-pixel palette are all arithmetic in (doc_id, n_chars),
+    so a SQL oracle recomputes every decoded feature in closed form.
+    Palette-bounded by construction (8 colors per video), hence the GIF
+    roundtrip is bit-exact — unlike Motion-JPEG, whose lossy frames
+    cannot back a value-hash oracle."""
+    import numpy as np
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("content", T.BinaryType()),
+    ])
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                mid, nc = int(mid), int(nc)
+                if mid % 3 != 0:
+                    continue
+                nf = 4 + mid % 5
+                w, h = 5 + nc % 6, 4 + mid % 4
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                frames = []
+                for t in range(nf):
+                    p = (x + 2 * y + 3 * t + mid) % 8
+                    frames.append(np.stack(
+                        [(p * 29 + mid * 7) % 256,
+                         (p * 13 + mid * 5) % 256,
+                         (p * 7 + mid * 11) % 256],
+                        axis=2).astype(np.uint8))
+                ids.append(mid)
+                blobs.append(encode_gif_animated(frames))
+            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
+                                "kind": "video", "content": blobs})
+
+    return (docs.select("doc_id", "n_chars")
+            .mapInPandas(per_batch, schema=out_schema))
+
+
+VIDEO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("v_frames", T.IntegerType()),
+    T.StructField("v_width", T.IntegerType()),
+    T.StructField("v_height", T.IntegerType()),
+    T.StructField("v_gray", T.LongType()),
+    T.StructField("simhash", T.LongType()),
+])
+
+
+def video_temphash(media: DataFrame) -> DataFrame:
+    """(id, v_frames, v_width, v_height, v_gray, simhash): 64-bit
+    TEMPORAL-ENVELOPE perceptual hash per VIDEO row plus the decoded
+    frame-geometry features — the video member of the perceptual-dedup
+    family (image_blockhash = spatial, audio_blockhash = amplitude
+    envelope, this = brightness-over-time envelope), computed through the
+    REAL animated-GIF decoder.
+
+    Definition (exactly SQL-mirrorable): frame t of an F-frame video maps
+    to segment t*64//F; gray of a frame = integer sum of r+g+b over its
+    composited pixels; bit b is set iff the segment's mean frame-gray
+    exceeds the video mean, compared exactly by integer
+    cross-multiplication (sum_b * N > S * n_b).  Bit 63 makes the value
+    negative in two's complement, matching BIGINT storage.  A re-encode
+    that preserves frame content (different delays, loop count, LZW
+    packing) hashes identically; the byte fingerprint does not.
+
+    Output hash column is ``simhash`` so the frame drops straight into
+    ``dedup.simhash_near_pairs(sigs=...)`` like its image/audio twins."""
+    import numpy as np
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, blob in zip(pdf["media_id"], pdf["kind"],
+                                       pdf["content"]):
+                if kind != "video":
+                    continue
+                frames = decode_gif_frames(bytes(blob))
+                nf = len(frames)
+                hh, ww, _ = frames[0].shape
+                fsums = np.array([int(f.astype(np.int64).sum())
+                                  for f in frames], dtype=np.int64)
+                seg = (np.arange(nf) * 64) // nf
+                sums = np.zeros(64, np.int64)
+                cnts = np.zeros(64, np.int64)
+                np.add.at(sums, seg, fsums)
+                np.add.at(cnts, seg, 1)
+                total = int(fsums.sum())
+                bits = sums * nf > total * cnts
+                raw = 0
+                for k in np.nonzero(bits)[0]:
+                    raw |= 1 << int(k)
+                if raw >= 1 << 63:
+                    raw -= 1 << 64
+                rows.append({"id": int(mid), "v_frames": nf,
+                             "v_width": ww, "v_height": hh,
+                             "v_gray": total, "simhash": raw})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FEATURE_SCHEMA])
+
+    return media.mapInPandas(per_batch, schema=VIDEO_FEATURE_SCHEMA)
+
+
+def video_near_pairs(media: DataFrame, max_hamming: int = 3,
+                     sigs: Optional[DataFrame] = None,
+                     dedupe: bool = True) -> DataFrame:
+    """Video near-duplicate pairs by temporal-envelope hamming distance —
+    catches re-encodes (delay/loop/LZW changes) and brightness-preserving
+    edits; same 100 TB shape as the image/text paths: pigeonhole-block
+    equi-join candidates, exact hamming verify, never all-pairs."""
+    from .dedup import simhash_near_pairs
+
+    if sigs is None:
+        sigs = video_temphash(media).select("id", "simhash") \
+            .localCheckpoint(eager=True)
+    return simhash_near_pairs(media, max_hamming=max_hamming,
+                              sigs=sigs.select("id", "simhash"),
+                              dedupe=dedupe)
+
+
 def image_near_pairs(media: DataFrame, max_hamming: int = 6,
                      sigs: Optional[DataFrame] = None,
                      dedupe: bool = True) -> DataFrame:
