@@ -1350,8 +1350,18 @@ def dp_exact_dedup(spark, sf_dir):
     its PII the same way): every doc_id % 7 == 0 document, with the text
     of the doc_id % 14 == 0 half mutated by an appended token.  The flag
     is therefore true exactly where the fp join finds the unmutated half —
-    variance the oracle recomputes from the same rule."""
-    from yupana_spark.datapipe.dedup import cross_corpus_flags, exact_dedup
+    variance the oracle recomputes from the same rule.
+
+    ``dup_vs_ref_bloom`` is the SAME membership computed through the
+    100 TB path (dedup.bloom_prefilter_flags): the reference fingerprints
+    fold into a bounded bit array, the crawl side probes it with pure JVM
+    bit arithmetic, and only probable hits enter the fp exchange — Bloom
+    filters have no false negatives and the exact join clears the false
+    positives, so the oracle asserts bit-for-bit equality with the plain
+    join's flag."""
+    from yupana_spark.datapipe.dedup import (bloom_prefilter_flags,
+                                             cross_corpus_flags,
+                                             exact_dedup)
 
     docs = _docs(spark, sf_dir)
     did = F.col("doc_id")
@@ -1360,8 +1370,12 @@ def dp_exact_dedup(spark, sf_dir):
                                       F.concat(F.col("text"),
                                                F.lit(" mutated")))
                        .otherwise(F.col("text"))))
+    bloom = bloom_prefilter_flags(docs, ref, flag_col="dup_vs_ref_bloom",
+                                  n_bits=1 << 16).select(
+        "doc_id", "dup_vs_ref_bloom")
     return cross_corpus_flags(exact_dedup(docs), ref).select(
-        "doc_id", "fp", "is_duplicate", "dup_vs_ref")
+        "doc_id", "fp", "is_duplicate", "dup_vs_ref") \
+        .join(bloom, "doc_id")
 
 
 def dp_ngram_jaccard(spark, sf_dir):
@@ -2907,7 +2921,11 @@ _ORACLES_DP: dict[str, str] = {
           FROM documents WHERE doc_id % 7 = 0)
         SELECT doc_id, fp,
                doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_duplicate,
-               fp IN (SELECT fp FROM ref) AS dup_vs_ref
+               fp IN (SELECT fp FROM ref) AS dup_vs_ref,
+               -- the bloom-prefiltered path must agree bit-for-bit with
+               -- exact membership (no false negatives; exact join clears
+               -- the false positives)
+               fp IN (SELECT fp FROM ref) AS dup_vs_ref_bloom
         FROM f
     """,
     "dp_ngram_jaccard": """

@@ -1925,3 +1925,61 @@ def test_video_temphash_recompute_and_near_pairs(spark):
     # lossless roundtrip through the real codec
     dec = decode_gif_frames(encode_gif_animated(base))
     assert all(np.array_equal(a, b) for a, b in zip(dec, base))
+
+def test_bloom_prefilter_flags_exact_and_scale_shape(spark):
+    """Bloom-prefiltered cross-corpus dedup: (a) row-for-row identical to
+    the plain equi-join flags (no false negatives by construction, false
+    positives cleared by the exact join); (b) the filter itself has the
+    expected behavior — every inserted value probes true, absent values
+    false-positive at roughly the theoretical rate; (c) the scale shape
+    holds: the hit branch joins shuffle-hash on fp, the miss branch is
+    map-only (no exchange)."""
+    from yupana_spark.datapipe.dedup import (bloom_filter_words,
+                                             bloom_prefilter_flags,
+                                             cross_corpus_flags)
+
+    docs = spark.createDataFrame(
+        [(i, f"document body {i % 40}") for i in range(200)],
+        "doc_id long, text string")
+    ref = spark.createDataFrame(
+        [(i, f"document body {i}") for i in range(20)],
+        "doc_id long, text string")
+
+    got = {r["doc_id"]: r["dup_vs_ref"]
+           for r in bloom_prefilter_flags(docs, ref).collect()}
+    want = {r["doc_id"]: r["dup_vs_ref"]
+            for r in cross_corpus_flags(docs, ref).collect()}
+    assert got == want and any(want.values()) and not all(want.values())
+
+    # (b) no false negatives; FP rate near theory (k=5, 1k keys in 2^16
+    # bits -> ~(1 - e^-5k/m)^5 ~ 2e-6; allow generous slack)
+    vals = spark.createDataFrame([(f"k{i}",) for i in range(1000)],
+                                 "fp string")
+    words = bloom_filter_words(vals, "fp", n_bits=1 << 16, k=5)
+    assert len(words) == (1 << 16) // 64
+    bf = spark.createDataFrame([(words,)], "__bf: array<bigint>")
+
+    def hits(df):
+        import pyspark.sql.functions as F
+        probes = [
+            F.expr(f"(element_at(__bf, cast(pmod(xxhash64(fp, {i}), 65536)"
+                   f" div 64 as int) + 1)"
+                   f" & shiftleft(1L, cast(pmod(xxhash64(fp, {i}), 65536)"
+                   f" % 64 as int))) != 0")
+            for i in range(5)]
+        hit = probes[0]
+        for p in probes[1:]:
+            hit = hit & p
+        return df.crossJoin(F.broadcast(bf)).filter(hit).count()
+
+    assert hits(vals) == 1000                       # no false negatives
+    absent = spark.createDataFrame([(f"x{i}",) for i in range(5000)],
+                                   "fp string")
+    assert hits(absent) <= 25                       # fp rate << 0.5%
+
+    # (c) plan shape: shuffle-hash join on fp in the hit branch; the miss
+    # branch contributes no extra exchange beyond the join's own
+    plan = (bloom_prefilter_flags(docs, ref)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -546,6 +546,100 @@ def cross_corpus_flags(docs: DataFrame, ref: DataFrame,
             .drop("__r"))
 
 
+def bloom_filter_words(ref: DataFrame, col: str = "fp",
+                       n_bits: int = 1 << 20, k: int = 5) -> list:
+    """Build a Bloom filter of ``ref[col]`` as a dense little-endian word
+    list (``n_bits // 64`` int64 words) with k probes per value —
+    ``pmod(xxhash64(value, i), n_bits)`` for i in 0..k-1, the same probe
+    definition ``bloom_prefilter_flags`` tests, so build and probe stay
+    collision-compatible by construction.
+
+    100 TB shape: probe positions reduce map-side (partial ``bit_or`` per
+    word index), so the exchange carries at most ``n_bits/64`` rows per
+    partition regardless of reference size, and the driver collect is
+    hard-bounded by ``n_bits`` (the default 2^20 bits = 128 KB).  Size
+    ``n_bits >= ~10x the reference's distinct count`` for a ~1% false-
+    positive rate at k=5 (Bloom 1970); false positives only cost wasted
+    join work downstream — never wrong answers."""
+    if n_bits % 64 != 0:
+        raise ValueError(f"n_bits must be a multiple of 64, got {n_bits}")
+    pos = [F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(n_bits))
+           for i in range(k)]
+    words = (ref.select(F.explode(F.array(*pos)).alias("pos"))
+             .select(F.expr("pos div 64").alias("w"),
+                     F.expr("shiftleft(1L, cast(pos % 64 as int))")
+                     .alias("m"))
+             .groupBy("w").agg(F.bit_or("m").alias("mask")))
+    arr = [0] * (n_bits // 64)
+    for r in words.collect():          # bounded: <= n_bits/64 rows
+        arr[int(r["w"])] = int(r["mask"])
+    return arr
+
+
+def bloom_prefilter_flags(docs: DataFrame, ref: DataFrame,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          ref_text_col: Optional[str] = None,
+                          flag_col: str = "dup_vs_ref",
+                          n_bits: int = 1 << 20, k: int = 5) -> DataFrame:
+    """``cross_corpus_flags`` with a BLOOM-FILTER PREFILTER on the crawl
+    side — the 100 TB form of "flag documents already present in the
+    training set" when the reference fingerprint set is too large to
+    broadcast but the crawl side dominates the shuffle.
+
+    Why: in the plain equi-join form every crawl row shuffles on ``fp``
+    even though (for a mostly-novel crawl) almost none match.  Here the
+    reference's fingerprints fold into a ~128 KB bit array (one bounded
+    build job, ``bloom_filter_words``), the array rides a broadcast
+    single-row frame, and the membership probe is pure JVM bit arithmetic
+    (xxhash64 + element_at + shiftleft — no UDF).  Only probable hits
+    (true dups + the ~1% false-positive tail) enter the fp exchange; the
+    certain-miss rows take a narrow map-only branch.  Bloom filters have
+    NO false negatives, so the result is row-for-row identical to
+    ``cross_corpus_flags`` — the exact join on the survivors clears the
+    false positives.
+
+    Spark's own runtime bloom-filter injection
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) covers the
+    selective-join case generically but neither persists the filter for
+    reuse across queries nor exposes the build; this operator makes the
+    artifact explicit (a word list a caller can store alongside the
+    corpus like the other ingest-time index artifacts)."""
+    rfp = (ref.select(fingerprint_md5(F.col(ref_text_col or text_col))
+                      .alias("fp"))
+           .dropDuplicates())
+    words = bloom_filter_words(rfp, "fp", n_bits, k)
+    spark = docs.sparkSession
+    bf = spark.createDataFrame([(words,)], "__bf: array<bigint>")
+    probes = [
+        F.expr(f"(element_at(__bf, cast(pmod(xxhash64(fp, {i}), {n_bits})"
+               f" div 64 as int) + 1)"
+               f" & shiftleft(1L, cast(pmod(xxhash64(fp, {i}), {n_bits})"
+               f" % 64 as int))) != 0")
+        for i in range(k)
+    ]
+    hit = probes[0]
+    for p in probes[1:]:
+        hit = hit & p
+    pre = (docs.withColumn("fp", fingerprint_md5(F.col(text_col)))
+           .crossJoin(F.broadcast(bf))
+           .withColumn("__bh", hit))
+    # probable hits: exact membership join clears bloom false positives;
+    # shuffle_hash on fp (the reference side is too big to broadcast by
+    # premise; AQE sizes the exchanges)
+    hits = (pre.filter(F.col("__bh"))
+            .join(rfp.withColumn("__r", F.lit(True)).hint("shuffle_hash"),
+                  "fp", "left")
+            .withColumn(flag_col, F.coalesce(F.col("__r"), F.lit(False)))
+            .drop("__r", "__bh", "__bf"))
+    # certain misses: narrow map-only branch, never shuffles (the second
+    # source scan is the standard trade — at crawl scale a columnar
+    # re-scan is far cheaper than shuffling the full corpus on fp)
+    misses = (pre.filter(~F.col("__bh"))
+              .withColumn(flag_col, F.lit(False))
+              .drop("__bh", "__bf"))
+    return hits.unionByName(misses)
+
+
 def minhash_cross_pairs(docs: DataFrame, ref: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         threshold: float = 0.7, num_hashes: int = 32,
