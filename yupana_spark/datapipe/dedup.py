@@ -527,7 +527,8 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
 def cross_corpus_flags(docs: DataFrame, ref: DataFrame,
                        text_col: str = "text", id_col: str = "doc_id",
                        ref_text_col: Optional[str] = None,
-                       flag_col: str = "dup_vs_ref") -> DataFrame:
+                       flag_col: str = "dup_vs_ref",
+                       ref_fp: Optional[DataFrame] = None) -> DataFrame:
     """``docs`` plus ``fp`` and a ``flag_col`` boolean: does the document's
     normalized content already exist in a REFERENCE corpus?  The standard
     "dedup the new crawl against what the model already trained on" step.
@@ -536,11 +537,20 @@ def cross_corpus_flags(docs: DataFrame, ref: DataFrame,
     fingerprints (text never crosses the exchange) and the membership test
     is one equi-join on fp — broadcast when the reference fingerprint set
     is small, shuffle-hash otherwise (AQE picks).  Left join against the
-    DISTINCT fp set cannot multiply rows."""
-    rfp = (ref.select(fingerprint_md5(F.col(ref_text_col or text_col))
-                      .alias("fp"))
-           .dropDuplicates())
-    return (docs.withColumn("fp", fingerprint_md5(F.col(text_col)))
+    DISTINCT fp set cannot multiply rows.
+
+    An existing ``fp`` column on ``docs`` (e.g. from ``exact_dedup``) is
+    REUSED — the normalize+md5 scan is the expensive part of this
+    operator, and pipelines that already fingerprinted must not pay it
+    twice.  ``ref_fp`` similarly takes a precomputed DISTINCT one-column
+    (fp) reference frame."""
+    rfp = ref_fp if ref_fp is not None else (
+        ref.select(fingerprint_md5(F.col(ref_text_col or text_col))
+                   .alias("fp"))
+        .dropDuplicates())
+    fpd = docs if "fp" in docs.columns else \
+        docs.withColumn("fp", fingerprint_md5(F.col(text_col)))
+    return (fpd
             .join(rfp.withColumn("__r", F.lit(True)), "fp", "left")
             .withColumn(flag_col, F.coalesce(F.col("__r"), F.lit(False)))
             .drop("__r"))
@@ -580,7 +590,9 @@ def bloom_prefilter_flags(docs: DataFrame, ref: DataFrame,
                           text_col: str = "text", id_col: str = "doc_id",
                           ref_text_col: Optional[str] = None,
                           flag_col: str = "dup_vs_ref",
-                          n_bits: int = 1 << 20, k: int = 5) -> DataFrame:
+                          n_bits: int = 1 << 20, k: int = 5,
+                          words: Optional[list] = None,
+                          ref_fp: Optional[DataFrame] = None) -> DataFrame:
     """``cross_corpus_flags`` with a BLOOM-FILTER PREFILTER on the crawl
     side — the 100 TB form of "flag documents already present in the
     training set" when the reference fingerprint set is too large to
@@ -603,11 +615,22 @@ def bloom_prefilter_flags(docs: DataFrame, ref: DataFrame,
     selective-join case generically but neither persists the filter for
     reuse across queries nor exposes the build; this operator makes the
     artifact explicit (a word list a caller can store alongside the
-    corpus like the other ingest-time index artifacts)."""
-    rfp = (ref.select(fingerprint_md5(F.col(ref_text_col or text_col))
-                      .alias("fp"))
-           .dropDuplicates())
-    words = bloom_filter_words(rfp, "fp", n_bits, k)
+    corpus like the other ingest-time index artifacts).  Pass ``words``
+    (a ``bloom_filter_words`` result built with the SAME n_bits/k over
+    the reference's fingerprints) to reuse a stored filter and skip the
+    build job.  An existing ``fp`` column on ``docs`` and a precomputed
+    distinct ``ref_fp`` frame are reused like in
+    ``cross_corpus_flags`` — normalization is the expensive scan."""
+    rfp = ref_fp if ref_fp is not None else (
+        ref.select(fingerprint_md5(F.col(ref_text_col or text_col))
+                   .alias("fp"))
+        .dropDuplicates())
+    if words is None:
+        words = bloom_filter_words(rfp, "fp", n_bits, k)
+    elif len(words) != n_bits // 64:
+        raise ValueError(
+            f"words has {len(words)} entries, expected {n_bits // 64} "
+            f"for n_bits={n_bits} — filter built with different n_bits?")
     spark = docs.sparkSession
     bf = spark.createDataFrame([(words,)], "__bf: array<bigint>")
     probes = [
@@ -620,9 +643,9 @@ def bloom_prefilter_flags(docs: DataFrame, ref: DataFrame,
     hit = probes[0]
     for p in probes[1:]:
         hit = hit & p
-    pre = (docs.withColumn("fp", fingerprint_md5(F.col(text_col)))
-           .crossJoin(F.broadcast(bf))
-           .withColumn("__bh", hit))
+    fpd = docs if "fp" in docs.columns else \
+        docs.withColumn("fp", fingerprint_md5(F.col(text_col)))
+    pre = fpd.crossJoin(F.broadcast(bf)).withColumn("__bh", hit)
     # probable hits: exact membership join clears bloom false positives;
     # shuffle_hash on fp (the reference side is too big to broadcast by
     # premise; AQE sizes the exchanges)
