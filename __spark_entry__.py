@@ -1181,6 +1181,17 @@ def _emb(spark, sf_dir):
     return cached_parquet(spark, f"{sf_dir}/embeddings.parquet")
 
 
+def _events_dp(spark, sf_dir):
+    """Raw events scan for the datapipe alignment bundle (the relational
+    entries go through the warehouse's time-column rename instead)."""
+    from yupana_spark.schema import cached_parquet
+    from yupana_spark.session import ensure_engine_confs, tune_for_volume
+
+    ensure_engine_confs(spark)
+    tune_for_volume(spark, 1 << 62)  # compute-bound: see _docs
+    return cached_parquet(spark, f"{sf_dir}/events.parquet")
+
+
 _FIXTURE_COUNTS: dict = {}
 
 
@@ -1566,13 +1577,76 @@ def dp_dedup_resolve(spark, sf_dir):
 
 
 def dp_top_k_per_group(spark, sf_dir):
-    """Best-k docs per group without a global sort (window rank + filter,
-    deterministic via unique-key tiebreak)."""
+    """Bundle: data SELECTION + POINT-IN-TIME ALIGNMENT, tagged by ``kind``
+    over a common (kind, id, grp, val, t, matched_t, matched_val) shape —
+
+    * ``topk``: best-k docs per group without a global sort (window rank +
+      filter, deterministic via unique-key tiebreak);
+    * ``asof`` / ``asof_fwd`` / ``asof_tol``: AS-OF JOIN
+      (datapipe/align.py) — every click event aligned to the same user's
+      most recent prior (/ nearest following / prior-within-6h) purchase,
+      the point-in-time-correct feature join that prevents label leakage
+      in training pipelines.  Spark has no native asof; the operator is
+      the union+running-last decomposition (ONE shuffle on the by key, no
+      theta-join, no broadcast), hash-checked here against DuckDB's
+      native ASOF LEFT JOIN — an independent reference implementation,
+      the strongest oracle in the repo;
+    * ``range``: INTERVAL JOIN — clicks inside [purchase, purchase+6h)
+      windows via bin-quantized EQUI-join + exact residual (align.py;
+      fan-out validated), hash-checked against DuckDB's plain inequality
+      join.
+
+    The right side pre-aggregates to one row per (user, ts) — asof's
+    documented determinism precondition, applied identically in the
+    oracle SQL."""
+    from yupana_spark.datapipe.align import asof_join, interval_join
     from yupana_spark.datapipe.select import top_k_per_group
 
-    return top_k_per_group(_docs(spark, sf_dir), ["lang"], "n_chars", 3,
-                           tiebreak="doc_id").select("doc_id", "lang",
-                                                     "n_chars")
+    nulls = [F.lit(None).cast("timestamp_ntz").alias("t"),
+             F.lit(None).cast("timestamp_ntz").alias("matched_t"),
+             F.lit(None).cast("double").alias("matched_val")]
+    topk = (top_k_per_group(_docs(spark, sf_dir), ["lang"], "n_chars", 3,
+                            tiebreak="doc_id")
+            .select(F.lit("topk").alias("kind"),
+                    F.col("doc_id").alias("id"),
+                    F.col("lang").alias("grp"),
+                    F.col("n_chars").cast("double").alias("val"), *nulls))
+
+    ev = _events_dp(spark, sf_dir)
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts", "value"))
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("pval")))
+
+    def shape(kind, df, mt="ts_r", mv="pval_r"):
+        return df.select(F.lit(kind).alias("kind"),
+                         F.col("event_id").alias("id"),
+                         F.col("user_id").cast("string").alias("grp"),
+                         F.col("value").alias("val"),
+                         F.col("ts").alias("t"),
+                         F.col(mt).alias("matched_t"),
+                         F.col(mv).alias("matched_val"))
+
+    ab = shape("asof", asof_join(clicks, purch, on="ts", by=["user_id"],
+                                 value_cols=["pval"]))
+    af = shape("asof_fwd", asof_join(clicks, purch, on="ts",
+                                     by=["user_id"], value_cols=["pval"],
+                                     direction="forward"))
+    at = shape("asof_tol", asof_join(clicks, purch, on="ts",
+                                     by=["user_id"], value_cols=["pval"],
+                                     tolerance=6 * 3600.0))
+    iv = purch.select("user_id", F.col("ts").alias("start"),
+                      (F.col("ts") + F.expr("INTERVAL 6 HOURS"))
+                      .alias("end"), "pval")
+    rng = shape("range",
+                interval_join(clicks, iv, t_col="ts", start_col="start",
+                              end_col="end", by=["user_id"],
+                              bin_width=6 * 3600.0),
+                mt="start", mv="pval")
+    out = topk
+    for part in (ab, af, at, rng):
+        out = out.unionAll(part)
+    return out
 
 
 def dp_group_quantiles(spark, sf_dir):
@@ -3229,10 +3303,47 @@ _ORACLES_DP: dict[str, str] = {
                emb.vec_id = coalesce(cc.cluster_id, emb.vec_id) AS kept
         FROM embeddings emb LEFT JOIN cc ON emb.vec_id = cc.id
     """,
+    # the asof arms use DuckDB's NATIVE ASOF LEFT JOIN — an independent
+    # engine's implementation of the same semantics, not a re-derivation
+    # of ours; asof_tol emulates merge_asof's tolerance by nulling
+    # matches farther than 6h (rows kept), exactly the operator contract
     "dp_top_k_per_group": """
-        SELECT doc_id, lang, n_chars FROM documents
+        WITH clicks AS (SELECT event_id, user_id, ts, value FROM events
+                        WHERE event_type = 'click'),
+        purch AS (SELECT user_id, ts, max(value) AS pval FROM events
+                  WHERE event_type = 'purchase' GROUP BY 1, 2),
+        ab AS (SELECT c.event_id, c.user_id, c.ts, c.value,
+                      p.ts AS mt, p.pval AS mv
+               FROM clicks c ASOF LEFT JOIN purch p
+                 ON c.user_id = p.user_id AND c.ts >= p.ts),
+        af AS (SELECT c.event_id, c.user_id, c.ts, c.value,
+                      p.ts AS mt, p.pval AS mv
+               FROM clicks c ASOF LEFT JOIN purch p
+                 ON c.user_id = p.user_id AND c.ts <= p.ts)
+        SELECT 'topk' AS kind, doc_id AS id, lang AS grp,
+               CAST(n_chars AS DOUBLE) AS val, CAST(NULL AS TIMESTAMP) AS t,
+               CAST(NULL AS TIMESTAMP) AS matched_t,
+               CAST(NULL AS DOUBLE) AS matched_val
+        FROM documents
         QUALIFY row_number() OVER (PARTITION BY lang
                                    ORDER BY n_chars DESC, doc_id) <= 3
+        UNION ALL
+        SELECT 'asof', event_id, CAST(user_id AS VARCHAR), value, ts, mt, mv
+        FROM ab
+        UNION ALL
+        SELECT 'asof_fwd', event_id, CAST(user_id AS VARCHAR), value, ts,
+               mt, mv
+        FROM af
+        UNION ALL
+        SELECT 'asof_tol', event_id, CAST(user_id AS VARCHAR), value, ts,
+               CASE WHEN ts - mt <= INTERVAL 6 HOUR THEN mt END,
+               CASE WHEN ts - mt <= INTERVAL 6 HOUR THEN mv END
+        FROM ab
+        UNION ALL
+        SELECT 'range', c.event_id, CAST(c.user_id AS VARCHAR), c.value,
+               c.ts, p.ts, p.pval
+        FROM clicks c JOIN purch p ON c.user_id = p.user_id
+          AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 6 HOUR
     """,
     "dp_group_quantiles": """
         SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS p50,

@@ -766,8 +766,14 @@ def test_prepared_plan_cache_semantics(spark):
 
     qs = ent.queries()
     assert qs["q_having"](spark, SF) is qs["q_having"](spark, SF)
-    assert qs["dp_neardup_scale"](spark, SF) is not \
+    # dp_neardup_scale moved INTO the cache (its eager index builds are
+    # memoized in _NEARDUP_ARTS, so the returned 4-arm union is a pure
+    # lazy plan); dp_ann_approx keeps eager per-call search work and must
+    # rebuild every call
+    assert qs["dp_neardup_scale"](spark, SF) is \
         qs["dp_neardup_scale"](spark, SF)
+    assert qs["dp_ann_approx"](spark, SF) is not \
+        qs["dp_ann_approx"](spark, SF)
     a = qs["q_upsert_roundtrip"](spark, SF)
     b = qs["q_upsert_roundtrip"](spark, SF)
     assert a is not b

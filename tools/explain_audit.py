@@ -73,9 +73,15 @@ CHECKS = {
                       expect=["TakeOrderedAndProject", "Window",
                               "BroadcastHashJoin"],
                       forbid=["CartesianProduct", "rangepartitioning"]),
-    # group-key window, never a global sort (rangepartitioning)
+    # selection + alignment bundle: the topk/asof arms are group-key
+    # windows (never a global sort), and the asof/interval joins must stay
+    # the scalable decompositions — union+running-last and bin-quantized
+    # EQUI-join — so a theta-join shape (nested loop / cartesian) anywhere
+    # means the operator regressed to the naive formulation
     "dp_top_k_per_group": dict(pushed=None, expect=["Window"],
-                               forbid=["rangepartitioning"]),
+                               forbid=["rangepartitioning",
+                                       "CartesianProduct",
+                                       "BroadcastNestedLoopJoin"]),
     "dp_group_quantiles": dict(pushed=None, expect=["Aggregate"],
                                forbid=["rangepartitioning", "SortMergeJoin"]),
     # ANN bundle (LSH buckets + IVF cells + PQ ADC): every top-k must be a
