@@ -1650,16 +1650,65 @@ def dp_top_k_per_group(spark, sf_dir):
 
 
 def dp_group_quantiles(spark, sf_dir):
-    """Exact per-group quantiles (engine-independent, value-oracled) + a
-    rank-error audit of the SCALE path: approx_percentile
-    (Greenwald-Khanna) checked against its own rank-error contract per
-    group, duplicate-safe (constant-TRUE oracle columns).  At 100 TB the
-    sketch is the production quantile; the exact aggregate is the
-    fixture-scale oracle."""
-    from yupana_spark.datapipe.select import group_quantiles_audited
+    """SKETCH bundle: per-group sketches audited against exact answers.
 
-    return group_quantiles_audited(_docs(spark, sf_dir), ["lang"],
-                                   "n_chars", [0.5, 0.9])
+    * quantiles: exact per-group p50/p90 (engine-independent,
+      value-oracled) + a rank-error audit of the SCALE path —
+      approx_percentile (Greenwald-Khanna) checked against its own
+      rank-error contract per group, duplicate-safe (constant-TRUE
+      oracle columns).  At 100 TB the sketch is the production quantile;
+      the exact aggregate is the fixture-scale oracle.
+    * KMV/theta distinct sketch with SET OPERATIONS (datapipe/sketch.py —
+      Beyer et al. 2007 / DataSketches theta; HLL can union but cannot
+      intersect): per-lang distinct 5-gram-vocabulary estimate and its
+      INTERSECTION with the 'en' vocabulary (the cross-corpus overlap
+      planning query).  ``gram_distinct`` / ``gram_inter_en`` are EXACT
+      counts the oracle recomputes (value-hashed cross-engine);
+      ``kmv_distinct_ok`` / ``kmv_inter_ok`` assert the sketch estimates
+      sit within their published error bounds of those exacts — the
+      sketch path (hash prefilter, bounded mins arrays, in-plan theta
+      intersection) runs live every pass."""
+    from yupana_spark.datapipe.select import group_quantiles_audited
+    from yupana_spark.datapipe.sketch import (kmv_distinct_est,
+                                              kmv_intersect_est, kmv_rse,
+                                              kmv_sketch)
+
+    docs = _docs(spark, sf_dir)
+    q = group_quantiles_audited(docs, ["lang"], "n_chars", [0.5, 0.9])
+
+    k = 256
+    t = F.col("text")
+    grams = docs.select(
+        "lang",
+        F.explode(F.when(F.length(t) >= 5,
+                         F.transform(F.sequence(F.lit(1), F.length(t) - 4),
+                                     lambda i: t.substr(i, F.lit(5))))
+                  .otherwise(F.array().cast("array<string>"))).alias("g"))
+    dg = grams.dropDuplicates()
+    exact = dg.groupBy("lang").agg(F.count("g").alias("gram_distinct"))
+    en = dg.filter(F.col("lang") == "en").select("g")
+    inter = (dg.join(en, "g", "left_semi")
+             .groupBy("lang").agg(F.count("g").alias("gram_inter_en")))
+    sk = kmv_sketch(grams, "g", by=["lang"], k=k)
+    en_sk = F.broadcast(sk.filter(F.col("lang") == "en")
+                        .select(F.col("mins").alias("__em"),
+                                F.col("theta").alias("__et")))
+    est = (sk.crossJoin(en_sk)
+           .select("lang",
+                   kmv_distinct_est(F.col("mins"), F.col("theta"), k)
+                   .alias("__d"),
+                   kmv_intersect_est(F.col("mins"), F.col("theta"),
+                                     F.col("__em"), F.col("__et"), k)
+                   .alias("__i")))
+    kmv = (exact.join(inter, "lang").join(est, "lang")
+           .select("lang", "gram_distinct", "gram_inter_en",
+                   (F.abs(F.col("__d") - F.col("gram_distinct"))
+                    <= 4 * kmv_rse(k) * F.col("gram_distinct"))
+                   .alias("kmv_distinct_ok"),
+                   (F.abs(F.col("__i") - F.col("gram_inter_en"))
+                    <= 0.35 * F.col("gram_inter_en"))
+                   .alias("kmv_inter_ok")))
+    return q.join(F.broadcast(kmv), "lang")
 
 
 def dp_mix_corpora(spark, sf_dir):
@@ -3345,11 +3394,33 @@ _ORACLES_DP: dict[str, str] = {
         FROM clicks c JOIN purch p ON c.user_id = p.user_id
           AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 6 HOUR
     """,
+    # gram_distinct / gram_inter_en are EXACT cross-engine values (DuckDB
+    # re-derives every 5-gram: substr over an unnested position range —
+    # both engines count CHARACTERS, so multibyte text agrees); the kmv_*
+    # booleans are the sketch-vs-exact bound checks proven Spark-side,
+    # constant TRUE here like the quantile rank-audit columns.  The 2000
+    # position cap comfortably exceeds the fixture's max text length (553
+    # at sf0.01); Spark derives positions from length() directly.
     "dp_group_quantiles": """
-        SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS p50,
-               round(quantile_cont(n_chars, 0.9), 4) AS p90,
-               TRUE AS p50_in_bound, TRUE AS p90_in_bound
-        FROM documents GROUP BY lang
+        WITH g AS (
+          SELECT DISTINCT lang, substr(text, i, 5) AS g
+          FROM documents
+          CROSS JOIN (SELECT unnest(range(1, 2001)) AS i) r
+          WHERE i <= length(text) - 4
+        )
+        SELECT q.lang, q.p50, q.p90, TRUE AS p50_in_bound,
+               TRUE AS p90_in_bound, d.gram_distinct, i.gram_inter_en,
+               TRUE AS kmv_distinct_ok, TRUE AS kmv_inter_ok
+        FROM (SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                     round(quantile_cont(n_chars, 0.9), 4) AS p90
+              FROM documents GROUP BY lang) q
+        JOIN (SELECT lang, count(*) AS gram_distinct FROM g GROUP BY lang) d
+          ON q.lang = d.lang
+        JOIN (SELECT a.lang, count(*) AS gram_inter_en FROM g a
+              WHERE EXISTS (SELECT 1 FROM g b
+                            WHERE b.lang = 'en' AND b.g = a.g)
+              GROUP BY a.lang) i
+          ON q.lang = i.lang
     """,
     "dp_mix_corpora": f"""
         SELECT doc_id, source, 'head' AS corpus FROM documents

@@ -1,0 +1,89 @@
+"""KMV / theta sketch (datapipe/sketch.py): estimator accuracy against
+known cardinalities, prefilter-path equivalence, set-operation algebra."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Two overlapping value sets with known cardinalities:
+    A = v0..v19999 (20k), B = v10000..v29999 (20k), |A ∩ B| = 10k,
+    |A ∪ B| = 30k.  Values are strings so hashes are spread."""
+    a = spark.range(0, 20000).select(
+        F.lit("A").alias("g"), F.concat(F.lit("v"), "id").alias("v"))
+    b = spark.range(10000, 30000).select(
+        F.lit("B").alias("g"), F.concat(F.lit("v"), "id").alias("v"))
+    return a.unionAll(b).cache()
+
+
+def _sketches(corpus, k=256, prefilter=True):
+    from yupana_spark.datapipe.sketch import kmv_sketch
+
+    rows = {r["g"]: r for r in
+            kmv_sketch(corpus, "v", by=["g"], k=k,
+                       prefilter=prefilter).collect()}
+    return rows
+
+
+def test_distinct_estimate_within_bounds(spark, corpus):
+    from yupana_spark.datapipe.sketch import (kmv_distinct_est, kmv_rse,
+                                              kmv_sketch)
+
+    k = 256
+    est = (kmv_sketch(corpus, "v", by=["g"], k=k)
+           .select("g", kmv_distinct_est(F.col("mins"), F.col("theta"),
+                                         k).alias("est")))
+    got = {r["g"]: r["est"] for r in est.collect()}
+    for g in ("A", "B"):
+        assert abs(got[g] - 20000) <= 4 * kmv_rse(k) * 20000, (g, got[g])
+
+
+def test_small_group_is_exact(spark):
+    from yupana_spark.datapipe.sketch import kmv_distinct_est, kmv_sketch
+
+    df = spark.range(0, 37).select(F.lit("g").alias("g"),
+                                   F.concat(F.lit("x"), "id").alias("v"))
+    # duplicate every value: distinct stays 37
+    out = (kmv_sketch(df.unionAll(df), "v", by=["g"], k=256)
+           .select(kmv_distinct_est(F.col("mins"), F.col("theta"), 256)
+                   .alias("est"), "theta"))
+    r = out.first()
+    assert r["est"] == 37.0           # < k distinct and theta == 1 -> exact
+    assert r["theta"] == 1.0
+
+
+def test_prefilter_equals_unfiltered_sketch(corpus):
+    filt = _sketches(corpus, prefilter=True)
+    raw = _sketches(corpus, prefilter=False)
+    for g in ("A", "B"):
+        assert filt[g]["mins"] == raw[g]["mins"]
+        assert filt[g]["theta"] < 1.0 and raw[g]["theta"] == 1.0
+
+
+def test_intersection_and_union_estimates(spark, corpus):
+    from yupana_spark.datapipe.sketch import (kmv_intersect_est,
+                                              kmv_union_est, kmv_sketch)
+
+    k = 256
+    sk = kmv_sketch(corpus, "v", by=["g"], k=k)
+    a = sk.filter("g = 'A'").select(F.col("mins").alias("ma"),
+                                    F.col("theta").alias("ta"))
+    b = sk.filter("g = 'B'").select(F.col("mins").alias("mb"),
+                                    F.col("theta").alias("tb"))
+    est = a.crossJoin(b).select(
+        kmv_intersect_est(F.col("ma"), F.col("ta"),
+                          F.col("mb"), F.col("tb"), k).alias("inter"),
+        kmv_union_est(F.col("ma"), F.col("ta"),
+                      F.col("mb"), F.col("tb"), k).alias("union")).first()
+    # intersection samples ~ theta * |A ∩ B| hashes -> wider tolerance
+    assert abs(est["inter"] - 10000) <= 0.35 * 10000, est["inter"]
+    assert abs(est["union"] - 30000) <= 0.25 * 30000, est["union"]
+
+
+def test_no_python_udf_in_plan(corpus):
+    from yupana_spark.datapipe.sketch import kmv_sketch
+
+    plan = kmv_sketch(corpus, "v", by=["g"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
