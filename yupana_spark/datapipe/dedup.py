@@ -586,6 +586,26 @@ def bloom_filter_words(ref: DataFrame, col: str = "fp",
     return arr
 
 
+def bloom_hit_expr(n_bits: int = 1 << 20, k: int = 5,
+                   fp_col: str = "fp", words_col: str = "__bf") -> "F.Column":
+    """Pure-JVM Bloom membership probe: TRUE iff all k probe bits of
+    ``fp_col`` are set in the ``words_col`` int64 word array (the
+    ``bloom_filter_words`` layout; same xxhash64-seeded positions as the
+    build, so build and probe stay collision-compatible).  Use over a
+    frame that carries the filter via a broadcast single-row crossJoin."""
+    probes = [
+        F.expr(f"(element_at({words_col}, cast(pmod(xxhash64({fp_col}, {i}),"
+               f" {n_bits}) div 64 as int) + 1)"
+               f" & shiftleft(1L, cast(pmod(xxhash64({fp_col}, {i}),"
+               f" {n_bits}) % 64 as int))) != 0")
+        for i in range(k)
+    ]
+    hit = probes[0]
+    for p in probes[1:]:
+        hit = hit & p
+    return hit
+
+
 def bloom_prefilter_flags(docs: DataFrame, ref: DataFrame,
                           text_col: str = "text", id_col: str = "doc_id",
                           ref_text_col: Optional[str] = None,
@@ -631,21 +651,13 @@ def bloom_prefilter_flags(docs: DataFrame, ref: DataFrame,
         raise ValueError(
             f"words has {len(words)} entries, expected {n_bits // 64} "
             f"for n_bits={n_bits} — filter built with different n_bits?")
-    spark = docs.sparkSession
-    bf = spark.createDataFrame([(words,)], "__bf: array<bigint>")
-    probes = [
-        F.expr(f"(element_at(__bf, cast(pmod(xxhash64(fp, {i}), {n_bits})"
-               f" div 64 as int) + 1)"
-               f" & shiftleft(1L, cast(pmod(xxhash64(fp, {i}), {n_bits})"
-               f" % 64 as int))) != 0")
-        for i in range(k)
-    ]
-    hit = probes[0]
-    for p in probes[1:]:
-        hit = hit & p
+    hit = bloom_hit_expr(n_bits, k)
     fpd = docs if "fp" in docs.columns else \
         docs.withColumn("fp", fingerprint_md5(F.col(text_col)))
-    pre = fpd.crossJoin(F.broadcast(bf)).withColumn("__bh", hit)
+    # the word array rides the plan as an array LITERAL (n_bits/8 bytes,
+    # 128 KB at the default 2^20): measured far cheaper per action than a
+    # broadcast single-row crossJoin, whose exchange re-runs every action
+    pre = fpd.withColumn("__bf", F.lit(words)).withColumn("__bh", hit)
     # probable hits: exact membership join clears bloom false positives;
     # shuffle_hash on fp (the reference side is too big to broadcast by
     # premise; AQE sizes the exchanges)
