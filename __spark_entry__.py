@@ -804,6 +804,47 @@ def q_show_meta(spark, sf_dir):
         ("delete", "probe",
          "purged" if n_del >= len(kids) and gone else "bad"),
     ]
+
+    # wire-protocol round trip (pgwire ≙ yupana-postgres MessageHandler.
+    # scala:60-105): a REAL v3 exchange over a loopback socket — ephemeral
+    # server, SSLRequest probe, startup/auth, simple query, one-row answer
+    from yupana_spark.server.pgwire import loopback_check
+
+    rej_rows.append(("wire", "pgwire",
+                     "ok" if loopback_check(tsdb) else "bad"))
+
+    # QueryHint surface (Query.scala:26/45): BroadcastLinksHint(False)
+    # must flip the link join off broadcast (with auto-broadcast disabled
+    # so only the forced path could produce one) while the default query
+    # still broadcasts; RepartitionHint must pin the partition count
+    from yupana_spark.query import BroadcastLinksHint, RepartitionHint
+
+    def _seg_query(hints):
+        return query(
+            "orders", dt.datetime(1995, 1, 1), dt.datetime(2002, 1, 1),
+            fields=[(E.LinkField("CustomerLink", "c_mktsegment"), "seg"),
+                    (E.count(E.Field("o_orderkey")), "cnt")],
+            group_by=[E.LinkField("CustomerLink", "c_mktsegment")],
+            hints=hints)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        opted = tsdb.query(_seg_query([BroadcastLinksHint(enabled=False),
+                                       RepartitionHint(4)]))
+        p_opt = opted._jdf.queryExecution().executedPlan().toString()
+        p_def = tsdb.query(_seg_query([]))._jdf.queryExecution() \
+            .executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    rej_rows += [
+        ("hint", "broadcast_optout",
+         "ok" if "BroadcastHashJoin" not in p_opt
+         and "BroadcastHashJoin" in p_def else "bad"),
+        ("hint", "repartition",
+         "ok" if opted.rdd.getNumPartitions() == 4 else "bad"),
+    ]
+
     r = spark.createDataFrame(rej_rows, "kind string, name string, "
                               "info string")
     return (t.unionAll(c).unionAll(v).unionAll(fns).unionAll(st)
@@ -2644,7 +2685,10 @@ _ORACLES_REL: dict[str, str] = {
             ('reject', 'create_user', 'ok'),
             ('bind', 'placeholder', 'match'),
             ('kill', 'probe', 'cancelled'),
-            ('delete', 'probe', 'purged')
+            ('delete', 'probe', 'purged'),
+            ('wire', 'pgwire', 'ok'),
+            ('hint', 'broadcast_optout', 'ok'),
+            ('hint', 'repartition', 'ok')
         ) AS t(kind, name, info)
     """,
     "q_tpch_q1": """

@@ -655,6 +655,73 @@ class PgWireServer:
             self._srv = None
 
 
+def loopback_check(tsdb, sql: str = "SELECT database() AS db",
+                   expect: str = "Yupana", timeout: float = 30.0) -> bool:
+    """End-to-end wire-protocol health check: start an ephemeral server,
+    speak the real v3 protocol over a loopback socket (SSLRequest probe,
+    StartupMessage, cleartext auth, simple query), and verify the one-row
+    answer — the same deploy-time smoke a Postgres client would run.
+    Always stops the server.  Returns True iff every protocol step and
+    the row value matched."""
+    srv = PgWireServer(tsdb, port=0)
+    port = srv.start()
+    try:
+        sock = socket.create_connection(("127.0.0.1", port), timeout=timeout)
+        try:
+            sock.sendall(struct.pack("!II", 8, 80877103))   # SSLRequest
+            if sock.recv(1) != b"N":
+                return False
+            body = (struct.pack("!I", 196608) + _cstr("user") + _cstr("chk")
+                    + _cstr("database") + _cstr("yupana") + b"\x00")
+            sock.sendall(struct.pack("!I", len(body) + 4) + body)
+
+            def read_msg():
+                tag = sock.recv(1)
+                raw = b""
+                while len(raw) < 4:
+                    raw += sock.recv(4 - len(raw))
+                (ln,) = struct.unpack("!I", raw)
+                payload = b""
+                while len(payload) < ln - 4:
+                    chunk = sock.recv(ln - 4 - len(payload))
+                    if not chunk:
+                        raise ConnectionError("server closed")
+                    payload += chunk
+                return tag, payload
+
+            tag, payload = read_msg()
+            if tag != b"R" or struct.unpack("!I", payload)[0] != 3:
+                return False
+            pw = _cstr("pw")
+            sock.sendall(b"p" + struct.pack("!I", len(pw) + 4) + pw)
+            while True:                                      # drain handshake
+                tag, payload = read_msg()
+                if tag == b"Z":
+                    break
+            q = _cstr(sql)
+            sock.sendall(b"Q" + struct.pack("!I", len(q) + 4) + q)
+            rows, errors = [], []
+            while True:
+                tag, payload = read_msg()
+                if tag == b"Z":
+                    break
+                if tag == b"D":
+                    (n,) = struct.unpack_from("!H", payload, 0)
+                    (vlen,) = struct.unpack_from("!i", payload, 2)
+                    rows.append(None if vlen < 0
+                                else payload[6:6 + vlen].decode())
+                elif tag == b"E":
+                    errors.append(payload)
+            sock.sendall(b"X" + struct.pack("!I", 4))        # Terminate
+            return not errors and rows == [expect]
+        finally:
+            sock.close()
+    except (OSError, ConnectionError, struct.error):
+        return False
+    finally:
+        srv.stop()
+
+
 def main(argv=None) -> int:
     import argparse
 
