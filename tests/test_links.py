@@ -94,3 +94,44 @@ def test_materialized_index_same_result(spark, tmp_path):
     assert tsdb.warehouse.exists(name)
     after = tsdb.sql(sql).collect()[0]["c"]  # now uses the posting lists
     assert after == before > 0
+
+
+def test_in_pushdown_gate(tsdb, monkeypatch):
+    """Matched-key sets at or under _IN_PUSHDOWN_GATE lower to a literal
+    In PUSHED TO THE PARQUET SCAN (≙ DimIdIn row-key pruning); forcing the
+    gate to 0 falls back to the broadcast semi-join — both shapes return
+    identical rows."""
+    from yupana_spark import compiler as C
+
+    sql = (f"SELECT count(l_orderkey) c FROM lineitem WHERE {TB} "
+           "AND ItemsInvertedIndex_phrase = 'widget'")
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    C.Tsdb._PHRASE_CACHE.clear()
+    pushed = tsdb.sql(sql)
+    assert "In(l_partkey" in plan_of(pushed)
+    assert "LeftSemi" not in plan_of(pushed)
+
+    C.Tsdb._PHRASE_CACHE.clear()
+    monkeypatch.setattr(C, "_IN_PUSHDOWN_GATE", 0)
+    joined = tsdb.sql(sql)
+    assert "LeftSemi" in plan_of(joined)
+    assert joined.collect() == pushed.collect()
+    C.Tsdb._PHRASE_CACHE.clear()
+
+
+def test_in_pushdown_member_pred_null_semantics(spark):
+    """The literal lowering's anti form must keep NULL dimensions (a
+    left_anti join keeps them — they match nothing), where a plain ~isin
+    would drop them through three-valued logic; semi drops NULLs."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(1, 10), (2, 20), (3, None)],
+                               "id long, dim long")
+    col, keys = F.col("dim"), [10]
+    semi = (col.isin(keys))
+    anti = (col.isNull() | ~col.isin(keys))          # compiler.member_pred
+    assert {r["id"] for r in df.filter(semi).collect()} == {1}
+    assert {r["id"] for r in df.filter(anti).collect()} == {2, 3}

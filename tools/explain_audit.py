@@ -27,8 +27,12 @@ CHECKS = {
                           expect=["BroadcastHashJoin"], forbid=["SortMergeJoin"]),
     "q_link_two_hop": dict(pushed=None, expect=["BroadcastHashJoin"],
                            forbid=["SortMergeJoin"]),
-    "q_inverted_index": dict(pushed=None,
-                             expect=["BroadcastHashJoin.*LeftSemi"],
+    # small matched-key sets lower to a literal In PUSHED TO THE SCAN
+    # (compiler._IN_PUSHDOWN_GATE ≙ the reference's DimIdIn row-key
+    # pruning); only an over-gate key set falls back to the broadcast
+    # semi-join, so the audited shape is the pushed filter
+    "q_inverted_index": dict(pushed=r"PushedFilters: \[.*In\(l_partkey",
+                             expect=[],
                              forbid=["SortMergeJoin"]),
     "q_lag_window": dict(pushed=r"PushedFilters: \[.*l_shipdate",
                          expect=["Window"], forbid=[]),

@@ -40,6 +40,14 @@ from .query import Query, validate
 from .schema import Schema, Table
 
 
+# matched-key sets at or under this size become literal IN predicates
+# (parquet-pushable, ≙ the reference's DimIdIn row-key pruning); larger
+# sets keep the broadcast semi-join.  Sized well under Spark's 10k
+# in-set-conversion threshold so the pushed filter stays an In, and the
+# bounded collect stays a trivial driver allocation.
+_IN_PUSHDOWN_GATE = 1024
+
+
 @dataclass
 class _Ctx:
     """Compilation context for expr -> Column."""
@@ -805,6 +813,27 @@ class Tsdb:
             return df, q
         from .operators.links import indexed_match_ids, phrase_match_ids
 
+        # matched-key sets small enough to enumerate become literal IN
+        # predicates instead of semi-joins — the filter then reaches the
+        # parquet scan (PushedFilters: In(dim, ...)), exactly the
+        # reference's DimIdIn pushdown into the HBase scan
+        # (TSDB dimIdIn -> SetIterator over row-key ranges); bigger sets
+        # keep the broadcast semi-join.  One bounded limit(gate+1) collect
+        # per PLAN BUILD (plans are session-cached), never per pass.
+        def key_literals(ids_df):
+            rows = ids_df.limit(_IN_PUSHDOWN_GATE + 1).collect()
+            if len(rows) > _IN_PUSHDOWN_GATE:
+                return None
+            return [r["__key"] for r in rows]
+
+        def member_pred(col, keys, anti):
+            if not keys:
+                return F.lit(True) if anti else F.lit(False)
+            # left_anti keeps NULL dimensions (they match nothing); plain
+            # ~isin would drop them through three-valued logic
+            return (col.isNull() | ~col.isin(keys)) if anti \
+                else col.isin(keys)
+
         for link, phrases, anti in jobs:
             ids = None
             if self._warehouse is not None:
@@ -817,14 +846,18 @@ class Tsdb:
                 # mutable warehouse-index path above is never cached
                 ck = (self.spark.sparkContext.applicationId, self.sf_dir,
                       link.name, tuple(sorted(map(str, phrases))))
-                ids = Tsdb._PHRASE_CACHE.get(ck)
-                if ids is None:
+                cached = Tsdb._PHRASE_CACHE.get(ck)
+                if cached is None:
                     items = link.source(self.spark, self.sf_dir)
                     ids = phrase_match_ids(items, link.key_column,
                                            link.text_column, phrases)
                     ids = ids.localCheckpoint(eager=True)
+                    cached = (ids, key_literals(ids))
                     if len(Tsdb._PHRASE_CACHE) < 64:
-                        Tsdb._PHRASE_CACHE[ck] = ids
+                        Tsdb._PHRASE_CACHE[ck] = cached
+                ids, keys = cached
+            else:
+                keys = key_literals(ids)
             how = "left_anti" if anti else "left_semi"
             if link.match_mode == "related":
                 # receipts (related_key) that contain a matching item,
@@ -834,9 +867,14 @@ class Tsdb:
                 time_only = _time_conjuncts(q.filter)
                 if time_only is not None:
                     fact = fact.filter(ec.col(time_only, _Ctx()))
-                matching = (fact.join(F.broadcast(ids),
-                                      fact[link.dimension] == ids["__key"],
-                                      "left_semi")
+                if keys is not None:
+                    matched = fact.filter(
+                        member_pred(fact[link.dimension], keys, False))
+                else:
+                    matched = fact.join(F.broadcast(ids),
+                                        fact[link.dimension] == ids["__key"],
+                                        "left_semi")
+                matching = (matched
                             .select(F.col(link.related_key).alias("__rk"))
                             .distinct())
                 # matching-key cardinality is data-dependent (every order
@@ -845,6 +883,8 @@ class Tsdb:
                 # which broadcasts iff the runtime size allows
                 df = df.join(matching,
                              df[link.related_key] == matching["__rk"], how)
+            elif keys is not None:
+                df = df.filter(member_pred(df[link.dimension], keys, anti))
             else:
                 df = df.join(F.broadcast(ids),
                              df[link.dimension] == ids["__key"], how)
