@@ -520,3 +520,66 @@ def test_corpus_filter_model_quality_twins(spark, tmp_path):
         q.stop()
         spark.catalog.dropTempView("mq")
     assert streamed == with_lr
+
+
+def test_streaming_asof_matches_batch_on_ordered_replay(spark, tmp_path):
+    """Law (same contract as the near-dup/filter twins): on an event-time-
+    ordered replay, the streaming as-of join's per-event matches equal the
+    batch asof_join's — state carries the newest reference row across
+    micro-batch boundaries."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+    from yupana_spark.datapipe.align import asof_join
+    from yupana_spark.streaming.align import streaming_asof_join
+
+    ev = (spark.read.parquet(f"{SF_SMALL}/events.parquet")
+          .filter("user_id < 20"))
+    clicks = ev.filter("event_type = 'click'") \
+        .select("event_id", "user_id", "ts", "value")
+    purch = (ev.filter("event_type = 'purchase'")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("rv")))
+
+    # ordered replay in 3 file chunks (json preserves micro ts as string)
+    rows = sorted(
+        [{"event_id": r["event_id"], "user_id": r["user_id"],
+          "ts": r["ts"].isoformat(sep=" "), "value": r["value"],
+          "side": 1, "rv": None} for r in clicks.collect()]
+        + [{"event_id": None, "user_id": r["user_id"],
+            "ts": r["ts"].isoformat(sep=" "), "value": None,
+            "side": 0, "rv": r["rv"]} for r in purch.collect()],
+        key=lambda d: (d["ts"], d["side"]))
+    src = tmp_path / "asof_src"
+    src.mkdir()
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        with open(src / f"chunk{i}.json", "w") as f:
+            for d in rows[i * third:(i + 1) * third]:
+                f.write(json.dumps(d) + "\n")
+
+    schema = ("event_id long, user_id long, ts timestamp, value double, "
+              "side int, rv double")
+    stream = (spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+              .json(str(src)))
+    out = streaming_asof_join(
+        stream.filter("side = 1").select("event_id", "user_id", "ts",
+                                         "value"),
+        stream.filter("side = 0").select("user_id", "ts", "rv"),
+        on="ts", by="user_id", id_col="event_id",
+        left_val="value", right_val="rv")
+    q = (out.writeStream.format("memory").queryName("sa")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["event_id"]: (r["ts_r"], r["rv_r"])
+           for r in spark.sql("SELECT * FROM sa").collect()}
+
+    want_df = asof_join(clicks, purch, on="ts", by=["user_id"],
+                        value_cols=["rv"])
+    want = {r["event_id"]: (r["ts_r"], r["rv_r"])
+            for r in want_df.collect()}
+    assert len(got) == clicks.count()
+    assert got == want
+    # non-vacuity: some matched, some unmatched
+    assert any(v[0] is not None for v in got.values())
