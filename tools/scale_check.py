@@ -6,9 +6,9 @@ the plans keep their audited shapes at 10x (same explain_audit rules).
 Synthesis: every relational table is replicated 10x with per-replica key
 offsets (so join keys stay consistent ACROSS tables and no key becomes
 pathologically hot), time columns untouched (the entries' windows still
-cover every row).  events/embeddings are byte-copied (none of the gated
-entries reads them; events' TIMESTAMP(NANOS) must stay physical nanos for
-Schema.load).  The synthesized dir is cached and reused across runs.
+cover every row).  embeddings is byte-copied (no gated entry reads it); events replicates
+with event_id/user_id offsets so the alignment bundle scales for real.
+The synthesized dir is cached and reused across runs.
 
 Usage: python tools/scale_check.py [--rebuild]
 Prints ONE JSON line:
@@ -42,14 +42,19 @@ _KEY_COLS = {
     "nation": [],       # small dims: replicate values, keep keys (their
     "region": [],       # join side must still resolve every nationkey)
     "documents": ["doc_id"],
+    # event_id/user_id offset per replica: 10x events with 10x disjoint
+    # user groups, so the asof/interval alignment arms see real growth.
+    # A Spark rewrite stores ts as TIMESTAMP(MICROS) — fine for both read
+    # paths (Schema.load only converts when the physical type is int64)
+    "events": ["event_id", "user_id"],
 }
-_COPY = ["events.parquet", "embeddings.parquet"]
+_COPY = ["embeddings.parquet"]
 
 # entries gated: all in explain_audit.CHECKS so the 10x plans get the
 # exact same shape rules, and together they cover scan+agg, join, window,
 # and the text pipeline
 ENTRIES = ["q_day_rollup", "q_tpch_q1", "q_link_enrich", "dp_exact_dedup",
-           "dp_text_stats"]
+           "dp_text_stats", "dp_top_k_per_group", "dp_group_quantiles"]
 SLACK = 1.5 * REPLICAS  # <= proportional growth x1.5
 
 
