@@ -1723,7 +1723,7 @@ def dp_group_quantiles(spark, sf_dir):
     from yupana_spark.datapipe.select import group_quantiles_audited
     from yupana_spark.datapipe.sketch import (kmv_distinct_est,
                                               kmv_intersect_est, kmv_rse,
-                                              kmv_sketch)
+                                              kmv_sketch, kmv_union_est)
 
     docs = _docs(spark, sf_dir)
     q = group_quantiles_audited(docs, ["lang"], "n_chars", [0.5, 0.9])
@@ -1765,15 +1765,29 @@ def dp_group_quantiles(spark, sf_dir):
                    .alias("__d"),
                    kmv_intersect_est(F.col("mins"), F.col("theta"),
                                      F.col("__em"), F.col("__et"), k)
-                   .alias("__i")))
+                   .alias("__i"),
+                   kmv_union_est(F.col("mins"), F.col("theta"),
+                                 F.col("__em"), F.col("__et"), k)
+                   .alias("__u")))
+    # exact |lang ∪ en| by inclusion-exclusion from the two exact columns
+    # + |en| (the en row's own distinct count)
+    en_n = (exact.filter(F.col("lang") == "en")
+            .select(F.col("gram_distinct").alias("__en_n")))
     kmv = (exact.join(inter, "lang").join(est, "lang")
+           .crossJoin(F.broadcast(en_n))
            .select("lang", "gram_distinct", "gram_inter_en",
                    (F.abs(F.col("__d") - F.col("gram_distinct"))
                     <= 4 * kmv_rse(k) * F.col("gram_distinct"))
                    .alias("kmv_distinct_ok"),
                    (F.abs(F.col("__i") - F.col("gram_inter_en"))
                     <= 0.35 * F.col("gram_inter_en"))
-                   .alias("kmv_inter_ok")))
+                   .alias("kmv_inter_ok"),
+                   (F.abs(F.col("__u") - (F.col("gram_distinct")
+                                          + F.col("__en_n")
+                                          - F.col("gram_inter_en")))
+                    <= 0.35 * (F.col("gram_distinct") + F.col("__en_n")
+                               - F.col("gram_inter_en")))
+                   .alias("kmv_union_ok")))
     return q.join(F.broadcast(kmv), "lang")
 
 
@@ -3479,7 +3493,8 @@ _ORACLES_DP: dict[str, str] = {
         )
         SELECT q.lang, q.p50, q.p90, TRUE AS p50_in_bound,
                TRUE AS p90_in_bound, d.gram_distinct, i.gram_inter_en,
-               TRUE AS kmv_distinct_ok, TRUE AS kmv_inter_ok
+               TRUE AS kmv_distinct_ok, TRUE AS kmv_inter_ok,
+               TRUE AS kmv_union_ok
         FROM (SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS p50,
                      round(quantile_cont(n_chars, 0.9), 4) AS p90
               FROM documents GROUP BY lang) q
