@@ -824,7 +824,9 @@ class Tsdb:
             rows = ids_df.limit(_IN_PUSHDOWN_GATE + 1).collect()
             if len(rows) > _IN_PUSHDOWN_GATE:
                 return None
-            return [r["__key"] for r in rows]
+            # a NULL key never matches in the equi-join form (join keys
+            # drop nulls); drop it here too so isin keeps join semantics
+            return [r["__key"] for r in rows if r["__key"] is not None]
 
         def member_pred(col, keys, anti):
             if not keys:
