@@ -182,3 +182,48 @@ def test_interval_join_fanout_guard(spark):
     with pytest.raises(ValueError, match="bin_width"):
         interval_join(ev, iv, t_col="ts", start_col="start", end_col="end",
                       by=["k"], bin_width=60.0, max_bins_per_interval=100)
+
+
+def test_asof_null_right_value_not_stitched(spark):
+    """A matched right row whose VALUE is NULL must yield (its ts, NULL) —
+    per-column running-last would stitch an older value onto the newer
+    matched time (review finding r9)."""
+    from yupana_spark.datapipe.align import asof_join
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(s):
+        return t + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame([(1, 1, at(10))],
+                                 "id long, k long, ts timestamp")
+    right = spark.createDataFrame([(1, at(1), 10.0), (1, at(2), None)],
+                                  "k long, ts timestamp, v double")
+    r = asof_join(left, right, on="ts", by=["k"], value_cols=["v"]).first()
+    assert r["ts_r"] == at(2) and r["v_r"] is None
+
+
+def test_asof_null_times_match_nothing(spark):
+    """NULL right times must not poison the running last (asc sorts nulls
+    first); NULL left times must match nothing in either direction."""
+    from yupana_spark.datapipe.align import asof_join
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([(1, 1, t), (2, 1, None)],
+                                 "id long, k long, ts timestamp")
+    right = spark.createDataFrame([(1, None, 99.0)],
+                                  "k long, ts timestamp, v double")
+    for direction in ("backward", "forward"):
+        rows = {r["id"]: r for r in
+                asof_join(left, right, on="ts", by=["k"], value_cols=["v"],
+                          direction=direction).collect()}
+        assert len(rows) == 2
+        assert all(r["v_r"] is None and r["ts_r"] is None
+                   for r in rows.values()), direction
+    # and a real right row must still not reach the NULL-time left row
+    right2 = spark.createDataFrame([(1, t, 7.0)],
+                                   "k long, ts timestamp, v double")
+    rows = {r["id"]: r for r in
+            asof_join(left, right2, on="ts", by=["k"], value_cols=["v"],
+                      direction="forward").collect()}
+    assert rows[1]["v_r"] == 7.0 and rows[2]["v_r"] is None

@@ -87,3 +87,31 @@ def test_no_python_udf_in_plan(corpus):
     plan = kmv_sketch(corpus, "v", by=["g"])._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_global_sketch_no_by(spark):
+    """Ungrouped sketch (the signature default) — the prefilter join must
+    handle an empty key list (review finding r9)."""
+    from yupana_spark.datapipe.sketch import kmv_distinct_est, kmv_sketch
+
+    df = spark.range(0, 20000).select(
+        F.concat(F.lit("v"), "id").alias("v"))
+    r = (kmv_sketch(df, "v")
+         .select(kmv_distinct_est(F.col("mins"), F.col("theta"))
+                 .alias("est"))).first()
+    assert abs(r["est"] - 20000) <= 0.3 * 20000
+
+
+def test_nulls_are_not_values(spark):
+    """NULLs must not count as a distinct value (COUNT DISTINCT ignores
+    them; xxhash64 would fold them all to the seed fraction)."""
+    from yupana_spark.datapipe.sketch import kmv_distinct_est, kmv_sketch
+
+    vals = spark.range(0, 37).select(
+        F.lit("g").alias("g"), F.concat(F.lit("x"), "id").alias("v"))
+    nulls = spark.range(0, 5).select(
+        F.lit("g").alias("g"), F.lit(None).cast("string").alias("v"))
+    r = (kmv_sketch(vals.unionAll(nulls), "v", by=["g"], k=256)
+         .select(kmv_distinct_est(F.col("mins"), F.col("theta"), 256)
+                 .alias("est"))).first()
+    assert r["est"] == 37.0

@@ -583,3 +583,46 @@ def test_streaming_asof_matches_batch_on_ordered_replay(spark, tmp_path):
     assert got == want
     # non-vacuity: some matched, some unmatched
     assert any(v[0] is not None for v in got.values())
+
+
+def test_streaming_asof_null_value_and_nat_rows(spark, tmp_path):
+    """A matched reference row with NULL value yields NULL (not NaN); NaT
+    times in either stream neither kill the query (merge_asof raises on
+    NaT keys) nor match anything (review findings r9)."""
+    import json
+
+    from yupana_spark.streaming.align import streaming_asof_join
+
+    rows = [
+        {"event_id": None, "user_id": 1, "ts": "2024-01-01 00:00:01",
+         "value": None, "side": 0, "rv": None},       # NULL-valued ref
+        {"event_id": None, "user_id": 1, "ts": None,
+         "value": None, "side": 0, "rv": 5.0},        # NaT ref: dropped
+        {"event_id": 1, "user_id": 1, "ts": "2024-01-01 00:00:02",
+         "value": 1.0, "side": 1, "rv": None},        # matches NULL ref
+        {"event_id": 2, "user_id": 1, "ts": None,
+         "value": 2.0, "side": 1, "rv": None},        # NaT left: no match
+    ]
+    src = tmp_path / "asof_null_src"
+    src.mkdir()
+    with open(src / "all.json", "w") as f:
+        for d in rows:
+            f.write(json.dumps(d) + "\n")
+    schema = ("event_id long, user_id long, ts timestamp, value double, "
+              "side int, rv double")
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = streaming_asof_join(
+        stream.filter("side = 1").select("event_id", "user_id", "ts",
+                                         "value"),
+        stream.filter("side = 0").select("user_id", "ts", "rv"),
+        on="ts", by="user_id", id_col="event_id",
+        left_val="value", right_val="rv")
+    q = (out.writeStream.format("memory").queryName("san")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["event_id"]: r for r in spark.sql("SELECT * FROM san").collect()}
+    assert set(got) == {1, 2}
+    m = got[1]
+    assert m["ts_r"] is not None                      # matched the NULL ref
+    assert m["rv_r"] is None and m["rv_r"] is not float("nan")
+    assert got[2]["ts_r"] is None and got[2]["rv_r"] is None

@@ -79,9 +79,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "time",
     # matched-value columns; each side is NULL for the other's columns
     left_payload = [c for c in left.columns if c not in set(by) | {on}]
     matched = [f"{c}{suffix}" for c in value_cols] + [f"{on}{suffix}"]
-    clash = set(matched) & set(left.columns)
+    clash = (set(matched) | {"__side", "__m"}) & set(left.columns)
     if clash:
         raise ValueError(f"suffix collision with left columns: {sorted(clash)}")
+    # a NULL right time matches nothing (merge_asof/ASOF JOIN semantics) —
+    # and under asc ordering (nulls first) it would otherwise poison the
+    # running last for every row
+    right = right.filter(F.col(on).isNotNull())
     lsel = ([F.col(c) for c in by] + [F.col(on)] + [F.lit(1).alias("__side")]
             + [F.col(c) for c in left_payload]
             + [F.lit(None).cast(right.schema[v].dataType).alias(f"{v}{suffix}")
@@ -102,17 +106,28 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "time",
     tie = F.col("__side").asc() if not strict else F.col("__side").desc()
     w = (Window.partitionBy(*by).orderBy(t, tie)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    for m in matched:
-        u = u.withColumn(m, F.last(m, ignorenulls=True).over(w))
+    # ONE running last over a struct of all matched columns: per-column
+    # last(ignorenulls) would stitch the result from DIFFERENT right rows
+    # whenever a right value is NULL (returning a stale value against a
+    # newer matched time).  The struct is NULL on left rows (so
+    # ignorenulls skips them) and non-null on every right row, even one
+    # whose value fields are all NULL.
+    u = u.withColumn("__m", F.when(F.col("__side") == 0,
+                                   F.struct(*[F.col(m) for m in matched])))
+    u = u.withColumn("__m", F.last("__m", ignorenulls=True).over(w))
     out = u.filter(F.col("__side") == 1).drop("__side")
-
+    # a NULL left time matches nothing either (under desc ordering it
+    # would otherwise see the whole right side)
+    no_match = F.col(on).isNull()
     if tolerance is not None:
-        gap = (_secs(on) - _secs(f"{on}{suffix}") if direction == "backward"
-               else _secs(f"{on}{suffix}") - _secs(on))
-        ok = F.col(f"{on}{suffix}").isNotNull() & (gap <= F.lit(float(tolerance)))
-        for m in matched:
-            out = out.withColumn(m, F.when(ok, F.col(m)))
-    return out
+        mt = F.col("__m")[f"{on}{suffix}"]
+        gap = ((_secs(on) - mt.cast("timestamp").cast("double"))
+               if direction == "backward"
+               else (mt.cast("timestamp").cast("double") - _secs(on)))
+        no_match = no_match | mt.isNull() | (gap > F.lit(float(tolerance)))
+    for m in matched:
+        out = out.withColumn(m, F.when(~no_match, F.col("__m")[m]))
+    return out.drop("__m")
 
 
 def interval_join(events: DataFrame, intervals: DataFrame, t_col: str = "time",
@@ -138,6 +153,8 @@ def interval_join(events: DataFrame, intervals: DataFrame, t_col: str = "time",
     would explode any interval past ``max_bins_per_interval``, the guard
     against quadratic-ish blowup from one pathological interval."""
     by = list(by)
+    if "__bin" in events.columns or "__bin" in intervals.columns:
+        raise ValueError("__bin is reserved by interval_join")
     wsec = float(bin_width)
     smax = intervals.agg(
         F.max(_secs(end_col) - _secs(start_col)).alias("m")).first()["m"]

@@ -67,6 +67,13 @@ def kmv_sketch(df: DataFrame, col: str, by: Sequence[str] = (),
     to the unfiltered sketch's (the k smallest fractions all sit far
     below the threshold), asserted by test_sketch's equality test."""
     by = list(by)
+    if {"__h", "__thr"} & set(df.columns):
+        raise ValueError("__h/__thr are reserved by kmv_sketch")
+    # NULLs are not values: COUNT(DISTINCT) and approx_count_distinct
+    # ignore them, and xxhash64 would otherwise fold every NULL to the
+    # constant seed fraction — one spurious 'distinct value' that even
+    # intersects across corpora
+    df = df.filter(F.col(col).isNotNull())
     h = hash_frac(F.col(col)).alias("__h")
     if prefilter:
         sizes = (df.groupBy(*by)
@@ -75,8 +82,10 @@ def kmv_sketch(df: DataFrame, col: str, by: Sequence[str] = (),
                              F.least(F.lit(1.0),
                                      F.lit(float(_SAFETY * k)) / F.col("__n")))
                  .drop("__n"))
-        src = (df.select(*by, h).join(F.broadcast(sizes), by)
-               .filter(F.col("__h") < F.col("__thr")))
+        hashed = df.select(*by, h)
+        joined = (hashed.join(F.broadcast(sizes), by) if by
+                  else hashed.crossJoin(F.broadcast(sizes)))
+        src = joined.filter(F.col("__h") < F.col("__thr"))
         thr_agg = F.first("__thr")
     else:
         src = df.select(*by, h).withColumn("__thr", F.lit(1.0))

@@ -30,62 +30,76 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUTPUT_SCHEMA = T.StructType([
-    T.StructField("k", T.LongType()),
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.TimestampType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("ts_r", T.TimestampType()),
-    T.StructField("rv_r", T.DoubleType()),
-])
-
 STATE_SCHEMA = T.StructType([
     T.StructField("rts_us", T.LongType()),
     T.StructField("rv", T.DoubleType()),
 ])
 
 
+def _out_schema(key_type: T.DataType, id_type: T.DataType) -> T.StructType:
+    """Output schema derived from the input types — a string or int key
+    both work; only ts (timestamp) and the value columns (cast to double
+    by the operator) are fixed."""
+    return T.StructType([
+        T.StructField("k", key_type),
+        T.StructField("event_id", id_type),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts_r", T.TimestampType()),
+        T.StructField("rv_r", T.DoubleType()),
+    ])
+
+
 def _update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
             state: GroupState) -> Iterator[pd.DataFrame]:
     pdf = pd.concat(list(pdfs), ignore_index=True)
-    rights = pdf[pdf["side"] == 0][["ts", "rv"]]
+    # NULL times match nothing (merge_asof raises on NaT keys, and a
+    # failed micro-batch replays forever): NaT reference rows drop, NaT
+    # left rows emit unmatched below — the batch twin's semantics
+    rights = pdf[(pdf["side"] == 0) & pdf["ts"].notna()][["ts", "rv"]]
+    # a reference row with NULL value still matches (its rv_r is NULL) —
+    # state must NOT store NaN as a float, so track validity separately
     if state.exists:
         rts_us, rv = state.get
         carried = pd.DataFrame({"ts": [pd.Timestamp(rts_us, unit="us")],
                                 "rv": [rv]})
         rights = pd.concat([carried, rights], ignore_index=True)
     rights = rights.sort_values("ts", kind="mergesort")
-    lefts = (pdf[pdf["side"] == 1][["event_id", "ts", "lv"]]
-             .sort_values("ts", kind="mergesort"))
+    all_lefts = pdf[pdf["side"] == 1][["event_id", "ts", "lv"]]
+    lefts = all_lefts[all_lefts["ts"].notna()] \
+        .sort_values("ts", kind="mergesort")
+    nat_lefts = all_lefts[all_lefts["ts"].isna()]
     if len(lefts):
         if len(rights):
-            m = pd.merge_asof(lefts, rights, on="ts", direction="backward")
+            # one merge: merge_asof keeps every right column, so carrying
+            # the matched ts as an extra column avoids a second pass
+            m = pd.merge_asof(lefts,
+                              rights.assign(__rts=rights["ts"]),
+                              on="ts", direction="backward")
         else:
-            m = lefts.assign(rv=None)
-            m["__rts"] = pd.NaT
-        if len(rights):
-            # merge_asof keeps only the value column; recover the matched
-            # ts by asof-joining the ts itself
-            m2 = pd.merge_asof(lefts[["ts"]],
-                               rights.rename(columns={"ts": "__rts"})
-                               .assign(ts=lambda d: d["__rts"]),
-                               on="ts", direction="backward")
-            m["__rts"] = m2["__rts"].values
-        # unmatched rows must surface as NULL, not float NaN (merge_asof
-        # leaves NaN; the batch operator and SQL both produce NULL)
+            m = lefts.assign(rv=None, __rts=pd.NaT)
+        # unmatched (or NULL-valued) matches must surface as NULL, not
+        # float NaN (the batch operator and SQL both produce NULL)
         rts = pd.Series(m["__rts"].values)
-        rv = [None if pd.isna(t) else float(v)
+        rv = [None if (pd.isna(t) or pd.isna(v)) else float(v)
               for t, v in zip(rts, m["rv"].values)]
-        out = pd.DataFrame({
+        yield pd.DataFrame({
             "k": key[0], "event_id": m["event_id"].values,
             "ts": m["ts"].values, "value": m["lv"].values,
             "ts_r": rts, "rv_r": pd.Series(rv, dtype=object),
         })
-        yield out
+    if len(nat_lefts):
+        yield pd.DataFrame({
+            "k": key[0], "event_id": nat_lefts["event_id"].values,
+            "ts": nat_lefts["ts"].values, "value": nat_lefts["lv"].values,
+            "ts_r": pd.Series([pd.NaT] * len(nat_lefts)),
+            "rv_r": pd.Series([None] * len(nat_lefts), dtype=object),
+        })
     if len(rights):
         newest = rights.iloc[-1]
+        nv = newest["rv"]
         state.update((int(pd.Timestamp(newest["ts"]).value // 1000),
-                      float(newest["rv"])))
+                      None if pd.isna(nv) else float(nv)))
 
 
 def streaming_asof_join(left: DataFrame, right: DataFrame,
@@ -102,10 +116,13 @@ def streaming_asof_join(left: DataFrame, right: DataFrame,
                      F.col(left_val).cast("double").alias("lv"),
                      F.lit(None).cast("double").alias("rv"))
     rt = right.select(F.col(by).alias("k"),
-                      F.lit(None).cast("long").alias("event_id"),
+                      F.lit(None).cast(left.schema[id_col].dataType)
+                      .alias("event_id"),
                       F.col(on).alias("ts"), F.lit(0).alias("side"),
                       F.lit(None).cast("double").alias("lv"),
                       F.col(right_val).cast("double").alias("rv"))
+    out_schema = _out_schema(left.schema[by].dataType,
+                             left.schema[id_col].dataType)
     return (lt.unionByName(rt).groupBy("k")
-            .applyInPandasWithState(_update, OUTPUT_SCHEMA, STATE_SCHEMA,
+            .applyInPandasWithState(_update, out_schema, STATE_SCHEMA,
                                     "append", GroupStateTimeout.NoTimeout))
