@@ -24,23 +24,29 @@ from pyspark.sql import functions as F
 T0 = dt.datetime(2024, 1, 1)
 
 
-def _gen_case(rng: random.Random):
+def _gen_case(rng: random.Random, nulls: bool = False):
     n_keys = rng.randint(1, 4)
     grid = rng.choice([1, 7, 60])          # seconds between possible ticks
     span = rng.randint(20, 200)            # ticks
     left, right = [], []
     for i in range(rng.randint(1, 60)):
-        left.append((i, rng.randint(0, n_keys - 1),
-                     T0 + dt.timedelta(seconds=grid * rng.randint(0, span)),
+        lt = (None if nulls and rng.random() < 0.1
+              else T0 + dt.timedelta(seconds=grid * rng.randint(0, span)))
+        left.append((i, rng.randint(0, n_keys - 1), lt,
                      round(rng.uniform(0, 100), 2)))
     seen = set()
     for j in range(rng.randint(0, 40)):
         k = rng.randint(0, n_keys - 1)
+        if nulls and rng.random() < 0.1:
+            right.append((k, None, round(rng.uniform(0, 100), 2)))
+            continue
         ts = T0 + dt.timedelta(seconds=grid * rng.randint(0, span))
         if (k, ts) in seen:                # uniqueness precondition
             continue
         seen.add((k, ts))
-        right.append((k, ts, round(rng.uniform(0, 100), 2)))
+        rv = None if nulls and rng.random() < 0.15 \
+            else round(rng.uniform(0, 100), 2)
+        right.append((k, ts, rv))
     return left, right, grid, span
 
 
@@ -154,3 +160,22 @@ def test_interval_three_way(spark, seed):
         f"AND l.ts >= r.ts AND l.ts < r.ts + INTERVAL {length} SECONDS"
     ).fetchall()
     assert sorted((a, b, c) for a, b, c in duck) == want, (seed, length)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_asof_nulls_vs_naive(spark, seed):
+    """NULL times and NULL right values, asof vs the naive theta-join
+    (which realizes merge_asof NULL semantics naturally: a NULL never
+    satisfies the join comparison; matched NULL values ride through)."""
+    from yupana_spark.datapipe.align import asof_join
+
+    rng = random.Random(3000 + seed)
+    left, right, _, _ = _gen_case(rng, nulls=True)
+    direction = rng.choice(["backward", "forward"])
+    strict = rng.random() < 0.3
+    lf, rf = _frames(spark, left, right)
+
+    got = _rows(asof_join(lf, rf, on="ts", by=["k"], value_cols=["rv"],
+                          direction=direction, strict=strict))
+    want = _rows(_naive_asof(lf, rf, direction, strict, None))
+    assert got == want, (seed, direction, strict)
