@@ -27,7 +27,7 @@ import os
 import threading
 from dataclasses import dataclass, field
 from decimal import Decimal
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -42,9 +42,11 @@ from .schema import Schema, Table
 
 # matched-key sets at or under this size become literal IN predicates
 # (parquet-pushable, ≙ the reference's DimIdIn row-key pruning); larger
-# sets keep the broadcast semi-join.  Sized well under Spark's 10k
-# in-set-conversion threshold so the pushed filter stays an In, and the
-# bounded collect stays a trivial driver allocation.
+# sets keep the broadcast semi-join.  The gate bounds the driver-side
+# collect and the plan-literal size; session.ensure_engine_confs raises
+# spark.sql.parquet.pushdown.inFilterThreshold (default 10) to match, so
+# the pushed filter prunes row groups by the FULL value set instead of
+# degrading to a min/max range past 10 keys.
 _IN_PUSHDOWN_GATE = 1024
 
 
@@ -714,7 +716,8 @@ class Tsdb:
     _DICT_CACHE: Dict[tuple, Dict[str, int]] = {}
     # memoized phrase-match key sets for static link sources (small,
     # localCheckpoint-materialized); keyed by (appId, sf_dir, link, phrases)
-    _PHRASE_CACHE: Dict[tuple, DataFrame] = {}
+    # (appId, sf_dir, link, phrases) -> (ids frame, key literals | None)
+    _PHRASE_CACHE: Dict[tuple, Tuple[DataFrame, Optional[list]]] = {}
     _DICT_CAP = 100_000  # beyond this a dim is not dictionary-shaped; at
     # cluster scale you'd materialize a dictionary table + broadcast join
     # instead of a map literal

@@ -663,9 +663,10 @@ def loopback_check(tsdb, sql: str = "SELECT database() AS db",
     answer — the same deploy-time smoke a Postgres client would run.
     Always stops the server.  Returns True iff every protocol step and
     the row value matched."""
-    srv = PgWireServer(tsdb, port=0)
-    port = srv.start()
+    srv = None
     try:
+        srv = PgWireServer(tsdb, port=0)
+        port = srv.start()
         sock = socket.create_connection(("127.0.0.1", port), timeout=timeout)
         try:
             sock.sendall(struct.pack("!II", 8, 80877103))   # SSLRequest
@@ -675,19 +676,21 @@ def loopback_check(tsdb, sql: str = "SELECT database() AS db",
                     + _cstr("database") + _cstr("yupana") + b"\x00")
             sock.sendall(struct.pack("!I", len(body) + 4) + body)
 
-            def read_msg():
-                tag = sock.recv(1)
-                raw = b""
-                while len(raw) < 4:
-                    raw += sock.recv(4 - len(raw))
-                (ln,) = struct.unpack("!I", raw)
-                payload = b""
-                while len(payload) < ln - 4:
-                    chunk = sock.recv(ln - 4 - len(payload))
+            def read_exact(n):
+                # every recv checks EOF: a server that closes mid-exchange
+                # must fail the check, not busy-spin on b'' forever
+                buf = b""
+                while len(buf) < n:
+                    chunk = sock.recv(n - len(buf))
                     if not chunk:
                         raise ConnectionError("server closed")
-                    payload += chunk
-                return tag, payload
+                    buf += chunk
+                return buf
+
+            def read_msg():
+                tag = read_exact(1)
+                (ln,) = struct.unpack("!I", read_exact(4))
+                return tag, read_exact(ln - 4)
 
             tag, payload = read_msg()
             if tag != b"R" or struct.unpack("!I", payload)[0] != 3:
@@ -719,7 +722,8 @@ def loopback_check(tsdb, sql: str = "SELECT database() AS db",
     except (OSError, ConnectionError, struct.error):
         return False
     finally:
-        srv.stop()
+        if srv is not None:
+            srv.stop()
 
 
 def main(argv=None) -> int:

@@ -45,6 +45,10 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # DimIdIn-style literal IN pushdown (compiler._IN_PUSHDOWN_GATE):
+        # past the 10-key default, parquet degrades an In filter to a
+        # min/max range — raise it so row groups prune on the full set
+        "spark.sql.parquet.pushdown.inFilterThreshold": "1024",
     }.items():
         try:
             spark.conf.set(k, v)
