@@ -613,6 +613,24 @@ def q_upsert_roundtrip(spark, sf_dir):
         "(TIMESTAMP '2024-03-01 10:00:00', 900001, 1, 'upserted', 1.5), "
         "(TIMESTAMP '2024-03-01 11:00:00', 900002, 2, 'upserted', 2.5), "
         "(TIMESTAMP '2024-03-01 11:00:00', 900002, 2, 'upserted', 3.5)")
+
+    # small-file COMPACTION (Warehouse.compact — parquet warehouses must
+    # compact explicitly where the reference's HBase compacts regions
+    # itself): physical re-layout only, so the row multiset before ==
+    # after (checked eagerly by fingerprint) and files-per-partition drop
+    # to 1.  Runs BEFORE the lazy read-back plans below — they list files
+    # at collect time and must see the post-compact layout.
+    pre = sorted(map(tuple, tsdb.warehouse.read("events")
+                     .select("event_id", "value").collect()))
+    st = tsdb.warehouse.compact("events")
+    post = sorted(map(tuple, tsdb.warehouse.read("events")
+                      .select("event_id", "value").collect()))
+    comp_ok = (pre == post and st["files_after"] <= st["files_before"]
+               and st["files_after"] >= 1)
+    comp = spark.createDataFrame(
+        [("compact", -7, "ok" if comp_ok else "bad", None)],
+        "kind string, event_id long, event_type string, value double")
+
     rows = tsdb.sql(
         "SELECT event_id, event_type, value FROM events "
         "WHERE time >= TIMESTAMP '2024-03-01' AND time < TIMESTAMP '2024-03-02'"
@@ -688,7 +706,8 @@ def q_upsert_roundtrip(spark, sf_dir):
              F.col("event_type"),
              F.lit(None).cast("double").alias("value"))
     return (rows.unionByName(iv).unionByName(ivf).unionByName(ivo)
-            .unionByName(ivm).unionByName(rej).unionByName(fx))
+            .unionByName(ivm).unionByName(rej).unionByName(fx)
+            .unionByName(comp))
 
 
 def q_rollup_by_month(spark, sf_dir):
@@ -2681,7 +2700,8 @@ _ORACLES_REL: dict[str, str] = {
             ('interval_overlap', -5, 'events:2024-03-01', NULL),
             ('interval_miss', -4, 'rows:0', NULL),
             ('interval_reject', -6, 'unsupported_condition', NULL),
-            ('fixer', -2, '"сут" ё', NULL)
+            ('fixer', -2, '"сут" ё', NULL),
+            ('compact', -7, 'ok', NULL)
         ) AS t(kind, event_id, event_type, value)
     """,
     "q_rollup_by_month": f"""

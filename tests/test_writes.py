@@ -402,3 +402,39 @@ def test_recalculate_bootstraps_full_target_with_dirty_changelog(wtsdb):
     out = recalculate(wtsdb.warehouse, r)
     months = {x["time"] for x in out.select("time").distinct().collect()}
     assert len(months) > 12          # full history, not just 1997-07
+
+
+def test_compact_preserves_content_and_merges_files(wtsdb):
+    """compact(): physical re-layout only — row multiset identical, file
+    count per time-bucket partition drops to ~1, bucket pruning survives."""
+    import pyspark.sql.functions as F
+
+    wh = wtsdb.warehouse
+    # seed a warehouse copy spread over many shuffle files
+    src = wtsdb.schema.load(wtsdb.spark, wtsdb.sf_dir, "orders") \
+        .repartition(8)
+    wh.write_table("orders", src)
+    before_rows = sorted(map(tuple, wh.read("orders").collect()))
+    stats = wh.compact("orders")
+    assert stats["files_after"] < stats["files_before"]
+    after = wh.read("orders")
+    assert sorted(map(tuple, after.collect())) == before_rows
+    # one file per month partition
+    import os
+
+    path = wh.path("orders")
+    per_part = {}
+    for root, _, fs in os.walk(path):
+        n = sum(1 for f in fs if f.endswith(".parquet"))
+        if n:
+            per_part[root] = n
+    assert per_part and all(n == 1 for n in per_part.values())
+    # still prunable + queryable through the engine
+    got = wtsdb.sql(f"SELECT count(o_orderkey) c FROM orders WHERE {TB}") \
+        .collect()[0]["c"]
+    assert got == len(before_rows)
+
+
+def test_compact_missing_table_raises(wtsdb):
+    with pytest.raises(KeyError):
+        wtsdb.warehouse.compact("orders")

@@ -332,6 +332,54 @@ class Warehouse:
                 del Tsdb._BYTES_CACHE[k]
             Tsdb._BYTES_EPOCH += 1   # invalidate in-flight reader stats
 
+    def compact(self, table: str, max_records_per_file: int = 0) -> dict:
+        """Rewrite ``table`` with one output file per time-bucket partition
+        (optionally re-split by ``max_records_per_file``), atomically.
+
+        Each upsert's shuffle writes one file per task per month bucket, so
+        a frequently-merged table accumulates many small parquet files per
+        partition — the scan then pays per-file open/footer costs and the
+        driver pays per-file listing (the classic small-file problem; the
+        reference's HBase storage compacts regions itself, a parquet
+        warehouse must do it explicitly).  Content is bit-identical: this
+        is a physical re-layout, not a merge.
+
+        Returns {"files_before": n, "files_after": m} for auditing."""
+        if not self.exists(table):
+            raise KeyError(f"no warehouse copy of {table} to compact")
+        path = self.path(table)
+
+        def _nfiles() -> int:
+            return sum(1 for _, _, fs in os.walk(path)
+                       for f in fs if f.endswith(".parquet"))
+
+        before = _nfiles()
+        df = self.spark.read.parquet(path)
+        if BUCKET_COL in df.columns:
+            # one shuffle partition per bucket -> one file per partition
+            # dir; AQE coalesces the empty ones
+            out = df.repartition(F.col(BUCKET_COL)).drop(BUCKET_COL)
+        else:
+            out = df.coalesce(1)
+        tmp = path + ".compact." + uuid.uuid4().hex[:8]
+        writer = out.withColumn(BUCKET_COL,
+                                F.date_trunc("month", F.col("time"))) \
+            .write.mode("overwrite").partitionBy(BUCKET_COL) \
+            if "time" in out.columns else out.write.mode("overwrite")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile",
+                                   str(max_records_per_file))
+        writer.parquet(tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        from ..compiler import Tsdb
+        with Tsdb._BYTES_CACHE_LOCK:
+            for k in [k for k in Tsdb._BYTES_CACHE
+                      if k[1] == self.root and k[2] == table]:
+                del Tsdb._BYTES_CACHE[k]
+            Tsdb._BYTES_EPOCH += 1
+        return {"files_before": before, "files_after": _nfiles()}
+
     def _log_interval(self, table: str, incoming: DataFrame) -> None:
         """Changelog: record which (table, day) windows were rewritten."""
         if "time" not in incoming.columns:
