@@ -554,10 +554,19 @@ def test_streaming_asof_matches_batch_on_ordered_replay(spark, tmp_path):
     src = tmp_path / "asof_src"
     src.mkdir()
     third = (len(rows) + 2) // 3
+    import os
+    import time as _time
+
+    base = _time.time() - 3600
     for i in range(3):
-        with open(src / f"chunk{i}.json", "w") as f:
+        p = src / f"chunk{i}.json"
+        with open(p, "w") as f:
             for d in rows[i * third:(i + 1) * third]:
                 f.write(json.dumps(d) + "\n")
+        # FileStreamSource replays in MODIFICATION-TIME order; files
+        # written within the same millisecond tie and the replay order
+        # (hence the ordered-replay law) becomes nondeterministic
+        os.utime(p, (base + i, base + i))
 
     schema = ("event_id long, user_id long, ts timestamp, value double, "
               "side int, rv double")
