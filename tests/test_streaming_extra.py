@@ -635,3 +635,53 @@ def test_streaming_asof_null_value_and_nat_rows(spark, tmp_path):
     assert m["ts_r"] is not None                      # matched the NULL ref
     assert m["rv_r"] is None and m["rv_r"] is not float("nan")
     assert got[2]["ts_r"] is None and got[2]["rv_r"] is None
+
+
+def test_streaming_interval_join_stream_static(spark, tmp_path):
+    """interval_join works UNCHANGED on a streaming events frame against a
+    static intervals frame: the bin quantization is a stateless projection
+    and the containment is an equi-join + residual, both natively
+    streamable (no new operator needed) — streamed rows == batch rows."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+    from yupana_spark.datapipe.align import interval_join
+
+    ev = (spark.read.parquet(f"{SF_SMALL}/events.parquet")
+          .filter("user_id < 20"))
+    clicks = ev.filter("event_type = 'click'") \
+        .select("event_id", "user_id", "ts", "value")
+    iv = (ev.filter("event_type = 'purchase'")
+          .groupBy("user_id", "ts").agg(F.max("value").alias("rv"))
+          .select("user_id", F.col("ts").alias("start"),
+                  (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("end"),
+                  "rv").cache())
+
+    src = tmp_path / "ivj_src"
+    src.mkdir()
+    with open(src / "clicks.json", "w") as f:
+        for r in clicks.collect():
+            f.write(json.dumps({"event_id": r["event_id"],
+                                "user_id": r["user_id"],
+                                "ts": r["ts"].isoformat(sep=" "),
+                                "value": r["value"]}) + "\n")
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, value double"
+    ).json(str(src))
+    out = interval_join(stream, iv, t_col="ts", start_col="start",
+                        end_col="end", by=["user_id"],
+                        bin_width=6 * 3600.0) \
+        .select("event_id", "start", "rv")
+    q = (out.writeStream.format("memory").queryName("ivj")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["event_id"], r["start"], r["rv"])
+           for r in spark.sql("SELECT * FROM ivj").collect()}
+    want = {(r["event_id"], r["start"], r["rv"])
+            for r in interval_join(clicks, iv, t_col="ts",
+                                   start_col="start", end_col="end",
+                                   by=["user_id"], bin_width=6 * 3600.0)
+            .select("event_id", "start", "rv").collect()}
+    assert got == want and len(got) > 0
