@@ -227,3 +227,24 @@ def test_asof_null_times_match_nothing(spark):
             asof_join(left, right2, on="ts", by=["k"], value_cols=["v"],
                       direction="forward").collect()}
     assert rows[1]["v_r"] == 7.0 and rows[2]["v_r"] is None
+
+
+def test_asof_multi_key_groups(spark):
+    """Composite ``by`` keys partition independently."""
+    from yupana_spark.datapipe.align import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(1, 1, "x", at(10)), (2, 1, "y", at(10)), (3, 2, "x", at(10))],
+        "id long, k long, g string, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, "x", at(5), 1.0), (1, "y", at(6), 2.0), (2, "x", at(7), 3.0)],
+        "k long, g string, ts timestamp, v double")
+    got = {r["id"]: r["v_r"] for r in
+           asof_join(left, right, on="ts", by=["k", "g"],
+                     value_cols=["v"]).collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: 3.0}
