@@ -357,8 +357,11 @@ class Warehouse:
         df = self.spark.read.parquet(path)
         if BUCKET_COL in df.columns:
             # one shuffle partition per bucket -> one file per partition
-            # dir; AQE coalesces the empty ones
-            out = df.repartition(F.col(BUCKET_COL)).drop(BUCKET_COL)
+            # dir (AQE coalesces the empty ones); rows time-sorted inside
+            # each file so parquet row-group min/max stats prune time
+            # predicates tighter than the month bucket alone
+            out = (df.repartition(F.col(BUCKET_COL))
+                   .sortWithinPartitions("time").drop(BUCKET_COL))
         else:
             out = df.coalesce(1)
         tmp = path + ".compact." + uuid.uuid4().hex[:8]
