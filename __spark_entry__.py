@@ -620,11 +620,9 @@ def q_upsert_roundtrip(spark, sf_dir):
     # after (checked eagerly by fingerprint) and files-per-partition drop
     # to 1.  Runs BEFORE the lazy read-back plans below — they list files
     # at collect time and must see the post-compact layout.
-    pre = sorted(map(tuple, tsdb.warehouse.read("events")
-                     .select("event_id", "value").collect()))
+    pre = sorted(map(tuple, tsdb.warehouse.read("events").collect()))
     st = tsdb.warehouse.compact("events")
-    post = sorted(map(tuple, tsdb.warehouse.read("events")
-                      .select("event_id", "value").collect()))
+    post = sorted(map(tuple, tsdb.warehouse.read("events").collect()))
     comp_ok = (pre == post and st["files_after"] <= st["files_before"]
                and st["files_after"] >= 1)
     comp = spark.createDataFrame(

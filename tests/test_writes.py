@@ -438,3 +438,23 @@ def test_compact_preserves_content_and_merges_files(wtsdb):
 def test_compact_missing_table_raises(wtsdb):
     with pytest.raises(KeyError):
         wtsdb.warehouse.compact("orders")
+
+
+def test_compact_pins_artifact_token(wtsdb):
+    """compact() is content-identical, so the table's artifact token must
+    survive it (no refits for a physical re-layout); the next real write
+    must invalidate as usual."""
+    wh = wtsdb.warehouse
+    src = wtsdb.schema.load(wtsdb.spark, wtsdb.sf_dir, "orders") \
+        .repartition(4)
+    wh.write_table("orders", src)
+    t0 = wh.table_token("orders")
+    wh.compact("orders")
+    assert wh.table_token("orders") == t0          # pinned across compact
+    wh.compact("orders")
+    assert wh.table_token("orders") == t0          # and across a re-compact
+    wtsdb.sql(
+        "UPSERT INTO orders (time, o_orderkey, o_custkey, o_orderstatus, "
+        "o_orderpriority, o_totalprice) VALUES "
+        "(TIMESTAMP '1996-06-01', 990001, 1, 'F', '1-URGENT', 9.5)")
+    assert wh.table_token("orders") != t0          # real write invalidates

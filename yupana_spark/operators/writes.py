@@ -33,6 +33,9 @@ from ..schema import Schema, Table
 
 BUCKET_COL = "__month"
 CHANGELOG = "_changelog"
+# sidecar carrying a content-identical rewrite's pre-compact artifact
+# token (compact() writes it; any content-changing write swaps it away)
+TOKEN_PIN = "__token_pin"
 
 _FIXER_UDFS: dict = {}
 
@@ -98,13 +101,20 @@ class Warehouse:
     def table_token(self, table: str) -> str:
         """Corpus version fingerprint for ``table`` — the LIVE source: the
         warehouse copy when the table has been written, else the sf_dir
-        fixture.  Any write through this warehouse changes it, which is
-        the artifact invalidation contract."""
+        fixture.  Any CONTENT-changing write through this warehouse
+        changes it, which is the artifact invalidation contract; a
+        ``compact()`` re-layout pins the pre-compact token in a sidecar
+        (content identical ⇒ fitted artifacts stay valid) and the next
+        real write swaps the sidecar away."""
         from ..datapipe.artifacts import corpus_token
 
-        live = self.path(table) if self.exists(table) else os.path.join(
-            self.sf_dir, f"{table}.parquet")
-        return corpus_token(live)
+        if self.exists(table):
+            pin = os.path.join(self.path(table), TOKEN_PIN)
+            if os.path.exists(pin):
+                with open(pin) as f:
+                    return f.read().strip()
+            return corpus_token(self.path(table))
+        return corpus_token(os.path.join(self.sf_dir, f"{table}.parquet"))
 
     def exists(self, table: str) -> bool:
         return os.path.exists(self.path(table))
@@ -318,10 +328,27 @@ class Warehouse:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp)
+        self._swap_and_invalidate(table, tmp)
+
+    def _swap_and_invalidate(self, table: str, tmp: str) -> None:
+        """Install ``tmp`` as the live table dir and purge volume caches.
+
+        Two adjacent renames (old out, new in) instead of rmtree+rename:
+        the not-exists window shrinks from an unbounded directory delete
+        to microseconds, and a crash between the renames leaves the data
+        recoverable in the ``.old`` dir instead of gone.  A concurrent
+        reader in that window still falls back to the fixture — callers
+        that need stronger isolation must serialize writes with reads
+        (the reference's HBase gets this from region-server atomicity).
+        """
         final = self.path(table)
+        old = None
         if os.path.exists(final):
-            shutil.rmtree(final)
+            old = final + ".old." + uuid.uuid4().hex[:8]
+            os.rename(final, old)
         os.rename(tmp, final)
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
         # volume-gate cache entries for this table are now stale — the next
         # query must re-stat the warehouse copy, or tune_for_volume would
         # keep the pre-write posture for a much larger table
@@ -344,6 +371,12 @@ class Warehouse:
         warehouse must do it explicitly).  Content is bit-identical: this
         is a physical re-layout, not a merge.
 
+        Content is identical, so the table's artifact token is PINNED
+        across the rewrite (``table_token`` returns the pre-compact token
+        from a sidecar): fitted artifacts (LM vocabularies, codebooks,
+        signature indexes) stay valid — a content-changing write swaps the
+        sidecar away and invalidates as before.
+
         Returns {"files_before": n, "files_after": m} for auditing."""
         if not self.exists(table):
             raise KeyError(f"no warehouse copy of {table} to compact")
@@ -354,33 +387,41 @@ class Warehouse:
                        for f in fs if f.endswith(".parquet"))
 
         before = _nfiles()
+        pinned = self.table_token(table)   # content-identical: keep it
         df = self.spark.read.parquet(path)
-        if BUCKET_COL in df.columns:
+        # the bucket column derives from the table's time column — the
+        # same one _write used (schema-declared, "time" for ad-hoc tables)
+        t = self.schema.tables.get(table)
+        tcol = t.time_column if t is not None else "time"
+        if tcol not in df.columns and "time" in df.columns:
+            tcol = "time"
+        if BUCKET_COL in df.columns and tcol in df.columns:
             # one shuffle partition per bucket -> one file per partition
             # dir (AQE coalesces the empty ones); rows time-sorted inside
             # each file so parquet row-group min/max stats prune time
             # predicates tighter than the month bucket alone
             out = (df.repartition(F.col(BUCKET_COL))
-                   .sortWithinPartitions("time").drop(BUCKET_COL))
+                   .sortWithinPartitions(tcol).drop(BUCKET_COL))
+            writer = (out.withColumn(BUCKET_COL,
+                                     F.date_trunc("month", F.col(tcol)))
+                      .write.mode("overwrite").partitionBy(BUCKET_COL))
+        elif BUCKET_COL in df.columns:
+            # bucketed via a time column this schema doesn't declare (ad
+            # hoc write_table(time_col=...)): keep the existing partition
+            # values verbatim instead of re-deriving from the wrong column
+            out = df.repartition(F.col(BUCKET_COL))
+            writer = out.write.mode("overwrite").partitionBy(BUCKET_COL)
         else:
             out = df.coalesce(1)
-        tmp = path + ".compact." + uuid.uuid4().hex[:8]
-        writer = out.withColumn(BUCKET_COL,
-                                F.date_trunc("month", F.col("time"))) \
-            .write.mode("overwrite").partitionBy(BUCKET_COL) \
-            if "time" in out.columns else out.write.mode("overwrite")
+            writer = out.write.mode("overwrite")
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile",
                                    str(max_records_per_file))
+        tmp = path + ".compact." + uuid.uuid4().hex[:8]
         writer.parquet(tmp)
-        shutil.rmtree(path)
-        os.rename(tmp, path)
-        from ..compiler import Tsdb
-        with Tsdb._BYTES_CACHE_LOCK:
-            for k in [k for k in Tsdb._BYTES_CACHE
-                      if k[1] == self.root and k[2] == table]:
-                del Tsdb._BYTES_CACHE[k]
-            Tsdb._BYTES_EPOCH += 1
+        with open(os.path.join(tmp, TOKEN_PIN), "w") as f:
+            f.write(pinned)
+        self._swap_and_invalidate(table, tmp)
         return {"files_before": before, "files_after": _nfiles()}
 
     def _log_interval(self, table: str, incoming: DataFrame) -> None:
