@@ -115,3 +115,33 @@ def test_nulls_are_not_values(spark):
          .select(kmv_distinct_est(F.col("mins"), F.col("theta"), 256)
                  .alias("est"))).first()
     assert r["est"] == 37.0
+
+
+@pytest.mark.parametrize("overlap", [0.0, 0.25, 0.75])
+def test_intersection_across_overlap_fractions(spark, overlap):
+    """Intersection estimates track the true overlap across regimes;
+    deterministic (fixed hash, fixed data), so exact bounds hold every
+    run.  Zero overlap must estimate exactly zero (no shared hashes)."""
+    from yupana_spark.datapipe.sketch import kmv_intersect_est, kmv_sketch
+
+    n = 20000
+    off = int(n * (1 - overlap))
+    a = spark.range(0, n).select(F.lit("A").alias("g"),
+                                 F.concat(F.lit("v"), "id").alias("v"))
+    b = spark.range(off, off + n).select(F.lit("B").alias("g"),
+                                         F.concat(F.lit("v"), "id")
+                                         .alias("v"))
+    sk = kmv_sketch(a.unionAll(b), "v", by=["g"], k=256)
+    sa = sk.filter("g = 'A'").select(F.col("mins").alias("ma"),
+                                     F.col("theta").alias("ta"))
+    sb = sk.filter("g = 'B'").select(F.col("mins").alias("mb"),
+                                     F.col("theta").alias("tb"))
+    est = sa.crossJoin(sb).select(
+        kmv_intersect_est(F.col("ma"), F.col("ta"),
+                          F.col("mb"), F.col("tb"), 256).alias("i")
+    ).first()["i"]
+    true = n * overlap
+    if overlap == 0.0:
+        assert est == 0.0
+    else:
+        assert abs(est - true) <= 0.4 * true, (overlap, est)
