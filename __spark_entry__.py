@@ -614,6 +614,25 @@ def q_upsert_roundtrip(spark, sf_dir):
         "(TIMESTAMP '2024-03-01 11:00:00', 900002, 2, 'upserted', 2.5), "
         "(TIMESTAMP '2024-03-01 11:00:00', 900002, 2, 'upserted', 3.5)")
 
+    # FILE-INGEST connector (sources/files.ingest_file ≙ the reference's
+    # ETLFunctions put path): a CSV batch — one malformed value cell —
+    # rides the STANDARD write path (try_cast quarantine-to-NULL, key
+    # merge, changelog).  The read-back rows (kind='ingest3' below) are
+    # value-hash-checked: the malformed cell must surface as NULL, the
+    # good cells as doubles.  ALL writes run before ANY read plan is
+    # built — the lazy plans list files at collect time.
+    import os as _os
+
+    from yupana_spark.sources.files import ingest_file
+
+    csv = _os.path.join(tsdb.warehouse.root, "ingest_batch.csv")
+    with open(csv, "w") as f:
+        f.write("time,event_id,user_id,event_type,value\n"
+                "2024-04-01 10:00:00,900101,7,csv,4.25\n"
+                "2024-04-01 11:00:00,900102,8,csv,notanumber\n"
+                "2024-04-01 12:00:00,900103,9,csv,6.5\n")
+    n_ing = ingest_file(tsdb.warehouse, "events", csv)
+
     # small-file COMPACTION (Warehouse.compact — parquet warehouses must
     # compact explicitly where the reference's HBase compacts regions
     # itself): physical re-layout only, so the row multiset before ==
@@ -633,6 +652,12 @@ def q_upsert_roundtrip(spark, sf_dir):
         "SELECT event_id, event_type, value FROM events "
         "WHERE time >= TIMESTAMP '2024-03-01' AND time < TIMESTAMP '2024-03-02'"
     ).select(F.lit("row").alias("kind"), "event_id", "event_type", "value")
+    ing = tsdb.sql(
+        "SELECT event_id, event_type, value FROM events "
+        "WHERE time >= TIMESTAMP '2024-04-01' AND time < TIMESTAMP "
+        "'2024-04-02'"
+    ).select(F.lit(f"ingest{n_ing}").alias("kind"), "event_id",
+             "event_type", "value")
     iv = tsdb.sql("SHOW UPDATES_INTERVALS").select(
         F.lit("interval").alias("kind"),
         F.lit(-1).cast("long").alias("event_id"),
@@ -703,9 +728,9 @@ def q_upsert_roundtrip(spark, sf_dir):
              F.lit(-2).cast("long").alias("event_id"),
              F.col("event_type"),
              F.lit(None).cast("double").alias("value"))
-    return (rows.unionByName(iv).unionByName(ivf).unionByName(ivo)
-            .unionByName(ivm).unionByName(rej).unionByName(fx)
-            .unionByName(comp))
+    return (rows.unionByName(ing).unionByName(iv).unionByName(ivf)
+            .unionByName(ivo).unionByName(ivm).unionByName(rej)
+            .unionByName(fx).unionByName(comp))
 
 
 def q_rollup_by_month(spark, sf_dir):
@@ -2693,7 +2718,11 @@ _ORACLES_REL: dict[str, str] = {
         FROM (VALUES
             ('row', 900001, 'upserted', 1.5),
             ('row', 900002, 'upserted', 3.5),
+            ('ingest3', 900101, 'csv', 4.25),
+            ('ingest3', 900102, 'csv', NULL),
+            ('ingest3', 900103, 'csv', 6.5),
             ('interval', -1, 'events:2024-03-01', NULL),
+            ('interval', -1, 'events:2024-04-01', NULL),
             ('interval_filtered', -3, 'events:2024-03-01', NULL),
             ('interval_overlap', -5, 'events:2024-03-01', NULL),
             ('interval_miss', -4, 'rows:0', NULL),
