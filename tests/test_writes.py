@@ -458,3 +458,17 @@ def test_compact_pins_artifact_token(wtsdb):
         "o_orderpriority, o_totalprice) VALUES "
         "(TIMESTAMP '1996-06-01', 990001, 1, 'F', '1-URGENT', 9.5)")
     assert wh.table_token("orders") != t0          # real write invalidates
+
+
+def test_compact_max_records_per_file_resplit(wtsdb):
+    """max_records_per_file re-splits oversized partitions while content
+    stays identical."""
+    wh = wtsdb.warehouse
+    src = wtsdb.schema.load(wtsdb.spark, wtsdb.sf_dir, "orders")
+    wh.write_table("orders", src)
+    n = wh.read("orders").count()
+    before = sorted(map(tuple, wh.read("orders").collect()))
+    st = wh.compact("orders", max_records_per_file=25)
+    assert sorted(map(tuple, wh.read("orders").collect())) == before
+    # every file holds <= 25 rows => at least ceil(n/25) files
+    assert st["files_after"] >= (n + 24) // 25
