@@ -1800,16 +1800,21 @@ def dp_group_quantiles(spark, sf_dir):
     sk = kmv_sketch(dg, "g", by=["lang"], k=k)
     en_sk = F.broadcast(sk.filter(F.col("lang") == "en")
                         .select(F.col("mins").alias("__em"),
-                                F.col("theta").alias("__et")))
+                                F.col("theta").alias("__et"),
+                                F.col("k").alias("__ek")))
+    # estimator k comes from the CARRIED sketch column, not a repeated
+    # constant — build/estimate desync is structurally impossible
     est = (sk.crossJoin(en_sk)
            .select("lang",
-                   kmv_distinct_est(F.col("mins"), F.col("theta"), k)
-                   .alias("__d"),
+                   kmv_distinct_est(F.col("mins"), F.col("theta"),
+                                    F.col("k")).alias("__d"),
                    kmv_intersect_est(F.col("mins"), F.col("theta"),
-                                     F.col("__em"), F.col("__et"), k)
+                                     F.col("__em"), F.col("__et"),
+                                     F.col("k"), F.col("__ek"))
                    .alias("__i"),
                    kmv_union_est(F.col("mins"), F.col("theta"),
-                                 F.col("__em"), F.col("__et"), k)
+                                 F.col("__em"), F.col("__et"),
+                                 F.col("k"), F.col("__ek"))
                    .alias("__u")))
     # exact |lang ∪ en| by inclusion-exclusion from the two exact columns
     # + |en| (the en row's own distinct count)

@@ -145,3 +145,77 @@ def test_intersection_across_overlap_fractions(spark, overlap):
         assert est == 0.0
     else:
         assert abs(est - true) <= 0.4 * true, (overlap, est)
+
+
+def test_carried_k_column_drives_estimators(spark):
+    """The sketch row carries its build size ``k``; estimators fed the
+    carried column are correct for ANY build size without the caller
+    repeating the constant (advice r9: an int mismatch — build k=512,
+    estimate left at the 256 default — silently skewed the estimate)."""
+    from yupana_spark.datapipe.sketch import kmv_distinct_est, kmv_sketch
+
+    df = spark.range(0, 20000).select(
+        F.lit("g").alias("g"), F.concat(F.lit("v"), "id").alias("v"))
+    for k in (128, 512):
+        sk = kmv_sketch(df, "v", by=["g"], k=k)
+        r = sk.select(
+            F.col("k").alias("built_k"),
+            kmv_distinct_est(F.col("mins"), F.col("theta"), F.col("k"))
+            .alias("est")).first()
+        assert r["built_k"] == k
+        assert abs(r["est"] - 20000) <= 0.5 * 20000, (k, r["est"])
+
+
+def test_intersect_mixed_k_sketches(spark):
+    """Two sketches built with DIFFERENT k intersect correctly when each
+    side's carried k column is passed (theta clamps to the coarser
+    side's effective threshold)."""
+    from yupana_spark.datapipe.sketch import kmv_intersect_est, kmv_sketch
+
+    n = 20000
+    a = spark.range(0, n).select(F.concat(F.lit("v"), "id").alias("v"))
+    b = spark.range(n // 2, n // 2 + n).select(
+        F.concat(F.lit("v"), "id").alias("v"))
+    sa = kmv_sketch(a, "v", k=512).select(
+        F.col("mins").alias("ma"), F.col("theta").alias("ta"),
+        F.col("k").alias("ka"))
+    sb = kmv_sketch(b, "v", k=128).select(
+        F.col("mins").alias("mb"), F.col("theta").alias("tb"),
+        F.col("k").alias("kb"))
+    est = sa.crossJoin(sb).select(
+        kmv_intersect_est(F.col("ma"), F.col("ta"),
+                          F.col("mb"), F.col("tb"),
+                          F.col("ka"), F.col("kb")).alias("i")
+    ).first()["i"]
+    assert abs(est - n / 2) <= 0.45 * (n / 2), est
+
+
+def test_prefilter_sizes_gate_large_path(spark, monkeypatch):
+    """Past the group-count gate the per-group threshold join must NOT
+    broadcast (advice r9: an unconditional broadcast of one row per
+    group is unbounded under high-cardinality ``by``); values identical
+    on both paths."""
+    import yupana_spark.datapipe.sketch as sk_mod
+    from yupana_spark.datapipe.sketch import kmv_distinct_est, kmv_sketch
+
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 7).cast("string").alias("g"),
+        F.concat(F.lit("v"), "id").alias("v"))
+    monkeypatch.setattr(sk_mod, "_SIZES_BCAST_GATE", 2)
+    sk = kmv_sketch(df, "v", by=["g"], k=64)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    got = {r["g"]: r for r in
+           sk.select("g", kmv_distinct_est(F.col("mins"), F.col("theta"),
+                                           F.col("k")).alias("est"))
+           .collect()}
+    monkeypatch.setattr(sk_mod, "_SIZES_BCAST_GATE", 1_000_000)
+    want = {r["g"]: r for r in
+            kmv_sketch(df, "v", by=["g"], k=64)
+            .select("g", kmv_distinct_est(F.col("mins"), F.col("theta"),
+                                          F.col("k")).alias("est"))
+            .collect()}
+    assert set(got) == set(want)
+    for g in got:
+        assert got[g]["est"] == want[g]["est"], g

@@ -472,3 +472,66 @@ def test_compact_max_records_per_file_resplit(wtsdb):
     assert sorted(map(tuple, wh.read("orders").collect())) == before
     # every file holds <= 25 rows => at least ceil(n/25) files
     assert st["files_after"] >= (n + 24) // 25
+
+
+def test_compact_keeps_adhoc_bucket_column(wtsdb):
+    """A table bucketed ad-hoc via write_table(time_col='ts') whose frame
+    ALSO contains a 'time' column must keep its ts-derived buckets across
+    compact(): the bucketing column is read from the write-time BUCKET_PIN
+    sidecar, never re-guessed from the schema (advice r9)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    wh = wtsdb.warehouse
+    spark = wtsdb.spark
+    df = spark.range(0, 40).select(
+        F.col("id"),
+        F.lit(dt.datetime(1997, 3, 5)).alias("ts"),      # bucket source
+        F.lit(dt.datetime(1995, 7, 1)).alias("time"))    # decoy column
+    wh.write_table("scratch", df, time_col="ts")
+
+    def _parts():
+        return sorted(d for d in os.listdir(wh.path("scratch"))
+                      if d.startswith("__month="))
+
+    before = _parts()
+    assert before and "1997-03" in before[0], before
+    for _ in range(2):                       # pin survives a re-compact too
+        wh.compact("scratch")
+        assert _parts() == before
+    got = sorted(r["id"] for r in wh.read("scratch").collect())
+    assert got == list(range(40))
+
+
+def test_swap_sweeps_leaked_old_dirs(wtsdb, monkeypatch):
+    """A failed .old delete must not leak forever: the next write of the
+    table sweeps stale .old.* (and crashed .compact.*) siblings
+    (advice r9)."""
+    import glob
+
+    import yupana_spark.operators.writes as W
+
+    wh = wtsdb.warehouse
+    src = wtsdb.schema.load(wtsdb.spark, wtsdb.sf_dir, "orders").limit(50)
+    wh.write_table("orders", src)
+    real = W.shutil.rmtree
+
+    def flaky(path, ignore_errors=False, **kw):
+        if ignore_errors:
+            return                     # sweep is a no-op while "broken"
+        raise OSError("simulated EBUSY")
+
+    monkeypatch.setattr(W.shutil, "rmtree", flaky)
+    wh.write_table("orders", src)              # .old delete fails -> leak
+    assert glob.glob(wh.path("orders") + ".old.*")
+    monkeypatch.setattr(W.shutil, "rmtree", real)
+    # also simulate a crashed compact's tmp dir
+    os_stale = wh.path("orders") + ".compact.deadbeef"
+    import os
+
+    os.makedirs(os_stale, exist_ok=True)
+    wh.write_table("orders", src)
+    assert not glob.glob(wh.path("orders") + ".old.*")
+    assert not glob.glob(wh.path("orders") + ".compact.*")
+    assert wh.read("orders").count() == 50

@@ -823,6 +823,17 @@ class Tsdb:
         # (TSDB dimIdIn -> SetIterator over row-key ranges); bigger sets
         # keep the broadcast semi-join.  One bounded limit(gate+1) collect
         # per PLAN BUILD (plans are session-cached), never per pass.
+        #
+        # SNAPSHOT CONTRACT (advice r9): a built plan reflects the index
+        # AS OF BUILD TIME in both shapes.  The literal lowering collects
+        # matched keys here; the semi-join fallback is no fresher — its
+        # ids frame pins Spark's file listing (InMemoryFileIndex) at
+        # build, so a warehouse index rewrite (directory swap) after
+        # build yields deleted-file reads, not updated matches.  Callers
+        # that mutate the index must re-plan (Tsdb plans are cheap to
+        # rebuild; warehouse writes bump _BYTES_EPOCH for the same
+        # reason).  ≙ the reference: a TSDB query captures the
+        # ItemsInvertedIndex state at mapReduceEngine build.
         def key_literals(ids_df):
             rows = ids_df.limit(_IN_PUSHDOWN_GATE + 1).collect()
             if len(rows) > _IN_PUSHDOWN_GATE:

@@ -43,6 +43,20 @@ from pyspark.sql import functions as F
 # with HLL's ~2.3% default rsd on the sizing estimate
 _SAFETY = 8
 
+# broadcast budget for the prefilter's per-group sizes frame: rows are
+# (by..., __thr) — tens of bytes each, so 1M groups ≈ a few tens of MB.
+# Past the gate the threshold join falls back to shuffle_hash (the `by`
+# cardinality is data-dependent; an unconditional broadcast would OOM the
+# driver on a high-cardinality grouping at 100 TB)
+_SIZES_BCAST_GATE = 1_000_000
+
+
+def _kcol(k) -> Column:
+    """Normalize a sketch size to a Column: estimators accept either the
+    carried ``k`` column from a ``kmv_sketch`` row (the safe form — no
+    way to desync) or a plain int for ad-hoc use."""
+    return k if isinstance(k, Column) else F.lit(int(k))
+
 
 def hash_frac(col: Column) -> Column:
     """Uniform hash of ``col`` mapped to a fraction in [0, 1) —
@@ -55,10 +69,12 @@ def hash_frac(col: Column) -> Column:
 def kmv_sketch(df: DataFrame, col: str, by: Sequence[str] = (),
                k: int = 256, prefilter: bool = True) -> DataFrame:
     """One row per ``by`` group: ``mins`` (the at-most-k smallest distinct
-    hash fractions of ``col``, ascending) and ``theta`` (the prefilter
+    hash fractions of ``col``, ascending), ``theta`` (the prefilter
     threshold under which ``mins`` is the COMPLETE distinct-hash set —
-    1.0 when no prefilter ran).  ``kmv_distinct_est`` / the intersection
-    estimator consume these two columns.
+    1.0 when no prefilter ran) and ``k`` (the build size, carried IN the
+    row so estimators can read it back instead of trusting the caller to
+    repeat the same constant).  ``kmv_distinct_est`` / the intersection
+    estimator consume these three columns.
 
     With ``prefilter`` (the 100 TB path) a first approx_count_distinct
     pass sizes a per-group hash threshold ~``_SAFETY * k / n`` and only
@@ -82,9 +98,16 @@ def kmv_sketch(df: DataFrame, col: str, by: Sequence[str] = (),
                              F.least(F.lit(1.0),
                                      F.lit(float(_SAFETY * k)) / F.col("__n")))
                  .drop("__n"))
-        hashed = df.select(*by, h)
-        joined = (hashed.join(F.broadcast(sizes), by) if by
-                  else hashed.crossJoin(F.broadcast(sizes)))
+        # group cardinality is data-dependent — bounded probe, house
+        # pattern (dedup.PAIR_GATE): broadcast small, shuffle_hash past it
+        if by:
+            sizes = sizes.localCheckpoint(eager=True)
+            small = (sizes.limit(_SIZES_BCAST_GATE + 1).count()
+                     <= _SIZES_BCAST_GATE)
+            sz = F.broadcast(sizes) if small else sizes.hint("shuffle_hash")
+            joined = df.select(*by, h).join(sz, by)
+        else:
+            joined = df.select(h).crossJoin(F.broadcast(sizes))
         src = joined.filter(F.col("__h") < F.col("__thr"))
         thr_agg = F.first("__thr")
     else:
@@ -93,33 +116,46 @@ def kmv_sketch(df: DataFrame, col: str, by: Sequence[str] = (),
     return (src.groupBy(*by)
             .agg(F.slice(F.array_sort(F.collect_set("__h")), 1, k)
                  .alias("mins"),
-                 thr_agg.alias("theta")))
+                 thr_agg.alias("theta"),
+                 F.lit(int(k)).alias("k")))
 
 
-def kmv_distinct_est(mins: Column, theta: Column, k: int = 256) -> Column:
+def kmv_distinct_est(mins: Column, theta: Column, k=256) -> Column:
     """Distinct-count estimate from a ``kmv_sketch`` row.  KMV form
     (k-1)/h_k when the sketch is full; fixed-theta form |mins|/theta when
-    fewer than k hashes survived (exact count when theta is 1.0)."""
-    full = F.size(mins) >= F.lit(k)
-    return F.when(full, F.lit(float(k - 1)) / F.element_at(mins, k)) \
+    fewer than k hashes survived (exact count when theta is 1.0).
+
+    ``k`` MUST be the size the sketch was built with — pass the carried
+    ``k`` column from the sketch row (``F.col("k")``) so a build/estimate
+    mismatch is impossible; a plain int is accepted for ad-hoc use but
+    couples the call sites by hand."""
+    kc = _kcol(k)
+    full = F.size(mins) >= kc
+    return F.when(full, (kc - F.lit(1)).cast("double")
+                  / F.element_at(mins, kc)) \
         .otherwise(F.size(mins) / theta)
 
 
-def _eff_theta(mins: Column, theta: Column, k: int) -> Column:
+def _eff_theta(mins: Column, theta: Column, k) -> Column:
     # the region where this sketch's sample set is complete
-    return F.when(F.size(mins) >= F.lit(k), F.element_at(mins, k)) \
+    kc = _kcol(k)
+    return F.when(F.size(mins) >= kc, F.element_at(mins, kc)) \
         .otherwise(theta)
 
 
 def kmv_intersect_est(mins_a: Column, theta_a: Column,
                       mins_b: Column, theta_b: Column,
-                      k: int = 256) -> Column:
+                      k=256, k_b=None) -> Column:
     """|A ∩ B| estimate from two ``kmv_sketch`` rows (theta-sketch
     intersection): both sample sets are complete below
     theta = min(theta_eff_A, theta_eff_B), so the shared hashes under
-    theta are a uniform sample of the intersection at rate theta."""
+    theta are a uniform sample of the intersection at rate theta.
+
+    ``k``/``k_b`` (default: same as ``k``) must match each side's build
+    size — pass each side's carried ``k`` column to stay decoupled; the
+    two sketches need not share a size."""
     theta = F.least(_eff_theta(mins_a, theta_a, k),
-                    _eff_theta(mins_b, theta_b, k))
+                    _eff_theta(mins_b, theta_b, k if k_b is None else k_b))
     shared = F.size(F.filter(F.array_intersect(mins_a, mins_b),
                              lambda v: v < theta))
     return shared / theta
@@ -127,11 +163,12 @@ def kmv_intersect_est(mins_a: Column, theta_a: Column,
 
 def kmv_union_est(mins_a: Column, theta_a: Column,
                   mins_b: Column, theta_b: Column,
-                  k: int = 256) -> Column:
+                  k=256, k_b=None) -> Column:
     """|A ∪ B| estimate: merged distinct hashes below the common theta,
-    scaled by theta (theta-sketch union)."""
+    scaled by theta (theta-sketch union).  ``k``/``k_b`` as in
+    :func:`kmv_intersect_est`."""
     theta = F.least(_eff_theta(mins_a, theta_a, k),
-                    _eff_theta(mins_b, theta_b, k))
+                    _eff_theta(mins_b, theta_b, k if k_b is None else k_b))
     merged = F.size(F.filter(F.array_distinct(F.concat(mins_a, mins_b)),
                              lambda v: v < theta))
     return merged / theta

@@ -36,6 +36,14 @@ CHANGELOG = "_changelog"
 # sidecar carrying a content-identical rewrite's pre-compact artifact
 # token (compact() writes it; any content-changing write swaps it away)
 TOKEN_PIN = "__token_pin"
+# sidecar recording WHICH column the table's __month buckets derive from
+# (written by every partitioned _write): compact() re-derives buckets
+# from the recorded column only — without provenance it keeps the
+# existing partition values verbatim, so an ad-hoc write_table(
+# time_col='ts') table whose frame also contains the schema-declared
+# time column can never get its buckets silently re-derived from the
+# wrong column (advice r9)
+BUCKET_PIN = "__bucket_pin"
 
 _FIXER_UDFS: dict = {}
 
@@ -328,6 +336,9 @@ class Warehouse:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp)
+        if partition_by:
+            with open(os.path.join(tmp, BUCKET_PIN), "w") as f:
+                f.write(time_col)
         self._swap_and_invalidate(table, tmp)
 
     def _swap_and_invalidate(self, table: str, tmp: str) -> None:
@@ -341,14 +352,30 @@ class Warehouse:
         that need stronger isolation must serialize writes with reads
         (the reference's HBase gets this from region-server atomicity).
         """
+        import glob as _glob
+        import logging as _logging
+
         final = self.path(table)
+        # opportunistic sweep: a failed delete below leaks the `.old` dir
+        # (and a crashed compact leaks its `.compact` tmp) — without this
+        # repeated compact/upsert cycles would accumulate full table
+        # copies inside the warehouse forever (advice r9)
+        for stale in (_glob.glob(final + ".old.*")
+                      + _glob.glob(final + ".compact.*")):
+            if stale != tmp:
+                shutil.rmtree(stale, ignore_errors=True)
         old = None
         if os.path.exists(final):
             old = final + ".old." + uuid.uuid4().hex[:8]
             os.rename(final, old)
         os.rename(tmp, final)
         if old is not None:
-            shutil.rmtree(old, ignore_errors=True)
+            try:
+                shutil.rmtree(old)
+            except OSError as e:
+                _logging.getLogger(__name__).warning(
+                    "delete of %s failed (%s) — leaving it for the next "
+                    "write of %r to sweep", old, e, table)
         # volume-gate cache entries for this table are now stale — the next
         # query must re-stat the warehouse copy, or tune_for_volume would
         # keep the pre-write posture for a much larger table
@@ -389,13 +416,17 @@ class Warehouse:
         before = _nfiles()
         pinned = self.table_token(table)   # content-identical: keep it
         df = self.spark.read.parquet(path)
-        # the bucket column derives from the table's time column — the
-        # same one _write used (schema-declared, "time" for ad-hoc tables)
-        t = self.schema.tables.get(table)
-        tcol = t.time_column if t is not None else "time"
-        if tcol not in df.columns and "time" in df.columns:
-            tcol = "time"
-        if BUCKET_COL in df.columns and tcol in df.columns:
+        # the bucket column is whatever _write RECORDED at write time
+        # (BUCKET_PIN sidecar) — never re-derived from the schema: a
+        # table written ad-hoc via write_table(time_col='ts') whose frame
+        # also contains the schema-declared time column must keep its ts
+        # buckets (advice r9)
+        tcol = None
+        pin_path = os.path.join(path, BUCKET_PIN)
+        if os.path.exists(pin_path):
+            with open(pin_path) as f:
+                tcol = f.read().strip()
+        if BUCKET_COL in df.columns and tcol and tcol in df.columns:
             # one shuffle partition per bucket -> one file per partition
             # dir (AQE coalesces the empty ones); rows time-sorted inside
             # each file so parquet row-group min/max stats prune time
@@ -406,9 +437,9 @@ class Warehouse:
                                      F.date_trunc("month", F.col(tcol)))
                       .write.mode("overwrite").partitionBy(BUCKET_COL))
         elif BUCKET_COL in df.columns:
-            # bucketed via a time column this schema doesn't declare (ad
-            # hoc write_table(time_col=...)): keep the existing partition
-            # values verbatim instead of re-deriving from the wrong column
+            # bucketed but provenance unknown (no sidecar — a pre-existing
+            # dir): keep the existing partition values verbatim instead
+            # of guessing a derivation column
             out = df.repartition(F.col(BUCKET_COL))
             writer = out.write.mode("overwrite").partitionBy(BUCKET_COL)
         else:
@@ -421,6 +452,10 @@ class Warehouse:
         writer.parquet(tmp)
         with open(os.path.join(tmp, TOKEN_PIN), "w") as f:
             f.write(pinned)
+        if tcol and BUCKET_COL in df.columns:
+            # provenance survives the re-layout for the NEXT compact
+            with open(os.path.join(tmp, BUCKET_PIN), "w") as f:
+                f.write(tcol)
         self._swap_and_invalidate(table, tmp)
         return {"files_before": before, "files_after": _nfiles()}
 
