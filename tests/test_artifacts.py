@@ -326,3 +326,25 @@ def test_bigram_lm_persists_zero_fit_jobs(spark, tmp_path):
         lambda: bigram_lm_fit(target, cache_key="p", store=st,
                               store_token="rewritten"))
     assert jobs2 != []
+
+
+def test_bigram_scoring_zero_probe_jobs(spark):
+    """The LM frame sizes ride in the artifact, so BUILDING a scoring
+    frame fires zero Spark jobs (the old join-strategy probes were two
+    bounded counts per call); a legacy 4-tuple artifact still probes."""
+    from yupana_spark.datapipe.ppx import bigram_lm_fit, bigram_xent_scores
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    art = bigram_lm_fit(docs.filter("source = 'src0'"))
+    assert len(art) == 6 and art[4] > 0 and art[5] > 0
+
+    (df, jobs) = _jobs_in_group(
+        spark, "ppx-score-zero-probe",
+        lambda: bigram_xent_scores(docs, art))
+    assert jobs == []                       # strategy chosen from counts
+    assert df.limit(1).count() >= 0         # frame still runs
+
+    (_, legacy_jobs) = _jobs_in_group(
+        spark, "ppx-score-legacy-probe",
+        lambda: bigram_xent_scores(docs, art[:4]))
+    assert legacy_jobs != []                # legacy artifact: probes run

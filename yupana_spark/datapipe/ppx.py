@@ -86,7 +86,8 @@ def bigram_lm_fit(target: DataFrame, text_col: str = "text",
         got_b = store.load_df(target.sparkSession, nm_b, store_token)
         if got_u is not None and got_b is not None:
             art = (got_u[0], got_b[0],
-                   float(got_u[1]["N"]), float(got_u[1]["V"]))
+                   float(got_u[1]["N"]), float(got_u[1]["V"]),
+                   got_u[1].get("rows"), got_b[1].get("rows"))
             if key is not None:
                 _PPX_CACHE[key] = art
             return art
@@ -116,14 +117,18 @@ def bigram_lm_fit(target: DataFrame, text_col: str = "text",
            .limit(big_cap)
            .select(F.xxhash64("w1", "w2").alias("hb"), "m")
            .localCheckpoint(eager=True))
-    art = (uni, big, n_total, v_total)
+    # frame sizes are fit-time facts — carried in the artifact so every
+    # scoring call can pick its join strategy WITHOUT probe jobs (the
+    # counts run over the just-checkpointed frames, fit-once cost)
+    n_uni, n_big = uni.count(), big.count()
+    art = (uni, big, n_total, v_total, n_uni, n_big)
     if nm_u is not None:
         store.save_df(nm_u, store_token, uni,
-                      extra={"N": n_total, "V": v_total})
-        store.save_df(nm_b, store_token, big)
+                      extra={"N": n_total, "V": v_total, "rows": n_uni})
+        store.save_df(nm_b, store_token, big, extra={"rows": n_big})
         art = (store.load_df(target.sparkSession, nm_u, store_token)[0],
                store.load_df(target.sparkSession, nm_b, store_token)[0],
-               n_total, v_total)
+               n_total, v_total, n_uni, n_big)
     if key is not None:
         _PPX_CACHE[key] = art
     return art
@@ -142,14 +147,21 @@ def bigram_xent_scores(df: DataFrame, art, text_col: str = "text",
     ``vocab_gate`` picks the scoring-join strategy: the bounded LM frames
     broadcast under it; above it (web-scale vocabulary) both joins are
     shuffle-hash equi-joins on the gram-hash key — nothing is collected
-    or broadcast.  ``None`` forces the shuffle-hash (large) shape.
+    or broadcast.  ``None`` forces the shuffle-hash (large) shape.  The
+    frame sizes ride IN the artifact (fit-time facts), so a warm-artifact
+    scoring call fires zero probe jobs; probes only run for a legacy
+    4-tuple artifact that predates the carried counts.
     """
-    uni, big, n_total, v_total = art
+    uni, big, n_total, v_total = art[:4]
+    n_uni, n_big = (art[4], art[5]) if len(art) >= 6 else (None, None)
     small = False
     if vocab_gate is not None:
-        # the frames are materialized artifacts: bounded count probes
-        small = (uni.limit(vocab_gate + 1).count() <= vocab_gate
-                 and big.limit(vocab_gate + 1).count() <= vocab_gate)
+        if n_uni is not None and n_big is not None:
+            small = n_uni <= vocab_gate and n_big <= vocab_gate
+        else:
+            # the frames are materialized artifacts: bounded count probes
+            small = (uni.limit(vocab_gate + 1).count() <= vocab_gate
+                     and big.limit(vocab_gate + 1).count() <= vocab_gate)
     from .text import words
 
     pairs = (df.select(F.col(id_col).alias("id"),

@@ -189,7 +189,7 @@ def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
         from ..datapipe.ppx import _pairs as _ppx_pairs
         from ..datapipe.text import words as _words
 
-        uni_f, big_f, n_total, v_total = ppx_art
+        uni_f, big_f, n_total, v_total = ppx_art[:4]
         lm_bc = stream.sparkSession.sparkContext.broadcast(
             ({int(r["h"]): float(r["c_u"]) for r in uni_f.collect()},
              {int(r["hb"]): float(r["m"]) for r in big_f.collect()},
