@@ -1290,7 +1290,10 @@ def _fixture_count(spark, sf_dir, table, df) -> int:
 def dp_text_stats(spark, sf_dir):
     """Bundle: token counting (whitespace + BPE-ish regex), quality scoring
     (length/punct/stopword ratios), Gopher-style repetition signals
-    (duplicate word / trigram fractions, Rae et al. 2021 appendix A), PII
+    (duplicate word / trigram fractions, top-2-gram and duplicated-5-gram
+    char-mass fractions via text.ngram_char_frac's explode+groupBy scale
+    shape, symbol-to-word + bullet/ellipsis line-shape ratios over
+    deterministically decorated text; Rae et al. 2021 appendix A), PII
     detect/scrub (regexp_count + regexp_replace over deterministically
     injected emails/IPs/phones — the fixture corpus carries none), and
     benchmark-contamination flags (shared word-8-gram with the doc_id%97
@@ -1303,9 +1306,11 @@ def dp_text_stats(spark, sf_dir):
     dup_line_ratio / cleaned_lines_len), and the composed corpus_keep
     decision.  Was dp_token_count + dp_quality."""
     from yupana_spark.datapipe.text import (bpe_token_count, contaminated_ids,
-                                            pii_counts, quality_metrics,
-                                            quality_score, repetition_stats,
-                                            scrub_pii, token_count)
+                                            line_shape_stats,
+                                            ngram_char_frac, pii_counts,
+                                            quality_metrics, quality_score,
+                                            repetition_stats, scrub_pii,
+                                            symbol_word_ratio, token_count)
 
     docs = _docs(spark, sf_dir, fan_out=True)
     did = F.col("doc_id")
@@ -1330,6 +1335,10 @@ def dp_text_stats(spark, sf_dir):
     from yupana_spark.datapipe.text import words as _words
     docs = docs.withColumn("__lw", _words(F.lower(F.col("text"))))
     rep = repetition_stats(F.col("__lw"), as_words=True)
+    _line_shape = line_shape_stats(F.concat(
+        F.regexp_replace(F.col("text"), " spark ", "\n"),
+        F.when(did % 4 == 0, F.lit("\n• bullet arm")).otherwise(F.lit("")),
+        F.when(did % 6 == 0, F.lit("\nand then ...")).otherwise(F.lit(""))))
     base = docs.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
@@ -1346,6 +1355,17 @@ def dp_text_stats(spark, sf_dir):
         pii["ipv4"].alias("pii_ipv4"),
         pii["phone"].alias("pii_phones"),
         F.length(scrub_pii(aug)).alias("scrub_len"),
+        # Gopher A1.1 shape signals over DETERMINISTICALLY decorated text
+        # (the fixture carries no symbols/bullets — same injection pattern
+        # as the PII aug): ' #' x (doc_id%5) appended for the symbol
+        # ratio; a bullet line (%4) and an ellipsis line (%6) appended to
+        # the multi-line view for the line-shape ratios
+        symbol_word_ratio(
+            F.concat(F.col("text"),
+                     F.repeat(F.lit(" #"), (did % 5).cast("int"))))
+        .alias("symbol_word_ratio"),
+        _line_shape["bullet_line_ratio"].alias("bullet_line_ratio"),
+        _line_shape["ellipsis_line_ratio"].alias("ellipsis_line_ratio"),
     )
     flags = (contaminated_ids(docs, docs.filter(did % 97 == 0))
              .withColumn("contaminated", F.lit(True)))
@@ -1377,11 +1397,26 @@ def dp_text_stats(spark, sf_dir):
     keep = (corpus_keep(docs, min_quality=0.7, langs=("en",),
                         eval_docs=docs.filter(did % 97 == 0))
             .withColumnRenamed("id", "doc_id"))
+    # Gopher n-gram repetition fractions (text.ngram_char_frac): top-2-gram
+    # char mass and duplicated-5-gram char mass — the explode+groupBy
+    # scale shape, left-joined for full coverage (sub-n-word docs -> 0.0)
+    top2 = (ngram_char_frac(docs, 2, "top")
+            .select(F.col("id").alias("doc_id"),
+                    F.col("frac").alias("top2_char_frac")))
+    dup5 = (ngram_char_frac(docs, 5, "dup")
+            .select(F.col("id").alias("doc_id"),
+                    F.col("frac").alias("dup5_char_frac")))
     return (base.join(flags, "doc_id", "left")
             .withColumn("contaminated",
                         F.coalesce(F.col("contaminated"), F.lit(False)))
             .join(spans, "doc_id", "left")
             .join(lstats, "doc_id", "left")
+            .join(top2, "doc_id", "left")
+            .join(dup5, "doc_id", "left")
+            .withColumn("top2_char_frac",
+                        F.coalesce(F.col("top2_char_frac"), F.lit(0.0)))
+            .withColumn("dup5_char_frac",
+                        F.coalesce(F.col("dup5_char_frac"), F.lit(0.0)))
             .join(keep, "doc_id", "left"))
 
 
@@ -3048,6 +3083,69 @@ _ORACLES_DP: dict[str, str] = {
                             string_split_regex(lower(text), '\\s+'),
                             x -> x <> '')) AS dws
                   FROM documents))),
+        ngw AS (
+          SELECT doc_id, length(text) AS nc,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS gws
+          FROM documents),
+        ng2 AS (
+          SELECT doc_id, nc,
+                 unnest(list_transform(
+                     generate_series(1, len(gws) - 1),
+                     i -> array_to_string(list_slice(gws, i, i + 1), ' ')))
+                     AS g
+          FROM ngw WHERE len(gws) >= 2),
+        g2 AS (SELECT doc_id, g, count(*) AS c, first(nc) AS nc
+               FROM ng2 GROUP BY doc_id, g),
+        top2 AS (SELECT doc_id,
+                        round(max(c * length(g)) / greatest(first(nc), 1), 6)
+                            AS top2_char_frac
+                 FROM g2 GROUP BY doc_id),
+        ng5 AS (
+          SELECT doc_id, nc,
+                 unnest(list_transform(
+                     generate_series(1, len(gws) - 4),
+                     i -> array_to_string(list_slice(gws, i, i + 4), ' ')))
+                     AS g
+          FROM ngw WHERE len(gws) >= 5),
+        g5 AS (SELECT doc_id, g, count(*) AS c, first(nc) AS nc
+               FROM ng5 GROUP BY doc_id, g),
+        dup5 AS (SELECT doc_id,
+                        round(least(1.0,
+                            sum(CASE WHEN c >= 2 THEN c * length(g)
+                                ELSE 0 END) / greatest(first(nc), 1)), 6)
+                            AS dup5_char_frac
+                 FROM g5 GROUP BY doc_id),
+        sym AS (
+          SELECT doc_id,
+                 round((length(st) - length(replace(st, '#', ''))
+                        + length(st) - length(replace(st, '…', ''))
+                        + floor((length(st)
+                                 - length(replace(st, '...', ''))) / 3))
+                       / greatest(len(list_filter(
+                             string_split_regex(lower(st), '\\s+'),
+                             x -> x <> '')), 1), 6) AS symbol_word_ratio
+          FROM (SELECT doc_id,
+                       text || repeat(' #', CAST(doc_id % 5 AS INTEGER))
+                           AS st
+                FROM documents)),
+        shp AS (
+          SELECT doc_id,
+                 round(len(list_filter(ls2,
+                           x -> regexp_matches(trim(x), '^[•\\-\\*]\\s')))
+                       / greatest(len(ls2), 1), 6) AS bullet_line_ratio,
+                 round(len(list_filter(ls2,
+                           x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$')))
+                       / greatest(len(ls2), 1), 6) AS ellipsis_line_ratio
+          FROM (SELECT doc_id,
+                       list_filter(string_split(
+                           regexp_replace(text, ' spark ', chr(10), 'g')
+                           || CASE WHEN doc_id % 4 = 0
+                              THEN chr(10) || '• bullet arm' ELSE '' END
+                           || CASE WHEN doc_id % 6 = 0
+                              THEN chr(10) || 'and then ...' ELSE '' END,
+                           chr(10)), x -> trim(x) <> '') AS ls2
+                FROM documents)),
         m2 AS (
           SELECT doc_id, text, aug, n_chars,
                  CAST(len(ws) AS INTEGER) AS n_words,
@@ -3102,11 +3200,19 @@ _ORACLES_DP: dict[str, str] = {
                coalesce(ls.dup_line_char_ratio, 0.0)
                    AS dup_line_char_ratio,
                coalesce(ls.cleaned_lines_len, 0) AS cleaned_lines_len,
+               coalesce(t2.top2_char_frac, 0.0) AS top2_char_frac,
+               coalesce(d5.dup5_char_frac, 0.0) AS dup5_char_frac,
+               sym.symbol_word_ratio,
+               shp.bullet_line_ratio, shp.ellipsis_line_ratio,
                length(fr.reasons) = 0 AS keep, fr.reasons
         FROM m2 LEFT JOIN cont ON m2.doc_id = cont.doc_id
         JOIN rep ON m2.doc_id = rep.doc_id
         LEFT JOIN spanstats ss ON m2.doc_id = ss.doc_id
         LEFT JOIN lstat ls ON m2.doc_id = ls.doc_id
+        LEFT JOIN top2 t2 ON m2.doc_id = t2.doc_id
+        LEFT JOIN dup5 d5 ON m2.doc_id = d5.doc_id
+        JOIN sym ON m2.doc_id = sym.doc_id
+        JOIN shp ON m2.doc_id = shp.doc_id
         LEFT JOIN (
           SELECT m3.doc_id,
                  coalesce(array_to_string(list_filter([

@@ -1989,3 +1989,65 @@ def test_bloom_prefilter_flags_exact_and_scale_shape(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "ShuffledHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ngram_char_frac_top_and_dup(spark):
+    """Gopher n-gram repetition fractions against hand-computed values."""
+    from yupana_spark.datapipe.text import ngram_char_frac
+
+    # doc 1: "ab cd ab cd ab" (14 chars) — bigrams: "ab cd" x2,
+    # "cd ab" x2 -> top2 = 2*5/14; 5-grams: 1 distinct -> dup5 = 0
+    # doc 2: "x y x y x y x y" (15 chars) — "x y" x4, "y x" x3
+    #   top2 = 4*3/15 = 0.8; 5-grams: "x y x y x" x2, "y x y x y" x2
+    #   dup5 = (2*9 + 2*9)/15 -> capped at 1.0
+    # doc 3: one word — no bigrams at all (omitted)
+    df = spark.createDataFrame(
+        [(1, "ab cd ab cd ab"), (2, "x y x y x y x y"), (3, "solo")],
+        ["doc_id", "text"])
+    top2 = {r["id"]: r["frac"]
+            for r in ngram_char_frac(df, 2, "top").collect()}
+    dup5 = {r["id"]: r["frac"]
+            for r in ngram_char_frac(df, 5, "dup").collect()}
+    assert top2[1] == round(2 * 5 / 14, 6)
+    assert top2[2] == round(4 * 3 / 15, 6)
+    assert 3 not in top2                       # < n words: no gram rows
+    assert dup5[1] == 0.0
+    assert dup5[2] == 1.0                      # capped count-mass
+    with pytest.raises(ValueError):
+        ngram_char_frac(df, 2, "mode-typo")
+
+
+def test_ngram_char_frac_scalable_plan(spark):
+    """The explode+groupBy shape: no UDF, no broadcast, no cartesian."""
+    from yupana_spark.datapipe.text import ngram_char_frac
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = ngram_char_frac(docs, 2, "top")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "Broadcast" not in plan and "Cartesian" not in plan
+
+
+def test_line_shape_and_symbol_stats(spark):
+    """Bullet/ellipsis line ratios and symbol-to-word ratio,
+    hand-computed."""
+    import pyspark.sql.functions as F
+
+    from yupana_spark.datapipe.text import line_shape_stats, \
+        symbol_word_ratio
+
+    txt = "• first bullet\nplain line\n- second bullet\nends here...\n\n"
+    #     4 non-blank lines, 2 bullet-started, 1 ellipsis-ended
+    df = spark.createDataFrame([(1, txt), (2, "no newlines at all"),
+                                (3, "# tag # tag …")], ["id", "text"])
+    st = line_shape_stats(F.col("text"))
+    rows = {r["id"]: r for r in df.select(
+        "id", st["n_text_lines"].alias("nl"),
+        st["bullet_line_ratio"].alias("b"),
+        st["ellipsis_line_ratio"].alias("e"),
+        symbol_word_ratio(F.col("text")).alias("s")).collect()}
+    assert rows[1]["nl"] == 4
+    assert rows[1]["b"] == 0.5 and rows[1]["e"] == 0.25
+    assert rows[2]["nl"] == 1 and rows[2]["b"] == 0.0
+    # doc 3: 2 '#' + 1 '…' over 5 words
+    assert rows[3]["s"] == round(3 / 5, 6)

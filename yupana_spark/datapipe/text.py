@@ -95,6 +95,98 @@ def repetition_stats(col: Column, as_words: bool = False) -> Dict[str, Column]:
     }
 
 
+def ngram_char_frac(df: DataFrame, n: int, mode: str = "top",
+                    text_col: str = "text", id_col: str = "doc_id"
+                    ) -> DataFrame:
+    """Per-document Gopher n-gram repetition signal (Rae et al. 2021,
+    appendix A1.1) — ``(id, frac)``:
+
+    * ``mode="top"`` (published for n=2..4): fraction of the document's
+      characters contained in the MOST FREQUENT word n-gram,
+      ``max(count * length(gram)) / n_chars``;
+    * ``mode="dup"`` (published for n=5..10): fraction of characters in
+      word n-grams that occur more than once,
+      ``min(1, sum(count * length(gram) where count >= 2) / n_chars)``
+      (count-mass form — overlapping occurrences are each counted, hence
+      the cap; the paper's char-coverage marking is sequential per doc
+      and both orderings of the same filter bar agree on web text).
+
+    Scale shape: explode word n-grams -> groupBy (id, gram) with map-side
+    partial aggregation -> per-doc max/sum.  One shuffle keyed by
+    (id, gram) whose skew is bounded by document length, then one keyed
+    by id; no UDF, no broadcast, no driver state — the same posture as
+    the LM scorers.  Documents with fewer than ``n`` words carry no
+    grams and are omitted (left-join back for full coverage).
+
+    The denominator is ``length(text_col)`` verbatim, so the fraction is
+    reproducible by any engine without re-tokenizing.
+    """
+    if mode not in ("top", "dup"):
+        raise ValueError(f"mode must be 'top' or 'dup', got {mode!r}")
+    w = words(F.lower(F.col(text_col)))
+    nw = F.size(w)
+    grams = F.when(nw >= n, F.transform(
+        F.sequence(F.lit(0), nw - F.lit(n)),
+        lambda i: F.array_join(F.slice(w, i + F.lit(1), n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    ex = (df.select(F.col(id_col).alias("id"),
+                    F.length(F.col(text_col)).alias("__nc"),
+                    F.explode(grams).alias("__g")))
+    cnt = (ex.groupBy("id", "__g")
+           .agg(F.count("*").alias("__c"), F.first("__nc").alias("__nc")))
+    mass = F.col("__c") * F.length(F.col("__g"))
+    safe_nc = F.greatest(F.first("__nc"), F.lit(1))
+    if mode == "top":
+        frac = F.max(mass) / safe_nc
+    else:
+        frac = F.least(
+            F.lit(1.0),
+            F.sum(F.when(F.col("__c") >= 2, mass).otherwise(F.lit(0)))
+            / safe_nc)
+    return cnt.groupBy("id").agg(F.round(frac, 6).alias("frac"))
+
+
+def line_shape_stats(col: Column) -> Dict[str, Column]:
+    """Row-local Gopher line-shape signals over a NEWLINE-delimited text
+    column (Rae et al. 2021 A1.1 filters: >90% bullet-started lines or
+    >30% ellipsis-ended lines reject a document):
+
+    * ``n_text_lines``  — non-blank lines;
+    * ``bullet_line_ratio``   — lines starting with a bullet marker
+      (``•``, ``-``, ``*`` followed by whitespace);
+    * ``ellipsis_line_ratio`` — lines ending with ``…`` or ``...``.
+
+    Pure array expressions (split + filter + size): per-row bounded work,
+    no shuffle, no UDF."""
+    lines = F.filter(F.split(col, "\n"),
+                     lambda ln: F.trim(ln) != F.lit(""))
+    n = F.size(lines)
+    safe = F.greatest(n, F.lit(1))
+    bullet = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"^[•\-\*]\s")))
+    ell = F.size(F.filter(
+        lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$")))
+    return {
+        "n_text_lines": n,
+        "bullet_line_ratio": F.round(bullet / safe, 6),
+        "ellipsis_line_ratio": F.round(ell / safe, 6),
+    }
+
+
+def symbol_word_ratio(col: Column) -> Column:
+    """Gopher symbol-to-word ratio: occurrences of ``#`` plus ellipsis
+    (``…``, or ``...`` counted per 3-char run) per word — the A1.1 filter
+    rejects > 0.1.  Row-local length arithmetic, no UDF."""
+    hashes = F.length(col) - F.length(F.replace(col, F.lit("#"), F.lit("")))
+    uni_ell = (F.length(col)
+               - F.length(F.replace(col, F.lit("…"), F.lit(""))))
+    dots = F.floor(
+        (F.length(col) - F.length(F.replace(col, F.lit("..."), F.lit(""))))
+        / F.lit(3))
+    return F.round((hashes + uni_ell + dots)
+                   / F.greatest(F.size(words(F.lower(col))), F.lit(1)), 6)
+
+
 def quality_score(col: Column) -> Column:
     """Composite [0,1] quality heuristic (Gopher-rules-style thresholds)."""
     m = quality_metrics(col)
