@@ -1395,7 +1395,8 @@ def dp_text_stats(spark, sf_dir):
     from yupana_spark.datapipe.filters import corpus_keep
 
     keep = (corpus_keep(docs, min_quality=0.7, langs=("en",),
-                        eval_docs=docs.filter(did % 97 == 0))
+                        eval_docs=docs.filter(did % 97 == 0),
+                        rep_rule=True)
             .withColumnRenamed("id", "doc_id"))
     # Gopher n-gram repetition fractions (text.ngram_char_frac): top-2-gram
     # char mass and duplicated-5-gram char mass — the explode+groupBy
@@ -3225,12 +3226,32 @@ _ORACLES_DP: dict[str, str] = {
                         + CASE WHEN round(m3.n_alpha / m3.safe_words, 6)
                                BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END
                         + CASE WHEN m3.n_chars >= 20 THEN 1 ELSE 0 END) / 5.0, 6)
-                        < 0.7 THEN 'low_quality' END
+                        < 0.7 THEN 'low_quality' END,
+                   -- Gopher repetition/shape rule over the RAW text
+                   -- (single-line in this fixture, so the line ratios are
+                   -- 0-or-1 indicator forms of the same definitions)
+                   CASE WHEN r2.dup_word_ratio > 0.3
+                          OR r2.dup_trigram_ratio > 0.2
+                          OR round((length(m3.text)
+                                    - length(replace(m3.text, '#', ''))
+                                    + length(m3.text)
+                                    - length(replace(m3.text, '…', ''))
+                                    + floor((length(m3.text)
+                                             - length(replace(m3.text,
+                                                              '...', '')))
+                                            / 3))
+                                   / m3.safe_words, 6) > 0.1
+                          OR (trim(m3.text) <> '' AND regexp_matches(
+                                trim(m3.text), '^[•\\-\\*]\\s'))
+                          OR (trim(m3.text) <> '' AND regexp_matches(
+                                rtrim(m3.text), '(\\.\\.\\.|…)$'))
+                        THEN 'repetition' END
                  ], x -> x IS NOT NULL), ','), '') AS reasons
           FROM m2 m3
           LEFT JOIN cont c2 ON m3.doc_id = c2.doc_id
           JOIN dupf ON m3.doc_id = dupf.doc_id
           JOIN lg ON m3.doc_id = lg.doc_id
+          JOIN rep r2 ON m3.doc_id = r2.doc_id
         ) fr ON m2.doc_id = fr.doc_id
     """,
     "dp_lang_id": """

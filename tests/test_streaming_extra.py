@@ -268,12 +268,15 @@ def test_streaming_corpus_filter_matches_batch(spark, tmp_path):
             "into the quiet green field for a long while today")
     extra = ("a small red bird sits on the old stone wall and sings a "
              "soft song to the bright morning sun above the hills")
+    loop = "the quick brown fox jumps over the lazy dog " * 4
     rows = [
         (1, good), (2, extra),
         (3, "der hund und die katze sind mit dem auto zu dem haus "
             "gefahren und bleiben dort mit den kindern"),
         (4, "!!! ??? ### $$$ %%%"),
         (5, good),                 # duplicate of 1, later chunk
+        (6, loop.strip()),         # degenerate repetition, in-domain words
+        (7, "• the first item\n• the second item\n• the third item"),
     ]
     schema = "doc_id long, text string"
     docs = spark.createDataFrame(rows, schema)
@@ -291,23 +294,32 @@ def test_streaming_corpus_filter_matches_batch(spark, tmp_path):
     batch = {r["id"]: (r["keep"], r["reasons"])
              for r in corpus_keep(docs, min_quality=0.7, langs=("en",),
                                   eval_docs=evals, ppx_art=ppx_art,
-                                  max_xent=thr).collect()}
+                                  max_xent=thr, rep_rule=True).collect()}
     assert "perplexity" in batch[3][1]
     assert "perplexity" not in batch[1][1]
+    # Gopher repetition/shape rule: the word loop trips the duplicate-word
+    # bar, the bullet list trips the 90% bullet-line bar; the clean rows
+    # never fire it
+    assert "repetition" in batch[6][1] and "repetition" in batch[7][1]
+    assert all("repetition" not in batch[i][1] for i in (1, 2, 3, 5))
 
     src = tmp_path / "cf_src"
     src.mkdir()
+    # chunked so the repetition rows arrive in a LATER micro-batch than
+    # the rows they must not perturb
     spark.createDataFrame(rows[:3], schema).coalesce(1) \
         .write.parquet(str(src / "a"))
-    spark.createDataFrame(rows[3:], schema).coalesce(1) \
+    spark.createDataFrame(rows[3:5], schema).coalesce(1) \
         .write.parquet(str(src / "b"))
+    spark.createDataFrame(rows[5:], schema).coalesce(1) \
+        .write.parquet(str(src / "c"))
     stream = (spark.readStream
               .schema(T.StructType([T.StructField("doc_id", T.LongType()),
                                     T.StructField("text", T.StringType())]))
               .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
     out = streaming_corpus_filter(stream, min_quality=0.7, langs=("en",),
                                   eval_docs=evals, ppx_art=ppx_art,
-                                  max_xent=thr)
+                                  max_xent=thr, rep_rule=True)
     q = (out.writeStream.format("memory").queryName("cf")
          .outputMode("append")
          .option("checkpointLocation", str(tmp_path / "cf_ck"))

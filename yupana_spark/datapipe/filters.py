@@ -23,13 +23,15 @@ from pyspark.sql import Column, DataFrame, functions as F
 def keep_reasons(cont: Column, is_dup: Column, lang_bad: Column,
                  quality: Column, min_quality: float,
                  model_low: Optional[Column] = None,
-                 ppx_high: Optional[Column] = None) -> Column:
+                 ppx_high: Optional[Column] = None,
+                 rep_high: Optional[Column] = None) -> Column:
     """The ONE definition of the decision labels and their (alphabetical)
     order — shared by the batch and streaming operators so their
     pinned-equal decisions cannot drift apart.  ``model_low`` (optional)
     is the model-based rule's fire flag — 'model_quality' sorts after
     'low_quality'; ``ppx_high`` (optional) is the CCNet perplexity
-    rule's — 'perplexity' sorts last, keeping the order alphabetical."""
+    rule's; ``rep_high`` (optional) is the Gopher repetition/shape
+    rule's — 'repetition' sorts last, keeping the order alphabetical."""
     return F.array_join(
         F.filter(
             F.array(
@@ -42,9 +44,42 @@ def keep_reasons(cont: Column, is_dup: Column, lang_bad: Column,
                        F.lit("model_quality")),
                 F.when(ppx_high if ppx_high is not None else F.lit(False),
                        F.lit("perplexity")),
+                F.when(rep_high if rep_high is not None else F.lit(False),
+                       F.lit("repetition")),
             ),
             lambda x: x.isNotNull()),
         ",")
+
+
+def repetition_flag(text: Column, word_array: Optional[Column] = None,
+                    max_dup_word: float = 0.3,
+                    max_dup_trigram: float = 0.2,
+                    max_symbol_word: float = 0.1,
+                    max_bullet_line: float = 0.9,
+                    max_ellipsis_line: float = 0.3) -> Column:
+    """Row-local Gopher repetition/shape rule (Rae et al. 2021 A1.1):
+    fires when ANY signal exceeds its bar.  ``symbol``/``bullet``/
+    ``ellipsis`` bars are the paper's published thresholds (0.1 / 0.9 /
+    0.3); the duplicate word/trigram bars are in-house analogues of the
+    paper's duplicate-n-gram family (its top/dup char-mass forms need a
+    shuffle — ``text.ngram_char_frac`` — and so cannot ride a stream
+    scan; these row-local fractions catch the same degenerate text).
+
+    Entirely row-local array/length expressions: identical in batch and
+    streaming.  Pass a staged ``word_array`` on hot paths (the trigram
+    lambda's per-element recomputation caveat, see
+    ``text.repetition_stats``)."""
+    from .text import (line_shape_stats, repetition_stats,
+                       symbol_word_ratio, words)
+
+    w = word_array if word_array is not None else words(F.lower(text))
+    rep = repetition_stats(w, as_words=True)
+    ls = line_shape_stats(text)
+    return ((rep["dup_word_ratio"] > F.lit(float(max_dup_word)))
+            | (rep["dup_trigram_ratio"] > F.lit(float(max_dup_trigram)))
+            | (symbol_word_ratio(text) > F.lit(float(max_symbol_word)))
+            | (ls["bullet_line_ratio"] > F.lit(float(max_bullet_line)))
+            | (ls["ellipsis_line_ratio"] > F.lit(float(max_ellipsis_line))))
 
 
 def corpus_keep(df: DataFrame, text_col: str = "text",
@@ -52,11 +87,12 @@ def corpus_keep(df: DataFrame, text_col: str = "text",
                 langs: Optional[Sequence[str]] = ("en",),
                 eval_docs: Optional[DataFrame] = None,
                 lr_art=None, min_lr: float = 0.5,
-                ppx_art=None, max_xent: float = 10.0) -> DataFrame:
+                ppx_art=None, max_xent: float = 10.0,
+                rep_rule: bool = False) -> DataFrame:
     """(id, keep, reasons): keep iff NO rule fires; ``reasons`` lists the
     fired rules in fixed alphabetical order ('contaminated', 'duplicate',
-    'lang', 'low_quality', 'model_quality', 'perplexity'), comma-joined
-    ('' when kept).
+    'lang', 'low_quality', 'model_quality', 'perplexity', 'repetition'),
+    comma-joined ('' when kept).
 
     Rules (each optional):
     * quality_score < ``min_quality``          -> 'low_quality'
@@ -73,6 +109,9 @@ def corpus_keep(df: DataFrame, text_col: str = "text",
       tail of the crawl.  Unlike the row-local rules this one joins the
       per-doc score frame on id; docs with < 2 words carry no bigram
       evidence and never fire it)
+    * Gopher repetition/shape rule fires       -> 'repetition'
+      (``rep_rule=True``; row-local ``repetition_flag`` at its
+      published default bars — custom bars compose the flag directly)
     """
     from .dedup import exact_dedup
     from .text import contaminated_ids, lang_id, quality_score
@@ -82,13 +121,22 @@ def corpus_keep(df: DataFrame, text_col: str = "text",
         from .classify import quality_lr_score
 
         mq = quality_lr_score(F.col(text_col), lr_art) < F.lit(min_lr)
-    out = exact_dedup(df, text_col, id_col).select(
-        F.col(id_col).alias("id"),
-        F.col("is_duplicate"),
-        quality_score(F.col(text_col)).alias("__q"),
-        lang_id(F.col(text_col)).alias("__lang"),
-        mq.alias("__mq"),
-    )
+    # staged word array: repetition_flag's trigram lambda would otherwise
+    # re-split the text per element (text.repetition_stats caveat)
+    from .text import words as _words
+
+    rp = (repetition_flag(F.col(text_col), word_array=F.col("__rw"))
+          if rep_rule else F.lit(False))
+    out = (exact_dedup(df, text_col, id_col)
+           .withColumn("__rw", _words(F.lower(F.col(text_col))))
+           .select(
+               F.col(id_col).alias("id"),
+               F.col("is_duplicate"),
+               quality_score(F.col(text_col)).alias("__q"),
+               lang_id(F.col(text_col)).alias("__lang"),
+               mq.alias("__mq"),
+               rp.alias("__rp"),
+           ))
     if eval_docs is not None:
         flags = (contaminated_ids(df, eval_docs, text_col, id_col)
                  .select(F.col(id_col).alias("id"))
@@ -115,7 +163,8 @@ def corpus_keep(df: DataFrame, text_col: str = "text",
     reasons = keep_reasons(F.col("__cont"), F.col("is_duplicate"),
                            lang_bad, F.col("__q"), min_quality,
                            model_low=F.col("__mq"),
-                           ppx_high=F.col("__px"))
+                           ppx_high=F.col("__px"),
+                           rep_high=F.col("__rp"))
     return out.select(
         "id",
         (F.length(reasons) == 0).alias("keep"),

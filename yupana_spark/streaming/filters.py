@@ -40,6 +40,7 @@ _OUT_SCHEMA = T.StructType([
     T.StructField("cont", T.BooleanType()),
     T.StructField("mq", T.BooleanType()),
     T.StructField("px", T.BooleanType()),
+    T.StructField("rp", T.BooleanType()),
     T.StructField("is_duplicate", T.BooleanType()),
 ])
 
@@ -69,7 +70,7 @@ def _make_dup_update(idle_timeout_ms: Optional[int],
                     event_ms(pdf[event_time_col])
                     if event_time_col is not None else None)
         if len(pdf):
-            out = pdf[["id", "q", "lang", "cont", "mq", "px"]].copy()
+            out = pdf[["id", "q", "lang", "cont", "mq", "px", "rp"]].copy()
             out["is_duplicate"] = dup
             yield out
 
@@ -141,8 +142,8 @@ def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
                             idle_timeout_ms: Optional[int] = None,
                             event_time_col: Optional[str] = None,
                             lr_art=None, min_lr: float = 0.5,
-                            ppx_art=None, max_xent: float = 10.0
-                            ) -> DataFrame:
+                            ppx_art=None, max_xent: float = 10.0,
+                            rep_rule: bool = False) -> DataFrame:
     """Streaming (id, keep, reasons): same rules, labels and reason order
     as the batch ``corpus_keep`` — on a full replay of a static corpus the
     decisions MATCH the batch operator's (the equivalence the test pins),
@@ -158,7 +159,10 @@ def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
     stream scan like the other stateless rules).  ``ppx_art``/``max_xent``
     enable the CCNet perplexity rule: the bounded LM artifacts ship via
     ``sc.broadcast`` to a row-local Arrow UDF (the decontamination
-    pattern), same hashes/formula/rounding as the batch scorer."""
+    pattern), same hashes/formula/rounding as the batch scorer.
+    ``rep_rule`` enables the Gopher repetition/shape rule — row-local
+    array expressions, so it rides the stream scan verbatim (the SAME
+    ``filters.repetition_flag`` the batch twin evaluates)."""
     from ..datapipe.text import (exploded_ngram_hashes, fingerprint_md5,
                                  lang_id, normalize_text, quality_score,
                                  words)
@@ -199,6 +203,14 @@ def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
             F.transform(pw, lambda s: F.xxhash64(s["w1"], s["w2"])),
             F.transform(pw, lambda s: F.xxhash64(s["w2"])),
             lm_bc, 0.75, 0.5, max_xent)
+    rp = F.lit(False)
+    if rep_rule:
+        from ..datapipe.filters import repetition_flag
+        from ..datapipe.text import words as _lw
+
+        # staged like the batch twin (lowercased, un-normalized words)
+        staged = staged.withColumn("__rw", _lw(F.lower(F.col(text_col))))
+        rp = repetition_flag(F.col(text_col), word_array=F.col("__rw"))
     carry = ((F.col(event_time_col),) if event_time_col is not None else ())
     base = staged.select(
         F.col(id_col).cast("long").alias("id"),
@@ -209,6 +221,7 @@ def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
         cont.alias("cont"),
         mq.alias("mq"),
         px.alias("px"),
+        rp.alias("rp"),
     )
     flagged = (base.groupBy("__fp")
                .applyInPandasWithState(
@@ -220,7 +233,8 @@ def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
                 else ~F.col("lang").isin(*langs))
     reasons = keep_reasons(F.col("cont"), F.col("is_duplicate"),
                            lang_bad, F.col("q"), min_quality,
-                           model_low=F.col("mq"), ppx_high=F.col("px"))
+                           model_low=F.col("mq"), ppx_high=F.col("px"),
+                           rep_high=F.col("rp"))
     return flagged.select(
         "id",
         (F.length(reasons) == 0).alias("keep"),
