@@ -1833,7 +1833,10 @@ def dp_group_quantiles(spark, sf_dir):
     en = dg.filter(F.col("lang") == "en").select("g")
     inter = (dg.join(en, "g", "left_semi")
              .groupBy("lang").agg(F.count("g").alias("gram_inter_en")))
-    sk = kmv_sketch(dg, "g", by=["lang"], k=k)
+    # lang is a bounded catalog dimension (the lang-ID operator emits a
+    # fixed label set), so the sketch's broadcast gate takes the known
+    # group bound instead of running its probe jobs every pass
+    sk = kmv_sketch(dg, "g", by=["lang"], k=k, n_groups=64)
     en_sk = F.broadcast(sk.filter(F.col("lang") == "en")
                         .select(F.col("mins").alias("__em"),
                                 F.col("theta").alias("__et"),
@@ -3099,7 +3102,8 @@ _ORACLES_DP: dict[str, str] = {
         g2 AS (SELECT doc_id, g, count(*) AS c, first(nc) AS nc
                FROM ng2 GROUP BY doc_id, g),
         top2 AS (SELECT doc_id,
-                        round(max(c * length(g)) / greatest(first(nc), 1), 6)
+                        round(least(1.0, max(c * length(g))
+                                    / greatest(first(nc), 1)), 6)
                             AS top2_char_frac
                  FROM g2 GROUP BY doc_id),
         ng5 AS (

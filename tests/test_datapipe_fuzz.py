@@ -403,3 +403,66 @@ def test_differential_bigram_xent(spark, seed):
             for r in con.execute(q).fetchall()}
     con.close()
     assert got == want
+
+
+# -- ngram_char_frac: random corpora vs a pure-Python recomputation ---------
+def _py_ngram_frac(text: str, n: int, mode: str) -> float | None:
+    """Independent reference implementation of text.ngram_char_frac.
+    Rounds HALF_UP on the exact binary double — Spark's round() is
+    BigDecimal(double).setScale(6, HALF_UP), NOT Python's banker's
+    round() (a real 21/128 tie in the fuzz corpus separates them)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x: float) -> float:
+        return float(Decimal(x).quantize(Decimal("0.000001"),
+                                         ROUND_HALF_UP))
+
+    ws = [w for w in text.lower().split() if w]
+    if len(ws) < n:
+        return None
+    grams = [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+    counts: dict = {}
+    for g in grams:
+        counts[g] = counts.get(g, 0) + 1
+    nc = max(len(text), 1)
+    if mode == "top":
+        mass = max(c * len(g) for g, c in counts.items())
+    else:
+        mass = sum(c * len(g) for g, c in counts.items() if c >= 2)
+    return r6(min(1.0, mass / nc))
+
+
+@pytest.mark.parametrize("seed", [20260815, 42, 9001])
+def test_differential_ngram_char_frac(spark, seed):
+    """Random word-salad + degenerate corpora: every (doc, n, mode) value
+    must equal the pure-Python recomputation (~100 docs x 4 probes per
+    seed).  Covers sub-n-word docs (omitted rows), single-gram docs
+    (top == everything), heavy repeats (dup capped at 1.0), and
+    multi-space whitespace."""
+    from yupana_spark.datapipe.text import ngram_char_frac
+
+    rng = random.Random(seed)
+    vocab = ["the", "a", "table", "spark", "row", "x", "zz", "longword"]
+    rows = []
+    for i in range(100):
+        kind = rng.randrange(4)
+        if kind == 0:                      # word salad
+            txt = " ".join(rng.choice(vocab)
+                           for _ in range(rng.randrange(0, 40)))
+        elif kind == 1:                    # degenerate loop
+            txt = " ".join([rng.choice(vocab)] * rng.randrange(1, 30))
+        elif kind == 2:                    # irregular whitespace
+            txt = "  ".join(rng.choice(vocab)
+                            for _ in range(rng.randrange(0, 10))) + " "
+        else:                              # phrase repeats
+            ph = " ".join(rng.choice(vocab) for _ in range(3))
+            txt = " ".join([ph] * rng.randrange(1, 8))
+        rows.append((i, txt))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for n, mode in [(2, "top"), (3, "top"), (5, "dup"), (8, "dup")]:
+        got = {r["id"]: r["frac"]
+               for r in ngram_char_frac(df, n, mode).collect()}
+        for i, txt in rows:
+            want = _py_ngram_frac(txt, n, mode)
+            assert got.get(i) == want, (seed, n, mode, i, txt,
+                                        got.get(i), want)

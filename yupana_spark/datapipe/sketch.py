@@ -67,7 +67,8 @@ def hash_frac(col: Column) -> Column:
 
 
 def kmv_sketch(df: DataFrame, col: str, by: Sequence[str] = (),
-               k: int = 256, prefilter: bool = True) -> DataFrame:
+               k: int = 256, prefilter: bool = True,
+               n_groups: Optional[int] = None) -> DataFrame:
     """One row per ``by`` group: ``mins`` (the at-most-k smallest distinct
     hash fractions of ``col``, ascending), ``theta`` (the prefilter
     threshold under which ``mins`` is the COMPLETE distinct-hash set —
@@ -98,12 +99,18 @@ def kmv_sketch(df: DataFrame, col: str, by: Sequence[str] = (),
                              F.least(F.lit(1.0),
                                      F.lit(float(_SAFETY * k)) / F.col("__n")))
                  .drop("__n"))
-        # group cardinality is data-dependent — bounded probe, house
-        # pattern (dedup.PAIR_GATE): broadcast small, shuffle_hash past it
+        # group cardinality is data-dependent — broadcast small,
+        # shuffle_hash past the gate (house pattern, dedup.PAIR_GATE).
+        # ``n_groups`` (a caller-known bound, e.g. from the corpus
+        # catalog) skips the bounded probe; without it the sizes frame is
+        # checkpointed once and probed with a limit(gate+1) count
         if by:
-            sizes = sizes.localCheckpoint(eager=True)
-            small = (sizes.limit(_SIZES_BCAST_GATE + 1).count()
-                     <= _SIZES_BCAST_GATE)
+            if n_groups is None:
+                sizes = sizes.localCheckpoint(eager=True)
+                small = (sizes.limit(_SIZES_BCAST_GATE + 1).count()
+                         <= _SIZES_BCAST_GATE)
+            else:
+                small = n_groups <= _SIZES_BCAST_GATE
             sz = F.broadcast(sizes) if small else sizes.hint("shuffle_hash")
             joined = df.select(*by, h).join(sz, by)
         else:

@@ -103,13 +103,16 @@ def ngram_char_frac(df: DataFrame, n: int, mode: str = "top",
 
     * ``mode="top"`` (published for n=2..4): fraction of the document's
       characters contained in the MOST FREQUENT word n-gram,
-      ``max(count * length(gram)) / n_chars``;
+      ``min(1, max(count * length(gram)) / n_chars)``;
     * ``mode="dup"`` (published for n=5..10): fraction of characters in
       word n-grams that occur more than once,
-      ``min(1, sum(count * length(gram) where count >= 2) / n_chars)``
-      (count-mass form — overlapping occurrences are each counted, hence
-      the cap; the paper's char-coverage marking is sequential per doc
-      and both orderings of the same filter bar agree on web text).
+      ``min(1, sum(count * length(gram) where count >= 2) / n_chars)``.
+
+    Both are the count-mass form — overlapping occurrences each count
+    the full gram length, hence the cap at 1 (a single word repeated 30
+    times would otherwise score > 2); the paper's char-coverage marking
+    is sequential per doc, and both orderings of the same filter bar
+    agree on web text.
 
     Scale shape: explode word n-grams -> groupBy (id, gram) with map-side
     partial aggregation -> per-doc max/sum.  One shuffle keyed by
@@ -139,11 +142,10 @@ def ngram_char_frac(df: DataFrame, n: int, mode: str = "top",
     if mode == "top":
         frac = F.max(mass) / safe_nc
     else:
-        frac = F.least(
-            F.lit(1.0),
-            F.sum(F.when(F.col("__c") >= 2, mass).otherwise(F.lit(0)))
-            / safe_nc)
-    return cnt.groupBy("id").agg(F.round(frac, 6).alias("frac"))
+        frac = (F.sum(F.when(F.col("__c") >= 2, mass).otherwise(F.lit(0)))
+                / safe_nc)
+    return cnt.groupBy("id").agg(
+        F.round(F.least(F.lit(1.0), frac), 6).alias("frac"))
 
 
 def line_shape_stats(col: Column) -> Dict[str, Column]:
