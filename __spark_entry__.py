@@ -1293,7 +1293,10 @@ def dp_text_stats(spark, sf_dir):
     (duplicate word / trigram fractions, top-2-gram and duplicated-5-gram
     char-mass fractions via text.ngram_char_frac's explode+groupBy scale
     shape, symbol-to-word + bullet/ellipsis line-shape ratios over
-    deterministically decorated text; Rae et al. 2021 appendix A), PII
+    deterministically decorated text; Rae et al. 2021 appendix A), the
+    C4 line/page cleaning rules (Raffel et al. 2020 §2.2: terminal-
+    punctuation + 5-word + javascript line filters, sentence-count /
+    brace / lorem-ipsum page flags, over a derived sentence view), PII
     detect/scrub (regexp_count + regexp_replace over deterministically
     injected emails/IPs/phones — the fixture corpus carries none), and
     benchmark-contamination flags (shared word-8-gram with the doc_id%97
@@ -1305,7 +1308,8 @@ def dp_text_stats(spark, sf_dir):
     deterministically derived multi-line view: n_lines / n_dup_lines /
     dup_line_ratio / cleaned_lines_len), and the composed corpus_keep
     decision.  Was dp_token_count + dp_quality."""
-    from yupana_spark.datapipe.text import (bpe_token_count, contaminated_ids,
+    from yupana_spark.datapipe.text import (bpe_token_count, c4_rules,
+                                            contaminated_ids,
                                             line_shape_stats,
                                             ngram_char_frac, pii_counts,
                                             quality_metrics, quality_score,
@@ -1339,6 +1343,17 @@ def dp_text_stats(spark, sf_dir):
         F.regexp_replace(F.col("text"), " spark ", "\n"),
         F.when(did % 4 == 0, F.lit("\n• bullet arm")).otherwise(F.lit("")),
         F.when(did % 6 == 0, F.lit("\nand then ...")).otherwise(F.lit(""))))
+    # C4 view: ' spark ' becomes a sentence boundary (every derived line
+    # but the last ends in '.'), with the paper's page/line triggers
+    # injected deterministically (javascript line %13, brace %9,
+    # lorem ipsum %11)
+    _c4 = c4_rules(F.concat(
+        F.regexp_replace(F.col("text"), " spark ", ".\n"),
+        F.when(did % 13 == 0,
+               F.lit("\nplease use javascript here now."))
+        .otherwise(F.lit("")),
+        F.when(did % 9 == 0, F.lit(" {")).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit(" lorem ipsum")).otherwise(F.lit(""))))
     base = docs.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
@@ -1366,6 +1381,10 @@ def dp_text_stats(spark, sf_dir):
         .alias("symbol_word_ratio"),
         _line_shape["bullet_line_ratio"].alias("bullet_line_ratio"),
         _line_shape["ellipsis_line_ratio"].alias("ellipsis_line_ratio"),
+        _c4["c4_kept_lines"].alias("c4_kept_lines"),
+        _c4["c4_clean_len"].alias("c4_clean_len"),
+        _c4["c4_n_sentences"].alias("c4_n_sentences"),
+        _c4["c4_keep"].alias("c4_keep"),
     )
     flags = (contaminated_ids(docs, docs.filter(did % 97 == 0))
              .withColumn("contaminated", F.lit(True)))
@@ -3151,6 +3170,40 @@ _ORACLES_DP: dict[str, str] = {
                               THEN chr(10) || 'and then ...' ELSE '' END,
                            chr(10)), x -> trim(x) <> '') AS ls2
                 FROM documents)),
+        c4 AS (
+          SELECT doc_id,
+                 CAST(len(kept) AS INTEGER) AS c4_kept_lines,
+                 -- array_to_string([]) is NULL in DuckDB, '' in Spark
+                 CAST(length(coalesce(array_to_string(kept, chr(10)), ''))
+                     AS INTEGER) AS c4_clean_len,
+                 CAST(len(string_split_regex(
+                     coalesce(array_to_string(kept, chr(10)), ''),
+                     '[.!?]')) - 1 AS INTEGER) AS c4_n_sentences,
+                 (len(string_split_regex(
+                     coalesce(array_to_string(kept, chr(10)), ''),
+                     '[.!?]')) - 1 >= 3
+                  AND position('{' IN t) = 0
+                  AND position('lorem ipsum' IN lower(t)) = 0) AS c4_keep
+          FROM (
+            SELECT doc_id, t,
+                   list_filter(string_split(t, chr(10)),
+                     x -> regexp_matches(rtrim(x), '[.!?"]$')
+                          AND len(list_filter(
+                                string_split_regex(lower(x), '\\s+'),
+                                w -> w <> '')) >= 5
+                          AND position('javascript' IN lower(x)) = 0)
+                       AS kept
+            FROM (SELECT doc_id,
+                         regexp_replace(text, ' spark ', '.' || chr(10),
+                                        'g')
+                         || CASE WHEN doc_id % 13 = 0 THEN chr(10)
+                                 || 'please use javascript here now.'
+                                 ELSE '' END
+                         || CASE WHEN doc_id % 9 = 0 THEN ' {'
+                                 ELSE '' END
+                         || CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum'
+                                 ELSE '' END AS t
+                  FROM documents))),
         m2 AS (
           SELECT doc_id, text, aug, n_chars,
                  CAST(len(ws) AS INTEGER) AS n_words,
@@ -3209,6 +3262,8 @@ _ORACLES_DP: dict[str, str] = {
                coalesce(d5.dup5_char_frac, 0.0) AS dup5_char_frac,
                sym.symbol_word_ratio,
                shp.bullet_line_ratio, shp.ellipsis_line_ratio,
+               c4.c4_kept_lines, c4.c4_clean_len, c4.c4_n_sentences,
+               c4.c4_keep,
                length(fr.reasons) = 0 AS keep, fr.reasons
         FROM m2 LEFT JOIN cont ON m2.doc_id = cont.doc_id
         JOIN rep ON m2.doc_id = rep.doc_id
@@ -3218,6 +3273,7 @@ _ORACLES_DP: dict[str, str] = {
         LEFT JOIN dup5 d5 ON m2.doc_id = d5.doc_id
         JOIN sym ON m2.doc_id = sym.doc_id
         JOIN shp ON m2.doc_id = shp.doc_id
+        JOIN c4 ON m2.doc_id = c4.doc_id
         LEFT JOIN (
           SELECT m3.doc_id,
                  coalesce(array_to_string(list_filter([

@@ -2074,3 +2074,30 @@ def test_repetition_flag_bars(spark):
     assert got[1] is False
     assert got[2] is True and got[3] is True and got[4] is True
     assert got[5] is True                    # 2/3 ellipsis-ended > 0.3
+
+
+def test_c4_rules(spark):
+    """C4 line/page filters against hand-computed values."""
+    from yupana_spark.datapipe.text import c4_rules
+
+    t1 = ("the cat sat on the mat.\n"           # kept
+          "short line.\n"                        # < 5 words -> dropped
+          "this line has no terminal mark\n"     # dropped
+          "please enable javascript to view.\n"  # javascript -> dropped
+          "a second proper sentence right here!\n"
+          "and a third one to pass the bar?")
+    t2 = "one good sentence here today.\nanother one follows right now."
+    t3 = "fine sentence number one here.\nbut lorem ipsum dolor sit amet."
+    t4 = "has a brace { in it. plus words enough for the line filter."
+    df = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, t3), (4, t4)], ["id", "text"])
+    st = c4_rules(F.col("text"))
+    rows = {r["id"]: r for r in df.select(
+        "id", st["c4_kept_lines"].alias("kl"),
+        st["c4_n_sentences"].alias("ns"),
+        st["c4_keep"].alias("keep")).collect()}
+    assert rows[1]["kl"] == 3 and rows[1]["ns"] == 3
+    assert rows[1]["keep"] is True
+    assert rows[2]["kl"] == 2 and rows[2]["keep"] is False   # 2 sentences
+    assert rows[3]["keep"] is False                          # lorem ipsum
+    assert rows[4]["keep"] is False                          # brace

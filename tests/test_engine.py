@@ -347,3 +347,35 @@ def test_query_hints(tsdb, tmp_path):
     )
     plan2 = tsdb.query(q2)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan2
+
+
+def test_split_agg_dedupe_survives_catalyst(tsdb):
+    """The split aggregation's var-len pass dedupes (group, value) BEFORE
+    the string max — Catalyst's RemoveRedundantAggregates used to strip
+    that dedupe (the outer max is duplicate-agnostic), silently putting
+    the map-side SortAggregate back over every raw row.  The compiler
+    excludes the rule; the distinct HashAggregate must reach the physical
+    plan so the sort only ever sees distinct values."""
+    import re
+
+    import yupana_spark.types as yt
+
+    q = query(
+        "lineitem", FROM, TO,
+        fields=[
+            (E.Field("l_returnflag"), "flag"),
+            (E.distinct_count(E.Field("l_partkey")), "dc"),
+            (E.distinct_random(E.Fun("lower", (E.Field("l_returnflag"),))),
+             "dr"),
+        ],
+        group_by=[E.Field("l_returnflag")],
+    )
+    df = tsdb.query(q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"HashAggregate\(keys=\[__g0#\d+, __v0#\d+\]", plan), \
+        plan
+    rules = tsdb.spark.conf.get("spark.sql.optimizer.excludedRules")
+    assert "RemoveRedundantAggregates" in rules
+    # values still correct through the split + join
+    rows = {r["flag"]: r for r in df.collect()}
+    assert rows and all(r["dr"] == r["flag"].lower() for r in rows.values())

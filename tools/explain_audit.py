@@ -48,9 +48,15 @@ CHECKS = {
     # aggregation for the raw rows; the var-len pass dedupes (keys, value)
     # first, so at most one partial/final SortAggregate pair remains and it
     # runs over distinct values, never the scan (max_sort_aggs counts
-    # distinct SortAggregate operator ids in the plan)
+    # distinct SortAggregate operator ids in the plan).  The dedupe
+    # HashAggregate must SURVIVE to the physical plan — Catalyst's
+    # RemoveRedundantAggregates used to silently strip it (duplicate-
+    # agnostic outer max), putting the map-side sort back over raw rows;
+    # the compiler now excludes that rule and this expect pins it
     "q_agg_stats": dict(pushed=r"PushedFilters: \[.*l_shipdate",
-                        expect=["HashAggregate"], forbid=[],
+                        expect=["HashAggregate",
+                                r"Keys \[2\]: \[__g0#\d+, __v0#\d+\]"],
+                        forbid=[],
                         max_sort_aggs=2),
     # self-validating hll verdict: distinct + approx in one hash aggregation
     "q_hll_count": dict(pushed=None, expect=["HashAggregate"],

@@ -1011,6 +1011,25 @@ class Tsdb:
             return deduped.groupBy(*gn).agg(*cols) if gn else deduped.agg(*cols)
 
         if var_aggs and hash_aggs:
+            # Catalyst's RemoveRedundantAggregates sees _varlen_pass's
+            # (keys, value) dedupe as redundant under the duplicate-
+            # agnostic outer max/min and silently undoes it — putting the
+            # map-side SortAggregate back over RAW rows, the exact
+            # 1e12-row full-sort shape the split exists to avoid (plan-
+            # verified: with the rule on, the distinct HashAggregate
+            # vanishes from the physical plan).  Exclude the rule in the
+            # executing session; it only fires on intentionally redundant
+            # aggregate pairs, which this compiler never otherwise emits.
+            rule = ("org.apache.spark.sql.catalyst.optimizer."
+                    "RemoveRedundantAggregates")
+            cur = self.spark.conf.get("spark.sql.optimizer.excludedRules",
+                                      None)
+            if not cur:
+                self.spark.conf.set("spark.sql.optimizer.excludedRules",
+                                    rule)
+            elif rule not in cur:
+                self.spark.conf.set("spark.sql.optimizer.excludedRules",
+                                    cur + "," + rule)
             l = _agg_over(hash_aggs).alias("l")
             r = _varlen_pass(var_aggs).alias("r")
             gnames = [group_map[g.key()] for g in q.group_by]

@@ -189,6 +189,42 @@ def symbol_word_ratio(col: Column) -> Column:
                    / F.greatest(F.size(words(F.lower(col))), F.lit(1)), 6)
 
 
+def c4_rules(col: Column, min_words: int = 5,
+             min_sentences: int = 3) -> Dict[str, Column]:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) over a NEWLINE-
+    delimited text column — the published line/page filters:
+
+    * keep only lines that end in a terminal punctuation mark, contain
+      at least ``min_words`` words, and do not mention 'javascript';
+    * page flags: fewer than ``min_sentences`` sentences in the kept
+      text, a curly brace anywhere, or the phrase 'lorem ipsum' reject
+      the page.
+
+    Returns ``c4_kept_lines`` / ``c4_clean_len`` (the cleaned text rides
+    as its length, driver-canon-friendly) / ``c4_n_sentences`` /
+    ``c4_keep``.  Sentences are counted as terminal-punctuation marks in
+    the kept text (the paper used a sentence splitter; any fixed
+    definition serves the filter).  Pure row-local array/regexp
+    expressions — no shuffle, no UDF, identical in batch and streaming.
+    """
+    lines = F.split(col, "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: (F.rtrim(ln).rlike(r'[.!?"]$')
+                    & (F.size(words(F.lower(ln))) >= F.lit(min_words))
+                    & ~F.lower(ln).contains("javascript")))
+    clean = F.array_join(kept, "\n")
+    nsent = F.size(F.split(clean, r"[.!?]")) - F.lit(1)
+    return {
+        "c4_kept_lines": F.size(kept),
+        "c4_clean_len": F.length(clean),
+        "c4_n_sentences": nsent,
+        "c4_keep": ((nsent >= F.lit(min_sentences))
+                    & ~col.contains("{")
+                    & ~F.lower(col).contains("lorem ipsum")),
+    }
+
+
 def quality_score(col: Column) -> Column:
     """Composite [0,1] quality heuristic (Gopher-rules-style thresholds)."""
     m = quality_metrics(col)
