@@ -1314,7 +1314,8 @@ def dp_text_stats(spark, sf_dir):
                                             ngram_char_frac, pii_counts,
                                             quality_metrics, quality_score,
                                             repetition_stats, scrub_pii,
-                                            symbol_word_ratio, token_count)
+                                            symbol_word_ratio, token_count,
+                                            within_doc_dup_stats)
 
     docs = _docs(spark, sf_dir, fan_out=True)
     did = F.col("doc_id")
@@ -1343,6 +1344,18 @@ def dp_text_stats(spark, sf_dir):
         F.regexp_replace(F.col("text"), " spark ", "\n"),
         F.when(did % 4 == 0, F.lit("\n• bullet arm")).otherwise(F.lit("")),
         F.when(did % 6 == 0, F.lit("\nand then ...")).otherwise(F.lit(""))))
+    # WITHIN-doc duplicate line/paragraph fractions (Gopher A1.1 rows the
+    # corpus-wide lstats do not cover) over the same lined view, with
+    # deterministic repeats injected (%8: duplicate line pair, %10:
+    # duplicate paragraph block)
+    _wdd = within_doc_dup_stats(F.concat(
+        F.regexp_replace(F.col("text"), " spark ", "\n"),
+        F.when(did % 8 == 0,
+               F.lit("\nrepeat me here\nrepeat me here"))
+        .otherwise(F.lit("")),
+        F.when(did % 10 == 0,
+               F.lit("\n\ndup para block\n\ndup para block"))
+        .otherwise(F.lit(""))))
     # C4 view: ' spark ' becomes a sentence boundary (every derived line
     # but the last ends in '.'), with the paper's page/line triggers
     # injected deterministically (javascript line %13, brace %9,
@@ -1385,6 +1398,10 @@ def dp_text_stats(spark, sf_dir):
         _c4["c4_clean_len"].alias("c4_clean_len"),
         _c4["c4_n_sentences"].alias("c4_n_sentences"),
         _c4["c4_keep"].alias("c4_keep"),
+        _wdd["dup_line_frac"].alias("wd_dup_line_frac"),
+        _wdd["dup_line_char_frac"].alias("wd_dup_line_char_frac"),
+        _wdd["dup_para_frac"].alias("wd_dup_para_frac"),
+        _wdd["dup_para_char_frac"].alias("wd_dup_para_char_frac"),
     )
     flags = (contaminated_ids(docs, docs.filter(did % 97 == 0))
              .withColumn("contaminated", F.lit(True)))
@@ -3170,6 +3187,40 @@ _ORACLES_DP: dict[str, str] = {
                               THEN chr(10) || 'and then ...' ELSE '' END,
                            chr(10)), x -> trim(x) <> '') AS ls2
                 FROM documents)),
+        wdd AS (
+          SELECT doc_id,
+                 round((len(ls) - len(list_distinct(ls)))
+                       / greatest(len(ls), 1), 6) AS wd_dup_line_frac,
+                 round((length(coalesce(array_to_string(ls, ''), ''))
+                        - length(coalesce(
+                              array_to_string(list_distinct(ls), ''), '')))
+                       / greatest(length(coalesce(
+                             array_to_string(ls, ''), '')), 1), 6)
+                     AS wd_dup_line_char_frac,
+                 round((len(ps) - len(list_distinct(ps)))
+                       / greatest(len(ps), 1), 6) AS wd_dup_para_frac,
+                 round((length(coalesce(array_to_string(ps, ''), ''))
+                        - length(coalesce(
+                              array_to_string(list_distinct(ps), ''), '')))
+                       / greatest(length(coalesce(
+                             array_to_string(ps, ''), '')), 1), 6)
+                     AS wd_dup_para_char_frac
+          FROM (
+            SELECT doc_id,
+                   list_filter(string_split(t, chr(10)),
+                               x -> trim(x) <> '') AS ls,
+                   list_filter(string_split_regex(t, '\\n{2,}'),
+                               x -> trim(x) <> '') AS ps
+            FROM (SELECT doc_id,
+                         regexp_replace(text, ' spark ', chr(10), 'g')
+                         || CASE WHEN doc_id % 8 = 0 THEN chr(10)
+                                 || 'repeat me here' || chr(10)
+                                 || 'repeat me here' ELSE '' END
+                         || CASE WHEN doc_id % 10 = 0 THEN chr(10)
+                                 || chr(10) || 'dup para block' || chr(10)
+                                 || chr(10) || 'dup para block'
+                                 ELSE '' END AS t
+                  FROM documents))),
         c4 AS (
           SELECT doc_id,
                  CAST(len(kept) AS INTEGER) AS c4_kept_lines,
@@ -3264,6 +3315,8 @@ _ORACLES_DP: dict[str, str] = {
                shp.bullet_line_ratio, shp.ellipsis_line_ratio,
                c4.c4_kept_lines, c4.c4_clean_len, c4.c4_n_sentences,
                c4.c4_keep,
+               wdd.wd_dup_line_frac, wdd.wd_dup_line_char_frac,
+               wdd.wd_dup_para_frac, wdd.wd_dup_para_char_frac,
                length(fr.reasons) = 0 AS keep, fr.reasons
         FROM m2 LEFT JOIN cont ON m2.doc_id = cont.doc_id
         JOIN rep ON m2.doc_id = rep.doc_id
@@ -3274,6 +3327,7 @@ _ORACLES_DP: dict[str, str] = {
         JOIN sym ON m2.doc_id = sym.doc_id
         JOIN shp ON m2.doc_id = shp.doc_id
         JOIN c4 ON m2.doc_id = c4.doc_id
+        JOIN wdd ON m2.doc_id = wdd.doc_id
         LEFT JOIN (
           SELECT m3.doc_id,
                  coalesce(array_to_string(list_filter([

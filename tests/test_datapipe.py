@@ -2101,3 +2101,30 @@ def test_c4_rules(spark):
     assert rows[2]["kl"] == 2 and rows[2]["keep"] is False   # 2 sentences
     assert rows[3]["keep"] is False                          # lorem ipsum
     assert rows[4]["keep"] is False                          # brace
+
+
+def test_within_doc_dup_stats(spark):
+    """Within-doc duplicate line/paragraph fractions, hand-computed."""
+    from yupana_spark.datapipe.text import within_doc_dup_stats
+
+    t1 = "aa\nbb\naa\ncc\n\naa\nbb"        # lines: aa bb aa cc aa bb
+    # paragraphs (split on blank runs): "aa\nbb\naa\ncc" and "aa\nbb"
+    t2 = "solo line only"
+    t3 = "x\n\nx\n\nx"                      # 3 identical paragraphs/lines
+    df = spark.createDataFrame([(1, t1), (2, t2), (3, t3)],
+                               ["id", "text"])
+    st = within_doc_dup_stats(F.col("text"))
+    rows = {r["id"]: r for r in df.select(
+        "id",
+        st["dup_line_frac"].alias("lf"),
+        st["dup_line_char_frac"].alias("lcf"),
+        st["dup_para_frac"].alias("pf"),
+        st["dup_para_char_frac"].alias("pcf")).collect()}
+    # t1 lines: 6 units, distinct {aa, bb, cc} -> (6-3)/6; chars 12 vs 6
+    assert rows[1]["lf"] == 0.5 and rows[1]["lcf"] == 0.5
+    # t1 paragraphs: 2 distinct units -> no dups
+    assert rows[1]["pf"] == 0.0 and rows[1]["pcf"] == 0.0
+    assert rows[2]["lf"] == 0.0 and rows[2]["pf"] == 0.0
+    # t3: 3 identical units both ways -> 2/3 dup, 2/3 chars
+    assert rows[3]["lf"] == round(2 / 3, 6) == rows[3]["pf"]
+    assert rows[3]["lcf"] == round(2 / 3, 6) == rows[3]["pcf"]

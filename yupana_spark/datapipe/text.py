@@ -189,6 +189,40 @@ def symbol_word_ratio(col: Column) -> Column:
                    / F.greatest(F.size(words(F.lower(col))), F.lit(1)), 6)
 
 
+def within_doc_dup_stats(col: Column) -> Dict[str, Column]:
+    """The remaining Gopher A1.1 repetition rows — WITHIN-document
+    duplicate line / paragraph fractions (the corpus-wide complement is
+    ``dedup.duplicated_line_stats``):
+
+    * ``dup_line_frac`` / ``dup_para_frac``: occurrences beyond the
+      first, ``(n - n_distinct) / n``;
+    * ``dup_line_char_frac`` / ``dup_para_char_frac``: characters in
+      those repeat occurrences, ``(chars - distinct_chars) / chars``.
+
+    Lines split on a newline, paragraphs on blank-line runs; blank units
+    are not units.  Everything reduces to array algebra on the row —
+    ``array_distinct`` + concatenated length — so unlike the n-gram
+    char-mass fractions (which shuffle) these are O(units) row-local
+    expressions with no exchange at any scale."""
+    def _unit(units: Column, name: str) -> Dict[str, Column]:
+        u = F.filter(units, lambda x: F.trim(x) != F.lit(""))
+        n = F.size(u)
+        nd = F.size(F.array_distinct(u))
+        chars = F.length(F.array_join(u, ""))
+        chars_d = F.length(F.array_join(F.array_distinct(u), ""))
+        return {
+            f"dup_{name}_frac":
+                F.round((n - nd) / F.greatest(n, F.lit(1)), 6),
+            f"dup_{name}_char_frac":
+                F.round((chars - chars_d)
+                        / F.greatest(chars, F.lit(1)), 6),
+        }
+
+    out = _unit(F.split(col, "\n"), "line")
+    out.update(_unit(F.split(col, r"\n{2,}"), "para"))
+    return out
+
+
 def c4_rules(col: Column, min_words: int = 5,
              min_sentences: int = 3) -> Dict[str, Column]:
     """C4 cleaning rules (Raffel et al. 2020 §2.2) over a NEWLINE-
