@@ -2060,20 +2060,19 @@ def test_repetition_flag_bars(spark):
 
     rows = [
         (1, "the quick brown fox jumps over a lazy dog near the river "
-            "bank today", False),                       # clean
+            "bank today", False),                        # clean
         (2, "spam spam spam spam spam spam ham", True),  # dup words
         (3, "# a # b # c", True),                        # symbols
         (4, "• one two three\n• four five six", True),   # all bullets
         (5, "wait for it ...\nmore to come ...\nplain line here now",
-            False),                                      # 2/3 ellipsis <= .3? no: 0.667 > 0.3
+            True),                           # 2/3 ellipsis-ended > 0.3
     ]
     df = spark.createDataFrame([(i, t) for i, t, _ in rows],
                                ["id", "text"])
     got = {r["id"]: r["f"] for r in df.select(
         "id", repetition_flag(F.col("text")).alias("f")).collect()}
-    assert got[1] is False
-    assert got[2] is True and got[3] is True and got[4] is True
-    assert got[5] is True                    # 2/3 ellipsis-ended > 0.3
+    for i, _, want in rows:
+        assert got[i] is want, (i, got[i], want)
 
 
 def test_c4_rules(spark):

@@ -524,13 +524,19 @@ def test_swap_sweeps_leaked_old_dirs(wtsdb, monkeypatch):
 
     monkeypatch.setattr(W.shutil, "rmtree", flaky)
     wh.write_table("orders", src)              # .old delete fails -> leak
-    assert glob.glob(wh.path("orders") + ".old.*")
+    leaked = glob.glob(wh.path("orders") + ".old.*")
+    assert leaked
     monkeypatch.setattr(W.shutil, "rmtree", real)
     # also simulate a crashed compact's tmp dir
     os_stale = wh.path("orders") + ".compact.deadbeef"
     import os
 
     os.makedirs(os_stale, exist_ok=True)
+    # YOUNG siblings are spared (another writer's in-flight work)
+    wh.write_table("orders", src)
+    assert glob.glob(wh.path("orders") + ".old.*")
+    # ...but past the age horizon the next write sweeps them
+    wh.SWEEP_AGE_S = -1.0
     wh.write_table("orders", src)
     assert not glob.glob(wh.path("orders") + ".old.*")
     assert not glob.glob(wh.path("orders") + ".compact.*")

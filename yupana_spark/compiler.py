@@ -1020,16 +1020,19 @@ class Tsdb:
             # vanishes from the physical plan).  Exclude the rule in the
             # executing session; it only fires on intentionally redundant
             # aggregate pairs, which this compiler never otherwise emits.
+            # SESSION-LEVEL contract: the exclusion must still hold when
+            # the returned frame eventually EXECUTES (optimization is
+            # lazy) — a later conf overwrite that drops the rule would
+            # silently restore the raw-row sort; re-compiling any split
+            # query re-asserts it (exact list membership, not substring)
             rule = ("org.apache.spark.sql.catalyst.optimizer."
                     "RemoveRedundantAggregates")
             cur = self.spark.conf.get("spark.sql.optimizer.excludedRules",
                                       None)
-            if not cur:
+            rules = [r for r in (cur or "").split(",") if r.strip()]
+            if rule not in rules:
                 self.spark.conf.set("spark.sql.optimizer.excludedRules",
-                                    rule)
-            elif rule not in cur:
-                self.spark.conf.set("spark.sql.optimizer.excludedRules",
-                                    cur + "," + rule)
+                                    ",".join(rules + [rule]))
             l = _agg_over(hash_aggs).alias("l")
             r = _varlen_pass(var_aggs).alias("r")
             gnames = [group_map[g.key()] for g in q.group_by]

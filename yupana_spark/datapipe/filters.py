@@ -77,7 +77,8 @@ def repetition_flag(text: Column, word_array: Optional[Column] = None,
     ls = line_shape_stats(text)
     return ((rep["dup_word_ratio"] > F.lit(float(max_dup_word)))
             | (rep["dup_trigram_ratio"] > F.lit(float(max_dup_trigram)))
-            | (symbol_word_ratio(text) > F.lit(float(max_symbol_word)))
+            | (symbol_word_ratio(text, word_array=w)
+               > F.lit(float(max_symbol_word)))
             | (ls["bullet_line_ratio"] > F.lit(float(max_bullet_line)))
             | (ls["ellipsis_line_ratio"] > F.lit(float(max_ellipsis_line))))
 

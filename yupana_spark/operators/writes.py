@@ -241,6 +241,9 @@ class Warehouse:
 
     # -- persisted dictionaries (Dictionary.scala:24-105) --------------------
     DICT_CAP = 100_000  # beyond this a dim is not dictionary-shaped
+    # stale .old/.compact siblings younger than this are presumed to be
+    # another writer's in-flight work and left alone by the sweep
+    SWEEP_AGE_S = 3600.0
 
     def dict_path(self, table: str, dim: str) -> str:
         return os.path.join(self.root, "__dictionary", table,
@@ -359,10 +362,21 @@ class Warehouse:
         # opportunistic sweep: a failed delete below leaks the `.old` dir
         # (and a crashed compact leaks its `.compact` tmp) — without this
         # repeated compact/upsert cycles would accumulate full table
-        # copies inside the warehouse forever (advice r9)
+        # copies inside the warehouse forever (advice r9).  AGE-GUARDED:
+        # a sibling younger than the horizon may be another writer's
+        # in-flight compact tmp — deleting it would strand that writer's
+        # rename (review r10); a genuinely leaked dir survives to the
+        # next write past the horizon
+        import time as _time
+
+        horizon = _time.time() - self.SWEEP_AGE_S
         for stale in (_glob.glob(final + ".old.*")
                       + _glob.glob(final + ".compact.*")):
-            if stale != tmp:
+            try:
+                young = os.path.getmtime(stale) > horizon
+            except OSError:
+                young = True       # vanished/unstattable: leave it alone
+            if stale != tmp and not young:
                 shutil.rmtree(stale, ignore_errors=True)
         old = None
         if os.path.exists(final):
@@ -438,9 +452,19 @@ class Warehouse:
                       .write.mode("overwrite").partitionBy(BUCKET_COL))
         elif BUCKET_COL in df.columns:
             # bucketed but provenance unknown (no sidecar — a pre-existing
-            # dir): keep the existing partition values verbatim instead
-            # of guessing a derivation column
+            # dir): keep the existing partition values VERBATIM instead of
+            # guessing a derivation column — but still time-sort inside
+            # each file when the schema declares a present time column
+            # (sorting cannot change bucket values, only row-group min/max
+            # pruning; review r10 — the pre-pin fallback used to re-derive
+            # AND sort, re-deriving was the bug, sorting was not)
+            t = self.schema.tables.get(table)
+            sort_col = t.time_column if t is not None else "time"
+            if sort_col not in df.columns and "time" in df.columns:
+                sort_col = "time"
             out = df.repartition(F.col(BUCKET_COL))
+            if sort_col in df.columns:
+                out = out.sortWithinPartitions(sort_col)
             writer = out.write.mode("overwrite").partitionBy(BUCKET_COL)
         else:
             out = df.coalesce(1)
