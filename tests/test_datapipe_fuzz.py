@@ -466,3 +466,78 @@ def test_differential_ngram_char_frac(spark, seed):
             want = _py_ngram_frac(txt, n, mode)
             assert got.get(i) == want, (seed, n, mode, i, txt,
                                         got.get(i), want)
+
+
+# -- c4_rules / within_doc_dup_stats: random multi-line docs vs Python -----
+def _py_c4(text: str):
+    lines = text.split("\n")
+    kept = [ln for ln in lines
+            if ln.rstrip() and ln.rstrip()[-1] in '.!?"'
+            and len([w for w in ln.lower().split() if w]) >= 5
+            and "javascript" not in ln.lower()]
+    clean = "\n".join(kept)
+    nsent = sum(clean.count(c) for c in ".!?")
+    keep = (nsent >= 3 and "{" not in text
+            and "lorem ipsum" not in text.lower())
+    return len(kept), len(clean), nsent, keep
+
+
+def _py_wdd(text: str):
+    import re as _re
+
+    out = []
+    for units in (
+            [u for u in text.split("\n") if u.strip()],
+            [u for u in _re.split(r"\n{2,}", text) if u.strip()]):
+        n, nd = len(units), len(set(units))
+        chars = sum(len(u) for u in units)
+        chars_d = sum(len(u) for u in set(units))
+        out += [round((n - nd) / max(n, 1), 6),
+                round((chars - chars_d) / max(chars, 1), 6)]
+    return tuple(out)
+
+
+@pytest.mark.parametrize("seed", [20260815, 71])
+def test_differential_c4_and_wdd(spark, seed):
+    """Random multi-line documents (repeated lines, blank runs, C4
+    trigger phrases, ragged punctuation): every per-doc c4_* /
+    wd_dup_* value equals an independent Python recomputation
+    (~120 docs x 8 values per seed)."""
+    from yupana_spark.datapipe.text import c4_rules, within_doc_dup_stats
+
+    rng = random.Random(seed)
+    frags = ["the quick brown fox runs far today.",
+             "short one.", "no mark here at all",
+             "a perfectly fine sentence with words!",
+             "please enable javascript to continue.",
+             "was it a question after all?", "x y.",
+             "lorem ipsum dolor sit amet now.", "code { block }"]
+    rows = []
+    for i in range(120):
+        n_lines = rng.randrange(0, 9)
+        parts = []
+        for _ in range(n_lines):
+            parts.append(rng.choice(frags))
+            if rng.random() < 0.25 and parts:
+                parts.append(parts[-1])        # duplicate line
+            if rng.random() < 0.2:
+                parts.append("")               # blank run -> paragraph
+        rows.append((i, "\n".join(parts)))
+    df = spark.createDataFrame(rows, ["id", "text"])
+    c4 = c4_rules(F.col("text"))
+    wd = within_doc_dup_stats(F.col("text"))
+    got = {r["id"]: r for r in df.select(
+        "id", c4["c4_kept_lines"].alias("kl"),
+        c4["c4_clean_len"].alias("cl"),
+        c4["c4_n_sentences"].alias("ns"), c4["c4_keep"].alias("keep"),
+        wd["dup_line_frac"].alias("lf"),
+        wd["dup_line_char_frac"].alias("lcf"),
+        wd["dup_para_frac"].alias("pf"),
+        wd["dup_para_char_frac"].alias("pcf")).collect()}
+    for i, txt in rows:
+        kl, cl, ns, keep = _py_c4(txt)
+        r = got[i]
+        assert (r["kl"], r["cl"], r["ns"], r["keep"]) == \
+            (kl, cl, ns, keep), (seed, i, txt)
+        assert (r["lf"], r["lcf"], r["pf"], r["pcf"]) == _py_wdd(txt), \
+            (seed, i, txt)

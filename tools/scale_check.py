@@ -54,7 +54,10 @@ _COPY = ["embeddings.parquet"]
 # exact same shape rules, and together they cover scan+agg, join, window,
 # and the text pipeline
 ENTRIES = ["q_day_rollup", "q_tpch_q1", "q_link_enrich", "dp_exact_dedup",
-           "dp_text_stats", "dp_top_k_per_group", "dp_group_quantiles"]
+           "dp_text_stats", "dp_top_k_per_group", "dp_group_quantiles",
+           # the lang/xent/bpe/ppx bundle: word+pair explodes feeding
+           # gated LM equi-joins — the text pipeline's join-heavy twin
+           "dp_lang_id"]
 SLACK = 1.5 * REPLICAS  # <= proportional growth x1.5
 
 
