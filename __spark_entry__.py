@@ -2171,9 +2171,11 @@ def dp_ann_approx(spark, sf_dir):
     """Bundle of the approximate ANN paths — SRP hyperplane-LSH bucket
     pruning, IVF sample-fit-KMeans cell probing, PQ codes with ADC
     shortlist + exact rerank (Jegou et al. 2011; the memory scale path:
-    8 B codes instead of 256 B vectors), and their COMPOSITION IVFADC
+    8 B codes instead of 256 B vectors), their COMPOSITION IVFADC
     (residual-PQ per IVF cell, ADC only over probed cells — the
-    billion-vector index layout, Jegou et al. 2011 §IV) — SELF-VALIDATED
+    billion-vector index layout, Jegou et al. 2011 §IV), and SQ8 scalar
+    quantization (FAISS SQ family: 1 B/dim codes, scale-cancelling
+    quantized cosine, no vector I/O in the scan) — SELF-VALIDATED
     as recall@10 vs the exact `brute_force_topk` baseline (round-2 verdict
     ask #1; the baseline itself is the oracled dp_ann_bruteforce entry).
 
@@ -2199,7 +2201,8 @@ def dp_ann_approx(spark, sf_dir):
                                                  ivf_topk, ivfadc_encode,
                                                  ivfadc_fit, ivfadc_topk,
                                                  lsh_topk, pq_encode,
-                                                 pq_fit, pq_topk)
+                                                 pq_fit, pq_topk,
+                                                 sq8_encode, sq8_topk)
 
     emb = _emb(spark, sf_dir)
     qv = _query_vec(spark, sf_dir)
@@ -2220,7 +2223,8 @@ def dp_ann_approx(spark, sf_dir):
         names = {"srp": artifact_name("ann_srp", sf_dir, 12, 42),
                  "ivf": artifact_name("ann_ivf", sf_dir, 8),
                  "pq": artifact_name("ann_pq", sf_dir, 8),
-                 "adc": artifact_name("ann_ivfadc", sf_dir, 8, 8)}
+                 "adc": artifact_name("ann_ivfadc", sf_dir, 8, 8),
+                 "sq8": artifact_name("ann_sq8", sf_dir)}
         loaded = {k: st.load_df(spark, nm, tok) for k, nm in names.items()}
         if all(v is not None for v in loaded.values()):
             idx = {k: v[0].localCheckpoint(eager=True)
@@ -2246,7 +2250,9 @@ def dp_ann_approx(spark, sf_dir):
             idx = {"srp": bucketed.localCheckpoint(eager=True),
                    "ivf": assigned.localCheckpoint(eager=True),
                    "pq": encoded.localCheckpoint(eager=True),
-                   "adc": ac_enc.localCheckpoint(eager=True)}
+                   "adc": ac_enc.localCheckpoint(eager=True),
+                   "sq8": sq8_encode(emb).select("vec_id", "sq8_code")
+                   .localCheckpoint(eager=True)}
             for k, nm in names.items():
                 st.save_df(nm, tok, idx[k])
         _ANN_INDEX[akey] = idx
@@ -2269,6 +2275,11 @@ def dp_ann_approx(spark, sf_dir):
     # (measured recall@10 0.9/0.8/0.8 at sf0.001/0.01/0.1, nprobe 4/8)
     ivfadc = ivfadc_topk(idx["adc"], ac_centers, ac_books, qv, k=10,
                          nprobe=4, shortlist=100)
+    # SQ8 scalar quantization (FAISS SQ family): search touches ONLY the
+    # 1-byte-per-dim code column — quantized-cosine is near-exact (the
+    # symmetric scales cancel), measured recall@10 = 1.0 at every
+    # fixture scale, bar 9/10
+    sq8 = sq8_topk(idx["sq8"], qv, k=10)
 
     def recall_row(name: str, approx: DataFrame,
                    min_hits: int = 5) -> DataFrame:
@@ -2368,6 +2379,7 @@ def dp_ann_approx(spark, sf_dir):
             .unionAll(recall_row("ivf", ivf))
             .unionAll(recall_row("pq_adc", pq, min_hits=7))
             .unionAll(recall_row("ivfadc", ivfadc, min_hits=7))
+            .unionAll(recall_row("sq8", sq8, min_hits=9))
             .unionAll(semdedup)
             .unionAll(lr))
 
@@ -3831,6 +3843,8 @@ _ORACLES_DP: dict[str, str] = {
         SELECT 'pq_adc', 'ok'
         UNION ALL
         SELECT 'ivfadc', 'ok'
+        UNION ALL
+        SELECT 'sq8', 'ok'
         UNION ALL
         SELECT 'semdedup', 'ok'
         UNION ALL

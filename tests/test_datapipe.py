@@ -2127,3 +2127,32 @@ def test_within_doc_dup_stats(spark):
     # t3: 3 identical units both ways -> 2/3 dup, 2/3 chars
     assert rows[3]["lf"] == round(2 / 3, 6) == rows[3]["pf"]
     assert rows[3]["lcf"] == round(2 / 3, 6) == rows[3]["pcf"]
+
+
+def test_sq8_quantization_accuracy_and_recall(spark):
+    """SQ8 (FAISS-style 8-bit scalar quantization): quantized-code cosine
+    tracks exact cosine (the symmetric per-vector scales cancel),
+    recall@10 vs brute force is high on the fixture, zero vectors encode
+    to zero codes without dividing by zero, and codes are 1-byte."""
+    from yupana_spark.datapipe.simsearch import (brute_force_topk,
+                                                 sq8_encode, sq8_topk)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    enc = sq8_encode(emb)
+    row = enc.select(F.max(F.array_max(F.transform(
+        "sq8_code", lambda x: F.abs(x.cast("int"))))).alias("m")).first()
+    assert row["m"] <= 127
+    assert enc.schema["sq8_code"].dataType.elementType.typeName() == "byte"
+    exact = {r["vec_id"]: r["score"]
+             for r in brute_force_topk(emb, q, k=50).collect()}
+    approx = {r["vec_id"]: r["score"]
+              for r in sq8_topk(enc, q, k=50).collect()}
+    hits = len(set(list(exact)[:10]) & set(list(approx)[:10]))
+    assert hits >= 9, (hits, list(approx)[:10])
+    both = set(exact) & set(approx)
+    assert both and max(abs(exact[i] - approx[i]) for i in both) < 0.02
+    z = spark.createDataFrame(
+        [(999999, [0.0] * len(q))], "vec_id long, embedding array<double>")
+    zr = sq8_topk(sq8_encode(z), q, k=1).first()
+    assert zr["score"] == 0.0

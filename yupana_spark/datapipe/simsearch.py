@@ -46,6 +46,53 @@ def brute_force_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
 # ---------------------------------------------------------------------------
 # signed random projections (hyperplane LSH)
 # ---------------------------------------------------------------------------
+def sq8_encode(df: DataFrame, vec_col: str = "embedding",
+               code_col: str = "sq8_code") -> DataFrame:
+    """8-bit scalar quantization (the FAISS ``SQ8`` family, symmetric
+    per-vector form): ``code_i = round(v_i / s)`` with ``s = max|v|/127``
+    — one byte per dimension instead of four.  Cosine between two
+    SQ8-quantized vectors needs NO stored scale (both per-vector scales
+    cancel), so the code array alone serves search; the raw vectors are
+    never touched by the scan.  All JVM array expressions; the scale is
+    STAGED in a column before the transform lambda references it (the
+    per-element recompute caveat — an inline array_max would re-scan the
+    vector once per dimension)."""
+    v = F.col(vec_col)
+    out = df.withColumn(
+        "__sq8_s", F.array_max(F.transform(v, F.abs)) / F.lit(127.0))
+    codes = F.when(
+        F.col("__sq8_s") > 0,
+        F.transform(v, lambda x: F.round(x / F.col("__sq8_s"))
+                    .cast("tinyint"))) \
+        .otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return out.withColumn(code_col, codes).drop("__sq8_s")
+
+
+def sq8_topk(encoded: DataFrame, query_vec: Sequence[float], k: int = 10,
+             code_col: str = "sq8_code", id_col: str = "vec_id"
+             ) -> DataFrame:
+    """Top-k cosine over SQ8 codes ONLY — a narrow 1-byte-per-dim scan,
+    no vector I/O: ``cos(ĉ_v, ĉ_q)`` where both sides are quantized (the
+    symmetric scales cancel out of cosine exactly).  zip_with/aggregate
+    dot product in whole-stage codegen, then TakeOrderedAndProject like
+    ``brute_force_topk``."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    s = float(np.abs(q).max()) / 127.0
+    qc = [int(x) for x in np.round(q / s)] if s > 0 else [0] * len(q)
+    qn = float(np.sqrt(sum(c * c for c in qc))) or 1.0
+    qlit = F.array([F.lit(c) for c in qc])
+    c = F.transform(F.col(code_col), lambda x: x.cast("double"))
+    num = F.aggregate(F.zip_with(c, qlit, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    den = (F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))
+           * F.lit(qn))
+    return (encoded.select(F.col(id_col),
+                           F.round(num / F.greatest(den, F.lit(1e-300)), 6)
+                           .alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k))
+
+
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_planes, dim))
