@@ -697,3 +697,52 @@ def test_streaming_interval_join_stream_static(spark, tmp_path):
                                    by=["user_id"], bin_width=6 * 3600.0)
             .select("event_id", "start", "rv").collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_c4_rule_matches_batch(spark, tmp_path):
+    """The composed C4 page rule: batch corpus_keep(c4_rule=True) and the
+    streaming twin agree row-for-row; 'c4' sorts first in reasons."""
+    from pyspark.sql import types as T
+
+    from yupana_spark.datapipe.filters import corpus_keep
+    from yupana_spark.streaming.filters import streaming_corpus_filter
+
+    rows = [
+        (1, "the cat sat on the mat today.\nthe dog barked at the moon!\n"
+            "a third good sentence closes this out."),   # passes C4
+        (2, "the quick brown fox jumps over the lazy dog and runs far "
+            "into the quiet green field without punctuation"),  # nsent 0
+        (3, "a fine first sentence sits here.\nsecond one follows right "
+            "behind!\nthird one too?\nbut lorem ipsum spoils the page."),
+    ]
+    schema = "doc_id long, text string"
+    docs = spark.createDataFrame(rows, schema)
+    batch = {r["id"]: (r["keep"], r["reasons"])
+             for r in corpus_keep(docs, min_quality=0.0, langs=None,
+                                  c4_rule=True).collect()}
+    assert batch[1] == (True, "")
+    assert batch[2] == (False, "c4")
+    assert batch[3] == (False, "c4")
+
+    src = tmp_path / "c4_src"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.parquet(str(src / "a"))
+    stream = (spark.readStream
+              .schema(T.StructType([T.StructField("doc_id", T.LongType()),
+                                    T.StructField("text", T.StringType())]))
+              .parquet(str(src / "*")))
+    out = streaming_corpus_filter(stream, min_quality=0.0, langs=None,
+                                  c4_rule=True)
+    q = (out.writeStream.format("memory").queryName("c4f")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "c4_ck"))
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination()
+        streamed = {r["id"]: (r["keep"], r["reasons"])
+                    for r in spark.table("c4f").collect()}
+    finally:
+        q.stop()
+        spark.catalog.dropTempView("c4f")
+    assert streamed == batch

@@ -24,17 +24,21 @@ def keep_reasons(cont: Column, is_dup: Column, lang_bad: Column,
                  quality: Column, min_quality: float,
                  model_low: Optional[Column] = None,
                  ppx_high: Optional[Column] = None,
-                 rep_high: Optional[Column] = None) -> Column:
+                 rep_high: Optional[Column] = None,
+                 c4_bad: Optional[Column] = None) -> Column:
     """The ONE definition of the decision labels and their (alphabetical)
     order — shared by the batch and streaming operators so their
     pinned-equal decisions cannot drift apart.  ``model_low`` (optional)
     is the model-based rule's fire flag — 'model_quality' sorts after
     'low_quality'; ``ppx_high`` (optional) is the CCNet perplexity
     rule's; ``rep_high`` (optional) is the Gopher repetition/shape
-    rule's — 'repetition' sorts last, keeping the order alphabetical."""
+    rule's — 'repetition' sorts last; ``c4_bad`` (optional) is the C4
+    page rule's — 'c4' sorts first.  The order stays alphabetical."""
     return F.array_join(
         F.filter(
             F.array(
+                F.when(c4_bad if c4_bad is not None else F.lit(False),
+                       F.lit("c4")),
                 F.when(cont, F.lit("contaminated")),
                 F.when(is_dup, F.lit("duplicate")),
                 F.when(lang_bad, F.lit("lang")),
@@ -89,11 +93,12 @@ def corpus_keep(df: DataFrame, text_col: str = "text",
                 eval_docs: Optional[DataFrame] = None,
                 lr_art=None, min_lr: float = 0.5,
                 ppx_art=None, max_xent: float = 10.0,
-                rep_rule: bool = False) -> DataFrame:
+                rep_rule: bool = False,
+                c4_rule: bool = False) -> DataFrame:
     """(id, keep, reasons): keep iff NO rule fires; ``reasons`` lists the
-    fired rules in fixed alphabetical order ('contaminated', 'duplicate',
-    'lang', 'low_quality', 'model_quality', 'perplexity', 'repetition'),
-    comma-joined ('' when kept).
+    fired rules in fixed alphabetical order ('c4', 'contaminated',
+    'duplicate', 'lang', 'low_quality', 'model_quality', 'perplexity',
+    'repetition'), comma-joined ('' when kept).
 
     Rules (each optional):
     * quality_score < ``min_quality``          -> 'low_quality'
@@ -113,6 +118,10 @@ def corpus_keep(df: DataFrame, text_col: str = "text",
     * Gopher repetition/shape rule fires       -> 'repetition'
       (``rep_rule=True``; row-local ``repetition_flag`` at its
       published default bars — custom bars compose the flag directly)
+    * C4 page rule fires                        -> 'c4'
+      (``c4_rule=True``; ``NOT text.c4_rules(...)["c4_keep"]`` at the
+      paper's defaults — < 3 sentences in the cleaned lines, a curly
+      brace, or 'lorem ipsum'; row-local like the Gopher rule)
     """
     from .dedup import exact_dedup
     from .text import contaminated_ids, lang_id, quality_score
@@ -128,6 +137,12 @@ def corpus_keep(df: DataFrame, text_col: str = "text",
 
     rp = (repetition_flag(F.col(text_col), word_array=F.col("__rw"))
           if rep_rule else F.lit(False))
+    if c4_rule:
+        from .text import c4_rules
+
+        c4 = ~c4_rules(F.col(text_col))["c4_keep"]
+    else:
+        c4 = F.lit(False)
     out = (exact_dedup(df, text_col, id_col)
            .withColumn("__rw", _words(F.lower(F.col(text_col))))
            .select(
@@ -137,6 +152,7 @@ def corpus_keep(df: DataFrame, text_col: str = "text",
                lang_id(F.col(text_col)).alias("__lang"),
                mq.alias("__mq"),
                rp.alias("__rp"),
+               c4.alias("__c4"),
            ))
     if eval_docs is not None:
         flags = (contaminated_ids(df, eval_docs, text_col, id_col)
@@ -165,7 +181,8 @@ def corpus_keep(df: DataFrame, text_col: str = "text",
                            lang_bad, F.col("__q"), min_quality,
                            model_low=F.col("__mq"),
                            ppx_high=F.col("__px"),
-                           rep_high=F.col("__rp"))
+                           rep_high=F.col("__rp"),
+                           c4_bad=F.col("__c4"))
     return out.select(
         "id",
         (F.length(reasons) == 0).alias("keep"),

@@ -41,6 +41,7 @@ _OUT_SCHEMA = T.StructType([
     T.StructField("mq", T.BooleanType()),
     T.StructField("px", T.BooleanType()),
     T.StructField("rp", T.BooleanType()),
+    T.StructField("c4", T.BooleanType()),
     T.StructField("is_duplicate", T.BooleanType()),
 ])
 
@@ -70,7 +71,8 @@ def _make_dup_update(idle_timeout_ms: Optional[int],
                     event_ms(pdf[event_time_col])
                     if event_time_col is not None else None)
         if len(pdf):
-            out = pdf[["id", "q", "lang", "cont", "mq", "px", "rp"]].copy()
+            out = pdf[["id", "q", "lang", "cont", "mq", "px", "rp",
+                       "c4"]].copy()
             out["is_duplicate"] = dup
             yield out
 
@@ -143,7 +145,8 @@ def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
                             event_time_col: Optional[str] = None,
                             lr_art=None, min_lr: float = 0.5,
                             ppx_art=None, max_xent: float = 10.0,
-                            rep_rule: bool = False) -> DataFrame:
+                            rep_rule: bool = False,
+                            c4_rule: bool = False) -> DataFrame:
     """Streaming (id, keep, reasons): same rules, labels and reason order
     as the batch ``corpus_keep`` — on a full replay of a static corpus the
     decisions MATCH the batch operator's (the equivalence the test pins),
@@ -162,7 +165,8 @@ def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
     pattern), same hashes/formula/rounding as the batch scorer.
     ``rep_rule`` enables the Gopher repetition/shape rule — row-local
     array expressions, so it rides the stream scan verbatim (the SAME
-    ``filters.repetition_flag`` the batch twin evaluates)."""
+    ``filters.repetition_flag`` the batch twin evaluates).  ``c4_rule``
+    enables the C4 page rule the same way (``text.c4_rules``)."""
     from ..datapipe.text import (exploded_ngram_hashes, fingerprint_md5,
                                  lang_id, normalize_text, quality_score,
                                  words)
@@ -211,6 +215,11 @@ def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
         # staged like the batch twin (lowercased, un-normalized words)
         staged = staged.withColumn("__rw", _lw(F.lower(F.col(text_col))))
         rp = repetition_flag(F.col(text_col), word_array=F.col("__rw"))
+    c4 = F.lit(False)
+    if c4_rule:
+        from ..datapipe.text import c4_rules
+
+        c4 = ~c4_rules(F.col(text_col))["c4_keep"]
     carry = ((F.col(event_time_col),) if event_time_col is not None else ())
     base = staged.select(
         F.col(id_col).cast("long").alias("id"),
@@ -222,6 +231,7 @@ def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
         mq.alias("mq"),
         px.alias("px"),
         rp.alias("rp"),
+        c4.alias("c4"),
     )
     flagged = (base.groupBy("__fp")
                .applyInPandasWithState(
@@ -234,7 +244,7 @@ def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
     reasons = keep_reasons(F.col("cont"), F.col("is_duplicate"),
                            lang_bad, F.col("q"), min_quality,
                            model_low=F.col("mq"), ppx_high=F.col("px"),
-                           rep_high=F.col("rp"))
+                           rep_high=F.col("rp"), c4_bad=F.col("c4"))
     return flagged.select(
         "id",
         (F.length(reasons) == 0).alias("keep"),
