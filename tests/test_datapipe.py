@@ -618,7 +618,8 @@ def test_self_validating_entries_verdicts(spark):
     ann = {r["method"]: r["verdict"]
            for r in ent.queries()["dp_ann_approx"](spark, SF).collect()}
     assert ann == {"srp_lsh": "ok", "ivf": "ok", "pq_adc": "ok",
-                   "ivfadc": "ok", "semdedup": "ok", "quality_lr": "ok"}
+                   "ivfadc": "ok", "sq8": "ok", "semdedup": "ok",
+                   "quality_lr": "ok"}
 
     pack = ent.queries()["dp_pack_sequences"](spark, SF).collect()[0]
     assert pack["packing_ok"] == "ok"
