@@ -3185,10 +3185,10 @@ _ORACLES_DP: dict[str, str] = {
         shp AS (
           SELECT doc_id,
                  round(len(list_filter(ls2,
-                           x -> regexp_matches(trim(x), '^[•\\-\\*]\\s')))
+                           x -> regexp_matches(x, '^\\s*[•\\-\\*]\\s')))
                        / greatest(len(ls2), 1), 6) AS bullet_line_ratio,
                  round(len(list_filter(ls2,
-                           x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$')))
+                           x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$')))
                        / greatest(len(ls2), 1), 6) AS ellipsis_line_ratio
           FROM (SELECT doc_id,
                        list_filter(string_split(
@@ -3250,7 +3250,7 @@ _ORACLES_DP: dict[str, str] = {
           FROM (
             SELECT doc_id, t,
                    list_filter(string_split(t, chr(10)),
-                     x -> regexp_matches(rtrim(x), '[.!?"]$')
+                     x -> regexp_matches(x, '[.!?"]\\s*$')
                           AND len(list_filter(
                                 string_split_regex(lower(x), '\\s+'),
                                 w -> w <> '')) >= 5
@@ -3368,9 +3368,9 @@ _ORACLES_DP: dict[str, str] = {
                                             / 3))
                                    / m3.safe_words, 6) > 0.1
                           OR (trim(m3.text) <> '' AND regexp_matches(
-                                trim(m3.text), '^[•\\-\\*]\\s'))
+                                m3.text, '^\\s*[•\\-\\*]\\s'))
                           OR (trim(m3.text) <> '' AND regexp_matches(
-                                rtrim(m3.text), '(\\.\\.\\.|…)$'))
+                                m3.text, '(\\.\\.\\.|…)\\s*$'))
                         THEN 'repetition' END
                  ], x -> x IS NOT NULL), ','), '') AS reasons
           FROM m2 m3

@@ -470,9 +470,11 @@ def test_differential_ngram_char_frac(spark, seed):
 
 # -- c4_rules / within_doc_dup_stats: random multi-line docs vs Python -----
 def _py_c4(text: str):
+    import re as _re
+
     lines = text.split("\n")
     kept = [ln for ln in lines
-            if ln.rstrip() and ln.rstrip()[-1] in '.!?"'
+            if _re.search(r'[.!?"]\s*$', ln)
             and len([w for w in ln.lower().split() if w]) >= 5
             and "javascript" not in ln.lower()]
     clean = "\n".join(kept)
@@ -511,7 +513,12 @@ def test_differential_c4_and_wdd(spark, seed):
              "a perfectly fine sentence with words!",
              "please enable javascript to continue.",
              "was it a question after all?", "x y.",
-             "lorem ipsum dolor sit amet now.", "code { block }"]
+             "lorem ipsum dolor sit amet now.", "code { block }",
+             # CRLF / trailing-tab / trailing-space lines: terminal
+             # punctuation must survive non-space whitespace (review r10)
+             "a crlf terminated proper sentence here.\r",
+             "a tab padded proper sentence right here.\t",
+             "a space padded proper sentence over here. "]
     rows = []
     for i in range(120):
         n_lines = rng.randrange(0, 9)

@@ -532,12 +532,14 @@ def test_swap_sweeps_leaked_old_dirs(wtsdb, monkeypatch):
     import os
 
     os.makedirs(os_stale, exist_ok=True)
-    # YOUNG siblings are spared (another writer's in-flight work)
     wh.write_table("orders", src)
-    assert glob.glob(wh.path("orders") + ".old.*")
-    # ...but past the age horizon the next write sweeps them
+    # .old is always safe (a completed rename's target — never written
+    # into), so it sweeps immediately...
+    assert not glob.glob(wh.path("orders") + ".old.*")
+    # ...but a YOUNG .compact tmp may be another writer's in-flight job
+    assert glob.glob(wh.path("orders") + ".compact.*")
+    # past the activity horizon the next write sweeps it too
     wh.SWEEP_AGE_S = -1.0
     wh.write_table("orders", src)
-    assert not glob.glob(wh.path("orders") + ".old.*")
     assert not glob.glob(wh.path("orders") + ".compact.*")
     assert wh.read("orders").count() == 50

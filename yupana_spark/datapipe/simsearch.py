@@ -50,13 +50,16 @@ def sq8_encode(df: DataFrame, vec_col: str = "embedding",
                code_col: str = "sq8_code") -> DataFrame:
     """8-bit scalar quantization (the FAISS ``SQ8`` family, symmetric
     per-vector form): ``code_i = round(v_i / s)`` with ``s = max|v|/127``
-    — one byte per dimension instead of four.  Cosine between two
+    — one byte per dimension instead of the embedding column's eight
+    (double) or FAISS's usual four (float32).  Cosine between two
     SQ8-quantized vectors needs NO stored scale (both per-vector scales
     cancel), so the code array alone serves search; the raw vectors are
     never touched by the scan.  All JVM array expressions; the scale is
     STAGED in a column before the transform lambda references it (the
     per-element recompute caveat — an inline array_max would re-scan the
     vector once per dimension)."""
+    if "__sq8_s" in df.columns or code_col in df.columns:
+        raise ValueError(f"__sq8_s/{code_col} are reserved by sq8_encode")
     v = F.col(vec_col)
     out = df.withColumn(
         "__sq8_s", F.array_max(F.transform(v, F.abs)) / F.lit(127.0))
@@ -77,18 +80,28 @@ def sq8_topk(encoded: DataFrame, query_vec: Sequence[float], k: int = 10,
     dot product in whole-stage codegen, then TakeOrderedAndProject like
     ``brute_force_topk``."""
     q = np.asarray(query_vec, dtype=np.float64)
+    if q.size == 0 or not np.isfinite(q).all():
+        # an all-zero qc would silently score every vector 0.0 and
+        # present the k lowest ids as a "result"
+        raise ValueError("sq8_topk needs a non-empty finite query vector")
     s = float(np.abs(q).max()) / 127.0
     qc = [int(x) for x in np.round(q / s)] if s > 0 else [0] * len(q)
     qn = float(np.sqrt(sum(c * c for c in qc))) or 1.0
     qlit = F.array([F.lit(c) for c in qc])
-    c = F.transform(F.col(code_col), lambda x: x.cast("double"))
+    # stage the casted code array ONCE — referencing the transform from
+    # both num and den would re-cast the array per row twice
+    staged = encoded.select(
+        F.col(id_col),
+        F.transform(F.col(code_col),
+                    lambda x: x.cast("double")).alias("__c"))
+    c = F.col("__c")
     num = F.aggregate(F.zip_with(c, qlit, lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)
     den = (F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))
            * F.lit(qn))
-    return (encoded.select(F.col(id_col),
-                           F.round(num / F.greatest(den, F.lit(1e-300)), 6)
-                           .alias("score"))
+    return (staged.select(F.col(id_col),
+                          F.round(num / F.greatest(den, F.lit(1e-300)), 6)
+                          .alias("score"))
             .orderBy(F.col("score").desc(), F.col(id_col))
             .limit(k))
 

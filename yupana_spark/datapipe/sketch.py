@@ -50,10 +50,13 @@ _SAFETY = 8
 # driver on a high-cardinality grouping at 100 TB)
 _SIZES_BCAST_GATE = 1_000_000
 
-# (appId, df.semanticHash, col, by, k) -> (checkpointed sizes frame, small)
-# — repeated sketch builds over the same input (bench passes, incremental
-# pipelines) reuse the materialized threshold frame and its gate decision
-# instead of re-running the approx_count_distinct pass + probe per call
+# (appId, df.semanticHash, col, by, k, gate) -> small: bool — repeated
+# sketch builds over the same input reuse the gate DECISION so only the
+# first call pays the probe job.  Deliberately NOT the checkpointed
+# frame: a cached localCheckpoint pins executor storage for the app
+# lifetime and a single executor loss would poison the entry forever
+# (review r10); the sizes aggregation itself recomputes lazily inside
+# the sketch job, exactly as the unprobed path always did
 _SIZES_CACHE: dict = {}
 
 
@@ -115,15 +118,12 @@ def kmv_sketch(df: DataFrame, col: str, by: Sequence[str] = (),
                 ck = (df.sparkSession.sparkContext.applicationId,
                       df.semanticHash(), col, tuple(by), k,
                       _SIZES_BCAST_GATE)
-                hit = _SIZES_CACHE.get(ck)
-                if hit is None:
-                    sizes = sizes.localCheckpoint(eager=True)
+                small = _SIZES_CACHE.get(ck)
+                if small is None:
                     small = (sizes.limit(_SIZES_BCAST_GATE + 1).count()
                              <= _SIZES_BCAST_GATE)
-                    if len(_SIZES_CACHE) < 64:
-                        _SIZES_CACHE[ck] = (sizes, small)
-                else:
-                    sizes, small = hit
+                    if len(_SIZES_CACHE) < 256:
+                        _SIZES_CACHE[ck] = small
             else:
                 small = n_groups <= _SIZES_BCAST_GATE
             sz = F.broadcast(sizes) if small else sizes.hint("shuffle_hash")

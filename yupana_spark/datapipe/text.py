@@ -169,10 +169,12 @@ def line_shape_stats(col: Column) -> Dict[str, Column]:
                      lambda ln: F.trim(ln) != F.lit(""))
     n = F.size(lines)
     safe = F.greatest(n, F.lit(1))
+    # \s-anchored instead of trim/rtrim (space-only) so tab/CR padding
+    # cannot hide a bullet or an ellipsis (review r10)
     bullet = F.size(F.filter(
-        lines, lambda ln: F.trim(ln).rlike(r"^[•\-\*]\s")))
+        lines, lambda ln: ln.rlike(r"^\s*[•\-\*]\s")))
     ell = F.size(F.filter(
-        lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$")))
+        lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$")))
     return {
         "n_text_lines": n,
         "bullet_line_ratio": F.round(bullet / safe, 6),
@@ -251,9 +253,11 @@ def c4_rules(col: Column, min_words: int = 5,
     expressions — no shuffle, no UDF, identical in batch and streaming.
     """
     lines = F.split(col, "\n")
+    # \s*$ instead of rtrim: rtrim strips SPACES only, so a CRLF or
+    # tab-trailing line would lose its terminal punctuation (review r10)
     kept = F.filter(
         lines,
-        lambda ln: (F.rtrim(ln).rlike(r'[.!?"]$')
+        lambda ln: (ln.rlike(r'[.!?"]\s*$')
                     & (F.size(words(F.lower(ln))) >= F.lit(min_words))
                     & ~F.lower(ln).contains("javascript")))
     clean = F.array_join(kept, "\n")

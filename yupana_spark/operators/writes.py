@@ -362,21 +362,39 @@ class Warehouse:
         # opportunistic sweep: a failed delete below leaks the `.old` dir
         # (and a crashed compact leaks its `.compact` tmp) — without this
         # repeated compact/upsert cycles would accumulate full table
-        # copies inside the warehouse forever (advice r9).  AGE-GUARDED:
-        # a sibling younger than the horizon may be another writer's
-        # in-flight compact tmp — deleting it would strand that writer's
-        # rename (review r10); a genuinely leaked dir survives to the
-        # next write past the horizon
+        # copies inside the warehouse forever (advice r9).
+        # * `.old.*` dirs are ALWAYS safe to sweep: they are the target
+        #   of a completed rename and nothing ever writes into one.
+        # * `.compact.*` may be another writer's IN-FLIGHT job, and the
+        #   top-level mtime freezes at job start (Spark tasks write under
+        #   _temporary/) — so the age guard uses the NEWEST mtime in the
+        #   tree (review r10: task/attempt churn keeps updating deep
+        #   entries while the job lives; a crashed job's tree goes quiet
+        #   and ages past the horizon).
         import time as _time
 
         horizon = _time.time() - self.SWEEP_AGE_S
-        for stale in (_glob.glob(final + ".old.*")
-                      + _glob.glob(final + ".compact.*")):
-            try:
-                young = os.path.getmtime(stale) > horizon
-            except OSError:
-                young = True       # vanished/unstattable: leave it alone
-            if stale != tmp and not young:
+
+        def _last_activity(path: str) -> float:
+            newest = 0.0
+            n = 0
+            for root, dirs, files in os.walk(path):
+                for name in [""] + dirs + files:
+                    try:
+                        newest = max(newest, os.path.getmtime(
+                            os.path.join(root, name) if name else root))
+                    except OSError:
+                        pass
+                    n += 1
+                    if n > 10_000:          # bound the walk; err young
+                        return _time.time()
+            return newest
+
+        for stale in _glob.glob(final + ".old.*"):
+            if stale != tmp:
+                shutil.rmtree(stale, ignore_errors=True)
+        for stale in _glob.glob(final + ".compact.*"):
+            if stale != tmp and _last_activity(stale) <= horizon:
                 shutil.rmtree(stale, ignore_errors=True)
         old = None
         if os.path.exists(final):
