@@ -1677,7 +1677,7 @@ def dp_multimodal(spark, sf_dir):
 
 
 def dp_sample(spark, sf_dir):
-    """Bundle: three deterministic data-selection operators over documents,
+    """Bundle: four deterministic data-selection operators over documents,
     tagged by ``kind`` —
 
     * ``bern``: md5-prefix Bernoulli sample with per-stratum rates (the
@@ -1689,11 +1689,16 @@ def dp_sample(spark, sf_dir):
       "curated target" vs the whole corpus, per-doc log importance
       weights, deterministic Gumbel top-k selection.  ``wt`` carries the
       rounded log weight; the fit, scoring and TakeOrderedAndProject
-      selection are all JVM-side lazy plan (no driver fit, no UDF).
+      selection are all JVM-side lazy plan (no driver fit, no UDF);
+    * ``mixt``: temperature-weighted corpus mixing (T5/mT5,
+      sample.temperature_mix_sample) over the skewed lang tag — in-plan
+      per-tag counts -> rate = min(1, T * n^(a-1) / Σ n^a) -> md5
+      threshold; ``wt`` carries the derived per-lang rate.
 
-    All three are value-oracled: DuckDB recomputes the md5 thresholds, the
-    quota ranks, and the full DSIR estimator (bucket hash, smoothed
-    log-ratio table, Gumbel keys) from the same parquet."""
+    All four are value-oracled: DuckDB recomputes the md5 thresholds, the
+    quota ranks, the full DSIR estimator (bucket hash, smoothed log-ratio
+    table, Gumbel keys) and the temperature-rate formula from the same
+    parquet."""
     from yupana_spark.datapipe.dsir import dsir_select
     from yupana_spark.datapipe.sample import (deterministic_sample,
                                               stratified_quota_sample)
@@ -1718,7 +1723,19 @@ def dp_sample(spark, sf_dir):
         store_token=_fx_token(sf_dir, "documents"),
     ).select(F.lit("dsir").alias("kind"), "doc_id", "lang",
              F.round("logw", 6).alias("wt"))
-    return bern.unionByName(quota).unionByName(dsir)
+    # temperature mixing (T5/mT5 recipe, sample.temperature_mix_sample):
+    # lang is the skewed mixture tag (en dominates), alpha=0.3 up-weights
+    # the small languages, the derived per-lang rate rides as wt — both
+    # the rate formula and the md5-threshold membership are recomputed by
+    # the oracle from its own per-lang counts
+    from yupana_spark.datapipe.sample import temperature_mix_sample
+
+    mixt = temperature_mix_sample(
+        docs, tag_col="lang", id_col="doc_id",
+        alpha=0.3, target_total=400.0,
+    ).select(F.lit("mixt").alias("kind"), "doc_id", "lang",
+             F.round("__rate", 6).alias("wt"))
+    return bern.unionByName(quota).unionByName(dsir).unionByName(mixt)
 
 
 def dp_dedup_resolve(spark, sf_dir):
@@ -3724,6 +3741,19 @@ _ORACLES_DP: dict[str, str] = {
         UNION ALL
         SELECT 'dsir', sel.doc_id, d2.lang, round(sel.logw, 6)
         FROM sel JOIN documents d2 ON sel.doc_id = d2.doc_id
+        UNION ALL
+        SELECT 'mixt', d3.doc_id, d3.lang, round(rt.rate, 6)
+        FROM documents d3 JOIN (
+          SELECT lang,
+                 least(1.0, 400.0 * power(n, -0.7) / z) AS rate
+          FROM (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+                FROM documents GROUP BY lang),
+               (SELECT sum(power(n2, 0.3)) AS z
+                FROM (SELECT CAST(count(*) AS DOUBLE) AS n2
+                      FROM documents GROUP BY lang))
+        ) rt ON d3.lang = rt.lang
+        WHERE substr(md5(CAST(d3.doc_id AS VARCHAR)), 1, 8) <
+              printf('%08x', CAST(floor(rt.rate * 4294967295.0) AS BIGINT))
     """,
     "dp_dedup_resolve": f"""
         WITH RECURSIVE {_NEARDUP_PAIRS_CTE},

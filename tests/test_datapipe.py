@@ -2157,3 +2157,43 @@ def test_sq8_quantization_accuracy_and_recall(spark):
         [(999999, [0.0] * len(q))], "vec_id long, embedding array<double>")
     zr = sq8_topk(sq8_encode(z), q, k=1).first()
     assert zr["score"] == 0.0
+
+
+def test_temperature_mix_sample(spark):
+    """T5/mT5 temperature mixing: alpha=1 keeps one uniform rate, alpha=0
+    equalizes per-tag mass, cap binds, membership matches the
+    deterministic_sample predicate at the derived rate."""
+    from yupana_spark.datapipe.sample import (deterministic_sample,
+                                              temperature_mix_sample)
+
+    df = (spark.range(0, 1000)
+          .select(F.col("id").alias("doc_id"),
+                  F.when(F.col("id") < 800, "big").otherwise("small")
+                  .alias("src")))
+    # alpha=1: rate_i = T * n_i^0 / sum(n) = T/1000 for every tag
+    r1 = (temperature_mix_sample(df, "src", "doc_id", alpha=1.0,
+                                 target_total=500.0)
+          .select("src", "__rate").distinct().collect())
+    assert {round(r["__rate"], 9) for r in r1} == {0.5}
+    # alpha=0: z = 2, rate_i = T / (2 * n_i) -> small gets 4x big's rate
+    r0 = {r["src"]: r["__rate"]
+          for r in temperature_mix_sample(df, "src", "doc_id", alpha=0.0,
+                                          target_total=400.0)
+          .select("src", "__rate").distinct().collect()}
+    assert round(r0["big"], 9) == 0.25 and round(r0["small"], 9) == 1.0
+    # cap binds below the formula's rate
+    rc = {r["src"]: r["__rate"]
+          for r in temperature_mix_sample(df, "src", "doc_id", alpha=0.0,
+                                          target_total=400.0, cap=0.6)
+          .select("src", "__rate").distinct().collect()}
+    assert rc["small"] == 0.6
+    # membership == deterministic_sample at the same rate, per tag
+    got = sorted(r["doc_id"] for r in
+                 temperature_mix_sample(df, "src", "doc_id", alpha=0.0,
+                                        target_total=400.0).collect())
+    want = sorted(
+        [r["doc_id"] for r in deterministic_sample(
+            df.filter("src = 'big'"), "doc_id", 0.25).collect()]
+        + [r["doc_id"] for r in deterministic_sample(
+            df.filter("src = 'small'"), "doc_id", 1.0).collect()])
+    assert got == want and 0 < len(got) < 1000

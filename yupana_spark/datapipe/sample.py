@@ -231,3 +231,43 @@ def mix_corpora(corpora, id_col: str = "doc_id",
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def temperature_mix_sample(df: DataFrame, tag_col: str, id_col: str,
+                           alpha: float = 0.3,
+                           target_total: float = 1.0,
+                           cap: float = 1.0) -> DataFrame:
+    """Temperature-weighted corpus mixing (the T5/mT5 multilingual recipe,
+    Raffel et al. 2020 §3.4.3 / Xue et al. 2021 §3.2): sample tag ``i``
+    at probability ``p_i ∝ n_i**alpha``, i.e. per-row keep rate
+
+        rate_i = min(cap, target_total * n_i**(alpha-1) / Σ_j n_j**alpha)
+
+    ``alpha=1`` preserves the natural distribution (one uniform rate);
+    ``alpha=0`` equalizes per-tag mass (rate ∝ 1/n_i); between the two it
+    up-weights small corpora without letting any single one dominate —
+    ``cap`` bounds the rate (no tag samples above ``cap``, so repetition
+    of tiny corpora is controlled by the caller, not the formula).
+
+    Fully IN-PLAN, unlike :func:`mix_corpora`'s caller-supplied rates:
+    one count per tag, a single-row normalizer, and a join back (one row
+    per tag — the join strategy is left to AQE, which broadcasts the
+    bounded side at runtime); membership is the same deterministic
+    md5-prefix predicate as ``deterministic_sample``, with the threshold
+    derived from the in-plan rate.  Output = the sampled rows plus
+    ``__n`` (tag size) and ``__rate`` columns for auditing."""
+    sz = df.groupBy(tag_col).agg(F.count("*").alias("__n"))
+    z = sz.agg(F.sum(F.pow(F.col("__n"), F.lit(float(alpha))))
+               .alias("__z"))
+    rt = (sz.crossJoin(F.broadcast(z))
+          .select(tag_col, "__n",
+                  F.least(F.lit(float(cap)),
+                          F.lit(float(target_total))
+                          * F.pow(F.col("__n"), F.lit(alpha - 1.0))
+                          / F.col("__z")).alias("__rate")))
+    joined = df.join(rt, tag_col)
+    # same truncation as rate_to_hex (int(rate * 0xFFFFFFFF), 8 hex)
+    thresh = F.lpad(F.lower(F.hex(
+        F.floor(F.col("__rate") * F.lit(float(0xFFFFFFFF)))
+        .cast("bigint"))), 8, "0")
+    return joined.filter(_md5_bucket(F.col(id_col)) < thresh)
