@@ -2197,3 +2197,17 @@ def test_temperature_mix_sample(spark):
         + [r["doc_id"] for r in deterministic_sample(
             df.filter("src = 'small'"), "doc_id", 1.0).collect()])
     assert got == want and 0 < len(got) < 1000
+
+
+def test_temperature_mix_guards(spark):
+    """Reserved-column guard + NULL tags drop (no corpus to weight)."""
+    from yupana_spark.datapipe.sample import temperature_mix_sample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None)], ["doc_id", "src"])
+    got = temperature_mix_sample(df, "src", "doc_id", alpha=0.0,
+                                 target_total=2.0).collect()
+    assert all(r["src"] == "a" for r in got)       # NULL tag dropped
+    with pytest.raises(ValueError):
+        temperature_mix_sample(df.withColumn("__rate", F.lit(1.0)),
+                               "src", "doc_id")

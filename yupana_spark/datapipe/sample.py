@@ -255,7 +255,11 @@ def temperature_mix_sample(df: DataFrame, tag_col: str, id_col: str,
     bounded side at runtime); membership is the same deterministic
     md5-prefix predicate as ``deterministic_sample``, with the threshold
     derived from the in-plan rate.  Output = the sampled rows plus
-    ``__n`` (tag size) and ``__rate`` columns for auditing."""
+    ``__n`` (tag size) and ``__rate`` columns for auditing.  Rows with a
+    NULL tag belong to no corpus and are dropped (the equi-join back to
+    the per-tag rates keeps keyed rows only)."""
+    if {"__n", "__rate"} & set(df.columns):
+        raise ValueError("__n/__rate are reserved by temperature_mix_sample")
     sz = df.groupBy(tag_col).agg(F.count("*").alias("__n"))
     z = sz.agg(F.sum(F.pow(F.col("__n"), F.lit(float(alpha))))
                .alias("__z"))
