@@ -1407,9 +1407,20 @@ def dp_text_stats(spark, sf_dir):
              .withColumn("contaminated", F.lit(True)))
     # ExactSubstr-style corpus-wide duplicated-span stats (Lee et al. 2021)
     # — the ACROSS-corpus complement to the Gopher within-doc ratios
-    from yupana_spark.datapipe.dedup import duplicated_span_stats
+    from yupana_spark.datapipe.dedup import (duplicated_span_stats,
+                                             exactsubstr_cut)
 
     spans = duplicated_span_stats(docs).withColumnRenamed("id", "doc_id")
+    # ...and the span REMOVAL itself (dedup.exactsubstr_cut): duplicated
+    # 8-gram occurrences cut, one canonical (min (id,pos)) copy kept —
+    # the fixture carries real cross-doc spans, so cuts are natural, not
+    # injected; the rebuilt document rides as its md5 (same huge-string
+    # posture as cleaned_lines_len) and the oracle recomputes the whole
+    # edit from gram strings
+    es = (exactsubstr_cut(docs, n=8)
+          .select(F.col("id").alias("doc_id"), "es_n_cut_words",
+                  "es_cut_word_ratio",
+                  F.md5("es_cleaned").alias("es_cleaned_md5")))
     # RefinedWeb-style corpus-wide exact LINE dedup (duplicated_line_stats)
     # — the fixture texts are single-line, so a deterministic transform
     # both engines can compute (' spark ' -> newline) derives a multi-line
@@ -1447,6 +1458,7 @@ def dp_text_stats(spark, sf_dir):
             .withColumn("contaminated",
                         F.coalesce(F.col("contaminated"), F.lit(False)))
             .join(spans, "doc_id", "left")
+            .join(es, "doc_id", "left")
             .join(lstats, "doc_id", "left")
             .join(top2, "doc_id", "left")
             .join(dup5, "doc_id", "left")
@@ -3091,6 +3103,40 @@ _ORACLES_DP: dict[str, str] = {
                  CAST(sum(CASE WHEN gc.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_dup_spans
           FROM ngr o JOIN gc ON o.g = gc.g GROUP BY 1),
+        -- ExactSubstr REMOVAL: 8-gram occurrences with positions and the
+        -- packed (id, pos) canonicality key (same doc_id*2^26+pos bigint
+        -- the Spark operator aggregates), grams as STRINGS where Spark
+        -- shuffles xxhash64 keys
+        esg AS (
+          SELECT doc_id, i - 1 AS pos,
+                 array_to_string(list_slice(nws, i, i + 7), ' ') AS g,
+                 doc_id * 67108864 + (i - 1) AS k
+          FROM nw, unnest(generate_series(1, greatest(len(nws) - 7, 1)))
+               AS t(i)),
+        esc AS (SELECT g, count(*) AS c, min(k) AS k0 FROM esg GROUP BY g),
+        escut AS (
+          SELECT DISTINCT e.doc_id, u.widx
+          FROM esg e JOIN esc ON e.g = esc.g,
+               unnest(generate_series(e.pos, e.pos + 7)) AS u(widx)
+          WHERE esc.c >= 2 AND e.k <> esc.k0),
+        esw AS (
+          SELECT doc_id, generate_subscripts(nws, 1) - 1 AS widx,
+                 unnest(nws) AS w
+          FROM nw),
+        esreb AS (
+          SELECT w.doc_id, count(*) AS nk,
+                 array_to_string(list(w.w ORDER BY w.widx), ' ') AS cleaned
+          FROM esw w LEFT JOIN escut c
+               ON w.doc_id = c.doc_id AND w.widx = c.widx
+          WHERE c.doc_id IS NULL GROUP BY w.doc_id),
+        esout AS (
+          SELECT n.doc_id,
+                 CAST(len(n.nws) - coalesce(r.nk, 0) AS BIGINT)
+                     AS es_n_cut_words,
+                 round((len(n.nws) - coalesce(r.nk, 0))
+                       / greatest(len(n.nws), 1), 6) AS es_cut_word_ratio,
+                 md5(coalesce(r.cleaned, '')) AS es_cleaned_md5
+          FROM nw n LEFT JOIN esreb r ON n.doc_id = r.doc_id),
         ln AS (
           SELECT doc_id, pos, line, trim(line) AS t
           FROM (SELECT doc_id,
@@ -3166,11 +3212,13 @@ _ORACLES_DP: dict[str, str] = {
           FROM ngw WHERE len(gws) >= 2),
         g2 AS (SELECT doc_id, g, count(*) AS c, first(nc) AS nc
                FROM ng2 GROUP BY doc_id, g),
+        g2m AS (SELECT *, max(c) OVER (PARTITION BY doc_id) AS mc FROM g2),
         top2 AS (SELECT doc_id,
-                        round(least(1.0, max(c * length(g))
+                        round(least(1.0,
+                            max(CASE WHEN c = mc THEN c * length(g) END)
                                     / greatest(first(nc), 1)), 6)
                             AS top2_char_frac
-                 FROM g2 GROUP BY doc_id),
+                 FROM g2m GROUP BY doc_id),
         ng5 AS (
           SELECT doc_id, nc,
                  unnest(list_transform(
@@ -3332,6 +3380,7 @@ _ORACLES_DP: dict[str, str] = {
                ss.n_spans, ss.n_dup_spans,
                round(ss.n_dup_spans / greatest(ss.n_spans, 1), 6)
                    AS dup_span_ratio,
+               es.es_n_cut_words, es.es_cut_word_ratio, es.es_cleaned_md5,
                coalesce(ls.n_lines, 0) AS n_lines,
                coalesce(ls.n_dup_lines, 0) AS n_dup_lines,
                coalesce(ls.dup_line_ratio, 0.0) AS dup_line_ratio,
@@ -3350,6 +3399,7 @@ _ORACLES_DP: dict[str, str] = {
         FROM m2 LEFT JOIN cont ON m2.doc_id = cont.doc_id
         JOIN rep ON m2.doc_id = rep.doc_id
         LEFT JOIN spanstats ss ON m2.doc_id = ss.doc_id
+        LEFT JOIN esout es ON m2.doc_id = es.doc_id
         LEFT JOIN lstat ls ON m2.doc_id = ls.doc_id
         LEFT JOIN top2 t2 ON m2.doc_id = t2.doc_id
         LEFT JOIN dup5 d5 ON m2.doc_id = d5.doc_id

@@ -64,6 +64,63 @@ def test_duplicated_span_stats(spark):
     assert out[4]["dup_span_ratio"] == round(2 / 9, 6)
 
 
+def test_exactsubstr_cut_hand_computed(spark):
+    """ExactSubstr span REMOVAL (Lee et al. 2021): every duplicated
+    n-gram occurrence except the lexicographic-(id,pos)-first one is cut;
+    unique text is untouched, within-doc repeats keep their first copy,
+    exact-dup short docs dedup whole-document."""
+    from yupana_spark.datapipe.dedup import exactsubstr_cut
+
+    long = ("p q r s t u v w x y z aa bb cc")        # 14 words, unique
+    rows = [
+        (1, "a b a b"),                               # within-doc repeat
+        (2, long), (3, long),                         # exact cross-doc dup
+        (4, "x1 y1 z1 p1 q1"), (5, "m1 n1 x1 y1 z1"),  # shared 3-gram
+        (6, "unique sentence here nothing else"),
+        (7, "hi there!"), (8, "Hi, there"),           # short + normalized dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in exactsubstr_cut(df, n=2).collect()}
+    # doc 1: grams "a b"(0), "b a"(1), "a b"(2); pos-2 copy cut -> "a b"
+    assert out[1]["es_cleaned"] == "a b"
+    assert out[1]["es_n_words"] == 4 and out[1]["es_n_cut_words"] == 2
+    assert out[1]["es_cut_word_ratio"] == 0.5
+    # docs 2/3: doc 2 is canonical and untouched, doc 3 fully cut
+    assert out[2]["es_cleaned"] == long and out[2]["es_n_cut_words"] == 0
+    assert out[3]["es_cleaned"] == "" and out[3]["es_n_cut_words"] == 14
+    assert out[3]["es_cut_word_ratio"] == 1.0
+    # doc 6 untouched
+    assert out[6]["es_cleaned"] == "unique sentence here nothing else"
+    # docs 7/8 normalize to "hi there": doc 7 keeps, doc 8 empties
+    assert out[7]["es_cleaned"] == "hi there"
+    assert out[8]["es_cleaned"] == "" and out[8]["es_n_cut_words"] == 2
+    # n=3 partial overlap: doc 5 loses its trailing "x1 y1 z1" window only
+    out3 = {r["id"]: r for r in exactsubstr_cut(df, n=3).collect()}
+    assert out3[4]["es_cleaned"] == "x1 y1 z1 p1 q1"
+    assert out3[5]["es_cleaned"] == "m1 n1"
+    assert out3[5]["es_n_cut_words"] == 3
+
+
+def test_exactsubstr_cut_scalable_plan(spark):
+    """The removal pipeline stays JVM-side and keyed: no Python and no
+    cartesian ever; with size-based broadcast disabled (the 100 TB
+    posture — every side is over threshold there) the joins degrade to
+    shuffled equi-joins, proving nothing in the plan REQUIRES a
+    broadcast."""
+    from yupana_spark.datapipe.dedup import exactsubstr_cut
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (exactsubstr_cut(docs, n=8)._jdf.queryExecution()
+                .executedPlan().toString())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "Broadcast" not in plan and "Cartesian" not in plan
+
+
 def test_minhash_lsh_finds_neardup(docs_with_dups):
     from yupana_spark.datapipe.dedup import minhash_dedup_pairs
 
@@ -2014,6 +2071,14 @@ def test_ngram_char_frac_top_and_dup(spark):
     assert 3 not in top2                       # < n words: no gram rows
     assert dup5[1] == 0.0
     assert dup5[2] == 1.0                      # capped count-mass
+    # the two definitions DIVERGE here: "a b" x3 (mass 9) is the most
+    # frequent bigram, but "longword longword" x2 carries mass 34 — the
+    # published top-gram form must score 9/nc, not 34/nc (advice r10)
+    txt = "a b a b a b longword longword longword"
+    div = {r["id"]: r["frac"] for r in ngram_char_frac(
+        spark.createDataFrame([(9, txt)], ["doc_id", "text"]),
+        2, "top").collect()}
+    assert div[9] == round(3 * 3 / len(txt), 6)
     with pytest.raises(ValueError):
         ngram_char_frac(df, 2, "mode-typo")
 
@@ -2157,6 +2222,9 @@ def test_sq8_quantization_accuracy_and_recall(spark):
         [(999999, [0.0] * len(q))], "vec_id long, embedding array<double>")
     zr = sq8_topk(sq8_encode(z), q, k=1).first()
     assert zr["score"] == 0.0
+    # the all-zero QUERY is rejected, not scored-all-0.0 (advice r10)
+    with pytest.raises(ValueError):
+        sq8_topk(enc, [0.0] * len(q), k=1)
 
 
 def test_temperature_mix_sample(spark):
@@ -2211,3 +2279,36 @@ def test_temperature_mix_guards(spark):
     with pytest.raises(ValueError):
         temperature_mix_sample(df.withColumn("__rate", F.lit(1.0)),
                                "src", "doc_id")
+    # cap is a keep PROBABILITY: >1 would overflow the 8-hex threshold
+    # and silently collapse the kept fraction (advice r10)
+    with pytest.raises(ValueError):
+        temperature_mix_sample(df, "src", "doc_id", cap=2.0)
+    with pytest.raises(ValueError):
+        temperature_mix_sample(df, "src", "doc_id", cap=0.0)
+    with pytest.raises(ValueError):
+        temperature_mix_sample(df, "src", "doc_id", target_total=0.0)
+
+
+def test_temperature_mix_default_total_is_input_count(spark):
+    """Omitted target_total defaults in-plan to the input row count:
+    alpha=1 then keeps EVERYTHING (rate 1.0 per tag), not ~1 row — the
+    old default of 1.0 was a silent near-empty result (advice r10)."""
+    from yupana_spark.datapipe.sample import temperature_mix_sample
+
+    df = (spark.range(0, 300)
+          .select(F.col("id").alias("doc_id"),
+                  F.when(F.col("id") % 3 == 0, "a").otherwise("b")
+                  .alias("src")))
+    out = temperature_mix_sample(df, "src", "doc_id", alpha=1.0)
+    assert out.count() == 300
+    rates = {round(r["__rate"], 9)
+             for r in out.select("__rate").distinct().collect()}
+    assert rates == {1.0}
+    # alpha<1 with the default total still up-weights small tags at full
+    # mass: rates derive from N=sum(n) in-plan, and stay capped at 1
+    out2 = temperature_mix_sample(df, "src", "doc_id", alpha=0.0)
+    r2 = {r["src"]: round(r["__rate"], 9)
+          for r in out2.select("src", "__rate").distinct().collect()}
+    # n_a=100, n_b=200, z=2: rate_a = min(1, 300/(2*100)) = 1.0,
+    # rate_b = 300/(2*200) = 0.75
+    assert r2 == {"a": 1.0, "b": 0.75}

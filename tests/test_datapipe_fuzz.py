@@ -426,7 +426,11 @@ def _py_ngram_frac(text: str, n: int, mode: str) -> float | None:
         counts[g] = counts.get(g, 0) + 1
     nc = max(len(text), 1)
     if mode == "top":
-        mass = max(c * len(g) for g, c in counts.items())
+        # mass of the max-COUNT gram, ties toward the larger mass — the
+        # published "most frequent n-gram" form (advice r10), not max
+        # mass over all grams
+        cmax = max(counts.values())
+        mass = max(c * len(g) for g, c in counts.items() if c == cmax)
     else:
         mass = sum(c * len(g) for g, c in counts.items() if c >= 2)
     return r6(min(1.0, mass / nc))
@@ -466,6 +470,87 @@ def test_differential_ngram_char_frac(spark, seed):
             want = _py_ngram_frac(txt, n, mode)
             assert got.get(i) == want, (seed, n, mode, i, txt,
                                         got.get(i), want)
+
+
+# -- exactsubstr_cut: random corpora vs a pure-Python recomputation ---------
+def _py_exactsubstr(docs, n: int, min_count: int = 2):
+    """Independent reference implementation of dedup.exactsubstr_cut:
+    normalize -> word n-grams -> corpus counts -> cut every duplicated
+    occurrence except the lexicographic-(id, pos) minimum."""
+    import re as _re
+
+    def norm_words(t):
+        t = (t or "").lower()
+        t = _re.sub(r"[^a-z0-9\s]", "", t)
+        t = _re.sub(r"\s+", " ", t).strip()
+        return [w for w in t.split(" ") if w]
+
+    ws = {i: norm_words(t) for i, t in docs}
+    occs = {}                      # gram -> [(id, pos)]
+    for i in sorted(ws):
+        w = ws[i]
+        if len(w) >= n:
+            poss = range(len(w) - n + 1)
+        else:
+            poss = [0]
+        for p in poss:
+            occs.setdefault(" ".join(w[p:p + n]), []).append((i, p))
+    out = {}
+    for i in sorted(ws):
+        cut = set()
+        for g, lst in occs.items():
+            if len(lst) < min_count:
+                continue
+            canon = min(lst)
+            for (d, p) in lst:
+                if d == i and (d, p) != canon:
+                    cut.update(range(p, p + n))
+        kept = [w for j, w in enumerate(ws[i]) if j not in cut]
+        nw, nc = len(ws[i]), len(ws[i]) - len(kept)
+        out[i] = (nw, nc, round(nc / max(nw, 1), 6), " ".join(kept))
+    return out
+
+
+@pytest.mark.parametrize("seed", [20260815, 7])
+def test_differential_exactsubstr_cut(spark, seed):
+    """Random word-salad corpora with injected shared phrases, exact-dup
+    twins, punctuation noise and empty docs: every output field must
+    equal the pure-Python recomputation for n in {2, 3, 5}."""
+    from yupana_spark.datapipe.dedup import exactsubstr_cut
+
+    rng = random.Random(seed)
+    vocab = ["the", "cat", "sat", "on", "mat", "dog", "ran", "far",
+             "blue", "sky", "x9", "qq"]
+    phrases = [" ".join(rng.choice(vocab) for _ in range(rng.randrange(2, 7)))
+               for _ in range(5)]
+    rows = []
+    for i in range(60):
+        kind = rng.randrange(5)
+        if kind == 0:                        # salad + injected phrase
+            txt = (" ".join(rng.choice(vocab)
+                            for _ in range(rng.randrange(0, 15)))
+                   + " " + rng.choice(phrases) + " "
+                   + " ".join(rng.choice(vocab)
+                              for _ in range(rng.randrange(0, 8))))
+        elif kind == 1:                      # exact twin of an earlier doc
+            txt = rows[rng.randrange(len(rows))][1] if rows else "solo"
+        elif kind == 2:                      # punctuation / case noise
+            txt = ", ".join(rng.choice(vocab).upper()
+                            for _ in range(rng.randrange(1, 10))) + "!"
+        elif kind == 3:                      # self-repeating doc
+            ph = rng.choice(phrases)
+            txt = " ".join([ph] * rng.randrange(2, 5))
+        else:                                # empty / whitespace
+            txt = rng.choice(["", "   ", "\t\n"])
+        rows.append((i, txt))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (2, 3, 5):
+        want = _py_exactsubstr(rows, n)
+        got = {r["id"]: (r["es_n_words"], r["es_n_cut_words"],
+                         r["es_cut_word_ratio"], r["es_cleaned"])
+               for r in exactsubstr_cut(df, n=n).collect()}
+        for i, _ in rows:
+            assert got[i] == want[i], (seed, n, i, rows[i], got[i], want[i])
 
 
 # -- c4_rules / within_doc_dup_stats: random multi-line docs vs Python -----

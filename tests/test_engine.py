@@ -379,3 +379,16 @@ def test_split_agg_dedupe_survives_catalyst(tsdb):
     # values still correct through the split + join
     rows = {r["flag"]: r for r in df.collect()}
     assert rows and all(r["dr"] == r["flag"].lower() for r in rows.values())
+    # membership check strips whitespace: a pre-existing ' rule' spelling
+    # must not accumulate duplicates on re-compile (advice r10)
+    conf = tsdb.spark.conf
+    key = "spark.sql.optimizer.excludedRules"
+    before = conf.get(key)
+    try:
+        conf.set(key, " " + before.replace(",", ", "))
+        tsdb.query(q)
+        after = [r.strip() for r in conf.get(key).split(",") if r.strip()]
+        assert len(after) == len(set(after)), after
+        assert sum("RemoveRedundantAggregates" in r for r in after) == 1
+    finally:
+        conf.set(key, before)

@@ -1029,7 +1029,10 @@ class Tsdb:
                     "RemoveRedundantAggregates")
             cur = self.spark.conf.get("spark.sql.optimizer.excludedRules",
                                       None)
-            rules = [r for r in (cur or "").split(",") if r.strip()]
+            # strip each item: a pre-existing value spelled 'a, b' would
+            # otherwise defeat the exact-membership check and the rule
+            # would be appended again on every compile (advice r10)
+            rules = [r.strip() for r in (cur or "").split(",") if r.strip()]
             if rule not in rules:
                 self.spark.conf.set("spark.sql.optimizer.excludedRules",
                                     ",".join(rules + [rule]))

@@ -89,6 +89,80 @@ def duplicated_span_stats(df: DataFrame, text_col: str = "text",
                                 / F.greatest(F.col("n_spans"), F.lit(1)), 6)))
 
 
+def exactsubstr_cut(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 8,
+                    min_count: int = 2) -> DataFrame:
+    """(id, es_n_words, es_n_cut_words, es_cut_word_ratio, es_cleaned):
+    ExactSubstr duplicate-span REMOVAL — Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better", public) cut every
+    substring that occurs elsewhere in the corpus, keeping exactly ONE
+    canonical occurrence.  ``duplicated_span_stats`` above measures the
+    signal; this operator performs the edit, at word-``n``-gram
+    granularity: an n-gram occurrence whose hash appears ``min_count``+
+    times corpus-wide is removed (its n-word window is cut from the
+    document) unless it is the canonical occurrence — the lexicographic
+    (id, pos) minimum, so the globally-first copy of every duplicated
+    span survives, including the first copy of a WITHIN-doc repeat.
+
+    Canonicality rides a single packed bigint ``id * 2**26 + pos`` so
+    both Spark and any SQL oracle compute the same argmin in one
+    aggregate pass; the contract is ``0 <= id < 2**37`` and documents
+    shorter than 2**26 words (67 M — far beyond any real document).
+
+    Output contract: one row per input document. ``es_cleaned`` is the
+    NORMALIZED document (see ``text.normalize_text``) with cut words
+    removed and survivors re-joined by single spaces in original order —
+    the same reconstruction posture as ``duplicated_line_stats.cleaned``.
+    Documents with fewer than ``n`` words form one short gram covering
+    the whole document (the ``word_shingles`` contract), so exact-dup
+    SHORT documents dedup whole-document — non-canonical copies come
+    back empty, mirroring ``exact_dedup``'s keep-min-id semantics.
+
+    100 TB shape: two posexplodes of the staged word array (8-byte gram
+    hashes + single words leave the executor, never gram text), ONE
+    groupBy(hash) shuffle computing count and canonical key together,
+    a co-partitioned occurrence->count join, a distinct on (id, widx)
+    cut positions, an anti-join keyed the same way, and a groupBy(id)
+    ordered rebuild as an aggregate over (pos, word) structs — no
+    window, no global sort, no broadcast, no driver state.
+    """
+    from .text import ngram_hashes, normalize_text, words
+
+    staged = df.select(F.col(id_col).alias("id"),
+                       words(normalize_text(F.col(text_col))).alias("__w"))
+    wordsdf = staged.select("id", F.posexplode("__w").alias("widx", "word"))
+    occ = (staged.select(
+        "id", F.posexplode(ngram_hashes(F.col("__w"), n)).alias("pos", "h"))
+        .withColumn("__k", F.col("id").cast("long") * F.lit(1 << 26)
+                    + F.col("pos")))
+    cnt = occ.groupBy("h").agg(F.count("*").alias("__c"),
+                               F.min("__k").alias("__k0"))
+    cut = (occ.join(cnt, "h")
+           .filter((F.col("__c") >= min_count)
+                   & (F.col("__k") != F.col("__k0")))
+           .select("id", F.explode(F.sequence(
+               F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("widx"))
+           .distinct())
+    kept = wordsdf.join(cut, ["id", "widx"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count("*").alias("__nk"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct(F.col("widx"), F.col("word")))),
+                lambda s: s["word"]), " ").alias("__cl"))
+    nk = F.coalesce(F.col("__nk"), F.lit(0))
+    return (staged.select("id", F.size("__w").alias("es_n_words"))
+            .join(rebuilt, "id", "left")
+            .select("id", "es_n_words",
+                    (F.col("es_n_words") - nk).cast("long")
+                    .alias("es_n_cut_words"),
+                    F.round((F.col("es_n_words") - nk)
+                            / F.greatest(F.col("es_n_words"), F.lit(1)), 6)
+                    .alias("es_cut_word_ratio"),
+                    F.coalesce(F.col("__cl"), F.lit(""))
+                    .alias("es_cleaned")))
+
+
 def duplicated_line_stats(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", min_count: int = 2,
                           sep: str = "\n") -> DataFrame:

@@ -235,13 +235,22 @@ def mix_corpora(corpora, id_col: str = "doc_id",
 
 def temperature_mix_sample(df: DataFrame, tag_col: str, id_col: str,
                            alpha: float = 0.3,
-                           target_total: float = 1.0,
+                           target_total: Optional[float] = None,
                            cap: float = 1.0) -> DataFrame:
     """Temperature-weighted corpus mixing (the T5/mT5 multilingual recipe,
     Raffel et al. 2020 §3.4.3 / Xue et al. 2021 §3.2): sample tag ``i``
     at probability ``p_i ∝ n_i**alpha``, i.e. per-row keep rate
 
         rate_i = min(cap, target_total * n_i**(alpha-1) / Σ_j n_j**alpha)
+
+    ``target_total`` is the EXPECTED OUTPUT ROW COUNT of the whole
+    mixture (E[rows] = target_total by the formula, before ``cap``
+    binds); when omitted it defaults IN-PLAN to the input row count, so
+    the default reweights the mixture without shrinking it (``alpha=1``
+    then keeps everything).  ``cap`` must lie in ``(0, 1]`` — it is a
+    per-row keep PROBABILITY, and the md5-threshold encoding below is
+    only defined on [0, 1] (a >1 rate would overflow the 8-hex-digit
+    threshold and silently collapse the kept fraction; advice r10).
 
     ``alpha=1`` preserves the natural distribution (one uniform rate);
     ``alpha=0`` equalizes per-tag mass (rate ∝ 1/n_i); between the two it
@@ -260,18 +269,27 @@ def temperature_mix_sample(df: DataFrame, tag_col: str, id_col: str,
     the per-tag rates keeps keyed rows only)."""
     if {"__n", "__rate"} & set(df.columns):
         raise ValueError("__n/__rate are reserved by temperature_mix_sample")
+    if not (0.0 < cap <= 1.0):
+        raise ValueError(f"cap must be in (0, 1], got {cap!r}")
+    if target_total is not None and not target_total > 0.0:
+        raise ValueError(f"target_total must be > 0, got {target_total!r}")
     sz = df.groupBy(tag_col).agg(F.count("*").alias("__n"))
     z = sz.agg(F.sum(F.pow(F.col("__n"), F.lit(float(alpha))))
-               .alias("__z"))
+               .alias("__z"),
+               F.sum("__n").alias("__t"))
+    tt = (F.col("__t").cast("double") if target_total is None
+          else F.lit(float(target_total)))
     rt = (sz.crossJoin(F.broadcast(z))
           .select(tag_col, "__n",
                   F.least(F.lit(float(cap)),
-                          F.lit(float(target_total))
-                          * F.pow(F.col("__n"), F.lit(alpha - 1.0))
+                          tt * F.pow(F.col("__n"), F.lit(alpha - 1.0))
                           / F.col("__z")).alias("__rate")))
     joined = df.join(rt, tag_col)
-    # same truncation as rate_to_hex (int(rate * 0xFFFFFFFF), 8 hex)
+    # same truncation as rate_to_hex (int(rate * 0xFFFFFFFF), 8 hex);
+    # the extra in-plan clamp is belt-and-braces — a rate above 1 would
+    # hex-encode to 9+ digits and lpad would TRUNCATE it (advice r10)
     thresh = F.lpad(F.lower(F.hex(
-        F.floor(F.col("__rate") * F.lit(float(0xFFFFFFFF)))
+        F.floor(F.least(F.lit(1.0), F.col("__rate"))
+                * F.lit(float(0xFFFFFFFF)))
         .cast("bigint"))), 8, "0")
     return joined.filter(_md5_bucket(F.col(id_col)) < thresh)

@@ -80,12 +80,14 @@ def sq8_topk(encoded: DataFrame, query_vec: Sequence[float], k: int = 10,
     dot product in whole-stage codegen, then TakeOrderedAndProject like
     ``brute_force_topk``."""
     q = np.asarray(query_vec, dtype=np.float64)
-    if q.size == 0 or not np.isfinite(q).all():
+    if q.size == 0 or not np.isfinite(q).all() or np.abs(q).max() == 0:
         # an all-zero qc would silently score every vector 0.0 and
-        # present the k lowest ids as a "result"
-        raise ValueError("sq8_topk needs a non-empty finite query vector")
+        # present the k lowest ids as a "result" — so the all-zero
+        # (finite) query is rejected too, not just NaN/inf (advice r10)
+        raise ValueError("sq8_topk needs a non-empty, finite, nonzero "
+                         "query vector")
     s = float(np.abs(q).max()) / 127.0
-    qc = [int(x) for x in np.round(q / s)] if s > 0 else [0] * len(q)
+    qc = [int(x) for x in np.round(q / s)]
     qn = float(np.sqrt(sum(c * c for c in qc))) or 1.0
     qlit = F.array([F.lit(c) for c in qc])
     # stage the casted code array ONCE — referencing the transform from

@@ -103,7 +103,10 @@ def ngram_char_frac(df: DataFrame, n: int, mode: str = "top",
 
     * ``mode="top"`` (published for n=2..4): fraction of the document's
       characters contained in the MOST FREQUENT word n-gram,
-      ``min(1, max(count * length(gram)) / n_chars)``;
+      ``min(1, count_max * length(gram_max) / n_chars)`` where
+      ``gram_max`` is the gram with the highest count (ties broken
+      toward the larger char mass, so the signal is deterministic and
+      conservative);
     * ``mode="dup"`` (published for n=5..10): fraction of characters in
       word n-grams that occur more than once,
       ``min(1, sum(count * length(gram) where count >= 2) / n_chars)``.
@@ -145,7 +148,12 @@ def ngram_char_frac(df: DataFrame, n: int, mode: str = "top",
     mass = F.col("__c") * F.length(F.col("__g"))
     safe_nc = F.greatest(F.first("__nc"), F.lit(1))
     if mode == "top":
-        frac = F.max(mass) / safe_nc
+        # mass OF the max-count gram (Gopher's "most frequent n-gram"),
+        # NOT max mass over all grams — a long-but-rarer gram must not
+        # win (advice r10).  Lexicographic struct max = (count, mass),
+        # so ties on count resolve to the larger mass deterministically.
+        frac = (F.max(F.struct(F.col("__c").alias("c"), mass.alias("m")))
+                .getField("m") / safe_nc)
     else:
         frac = (F.sum(F.when(F.col("__c") >= 2, mass).otherwise(F.lit(0)))
                 / safe_nc)
