@@ -1303,8 +1303,11 @@ def dp_text_stats(spark, sf_dir):
     eval slice, hash semi-join).  Stats+repetition+PII are ONE scan of pure
     JVM expressions, zero UDFs; contamination adds the exploded-ngram
     broadcast semi-join (datapipe/text.contaminated_ids).  Also bundles
-    the ExactSubstr duplicated-span stats, the RefinedWeb-style corpus-
-    wide exact LINE dedup (dedup.duplicated_line_stats over a
+    the ExactSubstr duplicated-span stats AND the span REMOVAL itself
+    (dedup.exactsubstr_cut: es_n_cut_words / es_cut_word_ratio /
+    es_cleaned_md5), Okapi BM25 lexical retrieval against a fixed probe
+    query (retrieval.bm25_scores: bm25_probe), the RefinedWeb-style
+    corpus-wide exact LINE dedup (dedup.duplicated_line_stats over a
     deterministically derived multi-line view: n_lines / n_dup_lines /
     dup_line_ratio / cleaned_lines_len), and the composed corpus_keep
     decision.  Was dp_token_count + dp_quality."""
@@ -1421,6 +1424,16 @@ def dp_text_stats(spark, sf_dir):
           .select(F.col("id").alias("doc_id"), "es_n_cut_words",
                   "es_cut_word_ratio",
                   F.md5("es_cleaned").alias("es_cleaned_md5")))
+    # Okapi BM25 lexical retrieval (datapipe/retrieval.bm25_scores —
+    # Robertson et al., Lucene idf form) against a fixed probe query
+    # mixing the fixture's one RARE term ('dup', df≈5%) with common
+    # ones: per-doc relevance, full coverage, every factor (tf, df, dl,
+    # avgdl, idf) recomputed by the oracle from its own word arrays
+    from yupana_spark.datapipe.retrieval import bm25_scores
+
+    bm = (bm25_scores(docs, "dup customer window scan")
+          .select(F.col("id").alias("doc_id"),
+                  F.col("bm25").alias("bm25_probe")))
     # RefinedWeb-style corpus-wide exact LINE dedup (duplicated_line_stats)
     # — the fixture texts are single-line, so a deterministic transform
     # both engines can compute (' spark ' -> newline) derives a multi-line
@@ -1459,6 +1472,7 @@ def dp_text_stats(spark, sf_dir):
                         F.coalesce(F.col("contaminated"), F.lit(False)))
             .join(spans, "doc_id", "left")
             .join(es, "doc_id", "left")
+            .join(bm, "doc_id", "left")
             .join(lstats, "doc_id", "left")
             .join(top2, "doc_id", "left")
             .join(dup5, "doc_id", "left")
@@ -3137,6 +3151,28 @@ _ORACLES_DP: dict[str, str] = {
                        / greatest(len(n.nws), 1), 6) AS es_cut_word_ratio,
                  md5(coalesce(r.cleaned, '')) AS es_cleaned_md5
           FROM nw n LEFT JOIN esreb r ON n.doc_id = r.doc_id),
+        -- Okapi BM25 (Lucene idf) for the fixed probe query: only
+        -- query-term occurrences are unnested, mirroring the Spark
+        -- operator's filtered explode
+        bmocc AS (
+          SELECT doc_id, len(nws) AS dl,
+                 unnest(list_filter(nws, w -> list_contains(
+                     ['dup', 'customer', 'window', 'scan'], w))) AS t
+          FROM nw),
+        bmtf AS (SELECT doc_id, t, count(*) AS tf, first(dl) AS dl
+                 FROM bmocc GROUP BY doc_id, t),
+        bmdf AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS dft
+                 FROM bmocc GROUP BY t),
+        bmst AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                        avg(len(nws)) AS avgdl FROM nw),
+        bm AS (
+          SELECT f.doc_id,
+                 sum(ln(1.0 + (s.n - d.dft + 0.5) / (d.dft + 0.5))
+                     * f.tf * 2.2
+                     / (f.tf + 1.2 * (0.25 + 0.75 * f.dl / s.avgdl)))
+                     AS s
+          FROM bmtf f JOIN bmdf d ON f.t = d.t, bmst s
+          GROUP BY f.doc_id),
         ln AS (
           SELECT doc_id, pos, line, trim(line) AS t
           FROM (SELECT doc_id,
@@ -3381,6 +3417,7 @@ _ORACLES_DP: dict[str, str] = {
                round(ss.n_dup_spans / greatest(ss.n_spans, 1), 6)
                    AS dup_span_ratio,
                es.es_n_cut_words, es.es_cut_word_ratio, es.es_cleaned_md5,
+               round(coalesce(bm.s, 0.0), 6) AS bm25_probe,
                coalesce(ls.n_lines, 0) AS n_lines,
                coalesce(ls.n_dup_lines, 0) AS n_dup_lines,
                coalesce(ls.dup_line_ratio, 0.0) AS dup_line_ratio,
@@ -3400,6 +3437,7 @@ _ORACLES_DP: dict[str, str] = {
         JOIN rep ON m2.doc_id = rep.doc_id
         LEFT JOIN spanstats ss ON m2.doc_id = ss.doc_id
         LEFT JOIN esout es ON m2.doc_id = es.doc_id
+        LEFT JOIN bm ON m2.doc_id = bm.doc_id
         LEFT JOIN lstat ls ON m2.doc_id = ls.doc_id
         LEFT JOIN top2 t2 ON m2.doc_id = t2.doc_id
         LEFT JOIN dup5 d5 ON m2.doc_id = d5.doc_id

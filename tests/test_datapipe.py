@@ -121,6 +121,77 @@ def test_exactsubstr_cut_scalable_plan(spark):
     assert "Broadcast" not in plan and "Cartesian" not in plan
 
 
+def test_bm25_hand_computed(spark):
+    """Okapi BM25 (Lucene idf form) against a by-hand computation and the
+    pure-Python reference: tf saturation, dl normalization, rare-term
+    idf dominance, zero for no-overlap docs, full coverage."""
+    import math
+
+    from yupana_spark.datapipe.retrieval import (bm25_scores, bm25_topk,
+                                                 py_bm25, tokenize_query)
+
+    rows = [
+        (1, "cat sat on the mat"),
+        (2, "cat cat cat cat"),            # tf saturation
+        (3, "dog ran far away"),           # no query overlap -> 0.0
+        (4, "the cat"),                    # short doc, dl boost
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["bm25"]
+           for r in bm25_scores(df, "cat mat").collect()}
+    assert got == py_bm25(rows, "cat mat")
+    assert got[3] == 0.0 and got[2] > 0.0
+    # by hand for doc 4 ("the cat", dl=2, avgdl=15/4): df(cat)=3, N=4 ->
+    # idf = ln(1 + 1.5/3.5); tf=1
+    idf = math.log(1.0 + (4 - 3 + 0.5) / 3.5)
+    s4 = idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 2 / 3.75))
+    assert got[4] == round(s4, 6)
+    # doc 4 beats doc 1 on 'cat' alone (shorter), but doc 1 also has
+    # 'mat' (rare, df=1) — doc 1 must win overall
+    assert got[1] > got[4] > got[2] * 0  # sanity chain
+    # top-k: ordered desc, zero-score docs excluded
+    top = bm25_topk(df, "cat mat", k=10).collect()
+    assert [r["id"] for r in top] == sorted(
+        [i for i in got if got[i] > 0], key=lambda i: (-got[i], i))
+    # tokenize: punctuation stripped, dups dropped, empty rejected
+    assert tokenize_query("Cat, CAT! mat?") == ["cat", "mat"]
+    with pytest.raises(ValueError):
+        bm25_scores(df, "...!!!")
+
+
+def test_bm25_idf_table(spark):
+    """The reusable document-frequency artifact: exact df per distinct
+    term, Lucene idf."""
+    import math
+
+    from yupana_spark.datapipe.retrieval import idf_table
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a c c"), (3, "a")], "doc_id long, text string")
+    out = {r["t"]: (r["df"], r["idf"]) for r in idf_table(df).collect()}
+    assert out["a"][0] == 3 and out["b"][0] == 1 and out["c"][0] == 1
+    assert out["c"][1] == round(math.log(1 + 2.5 / 1.5), 6)
+
+
+def test_bm25_scalable_plan(spark):
+    """Only query-term occurrences leave the scan (the filter rides the
+    explode), no Python, no cartesian; the lone BroadcastNestedLoopJoin
+    is the audited single-row-stats crossJoin."""
+    from yupana_spark.datapipe.retrieval import bm25_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (bm25_scores(docs, "dup customer window scan")
+                ._jdf.queryExecution().executedPlan().toString())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
 def test_minhash_lsh_finds_neardup(docs_with_dups):
     from yupana_spark.datapipe.dedup import minhash_dedup_pairs
 

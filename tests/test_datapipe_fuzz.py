@@ -553,6 +553,40 @@ def test_differential_exactsubstr_cut(spark, seed):
             assert got[i] == want[i], (seed, n, i, rows[i], got[i], want[i])
 
 
+# -- bm25_scores: random corpora vs the pure-Python reference ---------------
+@pytest.mark.parametrize("seed", [20260815, 11])
+def test_differential_bm25(spark, seed):
+    """Random word-salad corpora incl. empty docs, punctuation noise and
+    repeated terms: every per-doc BM25 score must equal the pure-Python
+    recomputation for several queries (common, rare, mixed, miss)."""
+    from yupana_spark.datapipe.retrieval import bm25_scores, py_bm25
+
+    rng = random.Random(seed)
+    vocab = ["data", "spark", "row", "scan", "fast", "slow", "merge",
+             "rareword", "x1"]
+    rows = []
+    for i in range(80):
+        kind = rng.randrange(4)
+        if kind == 0:
+            txt = " ".join(rng.choice(vocab)
+                           for _ in range(rng.randrange(0, 30)))
+        elif kind == 1:
+            txt = ", ".join(rng.choice(vocab).upper()
+                            for _ in range(rng.randrange(1, 8))) + "!"
+        elif kind == 2:                      # heavy repeats (tf saturation)
+            txt = " ".join([rng.choice(vocab)] * rng.randrange(1, 25))
+        else:
+            txt = rng.choice(["", "   "])
+        rows.append((i, txt))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for q in ("data scan", "rareword", "Fast, MERGE x1", "missingterm"):
+        want = py_bm25(rows, q)
+        got = {r["id"]: r["bm25"] for r in bm25_scores(df, q).collect()}
+        assert got == want, (seed, q,
+                             {i: (got[i], want[i]) for i in got
+                              if got[i] != want[i]})
+
+
 # -- c4_rules / within_doc_dup_stats: random multi-line docs vs Python -----
 def _py_c4(text: str):
     import re as _re

@@ -1,0 +1,165 @@
+"""Lexical retrieval: Okapi BM25 scoring and top-k over a document corpus.
+
+The lexical complement to ``simsearch``'s embedding ANN — the classic
+sparse-retrieval operator a training-data pipeline uses for query-based
+corpus audits, targeted decontamination ("which training docs could have
+answered this benchmark question?") and quality retrieval.  Robertson et
+al.'s Okapi BM25 (public; the idf form below is the widely-published
+Lucene variant, ``ln(1 + (N - df + 0.5)/(df + 0.5))``, which keeps idf
+positive for terms in more than half the corpus).
+
+Scale shape (the whole point): the QUERY is tiny and the corpus is not,
+so the per-term work is filtered to the query's terms BEFORE anything
+leaves the scan — the explode emits only query-term occurrences (at most
+``|q|`` per document, not ``dl``), one groupBy(id, term) shuffle builds
+term frequencies, the ≤``|q|``-row document-frequency side rides the
+same frame, and the two corpus constants (N, avgdl) come from one
+single-row aggregate (crossJoin over a single-row frame is the audited
+house pattern).  No UDF, no window, no driver collect.
+
+Tokenization is ``text.normalize_text`` + ``text.words`` — identical to
+every other corpus operator here, so BM25 scores are consistent with the
+dedup/decontamination view of a "term"; the query string is tokenized
+driver-side with the exact Python mirror of that normalization.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import normalize_text, words
+
+
+def tokenize_query(query: str) -> list:
+    """Driver-side mirror of ``words(normalize_text(...))`` for the (tiny)
+    query string: lowercase, strip non-alnum, collapse whitespace, split.
+    Duplicate query terms are dropped — BM25 scores each distinct term
+    once (the standard bag-of-distinct-terms query form)."""
+    t = (query or "").lower()
+    t = re.sub(r"[^a-z0-9\s]", "", t)
+    t = re.sub(r"\s+", " ", t).strip()
+    out, seen = [], set()
+    for w in t.split(" "):
+        if w and w not in seen:
+            seen.add(w)
+            out.append(w)
+    return out
+
+
+def bm25_scores(df: DataFrame, query: str, text_col: str = "text",
+                id_col: str = "doc_id", k1: float = 1.2,
+                b: float = 0.75) -> DataFrame:
+    """(id, bm25): Okapi BM25 relevance of EVERY document to ``query`` —
+    full coverage (one row per input doc, 0.0 when no query term occurs),
+    so the score can ride as a per-doc column next to the other corpus
+    stats.  ``score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
+    with ``idf_t = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))``; ``dl`` is the
+    normalized-word count and ``avgdl``/``N``/``df_t`` are corpus-wide.
+
+    Values are rounded to 6 decimals AFTER assembling the per-doc sum in
+    doubles — the repo's cross-engine float discipline (every factor is
+    a deterministic double any SQL engine reproduces bit-close)."""
+    qts = tokenize_query(query)
+    if not qts:
+        raise ValueError("bm25_scores needs a query with at least one "
+                         "alphanumeric term")
+    staged = df.select(F.col(id_col).alias("id"),
+                       words(normalize_text(F.col(text_col))).alias("__w"))
+    staged = staged.withColumn("__dl", F.size("__w"))
+    # the two corpus constants: one single-row aggregate
+    stats = staged.agg(F.count("*").cast("double").alias("__n"),
+                       F.avg("__dl").alias("__avgdl"))
+    qlit = F.array(*[F.lit(t) for t in qts])
+    # emit ONLY query-term occurrences: ≤|q| distinct terms per doc leave
+    # the scan, never the full token stream
+    occ = staged.select(
+        "id", "__dl",
+        F.explode(F.filter(F.col("__w"),
+                           lambda w: F.array_contains(qlit, w))).alias("t"))
+    tf = occ.groupBy("id", "t").agg(F.count("*").alias("__tf"),
+                                    F.first("__dl").alias("__dl"))
+    dfreq = occ.select("id", "t").distinct().groupBy("t") \
+        .agg(F.count("*").cast("double").alias("__df"))
+    scored = (tf.join(dfreq, "t")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("__idf", F.log(
+                  F.lit(1.0) + (F.col("__n") - F.col("__df") + F.lit(0.5))
+                  / (F.col("__df") + F.lit(0.5))))
+              .withColumn("__s", F.col("__idf") * F.col("__tf")
+                          * F.lit(float(k1 + 1.0))
+                          / (F.col("__tf") + F.lit(float(k1))
+                             * (F.lit(float(1.0 - b)) + F.lit(float(b))
+                                * F.col("__dl") / F.col("__avgdl"))))
+              .groupBy("id").agg(F.sum("__s").alias("__bm")))
+    return (staged.select("id")
+            .join(scored, "id", "left")
+            .select("id", F.round(F.coalesce(F.col("__bm"), F.lit(0.0)), 6)
+                    .alias("bm25")))
+
+
+def bm25_topk(df: DataFrame, query: str, k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id",
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Top-k documents by BM25 — TakeOrderedAndProject (no global sort
+    materialization, no collect), deterministic tie-break on id; rows
+    with score 0 (no query term) are excluded so `k` means `k` hits."""
+    s = bm25_scores(df, query, text_col=text_col, id_col=id_col,
+                    k1=k1, b=b)
+    return (s.filter(F.col("bm25") > 0.0)
+            .orderBy(F.col("bm25").desc(), F.col("id"))
+            .limit(k))
+
+
+def idf_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(t, df, idf): corpus document-frequency table over ALL distinct
+    terms — the reusable ingest-time artifact for repeated BM25 probes
+    (same train-once posture as the ANN index frames).  One distinct +
+    one groupBy(term) shuffle; pure math after that."""
+    staged = df.select(words(normalize_text(F.col(text_col))).alias("__w"))
+    n = staged.count()
+    per_doc = staged.select(
+        F.explode(F.array_distinct(F.col("__w"))).alias("t"))
+    return (per_doc.groupBy("t").agg(F.count("*").alias("df"))
+            .withColumn("idf", F.round(F.log(
+                F.lit(1.0) + (F.lit(float(n)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))), 6)))
+
+
+def py_bm25(docs, query: str, k1: float = 1.2, b: float = 0.75) -> dict:
+    """Pure-Python reference implementation (test oracle): same
+    tokenization, same Lucene-idf BM25, same 6-decimal rounding.
+    ``docs`` is an iterable of (id, text)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x: float) -> float:
+        # Spark's round() is BigDecimal HALF_UP on the exact double, NOT
+        # Python's banker's round (same caveat as the ngram fuzz oracle)
+        return float(Decimal(x).quantize(Decimal("0.000001"),
+                                         ROUND_HALF_UP))
+
+    def norm_words(t):
+        t = (t or "").lower()
+        t = re.sub(r"[^a-z0-9\s]", "", t)
+        t = re.sub(r"\s+", " ", t).strip()
+        return [w for w in t.split(" ") if w]
+
+    qts = tokenize_query(query)
+    ws = {i: norm_words(t) for i, t in docs}
+    n = len(ws)
+    avgdl = sum(len(w) for w in ws.values()) / max(n, 1)
+    dfreq = {t: sum(1 for w in ws.values() if t in w) for t in qts}
+    out = {}
+    for i, w in ws.items():
+        s = 0.0
+        for t in qts:
+            tf = w.count(t)
+            if not tf or not dfreq[t]:
+                continue
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += (idf * tf * (k1 + 1.0)
+                  / (tf + k1 * (1.0 - b + b * len(w) / avgdl)))
+        out[i] = r6(s)
+    return out
