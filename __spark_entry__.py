@@ -1428,10 +1428,18 @@ def dp_text_stats(spark, sf_dir):
     # Robertson et al., Lucene idf form) against a fixed probe query
     # mixing the fixture's one RARE term ('dup', df≈5%) with common
     # ones: per-doc relevance, full coverage, every factor (tf, df, dl,
-    # avgdl, idf) recomputed by the oracle from its own word arrays
-    from yupana_spark.datapipe.retrieval import bm25_scores
+    # avgdl, idf) recomputed by the oracle from its own word arrays.
+    # The (N, avgdl) corpus constants are a memoized fit-time fact bound
+    # as literals — the scoring plan stays pure equi-joins (the
+    # dp_text_stats audit forbids nested-loop nodes)
+    from yupana_spark.datapipe.retrieval import bm25_scores, corpus_stats
 
-    bm = (bm25_scores(docs, "dup customer window scan")
+    skey = (spark.sparkContext.applicationId, sf_dir)
+    bmst = _BM25_STATS.get(skey)
+    if bmst is None:
+        bmst = corpus_stats(docs)
+        _BM25_STATS[skey] = bmst
+    bm = (bm25_scores(docs, "dup customer window scan", stats=bmst)
           .select(F.col("id").alias("doc_id"),
                   F.col("bm25").alias("bm25_probe")))
     # RefinedWeb-style corpus-wide exact LINE dedup (duplicated_line_stats)
@@ -1656,6 +1664,9 @@ _BLOOM_WORDS: dict = {}
 #: memoized CCNet per-lang perplexity cutoff frames per (appId, sf_dir) —
 #: a fit-time artifact like the bigram LM they bucket (see dp_lang_id)
 _PPX_CUTS: dict = {}
+#: memoized BM25 (N, avgdl) corpus constants per (appId, sf_dir) — bound
+#: as plan literals (see dp_text_stats)
+_BM25_STATS: dict = {}
 _GRAM_VOCAB: dict = {}
 
 
