@@ -1408,6 +1408,15 @@ def dp_text_stats(spark, sf_dir):
     )
     flags = (contaminated_ids(docs, docs.filter(did % 97 == 0))
              .withColumn("contaminated", F.lit(True)))
+    # thresholded decontamination (text.contamination_frac): fraction of
+    # the doc's 8-gram occurrences present in the eval slice — the
+    # published overlap-fraction form (Brown et al. 2020 app. C) whose
+    # boolean cousin is `contaminated`; the oracle recomputes it from
+    # gram strings (eval docs themselves score 1.0)
+    from yupana_spark.datapipe.text import contamination_frac
+
+    cfr = (contamination_frac(docs, docs.filter(did % 97 == 0))
+           .select("doc_id", "contamination_frac"))
     # ExactSubstr-style corpus-wide duplicated-span stats (Lee et al. 2021)
     # — the ACROSS-corpus complement to the Gopher within-doc ratios
     from yupana_spark.datapipe.dedup import (duplicated_span_stats,
@@ -1481,6 +1490,7 @@ def dp_text_stats(spark, sf_dir):
             .join(spans, "doc_id", "left")
             .join(es, "doc_id", "left")
             .join(bm, "doc_id", "left")
+            .join(cfr, "doc_id", "left")
             .join(lstats, "doc_id", "left")
             .join(top2, "doc_id", "left")
             .join(dup5, "doc_id", "left")
@@ -1737,7 +1747,7 @@ def dp_multimodal(spark, sf_dir):
 
 
 def dp_sample(spark, sf_dir):
-    """Bundle: four deterministic data-selection operators over documents,
+    """Bundle: five deterministic data-selection operators over documents,
     tagged by ``kind`` —
 
     * ``bern``: md5-prefix Bernoulli sample with per-stratum rates (the
@@ -1753,12 +1763,15 @@ def dp_sample(spark, sf_dir):
     * ``mixt``: temperature-weighted corpus mixing (T5/mT5,
       sample.temperature_mix_sample) over the skewed lang tag — in-plan
       per-tag counts -> rate = min(1, T * n^(a-1) / Σ n^a) -> md5
-      threshold; ``wt`` carries the derived per-lang rate.
+      threshold; ``wt`` carries the derived per-lang rate;
+    * ``split:{train,val,test}``: deterministic leak-proof dataset
+      partitioning (sample.assign_split) — cumulative md5 thresholds
+      0.9/0.95, label riding in ``kind``.
 
-    All four are value-oracled: DuckDB recomputes the md5 thresholds, the
+    All five are value-oracled: DuckDB recomputes the md5 thresholds, the
     quota ranks, the full DSIR estimator (bucket hash, smoothed log-ratio
-    table, Gumbel keys) and the temperature-rate formula from the same
-    parquet."""
+    table, Gumbel keys), the temperature-rate formula and the split
+    cutoffs from the same parquet."""
     from yupana_spark.datapipe.dsir import dsir_select
     from yupana_spark.datapipe.sample import (deterministic_sample,
                                               stratified_quota_sample)
@@ -1795,7 +1808,18 @@ def dp_sample(spark, sf_dir):
         alpha=0.3, target_total=400.0,
     ).select(F.lit("mixt").alias("kind"), "doc_id", "lang",
              F.round("__rate", 6).alias("wt"))
-    return bern.unionByName(quota).unionByName(dsir).unionByName(mixt)
+    # deterministic train/val/test assignment (sample.assign_split):
+    # every doc labeled by its md5 bucket against the cumulative 0.9 /
+    # 0.95 thresholds — the label rides IN kind ('split:train' ...) so
+    # lang stays the language; the oracle recomputes both thresholds
+    # with the identical float accumulation
+    from yupana_spark.datapipe.sample import assign_split
+
+    split = (assign_split(docs, "doc_id")
+             .select(F.concat(F.lit("split:"), F.col("split"))
+                     .alias("kind"), "doc_id", "lang", null_wt))
+    return (bern.unionByName(quota).unionByName(dsir)
+            .unionByName(mixt).unionByName(split))
 
 
 def dp_dedup_resolve(spark, sf_dir):
@@ -3145,6 +3169,13 @@ _ORACLES_DP: dict[str, str] = {
         cont AS (
           SELECT DISTINCT doc_id FROM ngr
           WHERE g IN (SELECT g FROM ngr WHERE doc_id % 97 = 0)),
+        cfr AS (
+          SELECT doc_id,
+                 round(sum(CASE WHEN g IN (SELECT g FROM ngr
+                                           WHERE doc_id % 97 = 0)
+                           THEN 1 ELSE 0 END)
+                       / greatest(count(*), 1), 6) AS contamination_frac
+          FROM ngr GROUP BY doc_id),
         gc AS (SELECT g, count(*) AS c FROM ngr GROUP BY g),
         spanstats AS (
           SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
@@ -3452,6 +3483,7 @@ _ORACLES_DP: dict[str, str] = {
                    AS dup_span_ratio,
                es.es_n_cut_words, es.es_cut_word_ratio, es.es_cleaned_md5,
                round(coalesce(bm.s, 0.0), 6) AS bm25_probe,
+               cf.contamination_frac,
                coalesce(ls.n_lines, 0) AS n_lines,
                coalesce(ls.n_dup_lines, 0) AS n_dup_lines,
                coalesce(ls.dup_line_ratio, 0.0) AS dup_line_ratio,
@@ -3472,6 +3504,7 @@ _ORACLES_DP: dict[str, str] = {
         LEFT JOIN spanstats ss ON m2.doc_id = ss.doc_id
         LEFT JOIN esout es ON m2.doc_id = es.doc_id
         LEFT JOIN bm ON m2.doc_id = bm.doc_id
+        LEFT JOIN cfr cf ON m2.doc_id = cf.doc_id
         LEFT JOIN lstat ls ON m2.doc_id = ls.doc_id
         LEFT JOIN top2 t2 ON m2.doc_id = t2.doc_id
         LEFT JOIN dup5 d5 ON m2.doc_id = d5.doc_id
@@ -3878,6 +3911,15 @@ _ORACLES_DP: dict[str, str] = {
         UNION ALL
         SELECT 'dsir', sel.doc_id, d2.lang, round(sel.logw, 6)
         FROM sel JOIN documents d2 ON sel.doc_id = d2.doc_id
+        UNION ALL
+        SELECT 'split:' || CASE
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      < '{_hex(0.9)}' THEN 'train'
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      < '{_hex(0.9 + 0.05)}' THEN 'val'
+                 ELSE 'test' END,
+               doc_id, lang, CAST(NULL AS DOUBLE)
+        FROM documents
         UNION ALL
         SELECT 'mixt', d3.doc_id, d3.lang, round(rt.rate, 6)
         FROM documents d3 JOIN (

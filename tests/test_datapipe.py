@@ -672,6 +672,31 @@ def test_contamination_flags_eval_overlap(spark, docs):
     assert 20002 not in hits
 
 
+def test_contamination_frac_thresholded(spark):
+    """The overlap-FRACTION form (Brown et al. 2020 app. C): per-doc
+    share of 8-gram occurrences present in the eval set — exact values,
+    full coverage, eval docs score 1.0, clean docs 0.0."""
+    from yupana_spark.datapipe.text import contamination_frac
+
+    ev_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    clean = "one two three four five six seven eight nine ten"
+    # half-leaked: first 9 words copy the eval doc (2 of its 3 grams),
+    # then 7 fresh words -> 9 grams total (16 words), 2 contaminated
+    half = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "fresh words follow here entirely new now")
+    docs = spark.createDataFrame(
+        [(1, ev_text), (2, clean), (3, half), (4, "tiny")],
+        "doc_id long, text string")
+    ev = docs.filter("doc_id = 1")
+    out = {r["doc_id"]: r for r in contamination_frac(docs, ev).collect()}
+    assert out[1]["contamination_frac"] == 1.0     # the eval doc itself
+    assert out[2]["contamination_frac"] == 0.0
+    assert out[3]["n_grams"] == 9 and out[3]["n_contaminated"] == 2
+    assert out[3]["contamination_frac"] == round(2 / 9, 6)
+    # sub-n-word docs carry the single short gram (full coverage)
+    assert out[4]["n_grams"] == 1 and out[4]["contamination_frac"] == 0.0
+
+
 # ---------------------------------------------------------------------------
 # bounded-sample exactness oracles + self-validating approximate paths (r4)
 # ---------------------------------------------------------------------------
@@ -2338,6 +2363,42 @@ def test_sq8_quantization_accuracy_and_recall(spark):
     # the all-zero QUERY is rejected, not scored-all-0.0 (advice r10)
     with pytest.raises(ValueError):
         sq8_topk(enc, [0.0] * len(q), k=1)
+
+
+def test_assign_split(spark):
+    """Deterministic dataset partitioning: every row gets exactly one
+    label, 'train' selects the IDENTICAL rows deterministic_sample(0.9)
+    keeps (shared threshold encoding), expected proportions hold, and
+    bad fraction vectors are rejected."""
+    from yupana_spark.datapipe.sample import (assign_split,
+                                              deterministic_sample)
+
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    out = assign_split(df, "doc_id")
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == 2000                       # full coverage
+    counts = {}
+    for v in rows.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 1600                  # ~1800 expected
+    # exact agreement with the Bernoulli predicate at the same rate
+    train = {r["doc_id"] for r in
+             deterministic_sample(df, "doc_id", 0.9).collect()}
+    assert {i for i, v in rows.items() if v == "train"} == train
+    # custom labels/fractions + determinism across calls
+    tri = assign_split(df, "doc_id",
+                       splits=(("a", 0.5), ("b", 0.25), ("c", 0.25)))
+    assert ({r["doc_id"]: r["split"] for r in tri.collect()}
+            == {r["doc_id"]: r["split"] for r in tri.collect()})
+    with pytest.raises(ValueError):
+        assign_split(df, "doc_id", splits=(("a", 0.5), ("b", 0.4)))
+    with pytest.raises(ValueError):
+        assign_split(df, "doc_id", splits=(("only", 1.0),))
+    with pytest.raises(ValueError):
+        assign_split(df, "doc_id", splits=(("a", 1.1), ("b", -0.1)))
+    with pytest.raises(ValueError):
+        assign_split(out, "doc_id")                # 'split' exists
 
 
 def test_temperature_mix_sample(spark):

@@ -62,6 +62,49 @@ def deterministic_sample(df: DataFrame, id_col: str, rate: float,
     return df.filter(bucket < thresh)
 
 
+def assign_split(df: DataFrame, id_col: str = "doc_id",
+                 splits=(("train", 0.9), ("val", 0.05), ("test", 0.05)),
+                 split_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test split assignment: every row gets a
+    ``split`` label from its md5 key bucket — the standard leak-proof
+    dataset partitioning (a document's split is a pure function of its
+    id, so re-runs, engines and incremental ingests all agree, and no
+    row can drift between train and eval).
+
+    ``splits`` is an ordered (label, fraction) sequence; fractions must
+    sum to 1 (±1e-9).  Labels are assigned by cumulative threshold over
+    the same ``rate_to_hex`` encoding ``deterministic_sample`` filters
+    with, so ``assign_split(df)[split = 'train']`` and
+    ``deterministic_sample(df, id, 0.9)`` select the IDENTICAL rows.
+    Expected sizes are fraction*N; exact-count carving is
+    ``stratified_quota_sample``'s job.
+
+    Row-local CASE over the hash prefix: no shuffle, no UDF, composes
+    into the scan stage.
+    """
+    items = list(splits)
+    if len(items) < 2:
+        raise ValueError("assign_split needs at least 2 splits")
+    if split_col in df.columns:
+        raise ValueError(f"{split_col!r} already exists in the frame")
+    total = sum(f for _, f in items)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total!r}")
+    if any(f <= 0 for _, f in items):
+        raise ValueError("every split fraction must be > 0")
+    bucket = _md5_bucket(F.col(id_col))
+    # cumulative thresholds, first matching WHEN wins; the last label is
+    # the ELSE remainder so the float sum never strands a row
+    expr, cum = None, 0.0
+    for label, frac in items[:-1]:
+        cum += frac
+        cond = bucket < F.lit(rate_to_hex(cum))
+        expr = F.when(cond, F.lit(label)) if expr is None \
+            else expr.when(cond, F.lit(label))
+    expr = expr.otherwise(F.lit(items[-1][0]))
+    return df.withColumn(split_col, expr)
+
+
 def stratified_quota_sample(df: DataFrame, id_col: str, stratum_col: str,
                             quotas: Dict[str, int], default_quota: int = 0,
                             prefilter_rate: Optional[float] = None

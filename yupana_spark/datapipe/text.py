@@ -460,6 +460,37 @@ def contaminated_ids(docs: DataFrame, eval_docs: DataFrame,
             .select(id_col).distinct())
 
 
+def contamination_frac(docs: DataFrame, eval_docs: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       n: int = 8) -> DataFrame:
+    """(id, n_grams, n_contaminated, contamination_frac): the THRESHOLDED
+    decontamination signal — for each training doc, the fraction of its
+    word ``n``-gram occurrences present anywhere in the eval corpus.
+    ``contaminated_ids`` above is the any-overlap boolean; published
+    pipelines (Brown et al. 2020 appendix C; Lee et al. 2021 §6) filter
+    or judge on an overlap FRACTION, which needs the per-doc count.
+
+    Scale shape: identical to ``contaminated_ids`` — the tiny eval gram
+    set broadcasts, the training side is one exploded scan with a
+    map-side LEFT SEMI membership decided per occurrence, then one
+    groupBy(id) roll-up; the 100 TB side never shuffles gram rows beyond
+    the id-keyed count.  Every input doc emits one row (the shingler's
+    >=1-gram contract), so consumers can inner-join without losing docs.
+    """
+    d = exploded_ngram_hashes(docs, text_col, n, F.col(id_col))
+    e = exploded_ngram_hashes(eval_docs, text_col, n).distinct() \
+        .withColumn("__hit", F.lit(True))
+    marked = d.join(F.broadcast(e), "h", "left")
+    return (marked.groupBy(id_col)
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum(F.when(F.col("__hit"), 1).otherwise(0))
+                 .cast("long").alias("n_contaminated"))
+            .withColumn("contamination_frac",
+                        F.round(F.col("n_contaminated")
+                                / F.greatest(F.col("n_grams"), F.lit(1)),
+                                6)))
+
+
 _LM_CACHE: dict = {}
 
 
