@@ -159,6 +159,41 @@ def test_bm25_hand_computed(spark):
         bm25_scores(df, "...!!!")
 
 
+def test_bm25_probe_rowlocal_matches_relational(spark):
+    """The row-local probe scorer (bm25_score_col against a
+    bm25_probe_fit artifact) equals the relational bm25_scores on the
+    probe's own corpus — the law that makes the streaming twin exact.
+    Terms absent from the corpus keep maximal idf and score docs that
+    DO contain them (the fresh-stream-document case)."""
+    import pyspark.sql.functions as F
+
+    from yupana_spark.datapipe.retrieval import (bm25_probe_fit,
+                                                 bm25_score_col,
+                                                 bm25_scores)
+    from yupana_spark.datapipe.text import normalize_text, words
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = "dup customer window scan"
+    probe = bm25_probe_fit(docs, q)
+    rel = {r["id"]: r["bm25"] for r in bm25_scores(docs, q).collect()}
+    staged = docs.withColumn("__w", words(normalize_text(F.col("text"))))
+    loc = {r["doc_id"]: r["s"]
+           for r in staged.select("doc_id",
+                                  bm25_score_col(F.col("__w"), probe)
+                                  .alias("s")).collect()}
+    assert loc == rel and any(v > 0 for v in loc.values())
+    # unseen term: idf is maximal, new docs containing it still score
+    p2 = bm25_probe_fit(docs, "neverseenterm")
+    import math
+    n = p2["n"]
+    assert p2["idf"]["neverseenterm"] == math.log(1 + (n + 0.5) / 0.5)
+    fresh = spark.createDataFrame([(1, "neverseenterm here")],
+                                  "doc_id long, text string")
+    st2 = fresh.withColumn("__w", words(normalize_text(F.col("text"))))
+    r2 = st2.select(bm25_score_col(F.col("__w"), p2).alias("s")).first()
+    assert r2["s"] > 0
+
+
 def test_bm25_idf_table(spark):
     """The reusable document-frequency artifact: exact df per distinct
     term, Lucene idf."""

@@ -337,6 +337,60 @@ def test_streaming_corpus_filter_matches_batch(spark, tmp_path):
     assert streamed[3] == (False, "lang,perplexity")
 
 
+def test_streaming_bm25_matches_batch(spark, tmp_path):
+    """Streaming BM25 probing (streaming/retrieval.py): a chunked replay
+    of a static corpus scored against a probe fitted on a REFERENCE
+    corpus yields exactly the batch row-local scores — and a brand-new
+    document containing an unseen query term scores positive (maximal
+    idf), the case a corpus-derived scorer cannot handle online."""
+    from pyspark.sql import functions as F, types as T
+
+    from yupana_spark.datapipe.retrieval import (bm25_probe_fit,
+                                                 bm25_score_col)
+    from yupana_spark.datapipe.text import normalize_text, words
+    from yupana_spark.streaming.retrieval import streaming_bm25_scores
+
+    schema = "doc_id long, text string"
+    ref = spark.createDataFrame(
+        [(0, "data table scan fast merge row"),
+         (1, "slow scan of the old data store"),
+         (2, "merge sort and hash join plans")], schema)
+    probe = bm25_probe_fit(ref, "scan merge qqnovel")
+    rows = [(10, "a fast scan then a merge"),
+            (11, "nothing relevant at all here"),
+            (12, "qqnovel appears only in the stream"),
+            (13, "scan scan scan scan")]
+    docs = spark.createDataFrame(rows, schema)
+    batch = {r["doc_id"]: r["s"] for r in docs.withColumn(
+        "__w", words(normalize_text(F.col("text"))))
+        .select("doc_id", bm25_score_col(F.col("__w"), probe).alias("s"))
+        .collect()}
+    assert batch[10] > 0 and batch[11] == 0.0 and batch[12] > 0
+    src = tmp_path / "bm_src"
+    src.mkdir()
+    spark.createDataFrame(rows[:2], schema).coalesce(1) \
+        .write.parquet(str(src / "a"))
+    spark.createDataFrame(rows[2:], schema).coalesce(1) \
+        .write.parquet(str(src / "b"))
+    stream = (spark.readStream
+              .schema(T.StructType([T.StructField("doc_id", T.LongType()),
+                                    T.StructField("text", T.StringType())]))
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+    out = streaming_bm25_scores(stream, probe)
+    q = (out.writeStream.format("memory").queryName("bm")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "bm_ck"))
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination()
+        streamed = {r["id"]: r["bm25"]
+                    for r in spark.table("bm").collect()}
+    finally:
+        q.stop()
+        spark.catalog.dropTempView("bm")
+    assert streamed == batch
+
+
 def test_streaming_neardup_event_time_eviction(spark, tmp_path):
     """EventTimeTimeout horizon (r6 verdict ask #3): eviction keyed to the
     WATERMARK, so the eviction set is a function of the data + batch

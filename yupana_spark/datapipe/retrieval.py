@@ -137,6 +137,60 @@ def bm25_topk(df: DataFrame, query: str, k: int = 10,
             .limit(k))
 
 
+def bm25_probe_fit(df: DataFrame, query: str, text_col: str = "text",
+                   id_col: str = "doc_id") -> dict:
+    """Fit-time artifact for ROW-LOCAL BM25 probing: the corpus constants
+    plus the per-query-term idf, all collected bounded (one single-row
+    aggregate + one ≤|q|-row frame).  Terms absent from the corpus keep
+    their (maximal) idf — a fresh stream document may introduce them.
+
+    The fit runs once per (corpus, query); scoring against it needs no
+    corpus-side work at all (see :func:`bm25_score_col`), which is what
+    makes the probe STREAMING-SAFE: an incoming document's score depends
+    only on its own words and these frozen constants — exactly the CCNet
+    posture of scoring a stream against reference-corpus artifacts."""
+    qts = tokenize_query(query)
+    if not qts:
+        raise ValueError("bm25_probe_fit needs a query with at least one "
+                         "alphanumeric term")
+    n, avgdl = corpus_stats(df, text_col)
+    staged = df.select(F.col(id_col).alias("id"),
+                       words(normalize_text(F.col(text_col))).alias("__w"))
+    qlit = F.array(*[F.lit(t) for t in qts])
+    dfreq = (staged.select(
+        "id", F.explode(F.array_distinct(F.filter(
+            F.col("__w"),
+            lambda w: F.array_contains(qlit, w)))).alias("t"))
+        .groupBy("t").agg(F.count("*").alias("df")))
+    dfs = {r["t"]: float(r["df"]) for r in dfreq.collect()}
+    idf = {t: math.log(1.0 + (n - dfs.get(t, 0.0) + 0.5)
+                       / (dfs.get(t, 0.0) + 0.5)) for t in qts}
+    return {"terms": qts, "idf": idf, "n": n, "avgdl": avgdl}
+
+
+def bm25_score_col(word_array, probe: dict, k1: float = 1.2,
+                   b: float = 0.75):
+    """Row-local BM25 against a :func:`bm25_probe_fit` artifact — a pure
+    Column expression (no join, no UDF, no state), so the SAME expression
+    scores a batch frame and a structured stream identically.
+
+    ``word_array`` must be a staged ``words(normalize_text(...))``
+    column.  Per term: ``tf = size(filter(words, == t))`` with the
+    fitted idf bound as a literal; the per-doc sum adds in fixed term
+    order and rounds at 6 like :func:`bm25_scores`."""
+    dl = F.size(word_array)
+    total = F.lit(0.0)
+    for t in probe["terms"]:
+        tf = F.size(F.filter(word_array, lambda w: w == F.lit(t)))
+        contrib = (F.lit(float(probe["idf"][t])) * tf
+                   * F.lit(float(k1 + 1.0))
+                   / (tf + F.lit(float(k1))
+                      * (F.lit(float(1.0 - b)) + F.lit(float(b))
+                         * dl / F.lit(float(probe["avgdl"])))))
+        total = total + F.when(tf > 0, contrib).otherwise(F.lit(0.0))
+    return F.round(total, 6)
+
+
 def idf_table(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(t, df, idf): corpus document-frequency table over ALL distinct
     terms — the reusable ingest-time artifact for repeated BM25 probes

@@ -1,0 +1,37 @@
+"""Streaming BM25 probing: score an always-on document stream against a
+FIXED query and frozen reference-corpus statistics.
+
+The batch operator (``datapipe/retrieval.bm25_scores``) derives df/N/avgdl
+from the corpus it scores; a stream has no corpus to derive from, so the
+online form scores against a :func:`~..datapipe.retrieval.bm25_probe_fit`
+artifact fitted on a reference corpus — the same artifact posture as the
+streaming perplexity/decontamination rules (``streaming/filters.py``): fit
+once, bind as literals, score row-locally.
+
+Because the scorer is a pure Column expression (no join, no UDF, no
+state), the streamed score of a document equals the batch row-local score
+of the same document against the same probe BY CONSTRUCTION — and the
+parity test additionally pins the row-local form against the relational
+``bm25_scores`` on the probe's own corpus, closing the triangle.
+
+Use case: incoming-crawl triage ("which documents in today's crawl are
+relevant to this audit query?") without stopping the ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..datapipe.retrieval import bm25_score_col
+from ..datapipe.text import normalize_text, words
+
+
+def streaming_bm25_scores(stream: DataFrame, probe: dict,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """(id, bm25) per streamed document, scored row-locally against the
+    fitted probe — stateless, append-mode-safe, rides the stream scan."""
+    staged = stream.withColumn(
+        "__w", words(normalize_text(F.col(text_col))))
+    return staged.select(F.col(id_col).cast("long").alias("id"),
+                         bm25_score_col(F.col("__w"), probe).alias("bm25"))
