@@ -78,9 +78,15 @@ def test_exactsubstr_cut_hand_computed(spark):
         (4, "x1 y1 z1 p1 q1"), (5, "m1 n1 x1 y1 z1"),  # shared 3-gram
         (6, "unique sentence here nothing else"),
         (7, "hi there!"), (8, "Hi, there"),           # short + normalized dup
+        (9, None),                                    # NULL text == empty doc
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["id"]: r for r in exactsubstr_cut(df, n=2).collect()}
+    # NULL text: full coverage with the empty-document contract, never
+    # the -1 size sentinel (review r11)
+    assert (out[9]["es_n_words"], out[9]["es_n_cut_words"],
+            out[9]["es_cut_word_ratio"], out[9]["es_cleaned"]) \
+        == (0, 0, 0.0, "")
     # doc 1: grams "a b"(0), "b a"(1), "a b"(2); pos-2 copy cut -> "a b"
     assert out[1]["es_cleaned"] == "a b"
     assert out[1]["es_n_words"] == 4 and out[1]["es_n_cut_words"] == 2

@@ -476,14 +476,9 @@ def test_differential_ngram_char_frac(spark, seed):
 def _py_exactsubstr(docs, n: int, min_count: int = 2):
     """Independent reference implementation of dedup.exactsubstr_cut:
     normalize -> word n-grams -> corpus counts -> cut every duplicated
-    occurrence except the lexicographic-(id, pos) minimum."""
-    import re as _re
-
-    def norm_words(t):
-        t = (t or "").lower()
-        t = _re.sub(r"[^a-z0-9\s]", "", t)
-        t = _re.sub(r"\s+", " ", t).strip()
-        return [w for w in t.split(" ") if w]
+    occurrence except the lexicographic-(id, pos) minimum.  Tokenization
+    is the ONE shared Python mirror (retrieval.norm_words)."""
+    from yupana_spark.datapipe.retrieval import norm_words
 
     ws = {i: norm_words(t) for i, t in docs}
     occs = {}                      # gram -> [(id, pos)]
@@ -540,8 +535,8 @@ def test_differential_exactsubstr_cut(spark, seed):
         elif kind == 3:                      # self-repeating doc
             ph = rng.choice(phrases)
             txt = " ".join([ph] * rng.randrange(2, 5))
-        else:                                # empty / whitespace
-            txt = rng.choice(["", "   ", "\t\n"])
+        else:                                # empty / whitespace / NULL
+            txt = rng.choice(["", "   ", "\t\n", None])
         rows.append((i, txt))
     df = spark.createDataFrame(rows, "doc_id long, text string")
     for n in (2, 3, 5):
@@ -576,7 +571,7 @@ def test_differential_bm25(spark, seed):
         elif kind == 2:                      # heavy repeats (tf saturation)
             txt = " ".join([rng.choice(vocab)] * rng.randrange(1, 25))
         else:
-            txt = rng.choice(["", "   "])
+            txt = rng.choice(["", "   ", None])
         rows.append((i, txt))
     df = spark.createDataFrame(rows, "doc_id long, text string")
     for q in ("data scan", "rareword", "Fast, MERGE x1", "missingterm"):

@@ -122,14 +122,21 @@ def exactsubstr_cut(df: DataFrame, text_col: str = "text",
     hashes + single words leave the executor, never gram text), ONE
     groupBy(hash) shuffle computing count and canonical key together,
     a co-partitioned occurrence->count join, a distinct on (id, widx)
-    cut positions, an anti-join keyed the same way, and a groupBy(id)
-    ordered rebuild as an aggregate over (pos, word) structs — no
-    window, no global sort, no broadcast, no driver state.
+    cut positions, one FLAGGED left join keyed the same way whose
+    groupBy(id) computes word count, cut count and the ordered rebuild
+    in a single aggregate over (pos, word) structs, and a column-pruned
+    id join for zero-word-doc coverage — no window, no global sort, no
+    broadcast, no driver state, and the text is normalized exactly
+    twice (the two explodes), never a third time.  NULL text behaves as
+    the empty document (review r11: an uncoalesced NULL word array
+    would poison the counts with size(NULL) = -1 sentinels).
     """
     from .text import ngram_hashes, normalize_text, words
 
     staged = df.select(F.col(id_col).alias("id"),
-                       words(normalize_text(F.col(text_col))).alias("__w"))
+                       F.coalesce(words(normalize_text(F.col(text_col))),
+                                  F.array().cast("array<string>"))
+                       .alias("__w"))
     wordsdf = staged.select("id", F.posexplode("__w").alias("widx", "word"))
     occ = (staged.select(
         "id", F.posexplode(ngram_hashes(F.col("__w"), n)).alias("pos", "h"))
@@ -142,22 +149,28 @@ def exactsubstr_cut(df: DataFrame, text_col: str = "text",
                    & (F.col("__k") != F.col("__k0")))
            .select("id", F.explode(F.sequence(
                F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("widx"))
-           .distinct())
-    kept = wordsdf.join(cut, ["id", "widx"], "left_anti")
-    rebuilt = kept.groupBy("id").agg(
-        F.count("*").alias("__nk"),
+           .distinct()
+           .withColumn("__cut", F.lit(True)))
+    marked = wordsdf.join(cut, ["id", "widx"], "left")
+    # collect_list skips the NULL the kept-word WHEN leaves for cut rows
+    # (the duplicated_line_stats rebuild pattern)
+    per_doc = marked.groupBy("id").agg(
+        F.count("*").cast("long").alias("__nw"),
+        F.sum(F.when(F.col("__cut"), 1).otherwise(0)).cast("long")
+        .alias("__nc"),
         F.array_join(
             F.transform(F.array_sort(F.collect_list(
-                F.struct(F.col("widx"), F.col("word")))),
+                F.when(F.col("__cut").isNull(),
+                       F.struct(F.col("widx"), F.col("word"))))),
                 lambda s: s["word"]), " ").alias("__cl"))
-    nk = F.coalesce(F.col("__nk"), F.lit(0))
-    return (staged.select("id", F.size("__w").alias("es_n_words"))
-            .join(rebuilt, "id", "left")
-            .select("id", "es_n_words",
-                    (F.col("es_n_words") - nk).cast("long")
-                    .alias("es_n_cut_words"),
-                    F.round((F.col("es_n_words") - nk)
-                            / F.greatest(F.col("es_n_words"), F.lit(1)), 6)
+    nw = F.coalesce(F.col("__nw"), F.lit(0))
+    nc = F.coalesce(F.col("__nc"), F.lit(0))
+    return (staged.select("id")
+            .join(per_doc, "id", "left")
+            .select("id",
+                    nw.alias("es_n_words"),
+                    nc.alias("es_n_cut_words"),
+                    F.round(nc / F.greatest(nw, F.lit(1)), 6)
                     .alias("es_cut_word_ratio"),
                     F.coalesce(F.col("__cl"), F.lit(""))
                     .alias("es_cleaned")))

@@ -34,17 +34,35 @@ from pyspark.sql import DataFrame, functions as F
 from .text import normalize_text, words
 
 
-def tokenize_query(query: str) -> list:
-    """Driver-side mirror of ``words(normalize_text(...))`` for the (tiny)
-    query string: lowercase, strip non-alnum, collapse whitespace, split.
-    Duplicate query terms are dropped — BM25 scores each distinct term
-    once (the standard bag-of-distinct-terms query form)."""
-    t = (query or "").lower()
+def norm_words(text) -> list:
+    """THE driver-side Python mirror of ``words(normalize_text(...))``:
+    lowercase, strip non-alnum, collapse whitespace, split, drop empties
+    (None -> []).  Single shared copy — ``tokenize_query`` and every
+    pure-Python differential reference (``py_bm25``, the exactsubstr
+    fuzz oracle) build on it, so a change to the Spark-side
+    normalization has exactly one mirror to update."""
+    t = (text or "").lower()
     t = re.sub(r"[^a-z0-9\s]", "", t)
     t = re.sub(r"\s+", " ", t).strip()
+    return [w for w in t.split(" ") if w]
+
+
+def _words_safe(col):
+    """Staged word array with NULL text mapped to the EMPTY array —
+    Spark's legacy ``size(NULL) = -1`` would otherwise poison length
+    arithmetic (avgdl, word counts) with -1 sentinels."""
+    return F.coalesce(words(normalize_text(col)),
+                      F.array().cast("array<string>"))
+
+
+def tokenize_query(query: str) -> list:
+    """Driver-side tokenization of the (tiny) query string via
+    :func:`norm_words`.  Duplicate query terms are dropped — BM25 scores
+    each distinct term once (the standard bag-of-distinct-terms query
+    form)."""
     out, seen = [], set()
-    for w in t.split(" "):
-        if w and w not in seen:
+    for w in norm_words(query):
+        if w not in seen:
             seen.add(w)
             out.append(w)
     return out
@@ -59,8 +77,7 @@ def corpus_stats(df: DataFrame, text_col: str = "text") -> tuple:
     broadcast single-row crossJoin (measured ~0.35 s/action for the
     py4j/broadcast round-trip) and it keeps the scoring plan pure
     equi-joins."""
-    r = (df.select(F.size(words(normalize_text(F.col(text_col))))
-                   .alias("__dl"))
+    r = (df.select(F.size(_words_safe(F.col(text_col))).alias("__dl"))
          .agg(F.count("*").cast("double").alias("n"),
               F.avg("__dl").alias("avgdl")).first())
     return float(r["n"]), float(r["avgdl"] or 0.0)
@@ -91,7 +108,7 @@ def bm25_scores(df: DataFrame, query: str, text_col: str = "text",
         raise ValueError("bm25_scores needs a query with at least one "
                          "alphanumeric term")
     staged = df.select(F.col(id_col).alias("id"),
-                       words(normalize_text(F.col(text_col))).alias("__w"))
+                       _words_safe(F.col(text_col)).alias("__w"))
     staged = staged.withColumn("__dl", F.size("__w"))
     if stats is None:
         stats = corpus_stats(df, text_col)
@@ -155,7 +172,7 @@ def bm25_probe_fit(df: DataFrame, query: str, text_col: str = "text",
                          "alphanumeric term")
     n, avgdl = corpus_stats(df, text_col)
     staged = df.select(F.col(id_col).alias("id"),
-                       words(normalize_text(F.col(text_col))).alias("__w"))
+                       _words_safe(F.col(text_col)).alias("__w"))
     qlit = F.array(*[F.lit(t) for t in qts])
     dfreq = (staged.select(
         "id", F.explode(F.array_distinct(F.filter(
@@ -196,7 +213,7 @@ def idf_table(df: DataFrame, text_col: str = "text") -> DataFrame:
     terms — the reusable ingest-time artifact for repeated BM25 probes
     (same train-once posture as the ANN index frames).  One distinct +
     one groupBy(term) shuffle; pure math after that."""
-    staged = df.select(words(normalize_text(F.col(text_col))).alias("__w"))
+    staged = df.select(_words_safe(F.col(text_col)).alias("__w"))
     n = staged.count()
     per_doc = staged.select(
         F.explode(F.array_distinct(F.col("__w"))).alias("t"))
@@ -217,12 +234,6 @@ def py_bm25(docs, query: str, k1: float = 1.2, b: float = 0.75) -> dict:
         # Python's banker's round (same caveat as the ngram fuzz oracle)
         return float(Decimal(x).quantize(Decimal("0.000001"),
                                          ROUND_HALF_UP))
-
-    def norm_words(t):
-        t = (t or "").lower()
-        t = re.sub(r"[^a-z0-9\s]", "", t)
-        t = re.sub(r"\s+", " ", t).strip()
-        return [w for w in t.split(" ") if w]
 
     qts = tokenize_query(query)
     ws = {i: norm_words(t) for i, t in docs}

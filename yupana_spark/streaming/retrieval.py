@@ -22,16 +22,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..datapipe.retrieval import bm25_score_col
-from ..datapipe.text import normalize_text, words
+from ..datapipe.retrieval import _words_safe, bm25_score_col
 
 
 def streaming_bm25_scores(stream: DataFrame, probe: dict,
                           text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:
     """(id, bm25) per streamed document, scored row-locally against the
-    fitted probe — stateless, append-mode-safe, rides the stream scan."""
-    staged = stream.withColumn(
-        "__w", words(normalize_text(F.col(text_col))))
+    fitted probe — stateless, append-mode-safe, rides the stream scan
+    (NULL text scores 0 like an empty document)."""
+    staged = stream.withColumn("__w", _words_safe(F.col(text_col)))
     return staged.select(F.col(id_col).cast("long").alias("id"),
                          bm25_score_col(F.col("__w"), probe).alias("bm25"))
