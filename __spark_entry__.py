@@ -2476,13 +2476,32 @@ def dp_ann_approx(spark, sf_dir):
                   F.when(F.col("agree") >= F.col("n") * 0.85, "ok")
                   .otherwise("low_agreement").alias("verdict")))
 
+    # cluster-balanced curation (sample.cluster_balanced_sample over the
+    # SAME persisted IVF cells): verdict 'ok' iff every cell contributes
+    # exactly min(per_cell, |cell|) rows — an unbalanced (density-
+    # following) or non-exact selection fails; bool-min == relational AND
+    from yupana_spark.datapipe.sample import cluster_balanced_sample
+
+    cb_sel = cluster_balanced_sample(idx["ivf"], per_cell=20)
+    cb_want = idx["ivf"].groupBy("cell").agg(F.count("*").alias("__n"))
+    cb_got = cb_sel.groupBy("cell").agg(F.count("*").alias("__g"))
+    balance = (cb_want.join(cb_got, "cell", "left")
+               .select((F.coalesce(F.col("__g"), F.lit(0))
+                        == F.least(F.lit(20), F.col("__n")))
+                       .alias("__ok"))
+               .agg(F.min("__ok").alias("__all"))
+               .select(F.lit("cluster_balance").alias("method"),
+                       F.when(F.col("__all"), "ok")
+                       .otherwise("unbalanced").alias("verdict")))
+
     return (recall_row("srp_lsh", lsh)
             .unionAll(recall_row("ivf", ivf))
             .unionAll(recall_row("pq_adc", pq, min_hits=7))
             .unionAll(recall_row("ivfadc", ivfadc, min_hits=7))
             .unionAll(recall_row("sq8", sq8, min_hits=9))
             .unionAll(semdedup)
-            .unionAll(lr))
+            .unionAll(lr)
+            .unionAll(balance))
 
 
 def _brute_topk_ids(spark, sf_dir, k: int = 10) -> DataFrame:
@@ -4058,6 +4077,8 @@ _ORACLES_DP: dict[str, str] = {
         SELECT 'semdedup', 'ok'
         UNION ALL
         SELECT 'quality_lr', 'ok'
+        UNION ALL
+        SELECT 'cluster_balance', 'ok'
     """,
     # conservation totals recomputed from `documents` (token definition
     # matches dp_text_stats' oracled n_tokens; chunk layout — window 64 /

@@ -814,7 +814,7 @@ def test_self_validating_entries_verdicts(spark):
            for r in ent.queries()["dp_ann_approx"](spark, SF).collect()}
     assert ann == {"srp_lsh": "ok", "ivf": "ok", "pq_adc": "ok",
                    "ivfadc": "ok", "sq8": "ok", "semdedup": "ok",
-                   "quality_lr": "ok"}
+                   "quality_lr": "ok", "cluster_balance": "ok"}
 
     pack = ent.queries()["dp_pack_sequences"](spark, SF).collect()[0]
     assert pack["packing_ok"] == "ok"
@@ -2440,6 +2440,30 @@ def test_assign_split(spark):
         assign_split(df, "doc_id", splits=(("a", 1.1), ("b", -0.1)))
     with pytest.raises(ValueError):
         assign_split(out, "doc_id")                # 'split' exists
+
+
+def test_cluster_balanced_sample(spark, emb):
+    """DataComp-style cluster-balanced curation: exactly
+    min(per_cell, |cell|) rows from every IVF cell, deterministic across
+    calls, selection is a subset of the input rows."""
+    from yupana_spark.datapipe.sample import cluster_balanced_sample
+    from yupana_spark.datapipe.simsearch import ivf_build
+
+    assigned, _ = ivf_build(emb, n_centroids=4)
+    sizes = {r["cell"]: r["n"] for r in
+             assigned.groupBy("cell").agg(F.count("*").alias("n"))
+             .collect()}
+    sel = cluster_balanced_sample(assigned, per_cell=5)
+    got = {r["cell"]: r["n"] for r in
+           sel.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    assert got == {c: min(5, n) for c, n in sizes.items()}
+    ids1 = sorted(r["vec_id"] for r in sel.select("vec_id").collect())
+    ids2 = sorted(r["vec_id"] for r in
+                  cluster_balanced_sample(assigned, per_cell=5)
+                  .select("vec_id").collect())
+    assert ids1 == ids2 and len(ids1) == sum(got.values())
+    with pytest.raises(ValueError):
+        cluster_balanced_sample(assigned, per_cell=0)
 
 
 def test_temperature_mix_sample(spark):

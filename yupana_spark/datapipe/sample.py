@@ -163,6 +163,29 @@ def stratified_quota_sample(df: DataFrame, id_col: str, stratum_col: str,
             .drop("__rk"))
 
 
+def cluster_balanced_sample(assigned: DataFrame, per_cell: int,
+                            id_col: str = "vec_id",
+                            cell_col: str = "cell") -> DataFrame:
+    """Cluster-balanced subset selection (the DataComp/SemDeDup curation
+    recipe, public: sample evenly ACROSS embedding clusters instead of
+    following the corpus' natural — usually heavily skewed — cluster
+    density, so the selected subset preserves topical diversity): keep
+    exactly ``min(per_cell, |cell|)`` rows from every cluster, chosen by
+    the deterministic ``(md5(id), id)`` rank.
+
+    A thin, deliberate composition: the cluster structure is the IVF
+    cell assignment already built for ANN (``simsearch.ivf_build`` or
+    the persisted cell-partitioned index — clusters are an ingest-time
+    artifact, not a per-sample fit), and the per-cell rank is
+    ``stratified_quota_sample`` with a uniform quota — a window
+    partitioned BY CELL, never a global sort.
+    """
+    if per_cell <= 0:
+        raise ValueError(f"per_cell must be > 0, got {per_cell}")
+    return stratified_quota_sample(assigned, id_col, cell_col,
+                                   quotas={}, default_quota=per_cell)
+
+
 # ---------------------------------------------------------------------------
 # dedup cluster resolution (connected components)
 # ---------------------------------------------------------------------------
