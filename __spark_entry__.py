@@ -1417,6 +1417,16 @@ def dp_text_stats(spark, sf_dir):
 
     cfr = (contamination_frac(docs, docs.filter(did % 97 == 0))
            .select("doc_id", "contamination_frac"))
+    # ...and the contamination REMOVAL (dedup.decontaminate_cut): every
+    # eval-overlapping 8-gram window cut, rebuilt doc rides as md5 —
+    # eval-slice docs empty themselves (full self-overlap), the same
+    # law the oracle reproduces from gram strings
+    from yupana_spark.datapipe.dedup import decontaminate_cut
+
+    dc = (decontaminate_cut(docs, docs.filter(did % 97 == 0))
+          .select(F.col("id").alias("doc_id"), "dc_n_cut_words",
+                  "dc_cut_word_ratio",
+                  F.md5("dc_cleaned").alias("dc_cleaned_md5")))
     # ExactSubstr-style corpus-wide duplicated-span stats (Lee et al. 2021)
     # — the ACROSS-corpus complement to the Gopher within-doc ratios
     from yupana_spark.datapipe.dedup import (duplicated_span_stats,
@@ -1491,6 +1501,7 @@ def dp_text_stats(spark, sf_dir):
             .join(es, "doc_id", "left")
             .join(bm, "doc_id", "left")
             .join(cfr, "doc_id", "left")
+            .join(dc, "doc_id", "left")
             .join(lstats, "doc_id", "left")
             .join(top2, "doc_id", "left")
             .join(dup5, "doc_id", "left")
@@ -3235,6 +3246,28 @@ _ORACLES_DP: dict[str, str] = {
                        / greatest(len(n.nws), 1), 6) AS es_cut_word_ratio,
                  md5(coalesce(r.cleaned, '')) AS es_cleaned_md5
           FROM nw n LEFT JOIN esreb r ON n.doc_id = r.doc_id),
+        -- decontamination REMOVAL: windows of 8-gram occurrences that
+        -- appear in the eval slice are cut (gram STRINGS where Spark
+        -- semi-joins xxhash64), rebuilt like the esreb path
+        dcut AS (
+          SELECT DISTINCT e.doc_id, u.widx
+          FROM esg e, unnest(generate_series(e.pos, e.pos + 7))
+               AS u(widx)
+          WHERE e.g IN (SELECT g FROM esg WHERE doc_id % 97 = 0)),
+        dcreb AS (
+          SELECT w.doc_id, count(*) AS nk,
+                 array_to_string(list(w.w ORDER BY w.widx), ' ') AS cleaned
+          FROM esw w LEFT JOIN dcut c
+               ON w.doc_id = c.doc_id AND w.widx = c.widx
+          WHERE c.doc_id IS NULL GROUP BY w.doc_id),
+        dcout AS (
+          SELECT n.doc_id,
+                 CAST(len(n.nws) - coalesce(r.nk, 0) AS BIGINT)
+                     AS dc_n_cut_words,
+                 round((len(n.nws) - coalesce(r.nk, 0))
+                       / greatest(len(n.nws), 1), 6) AS dc_cut_word_ratio,
+                 md5(coalesce(r.cleaned, '')) AS dc_cleaned_md5
+          FROM nw n LEFT JOIN dcreb r ON n.doc_id = r.doc_id),
         -- Okapi BM25 (Lucene idf) for the fixed probe query: only
         -- query-term occurrences are unnested, mirroring the Spark
         -- operator's filtered explode
@@ -3503,6 +3536,7 @@ _ORACLES_DP: dict[str, str] = {
                es.es_n_cut_words, es.es_cut_word_ratio, es.es_cleaned_md5,
                round(coalesce(bm.s, 0.0), 6) AS bm25_probe,
                cf.contamination_frac,
+               dc.dc_n_cut_words, dc.dc_cut_word_ratio, dc.dc_cleaned_md5,
                coalesce(ls.n_lines, 0) AS n_lines,
                coalesce(ls.n_dup_lines, 0) AS n_dup_lines,
                coalesce(ls.dup_line_ratio, 0.0) AS dup_line_ratio,
@@ -3524,6 +3558,7 @@ _ORACLES_DP: dict[str, str] = {
         LEFT JOIN esout es ON m2.doc_id = es.doc_id
         LEFT JOIN bm ON m2.doc_id = bm.doc_id
         LEFT JOIN cfr cf ON m2.doc_id = cf.doc_id
+        LEFT JOIN dcout dc ON m2.doc_id = dc.doc_id
         LEFT JOIN lstat ls ON m2.doc_id = ls.doc_id
         LEFT JOIN top2 t2 ON m2.doc_id = t2.doc_id
         LEFT JOIN dup5 d5 ON m2.doc_id = d5.doc_id

@@ -107,6 +107,32 @@ def test_exactsubstr_cut_hand_computed(spark):
     assert out3[5]["es_n_cut_words"] == 3
 
 
+def test_decontaminate_cut(spark):
+    """Contamination REMOVAL: the eval-overlapping n-gram windows are
+    cut, the rest of the doc survives; clean docs ride untouched, eval
+    docs present in the corpus empty themselves, NULL text is the empty
+    doc."""
+    from yupana_spark.datapipe.dedup import decontaminate_cut
+
+    ev_text = "alpha beta gamma delta"
+    rows = [
+        (1, f"intro words then {ev_text} and a clean tail here"),
+        (2, "totally unrelated content nothing shared at all"),
+        (3, ev_text),                       # the eval doc itself
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame([(99, ev_text)], "doc_id long, text string")
+    out = {r["id"]: r for r in decontaminate_cut(df, ev, n=4).collect()}
+    # doc 1: 12 words; eval 4-gram at pos 3 -> words 3..6 cut
+    assert out[1]["dc_n_cut_words"] == 4
+    assert out[1]["dc_cleaned"] == "intro words then and a clean tail here"
+    assert out[1]["dc_cut_word_ratio"] == round(4 / 12, 6)
+    assert out[2]["dc_n_cut_words"] == 0 and out[2]["dc_cut_word_ratio"] == 0.0
+    assert out[3]["dc_cleaned"] == "" and out[3]["dc_cut_word_ratio"] == 1.0
+    assert (out[4]["dc_n_words"], out[4]["dc_cleaned"]) == (0, "")
+
+
 def test_exactsubstr_cut_scalable_plan(spark):
     """The removal pipeline stays JVM-side and keyed: no Python and no
     cartesian ever; with size-based broadcast disabled (the 100 TB

@@ -131,13 +131,9 @@ def exactsubstr_cut(df: DataFrame, text_col: str = "text",
     the empty document (review r11: an uncoalesced NULL word array
     would poison the counts with size(NULL) = -1 sentinels).
     """
-    from .text import ngram_hashes, normalize_text, words
+    from .text import ngram_hashes
 
-    staged = df.select(F.col(id_col).alias("id"),
-                       F.coalesce(words(normalize_text(F.col(text_col))),
-                                  F.array().cast("array<string>"))
-                       .alias("__w"))
-    wordsdf = staged.select("id", F.posexplode("__w").alias("widx", "word"))
+    staged = _staged_norm_words(df, text_col, id_col)
     occ = (staged.select(
         "id", F.posexplode(ngram_hashes(F.col("__w"), n)).alias("pos", "h"))
         .withColumn("__k", F.col("id").cast("long") * F.lit(1 << 26)
@@ -149,9 +145,33 @@ def exactsubstr_cut(df: DataFrame, text_col: str = "text",
                    & (F.col("__k") != F.col("__k0")))
            .select("id", F.explode(F.sequence(
                F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("widx"))
-           .distinct()
-           .withColumn("__cut", F.lit(True)))
-    marked = wordsdf.join(cut, ["id", "widx"], "left")
+           .distinct())
+    return _cut_rebuild(staged, cut, "es_")
+
+
+def _staged_norm_words(df: DataFrame, text_col: str, id_col: str
+                       ) -> DataFrame:
+    """(id, __w): staged normalized word array, NULL text coalesced to
+    the empty array (the size(NULL) = -1 guard)."""
+    from .text import normalize_text, words
+
+    return df.select(F.col(id_col).alias("id"),
+                     F.coalesce(words(normalize_text(F.col(text_col))),
+                                F.array().cast("array<string>"))
+                     .alias("__w"))
+
+
+def _cut_rebuild(staged: DataFrame, cut: DataFrame, prefix: str
+                 ) -> DataFrame:
+    """Shared span-removal tail: given the staged word arrays and a
+    distinct (id, widx) cut-position frame, compute word count, cut
+    count and the ordered rebuild in ONE flagged join + groupBy(id),
+    plus a column-pruned id join for zero-word-doc coverage.  Used by
+    ``exactsubstr_cut`` (cut = non-canonical duplicated windows) and
+    ``decontaminate_cut`` (cut = eval-overlapping windows)."""
+    wordsdf = staged.select("id", F.posexplode("__w").alias("widx", "word"))
+    marked = wordsdf.join(cut.withColumn("__cut", F.lit(True)),
+                          ["id", "widx"], "left")
     # collect_list skips the NULL the kept-word WHEN leaves for cut rows
     # (the duplicated_line_stats rebuild pattern)
     per_doc = marked.groupBy("id").agg(
@@ -168,12 +188,44 @@ def exactsubstr_cut(df: DataFrame, text_col: str = "text",
     return (staged.select("id")
             .join(per_doc, "id", "left")
             .select("id",
-                    nw.alias("es_n_words"),
-                    nc.alias("es_n_cut_words"),
+                    nw.alias(f"{prefix}n_words"),
+                    nc.alias(f"{prefix}n_cut_words"),
                     F.round(nc / F.greatest(nw, F.lit(1)), 6)
-                    .alias("es_cut_word_ratio"),
+                    .alias(f"{prefix}cut_word_ratio"),
                     F.coalesce(F.col("__cl"), F.lit(""))
-                    .alias("es_cleaned")))
+                    .alias(f"{prefix}cleaned")))
+
+
+def decontaminate_cut(df: DataFrame, eval_docs: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n: int = 8) -> DataFrame:
+    """(id, dc_n_words, dc_n_cut_words, dc_cut_word_ratio, dc_cleaned):
+    contamination REMOVAL — cut every word-``n``-gram window of a
+    training document that appears ANYWHERE in the eval corpus, keeping
+    the rest of the document (Lee et al. 2021 §6 / the GPT-3 appendix-C
+    posture of removing overlapping spans rather than dropping whole
+    documents).  Completes the decontamination family: boolean flags
+    (``text.contaminated_ids``), overlap fraction
+    (``text.contamination_frac``), and now the edit.
+
+    100 TB shape: the eval corpus is tiny by definition, so its distinct
+    gram-hash set broadcasts and candidate marking is a map-side
+    semi-join on the exploded training grams (positions ride along);
+    the cut/rebuild tail is the shared ``exactsubstr_cut`` machinery —
+    one flagged (id, widx) join, one groupBy(id), no window, and the
+    training side never shuffles gram rows.
+    """
+    from .text import exploded_ngram_hashes, ngram_hashes
+
+    staged = _staged_norm_words(df, text_col, id_col)
+    occ = staged.select(
+        "id", F.posexplode(ngram_hashes(F.col("__w"), n)).alias("pos", "h"))
+    ev = exploded_ngram_hashes(eval_docs, text_col, n).distinct()
+    cut = (occ.join(F.broadcast(ev), "h", "left_semi")
+           .select("id", F.explode(F.sequence(
+               F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("widx"))
+           .distinct())
+    return _cut_rebuild(staged, cut, "dc_")
 
 
 def duplicated_line_stats(df: DataFrame, text_col: str = "text",
