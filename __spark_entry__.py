@@ -1408,25 +1408,22 @@ def dp_text_stats(spark, sf_dir):
     )
     flags = (contaminated_ids(docs, docs.filter(did % 97 == 0))
              .withColumn("contaminated", F.lit(True)))
-    # thresholded decontamination (text.contamination_frac): fraction of
-    # the doc's 8-gram occurrences present in the eval slice — the
-    # published overlap-fraction form (Brown et al. 2020 app. C) whose
-    # boolean cousin is `contaminated`; the oracle recomputes it from
-    # gram strings (eval docs themselves score 1.0)
-    from yupana_spark.datapipe.text import contamination_frac
-
-    cfr = (contamination_frac(docs, docs.filter(did % 97 == 0))
-           .select("doc_id", "contamination_frac"))
-    # ...and the contamination REMOVAL (dedup.decontaminate_cut): every
-    # eval-overlapping 8-gram window cut, rebuilt doc rides as md5 —
-    # eval-slice docs empty themselves (full self-overlap), the same
-    # law the oracle reproduces from gram strings
+    # thresholded decontamination + REMOVAL in ONE pass
+    # (dedup.decontaminate_cut(with_stats=True), review r11 — one corpus
+    # gram explode serves both): contamination_frac is the published
+    # overlap-fraction form (Brown et al. 2020 app. C) whose boolean
+    # cousin is `contaminated`; dc_* is the edit — every eval-
+    # overlapping 8-gram window cut, rebuilt doc riding as md5.  Eval-
+    # slice docs score 1.0 and empty themselves (full self-overlap) —
+    # both laws the oracle reproduces from gram strings
     from yupana_spark.datapipe.dedup import decontaminate_cut
 
-    dc = (decontaminate_cut(docs, docs.filter(did % 97 == 0))
+    dc = (decontaminate_cut(docs, docs.filter(did % 97 == 0),
+                            with_stats=True)
           .select(F.col("id").alias("doc_id"), "dc_n_cut_words",
                   "dc_cut_word_ratio",
-                  F.md5("dc_cleaned").alias("dc_cleaned_md5")))
+                  F.md5("dc_cleaned").alias("dc_cleaned_md5"),
+                  "contamination_frac"))
     # ExactSubstr-style corpus-wide duplicated-span stats (Lee et al. 2021)
     # — the ACROSS-corpus complement to the Gopher within-doc ratios
     from yupana_spark.datapipe.dedup import (duplicated_span_stats,
@@ -1500,7 +1497,6 @@ def dp_text_stats(spark, sf_dir):
             .join(spans, "doc_id", "left")
             .join(es, "doc_id", "left")
             .join(bm, "doc_id", "left")
-            .join(cfr, "doc_id", "left")
             .join(dc, "doc_id", "left")
             .join(lstats, "doc_id", "left")
             .join(top2, "doc_id", "left")

@@ -131,6 +131,42 @@ def test_decontaminate_cut(spark):
     assert out[2]["dc_n_cut_words"] == 0 and out[2]["dc_cut_word_ratio"] == 0.0
     assert out[3]["dc_cleaned"] == "" and out[3]["dc_cut_word_ratio"] == 1.0
     assert (out[4]["dc_n_words"], out[4]["dc_cleaned"]) == (0, "")
+    # with_stats: the contamination columns equal text.contamination_frac
+    # exactly (one corpus explode serves both, review r11) — incl. the
+    # NULL-text doc, which both now cover as the empty document
+    from yupana_spark.datapipe.text import contamination_frac
+
+    ws = {r["id"]: (r["n_grams"], r["n_contaminated"],
+                    r["contamination_frac"])
+          for r in decontaminate_cut(df, ev, n=4,
+                                     with_stats=True).collect()}
+    want = {r["doc_id"]: (r["n_grams"], r["n_contaminated"],
+                          r["contamination_frac"])
+            for r in contamination_frac(df, ev, n=4).collect()}
+    assert ws == want and 4 in ws
+
+
+def test_decontaminate_cut_scalable_plan(spark):
+    """The training gram rows NEVER shuffle: the eval-membership join is
+    a broadcast hash join on the gram hash even with size-based
+    broadcast disabled (the explicit hint — eval is bounded by
+    definition), and nothing in the plan is a cartesian or Python node."""
+    import re
+
+    from yupana_spark.datapipe.dedup import decontaminate_cut
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ev = docs.filter("doc_id % 97 = 0")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (decontaminate_cut(docs, ev)._jdf.queryExecution()
+                .executedPlan().toString())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Python" not in plan and "CartesianProduct" not in plan
+    assert re.search(r"BroadcastHashJoin \[h#", plan), plan
+    assert not re.search(r"(SortMergeJoin|ShuffledHashJoin) \[h#", plan)
 
 
 def test_exactsubstr_cut_scalable_plan(spark):

@@ -198,7 +198,7 @@ def _cut_rebuild(staged: DataFrame, cut: DataFrame, prefix: str
 
 def decontaminate_cut(df: DataFrame, eval_docs: DataFrame,
                       text_col: str = "text", id_col: str = "doc_id",
-                      n: int = 8) -> DataFrame:
+                      n: int = 8, with_stats: bool = False) -> DataFrame:
     """(id, dc_n_words, dc_n_cut_words, dc_cut_word_ratio, dc_cleaned):
     contamination REMOVAL — cut every word-``n``-gram window of a
     training document that appears ANYWHERE in the eval corpus, keeping
@@ -208,24 +208,45 @@ def decontaminate_cut(df: DataFrame, eval_docs: DataFrame,
     (``text.contaminated_ids``), overlap fraction
     (``text.contamination_frac``), and now the edit.
 
+    ``with_stats=True`` additionally emits ``n_grams`` /
+    ``n_contaminated`` / ``contamination_frac`` — the EXACT
+    ``text.contamination_frac`` columns, derived from the same marked
+    occurrence frame the cut uses, so a pipeline that wants both the
+    fraction and the edit pays ONE corpus gram explode instead of two
+    (review r11: dp_text_stats was re-exploding the corpus per
+    decontamination consumer).
+
     100 TB shape: the eval corpus is tiny by definition, so its distinct
     gram-hash set broadcasts and candidate marking is a map-side
-    semi-join on the exploded training grams (positions ride along);
+    hash join on the exploded training grams (positions ride along —
+    the training gram rows NEVER shuffle; plan-pinned by test);
     the cut/rebuild tail is the shared ``exactsubstr_cut`` machinery —
-    one flagged (id, widx) join, one groupBy(id), no window, and the
-    training side never shuffles gram rows.
+    one flagged (id, widx) join, one groupBy(id), no window.
     """
     from .text import exploded_ngram_hashes, ngram_hashes
 
     staged = _staged_norm_words(df, text_col, id_col)
     occ = staged.select(
         "id", F.posexplode(ngram_hashes(F.col("__w"), n)).alias("pos", "h"))
-    ev = exploded_ngram_hashes(eval_docs, text_col, n).distinct()
-    cut = (occ.join(F.broadcast(ev), "h", "left_semi")
+    ev = (exploded_ngram_hashes(eval_docs, text_col, n).distinct()
+          .withColumn("__hit", F.lit(True)))
+    marked = occ.join(F.broadcast(ev), "h", "left")
+    cut = (marked.filter(F.col("__hit"))
            .select("id", F.explode(F.sequence(
                F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("widx"))
            .distinct())
-    return _cut_rebuild(staged, cut, "dc_")
+    out = _cut_rebuild(staged, cut, "dc_")
+    if not with_stats:
+        return out
+    stats = (marked.groupBy("id")
+             .agg(F.count("*").alias("n_grams"),
+                  F.sum(F.when(F.col("__hit"), 1).otherwise(0))
+                  .cast("long").alias("n_contaminated"))
+             .withColumn("contamination_frac",
+                         F.round(F.col("n_contaminated")
+                                 / F.greatest(F.col("n_grams"), F.lit(1)),
+                                 6)))
+    return out.join(stats, "id", "left")
 
 
 def duplicated_line_stats(df: DataFrame, text_col: str = "text",

@@ -475,9 +475,15 @@ def contamination_frac(docs: DataFrame, eval_docs: DataFrame,
     map-side LEFT SEMI membership decided per occurrence, then one
     groupBy(id) roll-up; the 100 TB side never shuffles gram rows beyond
     the id-keyed count.  Every input doc emits one row (the shingler's
-    >=1-gram contract), so consumers can inner-join without losing docs.
+    >=1-gram contract; NULL text coalesces to the empty word array so
+    the contract holds there too, matching
+    ``dedup.decontaminate_cut(with_stats=True)``'s columns exactly).
     """
-    d = exploded_ngram_hashes(docs, text_col, n, F.col(id_col))
+    staged = docs.withColumn(
+        "__w", F.coalesce(words(normalize_text(F.col(text_col))),
+                          F.array().cast("array<string>")))
+    d = staged.select(F.col(id_col),
+                      F.explode(ngram_hashes(F.col("__w"), n)).alias("h"))
     e = exploded_ngram_hashes(eval_docs, text_col, n).distinct() \
         .withColumn("__hit", F.lit(True))
     marked = d.join(F.broadcast(e), "h", "left")
