@@ -1300,11 +1300,13 @@ def dp_text_stats(spark, sf_dir):
     detect/scrub (regexp_count + regexp_replace over deterministically
     injected emails/IPs/phones — the fixture corpus carries none), and
     benchmark-contamination flags (shared word-8-gram with the doc_id%97
-    eval slice, hash semi-join).  Stats+repetition+PII are ONE scan of pure
-    JVM expressions, zero UDFs; contamination adds the exploded-ngram
-    broadcast semi-join (datapipe/text.contaminated_ids).  Also bundles
-    the ExactSubstr duplicated-span stats AND the span REMOVAL itself
-    (dedup.exactsubstr_cut: es_n_cut_words / es_cut_word_ratio /
+    eval slice — derived as contamination_frac > 0 from the one-pass
+    decontamination below; the oracle computes the boolean and the
+    fraction independently).  Stats+repetition+PII are ONE scan of pure
+    JVM expressions, zero UDFs.  Also bundles
+    the ExactSubstr duplicated-span stats AND the span REMOVAL in one
+    pass (dedup.exactsubstr_cut(with_span_stats=True): n_spans /
+    n_dup_spans / dup_span_ratio / es_n_cut_words / es_cut_word_ratio /
     es_cleaned_md5), Okapi BM25 lexical retrieval against a fixed probe
     query (retrieval.bm25_scores: bm25_probe), the RefinedWeb-style
     corpus-wide exact LINE dedup (dedup.duplicated_line_stats over a
@@ -1312,7 +1314,6 @@ def dp_text_stats(spark, sf_dir):
     dup_line_ratio / cleaned_lines_len), and the composed corpus_keep
     decision.  Was dp_token_count + dp_quality."""
     from yupana_spark.datapipe.text import (bpe_token_count, c4_rules,
-                                            contaminated_ids,
                                             line_shape_stats,
                                             ngram_char_frac, pii_counts,
                                             quality_metrics, quality_score,
@@ -1406,8 +1407,12 @@ def dp_text_stats(spark, sf_dir):
         _wdd["dup_para_frac"].alias("wd_dup_para_frac"),
         _wdd["dup_para_char_frac"].alias("wd_dup_para_char_frac"),
     )
-    flags = (contaminated_ids(docs, docs.filter(did % 97 == 0))
-             .withColumn("contaminated", F.lit(True)))
+    # `contaminated` (the any-overlap boolean) is DERIVED from the
+    # overlap fraction below — contamination_frac > 0 is exactly the
+    # contaminated_ids semi-join membership on the same n=8 gram
+    # hashes, so the separate full-corpus explode + broadcast join is
+    # gone (review r11); the oracle still computes the two columns
+    # independently (cont vs cfr CTEs), which cross-checks the identity
     # thresholded decontamination + REMOVAL in ONE pass
     # (dedup.decontaminate_cut(with_stats=True), review r11 — one corpus
     # gram explode serves both): contamination_frac is the published
@@ -1424,22 +1429,22 @@ def dp_text_stats(spark, sf_dir):
                   "dc_cut_word_ratio",
                   F.md5("dc_cleaned").alias("dc_cleaned_md5"),
                   "contamination_frac"))
-    # ExactSubstr-style corpus-wide duplicated-span stats (Lee et al. 2021)
-    # — the ACROSS-corpus complement to the Gopher within-doc ratios
-    from yupana_spark.datapipe.dedup import (duplicated_span_stats,
-                                             exactsubstr_cut)
+    # ExactSubstr duplicated-span stats AND the span REMOVAL itself in
+    # ONE pass (dedup.exactsubstr_cut(with_span_stats=True), review r11
+    # — the stats are a second aggregation of the cut's own
+    # occurrence->count join): duplicated 8-gram occurrences cut, one
+    # canonical (min (id,pos)) copy kept — the fixture carries real
+    # cross-doc spans, so cuts are natural, not injected; the rebuilt
+    # document rides as its md5 (same huge-string posture as
+    # cleaned_lines_len) and the oracle recomputes stats AND edit from
+    # gram strings
+    from yupana_spark.datapipe.dedup import exactsubstr_cut
 
-    spans = duplicated_span_stats(docs).withColumnRenamed("id", "doc_id")
-    # ...and the span REMOVAL itself (dedup.exactsubstr_cut): duplicated
-    # 8-gram occurrences cut, one canonical (min (id,pos)) copy kept —
-    # the fixture carries real cross-doc spans, so cuts are natural, not
-    # injected; the rebuilt document rides as its md5 (same huge-string
-    # posture as cleaned_lines_len) and the oracle recomputes the whole
-    # edit from gram strings
-    es = (exactsubstr_cut(docs, n=8)
+    es = (exactsubstr_cut(docs, n=8, with_span_stats=True)
           .select(F.col("id").alias("doc_id"), "es_n_cut_words",
                   "es_cut_word_ratio",
-                  F.md5("es_cleaned").alias("es_cleaned_md5")))
+                  F.md5("es_cleaned").alias("es_cleaned_md5"),
+                  "n_spans", "n_dup_spans", "dup_span_ratio"))
     # Okapi BM25 lexical retrieval (datapipe/retrieval.bm25_scores —
     # Robertson et al., Lucene idf form) against a fixed probe query
     # mixing the fixture's one RARE term ('dup', df≈5%) with common
@@ -1491,13 +1496,10 @@ def dp_text_stats(spark, sf_dir):
     dup5 = (ngram_char_frac(docs, 5, "dup")
             .select(F.col("id").alias("doc_id"),
                     F.col("frac").alias("dup5_char_frac")))
-    return (base.join(flags, "doc_id", "left")
-            .withColumn("contaminated",
-                        F.coalesce(F.col("contaminated"), F.lit(False)))
-            .join(spans, "doc_id", "left")
-            .join(es, "doc_id", "left")
+    return (base.join(es, "doc_id", "left")
             .join(bm, "doc_id", "left")
             .join(dc, "doc_id", "left")
+            .withColumn("contaminated", F.col("contamination_frac") > 0)
             .join(lstats, "doc_id", "left")
             .join(top2, "doc_id", "left")
             .join(dup5, "doc_id", "left")

@@ -105,6 +105,17 @@ def test_exactsubstr_cut_hand_computed(spark):
     assert out3[4]["es_cleaned"] == "x1 y1 z1 p1 q1"
     assert out3[5]["es_cleaned"] == "m1 n1"
     assert out3[5]["es_n_cut_words"] == 3
+    # with_span_stats: the duplicated_span_stats columns from the SAME
+    # count shuffle — identical to the standalone operator, incl. the
+    # NULL-text doc both now cover with one short gram (review r11)
+    from yupana_spark.datapipe.dedup import duplicated_span_stats
+
+    ws = {r["id"]: (r["n_spans"], r["n_dup_spans"], r["dup_span_ratio"])
+          for r in exactsubstr_cut(df, n=2,
+                                   with_span_stats=True).collect()}
+    want = {r["id"]: (r["n_spans"], r["n_dup_spans"], r["dup_span_ratio"])
+            for r in duplicated_span_stats(df, n=2).collect()}
+    assert ws == want and ws[9] == (1, 0, 0.0)
 
 
 def test_decontaminate_cut(spark):

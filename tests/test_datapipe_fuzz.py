@@ -408,14 +408,17 @@ def test_differential_bigram_xent(spark, seed):
 # -- ngram_char_frac: random corpora vs a pure-Python recomputation ---------
 def _py_ngram_frac(text: str, n: int, mode: str) -> float | None:
     """Independent reference implementation of text.ngram_char_frac.
-    Rounds HALF_UP on the exact binary double — Spark's round() is
-    BigDecimal(double).setScale(6, HALF_UP), NOT Python's banker's
-    round() (a real 21/128 tie in the fuzz corpus separates them)."""
+    Rounds HALF_UP through the SHORTEST double repr — Spark's round()
+    is BigDecimal.valueOf(double).setScale(6, HALF_UP) and valueOf
+    goes through Double.toString, NOT the exact binary expansion and
+    NOT Python's banker's round() (a real 21/128 tie in the fuzz
+    corpus separates HALF_UP from banker's; review r11 separates
+    repr from exact-binary)."""
     from decimal import ROUND_HALF_UP, Decimal
 
     def r6(x: float) -> float:
-        return float(Decimal(x).quantize(Decimal("0.000001"),
-                                         ROUND_HALF_UP))
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                               ROUND_HALF_UP))
 
     ws = [w for w in text.lower().split() if w]
     if len(ws) < n:

@@ -72,12 +72,14 @@ def duplicated_span_stats(df: DataFrame, text_col: str = "text",
     losing docs; the dp_text_stats bundle LEFT-joins only as
     belt-and-braces.
     """
-    from .text import ngram_hashes, normalize_text, words
+    from .text import ngram_hashes
 
-    staged = df.withColumn("__w", words(normalize_text(F.col(text_col))))
+    # NULL text coalesces to the empty word array so the documented
+    # one-short-gram contract actually holds for it (review r11 — the
+    # uncoalesced explode dropped NULL-text docs entirely)
+    staged = _staged_norm_words(df, text_col, id_col)
     grams = staged.select(
-        F.col(id_col).alias("id"),
-        F.explode(ngram_hashes(F.col("__w"), n)).alias("h"))
+        "id", F.explode(ngram_hashes(F.col("__w"), n)).alias("h"))
     counts = grams.groupBy("h").agg(F.count("*").alias("__c"))
     return (grams.join(counts, "h")
             .groupBy("id")
@@ -91,7 +93,8 @@ def duplicated_span_stats(df: DataFrame, text_col: str = "text",
 
 def exactsubstr_cut(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", n: int = 8,
-                    min_count: int = 2) -> DataFrame:
+                    min_count: int = 2,
+                    with_span_stats: bool = False) -> DataFrame:
     """(id, es_n_words, es_n_cut_words, es_cut_word_ratio, es_cleaned):
     ExactSubstr duplicate-span REMOVAL — Lee et al. 2021 ("Deduplicating
     Training Data Makes Language Models Better", public) cut every
@@ -140,13 +143,29 @@ def exactsubstr_cut(df: DataFrame, text_col: str = "text",
                     + F.col("pos")))
     cnt = occ.groupBy("h").agg(F.count("*").alias("__c"),
                                F.min("__k").alias("__k0"))
-    cut = (occ.join(cnt, "h")
+    joined = occ.join(cnt, "h")
+    cut = (joined
            .filter((F.col("__c") >= min_count)
                    & (F.col("__k") != F.col("__k0")))
            .select("id", F.explode(F.sequence(
                F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("widx"))
            .distinct())
-    return _cut_rebuild(staged, cut, "es_")
+    out = _cut_rebuild(staged, cut, "es_")
+    if not with_span_stats:
+        return out
+    # ``duplicated_span_stats``' columns from the SAME occurrence->count
+    # join the cut already pays for (review r11: one gram explode + one
+    # count shuffle serve both the stats and the edit).  The dup
+    # definition stays the published count>1 regardless of min_count.
+    st = (joined.groupBy("id")
+          .agg(F.count("*").alias("n_spans"),
+               F.sum(F.when(F.col("__c") > 1, 1).otherwise(0))
+               .cast("long").alias("n_dup_spans"))
+          .withColumn("dup_span_ratio",
+                      F.round(F.col("n_dup_spans")
+                              / F.greatest(F.col("n_spans"), F.lit(1)),
+                              6)))
+    return out.join(st, "id", "left")
 
 
 def _staged_norm_words(df: DataFrame, text_col: str, id_col: str

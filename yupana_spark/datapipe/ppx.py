@@ -251,8 +251,16 @@ def ppx_buckets(scores: DataFrame, value_col: str = "big_xent",
     if cuts is None:
         cuts = ppx_cutoffs(scores, value_col, group_cols, n,
                            approx_accuracy, scale)
-    elif set(qcols) - set(cuts.columns):
-        raise ValueError(f"cuts frame must carry {qcols}")
+    else:
+        # exact arity, not subset: a cuts frame fit with MORE buckets
+        # would pass a subset check, label against the wrong quantiles
+        # (quartile __q0 is not tercile __q0) and leak its extra __q*
+        # columns into the output (review r11)
+        have = sorted(c for c in cuts.columns if c.startswith("__q"))
+        if have != sorted(qcols):
+            raise ValueError(
+                f"cuts frame must carry exactly {sorted(qcols)} "
+                f"(len(labels)-1 cutoffs), got {have}")
     joined = scores.join(cuts, list(group_cols), "left")
     expr = F.lit(labels[-1])
     for i in reversed(range(n - 1)):

@@ -40,10 +40,15 @@ def norm_words(text) -> list:
     (None -> []).  Single shared copy — ``tokenize_query`` and every
     pure-Python differential reference (``py_bm25``, the exactsubstr
     fuzz oracle) build on it, so a change to the Spark-side
-    normalization has exactly one mirror to update."""
+    normalization has exactly one mirror to update.
+
+    ``re.ASCII`` on both passes because Java's ``\\s`` is ASCII-only
+    while Python's is Unicode-aware (review r11): Spark REMOVES U+00A0
+    and friends via ``[^a-z0-9\\s]`` ('foo\\u00a0bar' -> 'foobar'),
+    and an un-flagged Python mirror would split on them instead."""
     t = (text or "").lower()
-    t = re.sub(r"[^a-z0-9\s]", "", t)
-    t = re.sub(r"\s+", " ", t).strip()
+    t = re.sub(r"[^a-z0-9\s]", "", t, flags=re.ASCII)
+    t = re.sub(r"\s+", " ", t, flags=re.ASCII).strip(" \t\n\r\f\v")
     return [w for w in t.split(" ") if w]
 
 
@@ -112,6 +117,16 @@ def bm25_scores(df: DataFrame, query: str, text_col: str = "text",
     staged = staged.withColumn("__dl", F.size("__w"))
     if stats is None:
         stats = corpus_stats(df, text_col)
+    return _bm25_scored(staged, qts, stats, k1, b).select(
+        "id", F.round("__raw", 6).alias("bm25"))
+
+
+def _bm25_scored(staged, qts, stats, k1: float, b: float) -> DataFrame:
+    """(id, __raw): the UNROUNDED per-doc BM25 sum over a staged
+    (id, __w, __dl) frame — shared by ``bm25_scores`` (rounds for the
+    cross-engine hash) and ``bm25_topk`` (filters real matches on the
+    raw sum, which a 6-decimal round could flush to zero for
+    corpus-universal terms; review r11)."""
     n_docs, avgdl = float(stats[0]), float(stats[1])
     qlit = F.array(*[F.lit(t) for t in qts])
     # emit ONLY query-term occurrences: ≤|q| distinct terms per doc leave
@@ -136,8 +151,8 @@ def bm25_scores(df: DataFrame, query: str, text_col: str = "text",
               .groupBy("id").agg(F.sum("__s").alias("__bm")))
     return (staged.select("id")
             .join(scored, "id", "left")
-            .select("id", F.round(F.coalesce(F.col("__bm"), F.lit(0.0)), 6)
-                    .alias("bm25")))
+            .select("id", F.coalesce(F.col("__bm"), F.lit(0.0))
+                    .alias("__raw")))
 
 
 def bm25_topk(df: DataFrame, query: str, k: int = 10,
@@ -146,10 +161,21 @@ def bm25_topk(df: DataFrame, query: str, k: int = 10,
               stats: Optional[tuple] = None) -> DataFrame:
     """Top-k documents by BM25 — TakeOrderedAndProject (no global sort
     materialization, no collect), deterministic tie-break on id; rows
-    with score 0 (no query term) are excluded so `k` means `k` hits."""
-    s = bm25_scores(df, query, text_col=text_col, id_col=id_col,
-                    k1=k1, b=b, stats=stats)
-    return (s.filter(F.col("bm25") > 0.0)
+    whose RAW score is 0 (no query term occurs) are excluded so `k`
+    means `k` hits — the filter runs before rounding, so a genuine
+    match whose tiny idf rounds to 0.000000 still ranks (review r11)."""
+    qts = tokenize_query(query)
+    if not qts:
+        raise ValueError("bm25_topk needs a query with at least one "
+                         "alphanumeric term")
+    staged = (df.select(F.col(id_col).alias("id"),
+                        _words_safe(F.col(text_col)).alias("__w"))
+              .withColumn("__dl", F.size("__w")))
+    raw = _bm25_scored(staged, qts,
+                       stats if stats is not None
+                       else corpus_stats(df, text_col), k1, b)
+    return (raw.filter(F.col("__raw") > 0.0)
+            .select("id", F.round("__raw", 6).alias("bm25"))
             .orderBy(F.col("bm25").desc(), F.col("id"))
             .limit(k))
 
@@ -170,18 +196,21 @@ def bm25_probe_fit(df: DataFrame, query: str, text_col: str = "text",
     if not qts:
         raise ValueError("bm25_probe_fit needs a query with at least one "
                          "alphanumeric term")
-    n, avgdl = corpus_stats(df, text_col)
-    staged = df.select(F.col(id_col).alias("id"),
-                       _words_safe(F.col(text_col)).alias("__w"))
-    qlit = F.array(*[F.lit(t) for t in qts])
-    dfreq = (staged.select(
-        "id", F.explode(F.array_distinct(F.filter(
-            F.col("__w"),
-            lambda w: F.array_contains(qlit, w)))).alias("t"))
-        .groupBy("t").agg(F.count("*").alias("df")))
-    dfs = {r["t"]: float(r["df"]) for r in dfreq.collect()}
-    idf = {t: math.log(1.0 + (n - dfs.get(t, 0.0) + 0.5)
-                       / (dfs.get(t, 0.0) + 0.5)) for t in qts}
+    staged = df.select(_words_safe(F.col(text_col)).alias("__w"))
+    # ONE corpus scan, ONE single-row aggregate: N, avgdl and every
+    # per-term document frequency together (df_t = Σ array_contains —
+    # no explode, no groupBy; review r11: the fit previously scanned
+    # the reference corpus twice)
+    aggs = [F.count("*").cast("double").alias("__n"),
+            F.avg(F.size("__w")).alias("__avgdl")]
+    aggs += [F.sum(F.array_contains(F.col("__w"), t).cast("long"))
+             .alias(f"__df{i}") for i, t in enumerate(qts)]
+    r = staged.agg(*aggs).first()
+    n, avgdl = float(r["__n"]), float(r["__avgdl"] or 0.0)
+    idf = {}
+    for i, t in enumerate(qts):
+        d = float(r[f"__df{i}"] or 0)
+        idf[t] = math.log(1.0 + (n - d + 0.5) / (d + 0.5))
     return {"terms": qts, "idf": idf, "n": n, "avgdl": avgdl}
 
 
@@ -230,10 +259,13 @@ def py_bm25(docs, query: str, k1: float = 1.2, b: float = 0.75) -> dict:
     from decimal import ROUND_HALF_UP, Decimal
 
     def r6(x: float) -> float:
-        # Spark's round() is BigDecimal HALF_UP on the exact double, NOT
-        # Python's banker's round (same caveat as the ngram fuzz oracle)
-        return float(Decimal(x).quantize(Decimal("0.000001"),
-                                         ROUND_HALF_UP))
+        # Spark's round() is BigDecimal.valueOf(double).setScale(6,
+        # HALF_UP) — valueOf goes through Double.toString's SHORTEST
+        # repr, so the mirror must too (Decimal(repr(x)), not the exact
+        # binary Decimal(x): 0.1234565's exact expansion ends ...4999
+        # and would round DOWN where Spark rounds up; review r11)
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                               ROUND_HALF_UP))
 
     qts = tokenize_query(query)
     ws = {i: norm_words(t) for i, t in docs}

@@ -30,7 +30,9 @@ def streaming_bm25_scores(stream: DataFrame, probe: dict,
                           id_col: str = "doc_id") -> DataFrame:
     """(id, bm25) per streamed document, scored row-locally against the
     fitted probe — stateless, append-mode-safe, rides the stream scan
-    (NULL text scores 0 like an empty document)."""
+    (NULL text scores 0 like an empty document).  The id column passes
+    through UNCAST — string/uuid ids are as valid online as longs, and
+    a cast would silently null them (review r11)."""
     staged = stream.withColumn("__w", _words_safe(F.col(text_col)))
-    return staged.select(F.col(id_col).cast("long").alias("id"),
+    return staged.select(F.col(id_col).alias("id"),
                          bm25_score_col(F.col("__w"), probe).alias("bm25"))
