@@ -583,6 +583,12 @@ def test_differential_bm25(spark, seed):
         assert got == want, (seed, q,
                              {i: (got[i], want[i]) for i in got
                               if got[i] != want[i]})
+    # non-default k1/b ride the same algebra on both sides
+    want = py_bm25(rows, "data scan merge", k1=1.6, b=0.9)
+    got = {r["id"]: r["bm25"]
+           for r in bm25_scores(df, "data scan merge",
+                                k1=1.6, b=0.9).collect()}
+    assert got == want
 
 
 # -- c4_rules / within_doc_dup_stats: random multi-line docs vs Python -----

@@ -391,6 +391,55 @@ def test_streaming_bm25_matches_batch(spark, tmp_path):
     assert streamed == batch
 
 
+def test_streaming_decontaminate_cut_matches_batch(spark, tmp_path):
+    """Online contamination removal: a chunked replay of a static corpus
+    yields the batch decontaminate_cut rows EXACTLY — same JVM gram
+    hashes decide membership, same window-cut law, same repr-HALF_UP
+    rounding; NULL text rides as the empty document."""
+    from pyspark.sql import types as T
+
+    from yupana_spark.datapipe.dedup import decontaminate_cut
+    from yupana_spark.streaming.filters import streaming_decontaminate_cut
+
+    schema = "doc_id long, text string"
+    ev_text = "alpha beta gamma delta"
+    rows = [(1, f"intro words then {ev_text} and a clean tail here"),
+            (2, "totally unrelated content nothing shared at all"),
+            (3, ev_text),
+            (4, None),
+            (5, f"{ev_text} {ev_text} double leak")]
+    docs = spark.createDataFrame(rows, schema)
+    ev = spark.createDataFrame([(99, ev_text)], schema)
+    batch = {r["id"]: (r["dc_n_words"], r["dc_n_cut_words"],
+                       r["dc_cut_word_ratio"], r["dc_cleaned"])
+             for r in decontaminate_cut(docs, ev, n=4).collect()}
+    assert batch[1][1] == 4 and batch[3][3] == "" and batch[4][0] == 0
+    src = tmp_path / "dcs_src"
+    src.mkdir()
+    spark.createDataFrame(rows[:2], schema).coalesce(1) \
+        .write.parquet(str(src / "a"))
+    spark.createDataFrame(rows[2:], schema).coalesce(1) \
+        .write.parquet(str(src / "b"))
+    stream = (spark.readStream
+              .schema(T.StructType([T.StructField("doc_id", T.LongType()),
+                                    T.StructField("text", T.StringType())]))
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+    out = streaming_decontaminate_cut(stream, ev, n=4)
+    q = (out.writeStream.format("memory").queryName("dcs")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "dcs_ck"))
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination()
+        streamed = {r["id"]: (r["dc_n_words"], r["dc_n_cut_words"],
+                              r["dc_cut_word_ratio"], r["dc_cleaned"])
+                    for r in spark.table("dcs").collect()}
+    finally:
+        q.stop()
+        spark.catalog.dropTempView("dcs")
+    assert streamed == batch
+
+
 def test_streaming_neardup_event_time_eviction(spark, tmp_path):
     """EventTimeTimeout horizon (r6 verdict ask #3): eviction keyed to the
     WATERMARK, so the eviction set is a function of the data + batch

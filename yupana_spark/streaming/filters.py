@@ -136,6 +136,68 @@ def _contaminated_col(word_array: Column, eval_hashes_bc) -> Column:
     return hit(ngram_hashes(word_array, 8))
 
 
+def streaming_decontaminate_cut(stream: DataFrame, eval_docs: DataFrame,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                n: int = 8) -> DataFrame:
+    """Online contamination REMOVAL — the batch
+    ``dedup.decontaminate_cut`` edit for an always-on ingest: every
+    word-``n``-gram window present in the (static, bounded) eval corpus
+    is cut from the streamed document, the rest survives.  Output
+    mirrors the batch columns (id, dc_n_words, dc_n_cut_words,
+    dc_cut_word_ratio, dc_cleaned) and on a replay of a static corpus
+    EQUALS the batch operator row-for-row (the parity the test pins).
+
+    Stateless and append-safe.  The eval gram-hash set collects once and
+    ships as an explicit ``sc.broadcast`` (the decontamination-rule
+    pattern above — the same data movement as the batch broadcast
+    semi-join, minus the join a stream cannot use); gram hashes are
+    computed JVM-side with the SAME xxhash64 expressions as the batch
+    path, so membership decisions are bit-identical, and the Arrow UDF
+    only walks the per-row match positions and re-joins kept words.
+    The ratio rounds through the shortest-double-repr HALF_UP mirror,
+    matching Spark ``round()`` exactly."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ..datapipe.retrieval import _words_safe
+    from ..datapipe.text import exploded_ngram_hashes, ngram_hashes
+
+    ev_rows = (exploded_ngram_hashes(eval_docs, text_col, n)
+               .distinct().collect())
+    bc = stream.sparkSession.sparkContext.broadcast(
+        frozenset(int(r["h"]) for r in ev_rows))
+
+    @F.pandas_udf("dc_n_words long, dc_n_cut_words long, "
+                  "dc_cut_word_ratio double, dc_cleaned string")
+    def cut(ws_arr: pd.Series, hs_arr: pd.Series) -> pd.DataFrame:
+        ev = bc.value
+        out = []
+        for ws, hs in zip(ws_arr, hs_arr):
+            ws = list(ws) if ws is not None else []
+            hs = list(hs) if hs is not None else []
+            drop = set()
+            for p, h in enumerate(hs):
+                if int(h) in ev:
+                    drop.update(range(p, p + n))
+            kept = [w for i, w in enumerate(ws) if i not in drop]
+            nw, nc = len(ws), len(ws) - len(kept)
+            ratio = float(Decimal(repr(nc / max(nw, 1))).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP))
+            out.append((nw, nc, ratio, " ".join(kept)))
+        return pd.DataFrame(out, columns=["dc_n_words", "dc_n_cut_words",
+                                          "dc_cut_word_ratio",
+                                          "dc_cleaned"])
+
+    staged = stream.withColumn("__w", _words_safe(F.col(text_col)))
+    # materialize the struct ONCE, then expand — referencing the UDF
+    # expression per field would risk re-evaluating the Python batch
+    tmp = staged.select(
+        F.col(id_col).alias("id"),
+        cut(F.col("__w"), ngram_hashes(F.col("__w"), n)).alias("__r"))
+    return tmp.select("id", "__r.dc_n_words", "__r.dc_n_cut_words",
+                      "__r.dc_cut_word_ratio", "__r.dc_cleaned")
+
+
 def streaming_corpus_filter(stream: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
                             min_quality: float = 0.7,
