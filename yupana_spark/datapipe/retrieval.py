@@ -180,12 +180,14 @@ def bm25_topk(df: DataFrame, query: str, k: int = 10,
             .limit(k))
 
 
-def bm25_probe_fit(df: DataFrame, query: str, text_col: str = "text",
-                   id_col: str = "doc_id") -> dict:
-    """Fit-time artifact for ROW-LOCAL BM25 probing: the corpus constants
-    plus the per-query-term idf, all collected bounded (one single-row
-    aggregate + one ≤|q|-row frame).  Terms absent from the corpus keep
-    their (maximal) idf — a fresh stream document may introduce them.
+def bm25_probe_fit(df: DataFrame, query: str,
+                   text_col: str = "text") -> dict:
+    """Fit-time artifact for ROW-LOCAL BM25 probing: the corpus
+    constants plus every per-query-term document frequency, computed in
+    ONE single-row aggregate over one corpus scan (df_t =
+    Σ array_contains — no explode, no groupBy, no id column needed).
+    Terms absent from the corpus keep their (maximal) idf — a fresh
+    stream document may introduce them.
 
     The fit runs once per (corpus, query); scoring against it needs no
     corpus-side work at all (see :func:`bm25_score_col`), which is what
