@@ -180,6 +180,48 @@ def test_decontaminate_cut_scalable_plan(spark):
     assert not re.search(r"(SortMergeJoin|ShuffledHashJoin) \[h#", plan)
 
 
+def test_exactsubstr_cut_rejects_nonintegral_id(spark):
+    """The packed-bigint canonicality key requires an integral id: a
+    string/uuid id casts to NULL long, making __k != __k0 never true and
+    the operator a silent no-op (ADVICE r11).  It must fail loudly at
+    plan time, and out-of-range longs must fail at execution."""
+    import pytest
+    from yupana_spark.datapipe.dedup import exactsubstr_cut
+
+    sdf = spark.createDataFrame(
+        [("u-1", "a b a b"), ("u-2", "a b c d")],
+        "doc_id string, text string")
+    with pytest.raises(ValueError, match="integral.*doc_id"):
+        exactsubstr_cut(sdf, n=2)
+    # in-plan range guard: id >= 2**37 would overflow id*2^26+pos
+    bad = spark.createDataFrame(
+        [(1 << 38, "a b a b"), (7, "a b c d")], "doc_id long, text string")
+    with pytest.raises(Exception, match="packed-id contract"):
+        exactsubstr_cut(bad, n=2).collect()
+    # conforming int ids (not just long) still work end-to-end
+    ints = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b a b")], "doc_id int, text string")
+    out = {r["id"]: r["es_cleaned"]
+           for r in exactsubstr_cut(ints, n=2).collect()}
+    assert out[1] == "a b" and out[2] == ""
+
+
+def test_bm25_probe_fit_rejects_unusable_corpus(spark):
+    """avgdl=0 would make bm25_score_col divide by a 0.0 literal and
+    NULL every streamed score (ADVICE r11): an empty or all-empty-text
+    reference corpus must fail at fit time."""
+    import pytest
+    from yupana_spark.datapipe.retrieval import bm25_probe_fit
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty or has no"):
+        bm25_probe_fit(empty, "hello world")
+    blank = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "!!! ...")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty or has no"):
+        bm25_probe_fit(blank, "hello world")
+
+
 def test_exactsubstr_cut_scalable_plan(spark):
     """The removal pipeline stays JVM-side and keyed: no Python and no
     cartesian ever; with size-based broadcast disabled (the 100 TB

@@ -136,11 +136,11 @@ def exactsubstr_cut(df: DataFrame, text_col: str = "text",
     """
     from .text import ngram_hashes
 
+    _require_packable_id(df, id_col, "exactsubstr_cut")
     staged = _staged_norm_words(df, text_col, id_col)
     occ = (staged.select(
         "id", F.posexplode(ngram_hashes(F.col("__w"), n)).alias("pos", "h"))
-        .withColumn("__k", F.col("id").cast("long") * F.lit(1 << 26)
-                    + F.col("pos")))
+        .withColumn("__k", _packed_key(F.col("id"), F.col("pos"))))
     cnt = occ.groupBy("h").agg(F.count("*").alias("__c"),
                                F.min("__k").alias("__k0"))
     joined = occ.join(cnt, "h")
@@ -166,6 +166,35 @@ def exactsubstr_cut(df: DataFrame, text_col: str = "text",
                               / F.greatest(F.col("n_spans"), F.lit(1)),
                               6)))
     return out.join(st, "id", "left")
+
+
+def _require_packable_id(df: DataFrame, id_col: str, op: str) -> None:
+    """Plan-time enforcement of the packed-bigint id contract: the id
+    column must be an integral type.  A string/uuid id would cast to
+    NULL long, making ``__k != __k0`` never true — the operator would
+    silently cut NOTHING instead of failing (ADVICE r11)."""
+    from pyspark.sql.types import (ByteType, ShortType, IntegerType,
+                                   LongType)
+
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"{op} requires an integral {id_col!r} column (the canonical-"
+            f"occurrence argmin rides a packed bigint id*2^26+pos with "
+            f"0 <= id < 2^37); got {dt.simpleString()}. Derive a long id "
+            f"first, e.g. monotonically_increasing_id() or a dense rank.")
+
+
+def _packed_key(id_col, pos_col):
+    """``id * 2**26 + pos`` with an in-plan range guard: ids outside
+    [0, 2^37) would overflow the bigint and corrupt the argmin ordering,
+    so they raise at execution instead of silently mis-canonicalizing."""
+    ok = (id_col >= 0) & (id_col < F.lit(1 << 37))
+    return (F.when(ok, id_col.cast("long") * F.lit(1 << 26) + pos_col)
+            .otherwise(F.raise_error(F.concat(
+                F.lit("exactsubstr packed-id contract violated: id "),
+                id_col.cast("string"),
+                F.lit(" outside [0, 2**37)")))))
 
 
 def _staged_norm_words(df: DataFrame, text_col: str, id_col: str

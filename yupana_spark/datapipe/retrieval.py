@@ -209,6 +209,13 @@ def bm25_probe_fit(df: DataFrame, query: str,
              .alias(f"__df{i}") for i, t in enumerate(qts)]
     r = staged.agg(*aggs).first()
     n, avgdl = float(r["__n"]), float(r["__avgdl"] or 0.0)
+    if n == 0.0 or avgdl == 0.0:
+        # bm25_score_col divides dl by this avgdl literal; 0.0 would
+        # NULL every streamed score (ADVICE r11) — fail at fit time.
+        raise ValueError(
+            "bm25_probe_fit: reference corpus is empty or has no "
+            f"tokenizable text (N={n:g}, avgdl={avgdl:g}); a usable "
+            "probe needs at least one non-empty document")
     idf = {}
     for i, t in enumerate(qts):
         d = float(r[f"__df{i}"] or 0)
