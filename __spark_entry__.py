@@ -1578,7 +1578,7 @@ def dp_lang_id(spark, sf_dir):
 
 def dp_exact_dedup(spark, sf_dir):
     """Bundle: exact dedup via normalized-content md5 fingerprint + min-id
-    window (the fp column doubles as the document-fingerprint operator),
+    aggregate (the fp column doubles as the document-fingerprint operator),
     plus CROSS-CORPUS exact dedup (``dup_vs_ref``): flag documents whose
     normalized content already exists in a reference corpus — the "dedup
     the new crawl against the training set" step (dedup.cross_corpus_flags,
@@ -1603,13 +1603,13 @@ def dp_exact_dedup(spark, sf_dir):
     flag (the union form's miss branch is constant-false and its hit
     branch is the same exact join; pytest pins the full operator equal to
     ``cross_corpus_flags``), but the bundle then needs no second
-    full-corpus exchange: at 100 TB one fp shuffle serves the window,
-    the membership join and the probe audit.
+    full-corpus exchange: at 100 TB one fp shuffle serves the min-id
+    aggregate, the membership join and the probe audit.
 
     The fingerprint frames and the bit array are INGEST-TIME artifacts
     (fingerprints ARE the exact-dedup index — same train-once posture as
     the minhash/IVF index frames in dp_neardup_scale): built once per
-    (session, corpus), memoized; the min-id window, the membership join
+    (session, corpus), memoized; the min-id aggregate, the membership join
     and the bloom probes stay live every pass."""
     from yupana_spark.datapipe.dedup import bloom_hit_expr
 
@@ -1635,16 +1635,18 @@ def dp_exact_dedup(spark, sf_dir):
         cached = (fpd, rfp, words)
         _BLOOM_WORDS[key] = cached
     fpd, rfp, words = cached
-    from pyspark.sql import Window
-
+    # skew-robust representative (review r11): groupBy(fp).min(id) + a
+    # co-partitioned join instead of Window.partitionBy(fp) — a window
+    # pins a viral fingerprint's every copy into ONE task; the aggregate
+    # combines map-side and AQE can skew-split the probe join
+    reps = fpd.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
     # the 8 KB word array rides the plan as an array LITERAL: measured
     # 3.6x cheaper per pass than a broadcast single-row crossJoin (whose
     # BroadcastExchange re-runs on every action)
-    w = Window.partitionBy("fp")
     return (fpd.withColumn("__bf", F.lit(words))
             .withColumn("__bh", bloom_hit_expr(1 << 16))
             .drop("__bf")
-            .withColumn("keep_id", F.min("doc_id").over(w))
+            .join(reps, "fp")
             .withColumn("is_duplicate", F.col("doc_id") != F.col("keep_id"))
             .join(rfp.withColumn("__r", F.lit(True)), "fp", "left")
             .withColumn("dup_vs_ref", F.coalesce(F.col("__r"), F.lit(False)))

@@ -39,6 +39,31 @@ def test_exact_dedup_finds_copy(docs_with_dups):
     assert 10002 not in dups      # the edited copy is not byte-identical
 
 
+def test_exact_dedup_skew_no_window(spark):
+    """A viral document (one fingerprint, 10^5 copies) must not funnel
+    into a single task: the min-id representative is a groupBy(fp)
+    aggregate + join, never Window.partitionBy(fp) (review r11).  The
+    plan check pins the shape; the correctness check exercises it at
+    the skewed cardinality."""
+    from yupana_spark.datapipe.dedup import exact_dedup
+
+    n = 100_000
+    viral = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("the same viral doc").alias("text"))
+    rest = spark.range(n, n + 50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique "), F.col("id").cast("string")).alias("text"))
+    out = exact_dedup(viral.unionByName(rest))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    agg = out.agg(
+        F.sum(F.col("is_duplicate").cast("long")).alias("ndup"),
+        F.count("*").alias("ntot")).first()
+    assert (agg["ndup"], agg["ntot"]) == (n - 1, n + 50)
+    keep = out.filter(~F.col("is_duplicate") & (F.col("text") == "the same viral doc"))
+    assert [r["doc_id"] for r in keep.collect()] == [0]
+
+
 def test_duplicated_span_stats(spark):
     """ExactSubstr-style corpus-wide span stats (Lee et al. 2021): an
     8-gram shared across two docs (or repeated inside one) marks every one

@@ -37,7 +37,11 @@ CHECKS = {
     "q_lag_window": dict(pushed=r"PushedFilters: \[.*l_shipdate",
                          expect=["Window"], forbid=[]),
     "q_having": dict(pushed=None, expect=["HashAggregate"], forbid=[]),
-    "dp_exact_dedup": dict(pushed=None, expect=["Window"], forbid=[]),
+    # skew posture (review r11): the min-id representative is a
+    # groupBy(fp) aggregate + co-partitioned join — a Window over fp
+    # would pin a viral fingerprint's every copy into one task
+    "dp_exact_dedup": dict(pushed=None, expect=["HashAggregate"],
+                           forbid=["Window"]),
     "q_tpch_q1": dict(pushed=r"PushedFilters: \[.*l_shipdate",
                       expect=["HashAggregate"], forbid=["SortMergeJoin"]),
     "q_session_windows": dict(pushed=None, expect=["Aggregate"], forbid=[]),

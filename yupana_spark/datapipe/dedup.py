@@ -22,7 +22,7 @@ from __future__ import annotations
 from typing import Optional
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
 from .text import char_shingles, fingerprint_md5, normalize_text, word_shingles
@@ -36,13 +36,19 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
     Returns the input plus ``fp`` / ``is_duplicate``; one shuffle on the
     fingerprint hash (group keys are 32-byte md5, not document text).
+
+    Skew posture (review r11): the representative is a
+    ``groupBy(fp).agg(min(id))`` + co-partitioned join, NOT a
+    ``Window.partitionBy(fp)`` — a window pins every row of one fp into
+    a single task, so one viral document (10^5+ exact copies of one
+    fingerprint) hot-spots an executor; the aggregate form combines
+    map-side and AQE skew-join can split the probe side.
     """
     with_fp = df.withColumn("fp", fingerprint_md5(F.col(text_col)))
-    w = Window.partitionBy("fp")
-    return (with_fp
-            .withColumn("keep_id", F.min(id_col).over(w))
-            .withColumn("is_duplicate", F.col(id_col) != F.col("keep_id"))
-            .drop("keep_id"))
+    reps = with_fp.groupBy("fp").agg(F.min(id_col).alias("__keep_id"))
+    return (with_fp.join(reps, "fp")
+            .withColumn("is_duplicate", F.col(id_col) != F.col("__keep_id"))
+            .select(*df.columns, "fp", "is_duplicate"))
 
 
 def duplicated_span_stats(df: DataFrame, text_col: str = "text",
