@@ -147,3 +147,14 @@ def test_user_management_rejected_with_clear_message():
                  "DROP USER 'u'"):
         with pytest.raises(SqlParseError, match="out of scope"):
             parse(stmt)
+
+
+def test_show_users_parses():
+    """SHOW USERS (SqlParser.scala:294) PARSES — unlike the user-management
+    DDL it has a well-formed read-only answer (the single unauthenticated
+    identity), so admin tools pointed at pgwire don't hit a parse error."""
+    from yupana_spark.sql import ast as A
+    from yupana_spark.sql.parser import parse
+
+    assert isinstance(parse("SHOW USERS"), A.ShowUsers)
+    assert isinstance(parse("show users;"), A.ShowUsers)

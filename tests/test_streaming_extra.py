@@ -130,7 +130,16 @@ def test_streaming_neardup_idle_eviction(spark, tmp_path):
     evicted (ProcessingTimeTimeout -> hasTimedOut -> state.remove), so a
     near-dup of an evicted member is NOT re-found — while within the
     horizon the same pair IS found, proving the negative is eviction, not
-    a broken construction."""
+    a broken construction.
+
+    LOAD-IMMUNE by construction (review r11: the old form raced a 1.5 s
+    wall-clock horizon against micro-batch scheduling and flaked under
+    concurrent Spark load).  The eviction phase uses only EVENTUALLY-true
+    waits — doc 2 is written strictly after eviction is observed, and its
+    processing is detected by cumulative per-batch input counts (not by
+    catching a transient state-row snapshot).  The within-horizon
+    positive runs as its OWN query with a 10-minute horizon, so no
+    scheduling pause can evict before the pair is found."""
     import json
     import time
 
@@ -138,35 +147,14 @@ def test_streaming_neardup_idle_eviction(spark, tmp_path):
 
     from yupana_spark.streaming.neardup import streaming_neardup_pairs
 
-    src = tmp_path / "ev_src"
-    src.mkdir()
     text = "spark stream bucket shingle minhash corpus window state band"
     schema = T.StructType([T.StructField("doc_id", T.LongType()),
                            T.StructField("text", T.StringType())])
 
-    def put(name, doc_id):
-        (src / name).write_text(json.dumps({"doc_id": doc_id, "text": text}))
+    def put(d, name, doc_id):
+        (d / name).write_text(json.dumps({"doc_id": doc_id, "text": text}))
 
-    put("f1.json", 1)
-    stream = spark.readStream.schema(schema).json(str(src))
-    out = streaming_neardup_pairs(stream, threshold=0.5,
-                                  idle_timeout_ms=1500)
-    # NOTE: under ProcessingTimeTimeout the engine keeps scheduling
-    # timeout micro-batches, so processAllAvailable never sees the query
-    # go idle — progress is observed by polling the state-operator row
-    # count instead (same bounded-wait posture as running_totals' test)
-    q = (out.writeStream.format("memory").queryName("ev")
-         .outputMode("append")
-         .option("checkpointLocation", str(tmp_path / "ev_ck"))
-         .trigger(processingTime="300 milliseconds").start())
-
-    def state_rows():
-        p = q.lastProgress
-        if not p or not p.get("stateOperators"):
-            return -1
-        return p["stateOperators"][0]["numRowsTotal"]
-
-    def wait(pred, timeout=90):
+    def wait(pred, timeout=120):
         t0 = time.time()
         while time.time() - t0 < timeout:
             if pred():
@@ -174,24 +162,75 @@ def test_streaming_neardup_idle_eviction(spark, tmp_path):
             time.sleep(0.3)
         return False
 
+    class Progress:
+        """Cumulative view over q.recentProgress (entries roll off at
+        100, so scan incrementally by batchId)."""
+
+        def __init__(self, q):
+            self.q, self.batches, self.inputs, self.saw8 = q, set(), 0, False
+            self.state = -1
+
+        def poll(self):
+            for p in self.q.recentProgress:
+                if p["batchId"] in self.batches:
+                    continue
+                self.batches.add(p["batchId"])
+                self.inputs += p["numInputRows"]
+                if p.get("stateOperators"):
+                    self.state = p["stateOperators"][0]["numRowsTotal"]
+                    self.saw8 = self.saw8 or self.state == 8
+            return self
+
+    # --- phase A: eviction (short horizon; only lower-bound waits) ----
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    put(src, "f1.json", 1)
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = streaming_neardup_pairs(stream, threshold=0.5,
+                                  idle_timeout_ms=1500)
+    # NOTE: under ProcessingTimeTimeout the engine keeps scheduling
+    # timeout micro-batches, so processAllAvailable never sees the query
+    # go idle — progress is observed by polling instead
+    q = (out.writeStream.format("memory").queryName("ev")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ev_ck"))
+         .trigger(processingTime="300 milliseconds").start())
+    tr = Progress(q)
     try:
-        # doc 1 lands in its 8 band buckets...
-        assert wait(lambda: state_rows() == 8), "doc 1 never entered state"
-        # ...then the idle horizon passes and the timeout evicts them all
-        assert wait(lambda: state_rows() == 0), "idle state never evicted"
-        put("f2.json", 2)           # identical text -> same buckets
-        assert wait(lambda: state_rows() == 8), "doc 2 never entered state"
+        # doc 1 lands in its 8 band buckets (recorded from ANY progress
+        # entry, so a fast early eviction cannot hide it) ...
+        assert wait(lambda: tr.poll().saw8), "doc 1 never entered state"
+        # ... then the idle horizon passes and the timeout evicts them
+        assert wait(lambda: tr.poll().state == 0), "state never evicted"
+        # doc 2 is written ONLY NOW — member 1 is provably gone first
+        put(src, "f2.json", 2)      # identical text -> same buckets
+        assert wait(lambda: tr.poll().inputs >= 2), "doc 2 never processed"
         pairs = {(r["id_a"], r["id_b"]) for r in spark.table("ev").collect()}
         assert (1, 2) not in pairs  # member 1 was evicted
-        put("f3.json", 3)           # arrives within doc 2's horizon
-        assert wait(lambda: (2, 3) in {(r["id_a"], r["id_b"])
-                                       for r in spark.table("ev").collect()})
-        pairs = {(r["id_a"], r["id_b"]) for r in spark.table("ev").collect()}
-        assert (2, 3) in pairs      # construction intact within horizon
-        assert (1, 2) not in pairs and (1, 3) not in pairs
     finally:
         q.stop()
         spark.catalog.dropTempView("ev")
+
+    # --- phase B: construction intact WITHIN the horizon (own query,
+    # 10-minute horizon: no load pause can evict first) ---------------
+    src2 = tmp_path / "ev_src2"
+    src2.mkdir()
+    put(src2, "f2.json", 2)
+    put(src2, "f3.json", 3)
+    stream2 = spark.readStream.schema(schema).json(str(src2))
+    out2 = streaming_neardup_pairs(stream2, threshold=0.5,
+                                   idle_timeout_ms=600_000)
+    q2 = (out2.writeStream.format("memory").queryName("ev2")
+          .outputMode("append")
+          .option("checkpointLocation", str(tmp_path / "ev_ck2"))
+          .trigger(processingTime="300 milliseconds").start())
+    try:
+        assert wait(lambda: (2, 3) in {(r["id_a"], r["id_b"])
+                                       for r in spark.table("ev2").collect()}
+                    ), "within-horizon pair never found"
+    finally:
+        q2.stop()
+        spark.catalog.dropTempView("ev2")
 
 
 def test_streaming_neardup_superset_of_batch(spark, tmp_path):

@@ -20,15 +20,23 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 # queries whose oracle is a faithful equivalent of the operator.
-# dp_ngram_jaccard is excluded by default (pass --all to include): its
-# DuckDB oracle alone runs ~750 s at sf0.1 (vs Spark ~1.6 s since the
-# blocked sparse-intersection kernel) and would flatter the total — the same exclusion the round-4 judge bench applied.
+# COMPARE = the driver's 15-query headline set (bench.py's QUERIES —
+# q_tpch_q1/q6 + dp_neardup_scale included since r12 so the published
+# vs-DuckDB ratio is reproducible over the same list) plus the
+# extra oracled entries the judge benches have historically carried
+# (q_session_windows, q_inverted_index, q_related_items, dp_text_stats,
+# dp_sample, dp_embed_neardup).  dp_ngram_jaccard is excluded by
+# default (pass --all to include): its DuckDB oracle alone runs ~750 s
+# at sf0.1 (vs Spark ~1.6 s since the blocked sparse-intersection
+# kernel) and would flatter the total — the same exclusion the round-4
+# judge bench applied.
 COMPARE = ["q_day_rollup", "q_having", "q_post_agg_arith", "q_agg_stats",
            "q_lag_window", "q_arith_currency", "q_link_enrich",
-           "q_link_two_hop", "q_yql_text", "q_session_windows",
+           "q_link_two_hop", "q_yql_text", "q_tpch_q1", "q_tpch_q6",
+           "q_session_windows",
            "q_inverted_index", "q_related_items",
-           "dp_exact_dedup", "dp_lang_id", "dp_ann_bruteforce",
-           "dp_text_stats",
+           "dp_exact_dedup", "dp_neardup_scale", "dp_lang_id",
+           "dp_ann_bruteforce", "dp_text_stats", "dp_sample",
            "dp_embed_neardup"]
 if _ALL:
     COMPARE.insert(-1, "dp_ngram_jaccard")

@@ -127,10 +127,12 @@ CHECKS = {
                 "rangepartitioning"]),
     # text-stats bundle (quality + PII + contamination + span stats + BPE
     # law): candidate generation is equi-joins on derived keys only — no
-    # cartesian products, no global sorts; the contamination semi-join
-    # must stay a semi join
+    # cartesian products, no global sorts.  The eval-gram contamination
+    # marking must stay a broadcast hash join (the eval corpus is tiny by
+    # definition; r12 folded the former contaminated_ids semi-join into
+    # the decontaminate_cut pass, so LeftSemi is gone by design)
     "dp_text_stats": dict(
-        pushed=None, expect=["LeftSemi"],
+        pushed=None, expect=["BroadcastHashJoin"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
                 "rangepartitioning"]),
     # lang-ID + unigram/bigram-LM bundle: every LM lookup is an equi-join

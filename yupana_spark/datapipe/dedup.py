@@ -97,10 +97,40 @@ def duplicated_span_stats(df: DataFrame, text_col: str = "text",
                                 / F.greatest(F.col("n_spans"), F.lit(1)), 6)))
 
 
+def exactsubstr_index(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 8,
+                      min_count: int = 2) -> DataFrame:
+    """(h, __c, __k0): the DUPLICATED-gram index — corpus count and
+    canonical packed key for every word-``n``-gram hash occurring more
+    than once (or ``>= min_count`` when a caller lowers it below 2).
+
+    This is the ingest-time artifact of the ExactSubstr family — the
+    relational analogue of Lee et al. 2021's suffix array, which their
+    pipeline also builds ONCE as preprocessing and queries repeatedly
+    (the same train-once posture as the minhash signature /
+    fingerprint / IVF index frames).  Build it at ingest, persist or
+    checkpoint it, and pass it to :func:`exactsubstr_cut` as
+    ``dup_index`` so repeated cut passes skip the corpus count shuffle;
+    it MUST come from the same corpus with the same ``n``/``min_count``
+    and an id column honoring the packed-bigint contract."""
+    from .text import ngram_hashes
+
+    _require_packable_id(df, id_col, "exactsubstr_index")
+    staged = _staged_norm_words(df, text_col, id_col)
+    occ = (staged.select(
+        "id", F.posexplode(ngram_hashes(F.col("__w"), n)).alias("pos", "h"))
+        .withColumn("__k", _packed_key(F.col("id"), F.col("pos"))))
+    cnt = occ.groupBy("h").agg(F.count("*").alias("__c"),
+                               F.min("__k").alias("__k0"))
+    return cnt.filter((F.col("__c") > 1)
+                      | (F.col("__c") >= F.lit(min_count)))
+
+
 def exactsubstr_cut(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", n: int = 8,
                     min_count: int = 2,
-                    with_span_stats: bool = False) -> DataFrame:
+                    with_span_stats: bool = False,
+                    dup_index: Optional[DataFrame] = None) -> DataFrame:
     """(id, es_n_words, es_n_cut_words, es_cut_word_ratio, es_cleaned):
     ExactSubstr duplicate-span REMOVAL — Lee et al. 2021 ("Deduplicating
     Training Data Makes Language Models Better", public) cut every
@@ -127,18 +157,58 @@ def exactsubstr_cut(df: DataFrame, text_col: str = "text",
     SHORT documents dedup whole-document — non-canonical copies come
     back empty, mirroring ``exact_dedup``'s keep-min-id semantics.
 
-    100 TB shape: two posexplodes of the staged word array (8-byte gram
-    hashes + single words leave the executor, never gram text), ONE
-    groupBy(hash) shuffle computing count and canonical key together,
-    a co-partitioned occurrence->count join, a distinct on (id, widx)
-    cut positions, one FLAGGED left join keyed the same way whose
-    groupBy(id) computes word count, cut count and the ordered rebuild
-    in a single aggregate over (pos, word) structs, and a column-pruned
-    id join for zero-word-doc coverage — no window, no global sort, no
-    broadcast, no driver state, and the text is normalized exactly
-    twice (the two explodes), never a third time.  NULL text behaves as
-    the empty document (review r11: an uncoalesced NULL word array
-    would poison the counts with size(NULL) = -1 sentinels).
+    100 TB shape (r12 rewrite — the former (id, widx) rebuild exploded
+    every WORD and dragged word text through two more shuffles): ONE
+    posexplode of the staged word array (8-byte gram hashes, never gram
+    text, leave the executor), ONE groupBy(hash) shuffle computing count
+    and canonical key together, a co-partitioned occurrence->count join
+    against the DUPLICATED hashes only (unique grams — most of a real
+    corpus — pay the count shuffle and nothing else; n_spans is
+    recomputed row-locally from the shingler contract), then ONE
+    groupBy(id) that emits the dup-span count AND the duplicated
+    non-canonical gram START positions as a per-doc array in the same
+    aggregate; the cut itself is ROW-LOCAL after a docs-level id join —
+    start positions expand to index intervals, ``array_except`` against
+    the word-index sequence keeps the survivors, and the rebuild never
+    shuffles word text at all.  No window, no global sort, no broadcast,
+    no driver state.  NULL text behaves as the empty document (review
+    r11: an uncoalesced NULL word array would poison the counts with
+    size(NULL) = -1 sentinels).
+    """
+    staged = _staged_norm_words(df, text_col, id_col)
+    per_doc = exactsubstr_cut_starts(df, text_col, id_col, n, min_count,
+                                     dup_index)
+    n_spans = F.greatest(F.size(F.col("__w")) - F.lit(n - 1),
+                         F.lit(1)).cast("long")
+    nds = F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long")
+    return _rebuild_from_starts(
+        staged, per_doc, n, "es_",
+        extras=[n_spans.alias("n_spans"),
+                nds.alias("n_dup_spans"),
+                F.round(nds / n_spans, 6).alias("dup_span_ratio")]
+        if with_span_stats else ())
+
+
+def exactsubstr_cut_starts(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", n: int = 8,
+                           min_count: int = 2,
+                           dup_index: Optional[DataFrame] = None
+                           ) -> DataFrame:
+    """(id, __ps, n_dup_spans): :func:`exactsubstr_cut`'s relational
+    HALF — the per-doc array of duplicated non-canonical gram START
+    positions plus the dup-occurrence count, one row per doc with at
+    least one duplicated gram.  Pipelines that already stage the
+    normalized word array on their own scan join this narrow frame and
+    rebuild ROW-LOCALLY with :func:`cut_rebuild_cols`, skipping the
+    second normalize pass and the extra docs-level join the full
+    operator pays (r12: dp_text_stats does exactly that).
+
+    The one groupBy(id) emits cut starts and n_dup_spans together; the
+    dup definition stays the published count>1 regardless of
+    ``min_count``, and collect_set skips the NULLs the non-cut WHEN
+    leaves.  n_spans needs no shuffle at all — the shingler emits
+    exactly greatest(n_words - n + 1, 1) grams per doc, so consumers
+    recompute it row-locally.
     """
     from .text import ngram_hashes
 
@@ -147,31 +217,21 @@ def exactsubstr_cut(df: DataFrame, text_col: str = "text",
     occ = (staged.select(
         "id", F.posexplode(ngram_hashes(F.col("__w"), n)).alias("pos", "h"))
         .withColumn("__k", _packed_key(F.col("id"), F.col("pos"))))
-    cnt = occ.groupBy("h").agg(F.count("*").alias("__c"),
-                               F.min("__k").alias("__k0"))
-    joined = occ.join(cnt, "h")
-    cut = (joined
-           .filter((F.col("__c") >= min_count)
-                   & (F.col("__k") != F.col("__k0")))
-           .select("id", F.explode(F.sequence(
-               F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("widx"))
-           .distinct())
-    out = _cut_rebuild(staged, cut, "es_")
-    if not with_span_stats:
-        return out
-    # ``duplicated_span_stats``' columns from the SAME occurrence->count
-    # join the cut already pays for (review r11: one gram explode + one
-    # count shuffle serve both the stats and the edit).  The dup
-    # definition stays the published count>1 regardless of min_count.
-    st = (joined.groupBy("id")
-          .agg(F.count("*").alias("n_spans"),
-               F.sum(F.when(F.col("__c") > 1, 1).otherwise(0))
-               .cast("long").alias("n_dup_spans"))
-          .withColumn("dup_span_ratio",
-                      F.round(F.col("n_dup_spans")
-                              / F.greatest(F.col("n_spans"), F.lit(1)),
-                              6)))
-    return out.join(st, "id", "left")
+    # only DUPLICATED hashes flow back to the occurrence side: unique
+    # grams (the overwhelming majority of a real corpus) are dropped
+    # before the join, so they pay the one count shuffle and nothing
+    # else (r12) — and a caller holding a prebuilt
+    # :func:`exactsubstr_index` artifact skips that shuffle entirely.
+    dup_cnt = (dup_index if dup_index is not None
+               else exactsubstr_index(df, text_col, id_col, n, min_count))
+    joined = occ.join(dup_cnt, "h")
+    return joined.groupBy("id").agg(
+        F.collect_set(
+            F.when((F.col("__c") >= min_count)
+                   & (F.col("__k") != F.col("__k0")), F.col("pos")))
+        .alias("__ps"),
+        F.sum(F.when(F.col("__c") > 1, 1).otherwise(0))
+        .cast("long").alias("n_dup_spans"))
 
 
 def _require_packable_id(df: DataFrame, id_col: str, op: str) -> None:
@@ -215,39 +275,58 @@ def _staged_norm_words(df: DataFrame, text_col: str, id_col: str
                      .alias("__w"))
 
 
-def _cut_rebuild(staged: DataFrame, cut: DataFrame, prefix: str
-                 ) -> DataFrame:
-    """Shared span-removal tail: given the staged word arrays and a
-    distinct (id, widx) cut-position frame, compute word count, cut
-    count and the ordered rebuild in ONE flagged join + groupBy(id),
-    plus a column-pruned id join for zero-word-doc coverage.  Used by
-    ``exactsubstr_cut`` (cut = non-canonical duplicated windows) and
-    ``decontaminate_cut`` (cut = eval-overlapping windows)."""
-    wordsdf = staged.select("id", F.posexplode("__w").alias("widx", "word"))
-    marked = wordsdf.join(cut.withColumn("__cut", F.lit(True)),
-                          ["id", "widx"], "left")
-    # collect_list skips the NULL the kept-word WHEN leaves for cut rows
-    # (the duplicated_line_stats rebuild pattern)
-    per_doc = marked.groupBy("id").agg(
-        F.count("*").cast("long").alias("__nw"),
-        F.sum(F.when(F.col("__cut"), 1).otherwise(0)).cast("long")
-        .alias("__nc"),
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(
-                F.when(F.col("__cut").isNull(),
-                       F.struct(F.col("widx"), F.col("word"))))),
-                lambda s: s["word"]), " ").alias("__cl"))
-    nw = F.coalesce(F.col("__nw"), F.lit(0))
-    nc = F.coalesce(F.col("__nc"), F.lit(0))
-    return (staged.select("id")
-            .join(per_doc, "id", "left")
-            .select("id",
-                    nw.alias(f"{prefix}n_words"),
-                    nc.alias(f"{prefix}n_cut_words"),
-                    F.round(nc / F.greatest(nw, F.lit(1)), 6)
-                    .alias(f"{prefix}cut_word_ratio"),
-                    F.coalesce(F.col("__cl"), F.lit(""))
-                    .alias(f"{prefix}cleaned")))
+def _rebuild_from_starts(staged: DataFrame, per_doc: DataFrame, n: int,
+                         prefix: str, extras=()) -> DataFrame:
+    """Shared span-removal tail (r12 rewrite): given the staged word
+    arrays and a per-doc frame carrying ``__ps`` — the array of cut-gram
+    START positions — plus any extra per-doc columns, rebuild ROW-LOCALLY
+    after one docs-level id join.  Start positions expand to their
+    n-word index intervals, ``array_except`` against the word-index
+    sequence keeps surviving indices in original order, and the cleaned
+    text is re-joined from those indices — word text never shuffles
+    (the former (id, widx) form exploded every word and paid two more
+    word-text shuffles; linear per doc either way, but this one moves
+    8-byte positions only).  Used by ``exactsubstr_cut`` (starts =
+    non-canonical duplicated windows) and ``decontaminate_cut``
+    (starts = eval-overlapping windows)."""
+    j = staged.join(per_doc, "id", "left")
+    return j.select(
+        "id",
+        *cut_rebuild_cols(F.col("__w"), F.col("__ps"), n, prefix),
+        *extras)
+
+
+def cut_rebuild_cols(w: Column, ps: Column, n: int, prefix: str) -> list:
+    """The span-removal rebuild as four pure COLUMNS over a staged
+    normalized word array ``w`` (``_staged_norm_words`` semantics:
+    ``coalesce(words(normalize_text(text)), array())``) and a cut-gram
+    start-position array ``ps`` (NULL for uncut docs): ``<prefix>``
+    n_words / n_cut_words / cut_word_ratio / cleaned.  Start positions
+    expand to their n-word index intervals, ``array_except`` against
+    the word-index sequence keeps surviving indices in original order,
+    and the cleaned text re-joins from those indices — entirely
+    row-local, so a pipeline that already stages ``w`` on its own scan
+    (dp_text_stats' base select) pays NO extra pass and NO extra join
+    beyond the narrow starts frame."""
+    empty_i = F.array().cast("array<int>")
+    cutpos = F.array_distinct(F.flatten(F.transform(
+        F.coalesce(ps, empty_i),
+        lambda p: F.sequence(p, p + F.lit(n - 1)))))
+    nw = F.size(w)
+    # sequence(0, -1) would yield [0, -1] (negative step), so the
+    # zero-word index sequence is pinned empty explicitly
+    idx = F.when(nw > 0, F.sequence(F.lit(0), nw - F.lit(1))) \
+        .otherwise(empty_i)
+    kept = F.array_except(idx, cutpos)
+    nc = nw - F.size(kept)
+    return [
+        nw.cast("long").alias(f"{prefix}n_words"),
+        nc.cast("long").alias(f"{prefix}n_cut_words"),
+        F.round(nc / F.greatest(nw, F.lit(1)), 6)
+        .alias(f"{prefix}cut_word_ratio"),
+        F.array_join(F.transform(kept, lambda i: F.get(w, i)), " ")
+        .alias(f"{prefix}cleaned"),
+    ]
 
 
 def decontaminate_cut(df: DataFrame, eval_docs: DataFrame,
@@ -272,35 +351,56 @@ def decontaminate_cut(df: DataFrame, eval_docs: DataFrame,
 
     100 TB shape: the eval corpus is tiny by definition, so its distinct
     gram-hash set broadcasts and candidate marking is a map-side
-    hash join on the exploded training grams (positions ride along —
-    the training gram rows NEVER shuffle; plan-pinned by test);
-    the cut/rebuild tail is the shared ``exactsubstr_cut`` machinery —
-    one flagged (id, widx) join, one groupBy(id), no window.
+    broadcast SEMI join on the exploded training grams — only the HIT
+    occurrences (a decontamination pass's tiny minority) survive to the
+    groupBy(id) that emits cut starts and the hit count together, so
+    clean documents' grams never shuffle at all (r12; plan-pinned by
+    test).  ``n_grams`` needs no shuffle either — the shingler emits
+    exactly greatest(n_words - n + 1, 1) grams per doc, recomputed
+    row-locally in the rebuild select.  The cut/rebuild tail is the
+    shared ``exactsubstr_cut`` machinery — row-local ``array_except``
+    spans after one docs-level id join, no window, no word-text shuffle.
     """
+    staged = _staged_norm_words(df, text_col, id_col)
+    per_doc = decontaminate_cut_starts(df, eval_docs, text_col, id_col, n)
+    extras = ()
+    if with_stats:
+        # the EXACT ``text.contamination_frac`` columns: n_grams from
+        # the row-local shingler contract, n_contaminated from the one
+        # hit aggregate (NULL -> 0 for clean docs via the left join)
+        n_grams = F.greatest(F.size(F.col("__w")) - F.lit(n - 1),
+                             F.lit(1)).cast("long")
+        n_cont = F.coalesce(F.col("n_contaminated"),
+                            F.lit(0)).cast("long")
+        extras = [n_grams.alias("n_grams"),
+                  n_cont.alias("n_contaminated"),
+                  F.round(n_cont / n_grams, 6)
+                  .alias("contamination_frac")]
+    return _rebuild_from_starts(staged, per_doc, n, "dc_", extras=extras)
+
+
+def decontaminate_cut_starts(df: DataFrame, eval_docs: DataFrame,
+                             text_col: str = "text",
+                             id_col: str = "doc_id", n: int = 8
+                             ) -> DataFrame:
+    """(id, __ps, n_contaminated): :func:`decontaminate_cut`'s relational
+    HALF — the per-doc array of eval-overlapping gram START positions
+    plus the hit count, one row per CONTAMINATED doc (clean docs never
+    shuffle at all: the broadcast semi join drops their grams map-side).
+    Pipelines that already stage the normalized word array join this
+    narrow frame and rebuild row-locally with :func:`cut_rebuild_cols`
+    (n_grams is the row-local shingler count
+    ``greatest(n_words - n + 1, 1)``; contamination_frac follows)."""
     from .text import exploded_ngram_hashes, ngram_hashes
 
     staged = _staged_norm_words(df, text_col, id_col)
     occ = staged.select(
         "id", F.posexplode(ngram_hashes(F.col("__w"), n)).alias("pos", "h"))
-    ev = (exploded_ngram_hashes(eval_docs, text_col, n).distinct()
-          .withColumn("__hit", F.lit(True)))
-    marked = occ.join(F.broadcast(ev), "h", "left")
-    cut = (marked.filter(F.col("__hit"))
-           .select("id", F.explode(F.sequence(
-               F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("widx"))
-           .distinct())
-    out = _cut_rebuild(staged, cut, "dc_")
-    if not with_stats:
-        return out
-    stats = (marked.groupBy("id")
-             .agg(F.count("*").alias("n_grams"),
-                  F.sum(F.when(F.col("__hit"), 1).otherwise(0))
-                  .cast("long").alias("n_contaminated"))
-             .withColumn("contamination_frac",
-                         F.round(F.col("n_contaminated")
-                                 / F.greatest(F.col("n_grams"), F.lit(1)),
-                                 6)))
-    return out.join(stats, "id", "left")
+    ev = exploded_ngram_hashes(eval_docs, text_col, n).distinct()
+    hits = occ.join(F.broadcast(ev), "h", "left_semi")
+    return hits.groupBy("id").agg(
+        F.collect_set("pos").alias("__ps"),
+        F.count("*").cast("long").alias("n_contaminated"))
 
 
 def duplicated_line_stats(df: DataFrame, text_col: str = "text",
@@ -333,8 +433,13 @@ def duplicated_line_stats(df: DataFrame, text_col: str = "text",
     """
     import re as _re
 
+    # NULL text coalesces to '' so split yields one blank line and the
+    # doc reaches per_doc — full coverage WITHOUT a second scan of df
+    # for ids + a distinct + a join (review r12: the coverage rescan
+    # was dp_text_stats' last redundant pass over the lined view)
     lines = (df.select(F.col(id_col).alias("id"),
-                       F.posexplode(F.split(F.col(text_col),
+                       F.posexplode(F.split(F.coalesce(F.col(text_col),
+                                                       F.lit("")),
                                             _re.escape(sep)))
                        .alias("pos", "line"))
              .withColumn("__t", F.trim(F.col("line")))
@@ -361,26 +466,19 @@ def duplicated_line_stats(df: DataFrame, text_col: str = "text",
                            F.struct(F.col("pos"), F.col("line"))))),
                 lambda s: s["line"]),
             sep).alias("cleaned")))
-    ids = df.select(F.col(id_col).alias("id")).distinct()
-    return (ids.join(per_doc, "id", "left")
-            .select("id",
-                    F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
-                    F.coalesce(F.col("n_dup_lines"), F.lit(0))
-                    .alias("n_dup_lines"),
-                    F.round(F.coalesce(F.col("n_dup_lines"), F.lit(0))
-                            / F.greatest(F.coalesce(F.col("n_lines"),
-                                                    F.lit(0)), F.lit(1)), 6)
-                    .alias("dup_line_ratio"),
-                    # Gopher's companion signal (Rae et al. 2021 appendix
-                    # A): the fraction of CHARACTERS sitting in duplicated
-                    # lines — a few long boilerplate blocks matter more
-                    # than many short ones; raw line lengths (untrimmed)
-                    F.round(F.coalesce(F.col("__dup_chars"), F.lit(0))
-                            / F.greatest(F.coalesce(F.col("__chars"),
-                                                    F.lit(0)), F.lit(1)), 6)
-                    .alias("dup_line_char_ratio"),
-                    F.coalesce(F.col("cleaned"), F.lit(""))
-                    .alias("cleaned")))
+    return per_doc.select(
+        "id", "n_lines", "n_dup_lines",
+        F.round(F.col("n_dup_lines")
+                / F.greatest(F.col("n_lines"), F.lit(1)), 6)
+        .alias("dup_line_ratio"),
+        # Gopher's companion signal (Rae et al. 2021 appendix A): the
+        # fraction of CHARACTERS sitting in duplicated lines — a few
+        # long boilerplate blocks matter more than many short ones; raw
+        # line lengths (untrimmed)
+        F.round(F.col("__dup_chars")
+                / F.greatest(F.col("__chars"), F.lit(1)), 6)
+        .alias("dup_line_char_ratio"),
+        F.col("cleaned"))
 
 
 # ---------------------------------------------------------------------------

@@ -8,8 +8,9 @@ decision: (id, keep, reasons).  Reasons are a SORTED comma-joined string so
 the output is hash-stable and a SQL oracle can recompute it exactly.
 
 100 TB shape: quality + language are row-local JVM expressions on the one
-scan; the dup flag is the exact-dedup fingerprint window (one shuffle on
-32-byte md5); decontamination is the broadcast n-gram semi-join.  Nothing
+scan; the dup flag is the exact-dedup fingerprint min-id aggregate + join
+(one shuffle on 32-byte md5, skew-splittable); decontamination is the
+broadcast n-gram semi-join, or a caller-precomputed flag frame.  Nothing
 collects; the decision column composes with any downstream write.
 """
 
@@ -65,9 +66,10 @@ def repetition_flag(text: Column, word_array: Optional[Column] = None,
     fires when ANY signal exceeds its bar.  ``symbol``/``bullet``/
     ``ellipsis`` bars are the paper's published thresholds (0.1 / 0.9 /
     0.3); the duplicate word/trigram bars are in-house analogues of the
-    paper's duplicate-n-gram family (its top/dup char-mass forms need a
-    shuffle — ``text.ngram_char_frac`` — and so cannot ride a stream
-    scan; these row-local fractions catch the same degenerate text).
+    paper's duplicate-n-gram family (``text.ngram_char_frac``'s top/dup
+    char-mass forms — row-local folds since r12, so composable on a
+    stream too; these simpler fractions catch the same degenerate text
+    and remain the oracled rule).
 
     Entirely row-local array/length expressions: identical in batch and
     streaming.  Pass a staged ``word_array`` on hot paths (the trigram
@@ -94,7 +96,9 @@ def corpus_keep(df: DataFrame, text_col: str = "text",
                 lr_art=None, min_lr: float = 0.5,
                 ppx_art=None, max_xent: float = 10.0,
                 rep_rule: bool = False,
-                c4_rule: bool = False) -> DataFrame:
+                c4_rule: bool = False,
+                contaminated_flags: Optional[DataFrame] = None,
+                dup_flags: Optional[DataFrame] = None) -> DataFrame:
     """(id, keep, reasons): keep iff NO rule fires; ``reasons`` lists the
     fired rules in fixed alphabetical order ('c4', 'contaminated',
     'duplicate', 'lang', 'low_quality', 'model_quality', 'perplexity',
@@ -104,7 +108,14 @@ def corpus_keep(df: DataFrame, text_col: str = "text",
     * quality_score < ``min_quality``          -> 'low_quality'
     * predicted language not in ``langs``      -> 'lang'  (None disables)
     * exact-duplicate (non-min-id fingerprint) -> 'duplicate'
+      (or pass ``dup_flags`` — a precomputed (id, is_duplicate) frame,
+      e.g. from a memoized ingest-time fingerprint index — to skip the
+      md5 fingerprint pass here; absent ids default to not-duplicate)
     * shares a word-8-gram with ``eval_docs``  -> 'contaminated'
+      (or pass ``contaminated_flags`` — a precomputed one-``id``-column
+      frame of contaminated docs, e.g. ``decontaminate_cut``'s
+      ``contamination_frac > 0`` rows — to reuse a gram explode the
+      pipeline already pays for instead of re-deriving it here)
     * classifier score < ``min_lr``            -> 'model_quality'
       (``lr_art`` = a ``classify.quality_lr_fit`` artifact; the score is
       pure JVM arithmetic riding the same scan — the FineWeb-Edu/DCLM
@@ -143,18 +154,45 @@ def corpus_keep(df: DataFrame, text_col: str = "text",
         c4 = ~c4_rules(F.col(text_col))["c4_keep"]
     else:
         c4 = F.lit(False)
-    out = (exact_dedup(df, text_col, id_col)
-           .withColumn("__rw", _words(F.lower(F.col(text_col))))
-           .select(
-               F.col(id_col).alias("id"),
-               F.col("is_duplicate"),
-               quality_score(F.col(text_col)).alias("__q"),
-               lang_id(F.col(text_col)).alias("__lang"),
-               mq.alias("__mq"),
-               rp.alias("__rp"),
-               c4.alias("__c4"),
-           ))
-    if eval_docs is not None:
+    sig_cols = lambda frame: frame \
+        .withColumn("__rw", _words(F.lower(F.col(text_col)))) \
+        .select(
+            F.col(id_col).alias("id"),
+            F.col("is_duplicate"),
+            quality_score(F.col(text_col)).alias("__q"),
+            lang_id(F.col(text_col)).alias("__lang"),
+            mq.alias("__mq"),
+            rp.alias("__rp"),
+            c4.alias("__c4"),
+        )
+    if dup_flags is not None:
+        # precomputed (id, is_duplicate) frame — e.g. derived from a
+        # memoized ingest-time fingerprint index — so the md5 fingerprint
+        # pass over the full text is not re-paid here (r12); missing ids
+        # default to NOT duplicate like exact_dedup's unique rows
+        out = sig_cols(
+            df.join(dup_flags.select(F.col("id").alias(id_col),
+                                     "is_duplicate"),
+                    id_col, "left")
+            .withColumn("is_duplicate",
+                        F.coalesce(F.col("is_duplicate"), F.lit(False))))
+    else:
+        out = sig_cols(exact_dedup(df, text_col, id_col))
+    if contaminated_flags is not None:
+        # precomputed contaminated-id frame (single ``id`` column, one
+        # row per contaminated doc): a pipeline that already ran
+        # decontaminate_cut/contamination_frac passes its own flags so
+        # the corpus gram explode is paid ONCE, not re-derived here —
+        # identical exchanges dedupe to a ReusedExchange in one plan
+        # (review r12: dp_text_stats re-exploded the corpus for this
+        # rule).  The frame's membership must be the same any-overlap
+        # boolean contaminated_ids computes (contamination_frac > 0).
+        flags = (contaminated_flags.select(F.col("id"))
+                 .withColumn("__cont", F.lit(True)))
+        out = (out.join(flags, "id", "left")
+               .withColumn("__cont", F.coalesce(F.col("__cont"),
+                                                F.lit(False))))
+    elif eval_docs is not None:
         flags = (contaminated_ids(df, eval_docs, text_col, id_col)
                  .select(F.col(id_col).alias("id"))
                  .withColumn("__cont", F.lit(True)))

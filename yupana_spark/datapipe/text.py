@@ -117,48 +117,132 @@ def ngram_char_frac(df: DataFrame, n: int, mode: str = "top",
     is sequential per doc, and both orderings of the same filter bar
     agree on web text.
 
-    Scale shape: explode word n-grams -> groupBy (id, gram) with map-side
-    partial aggregation -> per-doc max/sum.  One shuffle keyed by
-    (id, gram) whose skew is bounded by document length, then one keyed
-    by id; no UDF, no broadcast, no driver state — the same posture as
-    the LM scorers.  Documents with fewer than ``n`` words carry no
-    grams and are omitted (left-join back for full coverage).
+    Scale shape: a WITHIN-document statistic, so it is a pure row-local
+    Column fold — see :func:`ngram_char_fracs` (zero shuffles, zero
+    explodes, no UDF, no broadcast, no driver state; stream-safe).
+    Documents with fewer than ``n`` words carry no grams and are
+    omitted (left-join back for full coverage).
 
     The denominator is ``length(text_col)`` verbatim, so the fraction is
     reproducible by any engine without re-tokenizing.
     """
     if mode not in ("top", "dup"):
         raise ValueError(f"mode must be 'top' or 'dup', got {mode!r}")
-    # STAGE the word array before the gram lambda references it: higher-
+    return ngram_char_fracs(df, [(n, mode, "frac")], text_col, id_col)
+
+
+def ngram_char_fracs(df: DataFrame, specs, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Multi-spec :func:`ngram_char_frac` — ``(id, <alias>, ...)`` with
+    one output column per ``(n, mode, alias)`` spec.
+
+    100 TB shape (r12 rewrite): the Gopher n-gram repetition signal is a
+    WITHIN-document statistic, so it needs no corpus-wide state at all —
+    the former explode + groupBy(id, gram) shape shuffled every gram of
+    every document twice for what one row can compute alone.  Each
+    spec's fraction is now a pure Column fold over the doc's own staged
+    word array: build the gram-hash/char-length pairs (8-byte xxhash64
+    of the word SLICE — gram text is never even materialized), sort,
+    and count equal-hash runs in ONE ``aggregate`` pass that tracks the
+    best (count, mass) gram and the summed duplicated mass together.
+    Zero shuffles, zero explodes — a linear scan that also rides a
+    structured stream unchanged.
+
+    A within-doc 64-bit hash collision would merge two gram counts; at
+    document-scale gram cardinality the probability is ~1e-15 — the
+    same accepted posture as every hash-keyed dedup operator here.
+
+    Coverage: a doc with no grams for ANY spec (fewer than min(n) words)
+    is omitted — callers left-join and coalesce to 0.0 exactly as with
+    the single-spec form.  A doc present for one spec but gram-less for
+    another gets that spec's published zero (no grams -> no repeated
+    mass).
+    """
+    # STAGE the word array before the gram lambdas reference it: higher-
     # order functions re-evaluate non-cheap argument expressions once per
     # element, so an unstaged words() would re-split the text per gram
     # position (the repetition_stats caveat, measured 30x)
     staged = df.select(F.col(id_col).alias("id"),
                        F.length(F.col(text_col)).alias("__nc"),
                        words(F.lower(F.col(text_col))).alias("__w"))
-    w = F.col("__w")
+    cols = ngram_char_frac_cols(F.col("__w"), F.col("__nc"), specs)
+    return staged.filter(
+        F.size(F.col("__w")) >= min(n for n, _, _ in specs)) \
+        .select("id", *cols)
+
+
+def ngram_char_frac_cols(w: Column, nc: Column, specs) -> list:
+    """The :func:`ngram_char_fracs` fractions as pure COLUMNS over a
+    staged word array ``w`` and raw char length ``nc`` — for pipelines
+    that already scan the corpus once and want the Gopher repetition
+    signals to ride that scan (dp_text_stats' base select does).  Docs
+    with fewer than ``n`` words score the published 0.0 (no grams -> no
+    repeated mass); callers that must OMIT such docs filter themselves
+    (the df wrapper above does)."""
+    for _, mode, _ in specs:
+        if mode not in ("top", "dup"):
+            raise ValueError(f"mode must be 'top' or 'dup', got {mode!r}")
     nw = F.size(w)
-    grams = F.when(nw >= n, F.transform(
-        F.sequence(F.lit(0), nw - F.lit(n)),
-        lambda i: F.array_join(F.slice(w, i + F.lit(1), n), " "))
-    ).otherwise(F.array().cast("array<string>"))
-    ex = staged.select("id", "__nc", F.explode(grams).alias("__g"))
-    cnt = (ex.groupBy("id", "__g")
-           .agg(F.count("*").alias("__c"), F.first("__nc").alias("__nc")))
-    mass = F.col("__c") * F.length(F.col("__g"))
-    safe_nc = F.greatest(F.first("__nc"), F.lit(1))
-    if mode == "top":
-        # mass OF the max-count gram (Gopher's "most frequent n-gram"),
-        # NOT max mass over all grams — a long-but-rarer gram must not
-        # win (advice r10).  Lexicographic struct max = (count, mass),
-        # so ties on count resolve to the larger mass deterministically.
-        frac = (F.max(F.struct(F.col("__c").alias("c"), mass.alias("m")))
-                .getField("m") / safe_nc)
-    else:
-        frac = (F.sum(F.when(F.col("__c") >= 2, mass).otherwise(F.lit(0)))
-                / safe_nc)
-    return cnt.groupBy("id").agg(
-        F.round(F.least(F.lit(1.0), frac), 6).alias("frac"))
+    safe_nc = F.greatest(nc, F.lit(1))
+    cols = []
+    for n, mode, alias in specs:
+        bm_dm = _ngram_mass_fold(w, n)
+        val = bm_dm["bm"] if mode == "top" else bm_dm["dm"]
+        frac = F.round(F.least(F.lit(1.0), val / safe_nc), 6)
+        # CASE WHEN evaluates lazily, so the descending-sequence edge of
+        # sub-n-word docs never reaches the fold
+        cols.append(F.when(nw >= n, frac).otherwise(F.lit(0.0))
+                    .alias(alias))
+    return cols
+
+
+def _ngram_mass_fold(w: Column, n: int) -> Column:
+    """struct(bm, dm) over one document's word ``n``-grams: ``bm`` = char
+    mass of the max-count gram (count ties resolve to the larger mass —
+    the published "most frequent n-gram" form, advice r10) and ``dm`` =
+    summed ``count * length`` over grams occurring >= 2 times.  A pure
+    row-local fold: hash every n-word slice, sort, and walk equal-hash
+    runs with a single ``aggregate`` whose finish-lambda closes the last
+    run.  Caller must guard ``size(w) >= n``."""
+    slices = F.transform(F.sequence(F.lit(0), F.size(w) - F.lit(n)),
+                         lambda i: F.slice(w, i + F.lit(1), n))
+    # char length of the JOINED gram = word lengths + (n-1) separators;
+    # the gram string itself never exists
+    hl = F.sort_array(F.transform(slices, lambda s: F.struct(
+        F.xxhash64(s).alias("h"),
+        (F.aggregate(s, F.lit(0), lambda a, x: a + F.length(x))
+         + F.lit(n - 1)).alias("l"))))
+    zero_l = F.lit(0).cast("bigint")
+    init = F.struct(zero_l.alias("ph"), F.lit(0).alias("c"),
+                    F.lit(0).alias("l"), F.lit(0).alias("bc"),
+                    zero_l.alias("bm"), zero_l.alias("dm"))
+
+    def _close(a):
+        # run boundary: fold the finished (gram, count, length) run into
+        # best-gram and duplicated-mass accumulators
+        m = (a["c"] * a["l"]).cast("bigint")
+        better = (a["c"] > 0) & ((a["c"] > a["bc"])
+                                 | ((a["c"] == a["bc"]) & (m > a["bm"])))
+        return (F.when(better, a["c"]).otherwise(a["bc"]),
+                F.when(better, m).otherwise(a["bm"]),
+                a["dm"] + F.when(a["c"] >= 2, m).otherwise(zero_l))
+
+    def _step(a, x):
+        same = (a["c"] > 0) & (x["h"] == a["ph"])
+        bc, bm, dm = _close(a)
+        return F.struct(
+            x["h"].alias("ph"),
+            F.when(same, a["c"] + F.lit(1)).otherwise(F.lit(1)).alias("c"),
+            F.when(same, a["l"]).otherwise(x["l"]).alias("l"),
+            F.when(same, a["bc"]).otherwise(bc).alias("bc"),
+            F.when(same, a["bm"]).otherwise(bm).alias("bm"),
+            F.when(same, a["dm"]).otherwise(dm).alias("dm"))
+
+    def _fin(a):
+        bc, bm, dm = _close(a)
+        return F.struct(bm.alias("bm"), dm.alias("dm"))
+
+    return F.aggregate(hl, init, _step, _fin)
 
 
 def line_shape_stats(col: Column) -> Dict[str, Column]:

@@ -3,7 +3,11 @@
 Reference: SqlParser.scala:292-379 (grammar), QueryEngineRouter.scala:64-118
 (dispatch), providers/JdbcMetadataProvider.scala:1-212 (SHOW TABLES/COLUMNS
 output shape), UpdatesIntervalsProvider.scala (SHOW UPDATES_INTERVALS).
-Users/roles are out of scope (auth belongs to the deployment, not the engine).
+User MANAGEMENT is out of scope (auth belongs to the deployment, not the
+engine): CREATE/ALTER/DROP USER are rejected with a typed message, while
+SHOW USERS (QueryEngineRouter.scala:154-162) reports the single effective
+unauthenticated identity so admin tools pointed at pgwire get a well-formed
+answer instead of a parse error.
 """
 
 from __future__ import annotations
@@ -154,6 +158,15 @@ def execute_statement(tsdb: "Tsdb", stmt: A.Statement,
         major, minor = __version__.split(".")[:2]
         return _df(spark, [(int(major), int(minor), __version__)],
                    "MAJOR int, MINOR int, VERSION string")
+    if isinstance(stmt, A.ShowUsers):
+        # reference QueryEngineRouter.scala:154-162 lists the user
+        # registry as (NAME, ROLE); this engine runs unauthenticated —
+        # every connection acts as the one effective identity (pgwire's
+        # default login, full rights), so the registry view is that
+        # single static row.  CREATE/ALTER/DROP USER stay rejected: the
+        # deployment layer owns real account management.
+        return _df(spark, [("anonymous", "ADMIN")],
+                   "NAME string, ROLE string")
     if isinstance(stmt, A.ShowColumns):
         t = tsdb.schema.table(stmt.table)
         rows = [("time", yt.TIMESTAMP, False, "time")]

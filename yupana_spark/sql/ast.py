@@ -153,6 +153,11 @@ class ShowFunctions(Statement):
 
 
 @dataclass(frozen=True)
+class ShowUsers(Statement):
+    pass
+
+
+@dataclass(frozen=True)
 class ShowQueries(Statement):
     query_id: Optional[str] = None
     state: Optional[str] = None

@@ -506,6 +506,12 @@ class Parser:
         if self.eat_kw("updates_intervals"):
             cond = self.condition() if self.eat_kw("where") else None
             return A.ShowUpdatesIntervals(cond)
+        if self.eat_kw("users"):
+            # SqlParser.scala:294 — the reference lists its user registry;
+            # this engine runs unauthenticated (auth belongs to the
+            # deployment), so the statement parses and reports the single
+            # effective identity instead of rejecting (round-12 polish)
+            return A.ShowUsers()
         if self.eat_kw("queries"):
             qid = state = limit = None
             if self.at_kw("where"):
