@@ -1873,12 +1873,23 @@ def dp_sample(spark, sf_dir):
       threshold; ``wt`` carries the derived per-lang rate;
     * ``split:{train,val,test}``: deterministic leak-proof dataset
       partitioning (sample.assign_split) — cumulative md5 thresholds
-      0.9/0.95, label riding in ``kind``.
+      0.9/0.95, label riding in ``kind``;
+    * ``dom:<domain>``: registered-domain extraction (RefinedWeb §3.1,
+      datapipe/curation.registered_domain) over a deterministically
+      derived URL exercising every parser edge — the per-doc domain
+      rides the kind tag, the oracle recomputes it from the injection
+      rule rather than re-parsing;
+    * ``urlkeep``: URL blocklist filtering (curation.url_blocklist_flags,
+      broadcast domain semi-membership; the handed-in list is noisy on
+      purpose to prove it normalizes through the same extractor);
+    * ``domcap``: per-domain contribution caps
+      (curation.domain_capped_sample ≙ cluster_balanced_sample over
+      registered domains — min(8, |domain|) by deterministic md5 rank).
 
-    All five are value-oracled: DuckDB recomputes the md5 thresholds, the
-    quota ranks, the full DSIR estimator (bucket hash, smoothed log-ratio
-    table, Gumbel keys), the temperature-rate formula and the split
-    cutoffs from the same parquet."""
+    All eight are value-oracled: DuckDB recomputes the md5 thresholds,
+    the quota/cap ranks, the full DSIR estimator (bucket hash, smoothed
+    log-ratio table, Gumbel keys), the temperature-rate formula, the
+    split cutoffs and the domain rule from the same parquet."""
     from yupana_spark.datapipe.dsir import dsir_select
     from yupana_spark.datapipe.sample import (deterministic_sample,
                                               stratified_quota_sample)
@@ -1925,8 +1936,51 @@ def dp_sample(spark, sf_dir):
     split = (assign_split(docs, "doc_id")
              .select(F.concat(F.lit("split:"), F.col("split"))
                      .alias("kind"), "doc_id", "lang", null_wt))
+    # --- URL/domain curation (RefinedWeb §3.1; datapipe/curation.py) ---
+    # the fixture carries no URL column, so one is DERIVED
+    # deterministically from (source, doc_id) — the house injection
+    # pattern — deliberately exercising every parser edge: www., an
+    # uppercase scheme, a schemeless authority, userinfo@, a :port, a
+    # cc-SLD (.co.uk) arm, path/query/fragment.  The oracle recomputes
+    # the registered domain from the INJECTION RULE (source + suffix),
+    # not by re-parsing — any extraction bug breaks the hash.
+    from yupana_spark.datapipe.curation import (domain_capped_sample,
+                                                registered_domain,
+                                                url_blocklist_flags)
+
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 4 == 0, F.lit("https://www."))
+         .when(did % 4 == 1, F.lit("HTTP://"))
+         .when(did % 4 == 2, F.lit(""))
+         .otherwise(F.lit("https://u:pw@")),
+        F.col("source"),
+        F.when(did % 3 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+        F.when(did % 5 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/docs/"), did.cast("string"), F.lit("?ref=spark#f"))
+    urled = docs.withColumn("url", url)
+    # per-doc registered domain, value-oracled via the kind tag
+    dom = urled.select(
+        F.concat(F.lit("dom:"), registered_domain(F.col("url")))
+        .alias("kind"), "doc_id", "lang", null_wt)
+    # blocklist semi-filter: src0's two domains, handed in NOISY (scheme,
+    # www., path) to prove the list normalizes through the same extractor
+    blocked = spark.createDataFrame(
+        [("https://SRC0.com/landing",), ("www.src0.co.uk",)],
+        "domain string")
+    ukeep = (url_blocklist_flags(urled, blocked)
+             .filter(~F.col("url_blocked"))
+             .select(F.lit("urlkeep").alias("kind"), "doc_id", "lang",
+                     null_wt))
+    # per-domain contribution cap (RefinedWeb's no-site-dominates rule ≙
+    # cluster_balanced_sample over domains): exactly min(8, |domain|)
+    # docs per registered domain by the deterministic (md5(id), id) rank
+    domcap = (domain_capped_sample(urled, per_domain=8)
+              .select(F.lit("domcap").alias("kind"), "doc_id", "lang",
+                      null_wt))
     return (bern.unionByName(quota).unionByName(dsir)
-            .unionByName(mixt).unionByName(split))
+            .unionByName(mixt).unionByName(split).unionByName(dom)
+            .unionByName(ukeep).unionByName(domcap))
 
 
 def dp_dedup_resolve(spark, sf_dir):
@@ -4084,6 +4138,21 @@ _ORACLES_DP: dict[str, str] = {
         ) rt ON d3.lang = rt.lang
         WHERE substr(md5(CAST(d3.doc_id AS VARCHAR)), 1, 8) <
               printf('%08x', CAST(floor(rt.rate * 4294967295.0) AS BIGINT))
+        UNION ALL
+        SELECT 'dom:' || source ||
+               CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END,
+               doc_id, lang, CAST(NULL AS DOUBLE)
+        FROM documents
+        UNION ALL
+        SELECT 'urlkeep', doc_id, lang, CAST(NULL AS DOUBLE)
+        FROM documents WHERE source <> 'src0'
+        UNION ALL
+        SELECT 'domcap', doc_id, lang, CAST(NULL AS DOUBLE)
+        FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY source ||
+                CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 8
     """,
     "dp_dedup_resolve": f"""
         WITH RECURSIVE {_NEARDUP_PAIRS_CTE},

@@ -2691,3 +2691,71 @@ def test_temperature_mix_default_total_is_input_count(spark):
     # n_a=100, n_b=200, z=2: rate_a = min(1, 300/(2*100)) = 1.0,
     # rate_b = 300/(2*200) = 0.75
     assert r2 == {"a": 1.0, "b": 0.75}
+
+
+def test_registered_domain_edges(spark):
+    """URL parsing edges the curation operators must survive (RefinedWeb
+    §3.1 front): schemes (any case), userinfo, ports, trailing dots,
+    www., cc-SLDs, IPv4 literals, single-label hosts, NULL."""
+    from yupana_spark.datapipe.curation import registered_domain, url_host
+
+    cases = [
+        ("https://www.Example.COM/a/b?q=1#f", "example.com"),
+        ("HTTP://news.site.co.uk:8080/x", "site.co.uk"),
+        ("ftp://u:pw@files.archive.org./data", "archive.org"),
+        ("blog.example.com.au", "example.com.au"),
+        ("localhost:9000/health", "localhost"),
+        ("http://192.168.10.1:80/admin", "192.168.10.1"),
+        ("sub.deep.nested.example.org/path", "example.org"),
+        (None, ""),
+        ("", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i int, url string")
+    got = {r["i"]: (r["h"], r["d"])
+           for r in df.select("i", url_host(F.col("url")).alias("h"),
+                              registered_domain(F.col("url")).alias("d"))
+           .collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i][1] == want, (u, got[i], want)
+    # host keeps the full authority (minus port/userinfo/dot), lowercased
+    assert got[0][0] == "www.example.com"
+    assert got[2][0] == "files.archive.org"
+
+
+def test_url_blocklist_and_domain_cap(spark):
+    """Blocklist membership is a broadcast join on the NORMALIZED domain
+    (a noisy handed-in list still matches), and the per-domain cap keeps
+    exactly min(k, |domain|) rows by the deterministic md5 rank."""
+    import hashlib
+
+    from yupana_spark.datapipe.curation import (domain_capped_sample,
+                                                url_blocklist_flags)
+
+    rows = [(i, f"https://www.site{i % 3}.com/p/{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    blocked = spark.createDataFrame(
+        [("HTTP://Site1.com/landing?x=1",)], "domain string")
+    out = url_blocklist_flags(df, blocked)
+    flags = {r["doc_id"]: (r["domain"], r["url_blocked"])
+             for r in out.collect()}
+    assert len(flags) == 30
+    for i in range(30):
+        assert flags[i] == (f"site{i % 3}.com", i % 3 == 1)
+    # plan: the corpus side must not shuffle for membership
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+    # cap: 10 docs per domain, k=4 -> exactly 4 per domain, and exactly
+    # the md5-rank-first 4 (independent recomputation)
+    capped = domain_capped_sample(df, per_domain=4)
+    got = {}
+    for r in capped.collect():
+        got.setdefault(r["domain"], set()).add(r["doc_id"])
+    assert {len(v) for v in got.values()} == {4} and len(got) == 3
+    for d in range(3):
+        ids = sorted((hashlib.md5(str(i).encode()).hexdigest(), i)
+                     for i in range(30) if i % 3 == d)[:4]
+        assert got[f"site{d}.com"] == {i for _, i in ids}
+    # k above the domain size keeps everything (min(k, |domain|))
+    assert domain_capped_sample(df, per_domain=99).count() == 30

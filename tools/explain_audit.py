@@ -92,6 +92,15 @@ CHECKS = {
     # the scalable decompositions — union+running-last and bin-quantized
     # EQUI-join — so a theta-join shape (nested loop / cartesian) anywhere
     # means the operator regressed to the naive formulation
+    # sampling/curation bundle: domain blocklist membership must stay a
+    # broadcast join (the list is tiny by definition), the quota/cap
+    # ranks per-stratum windows — never a cartesian product.  One
+    # BroadcastNestedLoopJoin is expected and BOUNDED: the temperature-
+    # mix normalizer is a SINGLE-ROW aggregate cross-joined onto the
+    # per-lang counts (IdentityBroadcastMode over one row, not a pair
+    # blowup), so nested-loop is deliberately absent from forbid here
+    "dp_sample": dict(pushed=None, expect=["BroadcastHashJoin", "Window"],
+                      forbid=["CartesianProduct"]),
     "dp_top_k_per_group": dict(pushed=None, expect=["Window"],
                                forbid=["rangepartitioning",
                                        "CartesianProduct",
