@@ -19,23 +19,27 @@ if _ALL:
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
-# queries whose oracle is a faithful equivalent of the operator.
+# queries whose oracle is a faithful EQUIVALENT WORKLOAD of the operator.
 # COMPARE = the driver's 15-query headline set (bench.py's QUERIES —
-# q_tpch_q1/q6 + dp_neardup_scale included since r12 so the published
-# vs-DuckDB ratio is reproducible over the same list) plus the
-# extra oracled entries the judge benches have historically carried
-# (q_session_windows, q_inverted_index, q_related_items, dp_text_stats,
-# dp_sample, dp_embed_neardup).  dp_ngram_jaccard is excluded by
-# default (pass --all to include): its DuckDB oracle alone runs ~750 s
-# at sf0.1 (vs Spark ~1.6 s since the blocked sparse-intersection
-# kernel) and would flatter the total — the same exclusion the round-4
-# judge bench applied.
+# q_tpch_q1/q6 + dp_sample added in r12 so the published vs-DuckDB ratio
+# is reproducible over the same list) plus the extra oracled entries the
+# judge benches have historically carried (q_session_windows,
+# q_inverted_index, q_related_items, dp_text_stats, dp_embed_neardup).
+# Documented exclusions (r12):
+# * dp_neardup_scale — its oracle is a VERDICT frame (completeness /
+#   regime checks over the pipeline's own artifacts), not a DuckDB
+#   reimplementation of the LSH pipeline; DuckDB "runs" it in ~2 ms, so
+#   including it would flatter Spark by ~800x for a meaningless reason.
+# * dp_ngram_jaccard — the inverse problem (pass --all to include): its
+#   DuckDB oracle alone runs ~750 s at sf0.1 (vs Spark ~1.6 s since the
+#   blocked sparse-intersection kernel) and would flatter the total —
+#   the same exclusion the round-4 judge bench applied.
 COMPARE = ["q_day_rollup", "q_having", "q_post_agg_arith", "q_agg_stats",
            "q_lag_window", "q_arith_currency", "q_link_enrich",
            "q_link_two_hop", "q_yql_text", "q_tpch_q1", "q_tpch_q6",
            "q_session_windows",
            "q_inverted_index", "q_related_items",
-           "dp_exact_dedup", "dp_neardup_scale", "dp_lang_id",
+           "dp_exact_dedup", "dp_lang_id",
            "dp_ann_bruteforce", "dp_text_stats", "dp_sample",
            "dp_embed_neardup"]
 if _ALL:
@@ -53,15 +57,23 @@ def main() -> None:
                     f"'{SF_DIR}/{t}.parquet'")
     qs, oracles = ent.queries(), ent.oracle_sql()
 
+    def _noop(df):
+        # noop-write like bench.py: count() would let Catalyst PRUNE the
+        # heavy output expressions (md5 digests, rebuilds, scores) and
+        # time only the join skeleton (r12 — dp_text_stats "ran" in
+        # 0.4 s under count() vs ~2.3 s for the real result); the noop
+        # sink materializes every column, matching DuckDB's fetchall
+        df.write.format("noop").mode("overwrite").save()
+
     rows = []
     for name in COMPARE:
         if name not in oracles:
             continue
         # warm both
-        qs[name](spark, SF_DIR).count()
+        _noop(qs[name](spark, SF_DIR))
         con.sql(oracles[name]).fetchall()
         t0 = time.time()
-        qs[name](spark, SF_DIR).count()
+        _noop(qs[name](spark, SF_DIR))
         t_spark = time.time() - t0
         t0 = time.time()
         con.sql(oracles[name]).fetchall()
