@@ -888,3 +888,70 @@ def test_streaming_c4_rule_matches_batch(spark, tmp_path):
         q.stop()
         spark.catalog.dropTempView("c4f")
     assert streamed == batch
+
+
+def test_streaming_url_curation_and_gopher_fracs_match_batch(spark,
+                                                             tmp_path):
+    """The r12 row-local operators really are stream-safe: registered-
+    domain extraction + blocklist flags (curation.py) and the Gopher
+    top/dup n-gram char-mass folds (text.ngram_char_frac_cols) are pure
+    Column expressions, so an availableNow replay of a static corpus
+    must yield EXACTLY the batch frame — no state, no watermark, no
+    twin implementation to drift."""
+    from pyspark.sql import functions as F, types as T
+
+    from yupana_spark.datapipe.curation import url_blocklist_flags
+    from yupana_spark.datapipe.text import ngram_char_frac_cols, words
+
+    rows = [
+        (1, "https://www.News.Site.co.uk:443/a?x=1", "ab cd ab cd ab"),
+        (2, "HTTP://u:pw@blog.example.com./p", "x y x y x y x y"),
+        (3, "spam.tracker.net/landing", "one two"),
+        (4, None, None),
+    ]
+    schema = "doc_id long, url string, text string"
+    blocked = spark.createDataFrame([("https://Tracker.NET/x",)],
+                                    "domain string")
+
+    def pipeline(df):
+        flagged = url_blocklist_flags(df, blocked)
+        w = words(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+        return flagged.select(
+            "doc_id", "domain", "url_blocked",
+            *ngram_char_frac_cols(w, F.length(F.coalesce(F.col("text"),
+                                                         F.lit(""))),
+                                  [(2, "top", "top2"), (5, "dup", "dup5")]))
+
+    batch = {r["doc_id"]: (r["domain"], r["url_blocked"],
+                           r["top2"], r["dup5"])
+             for r in pipeline(spark.createDataFrame(rows, schema))
+             .collect()}
+    assert batch[1] == ("site.co.uk", False, round(2 * 5 / 14, 6), 0.0)
+    assert batch[2][:2] == ("example.com", False) and batch[2][3] == 1.0
+    # a 2-word doc's only bigram covers the whole text -> top2 == 1.0
+    assert batch[3] == ("tracker.net", True, 1.0, 0.0)
+    assert batch[4] == ("", False, 0.0, 0.0)
+
+    src = tmp_path / "uc_src"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.parquet(str(src / "a"))
+    stream = (spark.readStream
+              .schema(T.StructType([
+                  T.StructField("doc_id", T.LongType()),
+                  T.StructField("url", T.StringType()),
+                  T.StructField("text", T.StringType())]))
+              .parquet(str(src / "*")))
+    q = (pipeline(stream).writeStream.format("memory").queryName("uc")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "uc_ck"))
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination()
+        streamed = {r["doc_id"]: (r["domain"], r["url_blocked"],
+                                  r["top2"], r["dup5"])
+                    for r in spark.table("uc").collect()}
+    finally:
+        q.stop()
+        spark.catalog.dropTempView("uc")
+    assert streamed == batch
