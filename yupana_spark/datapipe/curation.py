@@ -64,8 +64,7 @@ def registered_domain(url: Column) -> Column:
 
 
 def url_blocklist_flags(df: DataFrame, blocked: DataFrame,
-                        url_col: str = "url",
-                        id_col: str = "doc_id") -> DataFrame:
+                        url_col: str = "url") -> DataFrame:
     """Input plus ``domain`` / ``url_blocked``: flag every row whose
     registered domain appears in ``blocked`` (a one-column ``domain``
     frame — the curated blocklist).  The blocklist is tiny by

@@ -247,8 +247,10 @@ def _require_packable_id(df: DataFrame, id_col: str, op: str) -> None:
         raise ValueError(
             f"{op} requires an integral {id_col!r} column (the canonical-"
             f"occurrence argmin rides a packed bigint id*2^26+pos with "
-            f"0 <= id < 2^37); got {dt.simpleString()}. Derive a long id "
-            f"first, e.g. monotonically_increasing_id() or a dense rank.")
+            f"0 <= id < 2^37); got {dt.simpleString()}. Derive a dense "
+            f"long id first (row_number over a stable order, or "
+            f"zipWithIndex) — NOT monotonically_increasing_id(), whose "
+            f"partition-shifted values exceed 2^37 from 17 partitions on.")
 
 
 def _packed_key(id_col, pos_col):

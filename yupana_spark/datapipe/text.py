@@ -219,8 +219,10 @@ def _ngram_mass_fold(w: Column, n: int) -> Column:
 
     def _close(a):
         # run boundary: fold the finished (gram, count, length) run into
-        # best-gram and duplicated-mass accumulators
-        m = (a["c"] * a["l"]).cast("bigint")
+        # best-gram and duplicated-mass accumulators.  Cast BEFORE the
+        # multiply: int count x int length can exceed 2^31 on a
+        # pathological single-gram document (review r12)
+        m = a["c"].cast("bigint") * a["l"]
         better = (a["c"] > 0) & ((a["c"] > a["bc"])
                                  | ((a["c"] == a["bc"]) & (m > a["bm"])))
         return (F.when(better, a["c"]).otherwise(a["bc"]),
