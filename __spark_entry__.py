@@ -1507,7 +1507,19 @@ def dp_text_stats(spark, sf_dir):
     esk = (spark.sparkContext.applicationId, sf_dir)
     esi = _ES_INDEX.get(esk)
     if esi is None:
-        esi = exactsubstr_index(docs, n=8).localCheckpoint(eager=True)
+        # WAREHOUSE artifact (the _BPE_TOKENS posture): a restarted
+        # deployment loads the materialized index instead of re-running
+        # the corpus count shuffle; corpus writes invalidate via token
+        from yupana_spark.datapipe.artifacts import artifact_name
+
+        st, tok = _artifacts(), _fx_token(sf_dir, "documents")
+        nm = artifact_name("es_dup_index", sf_dir, 8, 2)
+        got = st.load_df(spark, nm, tok)
+        if got is not None:
+            esi = got[0].localCheckpoint(eager=True)
+        else:
+            esi = exactsubstr_index(docs, n=8).localCheckpoint(eager=True)
+            st.save_df(nm, tok, esi)
         # volume gate (house pattern, dedup.PAIR_GATE / sketch's bcast
         # gate): a small dup-gram index broadcasts so the occurrence
         # side never shuffles on gram hash at all; past the gate the

@@ -348,3 +348,34 @@ def test_bigram_scoring_zero_probe_jobs(spark):
         spark, "ppx-score-legacy-probe",
         lambda: bigram_xent_scores(docs, art[:4]))
     assert legacy_jobs != []                # legacy artifact: probes run
+
+
+def test_es_dup_index_persists_and_roundtrips(spark, tmp_path):
+    """The ExactSubstr duplicated-gram index (the r12 suffix-array
+    analogue): save_df then a cold load returns the same (h, c, k0)
+    rows, and a cut driven by the loaded index equals the from-scratch
+    cut."""
+    from yupana_spark.datapipe.artifacts import artifact_name
+    from yupana_spark.datapipe.dedup import exactsubstr_cut, \
+        exactsubstr_index
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c d e f"), (3, "a b a b"), (4, None)],
+        "doc_id long, text string")
+    st = ArtifactStore(str(tmp_path / "arts"))
+    nm = artifact_name("es_dup_index", "t", 2, 2)
+    idx = exactsubstr_index(docs, n=2)
+    st.save_df(nm, "tok", idx)
+    got = st.load_df(spark, nm, "tok")
+    assert got is not None
+    loaded = got[0]
+    want = {(r["h"], r["__c"], r["__k0"]) for r in idx.collect()}
+    assert {(r["h"], r["__c"], r["__k0"])
+            for r in loaded.collect()} == want and want
+    fresh = {r["id"]: r["es_cleaned"]
+             for r in exactsubstr_cut(docs, n=2).collect()}
+    via = {r["id"]: r["es_cleaned"]
+           for r in exactsubstr_cut(docs, n=2, dup_index=loaded).collect()}
+    assert via == fresh
+    # stale token -> no load (the refit-on-write contract)
+    assert st.load_df(spark, nm, "other-token") is None
