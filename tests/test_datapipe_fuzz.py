@@ -671,3 +671,62 @@ def test_differential_c4_and_wdd(spark, seed):
             (kl, cl, ns, keep), (seed, i, txt)
         assert (r["lf"], r["lcf"], r["pf"], r["pcf"]) == _py_wdd(txt), \
             (seed, i, txt)
+
+
+# -- registered_domain: random URLs vs a pure-Python recomputation ----------
+def _py_registered_domain(url):
+    """Independent reference implementation of curation.registered_domain
+    (same documented heuristic, written against Python string ops rather
+    than the Spark regexp chain)."""
+    import re as _re
+
+    from yupana_spark.datapipe.curation import CC_SLDS
+
+    h = url or ""
+    h = _re.sub(r"^[A-Za-z][A-Za-z0-9+.\-]*://", "", h)
+    h = _re.sub(r"^[^/@?#]*@", "", h)
+    m = _re.match(r"^([^/?#]*)", h)
+    h = m.group(1) if m else ""
+    h = _re.sub(r":\d*$", "", h)
+    h = _re.sub(r"\.$", "", h)
+    h = h.lower()
+    labels = h.split(".")
+    if _re.match(r"^\d{1,3}(\.\d{1,3}){3}$", h) or len(labels) < 2:
+        return h
+    if len(labels) >= 3 and ".".join(labels[-2:]) in CC_SLDS:
+        return ".".join(labels[-3:])
+    return ".".join(labels[-2:])
+
+
+@pytest.mark.parametrize("seed", [20260815, 31337])
+def test_differential_registered_domain(spark, seed):
+    """Random URL salad (schemes x userinfo x ports x suffixes x paths x
+    casing x malformed leftovers): every extracted domain must equal the
+    pure-Python recomputation — ~160 URLs per seed."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from yupana_spark.datapipe.curation import registered_domain
+
+    rng = random.Random(seed)
+    schemes = ["", "http://", "HTTPS://", "ftp://", "Ss7+x-y.z://"]
+    users = ["", "u@", "user:p%40ss@"]
+    hosts = ["example.com", "www.example.com", "a.b.site.co.uk",
+             "blog.example.com.au", "localhost", "192.168.0.1",
+             "sub.deep.archive.org", "single", "UPPER.CaSe.NET",
+             "trail.dot.org.", "xn--bcher-kva.de", "weird..double.com"]
+    ports = ["", ":80", ":65535", ":"]
+    paths = ["", "/", "/a/b.html", "/a?q=1&r=2", "#frag", "/p#x?y"]
+    rows = []
+    for i in range(160):
+        u = (rng.choice(schemes) + rng.choice(users) + rng.choice(hosts)
+             + rng.choice(ports) + rng.choice(paths))
+        rows.append((i, u))
+    rows += [(1000, None), (1001, ""), (1002, "://"), (1003, "@")]
+    df = spark.createDataFrame(rows, "i long, url string")
+    got = {r["i"]: r["d"]
+           for r in df.select("i", registered_domain(F.col("url"))
+                              .alias("d")).collect()}
+    for i, u in rows:
+        assert got[i] == _py_registered_domain(u), (u, got[i])
