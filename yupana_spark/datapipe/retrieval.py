@@ -249,16 +249,23 @@ def bm25_score_col(word_array, probe: dict, k1: float = 1.2,
 def idf_table(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(t, df, idf): corpus document-frequency table over ALL distinct
     terms — the reusable ingest-time artifact for repeated BM25 probes
-    (same train-once posture as the ANN index frames).  One distinct +
-    one groupBy(term) shuffle; pure math after that."""
+    (same train-once posture as the ANN index frames).  ONE lazy plan:
+    the document count rides as a broadcast single-row frame crossed
+    onto the bounded per-term counts (the dsir totals posture — r12;
+    the old form fired a separate eager ``staged.count()`` JOB at plan-
+    build time, an anti-pattern for an artifact builder a pipeline may
+    compose lazily), plus one distinct-explode + groupBy(term) shuffle;
+    pure math after."""
     staged = df.select(_words_safe(F.col(text_col)).alias("__w"))
-    n = staged.count()
+    n1 = staged.agg(F.count("*").cast("double").alias("__n"))
     per_doc = staged.select(
         F.explode(F.array_distinct(F.col("__w"))).alias("t"))
     return (per_doc.groupBy("t").agg(F.count("*").alias("df"))
+            .crossJoin(F.broadcast(n1))
             .withColumn("idf", F.round(F.log(
-                F.lit(1.0) + (F.lit(float(n)) - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))), 6)))
+                F.lit(1.0) + (F.col("__n") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))), 6))
+            .drop("__n"))
 
 
 def py_bm25(docs, query: str, k1: float = 1.2, b: float = 0.75) -> dict:
