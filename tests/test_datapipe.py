@@ -2759,3 +2759,23 @@ def test_url_blocklist_and_domain_cap(spark):
         assert got[f"site{d}.com"] == {i for _, i in ids}
     # k above the domain size keeps everything (min(k, |domain|))
     assert domain_capped_sample(df, per_domain=99).count() == 30
+
+
+def test_staging_expressions_identical(spark):
+    """dp_text_stats rebuilds cut spans over retrieval._words_safe's
+    staged array while the starts operators compute positions over
+    dedup._staged_norm_words' — the two MUST stay the same expression
+    (coalesce(words(normalize_text(text)), [])) or cut positions would
+    silently misalign.  Pinned on every normalization edge."""
+    from yupana_spark.datapipe.dedup import _staged_norm_words
+    from yupana_spark.datapipe.retrieval import _words_safe
+
+    rows = [(1, None), (2, ""), (3, "  Mixed  CASE,   punct!!  "),
+            (4, "tab\tand\nnewline  spaced"), (5, "ünïcödé l'apostrophe"),
+            (6, "123 abc-def 456")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["id"]: r["__w"] for r in _staged_norm_words(
+        df, "text", "doc_id").collect()}
+    b = {r["doc_id"]: r["w"] for r in df.select(
+        "doc_id", _words_safe(F.col("text")).alias("w")).collect()}
+    assert a == {i: b[i] for i in b} and a[1] == [] and a[2] == []
