@@ -1483,7 +1483,8 @@ def dp_text_stats(spark, sf_dir):
     import gc
 
     gc.collect()
-    dcs = (decontaminate_cut_starts(docs, docs.filter(did % 97 == 0))
+    dcs = (decontaminate_cut_starts(docs, docs.filter(did % 97 == 0),
+                                    words_col="__bw")
            .select(F.col("id").alias("doc_id"),
                    F.col("__ps").alias("__dc_ps"), "n_contaminated")
            .localCheckpoint(eager=True))
@@ -1528,7 +1529,8 @@ def dp_text_stats(spark, sf_dir):
         if esi.limit(_ES_BCAST_GATE + 1).count() <= _ES_BCAST_GATE:
             esi = F.broadcast(esi)
         _ES_INDEX[esk] = esi
-    ess = (exactsubstr_cut_starts(docs, n=8, dup_index=esi)
+    ess = (exactsubstr_cut_starts(docs, n=8, dup_index=esi,
+                                  words_col="__bw")
            .select(F.col("id").alias("doc_id"),
                    F.col("__ps").alias("__es_ps"), "n_dup_spans"))
     # RefinedWeb-style corpus-wide exact LINE dedup (duplicated_line_stats)

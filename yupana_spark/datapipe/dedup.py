@@ -192,8 +192,8 @@ def exactsubstr_cut(df: DataFrame, text_col: str = "text",
 def exactsubstr_cut_starts(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", n: int = 8,
                            min_count: int = 2,
-                           dup_index: Optional[DataFrame] = None
-                           ) -> DataFrame:
+                           dup_index: Optional[DataFrame] = None,
+                           words_col: Optional[str] = None) -> DataFrame:
     """(id, __ps, n_dup_spans): :func:`exactsubstr_cut`'s relational
     HALF — the per-doc array of duplicated non-canonical gram START
     positions plus the dup-occurrence count, one row per doc with at
@@ -213,7 +213,7 @@ def exactsubstr_cut_starts(df: DataFrame, text_col: str = "text",
     from .text import ngram_hashes
 
     _require_packable_id(df, id_col, "exactsubstr_cut")
-    staged = _staged_norm_words(df, text_col, id_col)
+    staged = _pre_staged(df, text_col, id_col, words_col)
     occ = (staged.select(
         "id", F.posexplode(ngram_hashes(F.col("__w"), n)).alias("pos", "h"))
         .withColumn("__k", _packed_key(F.col("id"), F.col("pos"))))
@@ -263,6 +263,20 @@ def _packed_key(id_col, pos_col):
                 F.lit("exactsubstr packed-id contract violated: id "),
                 id_col.cast("string"),
                 F.lit(" outside [0, 2**37)")))))
+
+
+def _pre_staged(df: DataFrame, text_col: str, id_col: str,
+                words_col: Optional[str]) -> DataFrame:
+    """(id, __w): reuse a caller-staged normalized word array when
+    ``words_col`` names one (it MUST carry ``_staged_norm_words``
+    semantics — coalesce(words(normalize_text(text)), []); the staging-
+    identity pytest pins the bundle's), else stage from the text.  Lets
+    a pipeline that already scans with the staged array (dp_text_stats'
+    base) skip a redundant normalize pass per starts operator."""
+    if words_col is not None:
+        return df.select(F.col(id_col).alias("id"),
+                         F.col(words_col).alias("__w"))
+    return _staged_norm_words(df, text_col, id_col)
 
 
 def _staged_norm_words(df: DataFrame, text_col: str, id_col: str
@@ -383,8 +397,8 @@ def decontaminate_cut(df: DataFrame, eval_docs: DataFrame,
 
 def decontaminate_cut_starts(df: DataFrame, eval_docs: DataFrame,
                              text_col: str = "text",
-                             id_col: str = "doc_id", n: int = 8
-                             ) -> DataFrame:
+                             id_col: str = "doc_id", n: int = 8,
+                             words_col: Optional[str] = None) -> DataFrame:
     """(id, __ps, n_contaminated): :func:`decontaminate_cut`'s relational
     HALF — the per-doc array of eval-overlapping gram START positions
     plus the hit count, one row per CONTAMINATED doc (clean docs never
@@ -395,7 +409,7 @@ def decontaminate_cut_starts(df: DataFrame, eval_docs: DataFrame,
     ``greatest(n_words - n + 1, 1)``; contamination_frac follows)."""
     from .text import exploded_ngram_hashes, ngram_hashes
 
-    staged = _staged_norm_words(df, text_col, id_col)
+    staged = _pre_staged(df, text_col, id_col, words_col)
     occ = staged.select(
         "id", F.posexplode(ngram_hashes(F.col("__w"), n)).alias("pos", "h"))
     ev = exploded_ngram_hashes(eval_docs, text_col, n).distinct()
