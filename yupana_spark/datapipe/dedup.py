@@ -99,7 +99,8 @@ def duplicated_span_stats(df: DataFrame, text_col: str = "text",
 
 def exactsubstr_index(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 8,
-                      min_count: int = 2) -> DataFrame:
+                      min_count: int = 2,
+                      words_col: Optional[str] = None) -> DataFrame:
     """(h, __c, __k0): the DUPLICATED-gram index — corpus count and
     canonical packed key for every word-``n``-gram hash occurring more
     than once (or ``>= min_count`` when a caller lowers it below 2).
@@ -116,7 +117,7 @@ def exactsubstr_index(df: DataFrame, text_col: str = "text",
     from .text import ngram_hashes
 
     _require_packable_id(df, id_col, "exactsubstr_index")
-    staged = _staged_norm_words(df, text_col, id_col)
+    staged = _pre_staged(df, text_col, id_col, words_col)
     occ = (staged.select(
         "id", F.posexplode(ngram_hashes(F.col("__w"), n)).alias("pos", "h"))
         .withColumn("__k", _packed_key(F.col("id"), F.col("pos"))))
@@ -223,7 +224,8 @@ def exactsubstr_cut_starts(df: DataFrame, text_col: str = "text",
     # else (r12) — and a caller holding a prebuilt
     # :func:`exactsubstr_index` artifact skips that shuffle entirely.
     dup_cnt = (dup_index if dup_index is not None
-               else exactsubstr_index(df, text_col, id_col, n, min_count))
+               else exactsubstr_index(df, text_col, id_col, n, min_count,
+                                      words_col=words_col))
     joined = occ.join(dup_cnt, "h")
     return joined.groupBy("id").agg(
         F.collect_set(
@@ -270,9 +272,15 @@ def _pre_staged(df: DataFrame, text_col: str, id_col: str,
     """(id, __w): reuse a caller-staged normalized word array when
     ``words_col`` names one (it MUST carry ``_staged_norm_words``
     semantics — coalesce(words(normalize_text(text)), []); the staging-
-    identity pytest pins the bundle's), else stage from the text.  Lets
-    a pipeline that already scans with the staged array (dp_text_stats'
-    base) skip a redundant normalize pass per starts operator."""
+    identity pytest pins the bundle's), else stage from the text.
+
+    The saving is REAL only when the staged frame is MATERIALIZED
+    (persisted/checkpointed): in a fully lazy plan Catalyst inlines the
+    column expression into every consuming branch, so each branch still
+    normalizes its own scan (review r12 measured the bundle's lazy case
+    as a wash).  The parameter's other job is correctness coupling — a
+    caller scoring and rebuilding over ONE staged array cannot drift
+    from the positions computed here."""
     if words_col is not None:
         return df.select(F.col(id_col).alias("id"),
                          F.col(words_col).alias("__w"))
