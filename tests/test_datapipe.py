@@ -2759,6 +2759,16 @@ def test_url_blocklist_and_domain_cap(spark):
         assert got[f"site{d}.com"] == {i for _, i in ids}
     # k above the domain size keeps everything (min(k, |domain|))
     assert domain_capped_sample(df, per_domain=99).count() == 30
+    # a NULL/garbage blocklist row must NOT block URL-less docs: both
+    # normalize to the empty domain, but empty never enters the list
+    noisy = spark.createDataFrame([(None,), ("%%%",), ("Site2.com",)],
+                                  "domain string")
+    df2 = spark.createDataFrame(
+        [(0, "https://site2.com/x"), (1, None), (2, "site0.com/y")],
+        "doc_id long, url string")
+    f2 = {r["doc_id"]: r["url_blocked"]
+          for r in url_blocklist_flags(df2, noisy).collect()}
+    assert f2 == {0: True, 1: False, 2: False}
 
 
 def test_staging_expressions_identical(spark):

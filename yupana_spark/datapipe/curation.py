@@ -73,8 +73,12 @@ def url_blocklist_flags(df: DataFrame, blocked: DataFrame,
     never shuffle.  Blocklist domains are normalized through the same
     ``registered_domain`` so ``www.``/scheme noise in a handed-in list
     cannot cause misses."""
+    # a NULL/garbage blocklist row normalizes to the EMPTY domain, which
+    # is also what URL-less documents carry — without the filter one bad
+    # list row would silently block every such doc (review r12)
     b = (blocked.select(registered_domain(F.col("domain"))
                         .alias("domain"))
+         .filter(F.col("domain") != "")
          .dropDuplicates()
          .withColumn("__blk", F.lit(True)))
     out = df.withColumn("domain", registered_domain(F.col(url_col)))
