@@ -2789,3 +2789,31 @@ def test_staging_expressions_identical(spark):
     b = {r["doc_id"]: r["w"] for r in df.select(
         "doc_id", _words_safe(F.col("text")).alias("w")).collect()}
     assert a == {i: b[i] for i in b} and a[1] == [] and a[2] == []
+
+
+def test_salted_quota_rank_identical_and_skew_bounded(spark):
+    """The salt-decomposed exact-rank path (stratified_quota_sample
+    salt_partitions): selection is IDENTICAL to the single-window form
+    on every stratum shape (viral, exactly-quota, under-quota), and the
+    raw rows are ranked inside (stratum, salt) partitions — the phase-1
+    window must show the salt key, so no viral stratum pins one task."""
+    from yupana_spark.datapipe.sample import stratified_quota_sample
+
+    df = (spark.range(0, 100_000)
+          .select(F.col("id").alias("doc_id"),
+                  F.when(F.col("id") < 99_000, "viral")
+                  .when(F.col("id") < 99_950, "mid")
+                  .otherwise("tiny").alias("dom")))
+    plain = stratified_quota_sample(df, "doc_id", "dom", {}, 50)
+    salted = stratified_quota_sample(df, "doc_id", "dom", {}, 50,
+                                     salt_partitions=32)
+    a = {(r["dom"], r["doc_id"]) for r in plain.collect()}
+    b = {(r["dom"], r["doc_id"]) for r in salted.collect()}
+    assert a == b
+    per = {}
+    for d, _ in a:
+        per[d] = per.get(d, 0) + 1
+    assert per == {"viral": 50, "mid": 50, "tiny": 50}
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert re.search(r"windowspecdefinition\(dom#\d+, __salt#\d+", plan)

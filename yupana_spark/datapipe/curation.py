@@ -90,16 +90,25 @@ def url_blocklist_flags(df: DataFrame, blocked: DataFrame,
 
 def domain_capped_sample(df: DataFrame, per_domain: int,
                          url_col: str = "url",
-                         id_col: str = "doc_id") -> DataFrame:
+                         id_col: str = "doc_id",
+                         salt_partitions: int = 64) -> DataFrame:
     """Keep at most ``per_domain`` rows per registered domain, chosen by
     the deterministic ``(md5(id), id)`` rank — RefinedWeb-style
     contribution capping so one viral site cannot dominate the corpus.
     A thin, deliberate composition: derive the domain row-locally, then
     ``sample.cluster_balanced_sample`` with the domain as the cell (the
     DataComp per-cluster quota — a window partitioned BY DOMAIN, never
-    a global sort)."""
+    a global sort).
+
+    Unlike IVF cells, domain sizes are UNBOUNDED (one site can be half a
+    crawl), so the salt-decomposed exact-rank path is ON by default:
+    phase 1 ranks inside (domain, salt) partitions and keeps
+    ``per_domain`` per salt, the true rank runs over the bounded
+    survivors — identical selection, no viral-domain hot task.  Pass
+    ``salt_partitions=None`` for the plain single-window form."""
     from .sample import cluster_balanced_sample
 
     assigned = df.withColumn("domain", registered_domain(F.col(url_col)))
     return cluster_balanced_sample(assigned, per_domain,
-                                   id_col=id_col, cell_col="domain")
+                                   id_col=id_col, cell_col="domain",
+                                   salt_partitions=salt_partitions)

@@ -107,7 +107,8 @@ def assign_split(df: DataFrame, id_col: str = "doc_id",
 
 def stratified_quota_sample(df: DataFrame, id_col: str, stratum_col: str,
                             quotas: Dict[str, int], default_quota: int = 0,
-                            prefilter_rate: Optional[float] = None
+                            prefilter_rate: Optional[float] = None,
+                            salt_partitions: Optional[int] = None
                             ) -> DataFrame:
     """EXACT per-stratum quotas: within each stratum, rank rows by
     ``(md5(id), id)`` — a uniform, engine-reproducible order — and keep the
@@ -134,6 +135,17 @@ def stratified_quota_sample(df: DataFrame, id_col: str, stratum_col: str,
     ``default_quota > 0`` cannot be guarded without an unfiltered corpus
     pass (a stratum with zero survivors is invisible), so combining it
     with ``prefilter_rate`` raises instead of guessing.
+
+    SKEW path (``salt_partitions``, r12): a window partitioned by
+    stratum pins a VIRAL stratum's every row into one task (a single
+    domain can be half a web crawl).  Exact top-k is salt-decomposable —
+    the stratum's global (md5, id)-first ``quota`` rows are each within
+    the first ``quota`` of their own salt partition — so with
+    ``salt_partitions=N`` phase 1 ranks inside (stratum, xxhash64(id)%N)
+    (bounded partitions) and keeps ≤ quota rows per salt, and phase 2
+    runs the true ranking over ≤ N*quota survivors per stratum.  The
+    selected subset is IDENTICAL to the unsalted path (pinned by test);
+    use it when strata can be pathologically large and quotas are small.
     """
     from pyspark.sql import Window
 
@@ -155,6 +167,16 @@ def stratified_quota_sample(df: DataFrame, id_col: str, stratum_col: str,
     quota = F.lit(default_quota)
     for value, q in sorted(quotas.items()):
         quota = F.when(F.col(stratum_col) == value, F.lit(q)).otherwise(quota)
+    if salt_partitions is not None and salt_partitions > 1:
+        w1 = (Window.partitionBy(stratum_col, "__salt")
+              .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")),
+                       F.col(id_col)))
+        df = (df.withColumn("__salt",
+                            F.pmod(F.xxhash64(F.col(id_col)),
+                                   F.lit(salt_partitions)))
+              .withColumn("__rk1", F.row_number().over(w1))
+              .filter(F.col("__rk1") <= quota)
+              .drop("__salt", "__rk1"))
     w = (Window.partitionBy(stratum_col)
          .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")),
                   F.col(id_col)))
@@ -165,7 +187,9 @@ def stratified_quota_sample(df: DataFrame, id_col: str, stratum_col: str,
 
 def cluster_balanced_sample(assigned: DataFrame, per_cell: int,
                             id_col: str = "vec_id",
-                            cell_col: str = "cell") -> DataFrame:
+                            cell_col: str = "cell",
+                            salt_partitions: Optional[int] = None
+                            ) -> DataFrame:
     """Cluster-balanced subset selection (the DataComp/SemDeDup curation
     recipe, public: sample evenly ACROSS embedding clusters instead of
     following the corpus' natural — usually heavily skewed — cluster
@@ -183,7 +207,8 @@ def cluster_balanced_sample(assigned: DataFrame, per_cell: int,
     if per_cell <= 0:
         raise ValueError(f"per_cell must be > 0, got {per_cell}")
     return stratified_quota_sample(assigned, id_col, cell_col,
-                                   quotas={}, default_quota=per_cell)
+                                   quotas={}, default_quota=per_cell,
+                                   salt_partitions=salt_partitions)
 
 
 # ---------------------------------------------------------------------------
