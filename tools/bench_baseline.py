@@ -87,6 +87,17 @@ def main() -> None:
     total_d = sum(r[2] for r in rows)
     print(f"\n{'TOTAL':24s} spark {total_s:7.3f}s  duck {total_d:7.3f}s  "
           f"ratio {total_s / total_d:6.2f}x")
+    # one machine-readable record (the bench.py posture) so runs are
+    # diffable across rounds without re-parsing the table
+    import json
+
+    print(json.dumps({
+        "metric": "baseline_ratio", "value": round(total_s / total_d, 3),
+        "unit": "x_of_duckdb", "spark_s": round(total_s, 3),
+        "duck_s": round(total_d, 3), "sf_dir": SF_DIR,
+        "action": "noop-write", "n_queries": len(rows),
+        "queries": {n: {"spark_s": round(s, 3), "duck_s": round(d, 3),
+                        "ratio": round(r, 2)} for n, s, d, r in rows}}))
 
 
 if __name__ == "__main__":
