@@ -3492,7 +3492,8 @@ _ORACLES_DP: dict[str, str] = {
           SELECT doc_id,
                  doc_id <> min(doc_id) OVER (PARTITION BY fp) AS isdup
           FROM (SELECT doc_id,
-                       md5(trim(regexp_replace(regexp_replace(lower(text),
+                       md5(trim(regexp_replace(regexp_replace(
+                           lower(coalesce(text, '')),
                            '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))
                            AS fp
                 FROM documents)),
@@ -3869,13 +3870,15 @@ _ORACLES_DP: dict[str, str] = {
     "dp_exact_dedup": """
         WITH f AS (
           SELECT doc_id,
-                 md5(trim(regexp_replace(regexp_replace(lower(text),
+                 md5(trim(regexp_replace(regexp_replace(
+                     lower(coalesce(text, '')),
                      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
           FROM documents),
         ref AS (
           SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(
-                     CASE WHEN doc_id % 14 = 0 THEN text || ' mutated'
-                          ELSE text END),
+                     CASE WHEN doc_id % 14 = 0
+                          THEN coalesce(text, '') || ' mutated'
+                          ELSE coalesce(text, '') END),
                      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
           FROM documents WHERE doc_id % 7 = 0)
         SELECT doc_id, fp,

@@ -64,6 +64,42 @@ def test_exact_dedup_skew_no_window(spark):
     assert [r["doc_id"] for r in keep.collect()] == [0]
 
 
+def test_exact_dedup_null_text_kept(spark):
+    """NULL-text docs fingerprint as the EMPTY document and stay in the
+    output (review r12: md5(NULL) was NULL and the null-unsafe fp join
+    silently dropped them).  Two NULL-text docs and an empty-text doc
+    are mutual exact duplicates; the min-id one is the representative."""
+    from yupana_spark.datapipe.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "real content here"), (3, None), (4, "")],
+        "doc_id long, text string")
+    out = exact_dedup(df).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in out] == [1, 2, 3, 4]   # nothing dropped
+    assert [r["is_duplicate"] for r in out] == [False, False, True, True]
+    fps = {r["doc_id"]: r["fp"] for r in out}
+    assert fps[1] == fps[3] == fps[4]                   # NULL ≡ empty
+    assert all(fp is not None for fp in fps.values())
+
+
+def test_corpus_keep_null_text_covered(spark):
+    """corpus_keep's default (internal exact_dedup) path must emit a
+    decision row for NULL-text docs — same cardinality as the
+    dup_flags path (review r12)."""
+    from yupana_spark.datapipe.filters import corpus_keep
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "the quick brown fox jumps over the lazy dog " * 5),
+         (3, None)],
+        "doc_id long, text string")
+    out = corpus_keep(df).collect()
+    assert {r["id"] for r in out} == {1, 2, 3}
+    # NULL-text docs are scored (as empty documents), not dropped: doc 3
+    # is the non-min-id exact duplicate of doc 1, so 'duplicate' fires
+    reasons = {r["id"]: r["reasons"] for r in out}
+    assert "duplicate" in reasons[3] and "duplicate" not in reasons[1]
+
+
 def test_duplicated_span_stats(spark):
     """ExactSubstr-style corpus-wide span stats (Lee et al. 2021): an
     8-gram shared across two docs (or repeated inside one) marks every one
@@ -2769,6 +2805,13 @@ def test_url_blocklist_and_domain_cap(spark):
     f2 = {r["doc_id"]: r["url_blocked"]
           for r in url_blocklist_flags(df2, noisy).collect()}
     assert f2 == {0: True, 1: False, 2: False}
+    # a pre-existing 'domain' column would be silently overwritten by
+    # the derived key — both operators must refuse it (review r12)
+    with_dom = df.withColumn("domain", F.lit("caller-owned"))
+    with pytest.raises(ValueError, match="domain"):
+        url_blocklist_flags(with_dom, blocked)
+    with pytest.raises(ValueError, match="domain"):
+        domain_capped_sample(with_dom, per_domain=4)
 
 
 def test_staging_expressions_identical(spark):

@@ -63,6 +63,18 @@ def registered_domain(url: Column) -> Column:
             .otherwise(last2))
 
 
+def _require_no_domain_col(df: DataFrame, op: str) -> None:
+    """The curation operators emit a ``domain`` output column derived
+    from the URL; a pre-existing ``domain`` column on the input would be
+    silently overwritten by ``withColumn`` (review r12) — fail loudly at
+    plan time instead, like the dedup id contract does."""
+    if "domain" in df.columns:
+        raise ValueError(
+            f"{op}: input already carries a 'domain' column; it would be "
+            "silently overwritten by the derived registered domain — "
+            "rename or drop it first")
+
+
 def url_blocklist_flags(df: DataFrame, blocked: DataFrame,
                         url_col: str = "url") -> DataFrame:
     """Input plus ``domain`` / ``url_blocked``: flag every row whose
@@ -73,6 +85,7 @@ def url_blocklist_flags(df: DataFrame, blocked: DataFrame,
     never shuffle.  Blocklist domains are normalized through the same
     ``registered_domain`` so ``www.``/scheme noise in a handed-in list
     cannot cause misses."""
+    _require_no_domain_col(df, "url_blocklist_flags")
     # a NULL/garbage blocklist row normalizes to the EMPTY domain, which
     # is also what URL-less documents carry — without the filter one bad
     # list row would silently block every such doc (review r12)
@@ -108,6 +121,7 @@ def domain_capped_sample(df: DataFrame, per_domain: int,
     ``salt_partitions=None`` for the plain single-window form."""
     from .sample import cluster_balanced_sample
 
+    _require_no_domain_col(df, "domain_capped_sample")
     assigned = df.withColumn("domain", registered_domain(F.col(url_col)))
     return cluster_balanced_sample(assigned, per_domain,
                                    id_col=id_col, cell_col="domain",

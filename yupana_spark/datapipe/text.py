@@ -430,8 +430,15 @@ def normalize_text(col: Column) -> Column:
 
 
 def fingerprint_md5(col: Column) -> Column:
-    """Exact-dup content fingerprint over the normalized text."""
-    return F.md5(normalize_text(col))
+    """Exact-dup content fingerprint over the normalized text.
+
+    NULL text fingerprints as the EMPTY document (review r12: md5(NULL)
+    is NULL, and a null-unsafe equi-join on the fingerprint silently
+    dropped NULL-text docs from exact_dedup / corpus_keep — the stated
+    posture everywhere else is 'NULL text behaves as the empty
+    document', so the coalesce lives HERE, once, and every consumer
+    joining on fp inherits a never-NULL key)."""
+    return F.md5(F.coalesce(normalize_text(col), F.lit("")))
 
 
 def char_shingles(col: Column, k: int = 5, normalized: bool = False) -> Column:
