@@ -1782,6 +1782,7 @@ def dp_embed_neardup(spark, sf_dir):
 
 
 _QVEC_CACHE = {}
+_BLOCKLIST_CACHE: dict = {}
 
 #: memoized bloom-filter word lists per (appId, sf_dir) — the bit array is
 #: an ingest-time artifact of the reference corpus (see dp_exact_dedup)
@@ -1921,6 +1922,10 @@ def dp_sample(spark, sf_dir):
     # cache_key identifies target ("src0" filter) + raw (whole corpus),
     # so repeat calls — and fresh sessions over the persisted store —
     # skip both corpus-wide fit shuffles; scoring values are unchanged
+    # join path deliberately: row_local=True (literal weight array,
+    # in-scan fold) measured 1.5x SLOWER at sf0.1 — the interpreted
+    # per-element aggregate loses to the codegen'd explode + hash-agg
+    # even though it deletes the exchange (docs/scale.md, r13)
     dsir = dsir_select(
         docs, docs.filter(F.col("source") == "src0"), k=40,
         n_buckets=1024, alpha=0.5, keep_cols=["lang"],
@@ -1979,9 +1984,15 @@ def dp_sample(spark, sf_dir):
         .alias("kind"), "doc_id", "lang", null_wt)
     # blocklist semi-filter: src0's two domains, handed in NOISY (scheme,
     # www., path) to prove the list normalizes through the same extractor
-    blocked = spark.createDataFrame(
-        [("https://SRC0.com/landing",), ("www.src0.co.uk",)],
-        "domain string")
+    # (frame memoized per session — a blocklist is a fixed artifact, and
+    # re-running createDataFrame per call costs a driver roundtrip)
+    bkey = spark.sparkContext.applicationId
+    blocked = _BLOCKLIST_CACHE.get(bkey)
+    if blocked is None:
+        blocked = spark.createDataFrame(
+            [("https://SRC0.com/landing",), ("www.src0.co.uk",)],
+            "domain string")
+        _BLOCKLIST_CACHE[bkey] = blocked
     ukeep = (url_blocklist_flags(urled, blocked)
              .filter(~F.col("url_blocked"))
              .select(F.lit("urlkeep").alias("kind"), "doc_id", "lang",
@@ -4085,25 +4096,28 @@ _ORACLES_DP: dict[str, str] = {
         LEFT JOIN vfeat ON fr.media_id = vfeat.media_id
     """,
     # three selection arms; the dsir arm recomputes the full estimator —
-    # hashed uni+bigram buckets (first 24 md5 bits mod B), add-alpha
-    # smoothed log p_target/p_raw table, per-doc weight sums, deterministic
-    # Gumbel keys — from the same parquet (see datapipe/dsir.py)
+    # hashed uni+bigram buckets (per-WORD 24-bit md5 seed; unigram =
+    # hw % B, bigram = (hw1*1000003 + hw2) % B — dsir.word_hash24 /
+    # hashed_gram_buckets h2), add-alpha smoothed log p_target/p_raw
+    # table, per-doc weight sums, deterministic Gumbel keys — from the
+    # same parquet (see datapipe/dsir.py)
     "dp_sample": f"""
         WITH d AS (
           SELECT doc_id, lang, source,
-                 list_filter(string_split_regex(trim(regexp_replace(
+                 list_transform(
+                   list_filter(string_split_regex(trim(regexp_replace(
                      regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
-                     '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS ws
+                     '\\s+', ' ', 'g')), '\\s+'), x -> x <> ''),
+                   w -> ('0x' || substr(md5(w), 1, 6))::BIGINT) AS hs
           FROM documents),
         g AS (
+          SELECT doc_id, source, h % 1024 AS bucket
+          FROM (SELECT doc_id, source, unnest(hs) AS h FROM d)
+          UNION ALL
           SELECT doc_id, source,
-                 ('0x' || substr(md5(gram), 1, 6))::BIGINT % 1024 AS bucket
-          FROM (
-            SELECT doc_id, source, unnest(ws) AS gram FROM d
-            UNION ALL
-            SELECT doc_id, source, ws[i] || ' ' || ws[i+1] AS gram
-            FROM d, LATERAL (SELECT unnest(generate_series(1, len(ws)-1))
-                             AS i) t)),
+                 (hs[i] * 1000003 + hs[i+1]) % 1024 AS bucket
+          FROM d, LATERAL (SELECT unnest(generate_series(1, len(hs)-1))
+                           AS i) t),
         tc AS (SELECT bucket, count(*) AS c FROM g
                WHERE source = 'src0' GROUP BY 1),
         rc AS (SELECT bucket, count(*) AS c FROM g GROUP BY 1),

@@ -1962,6 +1962,44 @@ def test_dsir_select_is_gumbel_top_k(spark):
     assert sorted(got) == sorted(expect)
 
 
+def test_dsir_row_local_matches_join_path(spark, tmp_path):
+    """row_local scoring (literal weight array + in-scan fold) returns
+    the same (id, logw, n_grams) set as the explode+join+groupBy path —
+    per-bucket prices are bit-identical; the sums may differ only in fp
+    order, so compare at 1e-9."""
+    from yupana_spark.datapipe.artifacts import ArtifactStore
+    from yupana_spark.datapipe.dsir import dsir_log_weights, dsir_select
+
+    rows = [(i, t) for i, t in enumerate(
+        ["the cat sat on the mat", "dogs bark loud at night",
+         "spark shuffle join window", "   ", "cat", "a b c d e f g"])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame([(99, "the cat sat")],
+                                   "doc_id long, text string")
+    store = ArtifactStore(str(tmp_path))
+    kw = dict(n_buckets=128, alpha=0.5, cache_key="rl", store=store,
+              store_token="tok")
+    base = {r["doc_id"]: (r["logw"], r["n_grams"])
+            for r in dsir_log_weights(docs, target, **kw).collect()}
+    rl = {r["doc_id"]: (r["logw"], r["n_grams"])
+          for r in dsir_log_weights(docs, target, row_local=True,
+                                    **kw).collect()}
+    assert set(rl) == set(base)
+    for i in base:
+        assert rl[i][1] == base[i][1]
+        assert rl[i][0] == pytest.approx(base[i][0], abs=1e-9)
+    # selection agrees too, and carry_cols ride the scan (no join)
+    sel_b = {r["doc_id"] for r in dsir_select(
+        docs, target, k=3, keep_cols=["text"], **kw).collect()}
+    sel_rl_rows = dsir_select(docs, target, k=3, keep_cols=["text"],
+                              row_local=True, **kw).collect()
+    assert {r["doc_id"] for r in sel_rl_rows} == sel_b
+    assert all(r["text"] is not None for r in sel_rl_rows)
+    # row_local without the artifact path is a contract error
+    with pytest.raises(ValueError, match="row_local"):
+        dsir_log_weights(docs, target, row_local=True)
+
+
 def test_dsir_zero_gram_docs_omitted(spark):
     from yupana_spark.datapipe.dsir import dsir_log_weights
 
