@@ -1904,17 +1904,18 @@ def dp_sample(spark, sf_dir):
     All eight are value-oracled: DuckDB recomputes the md5 thresholds,
     the quota/cap ranks, the full DSIR estimator (bucket hash, smoothed
     log-ratio table, Gumbel keys), the temperature-rate formula, the
-    split cutoffs and the domain rule from the same parquet."""
+    split cutoffs and the domain rule from the same parquet.
+
+    Plan shape (r13): the three selections that are a pure function of
+    the row — bern, split, dom — are FUSED into one scan that tags each
+    doc with its kind array and explodes (tag once, never rescan); the
+    other five arms keep their own scans because each needs a different
+    shuffle (quota/cap windows, DSIR agg, mix-rate join) or broadcast."""
     from yupana_spark.datapipe.dsir import dsir_select
-    from yupana_spark.datapipe.sample import (deterministic_sample,
-                                              stratified_quota_sample)
+    from yupana_spark.datapipe.sample import stratified_quota_sample
 
     docs = _docs(spark, sf_dir)
     null_wt = F.lit(None).cast("double").alias("wt")
-    bern = deterministic_sample(
-        docs, "doc_id", 0.2, stratum_col="lang",
-        stratum_rates={"en": 0.5},
-    ).select(F.lit("bern").alias("kind"), "doc_id", "lang", null_wt)
     quota = stratified_quota_sample(
         docs, "doc_id", "lang", {"en": 25, "de": 10},
     ).select(F.lit("quota").alias("kind"), "doc_id", "lang", null_wt)
@@ -1945,16 +1946,6 @@ def dp_sample(spark, sf_dir):
         alpha=0.3, target_total=400.0,
     ).select(F.lit("mixt").alias("kind"), "doc_id", "lang",
              F.round("__rate", 6).alias("wt"))
-    # deterministic train/val/test assignment (sample.assign_split):
-    # every doc labeled by its md5 bucket against the cumulative 0.9 /
-    # 0.95 thresholds — the label rides IN kind ('split:train' ...) so
-    # lang stays the language; the oracle recomputes both thresholds
-    # with the identical float accumulation
-    from yupana_spark.datapipe.sample import assign_split
-
-    split = (assign_split(docs, "doc_id")
-             .select(F.concat(F.lit("split:"), F.col("split"))
-                     .alias("kind"), "doc_id", "lang", null_wt))
     # --- URL/domain curation (RefinedWeb §3.1; datapipe/curation.py) ---
     # the fixture carries no URL column, so one is DERIVED
     # deterministically from (source, doc_id) — the house injection
@@ -1978,10 +1969,30 @@ def dp_sample(spark, sf_dir):
         F.when(did % 5 == 0, F.lit(":8080")).otherwise(F.lit("")),
         F.lit("/docs/"), did.cast("string"), F.lit("?ref=spark#f"))
     urled = docs.withColumn("url", url)
-    # per-doc registered domain, value-oracled via the kind tag
-    dom = urled.select(
-        F.concat(F.lit("dom:"), registered_domain(F.col("url")))
-        .alias("kind"), "doc_id", "lang", null_wt)
+    # --- fused row-local arm: bern + split:{train,val,test} + dom ---
+    # three selections whose membership/label is a pure function of the
+    # row are TAGGED in ONE scan (array_compact + explode) instead of
+    # three scans unioned — the pattern a 100 TB pipeline uses for
+    # row-local selections (tag once, never rescan; r13).  Semantics
+    # identical to deterministic_sample / assign_split / dom-per-row:
+    # * bern: md5-prefix Bernoulli membership with per-stratum rates
+    #   (sample.bernoulli_keep, the predicate deterministic_sample
+    #   filters with);
+    # * split: leak-proof cumulative-threshold label (assign_split's
+    #   exact WHEN ladder via the same library call);
+    # * dom: registered-domain extraction per doc.
+    from yupana_spark.datapipe.sample import assign_split, bernoulli_keep
+
+    kinds = F.array_compact(F.array(
+        F.when(bernoulli_keep(F.col("doc_id"), 0.2,
+                              stratum_col=F.col("lang"),
+                              stratum_rates={"en": 0.5}),
+               F.lit("bern")),
+        F.concat(F.lit("split:"), F.col("split")),
+        F.concat(F.lit("dom:"), registered_domain(F.col("url")))))
+    rowloc = (assign_split(urled, "doc_id")
+              .select(F.explode(kinds).alias("kind"), "doc_id", "lang",
+                      null_wt))
     # blocklist semi-filter: src0's two domains, handed in NOISY (scheme,
     # www., path) to prove the list normalizes through the same extractor
     # (frame memoized per session — a blocklist is a fixed artifact, and
@@ -2003,9 +2014,8 @@ def dp_sample(spark, sf_dir):
     domcap = (domain_capped_sample(urled, per_domain=8)
               .select(F.lit("domcap").alias("kind"), "doc_id", "lang",
                       null_wt))
-    return (bern.unionByName(quota).unionByName(dsir)
-            .unionByName(mixt).unionByName(split).unionByName(dom)
-            .unionByName(ukeep).unionByName(domcap))
+    return (rowloc.unionByName(quota).unionByName(dsir)
+            .unionByName(mixt).unionByName(ukeep).unionByName(domcap))
 
 
 def dp_dedup_resolve(spark, sf_dir):

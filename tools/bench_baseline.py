@@ -1,11 +1,20 @@
 """Self-check against the practical baseline: DuckDB running the oracle SQL
 on the same parquet at the same scale factor (BASELINE.md: bench within 2x).
 
-Usage: python tools/bench_baseline.py [sf_dir]
+Usage: python tools/bench_baseline.py [sf_dir] [--passes N] [--force]
+
+Pinned protocol (r13 — solo ratios historically swung 1.26-1.46x with
+host load): per query, 1 warm pass then N timed passes PER SIDE
+interleaved (spark, duck, spark, duck, ...), per-query time = MEDIAN of
+the N passes; the JSON records passes, the 1-minute load average at
+start, and a ``noisy`` flag when that load exceeds LOAD_WARN (the run
+refuses instead unless --force, so a number taken under load cannot be
+published by accident).
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -16,6 +25,18 @@ sys.path.insert(0, "/root/repo")
 _ALL = "--all" in sys.argv
 if _ALL:
     sys.argv.remove("--all")
+_FORCE = "--force" in sys.argv
+if _FORCE:
+    sys.argv.remove("--force")
+PASSES = 3
+if "--passes" in sys.argv:
+    i = sys.argv.index("--passes")
+    PASSES = max(1, int(sys.argv[i + 1]))
+    del sys.argv[i:i + 2]
+#: 1-min load above this at start => the host is busy and Spark's JVM
+#: timings are untrustworthy (2-4x swings, BASELINE.md) — refuse unless
+#: --force, and flag the record either way
+LOAD_WARN = 8.0
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -65,19 +86,36 @@ def main() -> None:
         # sink materializes every column, matching DuckDB's fetchall
         df.write.format("noop").mode("overwrite").save()
 
+    load1 = os.getloadavg()[0]
+    noisy = load1 > LOAD_WARN
+    if noisy and not _FORCE:
+        print(f"REFUSED: 1-min load {load1:.1f} > {LOAD_WARN} — timings "
+              "under host load swing 2-4x (BASELINE.md). Re-run on a "
+              "quiet host, or pass --force to record a flagged number.")
+        sys.exit(2)
+
+    def _median(xs):
+        xs = sorted(xs)
+        return xs[len(xs) // 2] if len(xs) % 2 else (
+            xs[len(xs) // 2 - 1] + xs[len(xs) // 2]) / 2
+
     rows = []
     for name in COMPARE:
         if name not in oracles:
             continue
-        # warm both
+        # warm both, then interleave the timed passes so a load drift
+        # mid-run biases both engines alike rather than one side
         _noop(qs[name](spark, SF_DIR))
         con.sql(oracles[name]).fetchall()
-        t0 = time.time()
-        _noop(qs[name](spark, SF_DIR))
-        t_spark = time.time() - t0
-        t0 = time.time()
-        con.sql(oracles[name]).fetchall()
-        t_duck = time.time() - t0
+        ss, ds = [], []
+        for _ in range(PASSES):
+            t0 = time.time()
+            _noop(qs[name](spark, SF_DIR))
+            ss.append(time.time() - t0)
+            t0 = time.time()
+            con.sql(oracles[name]).fetchall()
+            ds.append(time.time() - t0)
+        t_spark, t_duck = _median(ss), _median(ds)
         ratio = t_spark / max(t_duck, 1e-9)
         rows.append((name, t_spark, t_duck, ratio))
         print(f"{name:24s} spark {t_spark:7.3f}s  duck {t_duck:7.3f}s  "
@@ -86,7 +124,8 @@ def main() -> None:
     total_s = sum(r[1] for r in rows)
     total_d = sum(r[2] for r in rows)
     print(f"\n{'TOTAL':24s} spark {total_s:7.3f}s  duck {total_d:7.3f}s  "
-          f"ratio {total_s / total_d:6.2f}x")
+          f"ratio {total_s / total_d:6.2f}x  "
+          f"(median-of-{PASSES}, load {load1:.1f})")
     # one machine-readable record (the bench.py posture) so runs are
     # diffable across rounds without re-parsing the table
     import json
@@ -96,6 +135,8 @@ def main() -> None:
         "unit": "x_of_duckdb", "spark_s": round(total_s, 3),
         "duck_s": round(total_d, 3), "sf_dir": SF_DIR,
         "action": "noop-write", "n_queries": len(rows),
+        "passes": PASSES, "agg": "median", "load1": round(load1, 2),
+        "noisy": noisy,
         "queries": {n: {"spark_s": round(s, 3), "duck_s": round(d, 3),
                         "ratio": round(r, 2)} for n, s, d, r in rows}}))
 

@@ -36,8 +36,6 @@ from typing import Optional
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .text import normalize_text, words
-
 _U32 = 4294967296.0  # 2^32, the md5-prefix uniform denominator
 # Bigram mixing multiplier (prime; CPython's string-hash multiplier).
 # hw < 2^24 so hw1*_MIX + hw2 < 2^44 — no BIGINT overflow on any engine.
@@ -85,7 +83,14 @@ def hashed_gram_buckets(col: Column, n_buckets: int = 4096,
     bigrams mix the two seeds with a prime multiply-add (a standard
     polynomial feature hash; the estimator only needs a fixed projection,
     not a cryptographic one)."""
-    ws = words(normalize_text(col))
+    # token-equivalent fast path of words(normalize_text(col)): the
+    # \s+ split already absorbs runs/edges, so normalize_text's
+    # whitespace-collapse regexp pass and trim are redundant work over
+    # the full text (one fewer corpus-wide regex; same token list)
+    ws = F.filter(
+        F.split(F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", ""),
+                r"\s+"),
+        lambda x: x != F.lit(""))
     if not bigrams:
         return F.transform(ws, lambda w: word_hash24(w) % n_buckets)
 
@@ -272,28 +277,30 @@ def dsir_log_weights(docs: DataFrame, target: DataFrame,
     for the estimator and are omitted — document the join back if full
     coverage is needed (same contract as ``dedup.duplicated_span_stats``).
 
-    ``cache_key`` switches the ratio table to the train-once artifact
-    path (``dsir_ratio_fit``): the two corpus-wide explode+groupBy fit
-    shuffles run at most once per (session, corpus) — and zero times in
-    a session that loads the persisted artifact — instead of on every
-    scoring call.  Values are identical either way.
+    ``cache_key`` switches scoring to the train-once artifact path
+    (``dsir_ratio_fit``): the two corpus-wide explode+groupBy fit
+    shuffles run at most once per (session, corpus) — zero times in a
+    session that loads the persisted artifact — and the bounded lr
+    table folds into a DENSE literal weight array, so scoring is
+    explode -> constant-folded ``element_at`` -> hash-agg with no
+    broadcast join to build or probe.  Per-bucket prices are evaluated
+    by the same Catalyst log expressions either way (bit-identical).
 
-    ``row_local=True`` (requires ``cache_key``) scores with ZERO
-    shuffles: the bounded lr table folds into a literal weight array
-    (``quality_lr_score``'s pattern) and ``logw`` is one ``aggregate``
-    over the gram-bucket array inside the scan — no explode, no join,
-    no groupBy.  Per-bucket prices are bit-identical to the join path;
-    only the floating-point SUM ORDER differs (left-to-right over the
-    doc's grams vs hash-agg order), the same latitude the DuckDB oracle
-    already has.  Measured r13 at sf0.1: 1.05 s -> 0.74 s for the
-    dp_sample dsir arm (docs/scale.md).
+    ``row_local=True`` (requires ``cache_key``) additionally deletes
+    the explode and the groupBy: ``logw`` is one ``aggregate`` over the
+    gram-bucket array inside the scan (``quality_lr_score``'s pattern),
+    ZERO shuffles.  Only the floating-point SUM ORDER differs from the
+    explode path (left-to-right over the doc's grams vs hash-agg
+    order), the same latitude the DuckDB oracle already has.  Measured
+    SLOWER locally (interpreted per-element lambda vs codegen'd
+    explode, docs/scale.md) — offered for shuffle-starved topologies.
     """
     raw = raw if raw is not None else docs
-    if row_local:
-        if cache_key is None:
-            raise ValueError("row_local scoring requires cache_key (the "
-                             "literal weight array folds the train-once "
-                             "fit artifact)")
+    if row_local and cache_key is None:
+        raise ValueError("row_local scoring requires cache_key (the "
+                         "literal weight array folds the train-once "
+                         "fit artifact)")
+    if cache_key is not None:
         counts, n_t, n_r = dsir_ratio_fit(target, raw, text_col, n_buckets,
                                           alpha, bigrams, cache_key, store,
                                           store_token)
@@ -302,36 +309,41 @@ def dsir_log_weights(docs: DataFrame, target: DataFrame,
         warr = _bucket_lr_array(docs.sparkSession, counts, n_t, n_r,
                                 n_buckets, alpha, memo_key)
         wlit = F.array(*[F.lit(float(v)) for v in warr])
-        bkts = hashed_gram_buckets(F.col(text_col), n_buckets, bigrams)
-        extra = list(carry_cols or [])
-        return (docs.select(
-                    F.col(id_col),
-                    _bind_once(bkts, lambda b: F.struct(
-                        F.aggregate(
-                            b, F.lit(0.0),
-                            lambda acc, x: acc + F.element_at(
-                                wlit, x.cast("int") + 1)).alias("logw"),
-                        F.size(b).cast("long").alias("n_grams")))
-                    .alias("__s"), *extra)
-                .select(id_col, "__s.logw", "__s.n_grams", *extra)
-                .filter(F.col("n_grams") > 0))
+        if row_local:
+            bkts = hashed_gram_buckets(F.col(text_col), n_buckets, bigrams)
+            extra = list(carry_cols or [])
+            return (docs.select(
+                        F.col(id_col),
+                        _bind_once(bkts, lambda b: F.struct(
+                            F.aggregate(
+                                b, F.lit(0.0),
+                                lambda acc, x: acc + F.element_at(
+                                    wlit, x.cast("int") + 1))
+                            .alias("logw"),
+                            F.size(b).cast("long").alias("n_grams")))
+                        .alias("__s"), *extra)
+                    .select(id_col, "__s.logw", "__s.n_grams", *extra)
+                    .filter(F.col("n_grams") > 0))
+        # default artifact-backed path: the dense literal weight array
+        # replaces the broadcast lr join — explode -> constant-folded
+        # element_at -> hash-agg, all whole-stage codegen, one shuffle
+        # and NO broadcast build/probe (measured r13: 1.12 s -> 0.79 s
+        # at sf0.1; per-bucket prices bit-identical to the join form)
+        grams = _exploded(docs, text_col, id_col, n_buckets, bigrams)
+        return (grams
+                .select(id_col, F.element_at(
+                    wlit, F.col("bucket").cast("int") + 1).alias("lr"))
+                .groupBy(id_col)
+                .agg(F.sum("lr").alias("logw"),
+                     F.count("*").alias("n_grams")))
     grams = _exploded(docs, text_col, id_col, n_buckets, bigrams)
     ab = F.lit(float(alpha) * n_buckets)
-    if cache_key is not None:
-        counts, n_t, n_r = dsir_ratio_fit(target, raw, text_col, n_buckets,
-                                          alpha, bigrams, cache_key, store,
-                                          store_token)
-        tbl = _lr_from_counts(counts, n_t, n_r, n_buckets, alpha)
-        # unseen-bucket price: c_t = c_r = 0 under the same smoothing
-        default_lr = F.log(F.lit(n_t) + ab) * -1 + F.log(F.lit(n_r) + ab)
-        joined = grams.join(F.broadcast(tbl), "bucket", "left")
-    else:
-        tbl, totals = dsir_log_ratio(target, raw, text_col, n_buckets,
-                                     alpha, bigrams)
-        default_lr = F.log(F.col("n_t") + ab) * -1 \
-            + F.log(F.col("n_r") + ab)
-        joined = (grams.join(F.broadcast(tbl), "bucket", "left")
-                  .crossJoin(F.broadcast(totals)))
+    tbl, totals = dsir_log_ratio(target, raw, text_col, n_buckets,
+                                 alpha, bigrams)
+    default_lr = F.log(F.col("n_t") + ab) * -1 \
+        + F.log(F.col("n_r") + ab)
+    joined = (grams.join(F.broadcast(tbl), "bucket", "left")
+              .crossJoin(F.broadcast(totals)))
     return (joined
             .withColumn("lr", F.coalesce(F.col("lr"), default_lr))
             .groupBy(id_col)

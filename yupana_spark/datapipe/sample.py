@@ -39,6 +39,25 @@ def rate_to_hex(rate: float) -> str:
     return format(int(rate * 0xFFFFFFFF), "08x")
 
 
+def bernoulli_keep(id_col: Column, rate: float,
+                   stratum_col: Optional[Column] = None,
+                   stratum_rates: Optional[Dict[str, float]] = None
+                   ) -> Column:
+    """The row-local keep PREDICATE behind ``deterministic_sample`` —
+    exposed as a Column so a multi-selection pass can TAG rows in one
+    scan (array_compact + explode) instead of re-scanning the corpus
+    once per selection (the dp_sample bundle's fused row-local arm)."""
+    bucket = _md5_bucket(id_col)
+    if stratum_col is not None and stratum_rates:
+        thresh = F.lit(rate_to_hex(rate))
+        for value, r in sorted(stratum_rates.items()):
+            thresh = F.when(stratum_col == value,
+                            F.lit(rate_to_hex(r))).otherwise(thresh)
+    else:
+        thresh = F.lit(rate_to_hex(rate))
+    return bucket < thresh
+
+
 def deterministic_sample(df: DataFrame, id_col: str, rate: float,
                          stratum_col: Optional[str] = None,
                          stratum_rates: Optional[Dict[str, float]] = None
@@ -51,15 +70,10 @@ def deterministic_sample(df: DataFrame, id_col: str, rate: float,
     composes with any downstream operator.  The same subset is selected on
     any engine/run given the same keys.
     """
-    bucket = _md5_bucket(F.col(id_col))
-    if stratum_col and stratum_rates:
-        thresh = F.lit(rate_to_hex(rate))
-        for value, r in sorted(stratum_rates.items()):
-            thresh = F.when(F.col(stratum_col) == value,
-                            F.lit(rate_to_hex(r))).otherwise(thresh)
-    else:
-        thresh = F.lit(rate_to_hex(rate))
-    return df.filter(bucket < thresh)
+    return df.filter(bernoulli_keep(
+        F.col(id_col), rate,
+        F.col(stratum_col) if stratum_col and stratum_rates else None,
+        stratum_rates))
 
 
 def assign_split(df: DataFrame, id_col: str = "doc_id",
