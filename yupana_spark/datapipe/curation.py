@@ -13,6 +13,8 @@ broadcasts like the decontamination eval set.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 #: country-code second-level domains where the REGISTERED domain spans
@@ -63,20 +65,129 @@ def registered_domain(url: Column) -> Column:
             .otherwise(last2))
 
 
-def _require_no_domain_col(df: DataFrame, op: str) -> None:
+def _require_no_domain_col(df: DataFrame, op: str,
+                           out_col: str = "domain") -> None:
     """The curation operators emit a ``domain`` output column derived
     from the URL; a pre-existing ``domain`` column on the input would be
     silently overwritten by ``withColumn`` (review r12) — fail loudly at
     plan time instead, like the dedup id contract does."""
-    if "domain" in df.columns:
+    if out_col in df.columns:
         raise ValueError(
-            f"{op}: input already carries a 'domain' column; it would be "
-            "silently overwritten by the derived registered domain — "
+            f"{op}: input already carries a {out_col!r} column; it would "
+            "be silently overwritten by the derived registered domain — "
             "rename or drop it first")
 
 
+#: deepest public suffix the PSL path matches (the real list's longest
+#: entries are 4 labels; anything deeper is vanishingly rare and falls
+#: back to the heuristic)
+_MAX_SUFFIX_LABELS = 4
+
+
+def prepare_psl(psl: DataFrame) -> DataFrame:
+    """Normalize a raw one-column ``suffix`` frame into the matching
+    layout ``with_registered_domain`` joins against: multi-label
+    suffixes grouped by their last-2-label tail, each tail carrying its
+    suffix array sorted deepest-first (so the first row-local hit IS
+    the longest match).  The grouping is a tiny shuffle over the
+    bounded list — run it ONCE and cache/localCheckpoint the result
+    (the PSL is a fit artifact, not per-query work); passing a raw
+    frame to ``with_registered_domain`` re-prepares per query."""
+    return (psl.select(F.regexp_replace(F.lower(F.trim(F.col("suffix"))),
+                                        r"^\.+", "").alias("suffix"))
+            .filter(F.col("suffix") != "")
+            .dropDuplicates()
+            .withColumn("__sl", F.split(F.col("suffix"), r"\."))
+            .withColumn("__k", F.size(F.col("__sl")))
+            .filter((F.col("__k") >= 2)
+                    & (F.col("__k") <= _MAX_SUFFIX_LABELS))
+            .withColumn("__tail", F.array_join(
+                F.slice(F.col("__sl"), F.col("__k") - 1, 2), "."))
+            .groupBy("__tail")
+            .agg(F.reverse(F.sort_array(F.collect_list(
+                F.struct(F.col("__k").alias("k"),
+                         F.col("suffix").alias("s"))))).alias("__sufs")))
+
+
+def with_registered_domain(df: DataFrame, url_col: str = "url",
+                           psl: Optional[DataFrame] = None,
+                           out_col: str = "domain") -> DataFrame:
+    """Input plus ``out_col`` = the registered domain of ``url_col``.
+
+    Without ``psl`` this is exactly ``registered_domain`` (the CC_SLDS
+    heuristic).  With ``psl`` — a one-column ``suffix`` frame holding
+    public-suffix rows like ``com.sg`` / ``k12.ma.us`` (the deployment
+    hands in the real PSL; wildcard ``*.``/exception ``!`` rules must be
+    pre-expanded, plain rows only) — the registered domain follows PSL
+    semantics: the LONGEST listed suffix matching the host's tail, plus
+    one label (the host itself when it IS a listed suffix); hosts that
+    match nothing fall back to the heuristic, so a partial list degrades
+    gracefully instead of mis-keying.
+
+    100 TB shape: ONE broadcast LEFT join — the deduped multi-label
+    suffixes group by their last-2-label tail into per-tail arrays
+    (sorted deepest-first; the real PSL's largest tail group is a few
+    hundred entries, typical is 1-5), the corpus joins on its host's
+    last-2 labels, and the longest matching suffix resolves ROW-LOCALLY
+    over that tiny array.  The corpus never shuffles and cardinality is
+    preserved (one array row per tail).  Single-label PSL entries need
+    no matching at all: a k=1 match yields last-2 labels, which is
+    already the heuristic fallback.  (The first cut used one broadcast
+    join PER suffix depth — 4 local exchanges cost ~1.2 s at sf0.1 for
+    zero semantic gain; r13.)"""
+    _require_no_domain_col(df, "with_registered_domain", out_col)
+    if psl is None:
+        return df.withColumn(out_col,
+                             registered_domain(F.col(url_col)))
+    s = psl if set(psl.columns) == {"__tail", "__sufs"} \
+        else prepare_psl(psl)
+    from .colutil import bind_once
+
+    h = url_host(F.col(url_col))
+    out = df.withColumn("__rh", h)
+    labels = F.split(F.col("__rh"), r"\.")
+    n = F.size(labels)
+    tail2 = F.when(n >= 2, F.array_join(F.slice(labels, n - 1, 2), "."))
+    out = (out.withColumn("__t2", tail2)
+           .join(F.broadcast(s), F.col("__t2") == F.col("__tail"),
+                 "left"))
+    is_ip = F.col("__rh").rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+
+    # longest listed suffix whose labels equal the host's tail (host
+    # verbatim when it IS the suffix); the per-tail array is tiny, so
+    # the interpreted filter touches a handful of entries per row.
+    # bind_once scopes the split label array AND the resolved hit —
+    # HOFs get no subexpression elimination, so naked references would
+    # re-split the host and re-run the filter per consumer
+    def _resolve(ls):
+        nn = F.size(ls)
+
+        def _with_hit(ht):
+            return (F.when(is_ip | (nn < 2), F.col("__rh"))
+                    .when(ht.isNotNull(),
+                          F.when(nn > ht["k"],
+                                 F.array_join(
+                                     F.slice(ls, nn - ht["k"],
+                                             ht["k"] + 1), "."))
+                          .otherwise(F.col("__rh")))
+                    .otherwise(registered_domain(F.col(url_col))))
+
+        hit = F.element_at(
+            F.filter(F.col("__sufs"),
+                     lambda e: (e["k"] <= nn)
+                     & (F.array_join(
+                         F.slice(ls, nn - e["k"] + 1, e["k"]), ".")
+                        == e["s"])), 1)
+        return bind_once(hit, _with_hit)
+
+    dom = bind_once(labels, _resolve)
+    return (out.withColumn(out_col, dom)
+            .drop("__rh", "__t2", "__tail", "__sufs"))
+
+
 def url_blocklist_flags(df: DataFrame, blocked: DataFrame,
-                        url_col: str = "url") -> DataFrame:
+                        url_col: str = "url",
+                        psl: Optional[DataFrame] = None) -> DataFrame:
     """Input plus ``domain`` / ``url_blocked``: flag every row whose
     registered domain appears in ``blocked`` (a one-column ``domain``
     frame — the curated blocklist).  The blocklist is tiny by
@@ -84,17 +195,22 @@ def url_blocklist_flags(df: DataFrame, blocked: DataFrame,
     domain (the decontamination eval-set posture): the corpus rows
     never shuffle.  Blocklist domains are normalized through the same
     ``registered_domain`` so ``www.``/scheme noise in a handed-in list
-    cannot cause misses."""
+    cannot cause misses.  ``psl`` (a public-suffix frame, see
+    ``with_registered_domain``) makes both sides' extraction PSL-exact —
+    a blocklist against ``.com.sg``-style domains mis-keys under the
+    bare heuristic."""
     _require_no_domain_col(df, "url_blocklist_flags")
     # a NULL/garbage blocklist row normalizes to the EMPTY domain, which
     # is also what URL-less documents carry — without the filter one bad
     # list row would silently block every such doc (review r12)
-    b = (blocked.select(registered_domain(F.col("domain"))
-                        .alias("domain"))
+    b = (with_registered_domain(
+            blocked.select(F.col("domain").alias("__raw")),
+            "__raw", psl, "domain")
+         .select("domain")
          .filter(F.col("domain") != "")
          .dropDuplicates()
          .withColumn("__blk", F.lit(True)))
-    out = df.withColumn("domain", registered_domain(F.col(url_col)))
+    out = with_registered_domain(df, url_col, psl, "domain")
     return (out.join(F.broadcast(b), "domain", "left")
             .withColumn("url_blocked",
                         F.coalesce(F.col("__blk"), F.lit(False)))
@@ -104,7 +220,8 @@ def url_blocklist_flags(df: DataFrame, blocked: DataFrame,
 def domain_capped_sample(df: DataFrame, per_domain: int,
                          url_col: str = "url",
                          id_col: str = "doc_id",
-                         salt_partitions: int = 64) -> DataFrame:
+                         salt_partitions: int = 64,
+                         psl: Optional[DataFrame] = None) -> DataFrame:
     """Keep at most ``per_domain`` rows per registered domain, chosen by
     the deterministic ``(md5(id), id)`` rank — RefinedWeb-style
     contribution capping so one viral site cannot dominate the corpus.
@@ -122,7 +239,7 @@ def domain_capped_sample(df: DataFrame, per_domain: int,
     from .sample import cluster_balanced_sample
 
     _require_no_domain_col(df, "domain_capped_sample")
-    assigned = df.withColumn("domain", registered_domain(F.col(url_col)))
+    assigned = with_registered_domain(df, url_col, psl, "domain")
     return cluster_balanced_sample(assigned, per_domain,
                                    id_col=id_col, cell_col="domain",
                                    salt_partitions=salt_partitions)

@@ -60,18 +60,7 @@ def word_hash24(w: Column) -> Column:
                   16, 10).cast("long")
 
 
-def _bind_once(arr: Column, fn) -> Column:
-    """Evaluate ``arr`` ONCE and hand it to ``fn`` as a lambda variable.
-
-    Higher-order functions are CodegenFallback — no whole-stage codegen,
-    no common-subexpression elimination — so referencing an expensive
-    array expression (normalize+split, per-word md5) from several
-    consumers re-evaluates it per consumer.  Wrapping it as the single
-    element of ``transform(array(arr), fn)`` binds it to a lambda
-    variable: every reference inside ``fn`` reads the bound value.
-    (Measured r13: the naive 3-consumer form ran the per-word md5 3x —
-    2.39 s vs 0.31 s for the bare word split at sf0.1.)"""
-    return F.element_at(F.transform(F.array(arr), fn), 1)
+from .colutil import bind_once as _bind_once  # shared (see colutil.py)
 
 
 def hashed_gram_buckets(col: Column, n_buckets: int = 4096,
