@@ -1086,6 +1086,14 @@ def q_stream_dedup(spark, sf_dir):
       state with exact-Jaccard verify on arrival) over the documents
       fixture in file chunks; the streamed distinct pairs must be a sound
       superset of the batch LSH pipeline's pairs (0 missing, >=1 found).
+    * domcap_stream_vs_batch_diff / domcap_admitted: a fifth run —
+      STREAMING per-domain contribution cap (streaming/curation.py,
+      bounded keyed state, first-N-arrival admission) over an id-ordered
+      two-chunk replay of the documents fixture with dp_sample's
+      derived-URL rule; the admitted set must equal the batch
+      first-N-by-id frame (diff 0) and the admitted count is
+      value-oracled as sum(min(8, |domain|)) recomputed by DuckDB from
+      the injection rule.
 
     The watermark horizon (10 years) exceeds the slice span so no row is
     late; state is still evicted by event time at production horizons — the
@@ -1218,6 +1226,65 @@ def q_stream_dedup(spark, sf_dir):
             shutil.rmtree(nsrc, ignore_errors=True)
             shutil.rmtree(nck, ignore_errors=True)
             spark.catalog.dropTempView(nsink)
+        # fifth run: STREAMING per-domain contribution cap
+        # (streaming/curation.py, applyInPandasWithState keyed by the
+        # registered domain) over the documents fixture with the same
+        # derived-URL rule as dp_sample's dom: arm, replayed in two
+        # id-ordered chunks — on an ordered replay the first-N-arrival
+        # admission must EQUAL the batch first-N-by-id frame
+        # (domcap_stream_vs_batch_diff, oracle 0), and the admitted
+        # count is value-oracled as sum(min(8, |domain|)) recomputed by
+        # DuckDB from the injection rule (domcap_admitted).
+        from yupana_spark.streaming.curation import streaming_domain_cap
+
+        csink = "qsc_" + uuid.uuid4().hex[:8]
+        csrc = tempfile.mkdtemp(prefix="ystream_csrc_")
+        cck = tempfile.mkdtemp(prefix="ystream_cck_")
+        try:
+            cdocs = docs.withColumn("url", F.concat(
+                F.lit("https://www."), F.col("source"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit(".co.uk"))
+                 .otherwise(F.lit(".com")),
+                F.lit("/d/"), F.col("doc_id").cast("string")))
+            mid = cdocs.agg(
+                (F.min("doc_id")
+                 + (F.max("doc_id") - F.min("doc_id")) / 2)
+                .alias("m")).collect()[0]["m"]
+            csel = cdocs.select("doc_id", "url")
+            csel.filter(F.col("doc_id") <= mid).coalesce(2) \
+                .write.mode("overwrite").parquet(csrc + "/a")
+            csel.filter(F.col("doc_id") > mid).coalesce(2) \
+                .write.mode("overwrite").parquet(csrc + "/b")
+            cstream = (spark.readStream.schema(csel.schema)
+                       .option("maxFilesPerTrigger", 2)
+                       .parquet(csrc + "/*"))
+            cq = (streaming_domain_cap(cstream, per_domain=8)
+                  .writeStream.format("memory").queryName(csink)
+                  .outputMode("append")
+                  .option("checkpointLocation", cck)
+                  .trigger(availableNow=True).start())
+            cq.awaitTermination()
+            cstreamed = (spark.table(csink).select("id", "domain")
+                         .localCheckpoint(eager=True))
+            from pyspark.sql.window import Window as _W
+
+            from yupana_spark.datapipe.curation import \
+                with_registered_domain
+
+            cbatch = (with_registered_domain(csel, "url")
+                      .withColumn("__rn", F.row_number().over(
+                          _W.partitionBy("domain").orderBy("doc_id")))
+                      .filter(F.col("__rn") <= 8)
+                      .select(F.col("doc_id").alias("id"), "domain"))
+            cap_diff = (cbatch.join(cstreamed, ["id", "domain"],
+                                    "left_anti").count()
+                        + cstreamed.join(cbatch, ["id", "domain"],
+                                         "left_anti").count())
+            cap_admitted = cstreamed.count()
+        finally:
+            shutil.rmtree(csrc, ignore_errors=True)
+            shutil.rmtree(cck, ignore_errors=True)
+            spark.catalog.dropTempView(csink)
     finally:
         # memory sinks buffer their streamed rows in the session catalog —
         # repeated bench passes must not accumulate qs*_<uuid> temp views
@@ -1233,7 +1300,9 @@ def q_stream_dedup(spark, sf_dir):
          ("stateful_rows_conserved", s_rows),  # oracle: 2x slice rows
          ("stateful_n_keys", s_keys),
          ("lsh_batch_minus_streaming", lsh_missing),  # oracle: 0
-         ("lsh_streaming_saw_pairs", lsh_saw)],       # oracle: 1
+         ("lsh_streaming_saw_pairs", lsh_saw),        # oracle: 1
+         ("domcap_stream_vs_batch_diff", cap_diff),   # oracle: 0
+         ("domcap_admitted", cap_admitted)],  # oracle: sum(min(8,|dom|))
         "chk string, val bigint")
 
 
@@ -3365,6 +3434,13 @@ _ORACLES_REL: dict[str, str] = {
                                  AND ts < TIMESTAMP '2024-01-08') u
         UNION ALL SELECT 'lsh_batch_minus_streaming', 0
         UNION ALL SELECT 'lsh_streaming_saw_pairs', 1
+        UNION ALL SELECT 'domcap_stream_vs_batch_diff', 0
+        UNION ALL SELECT 'domcap_admitted',
+                         CAST(sum(least(8, n)) AS BIGINT)
+                         FROM (SELECT count(*) AS n FROM documents
+                               GROUP BY source ||
+                                 CASE WHEN doc_id % 3 = 0 THEN '.co.uk'
+                                      ELSE '.com' END) d
     """,
 }
 _ORACLES_DP: dict[str, str] = {

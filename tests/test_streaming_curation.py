@@ -1,0 +1,125 @@
+"""Streaming URL/domain curation twins (streaming/curation.py): replay ==
+batch parity for blocklist flags (stateless, incl. the PSL path) and the
+per-domain contribution cap (bounded keyed state, first-N admission)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _chunked_replay(spark, tmp_path, rows, schema, splits, name):
+    src = tmp_path / f"{name}_src"
+    src.mkdir()
+    lo = 0
+    for i, hi in enumerate(splits + (len(rows),)):
+        spark.createDataFrame(rows[lo:hi], schema).coalesce(1) \
+            .write.parquet(str(src / f"c{i}"))
+        lo = hi
+    fields = []
+    for part in schema.split(","):
+        nm, tp = part.split()
+        fields.append(T.StructField(
+            nm, {"long": T.LongType(), "string": T.StringType()}[tp]))
+    return (spark.readStream.schema(T.StructType(fields))
+            .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+
+
+def test_streaming_url_blocklist_matches_batch(spark, tmp_path):
+    """Chunked replay of a URL corpus through streaming_url_blocklist
+    (with a PSL frame) == the batch url_blocklist_flags decisions — the
+    .com.sg row only blocks under PSL-exact extraction, proving the psl
+    frame rides the stream-static join."""
+    from yupana_spark.datapipe.curation import (prepare_psl,
+                                                url_blocklist_flags)
+    from yupana_spark.streaming.curation import streaming_url_blocklist
+
+    rows = [
+        (1, "https://www.shop.example.com.sg/p/1"),
+        (2, "http://news.other.com/x"),
+        (3, "sub.example.com.sg:8080/y"),
+        (4, "https://clean.site.co.uk/z"),
+        (5, None),
+        (6, "example.com.sg"),
+    ]
+    schema = "doc_id long, url string"
+    docs = spark.createDataFrame(rows, schema)
+    blocked = spark.createDataFrame([("https://Example.COM.SG/l",)],
+                                    "domain string")
+    psl = prepare_psl(spark.createDataFrame([("com.sg",), ("co.uk",)],
+                                            "suffix string")) \
+        .localCheckpoint(eager=True)
+    batch = {r["doc_id"]: (r["domain"], r["url_blocked"])
+             for r in url_blocklist_flags(docs, blocked,
+                                          psl=psl).collect()}
+    # PSL-exact: the subdomained .com.sg rows key to example.com.sg and
+    # block; the heuristic would have keyed them to com.sg and missed
+    assert batch[1] == ("example.com.sg", True)
+    assert batch[3] == ("example.com.sg", True)
+    assert batch[6] == ("example.com.sg", True)
+    assert batch[2] == ("other.com", False)
+    assert batch[5] == ("", False)
+
+    stream = _chunked_replay(spark, tmp_path, rows, schema, (2, 4), "bl")
+    out = streaming_url_blocklist(stream, blocked, psl=psl)
+    q = (out.writeStream.format("memory").queryName("sbl")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "bl_ck"))
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination()
+        streamed = {r["doc_id"]: (r["domain"], r["url_blocked"])
+                    for r in spark.table("sbl").collect()}
+    finally:
+        q.stop()
+        spark.catalog.dropTempView("sbl")
+    assert streamed == batch
+
+
+def test_streaming_domain_cap_matches_batch_on_ordered_replay(spark,
+                                                              tmp_path):
+    """The streaming per-domain cap admits the FIRST per_domain arrivals
+    per registered domain with in-batch ties by id, so an id-ordered
+    chunked replay equals the batch first-N-by-id frame; state carries
+    across micro-batches (a domain filled in chunk 1 admits nothing
+    later)."""
+    from pyspark.sql.window import Window
+
+    from yupana_spark.streaming.curation import streaming_domain_cap
+
+    rows = [(i, f"https://www.site{i % 3}.com/p/{i}") for i in range(24)]
+    schema = "doc_id long, url string"
+    docs = spark.createDataFrame(rows, schema)
+    # batch equivalent of arrival-order admission on an id-ordered
+    # replay: row_number by id within each domain
+    w = Window.partitionBy("domain").orderBy("doc_id")
+    batch = {(r["doc_id"], r["domain"])
+             for r in docs
+             .withColumn("domain", F.concat(
+                 F.lit("site"), (F.col("doc_id") % 3).cast("string"),
+                 F.lit(".com")))
+             .withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= 4)
+             .select("doc_id", "domain").collect()}
+    assert len(batch) == 12
+
+    stream = _chunked_replay(spark, tmp_path, rows, schema, (8, 16),
+                             "cap")
+    out = streaming_domain_cap(stream, per_domain=4)
+    q = (out.writeStream.format("memory").queryName("scap")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "cap_ck"))
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination()
+        streamed = {(r["id"], r["domain"])
+                    for r in spark.table("scap").collect()}
+    finally:
+        q.stop()
+        spark.catalog.dropTempView("scap")
+    assert streamed == batch
+    # cross-batch state: ids 0..8 fill every domain's budget of 4 by
+    # id-order before chunk 3 begins, so nothing from ids 16.. survives
+    assert all(i < 16 for i, _ in streamed)
+    # the contract refuses a meaningless cap at plan time
+    with pytest.raises(ValueError, match="per_domain"):
+        streaming_domain_cap(stream, per_domain=0)

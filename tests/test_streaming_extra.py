@@ -121,8 +121,19 @@ def test_stream_dedup_entry_verdict(spark):
                    "stateful_rows_conserved": 2 * agg["n"],
                    "stateful_n_keys": agg["u"],
                    "lsh_batch_minus_streaming": 0,
-                   "lsh_streaming_saw_pairs": 1}
+                   "lsh_streaming_saw_pairs": 1,
+                   "domcap_stream_vs_batch_diff": 0,
+                   "domcap_admitted": got["domcap_admitted"]}
     assert agg["d"] > 0
+    # the admitted count matches an independent batch recomputation of
+    # sum(min(8, |domain|)) under the same URL injection rule
+    dom = F.concat(F.col("source"),
+                   F.when(F.col("doc_id") % 3 == 0, F.lit(".co.uk"))
+                    .otherwise(F.lit(".com")))
+    want = (spark.read.parquet(f"{sf}/documents.parquet")
+            .groupBy(dom.alias("d")).count()
+            .agg(F.sum(F.least(F.col("count"), F.lit(8)))).collect()[0][0])
+    assert got["domcap_admitted"] == want > 0
 
 
 def test_streaming_neardup_idle_eviction(spark, tmp_path):
