@@ -1612,11 +1612,15 @@ def dp_text_stats(spark, sf_dir):
     lined = docs.select(
         "doc_id",
         F.regexp_replace(F.col("text"), " spark ", "\n").alias("text"))
-    lstats = (duplicated_line_stats(lined)
+    # rebuild=False: the bundle only measures the cleaned text, so the
+    # exact length derives arithmetically and the text-heavy groupBy(id)
+    # collect_list exchange disappears (r13; parity with the rebuilt
+    # form pinned in test_duplicated_line_stats_narrow_matches_rebuild)
+    lstats = (duplicated_line_stats(lined, rebuild=False)
               .withColumnRenamed("id", "doc_id")
               .select("doc_id", "n_lines", "n_dup_lines", "dup_line_ratio",
                       "dup_line_char_ratio",
-                      F.length("cleaned").alias("cleaned_lines_len")))
+                      F.col("cleaned_len").alias("cleaned_lines_len")))
     # the COMPOSED pipeline decision (datapipe/filters.corpus_keep):
     # quality + language + exact-dup + decontamination -> keep/reasons,
     # every rule recomputed arithmetically by the oracle
@@ -2016,9 +2020,13 @@ def dp_sample(spark, sf_dir):
     # the oracle from its own per-lang counts
     from yupana_spark.datapipe.sample import temperature_mix_sample
 
+    # per-tag counts are a train-once ARTIFACT (r12 ask #6): a warm
+    # warehouse loads them with zero fit jobs; rates rebuild in-plan
     mixt = temperature_mix_sample(
         docs, tag_col="lang", id_col="doc_id",
         alpha=0.3, target_total=400.0,
+        cache_key=sf_dir, store=_artifacts(),
+        store_token=_fx_token(sf_dir, "documents"),
     ).select(F.lit("mixt").alias("kind"), "doc_id", "lang",
              F.round("__rate", 6).alias("wt"))
     # --- URL/domain curation (RefinedWeb §3.1; datapipe/curation.py) ---

@@ -1618,6 +1618,42 @@ def test_corpus_keep_reasons(spark):
     assert got2[1] == (True, "")
 
 
+def test_duplicated_line_stats_narrow_matches_rebuild(spark):
+    """rebuild=False must agree with the rebuilt form on every stat and
+    report EXACTLY length(cleaned) — including blank-line structure,
+    all-removed docs, NULL/empty docs and a multi-char separator."""
+    from yupana_spark.datapipe.dedup import duplicated_line_stats
+
+    df = spark.createDataFrame([
+        (1, "keep me\nCookie banner\nunique line one"),
+        (2, "Cookie banner\nanother unique\n\n  \nCookie banner"),
+        (3, ""),
+        (4, None),
+        (5, "Cookie banner"),               # whole doc removed
+        (6, "  \n\n  "),                    # blanks only
+    ], "doc_id long, text string")
+    full = {r["id"]: r for r in duplicated_line_stats(df).collect()}
+    narrow = {r["id"]: r
+              for r in duplicated_line_stats(df, rebuild=False).collect()}
+    assert set(full) == set(narrow)
+    for i in full:
+        assert narrow[i]["cleaned_len"] == len(full[i]["cleaned"]), i
+        for c in ("n_lines", "n_dup_lines", "dup_line_ratio",
+                  "dup_line_char_ratio"):
+            assert narrow[i][c] == full[i][c], (i, c)
+    # multi-char separator: the length arithmetic must scale by len(sep)
+    df2 = spark.createDataFrame(
+        [(1, "dup<>keep one<>dup<>keep two"), (2, "dup<>dup")],
+        "doc_id long, text string")
+    f2 = {r["id"]: r
+          for r in duplicated_line_stats(df2, sep="<>").collect()}
+    n2 = {r["id"]: r
+          for r in duplicated_line_stats(df2, sep="<>",
+                                         rebuild=False).collect()}
+    for i in f2:
+        assert n2[i]["cleaned_len"] == len(f2[i]["cleaned"]), i
+
+
 def test_duplicated_line_stats(spark):
     """RefinedWeb-style corpus-wide exact line dedup: trimmed non-empty
     lines count across the corpus (within-doc repeats included), blanks

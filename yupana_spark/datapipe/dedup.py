@@ -429,11 +429,20 @@ def decontaminate_cut_starts(df: DataFrame, eval_docs: DataFrame,
 
 def duplicated_line_stats(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", min_count: int = 2,
-                          sep: str = "\n") -> DataFrame:
+                          sep: str = "\n",
+                          rebuild: bool = True) -> DataFrame:
     """(id, n_lines, n_dup_lines, dup_line_ratio, cleaned): corpus-wide
     EXACT LINE dedup — the RefinedWeb/Falcon pipeline step (Penedo et al.
     2023, public: remove lines repeated across the corpus — boilerplate
     headers, navigation, cookie banners) at a caller-chosen separator.
+
+    ``rebuild=False`` swaps the ``cleaned`` text column for
+    ``cleaned_len`` (its exact length, derived arithmetically: kept
+    chars + separators between kept units) — for stats-only consumers
+    this deletes the one text-heavy exchange, the groupBy(id)
+    collect_list of (pos, line) structs that otherwise moves the whole
+    corpus through a shuffle just to measure the result (r13; the same
+    narrow-frame treatment the es/dc cut families got in r12).
 
     Contract: lines split on ``sep``; a line PARTICIPATES iff its trimmed
     form is non-empty — blank/whitespace-only lines are never counted as
@@ -475,7 +484,7 @@ def duplicated_line_stats(df: DataFrame, text_col: str = "text",
     marked = lines.join(counts, "h", "left").withColumn(
         "__dup", part & (F.coalesce(F.col("__c"), F.lit(0))
                          >= F.lit(min_count)))
-    per_doc = (marked.groupBy("id").agg(
+    aggs = [
         F.sum(F.when(part, 1).otherwise(0)).cast("long").alias("n_lines"),
         F.sum(F.when(F.col("__dup"), 1).otherwise(0)).cast("long")
         .alias("n_dup_lines"),
@@ -483,13 +492,29 @@ def duplicated_line_stats(df: DataFrame, text_col: str = "text",
         .cast("long").alias("__chars"),
         F.sum(F.when(F.col("__dup"), F.length("line")).otherwise(0))
         .cast("long").alias("__dup_chars"),
-        F.array_join(
+    ]
+    if rebuild:
+        aggs.append(F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(
                     F.when(~F.col("__dup"),
                            F.struct(F.col("pos"), F.col("line"))))),
                 lambda s: s["line"]),
-            sep).alias("cleaned")))
+            sep).alias("cleaned"))
+    else:
+        # cleaned == sep-join of the KEPT units (blanks included), so
+        # its length is kept chars + sep chars between kept units —
+        # pure integer sums, nothing but longs cross the exchange
+        aggs += [
+            F.count("*").cast("long").alias("__units"),
+            F.sum(F.when(~F.col("__dup"), F.length("line")).otherwise(0))
+            .cast("long").alias("__kept_chars"),
+        ]
+    per_doc = marked.groupBy("id").agg(*aggs)
+    tail = (F.col("cleaned") if rebuild else
+            (F.col("__kept_chars") + F.lit(len(sep))
+             * F.greatest(F.col("__units") - F.col("n_dup_lines")
+                          - F.lit(1), F.lit(0))).alias("cleaned_len"))
     return per_doc.select(
         "id", "n_lines", "n_dup_lines",
         F.round(F.col("n_dup_lines")
@@ -502,7 +527,7 @@ def duplicated_line_stats(df: DataFrame, text_col: str = "text",
         F.round(F.col("__dup_chars")
                 / F.greatest(F.col("__chars"), F.lit(1)), 6)
         .alias("dup_line_char_ratio"),
-        F.col("cleaned"))
+        tail)
 
 
 # ---------------------------------------------------------------------------

@@ -19,14 +19,18 @@ Selects raw-corpus documents that look like a curated target corpus:
 Beyond the reference's surface (training-data pipeline extension;
 BASELINE.json north star).  100 TB shape: the two LM fits are ONE
 explode + groupBy(bucket) shuffle each over 8-byte bucket ids (gram text
-never leaves the executor — buckets are hashed projections); the ratio
-table is ``n_buckets`` rows, broadcast back; per-doc weights are one
-groupBy(id) shuffle; selection is ``orderBy(key).limit(k)`` which Spark
-executes as TakeOrderedAndProject (per-partition heaps + driver merge of
-k-row heads), NOT a global sort.  Zero UDFs, zero driver-side fit — and
-with ``cache_key``/``store`` the two fit shuffles run once per corpus
-ever (``dsir_ratio_fit`` persists the bounded bucket-count frame through
-the ArtifactStore like every other fit in this package).
+never leaves the executor — each word is md5-hashed ONCE and bigram
+buckets mix the two word seeds arithmetically, see
+``hashed_gram_buckets``); the ratio table is ``n_buckets`` rows, folded
+into a constant literal array on the artifact path (no broadcast join);
+per-doc weights are one groupBy(id) shuffle; selection is
+``orderBy(key).limit(k)`` which Spark executes as
+TakeOrderedAndProject (per-partition heaps + driver merge of k-row
+heads), NOT a global sort, and ``keep_cols`` enrich AFTER the top-k as
+a k-row broadcast into one docs scan.  Zero UDFs, zero driver-side fit
+— and with ``cache_key``/``store`` the two fit shuffles run once per
+corpus ever (``dsir_ratio_fit`` persists the bounded bucket-count frame
+through the ArtifactStore like every other fit in this package).
 """
 
 from __future__ import annotations

@@ -338,10 +338,54 @@ def mix_corpora(corpora, id_col: str = "doc_id",
     return out
 
 
+_MIX_CACHE: dict = {}
+
+
+def mix_tag_counts(df: DataFrame, tag_col: str,
+                   cache_key: Optional[str] = None, store=None,
+                   store_token: Optional[str] = None) -> DataFrame:
+    """(tag_col, __n) — the temperature-mix FIT artifact: one count row
+    per tag (bounded by the tag vocabulary).  Same train-once posture as
+    ``dsir.dsir_ratio_fit``: ``cache_key`` memoizes per session,
+    ``store``/``store_token`` persist with corpus-fingerprint
+    invalidation so a warm warehouse loads with zero fit jobs; the
+    artifact is alpha/target/cap-agnostic (rates rebuild in-plan from
+    the counts with the identical Catalyst expressions, so the sampled
+    subset is bit-identical to the lazy path's)."""
+    key = None
+    if cache_key is not None:
+        key = (df.sparkSession.sparkContext.applicationId, cache_key,
+               tag_col)
+        hit = _MIX_CACHE.get(key)
+        if hit is not None:
+            return hit
+    from .artifacts import store_name
+
+    name = store_name("mix_counts", cache_key, store, store_token,
+                      tag_col)
+    if name is not None:
+        got = store.load_df(df.sparkSession, name, store_token)
+        if got is not None:
+            if key is not None:
+                _MIX_CACHE[key] = got[0]
+            return got[0]
+    sz = df.groupBy(tag_col).agg(F.count("*").alias("__n"))
+    if name is not None:
+        sz = sz.localCheckpoint(eager=True)
+        store.save_df(name, store_token, sz)
+        sz = store.load_df(df.sparkSession, name, store_token)[0]
+    if key is not None:
+        _MIX_CACHE[key] = sz
+    return sz
+
+
 def temperature_mix_sample(df: DataFrame, tag_col: str, id_col: str,
                            alpha: float = 0.3,
                            target_total: Optional[float] = None,
-                           cap: float = 1.0) -> DataFrame:
+                           cap: float = 1.0,
+                           cache_key: Optional[str] = None, store=None,
+                           store_token: Optional[str] = None
+                           ) -> DataFrame:
     """Temperature-weighted corpus mixing (the T5/mT5 multilingual recipe,
     Raffel et al. 2020 §3.4.3 / Xue et al. 2021 §3.2): sample tag ``i``
     at probability ``p_i ∝ n_i**alpha``, i.e. per-row keep rate
@@ -378,7 +422,10 @@ def temperature_mix_sample(df: DataFrame, tag_col: str, id_col: str,
         raise ValueError(f"cap must be in (0, 1], got {cap!r}")
     if target_total is not None and not target_total > 0.0:
         raise ValueError(f"target_total must be > 0, got {target_total!r}")
-    sz = df.groupBy(tag_col).agg(F.count("*").alias("__n"))
+    # cache_key switches the per-tag counts to the train-once artifact
+    # path (mix_tag_counts) — the corpus-wide groupBy fit runs at most
+    # once per (session, corpus), zero times on a warm warehouse
+    sz = mix_tag_counts(df, tag_col, cache_key, store, store_token)
     z = sz.agg(F.sum(F.pow(F.col("__n"), F.lit(float(alpha))))
                .alias("__z"),
                F.sum("__n").alias("__t"))
