@@ -290,11 +290,14 @@ def _pre_staged(df: DataFrame, text_col: str, id_col: str,
 def _staged_norm_words(df: DataFrame, text_col: str, id_col: str
                        ) -> DataFrame:
     """(id, __w): staged normalized word array, NULL text coalesced to
-    the empty array (the size(NULL) = -1 guard)."""
-    from .text import normalize_text, words
+    the empty array (the size(NULL) = -1 guard).  Uses the shared
+    ``text.norm_words`` token definition (== words(normalize_text(.)),
+    one regex pass cheaper; identity pinned by
+    test_staging_expressions_identical)."""
+    from .text import norm_words
 
     return df.select(F.col(id_col).alias("id"),
-                     F.coalesce(words(normalize_text(F.col(text_col))),
+                     F.coalesce(norm_words(F.col(text_col)),
                                 F.array().cast("array<string>"))
                      .alias("__w"))
 

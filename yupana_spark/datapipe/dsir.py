@@ -76,14 +76,9 @@ def hashed_gram_buckets(col: Column, n_buckets: int = 4096,
     bigrams mix the two seeds with a prime multiply-add (a standard
     polynomial feature hash; the estimator only needs a fixed projection,
     not a cryptographic one)."""
-    # token-equivalent fast path of words(normalize_text(col)): the
-    # \s+ split already absorbs runs/edges, so normalize_text's
-    # whitespace-collapse regexp pass and trim are redundant work over
-    # the full text (one fewer corpus-wide regex; same token list)
-    ws = F.filter(
-        F.split(F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", ""),
-                r"\s+"),
-        lambda x: x != F.lit(""))
+    from .text import norm_words
+
+    ws = norm_words(col)
     if not bigrams:
         return F.transform(ws, lambda w: word_hash24(w) % n_buckets)
 

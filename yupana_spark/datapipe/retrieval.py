@@ -31,7 +31,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
-from .text import normalize_text, words
+from .text import norm_words as _norm_words_col
 
 
 def norm_words(text) -> list:
@@ -55,8 +55,10 @@ def norm_words(text) -> list:
 def _words_safe(col):
     """Staged word array with NULL text mapped to the EMPTY array —
     Spark's legacy ``size(NULL) = -1`` would otherwise poison length
-    arithmetic (avgdl, word counts) with -1 sentinels."""
-    return F.coalesce(words(normalize_text(col)),
+    arithmetic (avgdl, word counts) with -1 sentinels.  Shares
+    ``text.norm_words``'s token definition with the dedup staged scan
+    (identity pinned by test_staging_expressions_identical)."""
+    return F.coalesce(_norm_words_col(col),
                       F.array().cast("array<string>"))
 
 

@@ -26,6 +26,22 @@ def words(col: Column) -> Column:
     return F.filter(F.split(F.trim(col), _WS), lambda x: x != F.lit(""))
 
 
+def norm_words(col: Column) -> Column:
+    """Token-equal fast path of ``words(normalize_text(col))``: the
+    ``\\s+`` split already absorbs whitespace runs and edges, so
+    ``normalize_text``'s whitespace-collapse regexp pass and trim are
+    redundant work over the full text — one corpus-wide regex instead
+    of two (measured 27% off the staged word split at sf0.1, r13).
+    Every staged word array (dedup cut families, BM25 probe words, DSIR
+    grams) MUST use the same token definition or cut positions silently
+    misalign — this helper IS that definition; the identity is pinned
+    by test_staging_expressions_identical."""
+    return F.filter(
+        F.split(F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", ""),
+                _WS),
+        lambda x: x != F.lit(""))
+
+
 def token_count(col: Column) -> Column:
     """Whitespace token count."""
     return F.size(words(col))
