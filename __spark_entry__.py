@@ -1440,36 +1440,47 @@ def dp_text_stats(spark, sf_dir):
     if probe is None:
         probe = bm25_probe_fit(docs, "dup customer window scan")
         _BM25_PROBE[skey] = probe
+    # the three derived text VIEWS (lined, wdd-injected, c4-injected)
+    # are staged as columns: CollapseProject keeps a multi-referenced
+    # non-trivial alias in its own projection, so the concat+regexp
+    # chain runs once per row instead of once per consuming output
+    # column (r13: wdd columns alone 0.31 s -> 0.21 s at sf0.1)
     docs = (docs.withColumn("__lw", _words(F.lower(F.col("text"))))
-            .withColumn("__bw", _words_safe(F.col("text"))))
+            .withColumn("__bw", _words_safe(F.col("text")))
+            .withColumn("__lsv", F.concat(
+                F.regexp_replace(F.col("text"), " spark ", "\n"),
+                F.when(did % 4 == 0, F.lit("\n• bullet arm"))
+                .otherwise(F.lit("")),
+                F.when(did % 6 == 0, F.lit("\nand then ..."))
+                .otherwise(F.lit(""))))
+            .withColumn("__wddv", F.concat(
+                F.regexp_replace(F.col("text"), " spark ", "\n"),
+                F.when(did % 8 == 0,
+                       F.lit("\nrepeat me here\nrepeat me here"))
+                .otherwise(F.lit("")),
+                F.when(did % 10 == 0,
+                       F.lit("\n\ndup para block\n\ndup para block"))
+                .otherwise(F.lit(""))))
+            .withColumn("__c4v", F.concat(
+                F.regexp_replace(F.col("text"), " spark ", ".\n"),
+                F.when(did % 13 == 0,
+                       F.lit("\nplease use javascript here now."))
+                .otherwise(F.lit("")),
+                F.when(did % 9 == 0, F.lit(" {")).otherwise(F.lit("")),
+                F.when(did % 11 == 0, F.lit(" lorem ipsum"))
+                .otherwise(F.lit("")))))
     rep = repetition_stats(F.col("__lw"), as_words=True)
-    _line_shape = line_shape_stats(F.concat(
-        F.regexp_replace(F.col("text"), " spark ", "\n"),
-        F.when(did % 4 == 0, F.lit("\n• bullet arm")).otherwise(F.lit("")),
-        F.when(did % 6 == 0, F.lit("\nand then ...")).otherwise(F.lit(""))))
+    _line_shape = line_shape_stats(F.col("__lsv"))
     # WITHIN-doc duplicate line/paragraph fractions (Gopher A1.1 rows the
     # corpus-wide lstats do not cover) over the same lined view, with
     # deterministic repeats injected (%8: duplicate line pair, %10:
     # duplicate paragraph block)
-    _wdd = within_doc_dup_stats(F.concat(
-        F.regexp_replace(F.col("text"), " spark ", "\n"),
-        F.when(did % 8 == 0,
-               F.lit("\nrepeat me here\nrepeat me here"))
-        .otherwise(F.lit("")),
-        F.when(did % 10 == 0,
-               F.lit("\n\ndup para block\n\ndup para block"))
-        .otherwise(F.lit(""))))
+    _wdd = within_doc_dup_stats(F.col("__wddv"))
     # C4 view: ' spark ' becomes a sentence boundary (every derived line
     # but the last ends in '.'), with the paper's page/line triggers
     # injected deterministically (javascript line %13, brace %9,
     # lorem ipsum %11)
-    _c4 = c4_rules(F.concat(
-        F.regexp_replace(F.col("text"), " spark ", ".\n"),
-        F.when(did % 13 == 0,
-               F.lit("\nplease use javascript here now."))
-        .otherwise(F.lit("")),
-        F.when(did % 9 == 0, F.lit(" {")).otherwise(F.lit("")),
-        F.when(did % 11 == 0, F.lit(" lorem ipsum")).otherwise(F.lit(""))))
+    _c4 = c4_rules(F.col("__c4v"))
     base = docs.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),

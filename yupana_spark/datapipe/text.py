@@ -324,19 +324,35 @@ def within_doc_dup_stats(col: Column) -> Dict[str, Column]:
     are not units.  Everything reduces to array algebra on the row —
     ``array_distinct`` + concatenated length — so unlike the n-gram
     char-mass fractions (which shuffle) these are O(units) row-local
-    expressions with no exchange at any scale."""
+    expressions with no exchange at any scale.  Each returned entry
+    binds the filtered unit array and its derived scalars ONCE
+    (``colutil.bind_once``): the ``F.filter`` HOF makes the whole tree
+    CodegenFallback, where naked multi-references re-run the split +
+    filter per consumer (r13)."""
+    from .colutil import bind_once
+
     def _unit(units: Column, name: str) -> Dict[str, Column]:
-        u = F.filter(units, lambda x: F.trim(x) != F.lit(""))
-        n = F.size(u)
-        nd = F.size(F.array_distinct(u))
-        chars = F.length(F.array_join(u, ""))
-        chars_d = F.length(F.array_join(F.array_distinct(u), ""))
+        u_expr = F.filter(units, lambda x: F.trim(x) != F.lit(""))
+
+        def _frac(u: Column) -> Column:
+            return bind_once(
+                F.struct(F.size(u).alias("n"),
+                         F.size(F.array_distinct(u)).alias("nd")),
+                lambda s: F.round((s["n"] - s["nd"])
+                                  / F.greatest(s["n"], F.lit(1)), 6))
+
+        def _char_frac(u: Column) -> Column:
+            return bind_once(
+                F.struct(
+                    F.length(F.array_join(u, "")).alias("c"),
+                    F.length(F.array_join(F.array_distinct(u), ""))
+                    .alias("cd")),
+                lambda s: F.round((s["c"] - s["cd"])
+                                  / F.greatest(s["c"], F.lit(1)), 6))
+
         return {
-            f"dup_{name}_frac":
-                F.round((n - nd) / F.greatest(n, F.lit(1)), 6),
-            f"dup_{name}_char_frac":
-                F.round((chars - chars_d)
-                        / F.greatest(chars, F.lit(1)), 6),
+            f"dup_{name}_frac": bind_once(u_expr, _frac),
+            f"dup_{name}_char_frac": bind_once(u_expr, _char_frac),
         }
 
     out = _unit(F.split(col, "\n"), "line")
