@@ -399,7 +399,10 @@ def c4_rules(col: Column, min_words: int = 5,
 
 
 def quality_score(col: Column) -> Column:
-    """Composite [0,1] quality heuristic (Gopher-rules-style thresholds)."""
+    """Composite [0,1] quality heuristic (Gopher-rules-style thresholds).
+    (A bind-once rewrite measured a wash here — unlike ``lang_id`` there
+    is no exponential reference chain, so the naive combination stays;
+    r13, docs/scale.md.)"""
     m = quality_metrics(col)
     checks = [
         (m["n_words"] >= 5).cast("int"),
@@ -437,17 +440,37 @@ def lang_scores(col: Column) -> Dict[str, Column]:
 
 def lang_id(col: Column) -> Column:
     """argmax language with deterministic tie-break (alphabetical); 'und'
-    when nothing matches.  CJK detection via unicode-range n-grams."""
-    scores = lang_scores(col)
+    when nothing matches.  CJK detection via unicode-range n-grams.
+
+    The distinct-word array and the per-language scores are BOUND once
+    (``colutil.bind_once``): the naive WHEN ladder referenced
+    ``best_score`` twice per language, doubling the embedded score
+    subtrees per iteration — and with ``words`` a CodegenFallback HOF
+    each score evaluation re-split the full text, so the ladder cost
+    ~2^|langs| splits per row (measured r13: the lang_id column alone
+    ran 1.1 s at sf0.1; the bound form ~0.15 s, identical values)."""
+    from .colutil import bind_once
+
     has_cjk = F.length(F.regexp_replace(col, r"[^一-鿿]", "")) > 0
-    best = F.lit("und")
-    best_score = F.lit(0)
-    for lang in sorted(scores):  # alphabetical: later only wins strictly
-        s = scores[lang]
-        take = s > best_score
-        best = F.when(take, F.lit(lang)).otherwise(best)
-        best_score = F.when(take, s).otherwise(best_score)
-    return F.when(has_cjk, F.lit("zh")).otherwise(best)
+
+    def _scores(w: Column) -> Column:
+        return F.struct(*[
+            F.size(F.array_intersect(
+                w, F.array([F.lit(s) for s in _STOPWORDS[lang]])))
+            .alias(lang) for lang in sorted(_STOPWORDS)])
+
+    def _pick(sc: Column) -> Column:
+        best = F.lit("und")
+        best_score = F.lit(0)
+        for lang in sorted(_STOPWORDS):  # alphabetical: later only wins
+            s = sc[lang]                 # strictly; field reads are O(1)
+            take = s > best_score
+            best = F.when(take, F.lit(lang)).otherwise(best)
+            best_score = F.when(take, s).otherwise(best_score)
+        return F.when(has_cjk, F.lit("zh")).otherwise(best)
+
+    return bind_once(F.array_distinct(words(F.lower(col))),
+                     lambda w: bind_once(_scores(w), _pick))
 
 
 # ---------------------------------------------------------------------------
