@@ -123,3 +123,58 @@ def test_streaming_domain_cap_matches_batch_on_ordered_replay(spark,
     # the contract refuses a meaningless cap at plan time
     with pytest.raises(ValueError, match="per_domain"):
         streaming_domain_cap(stream, per_domain=0)
+
+
+def test_streaming_domain_cap_event_time_eviction(spark, tmp_path):
+    """EventTimeTimeout horizon on the cap state: a domain idle past the
+    watermark horizon is evicted, so its budget RESETS (cap-per-horizon,
+    the dup filter's eviction semantics) — the same replay without a
+    horizon keeps the counter and rejects the late arrival forever."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from yupana_spark.streaming.curation import streaming_domain_cap
+
+    docs = [  # (doc_id, url, event ts); horizon = 1h, per_domain = 1
+        (1, "https://capped.com/a", "2024-01-01 00:00:00"),
+        (50, "https://other.com/x", "2024-01-01 03:00:00"),   # watermark+
+        (51, "https://third.com/y", "2024-01-01 03:00:30"),   # idle batch
+        (3, "https://capped.com/b", "2024-01-01 03:01:00"),   # post-evict
+    ]
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("url", T.StringType()),
+                           T.StructField("ts", T.TimestampType())])
+    src = tmp_path / "ce_src"
+    src.mkdir()
+    for i, (did, url, ts) in enumerate(docs):
+        p = src / f"f{i}.json"
+        p.write_text(json.dumps({"doc_id": did, "url": url, "ts": ts}))
+        os.utime(p, (1000 + i, 1000 + i))
+
+    def run(name, idle_ms):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).json(str(src))
+                  .withWatermark("ts", "0 seconds"))
+        out = streaming_domain_cap(
+            stream, per_domain=1, idle_timeout_ms=idle_ms,
+            event_time_col="ts" if idle_ms is not None else None)
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / f"{name}_ck"))
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination()
+            return {r["id"] for r in spark.table(name).collect()}
+        finally:
+            q.stop()
+            spark.catalog.dropTempView(name)
+
+    evicting = run("ce_ev", 3_600_000)
+    persistent = run("ce_np", None)
+    # with the horizon, capped.com's counter evicts before id 3 arrives,
+    # so the domain's budget resets and 3 is admitted again
+    assert evicting == {1, 50, 51, 3}
+    # without it the counter persists and 3 stays rejected
+    assert persistent == {1, 50, 51}
