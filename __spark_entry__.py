@@ -2016,12 +2016,21 @@ def dp_sample(spark, sf_dir):
     # join path deliberately: row_local=True (literal weight array,
     # in-scan fold) measured 1.5x SLOWER at sf0.1 — the interpreted
     # per-element aggregate loses to the codegen'd explode + hash-agg
-    # even though it deletes the exchange (docs/scale.md, r13)
+    # even though it deletes the exchange (docs/scale.md, r13).  The
+    # gram-bucket FEATURES are an ingest-time artifact
+    # (dsir.gram_buckets_fit, the _bpe_toked posture): scoring explodes
+    # the materialized arrays instead of re-normalizing + re-hashing
+    # the corpus text every pass.
+    from yupana_spark.datapipe.dsir import gram_buckets_fit
+
+    gb = gram_buckets_fit(
+        docs, n_buckets=1024, cache_key=sf_dir, store=_artifacts(),
+        store_token=_fx_token(sf_dir, "documents"))
     dsir = dsir_select(
         docs, docs.filter(F.col("source") == "src0"), k=40,
         n_buckets=1024, alpha=0.5, keep_cols=["lang"],
         cache_key=f"{sf_dir}:src0", store=_artifacts(),
-        store_token=_fx_token(sf_dir, "documents"),
+        store_token=_fx_token(sf_dir, "documents"), buckets=gb,
     ).select(F.lit("dsir").alias("kind"), "doc_id", "lang",
              F.round("logw", 6).alias("wt"))
     # temperature mixing (T5/mT5 recipe, sample.temperature_mix_sample):

