@@ -265,6 +265,11 @@ def _lr_from_counts(counts: DataFrame, n_t: float, n_r: float,
 
 
 _WARR_CACHE: dict = {}
+#: largest n_buckets the dense literal weight array is built for — past
+#: this the literal bloats every serialized task plan, so the
+#: broadcast-join scoring form stands (the DSIR paper uses 10k buckets;
+#: the gate only bites deliberately huge feature spaces)
+_WARR_GATE = 65536
 
 
 def _bucket_lr_array(spark, counts: DataFrame, n_t: float, n_r: float,
@@ -351,6 +356,21 @@ def dsir_log_weights(docs: DataFrame, target: DataFrame,
         counts, n_t, n_r = dsir_ratio_fit(target, raw, text_col, n_buckets,
                                           alpha, bigrams, cache_key, store,
                                           store_token)
+        ab = F.lit(float(alpha) * n_buckets)
+        if n_buckets > _WARR_GATE and not row_local:
+            # literal-array gate: a multi-100k-element literal rides in
+            # every serialized task binary — past the gate the broadcast
+            # join form stands, fed from the same persisted counts (one
+            # bounded build, identical values)
+            tbl = _lr_from_counts(counts, n_t, n_r, n_buckets, alpha)
+            default_lr = (F.log(F.lit(n_t) + ab) * -1
+                          + F.log(F.lit(n_r) + ab))
+            return (_grams()
+                    .join(F.broadcast(tbl), "bucket", "left")
+                    .withColumn("lr", F.coalesce(F.col("lr"), default_lr))
+                    .groupBy(id_col)
+                    .agg(F.sum("lr").alias("logw"),
+                         F.count("*").alias("n_grams")))
         memo_key = (docs.sparkSession.sparkContext.applicationId,
                     cache_key, text_col, n_buckets, alpha, bigrams)
         warr = _bucket_lr_array(docs.sparkSession, counts, n_t, n_r,
