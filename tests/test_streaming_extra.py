@@ -441,6 +441,65 @@ def test_streaming_bm25_matches_batch(spark, tmp_path):
     assert streamed == batch
 
 
+def test_streaming_dsir_scores_match_batch(spark, tmp_path):
+    """Streaming DSIR scoring (frozen bucket-LM artifact + row-local
+    fold): a chunked replay scores every document EXACTLY as the batch
+    row-local path — and the batch row-local path is already pinned
+    against the explode+join estimator, closing the triangle.  The fit
+    must be the train-once artifact (cache_key required)."""
+    from pyspark.sql import types as T
+
+    from yupana_spark.datapipe.artifacts import ArtifactStore
+    from yupana_spark.datapipe.dsir import dsir_log_weights
+    from yupana_spark.streaming.retrieval import streaming_dsir_scores
+
+    rows = [(1, "spark shuffle join window aggregate state"),
+            (2, "violets bloom beside quiet rivers today"),
+            (3, "spark window state checkpoint replay"),
+            (4, "   "),
+            (5, "cat")]
+    schema = "doc_id long, text string"
+    docs = spark.createDataFrame(rows, schema)
+    target = spark.createDataFrame([(9, "spark shuffle join window")],
+                                   schema)
+    store = ArtifactStore(str(tmp_path / "arts"))
+    kw = dict(n_buckets=128, alpha=0.5, cache_key="sd", store=store,
+              store_token="tok")
+    batch = {r["doc_id"]: (r["logw"], r["n_grams"])
+             for r in dsir_log_weights(docs, target, docs, row_local=True,
+                                       **kw).collect()}
+    assert set(batch) == {1, 2, 3, 5}     # zero-gram doc 4 omitted
+
+    src = tmp_path / "sd_src"
+    src.mkdir()
+    spark.createDataFrame(rows[:2], schema).coalesce(1) \
+        .write.parquet(str(src / "a"))
+    spark.createDataFrame(rows[2:], schema).coalesce(1) \
+        .write.parquet(str(src / "b"))
+    stream = (spark.readStream
+              .schema(T.StructType([T.StructField("doc_id", T.LongType()),
+                                    T.StructField("text", T.StringType())]))
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+    out = streaming_dsir_scores(stream, target, docs, **kw)
+    q = (out.writeStream.format("memory").queryName("sds")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "sd_ck"))
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination()
+        streamed = {r["doc_id"]: (r["logw"], r["n_grams"])
+                    for r in spark.table("sds").collect()}
+    finally:
+        q.stop()
+        spark.catalog.dropTempView("sds")
+    assert streamed == batch              # exact: same Column expression
+    # the fit is a frozen artifact — no cache_key, no streaming scorer
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cache_key"):
+        streaming_dsir_scores(stream, target, docs, n_buckets=128)
+
+
 def test_streaming_decontaminate_cut_matches_batch(spark, tmp_path):
     """Online contamination removal: a chunked replay of a static corpus
     yields the batch decontaminate_cut rows EXACTLY — same JVM gram

@@ -36,3 +36,37 @@ def streaming_bm25_scores(stream: DataFrame, probe: dict,
     staged = stream.withColumn("__w", _words_safe(F.col(text_col)))
     return staged.select(F.col(id_col).alias("id"),
                          bm25_score_col(F.col("__w"), probe).alias("bm25"))
+
+
+def streaming_dsir_scores(stream: DataFrame, target: DataFrame,
+                          raw: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          n_buckets: int = 4096, alpha: float = 0.5,
+                          bigrams: bool = True,
+                          cache_key: str = None, store=None,
+                          store_token: str = None) -> DataFrame:
+    """(id, logw, n_grams) per streamed document: DSIR log importance
+    weights against bucket LMs fitted on STATIC ``target``/``raw``
+    corpora — online data-selection triage ("does today's crawl look
+    like the curated target?") without stopping the ingest.
+
+    Same frozen-artifact posture as the BM25 probe: ``cache_key`` is
+    REQUIRED so the fit is the train-once artifact
+    (``dsir.dsir_ratio_fit`` — batch frames only; a stream cannot be
+    fitted on), and scoring uses the ``row_local=True`` path — the
+    bounded lr table folds into a literal weight array and ``logw``
+    computes in-scan: no explode, no join, no groupBy, so the plan is
+    stateless and append-mode-safe.  A replayed document's score equals
+    the batch row-local score BY CONSTRUCTION (pure Column expression);
+    the parity test pins streamed == batch anyway.  Zero-gram documents
+    are omitted, the batch contract."""
+    from ..datapipe.dsir import dsir_log_weights
+
+    if cache_key is None:
+        raise ValueError("streaming DSIR scoring requires cache_key: the "
+                         "bucket-LM fit must be a train-once artifact "
+                         "(a stream cannot be fitted on)")
+    return dsir_log_weights(stream, target, raw, text_col, id_col,
+                            n_buckets, alpha, bigrams,
+                            cache_key=cache_key, store=store,
+                            store_token=store_token, row_local=True)
