@@ -2992,6 +2992,23 @@ def test_registered_domain_psl_hook(spark):
     with pytest.raises(ValueError, match="domain"):
         with_registered_domain(df.withColumn("domain", F.lit("x")),
                                "url", psl)
+    # SINGLE-label suffixes follow PSL semantics too (review r13): a
+    # partial list carrying only 'uk' keys x.co.uk to co.uk — the bare
+    # TLD match (last-2 labels) overrides the CC_SLDS heuristic's
+    # 3-label deepening; a longer listed suffix still wins over it
+    psl1 = spark.createDataFrame([("uk",), ("org.uk",)], "suffix string")
+    cases1 = [
+        ("https://x.co.uk/a", "co.uk"),          # k=1 'uk' -> last2
+        ("a.b.site.org.uk", "site.org.uk"),      # k=2 beats k=1
+        ("http://example.com/", "example.com"),  # no match -> heuristic
+        ("uk", "uk"),                            # host IS the suffix
+    ]
+    df1 = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases1)], "i int, url string")
+    got1 = {r["i"]: r["domain"]
+            for r in with_registered_domain(df1, "url", psl1).collect()}
+    for i, (u, want) in enumerate(cases1):
+        assert got1[i] == want, (u, got1[i], want)
 
 
 def test_staging_expressions_identical(spark):

@@ -767,15 +767,19 @@ def test_differential_registered_domain_psl(spark, seed):
     from yupana_spark.datapipe.curation import with_registered_domain
 
     rng = random.Random(seed)
+    # incl. SINGLE-label suffixes that overlap CC_SLDS tails ('uk', 'au')
+    # — the k=1 PSL match must override the heuristic's cc-SLD deepening
+    # (review r13), and 'org' exercises a bare TLD with no cc overlap
     sufs = ["com.sg", "co.th", "com.au", "k12.ma.us", "pvt.k12.ma.us",
-            "gov.uk", "org"]
+            "gov.uk", "org", "uk", "au"]
     picked = sorted(rng.sample(sufs, rng.randint(2, len(sufs))))
     schemes = ["", "http://", "HTTPS://"]
     hosts = ["shop.example.com.sg", "a.b.school.k12.ma.us",
              "x.pvt.k12.ma.us", "y.x.pvt.k12.ma.us", "com.sg",
              "site.co.th", "blog.example.com.au", "news.site.gov.uk",
              "deep.sub.example.org", "plain.example.com", "localhost",
-             "192.168.0.1", "UPPER.Site.CO.TH.", "k12.ma.us"]
+             "192.168.0.1", "UPPER.Site.CO.TH.", "k12.ma.us",
+             "x.co.uk", "a.b.co.uk", "shop.net.au", "uk"]
     ports = ["", ":8080"]
     paths = ["", "/a/b", "?q=1", "#f"]
     rows = [(i, rng.choice(schemes) + rng.choice(hosts)

@@ -125,6 +125,42 @@ def test_streaming_domain_cap_matches_batch_on_ordered_replay(spark,
         streaming_domain_cap(stream, per_domain=0)
 
 
+def test_streaming_domain_cap_string_ids(spark, tmp_path):
+    """String/uuid ids pass through UNCAST (the bm25 r11 rule — a long
+    cast would silently null them and the documented join-back would
+    match nothing); in-batch ties order lexicographically."""
+    from pyspark.sql import types as T
+
+    from yupana_spark.streaming.curation import streaming_domain_cap
+
+    rows = [(f"doc-{i:02d}", f"https://site{i % 2}.com/p") for i in
+            range(8)]
+    schema = "doc_id string, url string"
+    src = tmp_path / "cs_src"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.parquet(str(src / "a"))
+    stream = (spark.readStream
+              .schema(T.StructType([T.StructField("doc_id", T.StringType()),
+                                    T.StructField("url", T.StringType())]))
+              .parquet(str(src / "*")))
+    out = streaming_domain_cap(stream, per_domain=2)
+    assert dict(out.dtypes)["id"] == "string"
+    q = (out.writeStream.format("memory").queryName("scs")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "cs_ck"))
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination()
+        got = {r["id"] for r in spark.table("scs").collect()}
+    finally:
+        q.stop()
+        spark.catalog.dropTempView("scs")
+    # first 2 per domain by lexicographic id: site0 <- doc-00, doc-02;
+    # site1 <- doc-01, doc-03 — and no NULLs
+    assert got == {"doc-00", "doc-01", "doc-02", "doc-03"}
+
+
 def test_streaming_domain_cap_event_time_eviction(spark, tmp_path):
     """EventTimeTimeout horizon on the cap state: a domain idle past the
     watermark horizon is evicted, so its budget RESETS (cap-per-horizon,

@@ -31,7 +31,12 @@ if _FORCE:
 PASSES = 3
 if "--passes" in sys.argv:
     i = sys.argv.index("--passes")
-    PASSES = max(1, int(sys.argv[i + 1]))
+    try:
+        PASSES = max(1, int(sys.argv[i + 1]))
+    except (IndexError, ValueError):
+        print("usage: bench_baseline.py [sf_dir] [--passes N] [--force] "
+              "[--all]  (N must be an integer)")
+        sys.exit(2)
     del sys.argv[i:i + 2]
 #: 1-min load above this at start => the host is busy and Spark's JVM
 #: timings are untrustworthy (2-4x swings, BASELINE.md) — refuse unless
@@ -94,10 +99,7 @@ def main() -> None:
               "quiet host, or pass --force to record a flagged number.")
         sys.exit(2)
 
-    def _median(xs):
-        xs = sorted(xs)
-        return xs[len(xs) // 2] if len(xs) % 2 else (
-            xs[len(xs) // 2 - 1] + xs[len(xs) // 2]) / 2
+    from statistics import median as _median
 
     rows = []
     for name in COMPARE:

@@ -34,15 +34,17 @@ FEATURE_NAMES = ("log_chars", "n_words_log", "alpha_ratio", "digit_ratio",
                  "punct_ratio", "stopword_ratio", "dup_word_ratio")
 
 
-def _ngram_hash_v(ngram_buckets: int) -> str:
-    """Bucket-hash version tag for cache keys / artifact names — only
-    when the fit actually carries a hashed-gram block, so plain-feature
-    artifacts from earlier rounds keep loading."""
+def _ngram_hash_v(ngram_buckets: int) -> tuple:
+    """Bucket-hash version tag for cache keys / artifact names, as a
+    SPLATTABLE tuple: empty when the fit carries no hashed-gram block —
+    appending even an empty-string sentinel would change the hashed
+    param repr, so plain-feature artifacts from earlier rounds would
+    stop loading (review r13)."""
     if ngram_buckets <= 0:
-        return ""
+        return ()
     from .dsir import HASH_VERSION
 
-    return HASH_VERSION
+    return (HASH_VERSION,)
 
 
 def quality_lr_features(text: Column) -> Dict[str, Column]:
@@ -109,14 +111,14 @@ def quality_lr_fit(df: DataFrame, text_col: str = "text",
     if cache_key is not None:
         key = ("qlr", df.sparkSession.sparkContext.applicationId,
                cache_key, text_col, lkey, sample_cap, iters, step,
-               seed_threshold, ngram_buckets, _ngram_hash_v(ngram_buckets))
+               seed_threshold, ngram_buckets, *_ngram_hash_v(ngram_buckets))
         hit = _LR_CACHE.get(key)
         if hit is not None:
             return hit
     name = store_name("quality_lr", cache_key, store, store_token,
                       text_col, lkey, sample_cap, iters, step,
                       seed_threshold, ngram_buckets,
-                      _ngram_hash_v(ngram_buckets))
+                      *_ngram_hash_v(ngram_buckets))
     if name is not None:
         got = store.load_arrays(name, store_token)
         if got is not None:

@@ -99,10 +99,17 @@ def prepare_psl(psl: DataFrame) -> DataFrame:
             .dropDuplicates()
             .withColumn("__sl", F.split(F.col("suffix"), r"\."))
             .withColumn("__k", F.size(F.col("__sl")))
-            .filter((F.col("__k") >= 2)
+            .filter((F.col("__k") >= 1)
                     & (F.col("__k") <= _MAX_SUFFIX_LABELS))
-            .withColumn("__tail", F.array_join(
-                F.slice(F.col("__sl"), F.col("__k") - 1, 2), "."))
+            # multi-label suffixes group by their last-2-label tail;
+            # SINGLE-label suffixes (a bare TLD in a partial list) group
+            # by the label itself — the two key spaces are disjoint
+            # (a last-2 tail always contains a dot), so the corpus can
+            # probe both with two joins against this one frame
+            .withColumn("__tail", F.when(
+                F.col("__k") >= 2,
+                F.array_join(F.slice(F.col("__sl"), F.col("__k") - 1, 2),
+                             ".")).otherwise(F.col("suffix")))
             .groupBy("__tail")
             .agg(F.reverse(F.sort_array(F.collect_list(
                 F.struct(F.col("__k").alias("k"),
@@ -148,8 +155,17 @@ def with_registered_domain(df: DataFrame, url_col: str = "url",
     labels = F.split(F.col("__rh"), r"\.")
     n = F.size(labels)
     tail2 = F.when(n >= 2, F.array_join(F.slice(labels, n - 1, 2), "."))
-    out = (out.withColumn("__t2", tail2)
+    last1 = F.when(n >= 2, F.element_at(labels, -1))
+    # two probes against the one prepared frame: multi-label groups key
+    # by the host's last-2 tail, single-label groups (bare TLDs in a
+    # partial list) by its last label — disjoint key spaces, each join
+    # matches at most one deduped group, cardinality preserved
+    s1 = s.select(F.col("__tail").alias("__tail1"),
+                  F.col("__sufs").alias("__sufs1"))
+    out = (out.withColumn("__t2", tail2).withColumn("__t1", last1)
            .join(F.broadcast(s), F.col("__t2") == F.col("__tail"),
+                 "left")
+           .join(F.broadcast(s1), F.col("__t1") == F.col("__tail1"),
                  "left"))
     is_ip = F.col("__rh").rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
 
@@ -163,6 +179,11 @@ def with_registered_domain(df: DataFrame, url_col: str = "url",
         nn = F.size(ls)
 
         def _with_hit(ht):
+            # a single-label match (the host's TLD is a listed suffix
+            # with nothing longer matching) keys PSL-style to the last
+            # TWO labels — overriding the CC_SLDS heuristic, which
+            # would otherwise deepen e.g. x.co.uk to three labels when
+            # the handed-in list carries only 'uk' (review r13)
             return (F.when(is_ip | (nn < 2), F.col("__rh"))
                     .when(ht.isNotNull(),
                           F.when(nn > ht["k"],
@@ -170,10 +191,14 @@ def with_registered_domain(df: DataFrame, url_col: str = "url",
                                      F.slice(ls, nn - ht["k"],
                                              ht["k"] + 1), "."))
                           .otherwise(F.col("__rh")))
+                    .when(F.col("__sufs1").isNotNull(),
+                          F.array_join(F.slice(ls, nn - 1, 2), "."))
                     .otherwise(registered_domain(F.col(url_col))))
 
         hit = F.element_at(
-            F.filter(F.col("__sufs"),
+            F.filter(F.coalesce(F.col("__sufs"),
+                                F.array().cast(
+                                    "array<struct<k:int,s:string>>")),
                      lambda e: (e["k"] <= nn)
                      & (F.array_join(
                          F.slice(ls, nn - e["k"] + 1, e["k"]), ".")
@@ -182,7 +207,8 @@ def with_registered_domain(df: DataFrame, url_col: str = "url",
 
     dom = bind_once(labels, _resolve)
     return (out.withColumn(out_col, dom)
-            .drop("__rh", "__t2", "__tail", "__sufs"))
+            .drop("__rh", "__t2", "__t1", "__tail", "__tail1",
+                  "__sufs", "__sufs1"))
 
 
 def url_blocklist_flags(df: DataFrame, blocked: DataFrame,

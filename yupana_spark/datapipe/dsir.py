@@ -135,18 +135,27 @@ def gram_buckets_fit(docs: DataFrame, text_col: str = "text",
 
     name = store_name("dsir_buckets", cache_key, store, store_token,
                       text_col, id_col, n_buckets, bigrams, HASH_VERSION)
-    gb = None
+    live = docs.select(
+        F.col(id_col),
+        hashed_gram_buckets(F.col(text_col), n_buckets, bigrams)
+        .alias("__gb"))
     if name is not None:
+        # the frame is CORPUS-sized (one bucket array per document), so
+        # unlike the bounded fits it must never be pinned in executor
+        # storage: the save writes the LAZY frame straight to parquet
+        # (one hash pass total) and every consumer — this session
+        # included — reads the columnar artifact lazily (load_df's
+        # single-pass posture; scoring consumes it exactly once per
+        # pass, and a parquet scan of packed longs is the cheap path)
         got = store.load_df(docs.sparkSession, name, store_token)
-        if got is not None:
-            gb = got[0].localCheckpoint(eager=True)
-    if gb is None:
-        gb = docs.select(
-            F.col(id_col),
-            hashed_gram_buckets(F.col(text_col), n_buckets, bigrams)
-            .alias("__gb")).localCheckpoint(eager=True)
-        if name is not None:
-            store.save_df(name, store_token, gb)
+        if got is None:
+            store.save_df(name, store_token, live)
+            got = store.load_df(docs.sparkSession, name, store_token)
+        gb = got[0]
+    else:
+        # session-memo-only: materialize once or the memo would hand
+        # back the live plan and every pass would re-hash the corpus
+        gb = live.localCheckpoint(eager=True)
     if key is not None:
         _BUCKETS_CACHE[key] = gb
     return gb
@@ -340,6 +349,12 @@ def dsir_log_weights(docs: DataFrame, target: DataFrame,
         raise ValueError("row_local scoring requires cache_key (the "
                          "literal weight array folds the train-once "
                          "fit artifact)")
+    if row_local and n_buckets > _WARR_GATE:
+        raise ValueError(
+            f"row_local scoring builds an n_buckets-element literal "
+            f"weight array; {n_buckets} exceeds the plan-bloat gate "
+            f"({_WARR_GATE}) — use the explode path (row_local=False), "
+            "which switches to a broadcast join past the gate")
     if buckets is not None and row_local:
         raise ValueError("buckets (the materialized gram-bucket frame) "
                          "only feeds the explode path; row_local scores "

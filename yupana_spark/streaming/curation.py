@@ -37,11 +37,6 @@ from pyspark.sql.streaming.state import GroupState
 
 from .horizon import arm_timeout, event_ms, timeout_mode
 
-_CAP_OUT = T.StructType([
-    T.StructField("id", T.LongType()),
-    T.StructField("domain", T.StringType()),
-])
-
 _CAP_STATE = T.StructType([
     T.StructField("n", T.IntegerType()),
 ])
@@ -109,11 +104,19 @@ def streaming_domain_cap(stream: DataFrame, per_domain: int,
     assigned = with_registered_domain(stream, url_col, psl, "domain")
     carry = ((F.col(event_time_col),) if event_time_col is not None
              else ())
-    base = assigned.select(F.col(id_col).cast("long").alias("id"),
+    # the id passes through UNCAST — string/uuid ids are as valid online
+    # as longs and a cast would silently null them (the bm25 r11 rule);
+    # the output schema mirrors the input's id type, and in-batch ties
+    # sort by the id's natural order (numeric or lexicographic)
+    base = assigned.select(F.col(id_col).alias("id"),
                            *carry, F.col("domain"))
+    out_schema = T.StructType([
+        T.StructField("id", stream.schema[id_col].dataType),
+        T.StructField("domain", T.StringType()),
+    ])
     timeout = timeout_mode(idle_timeout_ms, event_time_col)
     return (base.groupBy("domain")
             .applyInPandasWithState(
                 _make_cap_update(per_domain, idle_timeout_ms,
                                  event_time_col),
-                _CAP_OUT, _CAP_STATE, "append", timeout))
+                out_schema, _CAP_STATE, "append", timeout))

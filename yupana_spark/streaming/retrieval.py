@@ -66,6 +66,12 @@ def streaming_dsir_scores(stream: DataFrame, target: DataFrame,
         raise ValueError("streaming DSIR scoring requires cache_key: the "
                          "bucket-LM fit must be a train-once artifact "
                          "(a stream cannot be fitted on)")
+    if target.isStreaming or raw.isStreaming:
+        raise ValueError("target/raw must be BATCH frames — the bucket "
+                         "LMs fit by explode+groupBy+collect, which a "
+                         "streaming frame cannot execute (on a warm "
+                         "artifact the fit is skipped, so the misuse "
+                         "would otherwise surface only on cold stores)")
     return dsir_log_weights(stream, target, raw, text_col, id_col,
                             n_buckets, alpha, bigrams,
                             cache_key=cache_key, store=store,
