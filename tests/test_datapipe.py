@@ -3014,21 +3014,31 @@ def test_registered_domain_psl_hook(spark):
 def test_staging_expressions_identical(spark):
     """dp_text_stats rebuilds cut spans over retrieval._words_safe's
     staged array while the starts operators compute positions over
-    dedup._staged_norm_words' — the two MUST stay the same expression
-    (coalesce(words(normalize_text(text)), [])) or cut positions would
-    silently misalign.  Pinned on every normalization edge."""
+    dedup._staged_norm_words' — the two MUST stay the same token
+    definition or cut positions would silently misalign.  Both route
+    through text.norm_words since r13, so the LOAD-BEARING leg is the
+    third one: norm_words must stay token-equal to the classic
+    words(normalize_text(.)) composition the oracles and
+    fingerprint_md5 embody.  Pinned on every normalization edge."""
     from yupana_spark.datapipe.dedup import _staged_norm_words
     from yupana_spark.datapipe.retrieval import _words_safe
+    from yupana_spark.datapipe.text import normalize_text, words
 
     rows = [(1, None), (2, ""), (3, "  Mixed  CASE,   punct!!  "),
             (4, "tab\tand\nnewline  spaced"), (5, "ünïcödé l'apostrophe"),
-            (6, "123 abc-def 456")]
+            (6, "123 abc-def 456"), (7, " \t\n "), (8, "...!!!..."),
+            (9, "a"), (10, "ONE  two\tthree\n\nfour five-six 7eight")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     a = {r["id"]: r["__w"] for r in _staged_norm_words(
         df, "text", "doc_id").collect()}
     b = {r["doc_id"]: r["w"] for r in df.select(
         "doc_id", _words_safe(F.col("text")).alias("w")).collect()}
+    c = {r["doc_id"]: r["w"] for r in df.select(
+        "doc_id", F.coalesce(words(normalize_text(F.col("text"))),
+                             F.array().cast("array<string>"))
+        .alias("w")).collect()}
     assert a == {i: b[i] for i in b} and a[1] == [] and a[2] == []
+    assert a == {i: c[i] for i in c}
 
 
 def test_salted_quota_rank_identical_and_skew_bounded(spark):
