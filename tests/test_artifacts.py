@@ -30,6 +30,7 @@ def _fresh_memo():
     bpe._BPE_CACHE.clear()
     dsir._RATIO_CACHE.clear()
     dsir._WARR_CACHE.clear()
+    dsir._BUCKETS_CACHE.clear()
     ppx._PPX_CACHE.clear()
     sample._MIX_CACHE.clear()
 

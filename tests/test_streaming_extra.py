@@ -487,7 +487,8 @@ def test_streaming_dsir_scores_match_batch(spark, tmp_path):
          .trigger(availableNow=True).start())
     try:
         q.awaitTermination()
-        streamed = {r["doc_id"]: (r["logw"], r["n_grams"])
+        # decision-frame convention: the id column is named 'id'
+        streamed = {r["id"]: (r["logw"], r["n_grams"])
                     for r in spark.table("sds").collect()}
     finally:
         q.stop()

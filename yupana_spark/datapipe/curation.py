@@ -99,8 +99,7 @@ def prepare_psl(psl: DataFrame) -> DataFrame:
             .dropDuplicates()
             .withColumn("__sl", F.split(F.col("suffix"), r"\."))
             .withColumn("__k", F.size(F.col("__sl")))
-            .filter((F.col("__k") >= 1)
-                    & (F.col("__k") <= _MAX_SUFFIX_LABELS))
+            .filter(F.col("__k") <= _MAX_SUFFIX_LABELS)
             # multi-label suffixes group by their last-2-label tail;
             # SINGLE-label suffixes (a bare TLD in a partial list) group
             # by the label itself — the two key spaces are disjoint
@@ -146,6 +145,13 @@ def with_registered_domain(df: DataFrame, url_col: str = "url",
     if psl is None:
         return df.withColumn(out_col,
                              registered_domain(F.col(url_col)))
+    reserved = {"__rh", "__t2", "__t1", "__tail", "__tail1",
+                "__sufs", "__sufs1"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"with_registered_domain: input carries reserved working "
+            f"column(s) {sorted(reserved)} — the PSL resolve would "
+            "silently overwrite and drop them; rename them first")
     s = psl if set(psl.columns) == {"__tail", "__sufs"} \
         else prepare_psl(psl)
     from .colutil import bind_once

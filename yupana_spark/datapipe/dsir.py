@@ -133,12 +133,22 @@ def gram_buckets_fit(docs: DataFrame, text_col: str = "text",
             return hit
     from .artifacts import store_name
 
+    # "m1": artifact-format tag — frames persisted before the param
+    # metadata rode the __gb field would load metadata-less and fail
+    # the consumer's recipe validation; the tag refits them once
     name = store_name("dsir_buckets", cache_key, store, store_token,
-                      text_col, id_col, n_buckets, bigrams, HASH_VERSION)
+                      text_col, id_col, n_buckets, bigrams, HASH_VERSION,
+                      "m1")
+    # the recipe params ride as FIELD METADATA (schema metadata survives
+    # both localCheckpoint and the parquet artifact roundtrip), so a
+    # consumer can refuse a frame built under different params instead
+    # of silently mis-scoring (see dsir_log_weights)
+    meta = {"n_buckets": n_buckets, "bigrams": bigrams,
+            "id_col": id_col, "hash_version": HASH_VERSION}
     live = docs.select(
         F.col(id_col),
         hashed_gram_buckets(F.col(text_col), n_buckets, bigrams)
-        .alias("__gb"))
+        .alias("__gb", metadata=meta))
     if name is not None:
         # the frame is CORPUS-sized (one bucket array per document), so
         # unlike the bounded fits it must never be pinned in executor
@@ -359,6 +369,23 @@ def dsir_log_weights(docs: DataFrame, target: DataFrame,
         raise ValueError("buckets (the materialized gram-bucket frame) "
                          "only feeds the explode path; row_local scores "
                          "from the text column")
+    if buckets is not None:
+        # refuse a frame built under different params — a 4096-bucket
+        # artifact against a 1024-element weight array would index past
+        # the literal, element_at would yield NULLs and the sum would
+        # silently skip grams.  The id-COVERAGE contract is documented,
+        # not checkable cheaply: buckets must be built over this same
+        # docs frame (scoring ranges over the artifact's ids; a caller
+        # scoring a SUBSET must filter the artifact first, e.g.
+        # buckets.join(docs.select(id), id, 'left_semi')).
+        bm = dict(buckets.schema["__gb"].metadata or {})
+        want = {"n_buckets": n_buckets, "bigrams": bigrams,
+                "id_col": id_col, "hash_version": HASH_VERSION}
+        got = {k: bm.get(k) for k in want}
+        if got != want:
+            raise ValueError(
+                f"buckets frame was built under {got}, call expects "
+                f"{want} — rebuild with gram_buckets_fit at these params")
 
     def _grams():
         # the ingest-time feature frame replaces the per-pass

@@ -374,6 +374,11 @@ def mix_tag_counts(df: DataFrame, tag_col: str,
         sz = sz.localCheckpoint(eager=True)
         store.save_df(name, store_token, sz)
         sz = store.load_df(df.sparkSession, name, store_token)[0]
+    elif key is not None:
+        # session-memo-only: materialize, or the memo would hand back
+        # the lazy plan and every consumer action would re-run the
+        # corpus-wide groupBy (the frame is bounded by the tag vocab)
+        sz = sz.localCheckpoint(eager=True)
     if key is not None:
         _MIX_CACHE[key] = sz
     return sz

@@ -72,7 +72,10 @@ def streaming_dsir_scores(stream: DataFrame, target: DataFrame,
                          "streaming frame cannot execute (on a warm "
                          "artifact the fit is skipped, so the misuse "
                          "would otherwise surface only on cold stores)")
-    return dsir_log_weights(stream, target, raw, text_col, id_col,
-                            n_buckets, alpha, bigrams,
-                            cache_key=cache_key, store=store,
-                            store_token=store_token, row_local=True)
+    return (dsir_log_weights(stream, target, raw, text_col, id_col,
+                             n_buckets, alpha, bigrams,
+                             cache_key=cache_key, store=store,
+                             store_token=store_token, row_local=True)
+            # the streaming decision-frame convention: the id column is
+            # named 'id' (bm25 scores, dup flags, cap admissions alike)
+            .withColumnRenamed(id_col, "id"))
