@@ -1954,7 +1954,7 @@ def dp_multimodal(spark, sf_dir):
 
 
 def dp_sample(spark, sf_dir):
-    """Bundle: five deterministic data-selection operators over documents,
+    """Bundle: nine deterministic data-selection operators over documents,
     tagged by ``kind`` —
 
     * ``bern``: md5-prefix Bernoulli sample with per-stratum rates (the
@@ -1991,10 +1991,10 @@ def dp_sample(spark, sf_dir):
       (curation.domain_capped_sample ≙ cluster_balanced_sample over
       registered domains — min(8, |domain|) by deterministic md5 rank).
 
-    All eight are value-oracled: DuckDB recomputes the md5 thresholds,
+    All nine are value-oracled: DuckDB recomputes the md5 thresholds,
     the quota/cap ranks, the full DSIR estimator (bucket hash, smoothed
     log-ratio table, Gumbel keys), the temperature-rate formula, the
-    split cutoffs and the domain rule from the same parquet.
+    split cutoffs and both domain rules from the same parquet.
 
     Plan shape (r13): the three selections that are a pure function of
     the row — bern, split, dom — are FUSED into one scan that tags each
