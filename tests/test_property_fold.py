@@ -156,3 +156,53 @@ def test_duplicated_line_stats_laws(spark, docs):
         kept = [ln for ln in lines
                 if not (ln.strip() and counts[ln.strip()] >= 2)]
         assert r["cleaned"] == "\n".join(kept)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(
+    alphabet="aB zü9!.-\t\n'", min_size=0, max_size=40),
+    min_size=1, max_size=8))
+def test_norm_words_token_equal_property(spark, texts):
+    """r13 law: text.norm_words(col) yields exactly the same token array
+    as the classic words(normalize_text(col)) composition on arbitrary
+    unicode/whitespace/punct salads — the equality every staged word
+    array (dedup cuts, BM25, DSIR grams) and its oracles depend on."""
+    from pyspark.sql import functions as F
+
+    from yupana_spark.datapipe.text import (norm_words, normalize_text,
+                                            words)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)] + [(10_000, None)],
+        "i long, t string")
+    got = {r["i"]: (r["a"], r["b"]) for r in df.select(
+        "i", norm_words(F.col("t")).alias("a"),
+        words(normalize_text(F.col("t"))).alias("b")).collect()}
+    for i, (a, b) in got.items():
+        assert a == b, (i, a, b)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(st.sampled_from(
+    ["dup line", "uniq §1", "", "  ", "x", "longer unique line!"]),
+    min_size=0, max_size=6), min_size=1, max_size=8))
+def test_line_dedup_narrow_length_law(spark, docs):
+    """r13 law: rebuild=False's arithmetic cleaned_len equals
+    len(cleaned) from the rebuilt form on arbitrary corpora (blanks,
+    all-removed docs, empty docs), and the stat columns agree."""
+    from yupana_spark.datapipe.dedup import duplicated_line_stats
+
+    df = spark.createDataFrame(
+        [(i, "\n".join(lines)) for i, lines in enumerate(docs)],
+        "doc_id long, text string")
+    full = {r["id"]: r for r in duplicated_line_stats(df).collect()}
+    narrow = {r["id"]: r
+              for r in duplicated_line_stats(df, rebuild=False).collect()}
+    assert set(full) == set(narrow)
+    for i in full:
+        assert narrow[i]["cleaned_len"] == len(full[i]["cleaned"]), i
+        for c in ("n_lines", "n_dup_lines", "dup_line_ratio",
+                  "dup_line_char_ratio"):
+            assert narrow[i][c] == full[i][c], (i, c)
