@@ -125,6 +125,59 @@ def test_streaming_domain_cap_matches_batch_on_ordered_replay(spark,
         streaming_domain_cap(stream, per_domain=0)
 
 
+def test_streaming_samplers_match_batch(spark, tmp_path):
+    """Streaming Bernoulli + temperature-mix admission (streaming/
+    sample.py): a chunked replay selects EXACTLY the batch subsets —
+    the Bernoulli predicate is row-local and the mix rates are a frozen
+    artifact joined stream-static with the batch sampler's own
+    membership expression."""
+    from pyspark.sql import types as T
+
+    from yupana_spark.datapipe.sample import (deterministic_sample,
+                                              mix_tag_counts,
+                                              temperature_mix_rates,
+                                              temperature_mix_sample)
+    from yupana_spark.streaming.sample import (streaming_bernoulli_sample,
+                                               streaming_temperature_mix)
+
+    rows = [(i, ["en", "en", "en", "de", "fr"][i % 5]) for i in range(60)]
+    schema = "doc_id long, lang string"
+    docs = spark.createDataFrame(rows, schema)
+    b_bern = {r["doc_id"] for r in deterministic_sample(
+        docs, "doc_id", 0.3, stratum_col="lang",
+        stratum_rates={"en": 0.6}).collect()}
+    b_mix = {r["doc_id"] for r in temperature_mix_sample(
+        docs, "lang", "doc_id", alpha=0.3, target_total=30.0).collect()}
+    assert 0 < len(b_bern) < 60 and 0 < len(b_mix) < 60
+    rates = temperature_mix_rates(
+        mix_tag_counts(docs, "lang"), "lang", alpha=0.3,
+        target_total=30.0).localCheckpoint(eager=True)
+
+    stream = _chunked_replay(spark, tmp_path, rows, schema, (20, 40),
+                             "smp")
+    outs = {}
+    for name, out in (
+        ("sbern", streaming_bernoulli_sample(
+            stream, "doc_id", 0.3, stratum_col="lang",
+            stratum_rates={"en": 0.6})),
+        ("smix", streaming_temperature_mix(stream, rates,
+                                           tag_col="lang")),
+    ):
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / f"{name}_ck"))
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination()
+            outs[name] = {r["doc_id"]
+                          for r in spark.table(name).collect()}
+        finally:
+            q.stop()
+            spark.catalog.dropTempView(name)
+    assert outs["sbern"] == b_bern
+    assert outs["smix"] == b_mix
+
+
 def test_streaming_domain_cap_string_ids(spark, tmp_path):
     """String/uuid ids pass through UNCAST (the bm25 r11 rule — a long
     cast would silently null them and the documented join-back would

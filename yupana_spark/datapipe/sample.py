@@ -423,25 +423,47 @@ def temperature_mix_sample(df: DataFrame, tag_col: str, id_col: str,
     the per-tag rates keeps keyed rows only)."""
     if {"__n", "__rate"} & set(df.columns):
         raise ValueError("__n/__rate are reserved by temperature_mix_sample")
-    if not (0.0 < cap <= 1.0):
-        raise ValueError(f"cap must be in (0, 1], got {cap!r}")
-    if target_total is not None and not target_total > 0.0:
-        raise ValueError(f"target_total must be > 0, got {target_total!r}")
     # cache_key switches the per-tag counts to the train-once artifact
     # path (mix_tag_counts) — the corpus-wide groupBy fit runs at most
     # once per (session, corpus), zero times on a warm warehouse
     sz = mix_tag_counts(df, tag_col, cache_key, store, store_token)
-    z = sz.agg(F.sum(F.pow(F.col("__n"), F.lit(float(alpha))))
-               .alias("__z"),
-               F.sum("__n").alias("__t"))
+    rt = temperature_mix_rates(sz, tag_col, alpha, target_total, cap)
+    return _mix_membership(df, rt, tag_col, id_col)
+
+
+def temperature_mix_rates(counts: DataFrame, tag_col: str,
+                          alpha: float = 0.3,
+                          target_total: Optional[float] = None,
+                          cap: float = 1.0) -> DataFrame:
+    """(tag_col, __n, __rate) from a per-tag counts frame
+    (``mix_tag_counts``) — the temperature-mix rate table as its own
+    bounded frame, so an ONLINE sampler can freeze it as an artifact
+    and admit arriving rows with the identical md5-threshold membership
+    (streaming/sample.py).  The expressions are exactly the in-plan
+    ones ``temperature_mix_sample`` always used, so the derived rates —
+    and therefore the selected subset — are bit-identical."""
+    if not (0.0 < cap <= 1.0):
+        raise ValueError(f"cap must be in (0, 1], got {cap!r}")
+    if target_total is not None and not target_total > 0.0:
+        raise ValueError(f"target_total must be > 0, got {target_total!r}")
+    z = counts.agg(F.sum(F.pow(F.col("__n"), F.lit(float(alpha))))
+                   .alias("__z"),
+                   F.sum("__n").alias("__t"))
     tt = (F.col("__t").cast("double") if target_total is None
           else F.lit(float(target_total)))
-    rt = (sz.crossJoin(F.broadcast(z))
-          .select(tag_col, "__n",
-                  F.least(F.lit(float(cap)),
-                          tt * F.pow(F.col("__n"), F.lit(alpha - 1.0))
-                          / F.col("__z")).alias("__rate")))
-    joined = df.join(rt, tag_col)
+    return (counts.crossJoin(F.broadcast(z))
+            .select(tag_col, "__n",
+                    F.least(F.lit(float(cap)),
+                            tt * F.pow(F.col("__n"), F.lit(alpha - 1.0))
+                            / F.col("__z")).alias("__rate")))
+
+
+def _mix_membership(df: DataFrame, rates: DataFrame, tag_col: str,
+                    id_col: str) -> DataFrame:
+    """Join the bounded rate table and keep rows whose md5 prefix falls
+    under their tag's threshold — shared by the batch sampler and its
+    streaming twin (identical expressions => identical selection)."""
+    joined = df.join(F.broadcast(rates), tag_col)
     # same truncation as rate_to_hex (int(rate * 0xFFFFFFFF), 8 hex);
     # the extra in-plan clamp is belt-and-braces — a rate above 1 would
     # hex-encode to 9+ digits and lpad would TRUNCATE it (advice r10)
