@@ -1100,6 +1100,7 @@ def q_stream_dedup(spark, sf_dir):
     property that keeps an always-on ingest alive (§2.9 extension; the
     reference's streaming surface is upsert ingestion only,
     yupana-spark/.../ETLFunctions.scala)."""
+    import os
     import shutil
     import tempfile
     import uuid
@@ -1255,6 +1256,14 @@ def q_stream_dedup(spark, sf_dir):
                 .write.mode("overwrite").parquet(csrc + "/a")
             csel.filter(F.col("doc_id") > mid).coalesce(2) \
                 .write.mode("overwrite").parquet(csrc + "/b")
+            # the file source orders by modification time — back-to-back
+            # writes can land in the same mtime granularity and
+            # interleave the chunks (advice r13), so pin a > b ordering
+            # with explicit, well-separated mtimes
+            for sub, ts in (("/a", 1_000_000_000), ("/b", 1_000_000_100)):
+                for root, _dirs, fns in os.walk(csrc + sub):
+                    for fn in fns:
+                        os.utime(os.path.join(root, fn), (ts, ts))
             cstream = (spark.readStream.schema(csel.schema)
                        .option("maxFilesPerTrigger", 2)
                        .parquet(csrc + "/*"))

@@ -1996,6 +1996,14 @@ def test_dsir_select_is_gumbel_top_k(spark):
     got = [r["doc_id"]
            for r in dsir_select(docs, target, k=k, n_buckets=256).collect()]
     assert sorted(got) == sorted(expect)
+    # EVERY dsir_select form returns descending-Gumbel-key order, incl.
+    # the keep_cols path whose enrich join would otherwise scramble the
+    # top-k order (advice r13) — the k-row re-sort restores it
+    assert got == expect
+    kept = dsir_select(docs, target, k=k, n_buckets=256,
+                       keep_cols=["text"]).collect()
+    assert [r["doc_id"] for r in kept] == expect
+    assert all(r["text"] is not None for r in kept)
 
 
 def test_dsir_row_local_matches_join_path(spark, tmp_path):
@@ -2829,6 +2837,29 @@ def test_temperature_mix_guards(spark):
         temperature_mix_sample(df, "src", "doc_id", cap=0.0)
     with pytest.raises(ValueError):
         temperature_mix_sample(df, "src", "doc_id", target_total=0.0)
+
+
+def test_temperature_mix_validates_before_fit(spark, tmp_path):
+    """An invalid cap raises BEFORE the counts fit runs (advice r13):
+    nothing is memoized or persisted for the bad call, so a store-backed
+    warehouse is not polluted by a fit that belongs to no valid query."""
+    import os
+
+    from yupana_spark.datapipe.artifacts import ArtifactStore
+    from yupana_spark.datapipe.sample import temperature_mix_sample
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "src"])
+    store = ArtifactStore(str(tmp_path))
+    with pytest.raises(ValueError, match="cap"):
+        temperature_mix_sample(df, "src", "doc_id", cap=2.0,
+                               cache_key="vbf", store=store,
+                               store_token="tok")
+    assert not any("mix_counts" in p for p in os.listdir(str(tmp_path)))
+    # the valid call afterwards fits and persists normally
+    assert temperature_mix_sample(df, "src", "doc_id", cache_key="vbf",
+                                  store=store,
+                                  store_token="tok").count() == 2
+    assert any("mix_counts" in p for p in os.listdir(str(tmp_path)))
 
 
 def test_temperature_mix_default_total_is_input_count(spark):

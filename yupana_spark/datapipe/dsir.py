@@ -500,18 +500,22 @@ def dsir_select(docs: DataFrame, target: DataFrame, k: int,
     key = gumbel_key(F.col(id_col), F.col("logw"))
     sel = (w.withColumn("__key", key)
            .orderBy(F.col("__key").desc(), F.col(id_col))
-           .limit(k)
-           .drop("__key"))
+           .limit(k))
     if keep_cols and not row_local:
         # enrich AFTER the top-k: the k-row selection broadcasts into one
         # docs scan (map-side hash join, no shuffle) instead of shuffle-
         # joining the full weights frame with docs before TakeOrdered —
         # ids come from docs, so inner == left here (r13; ~0.2 s at
-        # sf0.1 and a whole exchange at cluster scale)
+        # sf0.1 and a whole exchange at cluster scale).  The join breaks
+        # the selection order, so re-sort by the carried key — a k-row
+        # sort, free at any corpus size (advice r13: every dsir_select
+        # form returns descending-key order)
         sel = (docs.select(id_col, *keep_cols)
                .join(F.broadcast(sel), id_col, "inner")
+               .orderBy(F.col("__key").desc(), F.col(id_col))
                .select(id_col, "logw", "n_grams", *keep_cols))
-    return sel
+        return sel
+    return sel.drop("__key")
 
 
 def expected_gram_count(text: str, bigrams: bool = True) -> int:

@@ -341,6 +341,16 @@ def mix_corpora(corpora, id_col: str = "doc_id",
 _MIX_CACHE: dict = {}
 
 
+def _validate_mix_params(target_total, cap) -> None:
+    """Shared cap/target_total contract for the temperature-mix entry
+    points — cap is a per-row keep PROBABILITY (the md5-threshold
+    encoding is only defined on [0, 1]; advice r10)."""
+    if not (0.0 < cap <= 1.0):
+        raise ValueError(f"cap must be in (0, 1], got {cap!r}")
+    if target_total is not None and not target_total > 0.0:
+        raise ValueError(f"target_total must be > 0, got {target_total!r}")
+
+
 def mix_tag_counts(df: DataFrame, tag_col: str,
                    cache_key: Optional[str] = None, store=None,
                    store_token: Optional[str] = None) -> DataFrame:
@@ -423,6 +433,10 @@ def temperature_mix_sample(df: DataFrame, tag_col: str, id_col: str,
     the per-tag rates keeps keyed rows only)."""
     if {"__n", "__rate"} & set(df.columns):
         raise ValueError("__n/__rate are reserved by temperature_mix_sample")
+    # validate cap/target_total BEFORE the counts fit: an invalid cap
+    # must not fire (and, with store, persist) the corpus-wide groupBy
+    # first (advice r13)
+    _validate_mix_params(target_total, cap)
     # cache_key switches the per-tag counts to the train-once artifact
     # path (mix_tag_counts) — the corpus-wide groupBy fit runs at most
     # once per (session, corpus), zero times on a warm warehouse
@@ -442,10 +456,7 @@ def temperature_mix_rates(counts: DataFrame, tag_col: str,
     (streaming/sample.py).  The expressions are exactly the in-plan
     ones ``temperature_mix_sample`` always used, so the derived rates —
     and therefore the selected subset — are bit-identical."""
-    if not (0.0 < cap <= 1.0):
-        raise ValueError(f"cap must be in (0, 1], got {cap!r}")
-    if target_total is not None and not target_total > 0.0:
-        raise ValueError(f"target_total must be > 0, got {target_total!r}")
+    _validate_mix_params(target_total, cap)
     z = counts.agg(F.sum(F.pow(F.col("__n"), F.lit(float(alpha))))
                    .alias("__z"),
                    F.sum("__n").alias("__t"))
