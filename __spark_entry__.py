@@ -1094,6 +1094,13 @@ def q_stream_dedup(spark, sf_dir):
       first-N-by-id frame (diff 0) and the admitted count is
       value-oracled as sum(min(8, |domain|)) recomputed by DuckDB from
       the injection rule.
+    * annprobe_* / semprobe_*: a sixth run — STREAMING ANN + SemDeDup
+      PROBES (streaming/simsearch.py, judge r13 #5): the embeddings
+      fixture plus one planted exact duplicate replay through the
+      frozen IVF/PQ artifacts; streamed == batch (diff oracles 0), the
+      probe query's own vector must land in its probe set, and the
+      planted duplicate must be flagged against its original at
+      cosine 1.0.
 
     The watermark horizon (10 years) exceeds the slice span so no row is
     late; state is still evicted by event time at production horizons — the
@@ -1294,6 +1301,76 @@ def q_stream_dedup(spark, sf_dir):
             shutil.rmtree(csrc, ignore_errors=True)
             shutil.rmtree(cck, ignore_errors=True)
             spark.catalog.dropTempView(csink)
+        # sixth run: STREAMING ANN + SemDeDup PROBES
+        # (streaming/simsearch.py, judge r13 #5) — the embeddings
+        # fixture plus one PLANTED exact duplicate of the probe vector
+        # replay through the FROZEN index artifacts (coarse centroids,
+        # PQ codebooks, per-cell member table; all memoized train-once
+        # fits).  Both probes are STATELESS Column/pandas expressions,
+        # so streamed == batch bit-for-bit (diff oracles 0); the probe
+        # vector itself must be probed (its cell is the nearest
+        # centroid by construction) and the planted duplicate must be
+        # flagged against its original with cosine 1.0.
+        from yupana_spark.streaming.simsearch import (
+            streaming_ann_probe, streaming_semdedup_probe)
+
+        centers, books, members = _sem_probe_arts(spark, sf_dir)
+        emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+        qv = [float(x) for x in _query_vec(spark, sf_dir)]
+        planted = emb.filter("vec_id = 0").select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")
+        arrivals = emb.unionByName(planted)
+        asink = "qsa_" + uuid.uuid4().hex[:8]
+        asrc = tempfile.mkdtemp(prefix="ystream_asrc_")
+        ack = tempfile.mkdtemp(prefix="ystream_ack_")
+        ack2 = tempfile.mkdtemp(prefix="ystream_ack2_")
+        ssink = "qss_" + uuid.uuid4().hex[:8]
+        try:
+            half = arrivals.filter(F.col("vec_id") % 2 == 0)
+            half.coalesce(1).write.mode("overwrite") \
+                .parquet(asrc + "/a")
+            arrivals.filter(F.col("vec_id") % 2 == 1).coalesce(1) \
+                .write.mode("overwrite").parquet(asrc + "/b")
+            astream = (spark.readStream.schema(arrivals.schema)
+                       .option("maxFilesPerTrigger", 1)
+                       .parquet(asrc + "/*"))
+            aq = (streaming_ann_probe(astream, centers, books, qv,
+                                      nprobe=4)
+                  .writeStream.format("memory").queryName(asink)
+                  .outputMode("append")
+                  .option("checkpointLocation", ack)
+                  .trigger(availableNow=True).start())
+            sq = (streaming_semdedup_probe(astream, members, centers,
+                                           threshold=0.95)
+                  .writeStream.format("memory").queryName(ssink)
+                  .outputMode("append")
+                  .option("checkpointLocation", ack2)
+                  .trigger(availableNow=True).start())
+            aq.awaitTermination()
+            sq.awaitTermination()
+            a_str = spark.table(asink).localCheckpoint(eager=True)
+            s_str = spark.table(ssink).localCheckpoint(eager=True)
+            a_bat = streaming_ann_probe(arrivals, centers, books, qv,
+                                        nprobe=4)
+            s_bat = streaming_semdedup_probe(arrivals, members, centers,
+                                             threshold=0.95)
+            acols, scols = a_bat.columns, s_bat.columns
+            ann_diff = (a_bat.join(a_str, acols, "left_anti").count()
+                        + a_str.join(a_bat, acols, "left_anti").count())
+            sem_diff = (s_bat.join(s_str, scols, "left_anti").count()
+                        + s_str.join(s_bat, scols, "left_anti").count())
+            ann_q_probed = a_str.filter(
+                (F.col("id") == 0) & F.col("probed")).count()
+            sem_planted = s_str.filter(
+                (F.col("id") == 10_000_000) & F.col("is_dup")
+                & (F.col("best_id") == 0)
+                & (F.col("best_cos") >= 0.999999)).count()
+        finally:
+            shutil.rmtree(asrc, ignore_errors=True)
+            shutil.rmtree(ack, ignore_errors=True)
+            shutil.rmtree(ack2, ignore_errors=True)
+            spark.catalog.dropTempView(asink)
+            spark.catalog.dropTempView(ssink)
     finally:
         # memory sinks buffer their streamed rows in the session catalog —
         # repeated bench passes must not accumulate qs*_<uuid> temp views
@@ -1311,7 +1388,11 @@ def q_stream_dedup(spark, sf_dir):
          ("lsh_batch_minus_streaming", lsh_missing),  # oracle: 0
          ("lsh_streaming_saw_pairs", lsh_saw),        # oracle: 1
          ("domcap_stream_vs_batch_diff", cap_diff),   # oracle: 0
-         ("domcap_admitted", cap_admitted)],  # oracle: sum(min(8,|dom|))
+         ("domcap_admitted", cap_admitted),  # oracle: sum(min(8,|dom|))
+         ("annprobe_stream_vs_batch_diff", ann_diff),  # oracle: 0
+         ("annprobe_query_probed", ann_q_probed),      # oracle: 1
+         ("semprobe_stream_vs_batch_diff", sem_diff),  # oracle: 0
+         ("semprobe_planted_dup_found", sem_planted)],  # oracle: 1
         "chk string, val bigint")
 
 
@@ -1400,6 +1481,9 @@ def dp_text_stats(spark, sf_dir):
     deterministically derived multi-line view: n_lines / n_dup_lines /
     dup_line_ratio / cleaned_lines_len), and the composed corpus_keep
     decision.  Was dp_token_count + dp_quality."""
+    from yupana_spark.datapipe.filters import \
+        repetition_flag as _repetition_flag
+    from yupana_spark.datapipe.text import lang_id as _lang_id
     from yupana_spark.datapipe.text import (bpe_token_count, c4_rules,
                                             line_shape_stats,
                                             ngram_char_frac_cols, pii_counts,
@@ -1528,6 +1612,17 @@ def dp_text_stats(spark, sf_dir):
         # the row-local BM25 probe score (see the probe fit above) —
         # rides the one base scan, no explode, no join
         bm25_score_col(F.col("__bw"), probe).alias("bm25_probe"),
+        # corpus_keep's ROW-LOCAL signals ride this same scan (r14): the
+        # former separate corpus_keep subtree re-scanned the full text
+        # for quality_score/lang_id/repetition_flag (~3 s of duplicated
+        # scan CPU at 10x) and joined the verdict back on doc_id; the
+        # decision now composes in the final select via the SAME
+        # keep_reasons definition (filters.keep_reasons — the one shared
+        # with the streaming twin), pinned equal to corpus_keep in
+        # test_text_stats_inline_keep_matches_corpus_keep
+        _lang_id(F.col("text")).alias("__lang"),
+        _repetition_flag(F.col("text"), word_array=F.col("__lw"))
+        .alias("__rp"),
         # Gopher n-gram repetition fractions (text.ngram_char_frac_cols):
         # top-2-gram char mass and duplicated-5-gram char mass — WITHIN-
         # document folds since r12, so they ride this same scan over the
@@ -1641,40 +1736,34 @@ def dp_text_stats(spark, sf_dir):
               .select("doc_id", "n_lines", "n_dup_lines", "dup_line_ratio",
                       "dup_line_char_ratio",
                       F.col("cleaned_len").alias("cleaned_lines_len")))
-    # the COMPOSED pipeline decision (datapipe/filters.corpus_keep):
-    # quality + language + exact-dup + decontamination -> keep/reasons,
-    # every rule recomputed arithmetically by the oracle
-    from yupana_spark.datapipe.filters import corpus_keep
+    # the COMPOSED pipeline decision, semantically corpus_keep
+    # (datapipe/filters.corpus_keep) but composed IN-PLAN (r14): the
+    # row-local signals (quality_score / lang_id / repetition_flag)
+    # ride the base scan above instead of a second full text scan, the
+    # 'contaminated' rule IS the dcs frame's n_contaminated > 0 (the
+    # same membership corpus_keep's flag join used, r12), the
+    # 'duplicate' rule joins the narrow is_duplicate frame derived from
+    # the memoized ingest-time fingerprint index, and keep/reasons
+    # compose in the final select via the ONE shared keep_reasons
+    # definition — deleting corpus_keep's duplicate scan AND its
+    # verdict-side join (pinned equal to the operator in
+    # test_text_stats_inline_keep_matches_corpus_keep; every rule is
+    # still recomputed arithmetically by the oracle)
+    from yupana_spark.datapipe.filters import keep_reasons
 
-    # the 'contaminated' rule reuses the decontamination pass above
-    # (contamination_frac > 0 IS the contaminated_ids membership;
-    # corpus_keep re-deriving its own gram explode was a duplicate
-    # corpus scan — r12, fed from the checkpointed dc frame) and the
-    # 'duplicate' rule reuses the memoized ingest-time fingerprint
-    # index (corpus_keep's internal exact_dedup re-fingerprinted the
-    # full text twice per pass; the min-id aggregate + join now runs
-    # over the narrow checkpointed (doc_id, fp) frame dp_exact_dedup
-    # already maintains)
     fpd = _fp_index(spark, sf_dir)[0]
     dupf = (fpd.join(fpd.groupBy("fp").agg(F.min("doc_id").alias("__k")),
                      "fp")
-            .select(F.col("doc_id").alias("id"),
+            .select("doc_id",
                     (F.col("doc_id") != F.col("__k"))
                     .alias("is_duplicate")))
-    keep = (corpus_keep(docs, min_quality=0.7, langs=("en",),
-                        rep_rule=True,
-                        contaminated_flags=dcs
-                        .filter(F.col("n_contaminated") > 0)
-                        .select(F.col("doc_id").alias("id")),
-                        dup_flags=dupf)
-            .withColumnRenamed("id", "doc_id"))
     # join the NARROW starts/stats frames, then rebuild BOTH edits
     # row-locally from the one staged __bw (r12: the former es/dc frames
     # each re-normalized the corpus and joined a wide rebuilt frame)
     joined = (base.join(ess, "doc_id", "left")
               .join(dcs, "doc_id", "left")
               .join(lstats, "doc_id", "left")
-              .join(keep, "doc_id", "left"))
+              .join(dupf, "doc_id", "left"))
     bw = F.col("__bw")
     es_r = cut_rebuild_cols(bw, F.col("__es_ps"), 8, "es_")
     dc_r = cut_rebuild_cols(bw, F.col("__dc_ps"), 8, "dc_")
@@ -1684,8 +1773,15 @@ def dp_text_stats(spark, sf_dir):
     nds = F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long")
     ncont = F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long")
     cfr = F.round(ncont / shingles, 6)
+    reasons = keep_reasons(
+        ncont > 0,
+        F.coalesce(F.col("is_duplicate"), F.lit(False)),
+        ~F.col("__lang").isin("en"),
+        F.col("quality"), 0.7,
+        rep_high=F.col("__rp"))
     return joined.select(
-        *[c for c in base.columns if c != "__bw"],
+        *[c for c in base.columns
+          if c not in ("__bw", "__lang", "__rp")],
         es_r[1], es_r[2], F.md5(es_r[3]).alias("es_cleaned_md5"),
         shingles.alias("n_spans"), nds.alias("n_dup_spans"),
         F.round(nds / shingles, 6).alias("dup_span_ratio"),
@@ -1693,7 +1789,9 @@ def dp_text_stats(spark, sf_dir):
         cfr.alias("contamination_frac"),
         (cfr > 0).alias("contaminated"),
         "n_lines", "n_dup_lines", "dup_line_ratio", "dup_line_char_ratio",
-        "cleaned_lines_len", "keep", "reasons")
+        "cleaned_lines_len",
+        (F.length(reasons) == 0).alias("keep"),
+        reasons.alias("reasons"))
 
 
 def dp_lang_id(spark, sf_dir):
@@ -1894,6 +1992,37 @@ _ES_INDEX: dict = {}
 #: (h, c, k0)); above it the shuffled equi-join stands
 _ES_BCAST_GATE = 1_000_000
 _GRAM_VOCAB: dict = {}
+
+
+_SEM_PROBE_ARTS: dict = {}
+
+
+def _sem_probe_arts(spark, sf_dir):
+    """Frozen index artifacts for the streaming ANN/SemDeDup probe run
+    (q_stream_dedup): coarse centroids, PQ codebooks, and the per-cell
+    member table — all train-once fits on the immutable embeddings
+    fixture, memoized per (session, corpus) like the other index
+    artifacts; the probes themselves stay live every pass."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SEM_PROBE_ARTS.get(key)
+    if hit is None:
+        from yupana_spark.datapipe.dedup import ivf_assignment
+        from yupana_spark.datapipe.simsearch import kmeans_fit, pq_fit
+        from yupana_spark.streaming.simsearch import prepare_cell_members
+
+        emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+        n_emb = _fixture_count(spark, sf_dir, "embeddings", emb)
+        ck = "qsd_probe_" + sf_dir
+        centers = kmeans_fit(emb, 8, id_col="vec_id", seed=7, n=n_emb,
+                             cache_key=ck)
+        books = pq_fit(emb, m=8, id_col="vec_id", n=n_emb, cache_key=ck)
+        members = prepare_cell_members(
+            ivf_assignment(emb, id_col="vec_id", n_centroids=8,
+                           m_assign=1, n=n_emb, cache_key=ck)
+        ).localCheckpoint(eager=True)
+        hit = (centers, books, members)
+        _SEM_PROBE_ARTS[key] = hit
+    return hit
 
 
 def _query_vec(spark, sf_dir):
@@ -3478,6 +3607,10 @@ _ORACLES_REL: dict[str, str] = {
                                GROUP BY source ||
                                  CASE WHEN doc_id % 3 = 0 THEN '.co.uk'
                                       ELSE '.com' END) d
+        UNION ALL SELECT 'annprobe_stream_vs_batch_diff', 0
+        UNION ALL SELECT 'annprobe_query_probed', 1
+        UNION ALL SELECT 'semprobe_stream_vs_batch_diff', 0
+        UNION ALL SELECT 'semprobe_planted_dup_found', 1
     """,
 }
 _ORACLES_DP: dict[str, str] = {

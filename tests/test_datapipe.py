@@ -1618,6 +1618,69 @@ def test_corpus_keep_reasons(spark):
     assert got2[1] == (True, "")
 
 
+def test_text_stats_inline_keep_matches_corpus_keep(spark):
+    """dp_text_stats composes the keep decision IN-PLAN (r14): the
+    row-local signals ride the base scan and keep/reasons assemble via
+    the shared filters.keep_reasons — this pins that composition equal
+    to the corpus_keep OPERATOR, rule for rule, on a corpus where every
+    bundled rule fires (contaminated / duplicate / lang / low_quality /
+    repetition)."""
+    from yupana_spark.datapipe.dedup import decontaminate_cut_starts
+    from yupana_spark.datapipe.filters import (corpus_keep, keep_reasons,
+                                               repetition_flag)
+    from yupana_spark.datapipe.text import lang_id, quality_score
+    from yupana_spark.datapipe.text import words as _words
+
+    good = ("the quick brown fox jumps over the lazy dog and runs far "
+            "into the quiet green field for a long while today")
+    rows = [
+        (1, good),                       # clean -> keep
+        (2, good),                       # duplicate (higher id drops)
+        (3, "der hund und die katze sind mit dem auto zu dem haus "
+            "gefahren und bleiben dort mit den kindern"),  # lang
+        (4, "!!! ??? ### $$$ %%%"),      # low quality
+        (5, " ".join(["spam"] * 40)),    # repetition
+        (6, None),                       # NULL text
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    evals = docs.filter(F.col("doc_id") == 1)
+    want = {r["id"]: (r["keep"], r["reasons"])
+            for r in corpus_keep(docs, min_quality=0.7, langs=("en",),
+                                 rep_rule=True,
+                                 eval_docs=evals).collect()}
+    # the bundle's composition: dcs membership for 'contaminated',
+    # fingerprint min-id for 'duplicate', base-scan signals for the rest
+    from yupana_spark.datapipe.text import fingerprint_md5
+
+    dcs = (decontaminate_cut_starts(docs, evals)
+           .select(F.col("id").alias("doc_id"), "n_contaminated"))
+    fpd = docs.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
+    dupf = (fpd.join(fpd.groupBy("fp").agg(F.min("doc_id").alias("__k")),
+                     "fp")
+            .select("doc_id", (F.col("doc_id") != F.col("__k"))
+                    .alias("is_duplicate")))
+    staged = docs.withColumn("__lw", _words(F.lower(F.col("text"))))
+    reasons = keep_reasons(
+        F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0,
+        F.coalesce(F.col("is_duplicate"), F.lit(False)),
+        ~lang_id(F.col("text")).isin("en"),
+        quality_score(F.col("text")), 0.7,
+        rep_high=repetition_flag(F.col("text"),
+                                 word_array=F.col("__lw")))
+    got = {r["doc_id"]: (r["keep"], r["reasons"])
+           for r in (staged.join(dcs, "doc_id", "left")
+                     .join(dupf, "doc_id", "left")
+                     .select("doc_id",
+                             (F.length(reasons) == 0).alias("keep"),
+                             reasons.alias("reasons"))).collect()}
+    assert {k: got[k] for k in want} == want
+    # the rules all actually fired somewhere (non-vacuous corpus)
+    fired = ",".join(r for _, r in got.values())
+    for rule in ("contaminated", "duplicate", "lang", "low_quality",
+                 "repetition"):
+        assert rule in fired, (rule, got)
+
+
 def test_duplicated_line_stats_narrow_matches_rebuild(spark):
     """rebuild=False must agree with the rebuilt form on every stat and
     report EXACTLY length(cleaned) — including blank-line structure,

@@ -123,7 +123,11 @@ def test_stream_dedup_entry_verdict(spark):
                    "lsh_batch_minus_streaming": 0,
                    "lsh_streaming_saw_pairs": 1,
                    "domcap_stream_vs_batch_diff": 0,
-                   "domcap_admitted": got["domcap_admitted"]}
+                   "domcap_admitted": got["domcap_admitted"],
+                   "annprobe_stream_vs_batch_diff": 0,
+                   "annprobe_query_probed": 1,
+                   "semprobe_stream_vs_batch_diff": 0,
+                   "semprobe_planted_dup_found": 1}
     assert agg["d"] > 0
     # the admitted count matches an independent batch recomputation of
     # sum(min(8, |domain|)) under the same URL injection rule

@@ -452,20 +452,16 @@ def pq_encode(vec_col: Column, codebooks: np.ndarray) -> Column:
     return codes(vec_col)
 
 
-def pq_topk(encoded: DataFrame, codebooks: np.ndarray,
-            query_vec: Sequence[float], k: int = 10,
-            shortlist: int = 100, vec_col: str = "embedding",
-            id_col: str = "vec_id", code_col: str = "pq_code") -> DataFrame:
-    """ADC top-k: score every vector from its ``m``-byte code via a
-    query-side lookup table (LUT[j][c] = <q_j, book[j][c]>, so the code sum
-    approximates cosine against the normalized corpus), shortlist the best
-    ``shortlist`` codes, then rerank the shortlist with EXACT cosine on the
-    raw vectors — the standard production shape: the full corpus is touched
-    only through its codes (narrow scan, no vector I/O), exact math runs on
-    ``shortlist`` rows.
-    """
+def adc_score_col(code_col: Column, codebooks: np.ndarray,
+                  query_vec: Sequence[float]) -> Column:
+    """ADC score of a PQ code against ``query_vec``: the query-side
+    lookup table ``LUT[j][c] = <q_j, book[j][c]>`` folds each ``m``-byte
+    code to the approximate cosine with one vectorized gather per Arrow
+    batch.  Factored out of :func:`pq_topk` so the STREAMING probe
+    (streaming/simsearch.py) scores arriving vectors with the identical
+    expression — stateless, no join, append-mode-safe."""
     B = np.asarray(codebooks, dtype=np.float64)
-    m, ks, dsub = B.shape
+    m, _ks, dsub = B.shape
     qv = np.asarray(query_vec, dtype=np.float64)
     qv = qv / max(float(np.linalg.norm(qv)), 1e-300)
     lut = np.stack([B[j] @ qv[j * dsub:(j + 1) * dsub]
@@ -478,7 +474,24 @@ def pq_topk(encoded: DataFrame, codebooks: np.ndarray,
         C = np.stack([np.asarray(c, dtype=np.int64) for c in codes])
         return pd.Series(lut[np.arange(m)[None, :], C].sum(axis=1))
 
-    ids = (encoded.select(F.col(id_col), adc(F.col(code_col)).alias("__adc"))
+    return adc(code_col)
+
+
+def pq_topk(encoded: DataFrame, codebooks: np.ndarray,
+            query_vec: Sequence[float], k: int = 10,
+            shortlist: int = 100, vec_col: str = "embedding",
+            id_col: str = "vec_id", code_col: str = "pq_code") -> DataFrame:
+    """ADC top-k: score every vector from its ``m``-byte code via a
+    query-side lookup table (LUT[j][c] = <q_j, book[j][c]>, so the code sum
+    approximates cosine against the normalized corpus), shortlist the best
+    ``shortlist`` codes, then rerank the shortlist with EXACT cosine on the
+    raw vectors — the standard production shape: the full corpus is touched
+    only through its codes (narrow scan, no vector I/O), exact math runs on
+    ``shortlist`` rows.
+    """
+    ids = (encoded.select(F.col(id_col),
+                          adc_score_col(F.col(code_col), codebooks,
+                                        query_vec).alias("__adc"))
            .orderBy(F.col("__adc").desc(), F.col(id_col))
            .limit(shortlist)
            .select(id_col))
