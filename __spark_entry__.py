@@ -1481,8 +1481,6 @@ def dp_text_stats(spark, sf_dir):
     deterministically derived multi-line view: n_lines / n_dup_lines /
     dup_line_ratio / cleaned_lines_len), and the composed corpus_keep
     decision.  Was dp_token_count + dp_quality."""
-    from yupana_spark.datapipe.filters import \
-        repetition_flag as _repetition_flag
     from yupana_spark.datapipe.text import lang_id as _lang_id
     from yupana_spark.datapipe.text import (bpe_token_count, c4_rules,
                                             line_shape_stats,
@@ -1540,14 +1538,20 @@ def dp_text_stats(spark, sf_dir):
     # column (r13: wdd columns alone 0.31 s -> 0.21 s at sf0.1)
     docs = (docs.withColumn("__lw", _words(F.lower(F.col("text"))))
             .withColumn("__bw", _words_safe(F.col("text")))
+            # the lined replacement is shared by the __lsv and __wddv
+            # views — staged once so the regexp runs once per row, not
+            # once per consuming view (r14; the same CollapseProject
+            # multi-reference rule that stages the views themselves)
+            .withColumn("__ln",
+                        F.regexp_replace(F.col("text"), " spark ", "\n"))
             .withColumn("__lsv", F.concat(
-                F.regexp_replace(F.col("text"), " spark ", "\n"),
+                F.col("__ln"),
                 F.when(did % 4 == 0, F.lit("\n• bullet arm"))
                 .otherwise(F.lit("")),
                 F.when(did % 6 == 0, F.lit("\nand then ..."))
                 .otherwise(F.lit(""))))
             .withColumn("__wddv", F.concat(
-                F.regexp_replace(F.col("text"), " spark ", "\n"),
+                F.col("__ln"),
                 F.when(did % 8 == 0,
                        F.lit("\nrepeat me here\nrepeat me here"))
                 .otherwise(F.lit("")),
@@ -1564,6 +1568,10 @@ def dp_text_stats(spark, sf_dir):
                 .otherwise(F.lit("")))))
     rep = repetition_stats(F.col("__lw"), as_words=True)
     _line_shape = line_shape_stats(F.col("__lsv"))
+    # plain-text line shape for the keep decision's repetition rule
+    # (the __lsv view above carries injected bullet/ellipsis arms the
+    # rule must not see — corpus_keep evaluates the raw text)
+    _ls0 = line_shape_stats(F.col("text"))
     # WITHIN-doc duplicate line/paragraph fractions (Gopher A1.1 rows the
     # corpus-wide lstats do not cover) over the same lined view, with
     # deterministic repeats injected (%8: duplicate line pair, %10:
@@ -1619,10 +1627,20 @@ def dp_text_stats(spark, sf_dir):
         # decision now composes in the final select via the SAME
         # keep_reasons definition (filters.keep_reasons — the one shared
         # with the streaming twin), pinned equal to corpus_keep in
-        # test_text_stats_inline_keep_matches_corpus_keep
+        # test_text_stats_inline_keep_matches_corpus_keep.  The Gopher
+        # repetition rule decomposes over base's OWN staged rep columns
+        # (dup_word_ratio / dup_trigram_ratio above) plus the three
+        # PLAIN-text shape signals staged here — repetition_flag's HOF
+        # folds get no subexpression elimination, so calling the packaged
+        # flag alongside the rep columns paid the trigram fold twice
+        # (~1 s at 10x); the oracle recomputes the composed rule
+        # arithmetically, so drift from filters.repetition_flag's
+        # definition flips the hash
         _lang_id(F.col("text")).alias("__lang"),
-        _repetition_flag(F.col("text"), word_array=F.col("__lw"))
-        .alias("__rp"),
+        symbol_word_ratio(F.col("text"), word_array=F.col("__lw"))
+        .alias("__sw0"),
+        _ls0["bullet_line_ratio"].alias("__bl0"),
+        _ls0["ellipsis_line_ratio"].alias("__el0"),
         # Gopher n-gram repetition fractions (text.ngram_char_frac_cols):
         # top-2-gram char mass and duplicated-5-gram char mass — WITHIN-
         # document folds since r12, so they ride this same scan over the
@@ -1652,36 +1670,21 @@ def dp_text_stats(spark, sf_dir):
     # et al. 2020 app. C) whose boolean cousin is `contaminated`; eval-
     # slice docs score 1.0 and empty themselves (full self-overlap) —
     # both laws the oracle reproduces from gram strings.
+    # r14: the ExactSubstr starts AND the decontamination starts come
+    # from ONE fused pass (dedup.cut_starts_fused) — the two families
+    # posexplode the identical ngram_hashes(__bw, 8), so the split form
+    # paid the staged scan, the 8-word gram hashing, and a groupBy(id)
+    # exchange TWICE; fusing kills one of each (the r13 rejection of the
+    # checkpointed-occurrence variant demanded an exchange die — here
+    # one does).  The r12 dcs localCheckpoint diamond is gone too: with
+    # the keep decision inline (above), the fused frame has exactly ONE
+    # consumer, so nothing re-executes and nothing needs pinning.
+    # ExactSubstr semantics unchanged (duplicated 8-gram occurrences
+    # cut, one canonical min-(id,pos) copy kept; the fixture carries
+    # real cross-doc spans) and the oracle still recomputes stats AND
+    # both edits from gram strings.
     from yupana_spark.datapipe.dedup import (cut_rebuild_cols,
-                                             decontaminate_cut_starts)
-
-    # the dcs frame feeds TWO consumers (the dc_* rebuild + corpus_keep's
-    # contaminated flags); their column-pruned twins are canonically
-    # DIFFERENT exchanges, so neither static ReuseExchange nor AQE stage
-    # reuse dedupes them — without an explicit materialization the whole
-    # decontamination pass ran twice (measured ~2x at 10x, r12).  The
-    # eager localCheckpoint runs FRESH inside every timed pass (this is a
-    # diamond materialization, not a cross-pass result cache); gc.collect
-    # drops the previous pass's py4j ref so the ContextCleaner reaps its
-    # dead blocks (the dp_neardup_scale posture)
-    import gc
-
-    gc.collect()
-    dcs = (decontaminate_cut_starts(docs, docs.filter(did % 97 == 0),
-                                    words_col="__bw")
-           .select(F.col("id").alias("doc_id"),
-                   F.col("__ps").alias("__dc_ps"), "n_contaminated")
-           .localCheckpoint(eager=True))
-    # ExactSubstr duplicated-span stats AND the span REMOVAL itself in
-    # ONE pass (dedup.exactsubstr_cut(with_span_stats=True), review r11
-    # — the stats are a second aggregation of the cut's own
-    # occurrence->count join): duplicated 8-gram occurrences cut, one
-    # canonical (min (id,pos)) copy kept — the fixture carries real
-    # cross-doc spans, so cuts are natural, not injected; the rebuilt
-    # document rides as its md5 (same huge-string posture as
-    # cleaned_lines_len) and the oracle recomputes stats AND edit from
-    # gram strings
-    from yupana_spark.datapipe.dedup import (exactsubstr_cut_starts,
+                                             cut_starts_fused,
                                              exactsubstr_index)
 
     # the duplicated-gram count index is the family's INGEST-TIME
@@ -1713,10 +1716,9 @@ def dp_text_stats(spark, sf_dir):
         if esi.limit(_ES_BCAST_GATE + 1).count() <= _ES_BCAST_GATE:
             esi = F.broadcast(esi)
         _ES_INDEX[esk] = esi
-    ess = (exactsubstr_cut_starts(docs, n=8, dup_index=esi,
-                                  words_col="__bw")
-           .select(F.col("id").alias("doc_id"),
-                   F.col("__ps").alias("__es_ps"), "n_dup_spans"))
+    ess = (cut_starts_fused(docs, docs.filter(did % 97 == 0),
+                            n=8, dup_index=esi, words_col="__bw")
+           .withColumnRenamed("id", "doc_id"))
     # RefinedWeb-style corpus-wide exact LINE dedup (duplicated_line_stats)
     # — the fixture texts are single-line, so a deterministic transform
     # both engines can compute (' spark ' -> newline) derives a multi-line
@@ -1761,7 +1763,6 @@ def dp_text_stats(spark, sf_dir):
     # row-locally from the one staged __bw (r12: the former es/dc frames
     # each re-normalized the corpus and joined a wide rebuilt frame)
     joined = (base.join(ess, "doc_id", "left")
-              .join(dcs, "doc_id", "left")
               .join(lstats, "doc_id", "left")
               .join(dupf, "doc_id", "left"))
     bw = F.col("__bw")
@@ -1773,15 +1774,22 @@ def dp_text_stats(spark, sf_dir):
     nds = F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long")
     ncont = F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long")
     cfr = F.round(ncont / shingles, 6)
+    # filters.repetition_flag's rule, decomposed over the staged columns
+    # (same bars, same strict comparisons — the oracle recomputes it)
+    rp = ((F.col("dup_word_ratio") > 0.3)
+          | (F.col("dup_trigram_ratio") > 0.2)
+          | (F.col("__sw0") > 0.1)
+          | (F.col("__bl0") > 0.9)
+          | (F.col("__el0") > 0.3))
     reasons = keep_reasons(
         ncont > 0,
         F.coalesce(F.col("is_duplicate"), F.lit(False)),
         ~F.col("__lang").isin("en"),
         F.col("quality"), 0.7,
-        rep_high=F.col("__rp"))
+        rep_high=rp)
     return joined.select(
         *[c for c in base.columns
-          if c not in ("__bw", "__lang", "__rp")],
+          if c not in ("__bw", "__lang", "__sw0", "__bl0", "__el0")],
         es_r[1], es_r[2], F.md5(es_r[3]).alias("es_cleaned_md5"),
         shingles.alias("n_spans"), nds.alias("n_dup_spans"),
         F.round(nds / shingles, 6).alias("dup_span_ratio"),

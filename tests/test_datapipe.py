@@ -1681,6 +1681,53 @@ def test_text_stats_inline_keep_matches_corpus_keep(spark):
         assert rule in fired, (rule, got)
 
 
+def test_cut_starts_fused_matches_operators(spark):
+    """cut_starts_fused == exactsubstr_cut_starts ⋈ decontaminate_cut_starts
+    on every column, across the edge corpus (NULL text, sub-n docs,
+    within-doc repeats, cross-doc dup spans, eval overlap, clean docs) —
+    the fused pass must reproduce the split operators' aggregates
+    exactly (fused emits one row per doc with empty arrays/zeros where
+    the split forms omit the row)."""
+    from yupana_spark.datapipe.dedup import (cut_starts_fused,
+                                             decontaminate_cut_starts,
+                                             exactsubstr_cut_starts)
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"{span} unique tail one two three four five six seven"),
+        (2, f"{span} other ending with completely different words here"),
+        (3, "short doc"),                                # sub-n gram
+        (4, None),                                       # NULL text
+        (5, f"{span} {span} repeated internally for the within doc case"),
+        (6, "fully clean document with nothing shared anywhere at all "
+            "and some more padding words to pass eight"),
+        (7, f"{span} unique tail one two three four five six seven"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    evals = spark.createDataFrame(
+        [(99, f"{span} unique tail one two")], "doc_id long, text string")
+    fused = {r["id"]: r for r in cut_starts_fused(docs, evals).collect()}
+    es = {r["id"]: r for r in exactsubstr_cut_starts(docs).collect()}
+    dc = {r["id"]: r for r in decontaminate_cut_starts(docs,
+                                                       evals).collect()}
+    assert set(fused) == {1, 2, 3, 4, 5, 6, 7}   # one row per doc
+    for i, f in fused.items():
+        if i in es:
+            assert sorted(f["__es_ps"]) == sorted(es[i]["__ps"]), i
+            assert f["n_dup_spans"] == es[i]["n_dup_spans"], i
+        else:
+            assert f["__es_ps"] == [] and f["n_dup_spans"] == 0, i
+        if i in dc:
+            assert sorted(f["__dc_ps"]) == sorted(dc[i]["__ps"]), i
+            assert f["n_contaminated"] == dc[i]["n_contaminated"], i
+        else:
+            assert f["__dc_ps"] == [] and f["n_contaminated"] == 0, i
+    # non-vacuous: the corpus exercises both families
+    assert any(f["n_dup_spans"] > 0 for f in fused.values())
+    assert any(f["n_contaminated"] > 0 for f in fused.values())
+    assert fused[6]["n_dup_spans"] == 0
+
+
 def test_duplicated_line_stats_narrow_matches_rebuild(spark):
     """rebuild=False must agree with the rebuilt form on every stat and
     report EXACTLY length(cleaned) — including blank-line structure,

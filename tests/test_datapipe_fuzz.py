@@ -551,6 +551,64 @@ def test_differential_exactsubstr_cut(spark, seed):
             assert got[i] == want[i], (seed, n, i, rows[i], got[i], want[i])
 
 
+@pytest.mark.parametrize("seed", [314, 2718])
+def test_differential_cut_starts_fused(spark, seed):
+    """The fused es+dc starts pass (r14) over random word-salad corpora
+    with injected shared phrases, twins, self-repeats and NULL/empty
+    docs equals the two split operators column-for-column, for n in
+    {2, 5} and a random eval slice — the one-explode one-aggregate fuse
+    must be a pure plan transformation."""
+    from yupana_spark.datapipe.dedup import (cut_starts_fused,
+                                             decontaminate_cut_starts,
+                                             exactsubstr_cut_starts)
+
+    rng = random.Random(seed)
+    vocab = ["the", "cat", "sat", "on", "mat", "dog", "ran", "far",
+             "blue", "sky", "x9", "qq"]
+    phrases = [" ".join(rng.choice(vocab) for _ in range(rng.randrange(2, 7)))
+               for _ in range(5)]
+    rows = []
+    for i in range(50):
+        kind = rng.randrange(5)
+        if kind == 0:
+            txt = (" ".join(rng.choice(vocab)
+                            for _ in range(rng.randrange(0, 15)))
+                   + " " + rng.choice(phrases) + " "
+                   + " ".join(rng.choice(vocab)
+                              for _ in range(rng.randrange(0, 8))))
+        elif kind == 1:
+            txt = rows[rng.randrange(len(rows))][1] if rows else "solo"
+        elif kind == 2:
+            txt = ", ".join(rng.choice(vocab).upper()
+                            for _ in range(rng.randrange(1, 10))) + "!"
+        elif kind == 3:
+            ph = rng.choice(phrases)
+            txt = " ".join([ph] * rng.randrange(2, 5))
+        else:
+            txt = rng.choice(["", "   ", "\t\n", None])
+        rows.append((i, txt))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mod = rng.randrange(5, 12)
+    evals = df.filter(F.col("doc_id") % mod == 0)
+    for n in (2, 5):
+        fused = {r["id"]: r
+                 for r in cut_starts_fused(df, evals, n=n).collect()}
+        es = {r["id"]: r
+              for r in exactsubstr_cut_starts(df, n=n).collect()}
+        dc = {r["id"]: r
+              for r in decontaminate_cut_starts(df, evals, n=n).collect()}
+        assert set(fused) == {i for i, _ in rows}
+        for i, f in fused.items():
+            e = es.get(i)
+            assert sorted(f["__es_ps"]) == \
+                (sorted(e["__ps"]) if e else []), (seed, n, i)
+            assert f["n_dup_spans"] == (e["n_dup_spans"] if e else 0)
+            d = dc.get(i)
+            assert sorted(f["__dc_ps"]) == \
+                (sorted(d["__ps"]) if d else []), (seed, n, i)
+            assert f["n_contaminated"] == (d["n_contaminated"] if d else 0)
+
+
 # -- bm25_scores: random corpora vs the pure-Python reference ---------------
 @pytest.mark.parametrize("seed", [20260815, 11])
 def test_differential_bm25(spark, seed):

@@ -40,14 +40,20 @@ def test_streaming_url_blocklist_matches_batch(spark, tmp_path):
         (4, "https://clean.site.co.uk/z"),
         (5, None),
         (6, "example.com.sg"),
+        # wildcard/exception grammar (r14): *.ck makes evil.ck a public
+        # suffix (so a.evil.ck keys to a.evil.ck — blocked below);
+        # !www.ck carves www.ck back out (x.www.ck keys to www.ck)
+        (7, "https://a.evil.ck/p"),
+        (8, "http://x.www.ck/q"),
     ]
     schema = "doc_id long, url string"
     docs = spark.createDataFrame(rows, schema)
-    blocked = spark.createDataFrame([("https://Example.COM.SG/l",)],
+    blocked = spark.createDataFrame([("https://Example.COM.SG/l",),
+                                     ("a.evil.ck",), ("www.ck",)],
                                     "domain string")
-    psl = prepare_psl(spark.createDataFrame([("com.sg",), ("co.uk",)],
-                                            "suffix string")) \
-        .localCheckpoint(eager=True)
+    psl = prepare_psl(spark.createDataFrame(
+        [("com.sg",), ("co.uk",), ("*.ck",), ("!www.ck",),
+         ("// comment",)], "suffix string")).localCheckpoint(eager=True)
     batch = {r["doc_id"]: (r["domain"], r["url_blocked"])
              for r in url_blocklist_flags(docs, blocked,
                                           psl=psl).collect()}
@@ -58,6 +64,8 @@ def test_streaming_url_blocklist_matches_batch(spark, tmp_path):
     assert batch[6] == ("example.com.sg", True)
     assert batch[2] == ("other.com", False)
     assert batch[5] == ("", False)
+    assert batch[7] == ("a.evil.ck", True)     # wildcard suffix + 1
+    assert batch[8] == ("www.ck", True)        # exception re-registers
 
     stream = _chunked_replay(spark, tmp_path, rows, schema, (2, 4), "bl")
     out = streaming_url_blocklist(stream, blocked, psl=psl)

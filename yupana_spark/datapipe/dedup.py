@@ -430,6 +430,58 @@ def decontaminate_cut_starts(df: DataFrame, eval_docs: DataFrame,
         F.count("*").cast("long").alias("n_contaminated"))
 
 
+def cut_starts_fused(df: DataFrame, eval_docs: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     n: int = 8, min_count: int = 2,
+                     dup_index: Optional[DataFrame] = None,
+                     words_col: Optional[str] = None) -> DataFrame:
+    """(id, __es_ps, n_dup_spans, __dc_ps, n_contaminated): the
+    ExactSubstr cut starts (:func:`exactsubstr_cut_starts`) AND the
+    decontamination cut starts (:func:`decontaminate_cut_starts`) from
+    ONE staged scan, ONE gram explode, and ONE groupBy(id) — the two
+    families posexplode the exact same ``ngram_hashes(__w, n)``, so a
+    pipeline consuming both (dp_text_stats) paid the scan, the 8-word
+    gram hashing, and a per-doc aggregation exchange twice for zero
+    semantic gain (r14; the r13 'share via a checkpointed occurrence
+    frame' variant was rejected because no exchange died — here one
+    groupBy(id) exchange and one full explode die outright).
+
+    Semantics are the two operators' verbatim, pinned by
+    test_cut_starts_fused_matches_operators: the dup join is LEFT (a
+    non-dup gram contributes nothing — the WHEN guards reproduce the
+    inner join's filtering inside the aggregate), the eval set is a
+    broadcast LEFT mark join, and the single aggregate emits both
+    start-position arrays and both counts.  One row per input doc —
+    clean/unique docs carry empty arrays and zero counts (the separate
+    operators omit those rows; consumers LEFT-join + coalesce either
+    way).  100 TB: the exchange carries per-doc position arrays once
+    instead of twice, and the broadcast sides are the same bounded
+    artifacts (dup-gram index, eval gram set) the split forms use."""
+    from .text import exploded_ngram_hashes, ngram_hashes
+
+    _require_packable_id(df, id_col, "cut_starts_fused")
+    staged = _pre_staged(df, text_col, id_col, words_col)
+    occ = (staged.select(
+        "id", F.posexplode(ngram_hashes(F.col("__w"), n)).alias("pos", "h"))
+        .withColumn("__k", _packed_key(F.col("id"), F.col("pos"))))
+    dup_cnt = (dup_index if dup_index is not None
+               else exactsubstr_index(df, text_col, id_col, n, min_count,
+                                      words_col=words_col))
+    ev = (exploded_ngram_hashes(eval_docs, text_col, n).distinct()
+          .withColumn("__ev", F.lit(True)))
+    j = (occ.join(dup_cnt, "h", "left")
+         .join(F.broadcast(ev), "h", "left"))
+    es_hit = (F.col("__c") >= min_count) & (F.col("__k") != F.col("__k0"))
+    return j.groupBy("id").agg(
+        F.collect_set(F.when(es_hit, F.col("pos"))).alias("__es_ps"),
+        F.sum(F.when(F.col("__c") > 1, 1).otherwise(0))
+        .cast("long").alias("n_dup_spans"),
+        F.collect_set(F.when(F.col("__ev"), F.col("pos")))
+        .alias("__dc_ps"),
+        F.sum(F.when(F.col("__ev"), 1).otherwise(0))
+        .cast("long").alias("n_contaminated"))
+
+
 def duplicated_line_stats(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", min_count: int = 2,
                           sep: str = "\n",
