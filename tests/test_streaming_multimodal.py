@@ -1,0 +1,90 @@
+"""Streaming perceptual-hash near-dup probe (streaming/multimodal.py):
+replay == batch parity against the frozen signature index, agreement
+with the batch pigeonhole near-pair pipeline, a planted exact re-encode,
+and a numpy hamming mirror."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _run(spark, tmp_path, out, name):
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / f"{name}_ck"))
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination()
+        return spark.table(name).collect()
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(name)
+
+
+def test_streaming_phash_probe_matches_batch(spark, tmp_path):
+    """Streamed probe verdicts over a chunked replay equal the batch
+    evaluation of the same frozen index; the is_dup id set equals the
+    batch image_near_pairs pipeline's pair-id set on a corpus
+    self-probe; a planted byte-identical copy is flagged at hamming 0
+    against its original; and best_hamming equals a numpy bit_count
+    mirror for every arrival."""
+    from yupana_spark.datapipe.multimodal import (image_blockhash,
+                                                  image_near_pairs,
+                                                  synth_codec_media_table)
+    from yupana_spark.streaming.multimodal import (prepare_phash_index,
+                                                   streaming_phash_probe)
+
+    docs = (spark.read.parquet(SF_SMALL + "/documents.parquet")
+            .limit(120))
+    media = synth_codec_media_table(docs).filter("kind = 'image'") \
+        .localCheckpoint(eager=True)
+    sigs = image_blockhash(media).localCheckpoint(eager=True)
+    idx = prepare_phash_index(sigs, 6).localCheckpoint(eager=True)
+    # arrivals = the corpus signatures (self-skip must hold) plus one
+    # planted byte-identical re-encode of the smallest media id
+    mn = sigs.agg(F.min("id").alias("m")).collect()[0]["m"]
+    planted = sigs.filter(F.col("id") == mn).select(
+        (F.col("id") + 9_000_000).alias("id"), "simhash")
+    arrivals = sigs.unionByName(planted).localCheckpoint(eager=True)
+    batch = {r["id"]: tuple(r)
+             for r in streaming_phash_probe(arrivals, idx, 6).collect()}
+    # chunked replay
+    src = tmp_path / "ph_src"
+    src.mkdir()
+    arrivals.filter(F.col("id") % 2 == 0).coalesce(1) \
+        .write.parquet(str(src / "a"))
+    arrivals.filter(F.col("id") % 2 == 1).coalesce(1) \
+        .write.parquet(str(src / "b"))
+    stream = (spark.readStream.schema(arrivals.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+    streamed = {r["id"]: tuple(r)
+                for r in _run(spark, tmp_path,
+                              streaming_phash_probe(stream, idx, 6),
+                              "sph")}
+    assert streamed == batch
+    # the planted copy: hamming 0 against its original
+    pl = batch[mn + 9_000_000]
+    assert pl[2] == mn and pl[3] == 0 and pl[4] is True
+    # corpus self-probe dup ids == the batch near-pair pipeline's id set
+    pairs = image_near_pairs(media, max_hamming=6, sigs=sigs).collect()
+    pset = {p["id_a"] for p in pairs} | {p["id_b"] for p in pairs}
+    got = {i for i, r in batch.items() if r[4] and i <= mn + 8_999_999}
+    assert got == pset and len(pset) > 0
+    # numpy mirror: best_hamming == min bit_count(xor) over the corpus
+    # (excluding self), for every arrival
+    sg = {r["id"]: r["simhash"] for r in sigs.collect()}
+    for i, r in batch.items():
+        mine = r[1]
+        hams = [(bin((mine ^ s) & ((1 << 64) - 1)).count("1"), j)
+                for j, s in sg.items() if j != i]
+        bh, bj = min(hams)
+        if bh <= 6:
+            assert (r[3], r[2]) == (bh, bj), (i, r, bh, bj)
+        else:
+            # pigeonhole may or may not surface a >r candidate — the
+            # contract only fixes the verdict
+            assert r[4] is False, (i, r)
+    # self-skip: no corpus row matched itself
+    assert all(r[2] != i for i, r in batch.items())

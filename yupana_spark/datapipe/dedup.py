@@ -1417,6 +1417,34 @@ def simhash(df: DataFrame, text_col: str = "text",
                                _simhash_bits_udf(hs).alias("simhash"))
 
 
+def hamming_block_spans(max_hamming: int) -> list:
+    """The pigeonhole layout shared by every hamming-radius consumer
+    (simhash_near_pairs, the image/audio/video near-pair paths, and the
+    STREAMING phash probe): ``max_hamming + 1`` disjoint blocks covering
+    all 64 signature bits — any pair within ``max_hamming`` flips must
+    agree exactly on at least one block.  Base-width blocks with the
+    remainder spread one bit at a time (shift offsets stay < 64 — JVM
+    shifts wrap at 64).  Returns ``[(start_bit, mask), ...]``."""
+    n_blocks = max_hamming + 1
+    if n_blocks > 64:
+        raise ValueError(f"max_hamming={max_hamming} exceeds the 64-bit "
+                         "signature (no block can be wider than 1 bit)")
+    base, extra = divmod(64, n_blocks)
+    spans, off = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < extra else 0)
+        spans.append((off, (1 << w) - 1))
+        off += w
+    return spans
+
+
+def block_value(sig: Column, start: int, mask: int) -> Column:
+    """One pigeonhole block's value from a 64-bit signature — the shared
+    expression both the batch self-join and the streaming probe key
+    their buckets by (build and probe must stay bit-compatible)."""
+    return F.shiftright(sig, start).bitwiseAND(F.lit(mask))
+
+
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 3,
                        sigs: Optional[DataFrame] = None,
@@ -1436,18 +1464,7 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     so sharing it keeps the audit's independence where it matters: the
     block layout under test.
     """
-    n_blocks = max_hamming + 1
-    if n_blocks > 64:
-        raise ValueError(f"max_hamming={max_hamming} exceeds the 64-bit "
-                         "signature (no block can be wider than 1 bit)")
-    # disjoint cover of all 64 bits: base-width blocks, remainder spread one
-    # bit at a time (shift offsets stay < 64 — JVM shifts wrap at 64)
-    base, extra = divmod(64, n_blocks)
-    spans, off = [], 0
-    for i in range(n_blocks):
-        w = base + (1 if i < extra else 0)
-        spans.append((off, (1 << w) - 1))
-        off += w
+    spans = hamming_block_spans(max_hamming)
     # materialize signatures once: both sides of the self-join would
     # otherwise recompute the scan + signature UDF (the frame is tiny —
     # id + one long per doc)
@@ -1458,8 +1475,8 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
         "id", "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("blk"),
-                     F.shiftright(F.col("simhash"), start)
-                     .bitwiseAND(F.lit(mask)).alias("bval"))
+                     block_value(F.col("simhash"), start, mask)
+                     .alias("bval"))
             for i, (start, mask) in enumerate(spans)
         ])).alias("b"),
     ).select("id", "simhash", "b.blk", "b.bval")
