@@ -87,6 +87,62 @@ def test_streaming_ann_probe_matches_batch(spark, tmp_path):
         assert probed == (cell in want_probe)
 
 
+def test_streaming_ivfadc_probe_matches_batch(spark, tmp_path):
+    """The residual-coded probe: streamed == batch on a replay, the
+    probe set equals the masked-inner-product mirror, and every (cell,
+    adc) equals a full numpy recomputation of the IVFADC math (coarse
+    assign -> residual -> per-subspace argmin codes -> <q,c> + LUT
+    sum)."""
+    from yupana_spark.datapipe.simsearch import (ivfadc_fit,
+                                                 ivfadc_probe_cells)
+    from yupana_spark.streaming.simsearch import streaming_ivfadc_probe
+
+    emb = (spark.read.parquet(SF_SMALL + "/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    centers, books = ivfadc_fit(emb, n_centroids=8, m=8, id_col="vec_id",
+                                n=500)
+    qv = [float(x) for x in
+          emb.filter("vec_id = 3").collect()[0]["embedding"]]
+    probe = ivfadc_probe_cells(centers, qv, 3)
+    batch = {r["id"]: (r["cell"], r["probed"], r["adc"])
+             for r in streaming_ivfadc_probe(
+                 emb, centers, books, qv, nprobe=3).collect()}
+    assert len(batch) == 500
+    stream = _replay(spark, tmp_path, emb, "adc")
+    streamed = {r["id"]: (r["cell"], r["probed"], r["adc"])
+                for r in _run(spark, tmp_path,
+                              streaming_ivfadc_probe(stream, centers,
+                                                     books, qv, nprobe=3),
+                              "sadc")}
+    assert streamed == batch
+    # numpy mirror of the full IVFADC math, every row
+    C = np.asarray(centers, dtype=np.float64)
+    B = np.asarray(books, dtype=np.float64)
+    m, _ks, dsub = B.shape
+    q = np.asarray(qv, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-300)
+    lut = np.stack([B[j] @ q[j * dsub:(j + 1) * dsub] for j in range(m)])
+    cell_ip = C @ q
+    cell_ip = np.where(np.abs(C).max(axis=1) >= 1e6, -np.inf, cell_ip)
+    assert set(probe) == set(np.argsort(-cell_ip)[:3].tolist())
+    for r in emb.collect():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-300)
+        cell = int(((v[None, :] - C) ** 2).sum(axis=1).argmin())
+        res = v - C[cell]
+        adc = cell_ip[cell]
+        for j in range(m):
+            rj = res[j * dsub:(j + 1) * dsub]
+            cj = int(((rj[None, :] - B[j]) ** 2).sum(axis=1).argmin())
+            adc += lut[j][cj]
+        got = batch[r["vec_id"]]
+        assert got[0] == cell, r["vec_id"]
+        assert got[1] == (cell in probe)
+        assert got[2] == pytest.approx(round(float(adc), 6), abs=1e-6)
+    # the query's own vector lands in a probed cell with a high score
+    assert batch[3][1] is True
+
+
 def test_streaming_semdedup_probe_matches_batch(spark, tmp_path):
     """Streamed SemDeDup verdicts equal the batch evaluation; a PLANTED
     exact duplicate of an existing corpus vector is flagged with

@@ -614,6 +614,53 @@ def ivfadc_encode(vec_col: Column, centers: np.ndarray,
     return enc(vec_col)
 
 
+def _ivfadc_cell_ip(centers, query_vec: Sequence[float]) -> np.ndarray:
+    """<q, c> per coarse cell, with the fit's 1e6-padding rows masked to
+    -inf — padding must never win the inner-product ranking the way it
+    never wins an L2 argmin."""
+    C = np.asarray(centers, dtype=np.float64)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qv = qv / max(float(np.linalg.norm(qv)), 1e-300)
+    cell_ip = C @ qv
+    return np.where(np.abs(C).max(axis=1) >= 1e6, -np.inf, cell_ip)
+
+
+def ivfadc_probe_cells(centers, query_vec: Sequence[float],
+                       nprobe: int = 4) -> list:
+    """The frozen query's ``nprobe`` coarse cells by masked inner
+    product — factored from :func:`ivfadc_topk` so the STREAMING probe
+    (streaming/simsearch.py) selects the identical set."""
+    return np.argsort(-_ivfadc_cell_ip(centers, query_vec))[:nprobe] \
+        .tolist()
+
+
+def ivfadc_adc_col(cell_col: Column, code_col: Column, centers,
+                   codebooks, query_vec: Sequence[float]) -> Column:
+    """The IVFADC score of one (cell, residual code) row against
+    ``query_vec``: ``<q, c_cell>`` from a literal per-cell array plus
+    the residual LUT sum — factored from :func:`ivfadc_topk` so the
+    batch search and the streaming probe score with the identical
+    expression."""
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, _ks, dsub = B.shape
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qv = qv / max(float(np.linalg.norm(qv)), 1e-300)
+    cell_ip = _ivfadc_cell_ip(centers, query_vec)
+    lut = np.stack([B[j] @ qv[j * dsub:(j + 1) * dsub]
+                    for j in range(m)])      # (m, ks)
+
+    @F.pandas_udf(T.DoubleType())
+    def adc(codes: pd.Series) -> pd.Series:
+        if not len(codes):
+            return pd.Series(np.zeros(0))
+        Cd = np.stack([np.asarray(c, dtype=np.int64) for c in codes])
+        return pd.Series(lut[np.arange(m)[None, :], Cd].sum(axis=1))
+
+    cell_const = F.element_at(
+        F.array(*[F.lit(float(x)) for x in cell_ip]), cell_col + 1)
+    return cell_const + adc(code_col)
+
+
 def ivfadc_topk(encoded: DataFrame, centers: np.ndarray,
                 codebooks: np.ndarray, query_vec: Sequence[float],
                 k: int = 10, nprobe: int = 4, shortlist: int = 100,
@@ -629,32 +676,12 @@ def ivfadc_topk(encoded: DataFrame, centers: np.ndarray,
     code, and only ``shortlist`` rows ever touch their full vectors —
     scan, memory and compute all bounded, per Jegou et al. 2011 §IV.
     """
-    C = np.asarray(centers, dtype=np.float64)
-    B = np.asarray(codebooks, dtype=np.float64)
-    m, ks, dsub = B.shape
-    qv = np.asarray(query_vec, dtype=np.float64)
-    qv = qv / max(float(np.linalg.norm(qv)), 1e-300)
-    cell_ip = C @ qv                         # <q, c> per cell
-    # padding rows (1e6-filled when the fit sample had fewer vectors than
-    # n_centroids) must never win the inner-product ranking the way they
-    # never win an L2 argmin — mask them out of the probe set
-    cell_ip = np.where(np.abs(C).max(axis=1) >= 1e6, -np.inf, cell_ip)
-    probe = np.argsort(-cell_ip)[:nprobe].tolist()
-    lut = np.stack([B[j] @ qv[j * dsub:(j + 1) * dsub]
-                    for j in range(m)])      # (m, ks)
-
-    @F.pandas_udf(T.DoubleType())
-    def adc(codes: pd.Series) -> pd.Series:
-        if not len(codes):
-            return pd.Series(np.zeros(0))
-        Cd = np.stack([np.asarray(c, dtype=np.int64) for c in codes])
-        return pd.Series(lut[np.arange(m)[None, :], Cd].sum(axis=1))
-
-    cell_const = F.element_at(
-        F.array(*[F.lit(float(x)) for x in cell_ip]), F.col(cell_col) + 1)
+    probe = ivfadc_probe_cells(centers, query_vec, nprobe)
     ids = (encoded.filter(F.col(cell_col).isin(probe))
            .select(F.col(id_col),
-                   (cell_const + adc(F.col(code_col))).alias("__adc"))
+                   ivfadc_adc_col(F.col(cell_col), F.col(code_col),
+                                  centers, codebooks, query_vec)
+                   .alias("__adc"))
            .orderBy(F.col("__adc").desc(), F.col(id_col))
            .limit(shortlist)
            .select(id_col))

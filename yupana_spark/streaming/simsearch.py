@@ -10,7 +10,7 @@ broadcast joins), so a replayed vector's result equals the batch result
 BY CONSTRUCTION and the plans are append-mode-safe (no aggregation, no
 watermark, no state).
 
-Two probes:
+Three probes:
 
 * :func:`streaming_ann_probe` — the ONLINE HALF of IVF/PQ search
   (datapipe/simsearch.ivf_topk / pq_topk): each arriving vector gets its
@@ -21,6 +21,10 @@ Two probes:
   shared, not re-implemented).  Use case: "does today's crawl contain
   vectors the standing audit query would retrieve?" without stopping
   the ingest.
+* :func:`streaming_ivfadc_probe` — the RESIDUAL-coded variant mirroring
+  the billion-vector IVFADC layout: coarse cell + residual PQ code from
+  the batch encoder, scored by the batch search's own
+  ``<q, c_cell>`` + residual-LUT expression.
 * :func:`streaming_semdedup_probe` — the ONLINE HALF of SemDeDup
   (datapipe/dedup.semantic_dedup): is this arriving vector a semantic
   duplicate of something ALREADY IN the frozen corpus?  The per-cell
@@ -78,6 +82,37 @@ def streaming_ann_probe(stream: DataFrame, centers, codebooks,
         cell.alias("cell"),
         cell.isin(*probe).alias("probed"),
         F.round(adc_score_col(code, codebooks, query_vec), 6).alias("adc"))
+
+
+def streaming_ivfadc_probe(stream: DataFrame, centers, codebooks,
+                           query_vec: Sequence[float], nprobe: int = 4,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id") -> DataFrame:
+    """(id, cell, probed, adc) — the RESIDUAL-coded twin of
+    :func:`streaming_ann_probe`, mirroring the billion-vector index
+    layout (`ivfadc_topk`, Jegou et al. 2011 §IV): each arriving vector
+    is coarse-assigned and residual-PQ-encoded by the batch encoder
+    (``ivfadc_encode`` — stateless), ``probed`` is membership of the
+    frozen query's masked-inner-product probe set
+    (``ivfadc_probe_cells``), and ``adc`` is ``<q, c_cell>`` + the
+    residual LUT sum (``ivfadc_adc_col`` — the batch search's own
+    expression).  The encode output is staged once; everything is
+    row-local and append-safe."""
+    from ..datapipe.simsearch import (ivfadc_adc_col, ivfadc_encode,
+                                      ivfadc_probe_cells)
+
+    m = int(np.asarray(codebooks).shape[0])
+    probe = ivfadc_probe_cells(centers, query_vec, nprobe)
+    enc = ivfadc_encode(F.col(vec_col), centers, codebooks)
+    staged = stream.withColumn("__enc", enc)
+    cell = F.element_at(F.col("__enc"), 1)
+    code = F.slice(F.col("__enc"), 2, m)
+    return staged.select(
+        F.col(id_col).alias("id"),
+        cell.alias("cell"),
+        cell.isin(*probe).alias("probed"),
+        F.round(ivfadc_adc_col(cell, code, centers, codebooks,
+                               query_vec), 6).alias("adc"))
 
 
 def prepare_cell_members(cells: DataFrame) -> DataFrame:
