@@ -88,3 +88,7 @@ def test_streaming_phash_probe_matches_batch(spark, tmp_path):
             assert r[4] is False, (i, r)
     # self-skip: no corpus row matched itself
     assert all(r[2] != i for i, r in batch.items())
+    # a radius-mismatched index fails loudly instead of silently
+    # probing the wrong buckets
+    with pytest.raises(ValueError, match="max_hamming"):
+        streaming_phash_probe(arrivals, idx, 3)

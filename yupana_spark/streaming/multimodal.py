@@ -63,7 +63,8 @@ def prepare_phash_index(sigs: DataFrame,
     return (blocks.groupBy("blk", "bval")
             .agg(F.sort_array(F.collect_list(F.struct("id", "simhash")))
                  .alias("__ms"))
-            .select("blk", "bval",
+            .select(F.lit(int(max_hamming)).alias("mh"),
+                    "blk", "bval",
                     F.transform(F.col("__ms"), lambda s: s["id"])
                     .alias("mem_ids"),
                     F.transform(F.col("__ms"), lambda s: s["simhash"])
@@ -84,8 +85,24 @@ def streaming_phash_probe(hashed: DataFrame, index: DataFrame,
     the arrival's own id is skipped (corpus self-replay must not
     self-match).  No matching bucket -> best_id NULL, best_hamming 65,
     is_dup false.  One LEFT join per slot — cardinality preserved,
-    append-safe."""
+    append-safe.
+
+    The index MUST have been prepared with the same ``max_hamming`` —
+    the span layout IS the bucket key space, and a mismatch would
+    silently probe the wrong buckets.  The index carries its layout in
+    the ``mh`` column (``prepare_phash_index``), and this probe fails
+    loudly on a mismatch (one bounded limit-1 job against the static
+    index frame at plan-build time)."""
     spans = hamming_block_spans(max_hamming)
+    if "mh" in index.columns:
+        got = index.select("mh").limit(1).collect()
+        if got and got[0]["mh"] != int(max_hamming):
+            raise ValueError(
+                f"streaming_phash_probe: index was prepared with "
+                f"max_hamming={got[0]['mh']} but the probe was asked "
+                f"for {max_hamming} — the pigeonhole span layouts "
+                "differ, so every bucket lookup would silently miss; "
+                "re-prepare the index or match the radius")
     sig = F.col(sig_col)
     out = hashed.select(F.col(id_col).alias("id"),
                         sig.alias("simhash"))
