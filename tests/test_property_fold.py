@@ -206,3 +206,41 @@ def test_line_dedup_narrow_length_law(spark, docs):
         for c in ("n_lines", "n_dup_lines", "dup_line_ratio",
                   "dup_line_char_ratio"):
             assert narrow[i][c] == full[i][c], (i, c)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.data())
+def test_registered_domain_psl_law(spark, data):
+    """Hypothesis law for the full PSL algorithm (r14): for ANY random
+    rule list (plain / wildcard / exception over a tiny label alphabet,
+    plus comment and blank noise) and ANY random hosts built from the
+    same alphabet, Spark's extraction equals the pure-Python
+    full-algorithm mirror (tests/test_datapipe_fuzz.py)."""
+    from test_datapipe_fuzz import (_py_parse_psl_rules,
+                                    _py_registered_domain_psl)
+
+    from yupana_spark.datapipe.curation import with_registered_domain
+
+    labels = st.sampled_from(["a", "bb", "cde", "x"])
+    suffix = st.lists(labels, min_size=1, max_size=4).map(".".join)
+    rule = st.one_of(
+        suffix,
+        suffix.map(lambda s: "*." + s),
+        suffix.map(lambda s: "!" + s),
+        st.just("// comment line"),
+        st.just(""),
+    )
+    rules_raw = data.draw(st.lists(rule, min_size=1, max_size=12))
+    host = st.lists(labels, min_size=1, max_size=6).map(".".join)
+    hosts = data.draw(st.lists(host, min_size=1, max_size=15))
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "i long, url string")
+    psl = spark.createDataFrame([(r,) for r in rules_raw],
+                                "suffix string")
+    got = {r["i"]: r["domain"]
+           for r in with_registered_domain(df, "url", psl).collect()}
+    rules = _py_parse_psl_rules(rules_raw)
+    for i, h in enumerate(hosts):
+        assert got[i] == _py_registered_domain_psl(h, rules), \
+            (rules_raw, h, got[i])
