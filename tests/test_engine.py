@@ -380,7 +380,7 @@ def test_split_agg_dedupe_survives_catalyst(tsdb):
     rules = tsdb.spark.conf.get("spark.sql.optimizer.excludedRules")
     assert "RemoveRedundantAggregates" in rules
     # values still correct through the split + join: dr is the max
-    # distinct lower(shipmode) within each flag group
+    # distinct lower(l_linestatus) within each flag group
     rows = {r["flag"]: r for r in df.collect()}
     from pyspark.sql import functions as F
 

@@ -89,6 +89,23 @@ def test_streaming_phash_probe_matches_batch(spark, tmp_path):
     # self-skip: no corpus row matched itself
     assert all(r[2] != i for i, r in batch.items())
     # a radius-mismatched index fails loudly instead of silently
-    # probing the wrong buckets
+    # probing the wrong buckets; so does a frame with no layout column
     with pytest.raises(ValueError, match="max_hamming"):
         streaming_phash_probe(arrivals, idx, 3)
+    with pytest.raises(ValueError, match="mh"):
+        streaming_phash_probe(arrivals, idx.drop("mh"), 6)
+    # radius 0 = exact-signature probing is a legal parameterization:
+    # the single width-64 block's mask is signed -1, not the 2^64-1
+    # that used to crash F.lit at plan build (review r14)
+    idx0 = prepare_phash_index(sigs, 0).localCheckpoint(eager=True)
+    z = {r["id"]: r for r in
+         streaming_phash_probe(arrivals, idx0, 0).collect()}
+    assert z[mn + 9_000_000]["best_id"] == mn
+    assert z[mn + 9_000_000]["best_hamming"] == 0
+    exact = {i for i, r in z.items() if r["is_dup"]}
+    # exact-signature dups only: every flagged pair has hamming 0
+    assert all(z[i]["best_hamming"] == 0 for i in exact)
+    from yupana_spark.datapipe.dedup import simhash_near_pairs
+    p0 = simhash_near_pairs(media, max_hamming=0, sigs=sigs).collect()
+    pset0 = {p["id_a"] for p in p0} | {p["id_b"] for p in p0}
+    assert {i for i in exact if i <= mn + 8_999_999} == pset0

@@ -1433,7 +1433,11 @@ def hamming_block_spans(max_hamming: int) -> list:
     spans, off = [], 0
     for i in range(n_blocks):
         w = base + (1 if i < extra else 0)
-        spans.append((off, (1 << w) - 1))
+        # a width-64 block's mask is all 64 bits = signed -1; the
+        # unsigned (1<<64)-1 does not fit a long and would crash F.lit
+        # at plan build (review r14: max_hamming=0 = exact-signature
+        # probing is a legal radius)
+        spans.append((off, -1 if w == 64 else (1 << w) - 1))
         off += w
     return spans
 
@@ -1443,6 +1447,25 @@ def block_value(sig: Column, start: int, mask: int) -> Column:
     expression both the batch self-join and the streaming probe key
     their buckets by (build and probe must stay bit-compatible)."""
     return F.shiftright(sig, start).bitwiseAND(F.lit(mask))
+
+
+def signature_blocks(sigs: DataFrame, max_hamming: int) -> DataFrame:
+    """(id, simhash, blk, bval): every signature exploded to its
+    pigeonhole block keys — THE shared bucket-key derivation for the
+    batch self-join (:func:`simhash_near_pairs`) and the streaming
+    probe's index build (streaming/multimodal.prepare_phash_index), so
+    build and probe are key-compatible by construction rather than by
+    parallel maintenance (review r14)."""
+    spans = hamming_block_spans(max_hamming)
+    return sigs.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("blk"),
+                     block_value(F.col("simhash"), start, mask)
+                     .alias("bval"))
+            for i, (start, mask) in enumerate(spans)
+        ])).alias("b"),
+    ).select("id", "simhash", "b.blk", "b.bval")
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
@@ -1464,22 +1487,13 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     so sharing it keeps the audit's independence where it matters: the
     block layout under test.
     """
-    spans = hamming_block_spans(max_hamming)
     # materialize signatures once: both sides of the self-join would
     # otherwise recompute the scan + signature UDF (the frame is tiny —
     # id + one long per doc)
     if sigs is None:
         sigs = (simhash(df, text_col, id_col).withColumnRenamed(id_col, "id")
                 .localCheckpoint(eager=True))
-    blocks = sigs.select(
-        "id", "simhash",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("blk"),
-                     block_value(F.col("simhash"), start, mask)
-                     .alias("bval"))
-            for i, (start, mask) in enumerate(spans)
-        ])).alias("b"),
-    ).select("id", "simhash", "b.blk", "b.bval")
+    blocks = signature_blocks(sigs, max_hamming)
     l, r = blocks.alias("l"), blocks.alias("r")
     cands = (l.join(r, (F.col("l.blk") == F.col("r.blk"))
                     & (F.col("l.bval") == F.col("r.bval"))

@@ -326,10 +326,7 @@ def ivf_topk_from_index(spark, path: str, centers, query_vec,
     """IVF search against a ``materialize_ivf_index`` layout: the cell
     IN-list lands in the scan's PartitionFilters (only the probed cells'
     directories are listed/read), then exact cosine + top-k as usual."""
-    qv = np.asarray(query_vec, dtype=float)
-    C = _centers_of(centers)
-    dists = [float(np.linalg.norm(qv - c)) for c in C]
-    probe = sorted(range(len(C)), key=lambda i: dists[i])[:nprobe]
+    probe = probe_cells(centers, query_vec, nprobe)
     q = _query_lit([float(x) for x in query_vec])
     idx = spark.read.parquet(path)
     return (idx.filter(F.col(cell_col).isin(probe))
@@ -345,14 +342,24 @@ def _centers_of(model) -> np.ndarray:
     return np.asarray(model, dtype=np.float64)
 
 
+def probe_cells(centers, query_vec: Sequence[float],
+                nprobe: int = 4) -> list:
+    """The frozen query's ``nprobe`` nearest coarse cells — THE shared
+    probe-set selection for ``ivf_topk``, ``ivf_topk_from_index`` and
+    the streaming ANN probe (streaming/simsearch.py): one definition,
+    so a tie-break or masking change cannot silently split the batch
+    scan from the streamed ``probed`` flag (review r14)."""
+    qv = np.asarray(query_vec, dtype=float)
+    C = _centers_of(centers)
+    dists = [float(np.linalg.norm(qv - c)) for c in C]
+    return sorted(range(len(C)), key=lambda i: dists[i])[:nprobe]
+
+
 def ivf_topk(assigned: DataFrame, model, query_vec: Sequence[float],
              k: int = 10, nprobe: int = 4, vec_col: str = "embedding",
              id_col: str = "vec_id") -> DataFrame:
     """Search only the nprobe cells whose centroids are closest to the query."""
-    qv = np.asarray(query_vec, dtype=float)
-    centers = _centers_of(model)
-    dists = [float(np.linalg.norm(qv - c)) for c in centers]
-    probe = sorted(range(len(centers)), key=lambda i: dists[i])[:nprobe]
+    probe = probe_cells(model, query_vec, nprobe)
     q = _query_lit(query_vec)
     return (assigned.filter(F.col("cell").isin(probe))
             .select(F.col(id_col),

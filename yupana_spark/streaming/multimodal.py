@@ -38,9 +38,10 @@ shows one.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
-from ..datapipe.dedup import block_value, hamming_block_spans
+from ..datapipe.dedup import (block_value, hamming_block_spans,
+                              signature_blocks)
 
 
 def prepare_phash_index(sigs: DataFrame,
@@ -50,16 +51,7 @@ def prepare_phash_index(sigs: DataFrame,
     parallel id/signature arrays (one contiguous buffer each).  Run
     ONCE per corpus and persist — this is the index artifact; the span
     layout rides ``max_hamming`` and MUST match the probe's."""
-    spans = hamming_block_spans(max_hamming)
-    blocks = sigs.select(
-        "id", "simhash",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("blk"),
-                     block_value(F.col("simhash"), start, mask)
-                     .alias("bval"))
-            for i, (start, mask) in enumerate(spans)
-        ])).alias("b"),
-    ).select("id", "simhash", "b.blk", "b.bval")
+    blocks = signature_blocks(sigs, max_hamming)
     return (blocks.groupBy("blk", "bval")
             .agg(F.sort_array(F.collect_list(F.struct("id", "simhash")))
                  .alias("__ms"))
@@ -90,19 +82,26 @@ def streaming_phash_probe(hashed: DataFrame, index: DataFrame,
     The index MUST have been prepared with the same ``max_hamming`` —
     the span layout IS the bucket key space, and a mismatch would
     silently probe the wrong buckets.  The index carries its layout in
-    the ``mh`` column (``prepare_phash_index``), and this probe fails
-    loudly on a mismatch (one bounded limit-1 job against the static
-    index frame at plan-build time)."""
+    the mandatory ``mh`` column (``prepare_phash_index``): a frame
+    without it is rejected outright, and a radius mismatch fails loudly
+    (one bounded limit-1 job against the static index frame at
+    plan-build time).  An EMPTY index passes — with no members, every
+    lookup missing is the correct answer, whatever the layout."""
     spans = hamming_block_spans(max_hamming)
-    if "mh" in index.columns:
-        got = index.select("mh").limit(1).collect()
-        if got and got[0]["mh"] != int(max_hamming):
-            raise ValueError(
-                f"streaming_phash_probe: index was prepared with "
-                f"max_hamming={got[0]['mh']} but the probe was asked "
-                f"for {max_hamming} — the pigeonhole span layouts "
-                "differ, so every bucket lookup would silently miss; "
-                "re-prepare the index or match the radius")
+    if "mh" not in index.columns:
+        raise ValueError(
+            "streaming_phash_probe: index frame carries no 'mh' layout "
+            "column — build it with prepare_phash_index so the probe "
+            "can verify the pigeonhole span layout (a silent mismatch "
+            "would miss every bucket)")
+    got = index.select("mh").limit(1).collect()
+    if got and got[0]["mh"] != int(max_hamming):
+        raise ValueError(
+            f"streaming_phash_probe: index was prepared with "
+            f"max_hamming={got[0]['mh']} but the probe was asked "
+            f"for {max_hamming} — the pigeonhole span layouts "
+            "differ, so every bucket lookup would silently miss; "
+            "re-prepare the index or match the radius")
     sig = F.col(sig_col)
     out = hashed.select(F.col(id_col).alias("id"),
                         sig.alias("simhash"))

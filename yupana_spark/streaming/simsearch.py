@@ -46,21 +46,10 @@ from typing import Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..datapipe.simsearch import (adc_score_col, assign_cells, pq_encode,
-                                  _centers_of)
-
-
-def probe_cells(centers, query_vec: Sequence[float],
-                nprobe: int = 4) -> list:
-    """The frozen query's ``nprobe`` nearest coarse cells — the same
-    driver-side selection ``ivf_topk`` makes, factored so the streaming
-    probe and any test recompute it identically."""
-    qv = np.asarray(query_vec, dtype=float)
-    C = _centers_of(centers)
-    dists = [float(np.linalg.norm(qv - c)) for c in C]
-    return sorted(range(len(C)), key=lambda i: dists[i])[:nprobe]
+                                  probe_cells)
 
 
 def streaming_ann_probe(stream: DataFrame, centers, codebooks,
