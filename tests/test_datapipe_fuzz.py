@@ -590,11 +590,16 @@ def test_differential_cut_starts_fused(spark, seed):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     mod = rng.randrange(5, 12)
     evals = df.filter(F.col("doc_id") % mod == 0)
-    for n in (2, 5):
+    # min_count=3 on the n=2 pass exercises the raised-threshold cut
+    # semantics (es_hit needs __c >= 3 while n_dup_spans stays the
+    # published count>1 definition) through the fuse
+    for n, mc in ((2, 2), (2, 3), (5, 2)):
         fused = {r["id"]: r
-                 for r in cut_starts_fused(df, evals, n=n).collect()}
+                 for r in cut_starts_fused(df, evals, n=n,
+                                           min_count=mc).collect()}
         es = {r["id"]: r
-              for r in exactsubstr_cut_starts(df, n=n).collect()}
+              for r in exactsubstr_cut_starts(df, n=n,
+                                              min_count=mc).collect()}
         dc = {r["id"]: r
               for r in decontaminate_cut_starts(df, evals, n=n).collect()}
         assert set(fused) == {i for i, _ in rows}
