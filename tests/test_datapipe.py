@@ -1618,6 +1618,82 @@ def test_corpus_keep_reasons(spark):
     assert got2[1] == (True, "")
 
 
+def test_corpus_preprocess_laws(spark):
+    """The composed end-to-end recipe (filters.corpus_preprocess) obeys
+    its laws on a corpus exercising every stage: one row per input doc;
+    keep/reasons == corpus_keep's decision plus the near-dup cluster
+    verdict (non-representative members only); text_clean is
+    decontaminate_cut's edit for kept docs and NULL for dropped ones;
+    sampled ⊆ kept and equals the deterministic-sample predicate; and
+    the whole frame is bit-identical across runs."""
+    from yupana_spark.datapipe.dedup import (decontaminate_cut,
+                                             minhash_dedup_pairs)
+    from yupana_spark.datapipe.filters import corpus_keep, corpus_preprocess
+    from yupana_spark.datapipe.sample import dedup_clusters, rate_to_hex
+
+    good = ("the quick brown fox jumps over the lazy dog and runs far "
+            "into the quiet green field for a long while today")
+    near = good.replace("green field", "green meadow")
+    rows = [
+        (1, good),                          # representative
+        (2, good),                          # exact dup of 1
+        (3, near),                          # near-dup of 1
+        (4, "der hund und die katze sind mit dem auto zu dem haus "
+            "gefahren und bleiben dort mit den kindern"),   # lang
+        (5, "!!! ??? ### $$$"),             # low quality
+        (6, "a fully clean unrelated document with plenty of calm "
+            "words to pass every single bar easily and well today"),
+        (7, None),                          # NULL text
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    evals = spark.createDataFrame(
+        [(99, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    out = {r["id"]: r for r in corpus_preprocess(
+        docs, eval_docs=evals, neardup_threshold=0.5,
+        sample_rate=0.6).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}          # conservation
+    # stage agreement: rule/dup reasons from corpus_keep, near_dup from
+    # the cluster resolution (non-representative members)
+    ck = {r["id"]: set(r["reasons"].split(",")) - {""}
+          for r in corpus_keep(docs, min_quality=0.7, langs=("en",),
+                               rep_rule=True, eval_docs=evals).collect()}
+    clus = {r["id"]: r["cluster_id"] for r in dedup_clusters(
+        minhash_dedup_pairs(docs, threshold=0.5)).collect()}
+    nd_ids = {i for i, c in clus.items() if i != c}
+    for i in out:
+        want = set(ck[i]) | ({"near_dup"} if i in nd_ids else set())
+        got = set(out[i]["reasons"].split(",")) - {""}
+        assert got == want, (i, got, want)
+        assert out[i]["keep"] == (not want)
+        assert out[i]["reasons"] == ",".join(sorted(got))
+    assert out[1]["reasons"] == "contaminated"  # shares eval 8-grams
+    assert "near_dup" in out[3]["reasons"] or out[3]["keep"] is False
+    assert out[6]["keep"] is True
+    # text_clean: the decontaminated edit for kept docs, NULL otherwise
+    cut = {r["id"]: r for r in decontaminate_cut(docs, evals).collect()}
+    for i in out:
+        if out[i]["keep"]:
+            assert out[i]["text_clean"] == cut[i]["dc_cleaned"], i
+        else:
+            assert out[i]["text_clean"] is None, i
+        assert out[i]["n_words"] == cut[i]["dc_n_words"]
+        assert out[i]["n_cut_words"] == cut[i]["dc_n_cut_words"]
+    # sampled ⊆ kept and equals the deterministic md5 predicate
+    import hashlib
+
+    th = rate_to_hex(0.6)
+    for i in out:
+        pred = hashlib.md5(str(i).encode()).hexdigest()[:8] < th
+        assert out[i]["sampled"] == (out[i]["keep"] and pred), i
+    # determinism: a second run is bit-identical
+    out2 = {r["id"]: r for r in corpus_preprocess(
+        docs, eval_docs=evals, neardup_threshold=0.5,
+        sample_rate=0.6).collect()}
+    assert {k: tuple(v) for k, v in out.items()} \
+        == {k: tuple(v) for k, v in out2.items()}
+
+
 def test_text_stats_inline_keep_matches_corpus_keep(spark):
     """dp_text_stats composes the keep decision IN-PLAN (r14): the
     row-local signals ride the base scan and keep/reasons assemble via

@@ -225,3 +225,96 @@ def corpus_keep(df: DataFrame, text_col: str = "text",
         "id",
         (F.length(reasons) == 0).alias("keep"),
         reasons.alias("reasons"))
+
+
+def corpus_preprocess(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      eval_docs: Optional[DataFrame] = None,
+                      min_quality: float = 0.7,
+                      langs: Optional[Sequence[str]] = ("en",),
+                      rep_rule: bool = True,
+                      neardup_threshold: Optional[float] = None,
+                      decontaminate: bool = True,
+                      n: int = 8,
+                      sample_rate: float = 1.0) -> DataFrame:
+    """The COMPOSED preprocessing recipe, applied end to end — the
+    FineWeb/RefinedWeb pipeline order as one call: rule filters +
+    exact dedup (``corpus_keep``), optional MinHash near-dup cluster
+    resolution (keep the min-id representative per connected
+    component), optional benchmark-decontamination SPAN REMOVAL of the
+    survivors, and a final deterministic Bernoulli sample.
+
+    Returns one row per INPUT document — nothing is silently dropped:
+    ``(id, keep, reasons, text_clean, n_words, n_cut_words, sampled)``
+    where ``keep`` folds in the near-dup verdict (reason ``near_dup``
+    sorts into the same alphabetical reason list the rule filters use),
+    ``text_clean`` is the decontaminated normalized text for KEPT docs
+    (NULL for dropped ones — there is nothing to train on), and
+    ``sampled`` marks the kept docs admitted by the deterministic
+    md5-threshold sample (``sample.deterministic_sample``'s predicate,
+    so a replay admits the identical set).  Filter
+    ``keep AND sampled`` and project ``text_clean`` to materialize the
+    training corpus; keep the full frame for audit trails.
+
+    100 TB shape: every stage is the already-audited operator —
+    corpus_keep's one fingerprint shuffle, the banded LSH joins +
+    bounded cluster resolution, the broadcast eval-gram decontamination
+    cut, and a row-local sample predicate.  Composition adds only
+    narrow id-keyed joins.
+
+    Not a ``queries()`` bundle (the 50-entry cap is full); pinned by
+    test_corpus_preprocess_laws instead: per-stage agreement with the
+    standalone operators plus conservation / determinism laws."""
+    from .dedup import decontaminate_cut, minhash_dedup_pairs
+    from .sample import bernoulli_keep, dedup_clusters
+
+    out = corpus_keep(df, text_col, id_col, min_quality=min_quality,
+                      langs=langs, rep_rule=rep_rule,
+                      eval_docs=eval_docs if decontaminate else None)
+    if neardup_threshold is not None:
+        pairs = minhash_dedup_pairs(df, text_col, id_col,
+                                    threshold=neardup_threshold)
+        clus = dedup_clusters(pairs)
+        nd = (clus.filter(F.col("id") != F.col("cluster_id"))
+              .select(F.col("id"), F.lit(True).alias("__nd")))
+        out = (out.join(nd, "id", "left")
+               .withColumn("__nd", F.coalesce(F.col("__nd"),
+                                              F.lit(False))))
+    else:
+        out = out.withColumn("__nd", F.lit(False))
+    # fold the near-dup verdict into the SAME alphabetical reason list
+    reasons = F.array_join(
+        F.array_sort(F.filter(
+            F.concat(F.split(F.col("reasons"), ","),
+                     F.array(F.when(F.col("__nd"), F.lit("near_dup")))),
+            lambda x: x.isNotNull() & (x != ""))), ",")
+    out = (out.select("id", reasons.alias("reasons"))
+           .withColumn("keep", F.length("reasons") == 0))
+    # decontaminated edit of the survivors (one row per input doc comes
+    # from the cut operator's coverage contract; the join is id-keyed)
+    if decontaminate and eval_docs is not None:
+        cut = decontaminate_cut(df, eval_docs, text_col, id_col, n=n)
+        ed = cut.select("id", F.col("dc_cleaned").alias("__clean"),
+                        F.col("dc_n_words").alias("n_words"),
+                        F.col("dc_n_cut_words").alias("n_cut_words"))
+    else:
+        from .text import normalize_text
+        from .text import words as _w
+
+        st = df.withColumn(
+            "__w", F.coalesce(_w(normalize_text(F.col(text_col))),
+                              F.array()))
+        ed = st.select(F.col(id_col).alias("id"),
+                       F.array_join(F.col("__w"), " ").alias("__clean"),
+                       F.size("__w").cast("long").alias("n_words"),
+                       F.lit(0).cast("long").alias("n_cut_words"))
+    out = out.join(ed, "id", "left")
+    # deterministic Bernoulli admission (the sampler's predicate
+    # verbatim — replay == batch)
+    sampled = (F.lit(True) if sample_rate >= 1.0
+               else bernoulli_keep(F.col("id"), float(sample_rate)))
+    return out.select(
+        "id", "keep", "reasons",
+        F.when(F.col("keep"), F.col("__clean")).alias("text_clean"),
+        "n_words", "n_cut_words",
+        (F.col("keep") & sampled).alias("sampled"))
