@@ -1775,12 +1775,21 @@ def dp_text_stats(spark, sf_dir):
     ncont = F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long")
     cfr = F.round(ncont / shingles, 6)
     # filters.repetition_flag's rule, decomposed over the staged columns
-    # (same bars, same strict comparisons — the oracle recomputes it)
-    rp = ((F.col("dup_word_ratio") > 0.3)
-          | (F.col("dup_trigram_ratio") > 0.2)
-          | (F.col("__sw0") > 0.1)
-          | (F.col("__bl0") > 0.9)
-          | (F.col("__el0") > 0.3))
+    # — the bars are the SHARED module constants, not re-typed literals
+    # (ADVICE r14), so a default change moves the flag and this
+    # decomposition together and the oracle's arithmetic recomputation
+    # flags it
+    from yupana_spark.datapipe.filters import (REP_MAX_BULLET_LINE,
+                                               REP_MAX_DUP_TRIGRAM,
+                                               REP_MAX_DUP_WORD,
+                                               REP_MAX_ELLIPSIS_LINE,
+                                               REP_MAX_SYMBOL_WORD)
+
+    rp = ((F.col("dup_word_ratio") > REP_MAX_DUP_WORD)
+          | (F.col("dup_trigram_ratio") > REP_MAX_DUP_TRIGRAM)
+          | (F.col("__sw0") > REP_MAX_SYMBOL_WORD)
+          | (F.col("__bl0") > REP_MAX_BULLET_LINE)
+          | (F.col("__el0") > REP_MAX_ELLIPSIS_LINE))
     reasons = keep_reasons(
         ncont > 0,
         F.coalesce(F.col("is_duplicate"), F.lit(False)),

@@ -1622,9 +1622,13 @@ def test_corpus_preprocess_laws(spark):
     """The composed end-to-end recipe (filters.corpus_preprocess) obeys
     its laws on a corpus exercising every stage: one row per input doc;
     keep/reasons == corpus_keep's decision plus the near-dup cluster
-    verdict (non-representative members only); text_clean is
+    verdict resolved AMONG THE RULE-FILTER SURVIVORS (the FineWeb
+    order — ADVICE r14: doc 1 below is both a cluster member and
+    'contaminated', and its clean near-dup doc 3 must SURVIVE, not
+    vanish with its dropped representative); text_clean is
     decontaminate_cut's edit for kept docs and NULL for dropped ones;
-    sampled ⊆ kept and equals the deterministic-sample predicate; and
+    sampled ⊆ kept and equals the deterministic-sample predicate; the
+    precomputed neardup_pairs arm agrees with the threshold arm; and
     the whole frame is bit-identical across runs."""
     from yupana_spark.datapipe.dedup import (decontaminate_cut,
                                              minhash_dedup_pairs)
@@ -1633,17 +1637,22 @@ def test_corpus_preprocess_laws(spark):
 
     good = ("the quick brown fox jumps over the lazy dog and runs far "
             "into the quiet green field for a long while today")
-    near = good.replace("green field", "green meadow")
+    # the near-dup edit sits INSIDE the eval doc's 9-word prefix, so doc
+    # 3 is a high-Jaccard twin of doc 1 yet shares no 8-gram with the
+    # eval corpus (doc 1 contains the eval text verbatim and drops)
+    near = good.replace("brown", "bright")
+    clean = ("a fully clean unrelated document with plenty of calm "
+             "words to pass every single bar easily and well today")
     rows = [
-        (1, good),                          # representative
+        (1, good),                          # contaminated cluster member
         (2, good),                          # exact dup of 1
-        (3, near),                          # near-dup of 1
+        (3, near),                          # near-dup of 1, itself clean
         (4, "der hund und die katze sind mit dem auto zu dem haus "
             "gefahren und bleiben dort mit den kindern"),   # lang
         (5, "!!! ??? ### $$$"),             # low quality
-        (6, "a fully clean unrelated document with plenty of calm "
-            "words to pass every single bar easily and well today"),
+        (6, clean),                         # survivor representative
         (7, None),                          # NULL text
+        (8, clean.replace("calm words", "quiet words")),  # near-dup of 6
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     evals = spark.createDataFrame(
@@ -1652,15 +1661,18 @@ def test_corpus_preprocess_laws(spark):
     out = {r["id"]: r for r in corpus_preprocess(
         docs, eval_docs=evals, neardup_threshold=0.5,
         sample_rate=0.6).collect()}
-    assert set(out) == {1, 2, 3, 4, 5, 6, 7}          # conservation
-    # stage agreement: rule/dup reasons from corpus_keep, near_dup from
-    # the cluster resolution (non-representative members)
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7, 8}       # conservation
+    # stage agreement: rule/dup reasons from corpus_keep; near_dup from
+    # the cluster resolution over the SURVIVOR subset only
     ck = {r["id"]: set(r["reasons"].split(",")) - {""}
           for r in corpus_keep(docs, min_quality=0.7, langs=("en",),
                                rep_rule=True, eval_docs=evals).collect()}
+    surv = {i for i, rs in ck.items() if not rs}
+    surv_docs = docs.filter(F.col("doc_id").isin(*sorted(surv)))
     clus = {r["id"]: r["cluster_id"] for r in dedup_clusters(
-        minhash_dedup_pairs(docs, threshold=0.5)).collect()}
+        minhash_dedup_pairs(surv_docs, threshold=0.5)).collect()}
     nd_ids = {i for i, c in clus.items() if i != c}
+    assert nd_ids <= surv                  # representatives survive
     for i in out:
         want = set(ck[i]) | ({"near_dup"} if i in nd_ids else set())
         got = set(out[i]["reasons"].split(",")) - {""}
@@ -1668,8 +1680,20 @@ def test_corpus_preprocess_laws(spark):
         assert out[i]["keep"] == (not want)
         assert out[i]["reasons"] == ",".join(sorted(got))
     assert out[1]["reasons"] == "contaminated"  # shares eval 8-grams
-    assert "near_dup" in out[3]["reasons"] or out[3]["keep"] is False
+    # doc 3's representative (doc 1) was dropped by a rule — under the
+    # survivors-only resolution doc 3 is NOT collateral damage
+    assert out[3]["keep"] is True
+    # the survivor pair (6, 8) resolved: min-id 6 kept, 8 is near_dup
     assert out[6]["keep"] is True
+    assert out[8]["reasons"] == "near_dup" and out[8]["keep"] is False
+    # precomputed-pairs arm: full-corpus pairs semi-joined to survivors
+    # equal the survivors-input threshold arm (pairwise semantics)
+    out_pre = {r["id"]: r for r in corpus_preprocess(
+        docs, eval_docs=evals,
+        neardup_pairs=minhash_dedup_pairs(docs, threshold=0.5),
+        sample_rate=0.6).collect()}
+    assert {k: tuple(v) for k, v in out.items()} \
+        == {k: tuple(v) for k, v in out_pre.items()}
     # text_clean: the decontaminated edit for kept docs, NULL otherwise
     cut = {r["id"]: r for r in decontaminate_cut(docs, evals).collect()}
     for i in out:
@@ -1755,6 +1779,23 @@ def test_text_stats_inline_keep_matches_corpus_keep(spark):
     for rule in ("contaminated", "duplicate", "lang", "low_quality",
                  "repetition"):
         assert rule in fired, (rule, got)
+    # the packaged flag's keyword defaults ARE the shared module
+    # constants dp_text_stats' in-plan decomposition imports (ADVICE
+    # r14: re-typed literals let a default change diverge the bundle
+    # from the operator silently; this pins the single source)
+    import inspect
+
+    from yupana_spark.datapipe import filters as _flt
+
+    defaults = {k: v.default for k, v in inspect.signature(
+        repetition_flag).parameters.items() if k.startswith("max_")}
+    assert defaults == {
+        "max_dup_word": _flt.REP_MAX_DUP_WORD,
+        "max_dup_trigram": _flt.REP_MAX_DUP_TRIGRAM,
+        "max_symbol_word": _flt.REP_MAX_SYMBOL_WORD,
+        "max_bullet_line": _flt.REP_MAX_BULLET_LINE,
+        "max_ellipsis_line": _flt.REP_MAX_ELLIPSIS_LINE,
+    }
 
 
 def test_cut_starts_fused_matches_operators(spark):

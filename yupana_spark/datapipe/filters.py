@@ -56,12 +56,29 @@ def keep_reasons(cont: Column, is_dup: Column, lang_bad: Column,
         ",")
 
 
+#: The Gopher repetition/shape rule's default bars (Rae et al. 2021
+#: appendix A1.1 for symbol/bullet/ellipsis; in-house analogues for the
+#: duplicate word/trigram family) — the ONE definition shared by
+#: ``repetition_flag``'s keyword defaults AND dp_text_stats' in-plan
+#: decomposition over staged columns (ADVICE r14: the decomposition
+#: duplicated these as literals, so a future default change would have
+#: silently diverged the bundle from the operator with the oracle still
+#: green; sharing the constants makes the pair move together, and the
+#: hash-strict oracle — which recomputes the rule arithmetically — then
+#: flags any change loudly).
+REP_MAX_DUP_WORD = 0.3
+REP_MAX_DUP_TRIGRAM = 0.2
+REP_MAX_SYMBOL_WORD = 0.1
+REP_MAX_BULLET_LINE = 0.9
+REP_MAX_ELLIPSIS_LINE = 0.3
+
+
 def repetition_flag(text: Column, word_array: Optional[Column] = None,
-                    max_dup_word: float = 0.3,
-                    max_dup_trigram: float = 0.2,
-                    max_symbol_word: float = 0.1,
-                    max_bullet_line: float = 0.9,
-                    max_ellipsis_line: float = 0.3) -> Column:
+                    max_dup_word: float = REP_MAX_DUP_WORD,
+                    max_dup_trigram: float = REP_MAX_DUP_TRIGRAM,
+                    max_symbol_word: float = REP_MAX_SYMBOL_WORD,
+                    max_bullet_line: float = REP_MAX_BULLET_LINE,
+                    max_ellipsis_line: float = REP_MAX_ELLIPSIS_LINE) -> Column:
     """Row-local Gopher repetition/shape rule (Rae et al. 2021 A1.1):
     fires when ANY signal exceeds its bar.  ``symbol``/``bullet``/
     ``ellipsis`` bars are the paper's published thresholds (0.1 / 0.9 /
@@ -234,15 +251,31 @@ def corpus_preprocess(df: DataFrame, text_col: str = "text",
                       langs: Optional[Sequence[str]] = ("en",),
                       rep_rule: bool = True,
                       neardup_threshold: Optional[float] = None,
+                      neardup_pairs: Optional[DataFrame] = None,
                       decontaminate: bool = True,
                       n: int = 8,
                       sample_rate: float = 1.0) -> DataFrame:
     """The COMPOSED preprocessing recipe, applied end to end — the
     FineWeb/RefinedWeb pipeline order as one call: rule filters +
     exact dedup (``corpus_keep``), optional MinHash near-dup cluster
-    resolution (keep the min-id representative per connected
-    component), optional benchmark-decontamination SPAN REMOVAL of the
-    survivors, and a final deterministic Bernoulli sample.
+    resolution AMONG THE RULE-FILTER SURVIVORS (keep the min-id
+    representative per connected component), optional
+    benchmark-decontamination SPAN REMOVAL of the survivors, and a
+    final deterministic Bernoulli sample.
+
+    Near-dup clusters are resolved over the docs whose ``corpus_keep``
+    reasons are empty — the FineWeb/RefinedWeb order (dedup among
+    filter survivors, keeping one copy), not over the full input
+    (ADVICE r14: a full-input representative can itself be dropped by
+    a rule filter, silently losing the whole cluster's content; here
+    the representative is by construction a survivor).  Because both
+    the LSH banding and the Jaccard verify are pairwise/per-doc,
+    restricting the INPUT to survivors equals restricting full-corpus
+    pairs to survivor endpoints — which is exactly what happens when a
+    precomputed ``neardup_pairs`` frame (``(id_a, id_b, ...)``, e.g.
+    ``minhash_dedup_pairs``/``ngram_jaccard_pairs`` output a pipeline
+    already paid for) is passed instead of ``neardup_threshold``: its
+    pairs are semi-joined to the survivor set before clustering.
 
     Returns one row per INPUT document — nothing is silently dropped:
     ``(id, keep, reasons, text_clean, n_words, n_cut_words, sampled)``
@@ -271,9 +304,22 @@ def corpus_preprocess(df: DataFrame, text_col: str = "text",
     out = corpus_keep(df, text_col, id_col, min_quality=min_quality,
                       langs=langs, rep_rule=rep_rule,
                       eval_docs=eval_docs if decontaminate else None)
-    if neardup_threshold is not None:
-        pairs = minhash_dedup_pairs(df, text_col, id_col,
-                                    threshold=neardup_threshold)
+    if neardup_threshold is not None or neardup_pairs is not None:
+        # dedup among the rule-filter survivors (FineWeb order): the
+        # survivor set is a narrow id frame; the semi-joins below are
+        # id-keyed and the minhash pass only pays for surviving text
+        surv = out.filter(F.length("reasons") == 0).select("id")
+        if neardup_pairs is not None:
+            pairs = (neardup_pairs
+                     .join(surv.select(F.col("id").alias("id_a")),
+                           "id_a", "left_semi")
+                     .join(surv.select(F.col("id").alias("id_b")),
+                           "id_b", "left_semi"))
+        else:
+            surv_docs = df.join(surv.select(F.col("id").alias(id_col)),
+                                id_col, "left_semi")
+            pairs = minhash_dedup_pairs(surv_docs, text_col, id_col,
+                                        threshold=neardup_threshold)
         clus = dedup_clusters(pairs)
         nd = (clus.filter(F.col("id") != F.col("cluster_id"))
               .select(F.col("id"), F.lit(True).alias("__nd")))
