@@ -256,40 +256,30 @@ def q_case_in(spark, sf_dir):
 
 
 def q_extracts(spark, sf_dir):
-    """Bundle: extract_year/quarter/month + integral '/' division as a group
-    key (DivGuard ladder, FunctionRegistry extract_*)."""
-    kb = E.Cast(E.BinaryOp("/", E.Field("l_orderkey"), E.const(1000)), yt.LONG)
-    q = query(
-        "lineitem", FROM, TO,
-        fields=[
-            (E.extract("year", E.time()), "y"),
-            (E.extract("quarter", E.time()), "q"),
-            (E.extract("month", E.time()), "m"),
-            (kb, "k_bucket"),
-            (E.count(E.Field("l_orderkey")), "cnt"),
-        ],
-        group_by=[E.extract("year", E.time()), E.extract("quarter", E.time()),
-                  E.extract("month", E.time()), kb],
-    )
-    return _tsdb(spark, sf_dir).query(q)
-
-
-def q_trunc_extract(spark, sf_dir):
-    """Bundle: trunc_week/trunc_hour + extract_day/hour/minute/second on a
-    row-level projection with an equality filter (was q_trunc_units +
-    q_extract_dhms)."""
+    """Bundle: extract_year/quarter/month/day/hour/minute/second +
+    trunc_week/trunc_hour as GROUP BY keys + integral '/' division as a
+    group key (DivGuard ladder, FunctionRegistry extract_*/trunc_*) over
+    an equality-filtered scan (absorbed q_trunc_extract, r15 — both
+    bundles exercised the same extract/trunc compiler path; the freed
+    queries() slot promotes corpus_preprocess to a first-class oracled
+    bundle per the r14 verdict)."""
+    kb = E.Cast(E.BinaryOp("/", E.Field("event_id"), E.const(1000)), yt.LONG)
+    keys = [E.extract("year", E.time()), E.extract("quarter", E.time()),
+            E.extract("month", E.time()), E.trunc("week", E.time()),
+            E.trunc("hour", E.time()), E.extract("day", E.time()),
+            E.extract("hour", E.time()), E.extract("minute", E.time()),
+            E.extract("second", E.time()), kb]
     q = query(
         "events", EV_FROM, EV_TO,
         fields=[
-            (E.trunc("week", E.time()), "w"),
-            (E.trunc("hour", E.time()), "h"),
-            (E.extract("day", E.time()), "dd"),
-            (E.extract("hour", E.time()), "hh"),
-            (E.extract("minute", E.time()), "mi"),
-            (E.extract("second", E.time()), "ss"),
-            (E.Field("event_id"), "event_id"),
+            (keys[0], "y"), (keys[1], "q"), (keys[2], "m"),
+            (keys[3], "w"), (keys[4], "h"), (keys[5], "dd"),
+            (keys[6], "hh"), (keys[7], "mi"), (keys[8], "ss"),
+            (kb, "k_bucket"),
+            (E.count(E.Field("event_id")), "cnt"),
         ],
         filter=E.eq(E.Field("event_type"), E.const("signup")),
+        group_by=keys,
     )
     return _tsdb(spark, sf_dir).query(q)
 
@@ -2508,6 +2498,49 @@ def dp_mix_corpora(spark, sf_dir):
         .select("doc_id", "source", "corpus")
 
 
+def dp_corpus_preprocess(spark, sf_dir):
+    """Bundle: the COMPOSED end-to-end preprocessing recipe
+    (datapipe/filters.corpus_preprocess) — the FineWeb/RefinedWeb stage
+    order as ONE call, hash-strict against a DuckDB recomputation of
+    the FULL pipeline (r14 verdict item 1: the recipe was the only
+    operator family shipped law-only).  Stages, each individually
+    oracled elsewhere and recomposed here end to end: rule filters
+    (quality_score / lang_id / the Gopher repetition rule at the shared
+    bars) + exact-dup fingerprints + benchmark-contamination membership
+    (``corpus_keep``); near-dup cluster resolution AMONG THE
+    RULE-FILTER SURVIVORS with min-id representatives (precomputed
+    word-3-gram Jaccard pairs passed as ``neardup_pairs`` so the oracle
+    recomputes the identical pairwise verdicts in SQL — the MinHash arm
+    is LSH-probabilistic and stays pinned by the recipe laws +
+    dp_neardup_scale's completeness verdicts); decontamination SPAN
+    REMOVAL of the text (Lee et al. 2021 §6 posture); and the
+    deterministic md5-threshold Bernoulli admission.  Reference
+    posture: the composed multi-stage pipeline is yupana's own
+    architecture (TsdbBase.scala:213-291 runs scan -> filter -> enrich
+    -> post-filter -> aggregate as one recipe); this is the
+    training-data analogue.
+
+    One row per INPUT doc: (id, keep, reasons, text_clean_md5 — NULL
+    for dropped docs, '' hashes for fully-cut kept ones —, n_words,
+    n_cut_words, sampled)."""
+    from yupana_spark.datapipe.dedup import ngram_jaccard_pairs
+    from yupana_spark.datapipe.filters import corpus_preprocess
+
+    docs = _docs(spark, sf_dir, fan_out=True)
+    evals = docs.filter(F.col("doc_id") % 97 == 0)
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.3, n=3,
+        n_rows=_fixture_count(spark, sf_dir, "documents", docs))
+    out = corpus_preprocess(docs, eval_docs=evals, rep_rule=True,
+                            neardup_pairs=pairs, sample_rate=0.35)
+    return out.select(
+        "id", "keep", "reasons",
+        F.md5(F.col("text_clean")).alias("text_clean_md5"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_cut_words").cast("long").alias("n_cut_words"),
+        "sampled")
+
+
 def _completeness_row(name: str, exact: DataFrame, found: DataFrame,
                       tol_frac: float = 0.0) -> DataFrame:
     """One (chk, violations, verdict) row: sampled-exact pairs missing from
@@ -3156,7 +3189,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_projection_filter": q_projection_filter,
         "q_case_in": q_case_in,
         "q_extracts": q_extracts,
-        "q_trunc_extract": q_trunc_extract,
         "q_having": q_having,
         "q_post_agg_arith": q_post_agg_arith,
         "q_agg_stats": q_agg_stats,
@@ -3199,6 +3231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_top_k_per_group": dp_top_k_per_group,
         "dp_group_quantiles": dp_group_quantiles,
         "dp_mix_corpora": dp_mix_corpora,
+        "dp_corpus_preprocess": dp_corpus_preprocess,
         "dp_neardup_scale": dp_neardup_scale,
         "dp_ann_approx": dp_ann_approx,
         "dp_pack_sequences": dp_pack_sequences,
@@ -3263,22 +3296,19 @@ _ORACLES_REL: dict[str, str] = {
         FROM lineitem WHERE {_TB} GROUP BY 1
     """,
     "q_extracts": f"""
-        SELECT CAST(extract(year FROM l_shipdate) AS INTEGER) AS y,
-               CAST(extract(quarter FROM l_shipdate) AS INTEGER) AS q,
-               CAST(extract(month FROM l_shipdate) AS INTEGER) AS m,
-               CAST(l_orderkey // 1000 AS BIGINT) AS k_bucket,
-               count(l_orderkey) AS cnt
-        FROM lineitem WHERE {_TB} GROUP BY 1, 2, 3, 4
-    """,
-    "q_trunc_extract": f"""
-        SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS w,
+        SELECT CAST(extract(year FROM ts) AS INTEGER) AS y,
+               CAST(extract(quarter FROM ts) AS INTEGER) AS q,
+               CAST(extract(month FROM ts) AS INTEGER) AS m,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS w,
                CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
                CAST(extract(day FROM ts) AS INTEGER) AS dd,
                CAST(extract(hour FROM ts) AS INTEGER) AS hh,
                CAST(extract(minute FROM ts) AS INTEGER) AS mi,
                CAST(extract(second FROM ts) AS INTEGER) AS ss,
-               event_id
+               CAST(event_id // 1000 AS BIGINT) AS k_bucket,
+               count(event_id) AS cnt
         FROM events WHERE {_TB_E} AND event_type = 'signup'
+        GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10
     """,
     "q_having": f"""
         SELECT o_custkey, count(o_orderkey) AS cnt
@@ -4594,6 +4624,192 @@ _ORACLES_DP: dict[str, str] = {
         SELECT doc_id, source, 'tail' AS corpus FROM documents
         WHERE source NOT IN ('src0','src1','src2')
           AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_hex(0.25)}'
+    """,
+    # the FULL FineWeb-order recipe recomputed end to end: rule reasons
+    # (quality/lang/repetition/duplicate/contamination — the dp_text_stats
+    # oracle's fragments on the RAW fixture text), 3-gram Jaccard pairs
+    # among the rule survivors -> recursive-CTE components -> non-min
+    # members 'near_dup' (a near_dup doc has NO other reasons by
+    # construction: the resolution only runs among survivors), the
+    # decontamination span-removal rebuild, and the md5-threshold sample
+    "dp_corpus_preprocess": f"""
+        WITH RECURSIVE m AS (
+          SELECT doc_id, text,
+                 CAST(length(text) AS INTEGER) AS n_chars,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS ws,
+                 length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     AS n_alpha,
+                 length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                     AS n_punct
+          FROM documents),
+        m2 AS (
+          SELECT doc_id, text, n_chars,
+                 CAST(len(ws) AS INTEGER) AS n_words,
+                 greatest(n_chars, 1) AS safe_len,
+                 greatest(len(ws), 1) AS safe_words,
+                 n_alpha, n_punct
+          FROM m),
+        nw AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(
+                     trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')),
+                     '\\s+'), x -> x <> '') AS nws
+          FROM documents),
+        rep AS (
+          SELECT doc_id,
+                 round((len(lws) - len(list_distinct(lws)))
+                       / greatest(len(lws), 1), 6) AS dup_word_ratio,
+                 round((len(tgs) - len(list_distinct(tgs)))
+                       / greatest(len(tgs), 1), 6) AS dup_trigram_ratio
+          FROM (
+            SELECT doc_id, lws,
+                   list_transform(
+                       generate_series(1, greatest(len(lws) - 2, 1)),
+                       i -> array_to_string(list_slice(lws, i, i + 2), ' '))
+                       AS tgs
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(trim(lower(text)),
+                             '\\s+'), x -> x <> '') AS lws
+                  FROM documents))),
+        lg AS (
+          SELECT doc_id,
+            CASE WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0
+                 THEN 'zh'
+                 WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                 WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                 WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                 WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                 ELSE 'fr' END AS pred
+          FROM (
+            SELECT doc_id, text,
+              len(list_intersect(dws, ['der','die','das','und','ist','ein','eine','zu','mit','von'])) AS s_de,
+              len(list_intersect(dws, ['the','a','of','and','to','in','is','that','it','for'])) AS s_en,
+              len(list_intersect(dws, ['el','la','de','que','y','en','un','una','es','por'])) AS s_es,
+              len(list_intersect(dws, ['le','la','de','et','un','une','est','que','pour','dans'])) AS s_fr
+            FROM (SELECT doc_id, text,
+                         list_distinct(list_filter(
+                            string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS dws
+                  FROM documents))),
+        dupf AS (
+          SELECT doc_id,
+                 doc_id <> min(doc_id) OVER (PARTITION BY fp) AS isdup
+          FROM (SELECT doc_id,
+                       md5(trim(regexp_replace(regexp_replace(
+                           lower(coalesce(text, '')),
+                           '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))
+                           AS fp
+                FROM documents)),
+        ngr AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                     generate_series(1, greatest(len(nws) - 7, 1)),
+                     i -> array_to_string(list_slice(nws, i, i + 7), ' ')))
+                     AS g
+          FROM nw),
+        cont AS (
+          SELECT DISTINCT doc_id FROM ngr
+          WHERE g IN (SELECT g FROM ngr WHERE doc_id % 97 = 0)),
+        fr AS (
+          SELECT m3.doc_id,
+                 coalesce(array_to_string(list_filter([
+                   CASE WHEN c2.doc_id IS NOT NULL THEN 'contaminated' END,
+                   CASE WHEN dupf.isdup THEN 'duplicate' END,
+                   CASE WHEN lg.pred <> 'en' THEN 'lang' END,
+                   CASE WHEN round((CASE WHEN m3.n_words >= 5 THEN 1 ELSE 0 END
+                        + CASE WHEN round(m3.n_alpha / m3.safe_len, 6) > 0.5 THEN 1 ELSE 0 END
+                        + CASE WHEN round(m3.n_punct / m3.safe_len, 6) < 0.2 THEN 1 ELSE 0 END
+                        + CASE WHEN round(m3.n_alpha / m3.safe_words, 6)
+                               BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END
+                        + CASE WHEN m3.n_chars >= 20 THEN 1 ELSE 0 END) / 5.0, 6)
+                        < 0.7 THEN 'low_quality' END,
+                   CASE WHEN r2.dup_word_ratio > 0.3
+                          OR r2.dup_trigram_ratio > 0.2
+                          OR round((length(m3.text)
+                                    - length(replace(m3.text, '#', ''))
+                                    + length(m3.text)
+                                    - length(replace(m3.text, '…', ''))
+                                    + floor((length(m3.text)
+                                             - length(replace(m3.text,
+                                                              '...', '')))
+                                            / 3))
+                                   / m3.safe_words, 6) > 0.1
+                          OR (trim(m3.text) <> '' AND regexp_matches(
+                                m3.text, '^\\s*[•\\-\\*]\\s'))
+                          OR (trim(m3.text) <> '' AND regexp_matches(
+                                m3.text, '(\\.\\.\\.|…)\\s*$'))
+                        THEN 'repetition' END
+                 ], x -> x IS NOT NULL), ','), '') AS reasons
+          FROM m2 m3
+          LEFT JOIN cont c2 ON m3.doc_id = c2.doc_id
+          JOIN dupf ON m3.doc_id = dupf.doc_id
+          JOIN lg ON m3.doc_id = lg.doc_id
+          JOIN rep r2 ON m3.doc_id = r2.doc_id),
+        sh AS (
+          SELECT nw.doc_id,
+                 list_distinct(list_transform(
+                     generate_series(1, greatest(len(nws) - 2, 1)),
+                     i -> array_to_string(list_slice(nws, i, i + 2), ' ')))
+                     AS s
+          FROM nw JOIN fr ON nw.doc_id = fr.doc_id
+          WHERE fr.reasons = ''),
+        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                          / greatest(len(a.s) + len(b.s)
+                                     - len(list_intersect(a.s, b.s)), 1),
+                          6) >= 0.3),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                  UNION SELECT id_b, id_a FROM p),
+        reach(id, r) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e2.src, reach.r
+            FROM edges e2 JOIN reach ON e2.dst = reach.id),
+        cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        nd AS (SELECT id FROM cc WHERE id <> cluster_id),
+        esg AS (
+          SELECT doc_id, i - 1 AS pos,
+                 array_to_string(list_slice(nws, i, i + 7), ' ') AS g
+          FROM nw, unnest(generate_series(1, greatest(len(nws) - 7, 1)))
+               AS t(i)),
+        dcut AS (
+          SELECT DISTINCT e.doc_id, u.widx
+          FROM esg e, unnest(generate_series(e.pos, e.pos + 7))
+               AS u(widx)
+          WHERE e.g IN (SELECT g FROM esg WHERE doc_id % 97 = 0)),
+        esw AS (
+          SELECT doc_id, generate_subscripts(nws, 1) - 1 AS widx,
+                 unnest(nws) AS w
+          FROM nw),
+        dcreb AS (
+          SELECT w.doc_id, count(*) AS nk,
+                 array_to_string(list(w.w ORDER BY w.widx), ' ') AS cleaned
+          FROM esw w LEFT JOIN dcut c
+               ON w.doc_id = c.doc_id AND w.widx = c.widx
+          WHERE c.doc_id IS NULL GROUP BY w.doc_id),
+        rsn AS (
+          SELECT fr.doc_id,
+                 CASE WHEN nd.id IS NOT NULL THEN 'near_dup'
+                      ELSE fr.reasons END AS reasons
+          FROM fr LEFT JOIN nd ON fr.doc_id = nd.id)
+        SELECT r.doc_id AS id,
+               (r.reasons = '') AS keep,
+               r.reasons,
+               CASE WHEN r.reasons = ''
+                    THEN md5(coalesce(dr.cleaned, '')) END
+                   AS text_clean_md5,
+               CAST(len(n.nws) AS BIGINT) AS n_words,
+               CAST(len(n.nws) - coalesce(dr.nk, 0) AS BIGINT)
+                   AS n_cut_words,
+               ((r.reasons = '')
+                AND substr(md5(CAST(r.doc_id AS VARCHAR)), 1, 8)
+                    < '{_hex(0.35)}') AS sampled
+        FROM rsn r
+        JOIN nw n ON r.doc_id = n.doc_id
+        LEFT JOIN dcreb dr ON r.doc_id = dr.doc_id
     """,
     # constant oracle (q_hll_count pattern): the Spark side emits 'ok'/0 only
     # when each approximate path's completeness check against its

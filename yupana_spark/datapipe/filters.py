@@ -295,9 +295,12 @@ def corpus_preprocess(df: DataFrame, text_col: str = "text",
     cut, and a row-local sample predicate.  Composition adds only
     narrow id-keyed joins.
 
-    Not a ``queries()`` bundle (the 50-entry cap is full); pinned by
-    test_corpus_preprocess_laws instead: per-stage agreement with the
-    standalone operators plus conservation / determinism laws."""
+    Oracled first-class as the dp_corpus_preprocess bundle (r15 — the
+    DuckDB oracle recomputes keep/reasons/text_clean/cuts/sampled end
+    to end, with the Jaccard-pairs near-dup arm so the pair verdicts
+    are SQL-recomputable); the MinHash arm and the composition laws
+    (conservation, per-stage agreement, determinism, pairs-arm
+    equivalence) stay pinned by test_corpus_preprocess_laws."""
     from .dedup import decontaminate_cut, minhash_dedup_pairs
     from .sample import bernoulli_keep, dedup_clusters
 
