@@ -1636,7 +1636,12 @@ def dp_text_stats(spark, sf_dir):
         # document folds since r12, so they ride this same scan over the
         # staged __lw (zero shuffles; the former explode+groupBy shape
         # and its per-doc join are gone).  Sub-n-word docs score the
-        # published 0.0, matching the old left-join + coalesce.
+        # published 0.0, matching the old left-join + coalesce.  (r15:
+        # an Arrow factorize+numpy mirror wins the ISOLATED subtree
+        # 4.9x but measured an end-to-end WASH in this bundle — the
+        # folds overlap fully inside the saturated scan stage while the
+        # Arrow pass splits it; see docs/scale.md and
+        # datapipe/vectorized.py, kept as the measured experiment.)
         *ngram_char_frac_cols(F.col("__lw"), F.length(F.col("text")),
                               [(2, "top", "top2_char_frac"),
                                (5, "dup", "dup5_char_frac")]),
@@ -2658,9 +2663,13 @@ def dp_neardup_scale(spark, sf_dir):
         st, tok = _artifacts(), _fx_token(sf_dir, "documents", "embeddings")
         # fit params ride the NAME (identity), the corpus files ride the
         # token (version) — changing either side refits
+        # cell count grows with the corpus (the IVF contract, r15) and
+        # rides the artifact NAME like every other fit param
+        k_cells = max(16, n_emb // 125)
         names = {"nd_arts": artifact_name("nd_arts", sf_dir, 5, 32),
                  "nd_sigs": artifact_name("nd_sigs", sf_dir, 64),
-                 "nd_cells": artifact_name("nd_cells", sf_dir, 16, 4, 7),
+                 "nd_cells": artifact_name("nd_cells", sf_dir, k_cells,
+                                           4, 7),
                  "nd_exmh": artifact_name("nd_exmh", sf_dir, 0.85, 400),
                  "nd_exsh": artifact_name("nd_exsh", sf_dir, 3, 400),
                  "nd_exel": artifact_name("nd_exel", sf_dir, 0.45, 512)}
@@ -2685,9 +2694,17 @@ def dp_neardup_scale(spark, sf_dir):
             sigs = (simhash(docs).withColumnRenamed("doc_id", "id")
                     .localCheckpoint(eager=True))
             # the IVF cell layout is the third index artifact (production
-            # assigns at ingest); exact verification stays live below
+            # assigns at ingest); exact verification stays live below.
+            # n_centroids GROWS with the corpus (ivf_assignment's own
+            # contract, enforced r15): a fixed k makes the per-cell Gram
+            # verify QUADRATIC in N — at the 10x gate corpus the fixed-16
+            # layout did 100x the 1x Gram flops and dominated the
+            # bundle's wall.  ~125 vectors/cell keeps the per-cell block
+            # constant, so total Gram work scales with N; the floor keeps
+            # sf0.01/sf0.1 layouts (and their pinned verdicts) unchanged.
             cells = ivf_assignment(
-                emb, n=n_emb, cache_key=sf_dir, store=st,
+                emb, n=n_emb, n_centroids=k_cells,
+                cache_key=sf_dir, store=st,
                 store_token=_fx_token(sf_dir, "embeddings")
             ).localCheckpoint(eager=True)
             # the three bounded exact-pair oracles are deterministic

@@ -422,9 +422,13 @@ def test_minhash_lsh_finds_neardup(docs_with_dups):
 
 def test_minhash_rung3_gate_large_path(docs_with_dups):
     """The rung-3 verify join volume gate: forcing the LARGE path (a
-    pair_gate every corpus exceeds) flips both verify joins from broadcast
-    to shuffle-hash equi-joins and yields IDENTICAL pairs — the gate
-    changes the physical strategy, never the answer."""
+    pair_gate every corpus exceeds) flips both verify joins from
+    broadcast to MERGE-hinted sort-merge equi-joins — the one strategy
+    that neither collects (an unhinted plan broadcast the
+    under-estimated half frame and died on driver.maxResultSize at 10x)
+    nor holds an unspillable hash build (the former shuffle_hash hint
+    OOM'd there, r15) — and yields IDENTICAL pairs: the gate changes
+    the physical strategy, never the answer."""
     import contextlib
     import io
 
@@ -447,7 +451,11 @@ def test_minhash_rung3_gate_large_path(docs_with_dups):
         with contextlib.redirect_stdout(buf):
             large.explain("formatted")
         plan = buf.getvalue()
-        assert "ShuffledHashJoin" in plan
+        # the pair set must NOT broadcast above the gate; the shuffled
+        # strategy (SMJ statically, SHJ if AQE downgrades) is free
+        import re as _re
+
+        assert _re.search("SortMergeJoin|ShuffledHashJoin", plan)
         assert "CartesianProduct" not in plan
     finally:
         arts.unpersist()
@@ -3397,3 +3405,79 @@ def test_salted_quota_rank_identical_and_skew_bounded(spark):
     plan = salted._jdf.queryExecution().executedPlan().toString()
     import re
     assert re.search(r"windowspecdefinition\(dom#\d+, __salt#\d+", plan)
+
+
+def test_vectorized_signals_match_folds(spark):
+    """The Arrow-vectorized repetition-signal mirror (r15 experiment,
+    datapipe/vectorized.py) must reproduce the HOF folds' four rounded
+    signals EXACTLY across the edge corpus — NULL text, empty-after-
+    split, 1/2-word (the lone-shingle floor), all-duplicate words,
+    repeated trigrams, a dominant 2-gram, duplicated 5-grams, and a
+    clean long doc — and across a real fixture slice."""
+    from yupana_spark.datapipe.text import (ngram_char_frac_cols,
+                                            repetition_stats, words)
+    from yupana_spark.datapipe.vectorized import (rep_ngram_cols,
+                                                  rep_ngram_signals)
+
+    rows = [
+        (1, None),
+        (2, "   "),
+        (3, "one"),
+        (4, "two words"),
+        (5, "spam spam spam spam spam spam spam spam spam spam"),
+        (6, "a b c a b c a b c a b c a b c"),
+        (7, "x y x y x y x y x y x y"),
+        (8, "p q r s t p q r s t p q r s t unique tail here now"),
+        (9, "the quick brown fox jumps over the lazy dog and keeps "
+            "going through the quiet field for a while longer today"),
+        (10, "aa aa bb bb aa aa bb bb cc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string") \
+        .withColumn("__lw", words(F.lower(F.col("text"))))
+    rep = repetition_stats(F.col("__lw"), as_words=True)
+    specs = [(2, "top", "top2_char_frac"), (5, "dup", "dup5_char_frac")]
+    want_df = docs.select(
+        "doc_id",
+        rep["dup_word_ratio"].alias("dup_word_ratio"),
+        rep["dup_trigram_ratio"].alias("dup_trigram_ratio"),
+        *ngram_char_frac_cols(F.col("__lw"), F.length(F.col("text")),
+                              specs))
+    staged = docs.withColumn("__sig", rep_ngram_signals(F.col("__lw")))
+    mc = rep_ngram_cols(F.col("__sig"), F.col("__lw"),
+                        F.length(F.col("text")))
+    got_df = staged.select("doc_id", *[mc[c].alias(c) for c in
+                                       ("dup_word_ratio",
+                                        "dup_trigram_ratio",
+                                        "top2_char_frac",
+                                        "dup5_char_frac")])
+    want = {r["doc_id"]: tuple(r)[1:] for r in want_df.collect()}
+    got = {r["doc_id"]: tuple(r)[1:] for r in got_df.collect()}
+    assert want == got
+    # non-vacuous: every signal fires somewhere in the edge corpus
+    import math
+    cols = list(zip(*[v for v in want.values()]))
+    for i, name in enumerate(("dup_word_ratio", "dup_trigram_ratio",
+                              "top2_char_frac", "dup5_char_frac")):
+        assert any((x or 0) > 0 and not math.isnan(x or 0)
+                   for x in cols[i]), name
+    # real fixture slice (first 200 docs at sf0.001)
+    fx = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .limit(200)
+          .withColumn("__lw", words(F.lower(F.col("text")))))
+    w_fx = {r["doc_id"]: tuple(r)[1:] for r in fx.select(
+        "doc_id",
+        repetition_stats(F.col("__lw"), as_words=True)["dup_word_ratio"]
+        .alias("a"),
+        repetition_stats(F.col("__lw"), as_words=True)["dup_trigram_ratio"]
+        .alias("b"),
+        *ngram_char_frac_cols(F.col("__lw"), F.length(F.col("text")),
+                              specs)).collect()}
+    fxs = fx.withColumn("__sig", rep_ngram_signals(F.col("__lw")))
+    mfx = rep_ngram_cols(F.col("__sig"), F.col("__lw"),
+                         F.length(F.col("text")))
+    g_fx = {r["doc_id"]: tuple(r)[1:] for r in fxs.select(
+        "doc_id", mfx["dup_word_ratio"].alias("a"),
+        mfx["dup_trigram_ratio"].alias("b"),
+        mfx["top2_char_frac"].alias("top2_char_frac"),
+        mfx["dup5_char_frac"].alias("dup5_char_frac")).collect()}
+    assert w_fx == g_fx

@@ -6,8 +6,13 @@ the plans keep their audited shapes at 10x (same explain_audit rules).
 Synthesis: every relational table is replicated 10x with per-replica key
 offsets (so join keys stay consistent ACROSS tables and no key becomes
 pathologically hot), time columns untouched (the entries' windows still
-cover every row).  embeddings is byte-copied (no gated entry reads it); events replicates
-with event_id/user_id offsets so the alignment bundle scales for real.
+cover every row); events replicates with event_id/user_id offsets so the
+alignment bundle scales for real.  documents text gets a per-replica
+BIJECTIVE char rotation and embeddings a per-replica sign flip
+(fixture v4, r15): within-replica dup/near-dup/gram structure is
+preserved exactly while cross-replica pairs vanish, so dup RATE stays
+constant and TRUE pair volume grows linearly with the corpus — the gate
+measures "the same corpus at 10x", not a 10-copy-cluster corpus.
 The synthesized dir is cached and reused across runs.
 
 Usage: python tools/scale_check.py [--rebuild]
@@ -49,12 +54,11 @@ _KEY_COLS = {
     "events": ["event_id", "user_id"],
     # vec_id offset per replica (r15: the gate now covers the
     # embeddings-reading bundles); replica 0 keeps the original ids so
-    # fixed probes (vec_id = 0) still resolve.  Vectors repeat verbatim —
-    # timing/plan-shape is what the gate asserts, not recall values.
+    # fixed probes (vec_id = 0) still resolve.
     "embeddings": ["vec_id"],
 }
 _COPY: list = []
-FIXTURE_VERSION = "v2"  # bump when synthesis changes -> cached dirs rebuild
+FIXTURE_VERSION = "v4"  # bump when synthesis changes -> cached dirs rebuild
 
 # entries gated: all in explain_audit.CHECKS so the 10x plans get the
 # exact same shape rules, and together they cover scan+agg, join, window,
@@ -84,14 +88,52 @@ def synthesize(spark, out: str) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(out, exist_ok=True)
+
+    def _doc_text(col, i):
+        # fixture v4 (r15): per-replica BIJECTIVE character rotation —
+        # within-doc and within-replica equality structure (word/line/
+        # gram repeats, near-dup pairs, shingle sets) is preserved
+        # EXACTLY under a char bijection, while cross-replica text
+        # shares ~no 5-char shingles, words, grams or fingerprints, so
+        # dup RATE stays constant and pair volume grows linearly — what
+        # "10x the data" means on a real crawl.  (Byte-replicas put
+        # every doc in a 10-copy cluster: TRUE pair volume grew ~45x,
+        # quadratic per cluster — a different corpus, not the same
+        # corpus at 10x.  A per-WORD suffix tag was not enough either:
+        # minhash shingles are CHAR-level, so tagged replicas still
+        # collided in 74.6M band candidates vs 100k at 1x.)
+        lower = "abcdefghijklmnopqrstuvwxyz"
+        upper = lower.upper()
+        rl = lower[i:] + lower[:i]
+        ru = upper[i:] + upper[:i]
+        return F.translate(col, lower + upper, rl + ru)
+
+    def _emb_vec(col, i):
+        # per-replica deterministic SIGN FLIP per dimension: preserves
+        # every within-replica cosine exactly (s_j^2 = 1) while making
+        # cross-replica similarity ~0, so embedding near-dup pairs also
+        # grow linearly instead of quadratically
+        return F.transform(
+            col,
+            lambda v, j: v * F.when(
+                F.pmod(F.xxhash64(F.lit(i), j), F.lit(2)) == 0,
+                F.lit(1.0)).otherwise(F.lit(-1.0))
+        ).cast("array<float>")
+
     for table, keys in _KEY_COLS.items():
         src = os.path.join(SF1, f"{table}.parquet")
         df = spark.read.parquet(src)
         if keys and table not in ("nation", "region"):
+            def _col(c, i):
+                if c in keys:
+                    return (F.col(c) + F.lit(i * KEY_OFFSET)).alias(c)
+                if table == "documents" and c == "text":
+                    return _doc_text(F.col(c), i).alias(c)
+                if table == "embeddings" and c == "embedding":
+                    return _emb_vec(F.col(c), i).alias(c)
+                return F.col(c)
             parts = [df] + [
-                df.select(*[
-                    (F.col(c) + F.lit(i * KEY_OFFSET)).alias(c)
-                    if c in keys else F.col(c) for c in df.columns])
+                df.select(*[_col(c, i) for c in df.columns])
                 for i in range(1, REPLICAS)]
         else:
             parts = [df] * (1 if table in ("nation", "region")

@@ -919,11 +919,19 @@ def minhash_artifacts(df: DataFrame, text_col: str = "text",
                     .alias("sig")))
 
 
-#: Default rung-3 join-strategy gate (pairs).  Sized by the HALF frame —
-#: each screened pair carries one ~200-long shingle array (~1.6 KB/row)
-#: through the second verify join, so 100k pairs is a ~160 MB broadcast
-#: upper bound; above that the shuffle-hash shape is strictly safer.
+#: Default rung-3 join-strategy gate (pairs) — the cheap COUNT bound;
+#: the bytes bound below is the one that actually protects the driver.
 PAIR_GATE = 100_000
+
+#: Raw-bytes bound for BROADCASTING the half frame (r15): each screened
+#: pair carries one ~200-long shingle array, and a broadcast build is a
+#: driver-side collect whose JAVA-SERIALIZED size measured ~6x the raw
+#: array bytes — 100k pairs (~160 MB raw) killed the driver against
+#: spark.driver.maxResultSize=1g on the 10x gate corpus.  32 MB raw
+#: (~200 MB serialized worst case) keeps the collect comfortably under
+#: that while still broadcasting every clean-corpus pair set; above it
+#: the merge-hinted shuffle shape costs one exchange and never collects.
+HALF_BROADCAST_RAW_BYTES = 32 << 20
 
 
 def _rung3_exact(sighs_a: DataFrame, sighs_b: DataFrame,
@@ -940,9 +948,20 @@ def _rung3_exact(sighs_a: DataFrame, sighs_b: DataFrame,
     additionally carries the ~200-long shingle arrays (~1.6 KB/row).
     Under the gate the pair set (and the half frame built from it)
     broadcast — zero exchange of the heavy artifact scans.  Above it both
-    verify joins become shuffle-hash equi-joins on id: the screened side
-    shuffles on the same id key as the artifact frame, nothing is
-    collected or broadcast, and AQE sizes the exchanges.
+    verify joins are hinted MERGE (sort-merge): the one strategy that
+    neither collects nor holds a hash build in task memory, so it
+    spills instead of dying when the pair set is genuinely huge.  (r15,
+    measured on the 10x replica-heavy SCALECHECK corpus where every doc
+    had 10 near-identical copies and the pair set exploded
+    quadratically per cluster: the former ``shuffle_hash`` hint forced
+    a per-task hash build that cannot spill — "Can't acquire 268435456
+    bytes memory to build hash relation" — and dropping the hint
+    entirely was WORSE: Catalyst under-estimates the derived ``half``
+    join's size, chose broadcast, and the driver died collecting the
+    ~1 GB build side against spark.driver.maxResultSize.  A dup-heavy
+    crawl at 100 TB is exactly the above-gate regime; merge is the only
+    shape that degrades gracefully there, and AQE still re-sizes its
+    exchanges.)
     ``pair_gate=None`` skips the gate count and forces the broadcast
     shape (for callers that independently bound the pair set).  The gate
     count itself is bounded (``limit(gate+1).count()``) and runs over a
@@ -960,13 +979,23 @@ def _rung3_exact(sighs_a: DataFrame, sighs_b: DataFrame,
         from pyspark import StorageLevel
 
         screened = screened.persist(StorageLevel.MEMORY_AND_DISK)
-        small = screened.limit(pair_gate + 1).count() <= pair_gate
+        n = screened.limit(pair_gate + 1).count()
+        small = n <= pair_gate
+        if small and n > 0:
+            # bytes-aware HALF bound (r15): the broadcast collect's real
+            # cost is pairs x |hs| array bytes, not the pair count — a
+            # count-only gate let a ~160 MB raw / ~1 GB serialized half
+            # frame through.  One tiny avg over the (warehouse-backed or
+            # persisted) artifact frame prices the row.
+            avg_hs = sighs_a.select(
+                F.avg(F.size("hs"))).first()[0] or 0.0
+            small = n * (avg_hs * 8 + 64) <= HALF_BROADCAST_RAW_BYTES
     ha = sighs_a.select("id", "hs").alias("ha")
     hb = sighs_b.select("id", "hs").alias("hb")
-    scr = F.broadcast(screened) if small else screened.hint("shuffle_hash")
+    scr = F.broadcast(screened) if small else screened.hint("merge")
     half = (ha.join(scr, F.col("ha.id") == F.col("id_a"))
             .select("id_a", "id_b", F.col("ha.hs").alias("__hsa")))
-    half = F.broadcast(half) if small else half.hint("shuffle_hash")
+    half = F.broadcast(half) if small else half.hint("merge")
     return (hb.join(half, F.col("hb.id") == F.col("id_b"))
             .select("id_a", "id_b",
                     F.round(jaccard(F.col("__hsa"), F.col("hb.hs")), 6)
