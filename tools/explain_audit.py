@@ -136,6 +136,16 @@ CHECKS = {
         pushed=None, expect=["BroadcastHashJoin", "HashAggregate"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
                 "rangepartitioning"]),
+    # composed end-to-end recipe (r15): every stage is an already-audited
+    # operator recomposed — broadcast hash joins for the eval-gram /
+    # fingerprint / flag sides, hash aggregation everywhere, id-keyed
+    # equi-joins for the survivor/near-dup/edit composition (SMJ is a
+    # legitimate static pick for those); never a cartesian, nested-loop
+    # join, global sort, or SortAggregate
+    "dp_corpus_preprocess": dict(
+        pushed=None, expect=["BroadcastHashJoin", "HashAggregate"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "rangepartitioning", "SortAggregate"]),
     # text-stats bundle (quality + PII + contamination + span stats + BPE
     # law): candidate generation is equi-joins on derived keys only — no
     # cartesian products, no global sorts.  The eval-gram contamination
