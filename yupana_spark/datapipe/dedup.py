@@ -251,8 +251,10 @@ def _auto_bloom(dup_index: DataFrame, k: int = 5):
     thr = _parse_bytes_conf(spark.conf.get(
         "spark.sql.autoBroadcastJoinThreshold", "10MB"))
     # (h, __c, __k0) = 3 int64s + row overhead — the same order Spark's
-    # own statistics use for the broadcast decision
-    if thr <= 0 or rows * 32 <= thr:
+    # own statistics use for the broadcast decision.  thr <= 0 means
+    # broadcast is DISABLED session-wide: the join always shuffles, i.e.
+    # the exact regime the prefilter targets — build it.
+    if thr > 0 and rows * 32 <= thr:
         return None, ES_BLOOM_BITS
     n_bits = 1 << 20
     while n_bits < rows * ES_BLOOM_BITS_PER_KEY and n_bits < 1 << 26:
@@ -985,9 +987,10 @@ def _rung3_exact(sighs_a: DataFrame, sighs_b: DataFrame,
             # bytes-aware HALF bound (r15): the broadcast collect's real
             # cost is pairs x |hs| array bytes, not the pair count — a
             # count-only gate let a ~160 MB raw / ~1 GB serialized half
-            # frame through.  One tiny avg over the (warehouse-backed or
-            # persisted) artifact frame prices the row.
-            avg_hs = sighs_a.select(
+            # frame through.  One BOUNDED avg (first 4096 artifact rows)
+            # prices the row — a sampled estimate is plenty for a
+            # strategy gate and never full-scans the artifact frame.
+            avg_hs = sighs_a.select("hs").limit(4096).select(
                 F.avg(F.size("hs"))).first()[0] or 0.0
             small = n * (avg_hs * 8 + 64) <= HALF_BROADCAST_RAW_BYTES
     ha = sighs_a.select("id", "hs").alias("ha")

@@ -307,6 +307,11 @@ def corpus_preprocess(df: DataFrame, text_col: str = "text",
     out = corpus_keep(df, text_col, id_col, min_quality=min_quality,
                       langs=langs, rep_rule=rep_rule,
                       eval_docs=eval_docs if decontaminate else None)
+    if neardup_threshold is not None and neardup_pairs is not None:
+        raise ValueError(
+            "corpus_preprocess: pass neardup_threshold (the built-in "
+            "MinHash arm) OR neardup_pairs (a precomputed pair frame), "
+            "not both — a threshold would be silently ignored")
     if neardup_threshold is not None or neardup_pairs is not None:
         # dedup among the rule-filter survivors (FineWeb order): the
         # survivor set is a narrow id frame; the semi-joins below are
