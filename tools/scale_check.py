@@ -74,7 +74,11 @@ ENTRIES = ["q_day_rollup", "q_tpch_q1", "q_link_enrich", "dp_exact_dedup",
            # memoized per corpus; the WARMUP pass absorbs the one-time
            # fits so the timed passes measure the verify joins), and the
            # eager ANN search/verdict bundle
-           "dp_sample", "dp_neardup_scale", "dp_ann_approx"]
+           "dp_sample", "dp_neardup_scale", "dp_ann_approx",
+           # the last two audited bundles (r15): the codec/media pipeline
+           # (row-local Arrow decode UDFs) and the token-shard pipeline
+           # (BPE fit memoized at warmup; per-bucket FFD windows)
+           "dp_multimodal", "dp_pack_sequences"]
 SLACK = 1.5 * REPLICAS  # <= proportional growth x1.5
 
 
