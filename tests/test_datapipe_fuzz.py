@@ -976,3 +976,78 @@ def test_differential_registered_domain_psl_fixture(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+
+
+def test_corpus_preprocess_differential_fuzz(spark):
+    """The composed recipe == a stage-by-stage recomposition of its own
+    operators on seeded random corpora (tiny vocab so exact dups,
+    near-dups, contamination and the rule filters all fire by chance;
+    NULL and empty texts mixed in).  Guards the composition edges the
+    single law fixture cannot: empty survivor sets, clusters entirely
+    dropped by rules, eval docs overlapping dup clusters."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from yupana_spark.datapipe.dedup import (decontaminate_cut,
+                                             minhash_dedup_pairs)
+    from yupana_spark.datapipe.filters import corpus_keep, corpus_preprocess
+    from yupana_spark.datapipe.sample import dedup_clusters, rate_to_hex
+    import hashlib
+
+    vocab = ([f"word{i}" for i in range(24)]
+             + ["the", "a", "of", "and", "to", "in", "is", "that",
+                "der", "und", "mit", "!!!", "###"])
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(26):
+            n = rng.randint(0, 28)
+            txt = " ".join(rng.choice(vocab) for _ in range(n))
+            rows.append((i, txt if txt else None))
+        # force structure: one exact-dup pair, one near-dup pair, one
+        # NULL, regardless of what the seed drew
+        rows[5] = (5, rows[3][1])
+        base7 = rows[7][1] or "the quick calm words keep going today"
+        rows[9] = (9, base7 + " tail marker")
+        rows[11] = (11, None)
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        evals = spark.createDataFrame(
+            [(900, rows[rng.randint(0, 25)][1]
+              or "eval doc words standing in here")],
+            "doc_id long, text string")
+        rate = 0.4
+        got = {r["id"]: r for r in corpus_preprocess(
+            docs, eval_docs=evals, neardup_threshold=0.5,
+            sample_rate=rate).collect()}
+        assert set(got) == set(range(26)), seed          # conservation
+        # stage-by-stage recomposition with the same operators
+        ck = {r["id"]: set(r["reasons"].split(",")) - {""}
+              for r in corpus_keep(docs, min_quality=0.7, langs=("en",),
+                                   rep_rule=True,
+                                   eval_docs=evals).collect()}
+        surv = sorted(i for i, rs in ck.items() if not rs)
+        nd_ids = set()
+        if surv:
+            clus = {r["id"]: r["cluster_id"] for r in dedup_clusters(
+                minhash_dedup_pairs(
+                    docs.filter(F.col("doc_id").isin(surv)),
+                    threshold=0.5)).collect()}
+            nd_ids = {i for i, c in clus.items() if i != c}
+        assert nd_ids <= set(surv), seed
+        cut = {r["id"]: r for r in decontaminate_cut(docs,
+                                                     evals).collect()}
+        th = rate_to_hex(rate)
+        for i in got:
+            want = set(ck[i]) | ({"near_dup"} if i in nd_ids else set())
+            assert set(got[i]["reasons"].split(",")) - {""} == want, \
+                (seed, i)
+            assert got[i]["keep"] == (not want), (seed, i)
+            if got[i]["keep"]:
+                assert got[i]["text_clean"] == cut[i]["dc_cleaned"]
+            else:
+                assert got[i]["text_clean"] is None
+            assert got[i]["n_words"] == cut[i]["dc_n_words"]
+            assert got[i]["n_cut_words"] == cut[i]["dc_n_cut_words"]
+            pred = hashlib.md5(str(i).encode()).hexdigest()[:8] < th
+            assert got[i]["sampled"] == (got[i]["keep"] and pred)
