@@ -85,23 +85,26 @@ CHECKS = {
     # TakeOrderedAndProject (per-partition heaps), never sort-the-world.
     # The only nested-loop joins are the documented single-row gram-total
     # crossJoins, so CartesianProduct over data frames stays forbidden.
+    # sampling/curation bundle (ONE entry — r15 review: this was two
+    # duplicate dict keys and Python silently kept only the weaker
+    # second one, so the stricter first rule never ran; now merged).
+    # The DSIR top-k over the CORPUS must lower to
+    # TakeOrderedAndProject (per-partition heaps, never sort-the-world)
+    # and the quota/cap ranks are stratum-PARTITIONED windows.  The one
+    # rangepartitioning in today's plan is NOT the corpus: it is
+    # dsir_select's r14 re-sort of the ALREADY-SELECTED k rows after
+    # the keep_cols broadcast enrich (bounded by the requested k), so
+    # the old blanket rangepartitioning forbid no longer applies — the
+    # corpus-scale contract is carried by the TakeOrderedAndProject
+    # expectation.  One BroadcastNestedLoopJoin is expected and
+    # BOUNDED: the temperature-mix normalizer is a SINGLE-ROW aggregate
+    # cross-joined onto the per-lang counts (IdentityBroadcastMode over
+    # one row, not a pair blowup), so nested-loop is deliberately
+    # absent from forbid; CartesianProduct over data frames stays
+    # forbidden.
     "dp_sample": dict(pushed=None,
                       expect=["TakeOrderedAndProject", "Window",
                               "BroadcastHashJoin"],
-                      forbid=["CartesianProduct", "rangepartitioning"]),
-    # selection + alignment bundle: the topk/asof arms are group-key
-    # windows (never a global sort), and the asof/interval joins must stay
-    # the scalable decompositions — union+running-last and bin-quantized
-    # EQUI-join — so a theta-join shape (nested loop / cartesian) anywhere
-    # means the operator regressed to the naive formulation
-    # sampling/curation bundle: domain blocklist membership must stay a
-    # broadcast join (the list is tiny by definition), the quota/cap
-    # ranks per-stratum windows — never a cartesian product.  One
-    # BroadcastNestedLoopJoin is expected and BOUNDED: the temperature-
-    # mix normalizer is a SINGLE-ROW aggregate cross-joined onto the
-    # per-lang counts (IdentityBroadcastMode over one row, not a pair
-    # blowup), so nested-loop is deliberately absent from forbid here
-    "dp_sample": dict(pushed=None, expect=["BroadcastHashJoin", "Window"],
                       forbid=["CartesianProduct"]),
     "dp_top_k_per_group": dict(pushed=None, expect=["Window"],
                                forbid=["rangepartitioning",
@@ -127,11 +130,12 @@ CHECKS = {
     # near-dup scale bundle: candidate generation is equi-joins on derived
     # keys (band hash / pigeonhole block / IVF cell) — never a cartesian
     # or a global sort; the rung-3 verify joins are VOLUME-GATED
-    # (dedup._rung3_exact): broadcast under PAIR_GATE screened pairs,
-    # shuffle-hash equi-join above it — both shapes pass (ShuffledHashJoin
-    # is not forbidden).  (SortMergeJoin is NOT forbidden here either: the
-    # banded/block self-joins are medium-cardinality equi-joins where SMJ
-    # is a legitimate static choice pre-AQE.)
+    # (dedup._rung3_exact): broadcast under the count+bytes bound,
+    # MERGE-hinted sort-merge above it (r15 — the one strategy that
+    # neither collects nor holds an unspillable hash build; the former
+    # shuffle_hash hint OOM'd at 10x).  SortMergeJoin is therefore a
+    # LEGITIMATE shape here and must never enter forbid; the banded/
+    # block self-joins may also pick SMJ statically pre-AQE.
     "dp_neardup_scale": dict(
         pushed=None, expect=["BroadcastHashJoin", "HashAggregate"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin",

@@ -114,9 +114,14 @@ def synthesize(spark, out: str) -> None:
 
     def _emb_vec(col, i):
         # per-replica deterministic SIGN FLIP per dimension: preserves
-        # every within-replica cosine exactly (s_j^2 = 1) while making
-        # cross-replica similarity ~0, so embedding near-dup pairs also
-        # grow linearly instead of quadratically
+        # every within-replica cosine exactly (s_j^2 = 1) while pushing
+        # cross-replica similarity to a Rademacher-projection tail —
+        # MEASURED 8.3e-5 of cross-replica pairs >= 0.45 at dim 64
+        # (replica 0 x 1, 4M pairs, 333 hits; max 0.57), a bounded
+        # residual the r15 gate run already includes.  Not exactly 0:
+        # a random +-1 projection of structured dim-64 vectors
+        # concentrates at ~1/sqrt(64) std, and no fixed-dim orthogonal
+        # transform can do better for all inputs.
         return F.transform(
             col,
             lambda v, j: v * F.when(
@@ -124,6 +129,25 @@ def synthesize(spark, out: str) -> None:
                 F.lit(1.0)).otherwise(F.lit(-1.0))
         ).cast("array<float>")
 
+    # the rotation only permutes [A-Za-z]: a doc with (nearly) no ASCII
+    # letters would replicate (nearly) byte-identically and re-form the
+    # quadratic 10-copy clusters v4 exists to avoid.  The current
+    # fixture has NO such docs (measured: min letter fraction 0.79,
+    # zero docs under 0.2) — fail LOUDLY if that ever changes instead
+    # of silently degrading the gate's linearity premise.
+    letterless = (spark.read.parquet(os.path.join(SF1,
+                                                  "documents.parquet"))
+                  .where("length(regexp_replace(coalesce(text,''), "
+                         "'[^A-Za-z]', '')) < "
+                         "0.2 * greatest(length(coalesce(text,'')), 1)")
+                  .count())
+    if letterless:
+        raise RuntimeError(
+            f"scale fixture premise broken: {letterless} documents are "
+            "<20% ASCII letters, so the per-replica char rotation "
+            "cannot make their replicas disjoint — extend _doc_text's "
+            "bijection (e.g. digit/CJK ranges) before trusting the "
+            "gate's linearity numbers")
     for table, keys in _KEY_COLS.items():
         src = os.path.join(SF1, f"{table}.parquet")
         df = spark.read.parquet(src)

@@ -250,11 +250,24 @@ def _auto_bloom(dup_index: DataFrame, k: int = 5):
     rows = dup_index.count()
     thr = _parse_bytes_conf(spark.conf.get(
         "spark.sql.autoBroadcastJoinThreshold", "10MB"))
-    # (h, __c, __k0) = 3 int64s + row overhead — the same order Spark's
-    # own statistics use for the broadcast decision.  thr <= 0 means
-    # broadcast is DISABLED session-wide: the join always shuffles, i.e.
-    # the exact regime the prefilter targets — build it.
-    if thr > 0 and rows * 32 <= thr:
+    # decide from the SAME statistic the planner compares against the
+    # threshold — the optimized plan's sizeInBytes (compressed file
+    # size for a persisted parquet index) — so auto and the actual join
+    # strategy cannot disagree around the gate; rows * 32 (3 int64s +
+    # row overhead) is the fallback when the py4j stats call is
+    # unavailable (r15 review).  thr <= 0 means broadcast is DISABLED
+    # session-wide: the join always shuffles, i.e. the exact regime the
+    # prefilter targets — build it.
+    try:
+        est = int(dup_index._jdf.queryExecution().optimizedPlan()
+                  .stats().sizeInBytes())
+    except Exception:
+        est = rows * 32
+    if est >= 1 << 60:
+        # stats-unknown sentinel (LogicalRDD/checkpoint plans report
+        # defaultSizeInBytes) — price from the counted rows instead
+        est = rows * 32
+    if thr > 0 and est <= thr:
         return None, ES_BLOOM_BITS
     n_bits = 1 << 20
     while n_bits < rows * ES_BLOOM_BITS_PER_KEY and n_bits < 1 << 26:
