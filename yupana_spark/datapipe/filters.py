@@ -315,7 +315,18 @@ def corpus_preprocess(df: DataFrame, text_col: str = "text",
     if neardup_threshold is not None or neardup_pairs is not None:
         # dedup among the rule-filter survivors (FineWeb order): the
         # survivor set is a narrow id frame; the semi-joins below are
-        # id-keyed and the minhash pass only pays for surviving text
+        # id-keyed and the minhash pass only pays for surviving text.
+        # The verdict frame feeds BOTH the survivor branch and the final
+        # reason fold, and no ReusedExchange fires between them (column
+        # pruning differs per branch), so without materialization the
+        # whole corpus_keep subtree — fingerprint shuffle, contamination
+        # explode — executes twice per action.  Persist the NARROW
+        # (id, reasons) frame instead (tens of bytes/doc at any scale):
+        # MEMORY_AND_DISK with recomputable lineage, the same posture as
+        # dedup._rung3_exact's screened set (r15).
+        from pyspark import StorageLevel
+
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
         surv = out.filter(F.length("reasons") == 0).select("id")
         if neardup_pairs is not None:
             pairs = (neardup_pairs
