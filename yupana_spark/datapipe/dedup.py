@@ -242,12 +242,21 @@ def _auto_bloom(dup_index: DataFrame, k: int = 5):
     ...)``: the join broadcasts and a map-side prefilter cannot win
     anything.  Returns ``(words_or_None, n_bits)``.
 
-    The count is one job over the narrow index — pipelines holding a
-    persisted :func:`exactsubstr_index` artifact (the intended auto
-    users) pay a metadata-cheap scan; an inline index is recomputed by
-    the main join anyway, so correctness never depends on it."""
+    The count is DEFERRED (ADVICE r15): the planner-stats estimate
+    alone settles the under-gate case, so the one count job only runs
+    when the stats call is unavailable/unknown or when rows are needed
+    to size ``n_bits`` above the gate — an inline index pays nothing
+    extra for a 'no bloom' answer.
+
+    Local-host caveat (measured, tools/bloom_ab.py): the size gate
+    predicts WHERE the join shuffles, not WHETHER the prefilter wins —
+    on a single box with NVMe-local shuffle the avoided exchange is
+    cheaper than the 5x2 xxhash64 probes per occurrence and auto's
+    filter measured 0.94x/0.88x (a LOSS) in its own designed regime.
+    ``bloom='auto'`` is the lever for network-bound multi-executor
+    shuffle; leave it off on local[n]."""
     spark = dup_index.sparkSession
-    rows = dup_index.count()
+    rows = None
     thr = _parse_bytes_conf(spark.conf.get(
         "spark.sql.autoBroadcastJoinThreshold", "10MB"))
     # decide from the SAME statistic the planner compares against the
@@ -262,13 +271,17 @@ def _auto_bloom(dup_index: DataFrame, k: int = 5):
         est = int(dup_index._jdf.queryExecution().optimizedPlan()
                   .stats().sizeInBytes())
     except Exception:
+        rows = dup_index.count()
         est = rows * 32
     if est >= 1 << 60:
         # stats-unknown sentinel (LogicalRDD/checkpoint plans report
         # defaultSizeInBytes) — price from the counted rows instead
+        rows = dup_index.count() if rows is None else rows
         est = rows * 32
     if thr > 0 and est <= thr:
         return None, ES_BLOOM_BITS
+    if rows is None:
+        rows = dup_index.count()
     n_bits = 1 << 20
     while n_bits < rows * ES_BLOOM_BITS_PER_KEY and n_bits < 1 << 26:
         n_bits <<= 1
@@ -329,12 +342,18 @@ def exactsubstr_cut_starts(df: DataFrame, text_col: str = "text",
     prefilters the occurrence side map-side — the beyond-broadcast-gate
     scale lever; results are identical (no false negatives, the exact
     join clears false positives).  ``bloom='auto'`` decides from the
-    index itself (r15): one count over the narrow index, and the filter
-    is built/applied only when the index's size estimate exceeds the
-    session broadcast gate — the exact regime where the join would
-    shuffle every occurrence (see :func:`_auto_bloom`; A/B'd on the
-    real-corpus-shaped fixture in tools/bloom_ab.py, numbers in
-    docs/scale.md).
+    index itself (r15): the filter is built/applied only when the
+    index's size estimate exceeds the session broadcast gate — the
+    exact regime where the join would shuffle every occurrence (see
+    :func:`_auto_bloom`).
+
+    **'auto' is a network-bound-cluster lever, not a universal win**:
+    the gate predicts where the join SHUFFLES, not whether the probe
+    work pays for itself.  On a single box (local[n], NVMe shuffle)
+    the designed-regime A/B measured the prefilter at 0.94x/0.88x — a
+    LOSS, because the avoided exchange is cheaper there than 5x2
+    xxhash64 probes per occurrence (tools/bloom_ab.py, numbers in
+    docs/scale.md).  Enable it where shuffle crosses a network.
     """
     from .text import ngram_hashes
 

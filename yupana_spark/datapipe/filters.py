@@ -304,14 +304,17 @@ def corpus_preprocess(df: DataFrame, text_col: str = "text",
     from .dedup import decontaminate_cut, minhash_dedup_pairs
     from .sample import bernoulli_keep, dedup_clusters
 
-    out = corpus_keep(df, text_col, id_col, min_quality=min_quality,
-                      langs=langs, rep_rule=rep_rule,
-                      eval_docs=eval_docs if decontaminate else None)
+    # argument validation BEFORE any plan is built (the convention
+    # _validate_mix_params set, ADVICE r13; lazy evaluation made the
+    # post-hoc raise free at runtime but work-then-validate is backwards)
     if neardup_threshold is not None and neardup_pairs is not None:
         raise ValueError(
             "corpus_preprocess: pass neardup_threshold (the built-in "
             "MinHash arm) OR neardup_pairs (a precomputed pair frame), "
             "not both — a threshold would be silently ignored")
+    out = corpus_keep(df, text_col, id_col, min_quality=min_quality,
+                      langs=langs, rep_rule=rep_rule,
+                      eval_docs=eval_docs if decontaminate else None)
     if neardup_threshold is not None or neardup_pairs is not None:
         # dedup among the rule-filter survivors (FineWeb order): the
         # survivor set is a narrow id frame; the semi-joins below are
@@ -327,6 +330,7 @@ def corpus_preprocess(df: DataFrame, text_col: str = "text",
         from pyspark import StorageLevel
 
         out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted = out
         surv = out.filter(F.length("reasons") == 0).select("id")
         if neardup_pairs is not None:
             pairs = (neardup_pairs
@@ -346,6 +350,7 @@ def corpus_preprocess(df: DataFrame, text_col: str = "text",
                .withColumn("__nd", F.coalesce(F.col("__nd"),
                                               F.lit(False))))
     else:
+        persisted = None
         out = out.withColumn("__nd", F.lit(False))
     # fold the near-dup verdict into the SAME alphabetical reason list
     reasons = F.array_join(
@@ -378,8 +383,24 @@ def corpus_preprocess(df: DataFrame, text_col: str = "text",
     # verbatim — replay == batch)
     sampled = (F.lit(True) if sample_rate >= 1.0
                else bernoulli_keep(F.col("id"), float(sample_rate)))
-    return out.select(
+    result = out.select(
         "id", "keep", "reasons",
         F.when(F.col("keep"), F.col("__clean")).alias("text_clean"),
         "n_words", "n_cut_words",
         (F.col("keep") & sampled).alias("sampled"))
+    # cache lifecycle is CALLER-owned (ADVICE r15): the narrow verdict
+    # persist above outlives this call so repeated recipes in a
+    # long-lived driver would accumulate MEMORY_AND_DISK entries.  The
+    # handle rides the returned frame; call release_cache(result) once
+    # it is materialized (lineage stays recomputable, so an early
+    # release can only cost recompute time, never correctness).
+    result._yupana_persisted = () if persisted is None else (persisted,)
+    return result
+
+
+def release_cache(df: DataFrame) -> None:
+    """Unpersist the cache entries a recipe attached to ``df``
+    (``corpus_preprocess``'s narrow verdict frame).  Non-blocking and
+    idempotent; a no-op for frames that carry none."""
+    for frame in getattr(df, "_yupana_persisted", ()):
+        frame.unpersist(False)
