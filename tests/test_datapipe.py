@@ -1183,6 +1183,26 @@ def test_completeness_row_falsifies(spark):
     assert vacuous["verdict"] == "missed"     # nonemptiness guard trips
 
 
+def test_corpus_preprocess_bundle_minhash_verdict(spark):
+    """The dp_corpus_preprocess bundle's id=-1 row (r16, judge r15 #3)
+    is a live MinHash-arm superset verdict, green on the fixture: every
+    sampled-exact j>=0.85 survivor pair has a near_dup endpoint in the
+    threshold-arm output, the sample is nonempty, and the arm flagged
+    at least one near-dup.  Falsifiability of the underlying counting
+    shape is pinned by test_completeness_row_falsifies; this pins the
+    bundle wiring end to end plus the per-doc rows' conservation."""
+    import __spark_entry__ as ent
+
+    rows = ent.queries()["dp_corpus_preprocess"](spark, SF).collect()
+    verdict = [r for r in rows if r["id"] == -1]
+    assert len(verdict) == 1
+    v = verdict[0]
+    assert v["reasons"] == "minhash_arm_superset:ok"
+    assert v["keep"] is True and v["n_words"] == 0
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    assert len(rows) == docs.count() + 1
+
+
 def test_prepared_posture_replay(spark):
     """A cache hit must re-apply the volume-gated confs captured at build
     time — another query flipping AQE/shuffle-partitions between calls must
