@@ -2561,6 +2561,13 @@ def dp_corpus_preprocess(spark, sf_dir):
     # immutable corpus: built once per (session, corpus) and pinned
     # (the dp_neardup_scale ex_mh posture); the superset joins below
     # run LIVE against the threshold-arm output every pass
+    # cache-entry lifecycle: this bundle persists three narrow frames
+    # (two recipe verdict frames — one cache entry, identical plans —
+    # plus verd below), but the body runs ONCE per (session, corpus):
+    # queries() routes it through the _prepared plan cache, so repeated
+    # bench passes re-execute one plan against one bounded set of cache
+    # entries rather than accumulating new ones (the recipe API's
+    # caller-owned release_cache handles the long-lived-driver case).
     akey = (spark.sparkContext.applicationId, sf_dir)
     ex = _RECIPE_EXMH.get(akey)
     if ex is None:

@@ -1201,6 +1201,11 @@ def test_corpus_preprocess_bundle_minhash_verdict(spark):
     assert v["keep"] is True and v["n_words"] == 0
     docs = spark.read.parquet(SF + "/documents.parquet")
     assert len(rows) == docs.count() + 1
+    # cache-entry lifecycle: the bundle goes through the _prepared plan
+    # cache, so a second call returns the SAME DataFrame (its persists
+    # are bounded per session+corpus, not per pass)
+    assert ent.queries()["dp_corpus_preprocess"](spark, SF) is \
+        ent.queries()["dp_corpus_preprocess"](spark, SF)
 
 
 def test_prepared_posture_replay(spark):
