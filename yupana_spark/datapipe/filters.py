@@ -295,6 +295,16 @@ def corpus_preprocess(df: DataFrame, text_col: str = "text",
     cut, and a row-local sample predicate.  Composition adds only
     narrow id-keyed joins.
 
+    Cache lifecycle (caller-owned, ADVICE r15): when a near-dup arm is
+    active the recipe PERSISTS a narrow (id, reasons) verdict frame
+    (MEMORY_AND_DISK) so the corpus_keep subtree does not execute
+    twice per action.  That entry outlives this call — a long-lived
+    driver invoking the recipe repeatedly should call
+    :func:`release_cache` on the returned frame once it has been
+    materialized (the handle rides the frame as ``_yupana_persisted``;
+    lineage stays recomputable, so an early release can only cost
+    recompute time, never correctness).
+
     Oracled first-class as the dp_corpus_preprocess bundle (r15 — the
     DuckDB oracle recomputes keep/reasons/text_clean/cuts/sampled end
     to end, with the Jaccard-pairs near-dup arm so the pair verdicts
