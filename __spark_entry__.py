@@ -749,11 +749,14 @@ def q_show_meta(spark, sf_dir):
     """Bundle: SHOW TABLES + SHOW COLUMNS + SHOW VERSION (semver
     shape-checked, so version bumps don't churn the hash) + SHOW FUNCTIONS
     FOR BOOLEAN (closed registry, FunctionRegistry.scala:334-342) + SET
-    echo + SHOW USERS (the single unauthenticated identity,
-    QueryEngineRouter.scala:154-162; r12 — closes the last §2.11 cell) +
-    SHOW QUERIES (a probe query's terminal FINISHED state out of the
-    metrics registry) as one (kind, name, info) result (§2.11; was
-    q_show_tables + q_show_columns, then widened per round-4 polish)."""
+    echo + SHOW USERS (the effective superuser identity + registry,
+    QueryEngineRouter.scala:154-162) + the r16 user-management DDL round
+    trip (CREATE/ALTER/DROP USER against auth.UserManager with the
+    reference's role matrix, error strings and permission checks —
+    closes the §2.11 scope cut for real) + SHOW QUERIES (a probe query's
+    terminal FINISHED state out of the metrics registry) as one
+    (kind, name, info) result (§2.11; was q_show_tables +
+    q_show_columns, then widened per round-4 polish)."""
     tsdb = _tsdb(spark, sf_dir)
     t = tsdb.sql("SHOW TABLES").select(
         F.lit("table").alias("kind"), F.col("TABLE_NAME").alias("name"),
@@ -808,7 +811,53 @@ def q_show_meta(spark, sf_dir):
          rejected("SELECT o_custkey, lag(o_totalprice), "
                   f"sum(o_totalprice) AS s {probe_where} "
                   "GROUP BY o_custkey")),
-        ("reject", "create_user", rejected("CREATE USER foo")),
+        # the reference's username rule requires a QUOTED name
+        # (SqlParser.scala:107-108) — an unquoted CREATE USER stays a
+        # parse reject even now that the DDL itself is implemented (r16)
+        ("reject", "unquoted_user", rejected("CREATE USER foo")),
+    ]
+
+    # user-management DDL round trip (r16 — QueryEngineRouter.scala:
+    # 126-165 semantics against the warehouse-backed auth.UserManager):
+    # create with role, visible in SHOW USERS, alter role+password,
+    # credentials validate (right pw yes / wrong pw no), duplicate-create
+    # and ghost-drop raise the reference's errors, drop leaves the
+    # registry as found — on a FRESH Tsdb so the shared session instance
+    # never materializes a warehouse for its read-only entries.  Plus the
+    # permission matrix: a READ_ONLY identity is denied user DDL.
+    from yupana_spark.auth import AuthError, YupanaUser
+
+    ut = _tsdb_fresh(spark, sf_dir)
+
+    def _auth_raises(fn) -> bool:
+        try:
+            fn()
+            return False
+        except AuthError:
+            return True
+
+    um_ok = (ut.sql("CREATE USER 'meta_probe_u' WITH PASSWORD 'pw' "
+                    "WITH ROLE 'READ_ONLY'").collect()[0]["STATUS"] == "OK")
+    um_ok &= ("meta_probe_u", "READ_ONLY") in {
+        (r["NAME"], r["ROLE"]) for r in ut.sql("SHOW USERS").collect()}
+    ut.sql("ALTER USER 'meta_probe_u' SET ROLE = 'READ_WRITE' "
+           "SET PASSWORD = 'pw2'")
+    um_ok &= ut.user_manager.find_user("meta_probe_u").role == "READ_WRITE"
+    um_ok &= ut.user_manager.validate_user("meta_probe_u", "pw2") is not None
+    um_ok &= ut.user_manager.validate_user("meta_probe_u", "pw") is None
+    um_ok &= _auth_raises(lambda: ut.sql("CREATE USER 'meta_probe_u'"))
+    um_ok &= ut.sql("DROP USER 'meta_probe_u'").collect()[0]["STATUS"] == "OK"
+    um_ok &= _auth_raises(lambda: ut.sql("DROP USER 'meta_probe_u'"))
+    um_ok &= {(r["NAME"], r["ROLE"])
+              for r in ut.sql("SHOW USERS").collect()} \
+        == {("anonymous", "ADMIN")}
+    ro = YupanaUser("ro_probe", None, "READ_ONLY")
+    rej_rows += [
+        ("user_ddl", "roundtrip", "ok" if um_ok else "bad"),
+        ("user_ddl", "readonly_denied",
+         "ok" if _auth_raises(lambda: ut.sql("CREATE USER 'zz9'", user=ro))
+         and _auth_raises(lambda: ut.sql("SHOW USERS", user=ro))
+         else "bad"),
     ]
     bound = tsdb.sql(
         f"SELECT count(o_orderkey) AS cnt {probe_where} "
@@ -3620,7 +3669,9 @@ _ORACLES_REL: dict[str, str] = {
             ('query', 'probe', 'FINISHED'),
             ('reject', 'order_by', 'ok'),
             ('reject', 'window_agg_mix', 'ok'),
-            ('reject', 'create_user', 'ok'),
+            ('reject', 'unquoted_user', 'ok'),
+            ('user_ddl', 'roundtrip', 'ok'),
+            ('user_ddl', 'readonly_denied', 'ok'),
             ('bind', 'placeholder', 'match'),
             ('kill', 'probe', 'cancelled'),
             ('delete', 'probe', 'purged'),

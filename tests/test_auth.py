@@ -1,0 +1,158 @@
+"""User management + role permissions (SURVEY.md §2.11, r16).
+
+≙ reference `yupana-core/src/test/scala/.../auth/PermissionServiceTest.scala`
+plus the UserManager semantics exercised by `QueryEngineRouter` — the role
+matrix, the registry CRUD with the reference's exact error strings, the
+grammar's quoting rules, credential validation, persistence across engine
+instances over one warehouse root, and the SQL dispatch's per-statement
+permission checks."""
+
+import pytest
+
+from yupana_spark.auth import (ANONYMOUS, AuthError, PermissionService,
+                               UserManager, YupanaUser, hash_password,
+                               role_by_name, verify_password)
+
+
+def test_role_matrix_matches_reference():
+    """TsdbRole.scala:17-52: DISABLED nothing; READ_ONLY table/meta/query
+    reads (meta is All); READ_WRITE adds table write; ADMIN everything —
+    and the put_enabled correction only ever gates table writes."""
+    ps = PermissionService(put_enabled=True)
+
+    def allowed(role, subject, action):
+        return ps.has_permission(YupanaUser("u", None, role), subject, action)
+
+    for subject in ("table", "user", "metadata", "queries"):
+        for action in ("read", "write"):
+            assert not allowed("DISABLED", subject, action)
+            assert allowed("ADMIN", subject, action)
+    assert allowed("READ_ONLY", "table", "read")
+    assert not allowed("READ_ONLY", "table", "write")
+    assert allowed("READ_ONLY", "metadata", "write")   # meta = All
+    assert allowed("READ_ONLY", "queries", "read")
+    assert not allowed("READ_ONLY", "queries", "write")
+    assert not allowed("READ_ONLY", "user", "read")
+    assert allowed("READ_WRITE", "table", "write")
+    assert not allowed("READ_WRITE", "user", "write")
+    # the putEnabled correction (PermissionService.scala:36-41)
+    ps_ro = PermissionService(put_enabled=False)
+    assert not ps_ro.has_permission(YupanaUser("u", None, "ADMIN"),
+                                    "table", "write")
+    assert ps_ro.has_permission(YupanaUser("u", None, "ADMIN"),
+                                "table", "read")
+    # ANONYMOUS ≙ YupanaUser.ANONYMOUS: read-only
+    assert ps.has_permission(ANONYMOUS, "table", "read")
+    assert not ps.has_permission(ANONYMOUS, "table", "write")
+    # unknown role object -> nothing (defensive, not reachable via SQL)
+    assert not ps.has_permission(YupanaUser("u", None, "BOGUS"),
+                                 "table", "read")
+    assert role_by_name("read_only") == "READ_ONLY"
+    assert role_by_name("nope") is None
+
+
+def test_password_hashing_roundtrip():
+    h = hash_password("s3cret")
+    assert h.startswith("pbkdf2$") and h != hash_password("s3cret")  # salted
+    assert verify_password("s3cret", h)
+    assert not verify_password("wrong", h)
+    assert not verify_password("s3cret", "garbage")
+    assert not verify_password("s3cret", "")
+
+
+def test_user_manager_crud_and_errors(tmp_path):
+    um = UserManager(str(tmp_path), superuser="anonymous")
+    u = um.create_user("alice", "pw", "READ_ONLY")
+    assert (u.name, u.role) == ("alice", "READ_ONLY")
+    # default role is DISABLED (UserManager.scala:28: getOrElse(Disabled))
+    assert um.create_user("bob", None, None).role == "DISABLED"
+    with pytest.raises(AuthError, match="User already exists"):
+        um.create_user("alice", None, None)
+    with pytest.raises(AuthError, match="User already exists"):
+        um.create_user("anonymous", None, None)      # superuser collision
+    with pytest.raises(AuthError, match="Invalid role name 'SUPER'"):
+        um.create_user("eve", None, "SUPER")
+    with pytest.raises(AuthError, match="User not found"):
+        um.update_user("ghost", "pw", None)
+    with pytest.raises(AuthError, match="Invalid role name"):
+        um.update_user("alice", None, "SUPER")
+    um.update_user("alice", "pw2", "ADMIN")
+    assert um.find_user("alice").role == "ADMIN"
+    assert um.validate_user("alice", "pw") is None
+    assert um.validate_user("alice", "pw2").role == "ADMIN"
+    assert um.validate_user("ghost", "pw") is None
+    # the config superuser validates on the raw pair, never stored
+    assert um.validate_user("anonymous", None).role == "ADMIN"
+    assert um.validate_user("anonymous", "wrong") is None
+    assert [x.name for x in um.list_users()] == ["alice", "bob"]
+    assert um.delete_user("bob") and not um.delete_user("bob")
+    # persistence: a second manager over the same root sees the registry
+    um2 = UserManager(str(tmp_path), superuser="anonymous")
+    assert um2.find_user("alice").role == "ADMIN"
+    assert um2.count() == 1
+
+
+def test_sql_user_ddl_roundtrip(tsdb):
+    """The full SQL surface: CREATE/ALTER/DROP USER + SHOW USERS through
+    Tsdb.sql, with the reference's STATUS='OK' single-row answers and
+    error strings, leaving the registry as found."""
+    assert [tuple(r) for r in tsdb.sql("SHOW USERS").collect()] \
+        == [("anonymous", "ADMIN")]
+    try:
+        out = tsdb.sql("CREATE USER 'carla' WITH PASSWORD 'p1' "
+                       "WITH ROLE 'READ_WRITE'")
+        assert [tuple(r) for r in out.collect()] == [("OK",)]
+        tsdb.sql("CREATE USER 'dan' WITH ROLE 'read_only' "
+                 "WITH PASSWORD 'p2'")
+        assert [tuple(r) for r in tsdb.sql("SHOW USERS").collect()] == [
+            ("anonymous", "ADMIN"), ("carla", "READ_WRITE"),
+            ("dan", "READ_ONLY")]
+        tsdb.sql("ALTER USER 'dan' SET ROLE = 'ADMIN' SET PASSWORD = 'p3'")
+        assert tsdb.user_manager.validate_user("dan", "p3").role == "ADMIN"
+        with pytest.raises(AuthError, match="already exists"):
+            tsdb.sql("CREATE USER 'carla'")
+        with pytest.raises(AuthError, match="User not found"):
+            tsdb.sql("ALTER USER 'ghost' SET PASSWORD = 'x'")
+        with pytest.raises(AuthError, match="User not found"):
+            tsdb.sql("DROP USER 'ghost'")
+    finally:
+        tsdb.sql("DROP USER 'carla'")
+        tsdb.sql("DROP USER 'dan'")
+    assert [tuple(r) for r in tsdb.sql("SHOW USERS").collect()] \
+        == [("anonymous", "ADMIN")]
+
+
+def test_sql_permission_enforcement(tsdb):
+    """Tsdb.sql(user=...) scopes every statement kind to the role matrix
+    (QueryEngineRouter.scala:64-118's subject/action pairs)."""
+    ro = YupanaUser("ro", None, "READ_ONLY")
+    off = YupanaUser("off", None, "DISABLED")
+    # READ_ONLY: selects + metadata fine, queries read fine
+    assert tsdb.sql("SELECT 1 AS x", user=ro).count() == 1
+    assert tsdb.sql("SHOW TABLES", user=ro).count() > 0
+    tsdb.sql("SHOW QUERIES", user=ro)
+    for denied in ("CREATE USER 'zz9'", "SHOW USERS",
+                   "KILL QUERY WHERE QUERY_ID = 'x'",
+                   "DELETE QUERIES WHERE QUERY_ID = 'x'"):
+        with pytest.raises(AuthError, match="enough permissions"):
+            tsdb.sql(denied, user=ro)
+    with pytest.raises(AuthError, match="enough permissions"):
+        tsdb.sql("SELECT 1 AS x", user=off)
+    with pytest.raises(AuthError, match="enough permissions"):
+        tsdb.sql("SHOW TABLES", user=off)
+
+
+def test_user_ddl_grammar_rejects():
+    """The reference's quoting rules are parse-time errors
+    (SqlParser.scala:107-108): unquoted names, one-char names, names not
+    starting with a letter, and bare ALTER without SET all reject."""
+    from yupana_spark.sql.parser import SqlParseError, parse
+
+    for bad in ("CREATE USER foo", "CREATE USER 'x'", "CREATE USER '1ab'",
+                "DROP USER bob", "ALTER USER 'ab'",
+                "CREATE USER 'ab' WITH", "CREATE TABLE t (x int)"):
+        with pytest.raises(SqlParseError):
+            parse(bad)
+    # role strings parse with the username rule — quoted, letter-first
+    with pytest.raises(SqlParseError):
+        parse("CREATE USER 'ab' WITH ROLE READ_ONLY")

@@ -135,18 +135,37 @@ def test_interval_literal():
     assert plus.right.value == dt.timedelta(days=1)
 
 
-def test_user_management_rejected_with_clear_message():
-    """Reference grammar has CREATE/ALTER/DROP USER (SqlParser.scala:292-379);
-    out of scope here, but the rejection must say so, not 'cannot parse'."""
+def test_user_management_ddl_parses():
+    """CREATE/ALTER/DROP USER per the reference grammar
+    (SqlParser.scala:336-374): quoted names, both WITH orders on CREATE,
+    both SET orders on ALTER, and the quoted-username rule's rejects
+    (SqlParser.scala:107-108 — a letter then >=1 of [A-Za-z0-9_-])."""
     import pytest
 
+    from yupana_spark.sql import ast as A
     from yupana_spark.sql.parser import SqlParseError, parse
 
-    for stmt in ("CREATE USER 'u' WITH PASSWORD 'p' ROLE 'ADMIN'",
-                 "ALTER USER 'u' SET PASSWORD = 'q'",
-                 "DROP USER 'u'"):
-        with pytest.raises(SqlParseError, match="out of scope"):
-            parse(stmt)
+    s = parse("CREATE USER 'alice' WITH PASSWORD 'p' WITH ROLE 'ADMIN'")
+    assert s == A.CreateUser("alice", "p", "ADMIN")
+    s = parse("CREATE USER 'alice' WITH ROLE 'ADMIN' WITH PASSWORD 'p'")
+    assert s == A.CreateUser("alice", "p", "ADMIN")
+    assert parse("CREATE USER 'bob'") == A.CreateUser("bob", None, None)
+    s = parse("ALTER USER 'bob' SET PASSWORD = 'q' SET ROLE = 'READ_ONLY'")
+    assert s == A.AlterUser("bob", "q", "READ_ONLY")
+    s = parse("ALTER USER 'bob' SET ROLE = 'READ_ONLY' SET PASSWORD = 'q'")
+    assert s == A.AlterUser("bob", "q", "READ_ONLY")
+    assert parse("ALTER USER 'bob' SET PASSWORD = 'q'") == \
+        A.AlterUser("bob", "q", None)
+    assert parse("DROP USER 'bob'") == A.DropUser("bob")
+    # the username rule: unquoted names, one-char names, and names not
+    # starting with a letter are parse errors, exactly like the reference
+    for bad in ("CREATE USER alice",
+                "CREATE USER 'u'",
+                "DROP USER '9lives'",
+                "ALTER USER 'bob'",                  # SET clause required
+                "CREATE USER 'carl' WITH"):          # dangling WITH
+        with pytest.raises(SqlParseError):
+            parse(bad)
 
 
 def test_show_users_parses():

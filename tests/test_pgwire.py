@@ -259,9 +259,54 @@ def test_auth_rejects_wrong_password(tsdb):
         srv.stop()
 
 
-def test_user_ddl_rejected_over_wire(client):
-    _, _, errors = client.query("CREATE USER 'u' WITH PASSWORD 'p'")
-    assert errors and b"out of scope" in errors[0].lower()
+def test_user_ddl_roundtrip_over_wire(client):
+    """CREATE/SHOW/DROP USER over the wire (r16): a trust connection runs
+    as the engine's ADMIN identity, so the registry statements execute
+    and answer with the reference's single STATUS row."""
+    _, rows, errors = client.query(
+        "CREATE USER 'wire_u' WITH PASSWORD 'p' WITH ROLE 'READ_WRITE'")
+    assert not errors and rows == [["OK"]]
+    try:
+        _, rows, _ = client.query("SHOW USERS")
+        assert ["wire_u", "READ_WRITE"] in rows
+        _, _, errors = client.query("CREATE USER 'wire_u'")
+        assert errors and b"already exists" in errors[0]
+    finally:
+        _, rows, errors = client.query("DROP USER 'wire_u'")
+    assert not errors and rows == [["OK"]]
+
+
+def test_registry_auth_and_role_enforcement(tsdb):
+    """auth='registry' (r16): logins validate against the CREATE USER
+    registry (wrong password and unknown users get SQLSTATE 28P01 where
+    trust mode would accept), and the validated ROLE scopes the
+    connection — a READ_ONLY session selects fine but gets SQLSTATE
+    42501 (insufficient_privilege) on user DDL and SHOW USERS."""
+    tsdb.sql("CREATE USER 'ro_wire' WITH PASSWORD 's3cret' "
+             "WITH ROLE 'READ_ONLY'")
+    srv = PgWireServer(tsdb, port=0, auth="registry")
+    port = srv.start()
+    try:
+        c = PgClient(port, user="ro_wire", password="nope")
+        tag, body = c.read_msg()
+        assert tag == b"E" and b"28P01" in body
+        c.sock.close()
+        c = PgClient(port, user="ghost", password="anything")
+        tag, body = c.read_msg()
+        assert tag == b"E" and b"28P01" in body
+        c.sock.close()
+        c = PgClient(port, user="ro_wire", password="s3cret")
+        c.read_until_ready()
+        _, rows, errors = c.query("SELECT database() AS db")
+        assert not errors and rows == [["Yupana"]]
+        for denied in ("CREATE USER 'x2y'", "SHOW USERS",
+                       "KILL QUERY WHERE QUERY_ID = 'x'"):
+            _, _, errors = c.query(denied)
+            assert errors and b"42501" in errors[0], denied
+        c.close()
+    finally:
+        srv.stop()
+        tsdb.sql("DROP USER 'ro_wire'")
 
 
 def test_cancel_between_bind_and_execute(server):

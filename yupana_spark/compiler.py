@@ -404,6 +404,8 @@ class Tsdb:
         self._warehouse = None
         self._warehouse_root = warehouse_root
         self._metrics_store = None
+        self._user_manager = None
+        self._permissions = None
         # dialect semantics (non-ANSI arithmetic, UTC — Time.scala:27) +
         # AQE posture must hold for whatever session the driver hands us
         from .session import ensure_engine_confs
@@ -450,6 +452,49 @@ class Tsdb:
                 self.metrics_store.persist(m)
         except Exception:  # noqa: BLE001 — metrics must never fail a query
             pass
+
+    # -- auth (≙ auth/UserManager.scala + PermissionService.scala) -----------
+    @property
+    def user_manager(self):
+        """Warehouse-backed user registry (auth.UserManager).  The engine's
+        own identity (``self.user``) acts as the config superuser — never
+        stored, always ADMIN — exactly the reference's
+        superUserName/superUserPassword posture."""
+        if self._user_manager is None:
+            from .auth import UserManager
+
+            self._user_manager = UserManager(self.warehouse.root,
+                                             superuser=self.user)
+        return self._user_manager
+
+    @property
+    def _um_maybe(self):
+        """The user manager when a warehouse is (or can be) live; None for
+        read-only instances so SHOW USERS never materializes a pristine
+        tmpdir warehouse just to find an empty registry (the
+        metrics_store guard, applied to users)."""
+        if self._user_manager is not None or self._wh_maybe is not None:
+            return self.user_manager
+        return None
+
+    @property
+    def permissions(self):
+        """auth.PermissionService — put is enabled in this engine, so the
+        table-write correction never fires; roles still gate everything."""
+        if self._permissions is None:
+            from .auth import PermissionService
+
+            self._permissions = PermissionService(put_enabled=True)
+        return self._permissions
+
+    @property
+    def effective_user(self):
+        """The identity statements run under when the caller supplies none:
+        the engine's own (superuser, ADMIN) — the same single effective
+        identity SHOW USERS has always reported."""
+        from .auth import YupanaUser
+
+        return YupanaUser(self.user, None, "ADMIN")
 
     @property
     def _wh_maybe(self):
@@ -671,12 +716,18 @@ class Tsdb:
             df.explain(mode)
         return buf.getvalue()
 
-    def sql(self, text: str, params: Optional[Sequence[Any]] = None) -> DataFrame:
+    def sql(self, text: str, params: Optional[Sequence[Any]] = None,
+            user=None) -> DataFrame:
         """Parse + analyze + execute a YupanaQL statement.
 
         ≙ QueryEngineRouter.query (yupana-core/.../QueryEngineRouter.scala:35-43):
         SELECTs run through the engine; UPSERT and admin statements are
-        dispatched to their operators.
+        dispatched to their operators.  ``user`` (an auth.YupanaUser, e.g.
+        a pgwire-authenticated identity) scopes the statement to that
+        role's permissions — default is the engine's ADMIN identity, so
+        embedded use is unchanged (QueryEngineRouter.scala:69-71 checks
+        Table/Read before running a select; the rest check inside
+        execute_statement).
         """
         from .sql import ast as A
         from .sql.analyzer import analyze
@@ -693,7 +744,9 @@ class Tsdb:
             stmt = parse(text)
             t1 = _time.perf_counter()
             REGISTRY.stage(qid, "parse", t1 - t0)
+            eff = user if user is not None else self.effective_user
             if isinstance(stmt, A.Select):
+                self.permissions.check(eff, "table", "read")
                 q = analyze(stmt, self.schema)
                 t2 = _time.perf_counter()
                 REGISTRY.stage(qid, "analyze", t2 - t1)
@@ -702,7 +755,7 @@ class Tsdb:
             else:
                 from .operators.admin import execute_statement
 
-                out = execute_statement(self, stmt, params=params)
+                out = execute_statement(self, stmt, params=params, user=eff)
                 REGISTRY.stage(qid, "execute", _time.perf_counter() - t1)
             REGISTRY.finish(qid)
             self._persist_metric(qid)

@@ -3,11 +3,12 @@
 Reference: SqlParser.scala:292-379 (grammar), QueryEngineRouter.scala:64-118
 (dispatch), providers/JdbcMetadataProvider.scala:1-212 (SHOW TABLES/COLUMNS
 output shape), UpdatesIntervalsProvider.scala (SHOW UPDATES_INTERVALS).
-User MANAGEMENT is out of scope (auth belongs to the deployment, not the
-engine): CREATE/ALTER/DROP USER are rejected with a typed message, while
-SHOW USERS (QueryEngineRouter.scala:154-162) reports the single effective
-unauthenticated identity so admin tools pointed at pgwire get a well-formed
-answer instead of a parse error.
+User MANAGEMENT (r16 — closes the last §2.11 scope cut): CREATE/ALTER/DROP
+USER run against the warehouse-backed ``auth.UserManager`` registry with
+the reference's role matrix and error strings; SHOW USERS
+(QueryEngineRouter.scala:154-162) lists the effective superuser identity
+plus the registry; every dispatch arm checks the statement's
+(subject, action) permission pair against the caller's role first.
 """
 
 from __future__ import annotations
@@ -147,12 +148,22 @@ def _intervals_filter(cond, params=None):
 
 
 def execute_statement(tsdb: "Tsdb", stmt: A.Statement,
-                      params=None) -> DataFrame:
+                      params=None, user=None) -> DataFrame:
+    """Dispatch a non-SELECT statement under ``user``'s permissions
+    (QueryEngineRouter.scala:64-118 subject/action pairs: metadata reads
+    for SHOW TABLES/VERSION/COLUMNS/FUNCTIONS, queries read/write for the
+    metrics statements, user read/write for the registry, table write
+    for UPSERT).  ``user`` defaults to the engine's ADMIN identity, so
+    embedded callers see no behavior change."""
     spark = tsdb.spark
+    eff = user if user is not None else tsdb.effective_user
+    perm = tsdb.permissions
     if isinstance(stmt, A.ShowTables):
+        perm.check(eff, "metadata", "read")
         rows = [(n,) for n in sorted(tsdb.schema.tables)]
         return _df(spark, rows, "TABLE_NAME string")
     if isinstance(stmt, A.ShowVersion):
+        perm.check(eff, "metadata", "read")
         from .. import __version__
 
         major, minor = __version__.split(".")[:2]
@@ -160,14 +171,36 @@ def execute_statement(tsdb: "Tsdb", stmt: A.Statement,
                    "MAJOR int, MINOR int, VERSION string")
     if isinstance(stmt, A.ShowUsers):
         # reference QueryEngineRouter.scala:154-162 lists the user
-        # registry as (NAME, ROLE); this engine runs unauthenticated —
-        # every connection acts as the one effective identity (pgwire's
-        # default login, full rights), so the registry view is that
-        # single static row.  CREATE/ALTER/DROP USER stay rejected: the
-        # deployment layer owns real account management.
-        return _df(spark, [("anonymous", "ADMIN")],
-                   "NAME string, ROLE string")
+        # registry as (NAME, ROLE).  The engine's own identity (the
+        # config superuser, always ADMIN) is listed FIRST — a documented
+        # deviation from the reference (whose DAO listing omits the
+        # config superuser): with an empty registry the statement still
+        # reports the one effective identity, which is what admin tools
+        # pointed at an unauthenticated pgwire need to see.
+        perm.check(eff, "user", "read")
+        um = tsdb._um_maybe
+        rows = [(tsdb.user, "ADMIN")]
+        if um is not None:
+            rows += [(u.name, u.role) for u in um.list_users()]
+        return _df(spark, rows, "NAME string, ROLE string")
+    if isinstance(stmt, (A.CreateUser, A.AlterUser, A.DropUser)):
+        # ≙ QueryEngineRouter.scala:126-152: user/write permission, then
+        # the UserManager call; every outcome is the reference's —
+        # single (STATUS='OK') row on success, typed AuthError with the
+        # reference's message otherwise
+        from ..auth import AuthError
+
+        perm.check(eff, "user", "write")
+        um = tsdb.user_manager
+        if isinstance(stmt, A.CreateUser):
+            um.create_user(stmt.name, stmt.password, stmt.role)
+        elif isinstance(stmt, A.AlterUser):
+            um.update_user(stmt.name, stmt.password, stmt.role)
+        elif not um.delete_user(stmt.name):
+            raise AuthError("User not found")
+        return _df(spark, [("OK",)], "STATUS string")
     if isinstance(stmt, A.ShowColumns):
+        perm.check(eff, "metadata", "read")
         t = tsdb.schema.table(stmt.table)
         rows = [("time", yt.TIMESTAMP, False, "time")]
         rows += [(d.name, d.dtype, False, f"dimension({d.kind})")
@@ -180,9 +213,11 @@ def execute_statement(tsdb: "Tsdb", stmt: A.Statement,
                    "COLUMN_NAME string, DATA_TYPE string, NULLABLE boolean, "
                    "KIND string")
     if isinstance(stmt, A.ShowFunctions):
+        perm.check(eff, "metadata", "read")
         return _df(spark, [(f,) for f in functions_for(stmt.type_name)],
                    "NAME string")
     if isinstance(stmt, A.ShowQueries):
+        perm.check(eff, "queries", "read")
         # live registry first, then the parquet-persisted history from prior
         # engine instances over the same warehouse root (TsdbQueryMetrics
         # parity: metrics survive restarts); live entries win on id clash
@@ -214,6 +249,7 @@ def execute_statement(tsdb: "Tsdb", stmt: A.Statement,
             T.StructField("COMPILE_S", T.DoubleType()),
         ]))
     if isinstance(stmt, A.ShowUpdatesIntervals):
+        perm.check(eff, "queries", "read")
         flt = (None if stmt.condition is None
                else _intervals_filter(stmt.condition, params))
         # statement-facing shape = the reference's exact five columns
@@ -227,11 +263,13 @@ def execute_statement(tsdb: "Tsdb", stmt: A.Statement,
                          F.col("to_time").alias("to"),
                          F.col("updated_by"))
     if isinstance(stmt, A.KillQuery):
+        perm.check(eff, "queries", "write")
         ok = REGISTRY.kill(spark, stmt.query_id)
         if ok:
             tsdb._persist_metric(stmt.query_id)  # CANCELLED survives restart
         return _df(spark, [(ok,)], "OK boolean")
     if isinstance(stmt, A.DeleteQueries):
+        perm.check(eff, "queries", "write")
         gone = set(REGISTRY.delete(stmt.query_id, stmt.state))
         gone |= set(tsdb.metrics_store.delete(stmt.query_id, stmt.state))
         return _df(spark, [(len(gone),)], "DELETED int")
@@ -240,6 +278,7 @@ def execute_statement(tsdb: "Tsdb", stmt: A.Statement,
         return _df(spark, [(stmt.name, str(stmt.value))],
                    "NAME string, VALUE string")
     if isinstance(stmt, A.Upsert):
+        perm.check(eff, "table", "write")
         n = tsdb.warehouse.upsert_values(stmt.table, stmt.fields, stmt.values)
         return _df(spark, [(n,)], "UPSERTED int")
     raise InvalidQueryError(f"cannot execute {type(stmt).__name__}")

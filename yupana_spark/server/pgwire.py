@@ -61,6 +61,7 @@ _OID_TIMESTAMP = 1114
 _OID_NUMERIC = 1700
 
 _ERR_AUTH = "28P01"      # invalid_password
+_ERR_PRIV = "42501"      # insufficient_privilege
 _ERR_SYNTAX = "42601"
 _ERR_INTERNAL = "XX000"
 _ERR_CANCELED = "57014"  # query_canceled
@@ -333,7 +334,8 @@ class _Conn(socketserver.BaseRequestHandler):
         sql = self._preprocess(sql).strip().rstrip(";").strip()
         if not sql:
             return None
-        return self.server.tsdb.sql(sql, params=params or None)
+        return self.server.tsdb.sql(sql, params=params or None,
+                                    user=getattr(self, "_auth_user", None))
 
     # -- main ---------------------------------------------------------------
     def handle(self) -> None:  # noqa: C901 - protocol dispatch is flat
@@ -361,6 +363,21 @@ class _Conn(socketserver.BaseRequestHandler):
             self._send_error(f'password authentication failed for user '
                              f'"{user}"', _ERR_AUTH)
             return
+        # auth='registry' (r16): validate against the engine's
+        # warehouse-backed UserManager — PBKDF2 hash for stored users, the
+        # config-superuser short-circuit for the engine identity (≙ the
+        # reference server validating via UserManager.validateUser) — and
+        # scope every statement on this connection to the validated role.
+        # The default (auth=None) keeps the historical trust handshake.
+        self._auth_user = None
+        if getattr(self.server, "auth", None) == "registry":
+            validated = self.server.tsdb.user_manager.validate_user(
+                user, password)
+            if validated is None:
+                self._send_error(f'password authentication failed for user '
+                                 f'"{user}"', _ERR_AUTH)
+                return
+            self._auth_user = validated
 
         hello = _Buf().msg(b"R", struct.pack("!I", 0))   # AuthenticationOk
         for k, v in (("server_version", "9.0.0"),        # matches reference
@@ -464,9 +481,13 @@ class _Conn(socketserver.BaseRequestHandler):
                     canceled = ("cancelled as part of cancellation of "
                                 in low) or ("cancelled part of cancelled "
                                             "job group" in low)
+                from ..auth import AuthError
+
+                code = (_ERR_CANCELED if canceled
+                        else _ERR_PRIV if isinstance(exc, AuthError)
+                        else _ERR_SYNTAX)
                 self._send_error("canceling statement due to user request"
-                                 if canceled else msg,
-                                 _ERR_CANCELED if canceled else _ERR_SYNTAX)
+                                 if canceled else msg, code)
                 if tag == b"Q":
                     self._ready()
                 else:
@@ -619,11 +640,19 @@ class PgWireServer:
     """
 
     def __init__(self, tsdb, host: str = "127.0.0.1", port: int = 5433,
-                 users: Optional[Dict[str, str]] = None):
+                 users: Optional[Dict[str, str]] = None,
+                 auth: Optional[str] = None):
+        """``auth=None`` (default) keeps the historical trust handshake;
+        ``auth='registry'`` validates every login against the engine's
+        CREATE USER registry (+ the config superuser) and scopes each
+        connection to its validated role."""
+        if auth not in (None, "registry"):
+            raise ValueError(f"auth must be None or 'registry', got {auth!r}")
         self.tsdb = tsdb
         self.host = host
         self.port = port
         self.users = users
+        self.auth = auth
         self._srv: Optional[socketserver.ThreadingTCPServer] = None
         self._thread: Optional[threading.Thread] = None
 
@@ -635,6 +664,7 @@ class PgWireServer:
             daemon_threads = True
             tsdb = outer.tsdb
             users = outer.users
+            auth = outer.auth
             # (pid, secret) -> Spark job group, for CancelRequest routing
             cancel_keys: Dict[Tuple[int, int], str] = {}
             # job groups a CancelRequest has fired on — the dedicated signal

@@ -184,3 +184,28 @@ class DeleteQueries(Statement):
 class SetValue(Statement):
     name: str
     value: Any
+
+
+@dataclass(frozen=True)
+class CreateUser(Statement):
+    """≙ parser.CreateUser (SqlParser.scala:336-353)."""
+
+    name: str
+    password: Optional[str] = None
+    role: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class AlterUser(Statement):
+    """≙ parser.AlterUser (SqlParser.scala:357-374)."""
+
+    name: str
+    password: Optional[str] = None
+    role: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class DropUser(Statement):
+    """≙ parser.DropUser (SqlParser.scala:355)."""
+
+    name: str

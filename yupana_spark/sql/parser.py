@@ -521,6 +521,78 @@ class Parser:
             return A.ShowQueries(qid, state, limit)
         raise SqlParseError(f"cannot SHOW {self.peek()[1]!r}")
 
+    # -- user-management DDL (SqlParser.scala:107-110, 336-374) --------------
+    def _quoted_username(self, what: str = "user name") -> str:
+        """Reference ``username`` rule: a QUOTED identifier, first char a
+        letter then >=1 of [A-Za-z0-9_-] (SqlParser.scala:107-108) — an
+        unquoted name is a parse error, exactly like the reference."""
+        k, v = self.next()
+        if k != "string":
+            raise SqlParseError(
+                f"expected quoted {what} (e.g. 'alice'), got {v!r}")
+        u = _unquote(v)
+        if not re.fullmatch(r"[A-Za-z][A-Za-z0-9_\-]+", u):
+            raise SqlParseError(
+                f"invalid {what} {u!r}: a letter followed by at least one "
+                "letter/digit/_/- is required")
+        return u
+
+    def _quoted_password(self) -> str:
+        k, v = self.next()
+        if k != "string":
+            raise SqlParseError(f"expected quoted password, got {v!r}")
+        return _unquote(v)
+
+    def user_ddl(self) -> A.Statement:
+        """CREATE USER 'u' [WITH PASSWORD 'p' [WITH ROLE 'r'] | WITH ROLE
+        'r' [WITH PASSWORD 'p']] / ALTER USER 'u' SET PASSWORD = 'p'
+        [SET ROLE = 'r'] | SET ROLE = 'r' [SET PASSWORD = 'p'] / DROP
+        USER 'u' — the reference grammar order-for-order
+        (SqlParser.scala:336-374; roles parse with the username rule)."""
+        verb = self.peek()[1].lower()
+        self.i += 1
+        self.expect_kw("user")
+        if verb == "drop":
+            return A.DropUser(self._quoted_username())
+        if verb == "create":
+            name = self._quoted_username()
+            password = role = None
+            if self.eat_kw("with"):
+                if self.eat_kw("password"):
+                    password = self._quoted_password()
+                    if self.eat_kw("with"):
+                        self.expect_kw("role")
+                        role = self._quoted_username("role")
+                elif self.eat_kw("role"):
+                    role = self._quoted_username("role")
+                    if self.eat_kw("with"):
+                        self.expect_kw("password")
+                        password = self._quoted_password()
+                else:
+                    raise SqlParseError(
+                        "expected PASSWORD or ROLE after WITH")
+            return A.CreateUser(name, password, role)
+        name = self._quoted_username()
+        self.expect_kw("set")
+        password = role = None
+        if self.eat_kw("password"):
+            self.expect_op("=")
+            password = self._quoted_password()
+            if self.eat_kw("set"):
+                self.expect_kw("role")
+                self.expect_op("=")
+                role = self._quoted_username("role")
+        elif self.eat_kw("role"):
+            self.expect_op("=")
+            role = self._quoted_username("role")
+            if self.eat_kw("set"):
+                self.expect_kw("password")
+                self.expect_op("=")
+                password = self._quoted_password()
+        else:
+            raise SqlParseError("expected SET PASSWORD or SET ROLE")
+        return A.AlterUser(name, password, role)
+
     def statement(self) -> A.Statement:
         if self.at_kw("select"):
             st: A.Statement = self.select()
@@ -547,17 +619,7 @@ class Parser:
             st = A.SetValue(nm, self.value())
         elif (self.at_kw("create") or self.at_kw("alter")
               or self.at_kw("drop")):
-            # reference grammar has CREATE/ALTER/DROP USER
-            # (SqlParser.scala:292-379); user management is authentication
-            # territory and deliberately out of scope here — reject with a
-            # clear message instead of a generic parse error
-            verb = self.peek()[1].upper()
-            raise SqlParseError(
-                f"{verb} USER is not supported: user/auth management is out "
-                "of scope in this engine (SURVEY.md §2.11; reference "
-                "SqlParser.scala:292-379) — manage access in the Spark "
-                "deployment layer instead"
-            )
+            st = self.user_ddl()
         else:
             raise SqlParseError(f"cannot parse statement at {self.peek()[1]!r}")
         self.eat_op(";")
