@@ -1638,6 +1638,10 @@ def dp_text_stats(spark, sf_dir):
         pii["ipv4"].alias("pii_ipv4"),
         pii["phone"].alias("pii_phones"),
         F.length(scrub_pii(aug)).alias("scrub_len"),
+        # content-exact scrub pin (r16): the oracle recomputes the same
+        # three-pattern RE2 replace chain, so a drifted pattern or
+        # placeholder shows as a hash mismatch, not just a length tie
+        F.md5(scrub_pii(aug)).alias("scrub_md5"),
         # Gopher A1.1 shape signals over DETERMINISTICALLY decorated text
         # (the fixture carries no symbols/bullets — same injection pattern
         # as the PII aug): ' #' x (doc_id%5) appended for the symbol
@@ -4231,6 +4235,13 @@ _ORACLES_DP: dict[str, str] = {
                         '<IPV4>', 'g'),
                         '\\+\\d[\\d-]{7,14}\\d', '<PHONE>', 'g'))
                     AS INTEGER) AS scrub_len,
+               md5(regexp_replace(regexp_replace(regexp_replace(aug,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g'),
+                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                        '<IPV4>', 'g'),
+                        '\\+\\d[\\d-]{7,14}\\d', '<PHONE>', 'g'))
+                   AS scrub_md5,
                (cont.doc_id IS NOT NULL) AS contaminated,
                ss.n_spans, ss.n_dup_spans,
                round(ss.n_dup_spans / greatest(ss.n_spans, 1), 6)

@@ -1769,6 +1769,46 @@ def test_corpus_preprocess_laws(spark):
                           neardup_pairs=minhash_dedup_pairs(docs))
 
 
+def test_corpus_preprocess_pii_scrub_law(spark):
+    """``pii_scrub=True`` (r16 — FineWeb's PII-anonymization stage
+    composed at the recipe ENTRY) obeys its laws: (1) the flag is
+    exactly equivalent to pre-scrubbing the input with text.scrub_pii
+    and running the recipe unflagged — pins the composition point; (2)
+    the semantic payoff — two docs identical up to their (scrubbed)
+    emails become the exact duplicates they should be, which the
+    unscrubbed run cannot see; (3) scrub_pii is idempotent (the typed
+    placeholders contain no @-run / digit-run that could rematch a
+    pattern), so a re-run over already-anonymized text is a no-op."""
+    from yupana_spark.datapipe.filters import corpus_preprocess
+    from yupana_spark.datapipe.text import scrub_pii
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "into the quiet green field for a long while today contact ")
+    rows = [
+        (1, base + "alice@example.com or 10.0.0.7 soon"),
+        (2, base + "bob.smith@corp.example.org or 10.99.3.1 soon"),
+        (3, "a fully clean unrelated document with plenty of calm "
+            "words to pass every single bar easily and well today"),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    flagged = {r["id"]: tuple(r) for r in corpus_preprocess(
+        docs, pii_scrub=True).collect()}
+    pre = {r["id"]: tuple(r) for r in corpus_preprocess(
+        docs.withColumn("text", scrub_pii(F.col("text")))).collect()}
+    assert flagged == pre                              # law (1)
+    unscrubbed = {r["id"]: r for r in corpus_preprocess(docs).collect()}
+    assert flagged[2][2] == "duplicate"                # law (2): id 2
+    assert flagged[1][1] is True                       # dups into id 1
+    assert unscrubbed[1]["keep"] and unscrubbed[2]["keep"]
+    twice = {r["id"]: r["t2"] for r in docs.select(
+        F.col("doc_id").alias("id"),
+        scrub_pii(scrub_pii(F.col("text"))).alias("t2")).collect()}
+    for r in docs.select(F.col("doc_id").alias("id"),
+                         scrub_pii(F.col("text")).alias("t")).collect():
+        assert twice[r["id"]] == r["t"]                # law (3)
+
+
 def test_text_stats_inline_keep_matches_corpus_keep(spark):
     """dp_text_stats composes the keep decision IN-PLAN (r14): the
     row-local signals ride the base scan and keep/reasons assemble via

@@ -254,14 +254,19 @@ def corpus_preprocess(df: DataFrame, text_col: str = "text",
                       neardup_pairs: Optional[DataFrame] = None,
                       decontaminate: bool = True,
                       n: int = 8,
-                      sample_rate: float = 1.0) -> DataFrame:
+                      sample_rate: float = 1.0,
+                      pii_scrub: bool = False) -> DataFrame:
     """The COMPOSED preprocessing recipe, applied end to end — the
     FineWeb/RefinedWeb pipeline order as one call: rule filters +
     exact dedup (``corpus_keep``), optional MinHash near-dup cluster
     resolution AMONG THE RULE-FILTER SURVIVORS (keep the min-id
     representative per connected component), optional
     benchmark-decontamination SPAN REMOVAL of the survivors, and a
-    final deterministic Bernoulli sample.
+    final deterministic Bernoulli sample.  ``pii_scrub=True`` prepends
+    FineWeb's PII-anonymization stage (emails / IPv4 / phone runs →
+    typed placeholders, ``text.scrub_pii``) to the raw text before any
+    other stage — see the inline comment for why entry-side is the only
+    placement that can work against the normalized output text.
 
     Near-dup clusters are resolved over the docs whose ``corpus_keep``
     reasons are empty — the FineWeb/RefinedWeb order (dedup among
@@ -322,6 +327,22 @@ def corpus_preprocess(df: DataFrame, text_col: str = "text",
             "corpus_preprocess: pass neardup_threshold (the built-in "
             "MinHash arm) OR neardup_pairs (a precomputed pair frame), "
             "not both — a threshold would be silently ignored")
+    if pii_scrub:
+        # PII anonymization (FineWeb's published final stage: emails +
+        # public IPs get typed placeholders) applied to the RAW text at
+        # the recipe ENTRY, not the exit: normalize_text strips @/./+
+        # downstream, so an exit-side scrub could never match a pattern
+        # — and entry-side placement means fingerprints, MinHash
+        # shingles, and quality signals all see the anonymized form, so
+        # two docs differing only in a scrubbed email are the exact
+        # dups they should be.  Row-local regexp_replace chain: a
+        # zero-shuffle rewrite of the scan at any scale (text.scrub_pii
+        # is content-pinned by the dp_text_stats scrub_md5 oracle
+        # column; the composition point is pinned by
+        # test_corpus_preprocess_laws' pre-scrubbed-equivalence law).
+        from .text import scrub_pii
+
+        df = df.withColumn(text_col, scrub_pii(F.col(text_col)))
     out = corpus_keep(df, text_col, id_col, min_quality=min_quality,
                       langs=langs, rep_rule=rep_rule,
                       eval_docs=eval_docs if decontaminate else None)
