@@ -309,6 +309,46 @@ def test_registry_auth_and_role_enforcement(tsdb):
         tsdb.sql("DROP USER 'ro_wire'")
 
 
+def test_registry_superuser_password(tsdb):
+    """superuser_password (r16 — the reference's superUserName/
+    superUserPassword config pair): in registry mode the ENGINE identity
+    logs in as ADMIN with the server-configured password even over an
+    empty registry, so a fresh deployment can bootstrap its first
+    CREATE USER over the wire; the wrong password (and the engine name
+    with NO configured password) still gets 28P01."""
+    srv = PgWireServer(tsdb, port=0, auth="registry",
+                       superuser_password="boot")
+    port = srv.start()
+    try:
+        c = PgClient(port, user=tsdb.user, password="wrong")
+        tag, body = c.read_msg()
+        assert tag == b"E" and b"28P01" in body
+        c.sock.close()
+        c = PgClient(port, user=tsdb.user, password="boot")
+        c.read_until_ready()
+        _, rows, errors = c.query(
+            "CREATE USER 'boot_made' WITH ROLE 'READ_ONLY'")
+        assert not errors and rows == [["OK"]]
+        _, rows, _ = c.query("SHOW USERS")
+        assert ["boot_made", "READ_ONLY"] in rows
+        _, rows, errors = c.query("DROP USER 'boot_made'")
+        assert not errors and rows == [["OK"]]
+        c.close()
+    finally:
+        srv.stop()
+    # without the config pair, the engine identity has no stored hash
+    # and cannot authenticate at all in registry mode
+    srv = PgWireServer(tsdb, port=0, auth="registry")
+    port = srv.start()
+    try:
+        c = PgClient(port, user=tsdb.user, password="boot")
+        tag, body = c.read_msg()
+        assert tag == b"E" and b"28P01" in body
+        c.sock.close()
+    finally:
+        srv.stop()
+
+
 def test_cancel_between_bind_and_execute(server):
     """A CancelRequest that lands during Parse/Bind (before Execute starts
     a job) must still cancel the statement — postgres honors cancels at any
@@ -316,25 +356,36 @@ def test_cancel_between_bind_and_execute(server):
     57014, and after Sync the flag is cleared so the session recovers."""
     import time
 
-    c = PgClient(server, ssl_probe=True)
-    msgs = c.read_until_ready()
-    pid, secret = struct.unpack(
-        "!II", [body for tag, body in msgs if tag == b"K"][0])
+    # the cancel lands on a separate socket and is processed by another
+    # server thread — there is no client-observable "cancel registered"
+    # event to poll, so a fixed sleep races host load (seen flaky under
+    # concurrent JVMs).  Retry the whole scenario on a FRESH connection
+    # (new pid/secret, so a late cancel from a lost attempt cannot leak
+    # into the next one) with a growing grace period.
+    for grace in (1, 3, 8):
+        c = PgClient(server, ssl_probe=True)
+        msgs = c.read_until_ready()
+        pid, secret = struct.unpack(
+            "!II", [body for tag, body in msgs if tag == b"K"][0])
 
-    c.send(b"P", _cstr("sc") + _cstr("SELECT 5 AS five")
-           + struct.pack("!H", 0))
-    c.send(b"B", _cstr("") + _cstr("sc") + struct.pack("!H", 0)
-           + struct.pack("!H", 0) + struct.pack("!H", 0))
-    # cancel arrives between Bind and Execute
-    s2 = socket.create_connection(("127.0.0.1", server), timeout=10)
-    s2.sendall(struct.pack("!IIII", 16, 80877102, pid, secret))
-    s2.close()
-    time.sleep(1)  # let the server thread process the CancelRequest
-    c.send(b"E", _cstr("") + struct.pack("!i", 0))
-    c.send(b"S")
-    msgs = c.read_until_ready()
-    tags = [t for t, _ in msgs]
-    err = b"".join(b for t, b in msgs if t == b"E")
+        c.send(b"P", _cstr("sc") + _cstr("SELECT 5 AS five")
+               + struct.pack("!H", 0))
+        c.send(b"B", _cstr("") + _cstr("sc") + struct.pack("!H", 0)
+               + struct.pack("!H", 0) + struct.pack("!H", 0))
+        # cancel arrives between Bind and Execute
+        s2 = socket.create_connection(("127.0.0.1", server), timeout=10)
+        s2.sendall(struct.pack("!IIII", 16, 80877102, pid, secret))
+        s2.close()
+        time.sleep(grace)  # let the server thread process the cancel
+        c.send(b"E", _cstr("") + struct.pack("!i", 0))
+        c.send(b"S")
+        msgs = c.read_until_ready()
+        tags = [t for t, _ in msgs]
+        err = b"".join(b for t, b in msgs if t == b"E")
+        if b"57014" not in err:
+            c.close()       # cancel missed the window under load; retry
+            continue
+        break
     assert b"57014" in err and b"canceling" in err
     assert b"D" not in tags                       # no rows were sent
     # Sync cleared the flag: the session works again

@@ -371,8 +371,19 @@ class _Conn(socketserver.BaseRequestHandler):
         # The default (auth=None) keeps the historical trust handshake.
         self._auth_user = None
         if getattr(self.server, "auth", None) == "registry":
-            validated = self.server.tsdb.user_manager.validate_user(
-                user, password)
+            # config-superuser short-circuit first (UserManager.scala
+            # validateUser): the engine identity + the server's configured
+            # password pair is ADMIN without a stored hash, so a fresh
+            # deployment with an empty registry is not locked out
+            su_pw = getattr(self.server, "superuser_password", None)
+            if su_pw is not None and user == self.server.tsdb.user \
+                    and password == su_pw:
+                from ..auth import YupanaUser
+
+                validated = YupanaUser(user, None, "ADMIN")
+            else:
+                validated = self.server.tsdb.user_manager.validate_user(
+                    user, password)
             if validated is None:
                 self._send_error(f'password authentication failed for user '
                                  f'"{user}"', _ERR_AUTH)
@@ -641,11 +652,17 @@ class PgWireServer:
 
     def __init__(self, tsdb, host: str = "127.0.0.1", port: int = 5433,
                  users: Optional[Dict[str, str]] = None,
-                 auth: Optional[str] = None):
+                 auth: Optional[str] = None,
+                 superuser_password: Optional[str] = None):
         """``auth=None`` (default) keeps the historical trust handshake;
         ``auth='registry'`` validates every login against the engine's
         CREATE USER registry (+ the config superuser) and scopes each
-        connection to its validated role."""
+        connection to its validated role.  ``superuser_password`` is the
+        reference's superUserName/superUserPassword config pair
+        (UserManager.scala validateUser short-circuit): in registry mode
+        it lets the ENGINE identity (``tsdb.user``) log in as ADMIN even
+        over an empty registry — without it the first CREATE USER must
+        happen embedded, since the superuser has no stored hash."""
         if auth not in (None, "registry"):
             raise ValueError(f"auth must be None or 'registry', got {auth!r}")
         self.tsdb = tsdb
@@ -653,6 +670,7 @@ class PgWireServer:
         self.port = port
         self.users = users
         self.auth = auth
+        self.superuser_password = superuser_password
         self._srv: Optional[socketserver.ThreadingTCPServer] = None
         self._thread: Optional[threading.Thread] = None
 
@@ -665,6 +683,7 @@ class PgWireServer:
             tsdb = outer.tsdb
             users = outer.users
             auth = outer.auth
+            superuser_password = outer.superuser_password
             # (pid, secret) -> Spark job group, for CancelRequest routing
             cancel_keys: Dict[Tuple[int, int], str] = {}
             # job groups a CancelRequest has fired on — the dedicated signal
