@@ -790,8 +790,9 @@ def q_show_meta(spark, sf_dir):
 
     # dialect-rule rows: statements the reference REJECTS must raise the
     # typed InvalidQueryError here too (ORDER BY absent from the dialect,
-    # window+aggregate kind mixing, users/auth out of scope) — and a bound
-    # `?` placeholder must produce the same frame as its inline literal
+    # window+aggregate kind mixing, the quoted-username grammar rule) —
+    # and a bound `?` placeholder must produce the same frame as its
+    # inline literal
     from yupana_spark.expressions import InvalidQueryError
     from yupana_spark.sql.parser import SqlParseError
 

@@ -156,3 +156,75 @@ def test_user_ddl_grammar_rejects():
     # role strings parse with the username rule — quoted, letter-first
     with pytest.raises(SqlParseError):
         parse("CREATE USER 'ab' WITH ROLE READ_ONLY")
+
+
+def test_auth_error_sqlstates(tmp_path):
+    """AuthError carries the PostgreSQL error class the wire front-end
+    sends (review r16): permission denials are 42501, a duplicate
+    create is 42710 duplicate_object, a missing user 42704
+    undefined_object, a bad role 22023 invalid_parameter_value."""
+    um = UserManager(str(tmp_path))
+    um.create_user("alice", "pw", "READ_ONLY")
+    with pytest.raises(AuthError) as e:
+        um.create_user("alice", None, None)
+    assert e.value.sqlstate == "42710"
+    with pytest.raises(AuthError) as e:
+        um.update_user("ghost", "pw", None)
+    assert e.value.sqlstate == "42704"
+    with pytest.raises(AuthError) as e:
+        um.create_user("eve", None, "SUPER")
+    assert e.value.sqlstate == "22023"
+    with pytest.raises(AuthError) as e:
+        PermissionService().check(YupanaUser("u", None, "READ_ONLY"),
+                                  "user", "write")
+    assert e.value.sqlstate == "42501"
+
+
+def test_set_is_admin_gated(tsdb):
+    """SET applies the (session-global) Spark conf for ADMIN only; any
+    lower role gets the reference wire server's acknowledged-no-op
+    (MessageHandler.scala:230 never applies SET at all) — review r16:
+    a READ_ONLY login must not flip shared session state."""
+    key = "yupana.test.set_gate"
+    ro = YupanaUser("ro", None, "READ_ONLY")
+    out = tsdb.sql(f"SET {key}='ro_value'", user=ro)
+    assert [tuple(r) for r in out.collect()] == [(key, "ro_value")]
+    assert tsdb.spark.conf.get(key, None) is None      # echo only
+    tsdb.sql(f"SET {key}='admin_value'")                 # engine = ADMIN
+    assert tsdb.spark.conf.get(key) == "admin_value"
+    tsdb.sql(f"SET {key}='ro_again'", user=ro)
+    assert tsdb.spark.conf.get(key) == "admin_value"   # unchanged
+    tsdb.spark.conf.unset(key)
+
+
+def test_validate_user_superuser_override_and_unknown_cost(tmp_path):
+    """validate_user's superuser_password override (the wire server's
+    bootstrap credential) matches constant-time against the engine
+    identity without mutating the manager; unknown users still verify
+    against a dummy hash so the miss is not a free timing probe."""
+    um = UserManager(str(tmp_path), superuser="anonymous")
+    assert um.validate_user("anonymous", "boot",
+                            superuser_password="boot").role == "ADMIN"
+    assert um.validate_user("anonymous", "wrong",
+                            superuser_password="boot") is None
+    # the override is per-call: the instance pair is unchanged (None)
+    assert um.validate_user("anonymous", None).role == "ADMIN"
+    assert um.validate_user("anonymous", "boot") is None
+    assert um.validate_user("ghost", "anything") is None
+
+
+def test_cross_instance_registry_freshness(tmp_path):
+    """Two managers over one root (two engines sharing a warehouse):
+    each mutation re-reads the authoritative file under the cross-
+    process flock, so same-second interleaved writes never lose an
+    update and a revoked password is observed immediately."""
+    a = UserManager(str(tmp_path))
+    b = UserManager(str(tmp_path))
+    a.create_user("u1", "pw", "READ_ONLY")
+    b.create_user("u2", "pw", "READ_ONLY")     # must not clobber u1
+    a.update_user("u2", "pw9", "ADMIN")        # a sees b's user
+    assert {u.name for u in a.list_users()} == {"u1", "u2"}
+    assert b.validate_user("u2", "pw") is None          # revoked
+    assert b.validate_user("u2", "pw9").role == "ADMIN"
+    assert b.delete_user("u1")
+    assert a.find_user("u1") is None

@@ -270,7 +270,10 @@ def test_user_ddl_roundtrip_over_wire(client):
         _, rows, _ = client.query("SHOW USERS")
         assert ["wire_u", "READ_WRITE"] in rows
         _, _, errors = client.query("CREATE USER 'wire_u'")
+        # duplicate-create is 42710 duplicate_object on the wire, not a
+        # privilege error (review r16: AuthError carries its SQLSTATE)
         assert errors and b"already exists" in errors[0]
+        assert b"42710" in errors[0]
     finally:
         _, rows, errors = client.query("DROP USER 'wire_u'")
     assert not errors and rows == [["OK"]]

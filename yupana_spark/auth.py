@@ -29,6 +29,7 @@ distributed scan would be the wrong tool at any scale.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import hashlib
 import json
@@ -91,6 +92,26 @@ def hash_password(password: str) -> str:
     return f"pbkdf2${_PBKDF2_ITERS}${salt.hex()}${dig.hex()}"
 
 
+def _eq_opt(a: Optional[str], b: Optional[str]) -> bool:
+    """Constant-time equality over optional strings (None matches None,
+    never a string — the reference's Option equality)."""
+    if a is None or b is None:
+        return a is None and b is None
+    return secrets.compare_digest(a.encode(), b.encode())
+
+
+_DUMMY: list = []
+
+
+def _dummy_hash() -> str:
+    """A throwaway stored hash burned on unknown-user logins so the
+    response time does not reveal whether a username exists (built
+    lazily once — PBKDF2 at import would tax every non-auth user)."""
+    if not _DUMMY:
+        _DUMMY.append(hash_password("no-such-user"))
+    return _DUMMY[0]
+
+
 def verify_password(password: str, stored: str) -> bool:
     try:
         scheme, iters, salt_hex, dig_hex = stored.split("$")
@@ -104,7 +125,15 @@ def verify_password(password: str, stored: str) -> bool:
 
 
 class AuthError(Exception):
-    """Typed auth failure — the Left(...) strings of the reference."""
+    """Typed auth failure — the Left(...) strings of the reference.
+
+    ``sqlstate`` lets wire front-ends map the failure to the right
+    PostgreSQL error class (review r16: a duplicate-create is
+    42710 duplicate_object, not 42501 insufficient_privilege)."""
+
+    def __init__(self, message: str, sqlstate: str = "42501"):
+        super().__init__(message)
+        self.sqlstate = sqlstate
 
 
 class PermissionService:
@@ -132,10 +161,14 @@ class PermissionService:
 class UserManager:
     """≙ auth/UserManager.scala over a warehouse-root JSON registry.
 
-    The store is ``<root>/_users.json`` written atomically (tmp +
-    rename, the artifact-store posture); reads go through an mtime
-    check so concurrent engines over one root observe each other's
-    writes.  The optional superuser (the engine's own identity) is
+    Concurrency contract (review r16): every MUTATION takes an
+    exclusive ``flock`` on a sidecar lock file around its whole
+    read-modify-write, so concurrent engines (or threads) over one
+    root never lose each other's updates; the store itself is written
+    atomically (tmp + rename, the artifact-store posture).  READS are
+    lock-free through an ``st_mtime_ns`` freshness check — best-effort
+    staleness bounded by one mutation, never a torn file (the rename is
+    atomic).  The optional superuser (the engine's own identity) is
     validated config-side and never stored, exactly like the
     reference's superUserName/superUserPassword pair."""
 
@@ -146,16 +179,38 @@ class UserManager:
         self.superuser_password = superuser_password
         self._lock = threading.Lock()
         self._cache: Dict[str, dict] = {}
-        self._mtime: Optional[float] = None
+        self._mtime: Optional[int] = None        # st_mtime_ns
 
     # -- storage ------------------------------------------------------------
-    def _load(self) -> Dict[str, dict]:
+    @contextlib.contextmanager
+    def _flock(self):
+        """Exclusive cross-process lock for read-modify-write mutations
+        (a sidecar file: flocking the store itself would race the
+        atomic-rename replace).  No-op where fcntl is unavailable."""
         try:
-            mt = os.path.getmtime(self.path)
+            import fcntl
+        except ImportError:                      # non-POSIX: in-process
+            yield                                # lock already held
+            return
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        with open(self.path + ".lock", "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
+
+    def _load(self, fresh: bool = False) -> Dict[str, dict]:
+        """Read-through cache keyed on st_mtime_ns (ns resolution: a
+        same-second external write is still observed); ``fresh=True``
+        (mutation paths, under _flock) bypasses the cache entirely so
+        the read-modify-write starts from the authoritative file."""
+        try:
+            mt = os.stat(self.path).st_mtime_ns
         except OSError:
             self._cache, self._mtime = {}, None
             return self._cache
-        if mt != self._mtime:
+        if fresh or mt != self._mtime:
             with open(self.path, encoding="utf-8") as f:
                 self._cache = json.load(f)
             self._mtime = mt
@@ -170,21 +225,28 @@ class UserManager:
         os.replace(tmp, self.path)
         self._cache = users
         try:
-            self._mtime = os.path.getmtime(self.path)
+            self._mtime = os.stat(self.path).st_mtime_ns
         except OSError:
             self._mtime = None
 
     # -- UserManager surface (UserManager.scala:26-55) ----------------------
     def create_user(self, name: str, password: Optional[str],
                     role: Optional[str]) -> YupanaUser:
+        """Create a registry user.  A missing password hashes as the
+        EMPTY string — the reference's own semantics
+        (UserManager.scala:28 ``password.getOrElse("")``, and
+        validateUser:50 verifies the same default), so a
+        ``CREATE USER 'x' WITH ROLE ...`` account IS loggable with
+        ``password=''`` until an ALTER sets a real one; deployments
+        that enable wire auth should create users with passwords."""
         r = "DISABLED" if role is None else role_by_name(role)
         if r is None:
-            raise AuthError(f"Invalid role name '{role}'")
-        with self._lock:
-            users = dict(self._load())
+            raise AuthError(f"Invalid role name '{role}'", "22023")
+        h = hash_password(password or "")
+        with self._lock, self._flock():
+            users = dict(self._load(fresh=True))
             if name in users or name == self.superuser:
-                raise AuthError("User already exists")
-            h = hash_password(password or "")
+                raise AuthError("User already exists", "42710")
             users[name] = {"password": h, "role": r}
             self._store(users)
         return YupanaUser(name, h, r)
@@ -195,22 +257,23 @@ class UserManager:
         if role is not None:
             r = role_by_name(role)
             if r is None:
-                raise AuthError(f"Invalid role name '{role}'")
-        with self._lock:
-            users = dict(self._load())
+                raise AuthError(f"Invalid role name '{role}'", "22023")
+        h = None if password is None else hash_password(password)
+        with self._lock, self._flock():
+            users = dict(self._load(fresh=True))
             if name not in users:
-                raise AuthError("User not found")
+                raise AuthError("User not found", "42704")
             u = dict(users[name])
-            if password is not None:
-                u["password"] = hash_password(password)
+            if h is not None:
+                u["password"] = h
             if r is not None:
                 u["role"] = r
             users[name] = u
             self._store(users)
 
     def delete_user(self, name: str) -> bool:
-        with self._lock:
-            users = dict(self._load())
+        with self._lock, self._flock():
+            users = dict(self._load(fresh=True))
             if name not in users:
                 return False
             del users[name]
@@ -234,15 +297,26 @@ class UserManager:
         with self._lock:
             return len(self._load())
 
-    def validate_user(self, name: str,
-                      password: Optional[str]) -> Optional[YupanaUser]:
+    def validate_user(self, name: str, password: Optional[str],
+                      superuser_password: Optional[str] = None,
+                      ) -> Optional[YupanaUser]:
         """≙ UserManager.validateUser: the config superuser matches on
-        the raw pair; everyone else verifies against the stored hash."""
+        the raw pair (constant-time compare); everyone else verifies
+        against the stored hash.  ``superuser_password`` overrides the
+        instance's config pair for this call — the wire server owns its
+        own bootstrap credential (PgWireServer(superuser_password=))
+        without mutating the shared manager.  Unknown names burn the
+        same PBKDF2 cost as known ones (review r16: the ~100 ms
+        known-user verify was a remote username-enumeration oracle)."""
+        su_pw = (superuser_password if superuser_password is not None
+                 else self.superuser_password)
         if self.superuser is not None and name == self.superuser \
-                and password == self.superuser_password:
+                and _eq_opt(password, su_pw):
             return YupanaUser(name, None, "ADMIN")
         u = self.find_user(name)
-        if u is not None and verify_password(password or "",
-                                             u.password_hash or ""):
+        if u is None:
+            verify_password(password or "", _dummy_hash())  # equalize cost
+            return None
+        if verify_password(password or "", u.password_hash or ""):
             return u
         return None

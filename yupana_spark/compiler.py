@@ -405,6 +405,7 @@ class Tsdb:
         self._warehouse_root = warehouse_root
         self._metrics_store = None
         self._user_manager = None
+        self._um_init_lock = threading.Lock()
         self._permissions = None
         # dialect semantics (non-ANSI arithmetic, UTC — Time.scala:27) +
         # AQE posture must hold for whatever session the driver hands us
@@ -459,12 +460,17 @@ class Tsdb:
         """Warehouse-backed user registry (auth.UserManager).  The engine's
         own identity (``self.user``) acts as the config superuser — never
         stored, always ADMIN — exactly the reference's
-        superUserName/superUserPassword posture."""
+        superUserName/superUserPassword posture.  Construction is locked
+        (review r16): two first-ever registry logins on a threaded wire
+        server would otherwise each build a manager with its own
+        in-process mutex over one _users.json."""
         if self._user_manager is None:
             from .auth import UserManager
 
-            self._user_manager = UserManager(self.warehouse.root,
-                                             superuser=self.user)
+            with self._um_init_lock:
+                if self._user_manager is None:
+                    self._user_manager = UserManager(self.warehouse.root,
+                                                     superuser=self.user)
         return self._user_manager
 
     @property

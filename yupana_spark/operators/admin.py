@@ -8,7 +8,10 @@ USER run against the warehouse-backed ``auth.UserManager`` registry with
 the reference's role matrix and error strings; SHOW USERS
 (QueryEngineRouter.scala:154-162) lists the effective superuser identity
 plus the registry; every dispatch arm checks the statement's
-(subject, action) permission pair against the caller's role first.
+(subject, action) permission pair against the caller's role first —
+except SET, which has no subject in the reference's permission model
+(its wire server acknowledges SET without applying it) and here applies
+the conf for ADMIN only, echoing as a no-op for everyone else.
 """
 
 from __future__ import annotations
@@ -274,7 +277,16 @@ def execute_statement(tsdb: "Tsdb", stmt: A.Statement,
         gone |= set(tsdb.metrics_store.delete(stmt.query_id, stmt.state))
         return _df(spark, [(len(gone),)], "DELETED int")
     if isinstance(stmt, A.SetValue):
-        spark.conf.set(stmt.name, str(stmt.value))
+        # the reference's wire SET is acknowledged but NEVER applied
+        # (yupana-postgres MessageHandler.scala:230 answers
+        # CommandComplete("SET") and discards name/value); this engine's
+        # embedded SET genuinely mutates the SparkSession conf, which is
+        # SHARED across every connection of a wire server — so only
+        # ADMIN applies it, and any lower role gets the reference's
+        # acknowledged-no-op (review r16: a READ_ONLY login could
+        # otherwise flip spark.sql.session.timeZone for everyone)
+        if eff.role == "ADMIN":
+            spark.conf.set(stmt.name, str(stmt.value))
         return _df(spark, [(stmt.name, str(stmt.value))],
                    "NAME string, VALUE string")
     if isinstance(stmt, A.Upsert):

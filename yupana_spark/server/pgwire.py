@@ -61,7 +61,6 @@ _OID_TIMESTAMP = 1114
 _OID_NUMERIC = 1700
 
 _ERR_AUTH = "28P01"      # invalid_password
-_ERR_PRIV = "42501"      # insufficient_privilege
 _ERR_SYNTAX = "42601"
 _ERR_INTERNAL = "XX000"
 _ERR_CANCELED = "57014"  # query_canceled
@@ -371,19 +370,14 @@ class _Conn(socketserver.BaseRequestHandler):
         # The default (auth=None) keeps the historical trust handshake.
         self._auth_user = None
         if getattr(self.server, "auth", None) == "registry":
-            # config-superuser short-circuit first (UserManager.scala
-            # validateUser): the engine identity + the server's configured
-            # password pair is ADMIN without a stored hash, so a fresh
-            # deployment with an empty registry is not locked out
-            su_pw = getattr(self.server, "superuser_password", None)
-            if su_pw is not None and user == self.server.tsdb.user \
-                    and password == su_pw:
-                from ..auth import YupanaUser
-
-                validated = YupanaUser(user, None, "ADMIN")
-            else:
-                validated = self.server.tsdb.user_manager.validate_user(
-                    user, password)
+            # the server's configured superuser_password pair rides the
+            # manager's own validateUser short-circuit (engine identity →
+            # ADMIN without a stored hash), so a fresh deployment with an
+            # empty registry is not locked out
+            validated = self.server.tsdb.user_manager.validate_user(
+                user, password,
+                superuser_password=getattr(self.server,
+                                           "superuser_password", None))
             if validated is None:
                 self._send_error(f'password authentication failed for user '
                                  f'"{user}"', _ERR_AUTH)
@@ -494,8 +488,12 @@ class _Conn(socketserver.BaseRequestHandler):
                                             "job group" in low)
                 from ..auth import AuthError
 
+                # AuthError carries its own SQLSTATE (42501 for
+                # permission denials, 42710 duplicate user, 42704 user
+                # not found, 22023 invalid role — review r16: a
+                # duplicate-create is not a privilege problem)
                 code = (_ERR_CANCELED if canceled
-                        else _ERR_PRIV if isinstance(exc, AuthError)
+                        else exc.sqlstate if isinstance(exc, AuthError)
                         else _ERR_SYNTAX)
                 self._send_error("canceling statement due to user request"
                                  if canceled else msg, code)
