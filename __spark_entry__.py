@@ -853,12 +853,22 @@ def q_show_meta(spark, sf_dir):
               for r in ut.sql("SHOW USERS").collect()} \
         == {("anonymous", "ADMIN")}
     ro = YupanaUser("ro_probe", None, "READ_ONLY")
+    # SET is ADMIN-gated (review r16): a READ_ONLY SET echoes without
+    # touching the shared session conf (the reference wire server's
+    # acknowledged-no-op, MessageHandler.scala:230); ADMIN applies it
+    skey = "yupana.meta_probe.set_gate"
+    ut.sql(f"SET {skey}='ro'", user=ro)
+    set_ok = ut.spark.conf.get(skey, None) is None
+    ut.sql(f"SET {skey}='ad'")
+    set_ok &= ut.spark.conf.get(skey) == "ad"
+    ut.spark.conf.unset(skey)
     rej_rows += [
         ("user_ddl", "roundtrip", "ok" if um_ok else "bad"),
         ("user_ddl", "readonly_denied",
          "ok" if _auth_raises(lambda: ut.sql("CREATE USER 'zz9'", user=ro))
          and _auth_raises(lambda: ut.sql("SHOW USERS", user=ro))
          else "bad"),
+        ("user_ddl", "set_admin_gated", "ok" if set_ok else "bad"),
     ]
     bound = tsdb.sql(
         f"SELECT count(o_orderkey) AS cnt {probe_where} "
@@ -3677,6 +3687,7 @@ _ORACLES_REL: dict[str, str] = {
             ('reject', 'unquoted_user', 'ok'),
             ('user_ddl', 'roundtrip', 'ok'),
             ('user_ddl', 'readonly_denied', 'ok'),
+            ('user_ddl', 'set_admin_gated', 'ok'),
             ('bind', 'placeholder', 'match'),
             ('kill', 'probe', 'cancelled'),
             ('delete', 'probe', 'purged'),
