@@ -228,3 +228,45 @@ def test_cross_instance_registry_freshness(tmp_path):
     assert b.validate_user("u2", "pw9").role == "ADMIN"
     assert b.delete_user("u1")
     assert a.find_user("u1") is None
+
+
+# -- grammar round-trip law (hypothesis) -------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_uname = st.from_regex(r"[A-Za-z][A-Za-z0-9_\-]{1,15}", fullmatch=True)
+_pw = st.text(min_size=0, max_size=30).filter(lambda s: "\x00" not in s)
+_role = st.sampled_from(["ADMIN", "READ_ONLY", "READ_WRITE", "DISABLED",
+                         "admin", "read_only"])
+
+
+def _q(s: str) -> str:
+    """Render a SQL string literal for the lexer's '\\.'|[^'\\] rule."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+@settings(max_examples=120, deadline=None)
+@given(name=_uname, pw=_pw, role=_role, order=st.booleans(),
+       which=st.sampled_from(["create", "alter", "drop"]))
+def test_user_ddl_grammar_roundtrip_law(name, pw, role, order, which):
+    """Any valid (name, password, role) rendered in either clause order
+    parses back to exactly the intended AST — the grammar neither drops
+    nor reorders nor mangles operands (passwords round-trip arbitrary
+    text through the literal escapes)."""
+    from yupana_spark.sql import ast as A
+    from yupana_spark.sql.parser import parse
+
+    if which == "drop":
+        assert parse(f"DROP USER {_q(name)}") == A.DropUser(name)
+    elif which == "create":
+        stmt = (f"CREATE USER {_q(name)} WITH PASSWORD {_q(pw)} "
+                f"WITH ROLE {_q(role)}" if order else
+                f"CREATE USER {_q(name)} WITH ROLE {_q(role)} "
+                f"WITH PASSWORD {_q(pw)}")
+        assert parse(stmt) == A.CreateUser(name, pw, role)
+    else:
+        stmt = (f"ALTER USER {_q(name)} SET PASSWORD = {_q(pw)} "
+                f"SET ROLE = {_q(role)}" if order else
+                f"ALTER USER {_q(name)} SET ROLE = {_q(role)} "
+                f"SET PASSWORD = {_q(pw)}")
+        assert parse(stmt) == A.AlterUser(name, pw, role)
