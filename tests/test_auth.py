@@ -270,3 +270,33 @@ def test_user_ddl_grammar_roundtrip_law(name, pw, role, order, which):
                 f"ALTER USER {_q(name)} SET ROLE = {_q(role)} "
                 f"SET PASSWORD = {_q(pw)}")
         assert parse(stmt) == A.AlterUser(name, pw, role)
+
+
+def test_concurrent_mutations_no_lost_updates(tmp_path):
+    """12 creates racing across 4 manager instances (4 in-process locks,
+    one shared registry file — the shape of a threaded wire server on a
+    shared warehouse): the per-mutation flock + fresh reload must
+    serialize the read-modify-writes so no create is lost and no
+    spurious 'already exists' fires."""
+    import threading
+
+    mgrs = [UserManager(str(tmp_path)) for _ in range(4)]
+    errs = []
+
+    def work(i):
+        try:
+            mgrs[i % 4].create_user(f"u{i:02d}", None, "READ_ONLY")
+        except Exception as e:  # noqa: BLE001 — collected for the assert
+            errs.append(e)
+
+    ts = [threading.Thread(target=work, args=(i,)) for i in range(12)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert {u.name for u in mgrs[0].list_users()} \
+        == {f"u{i:02d}" for i in range(12)}
+    # racing deletes from the other instances: each exactly-once
+    oks = sum(m.delete_user("u00") for m in mgrs)
+    assert oks == 1 and mgrs[3].find_user("u00") is None
