@@ -4235,23 +4235,32 @@ _ORACLES_DP: dict[str, str] = {
                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
                     AS INTEGER) AS pii_emails,
                CAST(len(regexp_extract_all(aug,
-                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                    '(^|[^0-9A-Za-z_])(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})($|[^0-9A-Za-z_])'))
+                  + len(regexp_extract_all(
+                        regexp_replace(aug,
+                            '(^|[^0-9A-Za-z_])(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})($|[^0-9A-Za-z_])',
+                            '\\1<IPV4>\\3', 'g'),
+                        '(^|[^0-9A-Za-z_])(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})($|[^0-9A-Za-z_])'))
                     AS INTEGER) AS pii_ipv4,
                CAST(len(regexp_extract_all(aug, '\\+\\d[\\d-]{7,14}\\d'))
                     AS INTEGER) AS pii_phones,
                CAST(length(
-                    regexp_replace(regexp_replace(regexp_replace(aug,
+                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(aug,
                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
                         '<EMAIL>', 'g'),
-                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
-                        '<IPV4>', 'g'),
+                        '(^|[^0-9A-Za-z_])(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})($|[^0-9A-Za-z_])',
+                        '\\1<IPV4>\\3', 'g'),
+                        '(^|[^0-9A-Za-z_])(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})($|[^0-9A-Za-z_])',
+                        '\\1<IPV4>\\3', 'g'),
                         '\\+\\d[\\d-]{7,14}\\d', '<PHONE>', 'g'))
                     AS INTEGER) AS scrub_len,
-               md5(regexp_replace(regexp_replace(regexp_replace(aug,
+               md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(aug,
                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
                         '<EMAIL>', 'g'),
-                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
-                        '<IPV4>', 'g'),
+                        '(^|[^0-9A-Za-z_])(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})($|[^0-9A-Za-z_])',
+                        '\\1<IPV4>\\3', 'g'),
+                        '(^|[^0-9A-Za-z_])(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})($|[^0-9A-Za-z_])',
+                        '\\1<IPV4>\\3', 'g'),
                         '\\+\\d[\\d-]{7,14}\\d', '<PHONE>', 'g'))
                    AS scrub_md5,
                (cont.doc_id IS NOT NULL) AS contaminated,

@@ -879,6 +879,86 @@ def test_pii_detect_and_scrub(spark):
     assert out[3]["i"] == 1
 
 
+def test_pii_engine_triangle(spark):
+    """The PII patterns must behave IDENTICALLY in Spark (java.util.regex),
+    DuckDB (RE2 — the oracle engine), and a Python re.ASCII mirror, over
+    an adversarial corpus the fixture can't reach: unicode digits/letters
+    adjacent to IPs (Java's \\b is Unicode-aware, RE2's is not — the r16
+    divergence this test caught), back-to-back PII sharing one delimiter
+    (the boundary group consumes it; pass 2 must recover), sentence-
+    final IPs, version strings, near-miss emails/phones, newlines/tabs.
+    Counts triangle too: the two-scan IPv4 count equals the number of
+    placeholders the full scrub emits on placeholder-free input."""
+    import re
+
+    import duckdb
+
+    from yupana_spark.datapipe.text import (_PII_PATTERNS, pii_counts,
+                                            scrub_pii)
+
+    frags = [
+        "a@b.co", "a@b.c", "user.name+tag@sub.domain.org", "x@y",
+        "@nope.com", "UPPER@CASE.ORG", "mixed.1_2%3@host-name.io",
+        "1.2.3.4", "999.999.999.999", "1.2.3.4.5", "v1.2.3.4beta",
+        "10.0.0.7", "1.2.3", "0.0.0.0", "10.0.0.7.", "_1.2.3.4",
+        "+7495-1234567", "+1-800-555-0199", "++123456789", "+12345678",
+        "+1234-5678-90", "tel+79991234567x",
+        "héllo", "٠١٢٣٤٥٦٧٨٩", "+٠١٢٣٤٥٦٧٨٩", "１２３", "", " ",
+        "email:a@b.co;ip:10.0.0.1", "a@b.co10.0.0.1", "(10.0.0.1)",
+        "1.2.3.4 5.6.7.8", "1.2.3.4 5.6.7.8 9.9.9.9",
+        "line1\nuser@host.net\n10.1.1.1", "tab\t+1234567890\tend",
+        "10.0.0.7٠١٢٣", "٠١٢٣10.0.0.7", "a10.0.0.7b",
+    ]
+    rows = [(i * 100 + j, f"{a} {b}")
+            for i, a in enumerate(frags) for j, b in enumerate(frags)
+            if (i + 2 * j) % 5 == 0]
+    rows += [(900000 + i, a + b) for i, (a, b) in enumerate(
+        zip(frags, frags[1:] + frags[:1]))]
+    assert len(rows) > 250
+
+    def py_scrub(t):
+        for name, pat in _PII_PATTERNS:
+            reps = 2 if name == "ipv4" else 1
+            repl = (r"\1<IPV4>\3" if name == "ipv4"
+                    else f"<{name.upper()}>")
+            for _ in range(reps):
+                t = re.sub(pat, repl, t, flags=re.ASCII)
+        return t
+
+    df = spark.createDataFrame(rows, "id long, t string")
+    pii = pii_counts(F.col("t"))
+    got = {r["id"]: r for r in df.select(
+        "id", scrub_pii(F.col("t")).alias("s"),
+        pii["ipv4"].alias("i"), pii["email"].alias("e"),
+        pii["phone"].alias("p")).collect()}
+    con = duckdb.connect()
+    _, ipat, _ = (p for _, p in _PII_PATTERNS)
+    duck = {i: con.execute(
+        """SELECT regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(?,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'), ?, '\\1<IPV4>\\3', 'g'),
+               ?, '\\1<IPV4>\\3', 'g'),
+               '\\+\\d[\\d-]{7,14}\\d', '<PHONE>', 'g'),
+           len(regexp_extract_all(?, ?))
+             + len(regexp_extract_all(
+                   regexp_replace(?, ?, '\\1<IPV4>\\3', 'g'), ?))""",
+        [t, ipat, ipat, t, ipat, t, ipat, ipat]).fetchone()
+        for i, t in rows}
+    for i, t in rows:
+        want = py_scrub(t)
+        assert got[i]["s"] == want, (t, got[i]["s"], want)
+        assert duck[i][0] == want, (t, duck[i][0], want)
+        assert got[i]["i"] == duck[i][1], (t, got[i]["i"], duck[i][1])
+        # counts run on the RAW text; the scrub CHAIN can only expose
+        # more (an earlier replacement's '>' is a boundary: e.g. the IP
+        # glued to an email in 'a@b.co10.0.0.1' scrubs but never counts)
+        # — email is the first chain step, so its count is exact
+        assert got[i]["e"] == want.count("<EMAIL>"), t
+        assert got[i]["i"] <= want.count("<IPV4>"), t
+        assert got[i]["p"] <= want.count("<PHONE>"), t
+
+
 def test_contamination_flags_eval_overlap(spark, docs):
     from yupana_spark.datapipe.text import contaminated_ids
 

@@ -535,18 +535,48 @@ def rolling_fingerprint(col: Column, k: int = 5) -> Column:
 # PII detection / scrubbing
 # ---------------------------------------------------------------------------
 # RE2-compatible patterns (no lookaround) so the same strings run in Spark
-# (java.util.regex) and any RE2 engine used as an oracle
+# (java.util.regex) and any RE2 engine used as an oracle.
+#
+# The IPv4 pattern (r16) uses an EXPLICIT ASCII boundary group instead of
+# \b: Java's \b is Unicode-aware (an Arabic-Indic digit next to the quad
+# suppresses the match) while RE2's and re.ASCII's \b are not, so the old
+# pattern silently diverged from any RE2/DuckDB oracle on non-ASCII-
+# adjacent IPs (caught by the engine-triangle differential test, which
+# the fixture alone could not).  A boundary GROUP consumes its delimiter,
+# so back-to-back IPs sharing one separator need a second pass — see
+# _scrub_ipv4; misses are never adjacent, so two passes always complete.
+_IPV4_CORE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+_IPV4_BOUNDED = rf"(^|[^0-9A-Za-z_])({_IPV4_CORE})($|[^0-9A-Za-z_])"
 _PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
-    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("ipv4", _IPV4_BOUNDED),
     ("phone", r"\+\d[\d-]{7,14}\d"),
 )
 
 
+def _scrub_ipv4(col: Column) -> Column:
+    """Two-pass bounded-IPv4 replace (Java $-backrefs re-emit the
+    consumed delimiters; an RE2 oracle mirrors with \\1<IPV4>\\3)."""
+    for _ in range(2):
+        col = F.regexp_replace(col, _IPV4_BOUNDED, "$1<IPV4>$3")
+    return col
+
+
 def pii_counts(col: Column) -> Dict[str, Column]:
-    """Per-category PII occurrence counts (JVM-side regexp_count)."""
-    return {name: F.regexp_count(col, F.lit(pat))
-            for name, pat in _PII_PATTERNS}
+    """Per-category PII occurrence counts (JVM-side regexp_count).
+
+    IPv4 counts in two scans — the raw text plus the once-scrubbed text —
+    because the boundary group consumes a shared delimiter between
+    back-to-back IPs (the second scan counts exactly the pass-1 misses,
+    and placeholders contain no digits so it can never double-count)."""
+    email_pat, ipv4_pat, phone_pat = (p for _, p in _PII_PATTERNS)
+    once = F.regexp_replace(col, ipv4_pat, "$1<IPV4>$3")
+    return {
+        "email": F.regexp_count(col, F.lit(email_pat)),
+        "ipv4": (F.regexp_count(col, F.lit(ipv4_pat))
+                 + F.regexp_count(once, F.lit(ipv4_pat))),
+        "phone": F.regexp_count(col, F.lit(phone_pat)),
+    }
 
 
 def scrub_pii(col: Column) -> Column:
@@ -555,11 +585,10 @@ def scrub_pii(col: Column) -> Column:
     Pure ``regexp_replace`` chain — stays inside whole-stage codegen, so a
     100 TB scrub pass is a narrow-dependency scan with zero Python.
     Email runs first (its local part would otherwise be chewed up by the
-    phone pattern's digit runs)."""
-    out = col
-    for name, pat in _PII_PATTERNS:
-        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
-    return out
+    phone pattern's digit runs); IPv4 runs its two bounded passes."""
+    out = F.regexp_replace(col, _PII_PATTERNS[0][1], "<EMAIL>")
+    out = _scrub_ipv4(out)
+    return F.regexp_replace(out, _PII_PATTERNS[2][1], "<PHONE>")
 
 
 # ---------------------------------------------------------------------------
