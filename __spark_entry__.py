@@ -3878,17 +3878,17 @@ _ORACLES_DP: dict[str, str] = {
                          || CAST(doc_id + 1000000 AS VARCHAR)
                          ELSE '' END AS aug,
                  CAST(length(text) AS INTEGER) AS n_chars,
-                 list_filter(string_split_regex(lower(text), '\\s+'),
+                 list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                              x -> x <> '') AS ws,
                  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
-                 length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+                 length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')) AS n_punct
           FROM documents),
         nw AS (
           SELECT doc_id,
                  list_filter(string_split_regex(
                      trim(regexp_replace(regexp_replace(lower(text),
-                         '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')),
-                     '\\s+'), x -> x <> '') AS nws
+                         '[^a-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')),
+                     '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS nws
           FROM documents),
         rep AS (
           SELECT doc_id,
@@ -3904,7 +3904,7 @@ _ORACLES_DP: dict[str, str] = {
                        AS tgs
             FROM (SELECT doc_id,
                          list_filter(string_split_regex(trim(lower(text)),
-                             '\\s+'), x -> x <> '') AS lws
+                             '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS lws
                   FROM documents))),
         ngr AS (
           SELECT doc_id,
@@ -4046,7 +4046,7 @@ _ORACLES_DP: dict[str, str] = {
           FROM (SELECT doc_id,
                        md5(trim(regexp_replace(regexp_replace(
                            lower(coalesce(text, '')),
-                           '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))
+                           '[^a-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))
                            AS fp
                 FROM documents)),
         lg AS (
@@ -4066,12 +4066,12 @@ _ORACLES_DP: dict[str, str] = {
               len(list_intersect(dws, ['le','la','de','et','un','une','est','que','pour','dans'])) AS s_fr
             FROM (SELECT doc_id, text,
                          list_distinct(list_filter(
-                            string_split_regex(lower(text), '\\s+'),
+                            string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                             x -> x <> '')) AS dws
                   FROM documents))),
         ngw AS (
           SELECT doc_id, length(text) AS nc,
-                 list_filter(string_split_regex(lower(text), '\\s+'),
+                 list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                              x -> x <> '') AS gws
           FROM documents),
         ng2 AS (
@@ -4112,7 +4112,7 @@ _ORACLES_DP: dict[str, str] = {
                         + floor((length(st)
                                  - length(replace(st, '...', ''))) / 3))
                        / greatest(len(list_filter(
-                             string_split_regex(lower(st), '\\s+'),
+                             string_split_regex(lower(st), '[ \\t\\n\\x0B\\f\\r]+'),
                              x -> x <> '')), 1), 6) AS symbol_word_ratio
           FROM (SELECT doc_id,
                        text || repeat(' #', CAST(doc_id % 5 AS INTEGER))
@@ -4121,10 +4121,10 @@ _ORACLES_DP: dict[str, str] = {
         shp AS (
           SELECT doc_id,
                  round(len(list_filter(ls2,
-                           x -> regexp_matches(x, '^\\s*[•\\-\\*]\\s')))
+                           x -> regexp_matches(x, '^[ \\t\\n\\x0B\\f\\r]*[•\\-\\*][ \\t\\n\\x0B\\f\\r]')))
                        / greatest(len(ls2), 1), 6) AS bullet_line_ratio,
                  round(len(list_filter(ls2,
-                           x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$')))
+                           x -> regexp_matches(x, '(\\.\\.\\.|…)[ \\t\\n\\x0B\\f\\r]*$')))
                        / greatest(len(ls2), 1), 6) AS ellipsis_line_ratio
           FROM (SELECT doc_id,
                        list_filter(string_split(
@@ -4186,9 +4186,9 @@ _ORACLES_DP: dict[str, str] = {
           FROM (
             SELECT doc_id, t,
                    list_filter(string_split(t, chr(10)),
-                     x -> regexp_matches(x, '[.!?"]\\s*$')
+                     x -> regexp_matches(x, '[.!?"][ \\t\\n\\x0B\\f\\r]*$')
                           AND len(list_filter(
-                                string_split_regex(lower(x), '\\s+'),
+                                string_split_regex(lower(x), '[ \\t\\n\\x0B\\f\\r]+'),
                                 w -> w <> '')) >= 5
                           AND position('javascript' IN lower(x)) = 0)
                        AS kept
@@ -4214,10 +4214,10 @@ _ORACLES_DP: dict[str, str] = {
                      AS n_stop
           FROM m)
         SELECT m2.doc_id,
-               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+               CAST(len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
                         x -> x <> '')) AS INTEGER) AS n_tokens,
                CAST(len(regexp_extract_all(text,
-                    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER)
+                    '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) AS INTEGER)
                     AS n_bpeish,
                n_chars, n_words,
                round(n_alpha / safe_len, 6) AS alpha_ratio,
@@ -4328,9 +4328,9 @@ _ORACLES_DP: dict[str, str] = {
                                             / 3))
                                    / m3.safe_words, 6) > 0.1
                           OR (trim(m3.text) <> '' AND regexp_matches(
-                                m3.text, '^\\s*[•\\-\\*]\\s'))
+                                m3.text, '^[ \\t\\n\\x0B\\f\\r]*[•\\-\\*][ \\t\\n\\x0B\\f\\r]'))
                           OR (trim(m3.text) <> '' AND regexp_matches(
-                                m3.text, '(\\.\\.\\.|…)\\s*$'))
+                                m3.text, '(\\.\\.\\.|…)[ \\t\\n\\x0B\\f\\r]*$'))
                         THEN 'repetition' END
                  ], x -> x IS NOT NULL), ','), '') AS reasons
           FROM m2 m3
@@ -4345,7 +4345,7 @@ _ORACLES_DP: dict[str, str] = {
         WITH w AS (
           SELECT doc_id, text,
                  list_distinct(list_filter(
-                    string_split_regex(lower(text), '\\s+'),
+                    string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                     x -> x <> '')) AS ws
           FROM documents),
         s AS (
@@ -4370,7 +4370,7 @@ _ORACLES_DP: dict[str, str] = {
           WITH tk AS (
             SELECT doc_id,
                    unnest(list_filter(
-                      string_split_regex(trim(lower(text)), '\\s+'),
+                      string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
                       t -> t <> '')) AS w
             FROM documents),
           c AS (SELECT w, count(*) AS c FROM tk GROUP BY w),
@@ -4387,7 +4387,7 @@ _ORACLES_DP: dict[str, str] = {
           WITH dw AS (
             SELECT doc_id, source,
                    list_filter(string_split_regex(trim(lower(text)),
-                                                  '\\s+'),
+                                                  '[ \\t\\n\\x0B\\f\\r]+'),
                                t -> t <> '') AS ws
             FROM documents),
           tt AS (SELECT unnest(ws) AS w FROM dw WHERE source = 'src0'),
@@ -4440,14 +4440,14 @@ _ORACLES_DP: dict[str, str] = {
           SELECT doc_id,
                  md5(trim(regexp_replace(regexp_replace(
                      lower(coalesce(text, '')),
-                     '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+                     '[^a-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp
           FROM documents),
         ref AS (
           SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(
                      CASE WHEN doc_id % 14 = 0
                           THEN coalesce(text, '') || ' mutated'
                           ELSE coalesce(text, '') END),
-                     '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+                     '[^a-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp
           FROM documents WHERE doc_id % 7 = 0)
         SELECT doc_id, fp,
                doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_duplicate,
@@ -4462,10 +4462,10 @@ _ORACLES_DP: dict[str, str] = {
         WITH n AS (
           SELECT doc_id,
                  trim(regexp_replace(regexp_replace(lower(text),
-                     '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS nt
+                     '[^a-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS nt
           FROM documents),
         w AS (SELECT doc_id,
-                     list_filter(string_split_regex(nt, '\\s+'),
+                     list_filter(string_split_regex(nt, '[ \\t\\n\\x0B\\f\\r]+'),
                                  x -> x <> '') AS ws
               FROM n),
         sh AS (SELECT doc_id,
@@ -4663,8 +4663,8 @@ _ORACLES_DP: dict[str, str] = {
           SELECT doc_id, lang, source,
                  list_transform(
                    list_filter(string_split_regex(trim(regexp_replace(
-                     regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
-                     '\\s+', ' ', 'g')), '\\s+'), x -> x <> ''),
+                     regexp_replace(lower(text), '[^a-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'),
+                     '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''),
                    w -> ('0x' || substr(md5(w), 1, 6))::BIGINT) AS hs
           FROM documents),
         g AS (
@@ -4860,11 +4860,11 @@ _ORACLES_DP: dict[str, str] = {
         WITH RECURSIVE m AS (
           SELECT doc_id, text,
                  CAST(length(text) AS INTEGER) AS n_chars,
-                 list_filter(string_split_regex(lower(text), '\\s+'),
+                 list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                              x -> x <> '') AS ws,
                  length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
                      AS n_alpha,
-                 length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                 length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'))
                      AS n_punct
           FROM documents),
         m2 AS (
@@ -4878,8 +4878,8 @@ _ORACLES_DP: dict[str, str] = {
           SELECT doc_id,
                  list_filter(string_split_regex(
                      trim(regexp_replace(regexp_replace(lower(text),
-                         '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')),
-                     '\\s+'), x -> x <> '') AS nws
+                         '[^a-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')),
+                     '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS nws
           FROM documents),
         rep AS (
           SELECT doc_id,
@@ -4895,7 +4895,7 @@ _ORACLES_DP: dict[str, str] = {
                        AS tgs
             FROM (SELECT doc_id,
                          list_filter(string_split_regex(trim(lower(text)),
-                             '\\s+'), x -> x <> '') AS lws
+                             '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS lws
                   FROM documents))),
         lg AS (
           SELECT doc_id,
@@ -4914,7 +4914,7 @@ _ORACLES_DP: dict[str, str] = {
               len(list_intersect(dws, ['le','la','de','et','un','une','est','que','pour','dans'])) AS s_fr
             FROM (SELECT doc_id, text,
                          list_distinct(list_filter(
-                            string_split_regex(lower(text), '\\s+'),
+                            string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                             x -> x <> '')) AS dws
                   FROM documents))),
         dupf AS (
@@ -4923,7 +4923,7 @@ _ORACLES_DP: dict[str, str] = {
           FROM (SELECT doc_id,
                        md5(trim(regexp_replace(regexp_replace(
                            lower(coalesce(text, '')),
-                           '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))
+                           '[^a-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))
                            AS fp
                 FROM documents)),
         ngr AS (
@@ -4966,10 +4966,10 @@ _ORACLES_DP: dict[str, str] = {
                                             / 3))
                                    / m3.safe_words, 6) > 0.1
                           OR round(len(list_filter(sl.lns,
-                                x -> regexp_matches(x, '^\\s*[•\\-\\*]\\s')))
+                                x -> regexp_matches(x, '^[ \\t\\n\\x0B\\f\\r]*[•\\-\\*][ \\t\\n\\x0B\\f\\r]')))
                                 / greatest(len(sl.lns), 1), 6) > 0.9
                           OR round(len(list_filter(sl.lns,
-                                x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$')))
+                                x -> regexp_matches(x, '(\\.\\.\\.|…)[ \\t\\n\\x0B\\f\\r]*$')))
                                 / greatest(len(sl.lns), 1), 6) > 0.3
                         THEN 'repetition' END
                  ], x -> x IS NOT NULL), ','), '') AS reasons
@@ -5085,7 +5085,7 @@ _ORACLES_DP: dict[str, str] = {
     "dp_pack_sequences": """
         WITH t AS (
           SELECT doc_id,
-                 len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
                      x -> x <> '')) AS n_tokens
           FROM documents),
         k AS (
@@ -5114,7 +5114,7 @@ _ORACLES_DP: dict[str, str] = {
                  END AS nwords
           FROM (SELECT doc_id,
                        trim(regexp_replace(regexp_replace(lower(text),
-                           '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS nt
+                           '[^a-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS nt
                 FROM documents))
         SELECT CAST(count(*) AS BIGINT) AS n_docs,
                CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_distinct_docs,

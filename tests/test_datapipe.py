@@ -3650,3 +3650,44 @@ def test_vectorized_signals_match_folds(spark):
         mfx["top2_char_frac"].alias("top2_char_frac"),
         mfx["dup5_char_frac"].alias("dup5_char_frac")).collect()}
     assert w_fx == g_fx
+
+
+def test_whitespace_class_engine_agreement(spark):
+    """The shared whitespace class is EXPLICIT ([ \\t\\n\\x0B\\f\\r],
+    Java's exact \\s) because \\s itself diverges between engines —
+    Java includes vertical tab, RE2 (DuckDB, the oracle engine) does
+    not, so fingerprints/words/punct computed from \\s silently
+    disagreed on any corpus containing \\x0B (r16, found by the PII
+    triangle's sibling sweep).  This pins normalize/words/punct
+    agreement on exotic-whitespace inputs the fixture cannot reach."""
+    import duckdb
+
+    from yupana_spark.datapipe.text import (fingerprint_md5,
+                                            quality_metrics, words)
+
+    texts = ["a\x0bb", "a\fb", "x\r\ny", "tab\tz c", " lead\x0b\x0btrail ",
+             "nbsp q", "mix \t\x0b\f\r\n all", "plain words here",
+             "", "\x0b", "a.b,c\x0bd!e"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    qm = quality_metrics(F.col("text"))
+    got = {r["id"]: r for r in df.select(
+        "id", fingerprint_md5(F.col("text")).alias("fp"),
+        F.array_join(words(F.lower(F.col("text"))), "|").alias("w"),
+        qm["punct_ratio"].alias("pr")).collect()}
+    con = duckdb.connect()
+    for i, t in rows:
+        fp, w, pr = con.execute("""
+            SELECT md5(trim(regexp_replace(regexp_replace(lower(?),
+                       '[^a-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'),
+                       '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))),
+                   coalesce(array_to_string(list_filter(string_split_regex(
+                       trim(lower(?)), '[ \\t\\n\\x0B\\f\\r]+'),
+                       x -> x <> ''), '|'), ''),
+                   round(length(regexp_replace(?,
+                       '[A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'))
+                       / greatest(length(?), 1), 6)
+        """, [t, t, t, t]).fetchone()
+        assert got[i]["fp"] == fp, (t, got[i]["fp"], fp)
+        assert got[i]["w"] == w, (t, got[i]["w"], w)
+        assert float(got[i]["pr"]) == pytest.approx(float(pr)), t

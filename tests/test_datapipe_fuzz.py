@@ -52,19 +52,19 @@ def _keep_oracle_sql(min_q: float, langs, eval_mod) -> str:
         WITH b0 AS (
           SELECT doc_id,
                  CAST(length(text) AS INTEGER) AS n_chars,
-                 list_filter(string_split_regex(lower(text), '\\s+'),
+                 list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                              x -> x <> '') AS ws,
                  list_distinct(list_filter(
-                     string_split_regex(lower(text), '\\s+'),
+                     string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                      x -> x <> '')) AS dws,
                  length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
                      AS n_alpha,
-                 length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                 length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'))
                      AS n_punct,
                  length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0
                      AS has_cjk,
                  md5(trim(regexp_replace(regexp_replace(lower(text),
-                     '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+                     '[^a-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp
           FROM documents),
         b1 AS (
           SELECT doc_id, n_chars, fp, has_cjk,
@@ -105,8 +105,8 @@ def _keep_oracle_sql(min_q: float, langs, eval_mod) -> str:
           FROM (SELECT doc_id,
                        list_filter(string_split_regex(
                            trim(regexp_replace(regexp_replace(lower(text),
-                               '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')),
-                           '\\s+'), x -> x <> '') AS nws
+                               '[^a-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')),
+                           '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS nws
                 FROM documents)),
         r AS (
           SELECT b2.doc_id,
@@ -332,7 +332,7 @@ def test_differential_line_dedup(spark, seed):
 _PPX_SQL = r"""
 WITH w AS (
   SELECT doc_id, is_ref,
-         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+         list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'),
                      x -> x <> '') AS ws
   FROM docs),
 tt AS (SELECT unnest(ws) AS w FROM w WHERE is_ref),

@@ -16,9 +16,9 @@ from pyspark.sql import Column, DataFrame, functions as F
 # ---------------------------------------------------------------------------
 # tokenization / counting
 # ---------------------------------------------------------------------------
-_WS = r"\s+"
+_WS = r"[ \t\n\x0B\f\r]+"
 # BPE-ish: words, numbers, or single punctuation marks (GPT-2 style classes)
-_BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+_BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 def words(col: Column) -> Column:
@@ -37,7 +37,7 @@ def norm_words(col: Column) -> Column:
     misalign — this helper IS that definition; the identity is pinned
     by test_staging_expressions_identical."""
     return F.filter(
-        F.split(F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", ""),
+        F.split(F.regexp_replace(F.lower(col), r"[^a-z0-9 \t\n\x0B\f\r]", ""),
                 _WS),
         lambda x: x != F.lit(""))
 
@@ -65,7 +65,7 @@ def quality_metrics(col: Column, stopwords: Optional[List[str]] = None) -> Dict[
     length = F.length(col)
     n_alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
     n_digit = F.length(F.regexp_replace(col, r"[^0-9]", ""))
-    n_punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    n_punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9 \t\n\x0B\f\r]", ""))
     w = words(F.lower(col))
     n_words = F.size(w)
     n_stop = F.size(F.array_intersect(F.array_distinct(w),
@@ -282,9 +282,9 @@ def line_shape_stats(col: Column) -> Dict[str, Column]:
     # \s-anchored instead of trim/rtrim (space-only) so tab/CR padding
     # cannot hide a bullet or an ellipsis (review r10)
     bullet = F.size(F.filter(
-        lines, lambda ln: ln.rlike(r"^\s*[•\-\*]\s")))
+        lines, lambda ln: ln.rlike(r"^[ \t\n\x0B\f\r]*[•\-\*][ \t\n\x0B\f\r]")))
     ell = F.size(F.filter(
-        lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$")))
+        lines, lambda ln: ln.rlike(r"(\.\.\.|…)[ \t\n\x0B\f\r]*$")))
     return {
         "n_text_lines": n,
         "bullet_line_ratio": F.round(bullet / safe, 6),
@@ -383,7 +383,7 @@ def c4_rules(col: Column, min_words: int = 5,
     # tab-trailing line would lose its terminal punctuation (review r10)
     kept = F.filter(
         lines,
-        lambda ln: (ln.rlike(r'[.!?"]\s*$')
+        lambda ln: (ln.rlike(r'[.!?"][ \t\n\x0B\f\r]*$')
                     & (F.size(words(F.lower(ln))) >= F.lit(min_words))
                     & ~F.lower(ln).contains("javascript")))
     clean = F.array_join(kept, "\n")
@@ -479,8 +479,8 @@ def lang_id(col: Column) -> Column:
 def normalize_text(col: Column) -> Column:
     """Canonical form: lowercase, collapse whitespace, strip non-alnum."""
     c = F.lower(col)
-    c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
-    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, r"[^a-z0-9 \t\n\x0B\f\r]", "")
+    c = F.regexp_replace(c, r"[ \t\n\x0B\f\r]+", " ")
     return F.trim(c)
 
 
