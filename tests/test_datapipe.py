@@ -3667,7 +3667,17 @@ def test_whitespace_class_engine_agreement(spark):
 
     texts = ["a\x0bb", "a\fb", "x\r\ny", "tab\tz c", " lead\x0b\x0btrail ",
              "nbsp q", "mix \t\x0b\f\r\n all", "plain words here",
-             "", "\x0b", "a.b,c\x0bd!e"]
+             "", "\x0b", "a.b,c\x0bd!e",
+             # unicode lowering: the FINGERPRINT/punct paths converge
+             # (the ASCII strip removes whatever the engines' lower()
+             # disagree on) but raw word TOKENS diverge on Turkish
+             # dotted I (Java lower('\u0130') = i + combining U+0307,
+             # DuckDB = plain i) - so the words assert is skipped for
+             # the unicode block and the convergent surfaces are pinned
+             "\u0130stanbul city", "\u1e9e\u00df sharp",
+             "\u03a3\u03c3\u03c2 sigma", "\u01c5ungla title",
+             "emoji \U0001f600 mid", "\ufb01ligature \ufb06",
+             "\u0412\u041e\u041b\u0413\u0410 \u0412\u043e\u043b\u0433\u0430"]
     rows = [(i, t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, "id long, text string")
     qm = quality_metrics(F.col("text"))
@@ -3689,5 +3699,6 @@ def test_whitespace_class_engine_agreement(spark):
                        / greatest(length(?), 1), 6)
         """, [t, t, t, t]).fetchone()
         assert got[i]["fp"] == fp, (t, got[i]["fp"], fp)
-        assert got[i]["w"] == w, (t, got[i]["w"], w)
+        if t.isascii():
+            assert got[i]["w"] == w, (t, got[i]["w"], w)
         assert float(got[i]["pr"]) == pytest.approx(float(pr)), t
