@@ -860,7 +860,7 @@ def q_show_meta(spark, sf_dir):
     ut.sql(f"SET {skey}='ro'", user=ro)
     set_ok = ut.spark.conf.get(skey, None) is None
     ut.sql(f"SET {skey}='ad'")
-    set_ok &= ut.spark.conf.get(skey) == "ad"
+    set_ok &= ut.spark.conf.get(skey, None) == "ad"
     ut.spark.conf.unset(skey)
     rej_rows += [
         ("user_ddl", "roundtrip", "ok" if um_ok else "bad"),

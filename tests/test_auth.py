@@ -297,6 +297,15 @@ def test_concurrent_mutations_no_lost_updates(tmp_path):
     assert not errs
     assert {u.name for u in mgrs[0].list_users()} \
         == {f"u{i:02d}" for i in range(12)}
-    # racing deletes from the other instances: each exactly-once
-    oks = sum(m.delete_user("u00") for m in mgrs)
-    assert oks == 1 and mgrs[3].find_user("u00") is None
+    # racing deletes of ONE name across all four instances (actually on
+    # threads — review r16: a sequential loop never exercises the
+    # delete path's read-modify-write): exactly one wins
+    oks = []
+    dts = [threading.Thread(target=lambda m=m: oks.append(
+        m.delete_user("u00"))) for m in mgrs]
+    for t in dts:
+        t.start()
+    for t in dts:
+        t.join()
+    assert sorted(oks) == [False, False, False, True]
+    assert mgrs[3].find_user("u00") is None

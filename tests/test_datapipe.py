@@ -887,8 +887,12 @@ def test_pii_engine_triangle(spark):
     divergence this test caught), back-to-back PII sharing one delimiter
     (the boundary group consumes it; pass 2 must recover), sentence-
     final IPs, version strings, near-miss emails/phones, newlines/tabs.
-    Counts triangle too: the two-scan IPv4 count equals the number of
-    placeholders the full scrub emits on placeholder-free input."""
+    Counts triangle too: Spark's two-scan IPv4 count must equal
+    DuckDB's (engine agreement, exact); against the full scrub's
+    placeholder count only inequalities hold — the chain can expose PII
+    an earlier replacement uncovered (raw count < placeholders) and, in
+    principle, consume PII inside an earlier match (so the relations
+    asserted below are corpus-dependent, not universal laws)."""
     import re
 
     import duckdb

@@ -659,9 +659,13 @@ def _py_c4(text: str):
     import re as _re
 
     lines = text.split("\n")
+    # engine-explicit whitespace (PARITY.md regex convention, r16): the
+    # Spark side uses [ \t\n\x0B\f\r], so the mirror must not fall back
+    # to Python's Unicode \s or str.split()'s Unicode whitespace
     kept = [ln for ln in lines
-            if _re.search(r'[.!?"]\s*$', ln)
-            and len([w for w in ln.lower().split() if w]) >= 5
+            if _re.search(r'[.!?"][ \t\n\x0B\f\r]*$', ln)
+            and len([w for w in
+                     _re.split(r"[ \t\n\x0B\f\r]+", ln.lower()) if w]) >= 5
             and "javascript" not in ln.lower()]
     clean = "\n".join(kept)
     nsent = sum(clean.count(c) for c in ".!?")

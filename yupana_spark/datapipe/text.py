@@ -28,7 +28,8 @@ def words(col: Column) -> Column:
 
 def norm_words(col: Column) -> Column:
     """Token-equal fast path of ``words(normalize_text(col))``: the
-    ``\\s+`` split already absorbs whitespace runs and edges, so
+    whitespace split (the explicit ``_WS`` class — PARITY.md regex
+    convention) already absorbs whitespace runs and edges, so
     ``normalize_text``'s whitespace-collapse regexp pass and trim are
     redundant work over the full text — one corpus-wide regex instead
     of two (measured 27% off the staged word split at sf0.1, r13).
@@ -279,8 +280,9 @@ def line_shape_stats(col: Column) -> Dict[str, Column]:
                      lambda ln: F.trim(ln) != F.lit(""))
     n = F.size(lines)
     safe = F.greatest(n, F.lit(1))
-    # \s-anchored instead of trim/rtrim (space-only) so tab/CR padding
-    # cannot hide a bullet or an ellipsis (review r10)
+    # whitespace-anchored (the explicit class, not trim/rtrim which
+    # strip spaces only) so tab/CR padding cannot hide a bullet or an
+    # ellipsis (review r10; explicit class per the r16 convention)
     bullet = F.size(F.filter(
         lines, lambda ln: ln.rlike(r"^[ \t\n\x0B\f\r]*[•\-\*][ \t\n\x0B\f\r]")))
     ell = F.size(F.filter(
@@ -379,8 +381,9 @@ def c4_rules(col: Column, min_words: int = 5,
     expressions — no shuffle, no UDF, identical in batch and streaming.
     """
     lines = F.split(col, "\n")
-    # \s*$ instead of rtrim: rtrim strips SPACES only, so a CRLF or
-    # tab-trailing line would lose its terminal punctuation (review r10)
+    # whitespace-class-anchored $ instead of rtrim: rtrim strips
+    # SPACES only, so a CRLF or tab-trailing line would lose its
+    # terminal punctuation (review r10; explicit class per r16)
     kept = F.filter(
         lines,
         lambda ln: (ln.rlike(r'[.!?"][ \t\n\x0B\f\r]*$')
@@ -567,8 +570,11 @@ def pii_counts(col: Column) -> Dict[str, Column]:
 
     IPv4 counts in two scans — the raw text plus the once-scrubbed text —
     because the boundary group consumes a shared delimiter between
-    back-to-back IPs (the second scan counts exactly the pass-1 misses,
-    and placeholders contain no digits so it can never double-count)."""
+    back-to-back IPs (the second scan counts exactly the pass-1 misses;
+    it can never double-count because a replaced quad is gone and the
+    placeholder's one digit is glued between word chars 'V' and '>' —
+    no boundary, and no dotted-quad shape — so '<IPV4>' can never seed
+    a new match)."""
     email_pat, ipv4_pat, phone_pat = (p for _, p in _PII_PATTERNS)
     once = F.regexp_replace(col, ipv4_pat, "$1<IPV4>$3")
     return {
