@@ -1557,7 +1557,9 @@ def dp_text_stats(spark, sf_dir):
          .otherwise(F.lit("")),
     )
     m = quality_metrics(F.col("text"))
-    pii = pii_counts(aug)
+    # counts ride the staged scrub output (__scrubv below): three literal
+    # splits, zero extra regex passes (pii_counts r16 redesign)
+    pii = pii_counts(aug, scrubbed=F.col("__scrubv"))
     # stage the lowercased word array: the trigram lambda references it per
     # element, and an unstaged expression would re-split the text per
     # trigram (see repetition_stats docstring)
@@ -1633,6 +1635,13 @@ def dp_text_stats(spark, sf_dir):
     # injected deterministically (javascript line %13, brace %9,
     # lorem ipsum %11)
     _c4 = c4_rules(F.col("__c4v"))
+    # stage the scrubbed text once: scrub_len and scrub_md5 both consume
+    # the full 4-pass scrub chain; CollapseProject declines to inline a
+    # non-cheap alias referenced twice, so this projection level
+    # GUARANTEES single evaluation instead of relying on codegen
+    # subexpression elimination (A/B at sf0.1 was inside host noise,
+    # consistent with codegen already deduping — kept for the guarantee)
+    docs = docs.withColumn("__scrubv", scrub_pii(aug))
     base = docs.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
@@ -1648,11 +1657,11 @@ def dp_text_stats(spark, sf_dir):
         pii["email"].alias("pii_emails"),
         pii["ipv4"].alias("pii_ipv4"),
         pii["phone"].alias("pii_phones"),
-        F.length(scrub_pii(aug)).alias("scrub_len"),
+        F.length("__scrubv").alias("scrub_len"),
         # content-exact scrub pin (r16): the oracle recomputes the same
-        # three-pattern RE2 replace chain, so a drifted pattern or
-        # placeholder shows as a hash mismatch, not just a length tie
-        F.md5(scrub_pii(aug)).alias("scrub_md5"),
+        # RE2 replace chain, so a drifted pattern or placeholder shows
+        # as a hash mismatch, not just a length tie
+        F.md5("__scrubv").alias("scrub_md5"),
         # Gopher A1.1 shape signals over DETERMINISTICALLY decorated text
         # (the fixture carries no symbols/bullets — same injection pattern
         # as the PII aug): ' #' x (doc_id%5) appended for the symbol
@@ -3883,6 +3892,20 @@ _ORACLES_DP: dict[str, str] = {
                  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
                  length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')) AS n_punct
           FROM documents),
+        msc AS (
+          -- the full scrub chain, computed ONCE (mirrors the staged
+          -- __scrubv): email, then the bounded-IPv4 replace twice
+          -- (consumed-delimiter recovery), then phone
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(aug,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '(^|[^0-9A-Za-z_])(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})($|[^0-9A-Za-z_])',
+                     '\\1<IPV4>\\3', 'g'),
+                     '(^|[^0-9A-Za-z_])(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})($|[^0-9A-Za-z_])',
+                     '\\1<IPV4>\\3', 'g'),
+                     '\\+\\d[\\d-]{7,14}\\d', '<PHONE>', 'g') AS scrubbed
+          FROM m),
         nw AS (
           SELECT doc_id,
                  list_filter(string_split_regex(
@@ -4231,38 +4254,17 @@ _ORACLES_DP: dict[str, str] = {
                            BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END
                     + CASE WHEN n_chars >= 20 THEN 1 ELSE 0 END) / 5.0, 6)
                     AS quality,
-               CAST(len(regexp_extract_all(aug,
-                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+               -- pii counts = the scrub's emitted placeholders (r16
+               -- redesign): three literal splits off msc.scrubbed, like
+               -- the engine's three splits off the staged __scrubv
+               CAST(len(string_split(msc.scrubbed, '<EMAIL>')) - 1
                     AS INTEGER) AS pii_emails,
-               CAST(len(regexp_extract_all(aug,
-                    '(^|[^0-9A-Za-z_])(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})($|[^0-9A-Za-z_])'))
-                  + len(regexp_extract_all(
-                        regexp_replace(aug,
-                            '(^|[^0-9A-Za-z_])(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})($|[^0-9A-Za-z_])',
-                            '\\1<IPV4>\\3', 'g'),
-                        '(^|[^0-9A-Za-z_])(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})($|[^0-9A-Za-z_])'))
+               CAST(len(string_split(msc.scrubbed, '<IPV4>')) - 1
                     AS INTEGER) AS pii_ipv4,
-               CAST(len(regexp_extract_all(aug, '\\+\\d[\\d-]{7,14}\\d'))
+               CAST(len(string_split(msc.scrubbed, '<PHONE>')) - 1
                     AS INTEGER) AS pii_phones,
-               CAST(length(
-                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(aug,
-                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                        '<EMAIL>', 'g'),
-                        '(^|[^0-9A-Za-z_])(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})($|[^0-9A-Za-z_])',
-                        '\\1<IPV4>\\3', 'g'),
-                        '(^|[^0-9A-Za-z_])(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})($|[^0-9A-Za-z_])',
-                        '\\1<IPV4>\\3', 'g'),
-                        '\\+\\d[\\d-]{7,14}\\d', '<PHONE>', 'g'))
-                    AS INTEGER) AS scrub_len,
-               md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(aug,
-                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                        '<EMAIL>', 'g'),
-                        '(^|[^0-9A-Za-z_])(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})($|[^0-9A-Za-z_])',
-                        '\\1<IPV4>\\3', 'g'),
-                        '(^|[^0-9A-Za-z_])(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})($|[^0-9A-Za-z_])',
-                        '\\1<IPV4>\\3', 'g'),
-                        '\\+\\d[\\d-]{7,14}\\d', '<PHONE>', 'g'))
-                   AS scrub_md5,
+               CAST(length(msc.scrubbed) AS INTEGER) AS scrub_len,
+               md5(msc.scrubbed) AS scrub_md5,
                (cont.doc_id IS NOT NULL) AS contaminated,
                ss.n_spans, ss.n_dup_spans,
                round(ss.n_dup_spans / greatest(ss.n_spans, 1), 6)
@@ -4287,6 +4289,7 @@ _ORACLES_DP: dict[str, str] = {
                wdd.wd_dup_para_frac, wdd.wd_dup_para_char_frac,
                length(fr.reasons) = 0 AS keep, fr.reasons
         FROM m2 LEFT JOIN cont ON m2.doc_id = cont.doc_id
+        JOIN msc ON m2.doc_id = msc.doc_id
         JOIN rep ON m2.doc_id = rep.doc_id
         LEFT JOIN spanstats ss ON m2.doc_id = ss.doc_id
         LEFT JOIN esout es ON m2.doc_id = es.doc_id

@@ -938,29 +938,28 @@ def test_pii_engine_triangle(spark):
     con = duckdb.connect()
     _, ipat, _ = (p for _, p in _PII_PATTERNS)
     duck = {i: con.execute(
-        """SELECT regexp_replace(regexp_replace(regexp_replace(
-               regexp_replace(?,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-               '<EMAIL>', 'g'), ?, '\\1<IPV4>\\3', 'g'),
-               ?, '\\1<IPV4>\\3', 'g'),
-               '\\+\\d[\\d-]{7,14}\\d', '<PHONE>', 'g'),
-           len(regexp_extract_all(?, ?))
-             + len(regexp_extract_all(
-                   regexp_replace(?, ?, '\\1<IPV4>\\3', 'g'), ?))""",
-        [t, ipat, ipat, t, ipat, t, ipat, ipat]).fetchone()
+        """WITH s AS (
+             SELECT regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(?,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'), ?, '\\1<IPV4>\\3', 'g'),
+                 ?, '\\1<IPV4>\\3', 'g'),
+                 '\\+\\d[\\d-]{7,14}\\d', '<PHONE>', 'g') AS t)
+           SELECT t, len(string_split(t, '<IPV4>')) - 1 FROM s""",
+        [t, ipat, ipat]).fetchone()
         for i, t in rows}
     for i, t in rows:
         want = py_scrub(t)
         assert got[i]["s"] == want, (t, got[i]["s"], want)
         assert duck[i][0] == want, (t, duck[i][0], want)
         assert got[i]["i"] == duck[i][1], (t, got[i]["i"], duck[i][1])
-        # counts run on the RAW text; the scrub CHAIN can only expose
-        # more (an earlier replacement's '>' is a boundary: e.g. the IP
-        # glued to an email in 'a@b.co10.0.0.1' scrubs but never counts)
-        # — email is the first chain step, so its count is exact
+        # counts ARE the scrub's emitted placeholders (r16 redesign),
+        # so exact equality holds by construction — including the IP
+        # glued to an email in 'a@b.co10.0.0.1', which the former
+        # raw-text scan could never see
         assert got[i]["e"] == want.count("<EMAIL>"), t
-        assert got[i]["i"] <= want.count("<IPV4>"), t
-        assert got[i]["p"] <= want.count("<PHONE>"), t
+        assert got[i]["i"] == want.count("<IPV4>"), t
+        assert got[i]["p"] == want.count("<PHONE>"), t
 
 
 def test_contamination_flags_eval_overlap(spark, docs):

@@ -565,24 +565,26 @@ def _scrub_ipv4(col: Column) -> Column:
     return col
 
 
-def pii_counts(col: Column) -> Dict[str, Column]:
-    """Per-category PII occurrence counts (JVM-side regexp_count).
+def pii_counts(col: Column,
+               scrubbed: Optional[Column] = None) -> Dict[str, Column]:
+    """Per-category PII counts = the placeholders :func:`scrub_pii`
+    emits (r16 redesign): count what the scrub actually anonymized,
+    derived from the scrubbed text by THREE cheap literal splits
+    instead of extra full-text regex scans.  Pass ``scrubbed=`` when
+    the scrub output is already staged (the dp_text_stats shape) and
+    the counts add ZERO regex passes; otherwise the chain is computed
+    here once.
 
-    IPv4 counts in two scans — the raw text plus the once-scrubbed text —
-    because the boundary group consumes a shared delimiter between
-    back-to-back IPs (the second scan counts exactly the pass-1 misses;
-    it can never double-count because a replaced quad is gone and the
-    placeholder's one digit is glued between word chars 'V' and '>' —
-    no boundary, and no dotted-quad shape — so '<IPV4>' can never seed
-    a new match)."""
-    email_pat, ipv4_pat, phone_pat = (p for _, p in _PII_PATTERNS)
-    once = F.regexp_replace(col, ipv4_pat, "$1<IPV4>$3")
-    return {
-        "email": F.regexp_count(col, F.lit(email_pat)),
-        "ipv4": (F.regexp_count(col, F.lit(ipv4_pat))
-                 + F.regexp_count(once, F.lit(ipv4_pat))),
-        "phone": F.regexp_count(col, F.lit(phone_pat)),
-    }
+    Semantics this buys, beyond the cost: back-to-back IPs sharing one
+    delimiter both count (the scrub's second bounded pass recovers the
+    consumed-delimiter miss), and PII EXPOSED by an earlier replacement
+    counts too ('a@b.co10.0.0.1' is one email + one IP — the raw-scan
+    form saw no IP boundary there).  Caveat: input already containing a
+    literal placeholder token inflates that category's count."""
+    if scrubbed is None:
+        scrubbed = scrub_pii(col)
+    return {name: F.size(F.split(scrubbed, f"<{name.upper()}>")) - F.lit(1)
+            for name, _ in _PII_PATTERNS}
 
 
 def scrub_pii(col: Column) -> Column:
