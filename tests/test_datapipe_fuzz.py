@@ -126,14 +126,24 @@ def _keep_oracle_sql(min_q: float, langs, eval_mod) -> str:
 def shared_docs():
     """One identical corpus for BOTH engines: the fixture documents plus
     three manufactured exact duplicates (the fixture itself has none, and
-    the 'duplicate' rule needs live coverage)."""
+    the 'duplicate' rule needs live coverage) plus five EXOTIC-WHITESPACE
+    variants (r16): spaces swapped for VT/FF/TAB/CRLF, characters the
+    fixture never carries.  Under the explicit whitespace class these
+    normalize to the SAME fingerprint as their originals — so they must
+    come out 'duplicate' in BOTH engines, exercising the r16 class
+    convention through every rule (a reintroduced \\s would split the
+    engines exactly here)."""
     import pandas as pd
 
     pdf = pd.read_parquet(f"{SF_SMALL}/documents.parquet")[
         ["doc_id", "text"]]
     dups = pdf.nsmallest(3, "doc_id").copy()
     dups["doc_id"] = dups["doc_id"] + 1_000_000
-    return pd.concat([pdf, dups], ignore_index=True)
+    wsv = pdf.nsmallest(5, "doc_id").copy()
+    wsv["doc_id"] = wsv["doc_id"] + 2_000_000
+    for ch in ("\x0b", "\f", "\t", "\r\n"):
+        wsv["text"] = wsv["text"].str.replace(" ", ch, n=2, regex=False)
+    return pd.concat([pdf, dups, wsv], ignore_index=True)
 
 
 @pytest.fixture(scope="module")
