@@ -574,3 +574,52 @@ def test_show_updates_intervals_over_wire(client):
     assert errors3 and b"Unsupported condition" in errors3[0]
     _, rows4, errors4 = client.query("SELECT 1 AS ok")
     assert not errors4 and rows4 == [["1"]]
+
+
+def test_malformed_input_does_not_wedge_server(server):
+    """Wire robustness: garbage bytes, a truncated startup, an absurd
+    length prefix, and an unknown message tag mid-session must each end
+    with the offending connection dropped or answered with an error —
+    never a wedged server — and a fresh well-formed connection must
+    still work after every abuse."""
+    import time
+
+    def healthy():
+        c = PgClient(server, ssl_probe=True)
+        c.read_until_ready()
+        _, rows, errors = c.query("SELECT 1 AS one")
+        assert not errors and rows == [["1"]]
+        c.close()
+
+    # 1) pure garbage instead of a startup packet
+    s = socket.create_connection(("127.0.0.1", server), timeout=10)
+    s.sendall(b"\xde\xad\xbe\xef" * 8)
+    s.close()
+    healthy()
+    # 2) truncated startup: length says 200 bytes, connection closes early
+    s = socket.create_connection(("127.0.0.1", server), timeout=10)
+    s.sendall(struct.pack("!I", 200) + b"\x00\x03\x00\x00user\x00")
+    s.close()
+    healthy()
+    # 3) absurd length prefix (pretends 1 GiB follows)
+    s = socket.create_connection(("127.0.0.1", server), timeout=10)
+    s.sendall(struct.pack("!I", 1 << 30))
+    time.sleep(0.2)
+    s.close()
+    healthy()
+    # 4) unknown message tag after a valid handshake: server may answer
+    # an error or drop the connection, but must survive
+    c = PgClient(server, ssl_probe=True)
+    c.read_until_ready()
+    c.send(b"z", b"bogus")
+    try:
+        c.send(b"Q", _cstr("SELECT 2 AS two"))
+        c.read_until_ready()
+    except (ConnectionError, AssertionError, EOFError, OSError):
+        pass                      # dropping the abuser is acceptable
+    finally:
+        try:
+            c.close()
+        except OSError:
+            pass
+    healthy()
