@@ -623,3 +623,32 @@ def test_malformed_input_does_not_wedge_server(server):
         except OSError:
             pass
     healthy()
+
+
+def test_cli_registry_auth_flags(tsdb, monkeypatch):
+    """`python -m yupana_spark.server --auth registry
+    --superuser-password ...` wires the flags through to PgWireServer
+    (the CLI advertised in the README must be able to enable what the
+    API can)."""
+    from yupana_spark.server import pgwire as pg
+
+    captured = {}
+
+    class FakeSrv:
+        def __init__(self, tsdb, host, port, auth=None,
+                     superuser_password=None):
+            captured.update(auth=auth, superuser_password=superuser_password)
+
+        def start(self):
+            raise KeyboardInterrupt  # unwind main() before the wait
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(pg, "PgWireServer", FakeSrv)
+    try:
+        pg.main(["--auth", "registry", "--superuser-password", "boot",
+                 "--port", "0"])
+    except KeyboardInterrupt:
+        pass
+    assert captured == {"auth": "registry", "superuser_password": "boot"}

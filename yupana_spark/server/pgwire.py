@@ -780,6 +780,15 @@ def main(argv=None) -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=5433)
+    ap.add_argument("--auth", choices=["registry"], default=None,
+                    help="validate logins against the CREATE USER "
+                         "registry and scope each connection to its role "
+                         "(default: trust handshake)")
+    ap.add_argument("--superuser-password", default=None,
+                    help="registry mode: lets the engine identity log in "
+                         "as ADMIN over an empty registry (the "
+                         "reference's superUserName/superUserPassword "
+                         "config pair)")
     args = ap.parse_args(argv)
 
     from yupana_spark import Tsdb, default_schema
@@ -788,7 +797,8 @@ def main(argv=None) -> int:
     spark = get_spark("yupana-pgwire")
     spark.sparkContext.setLogLevel("ERROR")
     tsdb = Tsdb(spark, default_schema(), args.sf_dir)
-    srv = PgWireServer(tsdb, args.host, args.port)
+    srv = PgWireServer(tsdb, args.host, args.port, auth=args.auth,
+                       superuser_password=args.superuser_password)
     port = srv.start()
     print(f"pgwire listening on {args.host}:{port}")
     try:
