@@ -6,7 +6,8 @@ Usage:
     echo "SELECT ...;" | python -m yupana_spark.cli -
 
 Replaces the reference's wire-server + JDBC story for interactive use
-(SURVEY.md §2.1: servers out of scope; a CLI covers the human surface).
+(alongside the pgwire server: the CLI covers the local human surface,
+pgwire the remote-client one — SURVEY.md §2.1).
 """
 
 from __future__ import annotations
