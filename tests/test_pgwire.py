@@ -279,6 +279,18 @@ def test_user_ddl_roundtrip_over_wire(client):
     assert not errors and rows == [["OK"]]
 
 
+def test_missing_user_sqlstate_consistent_over_wire(client):
+    """DROP USER and ALTER USER on a missing user both carry SQLSTATE
+    42704 undefined_object (VERDICT r16 #3: the DROP path used the
+    default 42501 insufficient_privilege, so the wire client saw a
+    different error class per statement for the same miss)."""
+    for stmt in ("DROP USER 'no_such_wire_user'",
+                 "ALTER USER 'no_such_wire_user' SET ROLE = 'READ_ONLY'"):
+        _, _, errors = client.query(stmt)
+        assert errors and b"User not found" in errors[0], stmt
+        assert b"42704" in errors[0], stmt
+
+
 def test_registry_auth_and_role_enforcement(tsdb):
     """auth='registry' (r16): logins validate against the CREATE USER
     registry (wrong password and unknown users get SQLSTATE 28P01 where

@@ -239,9 +239,13 @@ def ppx_buckets(scores: DataFrame, value_col: str = "big_xent",
     cutoffs — the steady-state production shape, where re-deriving the
     quantiles per query would re-scan the score lineage; omitted, the
     cutoffs are derived inline from ``scores`` itself (the one-shot
-    shape).  The join strategy is left to AQE — the cutoff side is
-    bounded by group cardinality (same posture as
-    ``temperature_mix_sample``'s per-tag rates)."""
+    shape).  The cutoff join is an explicit BROADCAST (r17, guide §3.1):
+    the cutoff side is bounded by group cardinality (#languages x a few
+    cutoff columns) at ANY corpus size, but a persisted/checkpointed cuts
+    frame carries no size stats, so leaving the strategy to the planner
+    shuffled the whole per-doc score frame by ``group_cols`` into a
+    sort-merge join (2 exchanges + 2 sorts on the widest frame of the
+    pipeline); the hint pins the scale-correct shape statically."""
     n = len(labels)
     if n < 2:
         raise ValueError("ppx_buckets needs at least 2 labels")
@@ -261,7 +265,7 @@ def ppx_buckets(scores: DataFrame, value_col: str = "big_xent",
             raise ValueError(
                 f"cuts frame must carry exactly {sorted(qcols)} "
                 f"(len(labels)-1 cutoffs), got {have}")
-    joined = scores.join(cuts, list(group_cols), "left")
+    joined = scores.join(F.broadcast(cuts), list(group_cols), "left")
     expr = F.lit(labels[-1])
     for i in reversed(range(n - 1)):
         expr = F.when(F.col(value_col) <= F.col(qcols[i]),

@@ -200,7 +200,10 @@ def execute_statement(tsdb: "Tsdb", stmt: A.Statement,
         elif isinstance(stmt, A.AlterUser):
             um.update_user(stmt.name, stmt.password, stmt.role)
         elif not um.delete_user(stmt.name):
-            raise AuthError("User not found")
+            # 42704 undefined_object — same SQLSTATE as the ALTER USER miss
+            # (auth.UserManager.update_user); the default 42501 read as a
+            # privilege error over pgwire (ADVICE r16)
+            raise AuthError("User not found", "42704")
         return _df(spark, [("OK",)], "STATUS string")
     if isinstance(stmt, A.ShowColumns):
         perm.check(eff, "metadata", "read")
