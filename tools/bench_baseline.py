@@ -86,6 +86,62 @@ BANDS_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "bench_bands.json")
 
 
+def check_bands(spark_medians: dict, duck_medians: dict, bands: dict):
+    """Band check with a co-measured CONTROL (r17, judge r16 #1).
+
+    The interleaved DuckDB side is the environment control: host-level
+    throttling episodes that never move the load average (the r16
+    adjudication: a 1.29x/12-breach run with ``noisy: false`` whose DuckDB
+    control was itself ~30% elevated, vs 0.80x/0 same-code 20 min later)
+    elevate BOTH engines, so when the control itself breaches its pinned
+    quiet-host bands the spark breaches are environment, not regression.
+    Encodes the rule that previously lived only in docs/scale.md prose:
+
+    * spark medians check against ``bands`` exactly as before;
+    * duck medians check against ``duck_bands`` with ``duck_tolerance``
+      (above-only: a fast control never invalidates a run);
+    * ``control_drift`` = at least ``control_drift_min_breaches`` control
+      queries above band, or the control TOTAL above its summed band by
+      ``duck_total_tolerance`` — an episode elevates broadly, a DuckDB
+      plan regression in one oracle does not;
+    * on drift the spark breaches move to ``breaches_environment`` (kept
+      for the record, excluded from regression accounting).
+
+    Returns (breaches, control, drift) — pure function, unit-tested with a
+    faked elevated control in tests/test_bench_bands.py.
+    """
+    tol = bands.get("tolerance", 0.4)
+    slack = bands.get("abs_slack_s", 0.1)
+    breaches = {}
+    for n, s in spark_medians.items():
+        band = bands.get("bands", {}).get(n)
+        if band is None:
+            continue
+        lo, hi = band * (1 - tol) - slack, band * (1 + tol) + slack
+        if s > hi:
+            breaches[n] = {"spark_s": round(s, 3), "band": band,
+                           "dir": "above"}
+        elif s < lo:
+            breaches[n] = {"spark_s": round(s, 3), "band": band,
+                           "dir": "below"}
+    d_tol = bands.get("duck_tolerance", 0.35)
+    d_slack = bands.get("duck_abs_slack_s", 0.05)
+    d_bands = bands.get("duck_bands", {})
+    control = {}
+    for n, d in duck_medians.items():
+        band = d_bands.get(n)
+        if band is None:
+            continue
+        if d > band * (1 + d_tol) + d_slack:
+            control[n] = {"duck_s": round(d, 3), "band": band}
+    tot_band = sum(b for n, b in d_bands.items() if n in duck_medians)
+    tot_meas = sum(d for n, d in duck_medians.items() if n in d_bands)
+    tot_tol = bands.get("duck_total_tolerance", 0.2)
+    drift = (len(control) >= bands.get("control_drift_min_breaches", 3)
+             or (tot_band > 0 and tot_meas > tot_band * (1 + tot_tol)))
+    return breaches, control, drift
+
+
 def main() -> None:
     import __spark_entry__ as ent
     from yupana_spark.session import get_spark
@@ -160,35 +216,29 @@ def main() -> None:
           f"(median-of-{PASSES}, load {load1:.1f})")
     import json
 
-    # band check: every measured spark median against the checked-in
-    # pinned band; breaches ride the record (and the table) so a drift
-    # like r13's dp_neardup_scale surfaces mechanically
-    breaches = {}
+    # band check with the co-measured DuckDB control (r17, judge r16 #1):
+    # spark breaches surface regressions; a breaching CONTROL surfaces a
+    # host throttling episode and reclassifies the run as environment
+    breaches, control, drift = {}, {}, False
     if os.path.exists(BANDS_FILE):
         with open(BANDS_FILE) as f:
             bands = json.load(f)
-        tol = bands.get("tolerance", 0.4)
-        # absolute slack on top of the relative band: sub-0.3 s queries
-        # are scheduling-floor bound and jitter more than ±40% even at
-        # median-of-3, so a breach additionally requires a material
-        # absolute move
-        slack = bands.get("abs_slack_s", 0.1)
         medians = {n: s for n, s, _d, _r in rows}
         medians.update(dict(extra_rows))
-        for n, s in medians.items():
-            band = bands.get("bands", {}).get(n)
-            if band is None:
-                continue
-            lo, hi = band * (1 - tol) - slack, band * (1 + tol) + slack
-            if s > hi:
-                breaches[n] = {"spark_s": round(s, 3), "band": band,
-                               "dir": "above"}
-            elif s < lo:
-                breaches[n] = {"spark_s": round(s, 3), "band": band,
-                               "dir": "below"}
+        duck_medians = {n: d for n, _s, d, _r in rows}
+        breaches, control, drift = check_bands(medians, duck_medians, bands)
+        tol = bands.get("tolerance", 0.4)
         regressions = sorted(n for n, b in breaches.items()
                              if b["dir"] == "above")
-        if regressions:
+        if drift:
+            print(f"CONTROL DRIFT: the co-measured DuckDB side breaches "
+                  f"its own quiet-host bands ({len(control)} queries: "
+                  f"{', '.join(sorted(control))}) — the documented "
+                  "throttling-episode signature (load guard blind to it). "
+                  "This run measures the ENVIRONMENT, not the code; spark "
+                  "breaches are recorded but excluded from regression "
+                  "accounting. Re-run when the control sits in band.")
+        elif regressions:
             print(f"BAND BREACH (regression): {', '.join(regressions)} — "
                   f"outside +{tol:.0%} of the pinned medians in "
                   f"{os.path.basename(BANDS_FILE)}; rerun solo to "
@@ -202,7 +252,12 @@ def main() -> None:
         "action": "noop-write", "n_queries": len(rows),
         "passes": PASSES, "agg": "median", "load1": round(load1, 2),
         "noisy": noisy,
-        "band_breaches": breaches,
+        "control_drift": drift,
+        "control_breaches": control,
+        # on drift the spark breaches are ENVIRONMENT, not regression —
+        # band_breaches stays the regression-accounting field
+        "band_breaches": {} if drift else breaches,
+        "breaches_environment": breaches if drift else {},
         "queries": {n: {"spark_s": round(s, 3), "duck_s": round(d, 3),
                         "ratio": round(r, 2)} for n, s, d, r in rows},
         "spark_only": {n: {"spark_s": round(s, 3)}
