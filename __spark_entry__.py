@@ -2748,37 +2748,33 @@ def _completeness_row(name: str, exact: DataFrame, found: DataFrame,
     the fixture (nonemptiness guards against a vacuously-green check when a
     sampler or join silently breaks).
 
-    Plan shape (r17, guide §3.1): ``exact`` is a BOUNDED sample by
-    construction (the sampled-pair oracles hard-cap at 400/512 pairs at ANY
-    corpus size), so it broadcasts and the check rides the found pipeline's
-    own stages — the former FullOuter SortMergeJoin paid an exchange+sort
-    on BOTH sides per arm (8 exchanges/8 sorts across the bundle) just to
-    count matches against a few hundred checkpointed rows.  The miss count
-    is derived as total - matched (``exact`` pairs are distinct by
-    construction — combination samplers — which the full-outer form also
-    relied on for its per-row match).  ``found`` still executes exactly
-    once: the broadcast join + dedupe + count are one aggregation lineage.
+    Plan shape: ONE full-outer join + ONE aggregate yields all three
+    counts (exact total, misses, found nonemptiness), so the approximate
+    pipeline's frame executes once — a separate found.agg() re-ran the
+    whole pipeline a second time (exchange reuse does not reliably kick
+    in under the bench's noop-write action).  found is deduped first so
+    a duplicate candidate pair cannot double-join an exact row; the
+    FullOuter then RIDES the dedup exchange's pair-key partitioning
+    (ENSURE_REQUIREMENTS adds no second found-side shuffle), so found
+    pays exactly one pair-key shuffle at any scale and only the bounded
+    exact sample pays its own tiny exchange.  r17 measured the "obvious"
+    broadcast alternative (hard-capped exact side broadcast-left-joined
+    onto found, miss = total - matched, one-row aggs unioned) and
+    REJECTED it: the found shuffle count is the same, but each arm gains
+    a broadcast-build job plus a second one-row aggregate serialized on
+    the driver — in-session interleaved A/B over the real four arms,
+    FullOuter min 4.06 s vs broadcast min 4.66 s, FullOuter faster in 4
+    of 5 pairs (OPTIMIZATION_r17.md).
     """
-    ex = exact.select("id_a", "id_b")
-    hit = (found.select("id_a", "id_b")
-           .join(F.broadcast(ex.withColumn("__ex", F.lit(1))),
-                 ["id_a", "id_b"], "left")
-           .dropDuplicates(["id_a", "id_b"])
-           .agg(F.count(F.lit(1)).alias("__fnd"),
-                F.count("__ex").alias("__hit"))
-           .select(F.lit(None).cast("long").alias("__tot"),
-                   "__fnd", "__hit"))
-    tot = (ex.agg(F.count(F.lit(1)).alias("__tot"))
-           .select("__tot", F.lit(None).cast("long").alias("__fnd"),
-                   F.lit(None).cast("long").alias("__hit")))
-    # single-row attach without a crossJoin (the audit forbids nested-loop
-    # joins in this bundle): union the two one-row aggregates and collapse
-    counts = (hit.unionAll(tot)
-              .agg(F.max("__tot").alias("__tot"),
-                   F.max("__fnd").alias("__fnd"),
-                   F.max("__hit").alias("__hit"))
-              .select("__tot", (F.col("__tot") - F.col("__hit"))
-                      .alias("__mis"), "__fnd"))
+    joined = (exact.select("id_a", "id_b").withColumn("__ex", F.lit(1))
+              .join(found.select("id_a", "id_b").dropDuplicates()
+                    .withColumn("__fn", F.lit(1)),
+                    ["id_a", "id_b"], "full"))
+    counts = joined.agg(
+        F.count("__ex").alias("__tot"),
+        F.count(F.when(F.col("__ex").isNotNull()
+                       & F.col("__fn").isNull(), 1)).alias("__mis"),
+        F.count("__fn").alias("__fnd"))
     viol = F.greatest(
         F.col("__mis") - F.floor(F.col("__tot") * F.lit(tol_frac)),
         F.lit(0)).cast("long")

@@ -324,6 +324,37 @@ def test_registry_auth_and_role_enforcement(tsdb):
         tsdb.sql("DROP USER 'ro_wire'")
 
 
+def test_live_connection_keeps_validated_role(tsdb):
+    """Connection-scoped roles (VERDICT r16 #5, now documented in
+    docs/yupanaql.md): the role is resolved ONCE at login — the
+    reference's Scala server resolves the user at auth time too — so an
+    ALTER USER ... SET ROLE while a connection is live does not change
+    that connection's permissions; the new role applies at next login."""
+    tsdb.sql("CREATE USER 'role_pin' WITH PASSWORD 'pw' "
+             "WITH ROLE 'READ_ONLY'")
+    srv = PgWireServer(tsdb, port=0, auth="registry")
+    port = srv.start()
+    try:
+        c = PgClient(port, user="role_pin", password="pw")
+        c.read_until_ready()
+        _, _, errors = c.query("SHOW USERS")
+        assert errors and b"42501" in errors[0]
+        # promote while the connection is LIVE — it must keep READ_ONLY
+        tsdb.sql("ALTER USER 'role_pin' SET ROLE = 'ADMIN'")
+        _, _, errors = c.query("SHOW USERS")
+        assert errors and b"42501" in errors[0]
+        c.close()
+        # ...and the NEXT login picks the new role up
+        c2 = PgClient(port, user="role_pin", password="pw")
+        c2.read_until_ready()
+        _, rows, errors = c2.query("SHOW USERS")
+        assert not errors and ["role_pin", "ADMIN"] in rows
+        c2.close()
+    finally:
+        srv.stop()
+        tsdb.sql("DROP USER 'role_pin'")
+
+
 def test_registry_superuser_password(tsdb):
     """superuser_password (r16 — the reference's superUserName/
     superUserPassword config pair): in registry mode the ENGINE identity
