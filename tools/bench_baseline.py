@@ -189,9 +189,15 @@ def main() -> None:
             ds.append(time.time() - t0)
         t_spark, t_duck = _median(ss), _median(ds)
         ratio = t_spark / max(t_duck, 1e-9)
-        rows.append((name, t_spark, t_duck, ratio))
+        # pass spread (r17): max/min over the timed passes.  A genuinely
+        # regressed query is STABLY slow; JVM-side host contention (the
+        # asymmetric episode the DuckDB control cannot see — spark
+        # elevated while the single-process control sits in band) swings
+        # the same query multi-x between interleaved passes.
+        spread = max(ss) / max(min(ss), 1e-9)
+        rows.append((name, t_spark, t_duck, ratio, spread))
         print(f"{name:24s} spark {t_spark:7.3f}s  duck {t_duck:7.3f}s  "
-              f"ratio {ratio:6.2f}x")
+              f"ratio {ratio:6.2f}x  spread {spread:4.1f}x")
 
     # spark-only extras: same protocol, no duck side, outside the totals
     extra_rows = []
@@ -205,7 +211,8 @@ def main() -> None:
             _noop(qs[name](spark, SF_DIR))
             ss.append(time.time() - t0)
         t_spark = _median(ss)
-        extra_rows.append((name, t_spark))
+        extra_rows.append((name, t_spark,
+                           max(ss) / max(min(ss), 1e-9)))
         print(f"{name:24s} spark {t_spark:7.3f}s  (spark-only, "
               "excluded from ratio)")
 
@@ -223,9 +230,9 @@ def main() -> None:
     if os.path.exists(BANDS_FILE):
         with open(BANDS_FILE) as f:
             bands = json.load(f)
-        medians = {n: s for n, s, _d, _r in rows}
-        medians.update(dict(extra_rows))
-        duck_medians = {n: d for n, _s, d, _r in rows}
+        medians = {n: s for n, s, _d, _r, _sp in rows}
+        medians.update({n: s for n, s, _sp in extra_rows})
+        duck_medians = {n: d for n, _s, d, _r, _sp in rows}
         breaches, control, drift = check_bands(medians, duck_medians, bands)
         tol = bands.get("tolerance", 0.4)
         regressions = sorted(n for n, b in breaches.items()
@@ -243,6 +250,20 @@ def main() -> None:
                   f"outside +{tol:.0%} of the pinned medians in "
                   f"{os.path.basename(BANDS_FILE)}; rerun solo to "
                   "confirm, then fix or re-pin with a reason.")
+    # spark-side instability (r17): the ASYMMETRIC episode — spark
+    # elevated while the single-process DuckDB control sits in band —
+    # cannot be labeled by the control, but it shows as multi-x swings
+    # of the SAME query between interleaved passes (a genuine regression
+    # is stably slow).  Advisory: breach accounting is unchanged, but an
+    # unstable run says "re-run before believing the spark medians".
+    spreads = [sp for *_x, sp in rows] + [sp for _n, _s, sp in extra_rows]
+    n_unstable = sum(1 for sp in spreads if sp > 2.5)
+    unstable = n_unstable >= 5
+    if unstable:
+        print(f"UNSTABLE RUN: {n_unstable}/{len(spreads)} queries swung "
+              ">2.5x between interleaved passes while the DuckDB control "
+              "stayed put — JVM-side host contention. Medians from this "
+              "run are upper bounds; re-run before acting on breaches.")
     # one machine-readable record (the bench.py posture) so runs are
     # diffable across rounds without re-parsing the table
     print(json.dumps({
@@ -254,14 +275,17 @@ def main() -> None:
         "noisy": noisy,
         "control_drift": drift,
         "control_breaches": control,
+        "unstable": unstable,
+        "n_unstable_queries": n_unstable,
         # on drift the spark breaches are ENVIRONMENT, not regression —
         # band_breaches stays the regression-accounting field
         "band_breaches": {} if drift else breaches,
         "breaches_environment": breaches if drift else {},
         "queries": {n: {"spark_s": round(s, 3), "duck_s": round(d, 3),
-                        "ratio": round(r, 2)} for n, s, d, r in rows},
-        "spark_only": {n: {"spark_s": round(s, 3)}
-                       for n, s in extra_rows}}))
+                        "ratio": round(r, 2), "spread": round(sp, 2)}
+                    for n, s, d, r, sp in rows},
+        "spark_only": {n: {"spark_s": round(s, 3), "spread": round(sp, 2)}
+                       for n, s, sp in extra_rows}}))
 
 
 if __name__ == "__main__":
