@@ -256,12 +256,15 @@ def main() -> None:
     # of the SAME query between interleaved passes (a genuine regression
     # is stably slow).  Advisory: breach accounting is unchanged, but an
     # unstable run says "re-run before believing the spark medians".
+    # calibration (r17, this host): two contended runs measured 4 and 7
+    # queries above 2.0x spread with median spread ~1.7, while quiet-run
+    # passes sit near 1.0-1.3 — 5-of-20 above 2.0x separates the regimes
     spreads = [sp for *_x, sp in rows] + [sp for _n, _s, sp in extra_rows]
-    n_unstable = sum(1 for sp in spreads if sp > 2.5)
+    n_unstable = sum(1 for sp in spreads if sp > 2.0)
     unstable = n_unstable >= 5
     if unstable:
         print(f"UNSTABLE RUN: {n_unstable}/{len(spreads)} queries swung "
-              ">2.5x between interleaved passes while the DuckDB control "
+              ">2x between interleaved passes while the DuckDB control "
               "stayed put — JVM-side host contention. Medians from this "
               "run are upper bounds; re-run before acting on breaches.")
     # one machine-readable record (the bench.py posture) so runs are
