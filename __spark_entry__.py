@@ -1894,15 +1894,23 @@ def dp_lang_id(spark, sf_dir):
     from yupana_spark.datapipe.text import lang_id, unigram_lm_scores
 
     docs = _docs(spark, sf_dir, fan_out=True)
-    lang = docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
     # vocab_cap deliberately above any fixture vocabulary (the oracle
     # models the UNCAPPED formula; the cap/OOV scale path is pinned by
-    # test_unigram_lm_scores instead); LEFT join keeps token-less docs in
-    # the per-doc output with xent NULL — full-coverage like lang_pred
+    # test_unigram_lm_scores instead).  The lang spine is FUSED into the
+    # scoring aggregate (r17, guide §2.2): lang_id rides the xent
+    # partial-aggregate shuffle as a carried constant-per-doc column
+    # instead of shuffling its own (doc_id, lang_pred) frame into a
+    # sort-merge join — one exchange, one sort pair and one join fewer
+    # at any corpus size; explode_outer keeps token-less docs (xent
+    # NULL), so coverage is identical to the old row-local lang frame
+    # (equivalence pinned by test_unigram_carry_fusion and the oracle).
     st, tok = _artifacts(), _fx_token(sf_dir, "documents")
-    xent = unigram_lm_scores(docs, vocab_cap=1 << 20, cache_key=sf_dir,
-                             store=st, store_token=tok) \
-        .withColumnRenamed("id", "doc_id")
+    fused = unigram_lm_scores(
+        docs, vocab_cap=1 << 20, cache_key=sf_dir, store=st,
+        store_token=tok,
+        carry={"lang_pred": lang_id(F.col("text"))}) \
+        .withColumnRenamed("id", "doc_id") \
+        .select("doc_id", "lang_pred", "xent")
     toked = _bpe_toked(spark, sf_dir)
     bpe = toked.select(
         "doc_id",
@@ -1921,8 +1929,7 @@ def dp_lang_id(spark, sf_dir):
                             store_token=tok)
     bx = bigram_xent_scores(docs, ppx_art) \
         .withColumnRenamed("id", "doc_id")
-    out = (lang.join(xent, "doc_id", "left")
-           .join(bpe, "doc_id", "left")
+    out = (fused.join(bpe, "doc_id", "left")
            .join(bx, "doc_id", "left"))
     # CCNet head/middle/tail bucketing (Wenzek et al. 2020 §3.3) over
     # the PREDICTED language — per-lang tercile cutoffs of big_xent,
@@ -1938,6 +1945,11 @@ def dp_lang_id(spark, sf_dir):
     ckey = (spark.sparkContext.applicationId, sf_dir)
     cuts = _PPX_CUTS.get(ckey)
     if cuts is None:
+        # one-time fit lineage: the cheap row-local lang frame, NOT the
+        # fused spine — deriving cutoffs through the unigram explode
+        # would re-score the corpus just to group big_xent by language
+        lang = docs.select("doc_id",
+                           lang_id(F.col("text")).alias("lang_pred"))
         cuts = (ppx_cutoffs(lang.join(bx, "doc_id", "left"),
                             "big_xent", ("lang_pred",))
                 .localCheckpoint(eager=True))

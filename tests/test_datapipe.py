@@ -1530,6 +1530,56 @@ def test_unigram_lm_scores(spark):
     assert capped[3] > got[3]
 
 
+def test_unigram_carry_fusion(spark):
+    """The r17 ``carry`` fusion must reproduce EXACTLY what the old
+    separate-frame form computed: carried row-local columns equal a
+    standalone select equi-joined on the id, xent values are untouched,
+    and coverage extends to token-less docs (empty text, whitespace-only,
+    NULL text) with xent NULL — the rows the old left join also kept.
+    The NULL-w rows explode_outer adds must not leak into the inline
+    fit's vocabulary or corpus total."""
+    from pyspark.sql import functions as F
+
+    from yupana_spark.datapipe.text import lang_id, unigram_lm_scores
+
+    rows = [(1, "the cat sat on the mat"), (2, "le chat est la"),
+            (3, ""), (4, "   \t  "), (5, None), (6, "zyx")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fused = unigram_lm_scores(
+        df, carry={"lang_pred": lang_id(F.col("text"))})
+    assert fused.columns == ["id", "lang_pred", "xent"]
+    got = {r["id"]: (r["lang_pred"], r["xent"]) for r in fused.collect()}
+    # full coverage: every doc present, token-less ones with xent NULL
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    assert got[3][1] is None and got[4][1] is None and got[5][1] is None
+
+    # values == the separate-frame form, row for row
+    lang = {r["doc_id"]: r["lang_pred"] for r in df.select(
+        "doc_id", lang_id(F.col("text")).alias("lang_pred")).collect()}
+    xent = {r["id"]: r["xent"]
+            for r in unigram_lm_scores(df).collect()}
+    for i in got:
+        assert got[i][0] == lang[i]
+        assert got[i][1] == xent.get(i)  # absent id -> None == NULL
+
+    # the NULL-w coverage rows must not pollute the inline fit: with a
+    # binding cap the capped vocabulary (and total T) must match the
+    # no-carry form's exactly, so capped xents agree too
+    capped_f = {r["id"]: r["xent"] for r in unigram_lm_scores(
+        df, vocab_cap=2,
+        carry={"lang_pred": lang_id(F.col("text"))}).collect()}
+    capped = {r["id"]: r["xent"]
+              for r in unigram_lm_scores(df, vocab_cap=2).collect()}
+    for i in capped:
+        assert capped_f[i] == capped[i]
+
+    # name collisions with scorer internals are refused, not shadowed
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        unigram_lm_scores(df, carry={"w": F.lit(1)})
+
+
 def test_avi_frame_features_end_to_end(spark):
     """AVI/Motion-JPEG frame sampling through the real Spark mapInPandas
     path: per-frame rows whose pixel sums the local demux+decode reproduces

@@ -745,7 +745,8 @@ def unigram_lm_scores(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", vocab_cap: int = 1 << 16,
                       oov_count: float = 0.5, scale: int = 4,
                       cache_key: str | None = None,
-                      store=None, store_token: str | None = None
+                      store=None, store_token: str | None = None,
+                      carry: "dict[str, Column] | None" = None
                       ) -> DataFrame:
     """(id, xent) — per-document cross-entropy under a corpus-fit unigram
     LM, the CCNet-style statistical quality filter (Wenzek et al. 2020
@@ -768,9 +769,45 @@ def unigram_lm_scores(df: DataFrame, text_col: str = "text",
     repeated scoring pass costs one broadcast join — not a vocabulary
     refit (the round-5 dp_lang_id regression).  With the default ``None``
     the plan stays fully lazy and single-pass, identical to before.
+
+    ``carry`` (r17, guide §2.2 — shuffle fewer frames, not just fewer
+    bytes) fuses row-local per-document expressions into the scoring
+    aggregate: each ``name -> Column`` is evaluated once per input row
+    (in the Project UNDER the explode's Generate, so a heavy expression
+    is never re-evaluated per token), rides the existing partial-
+    aggregate shuffle as a constant-per-group column, and comes back via
+    ``first()``.  With ``carry`` set the output covers EVERY input
+    document — ``explode_outer`` keeps token-less docs, whose xent stays
+    NULL (no evidence; the NULL-token row is excluded from the avg and,
+    in the inline-fit path, from the vocabulary counts and corpus total)
+    — and the columns are ``(id, *carry, xent)``.  A caller that
+    previously computed the carried frame separately and equi-joined it
+    on the id therefore gets the same rows and values MINUS one
+    exchange, one sort pair and one join: the motivating case is
+    dp_lang_id's lang spine (see ``__spark_entry__``).  Default ``None``
+    leaves every existing plan byte-identical.
     """
-    toks = df.select(F.col(id_col).alias("id"),
-                     F.explode(words(F.lower(F.col(text_col)))).alias("w"))
+    if carry:
+        bad = {n for n in carry} & {"id", "w", "xent", "__c", "__t",
+                                    "__text"}
+        if bad:
+            raise ValueError(f"carry names collide with internals: {bad}")
+        # carry expressions get their own Project: in a select list that
+        # also holds a generator, Catalyst's ExtractGenerator trims
+        # non-top-level aliases, so a named struct nested inside a carry
+        # expression (e.g. lang_id's score struct) would lose its field
+        # names and fail to resolve.  The extra Project is narrow and
+        # collapses into the same stage.
+        pre = df.select(F.col(id_col).alias("id"),
+                        *[c.alias(n) for n, c in carry.items()],
+                        F.col(text_col).alias("__text"))
+        toks = pre.select(
+            "id", *carry.keys(),
+            F.explode_outer(words(F.lower(F.col("__text")))).alias("w"))
+    else:
+        toks = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(words(F.lower(F.col(text_col)))).alias("w"))
     if cache_key is not None:
         vocab, total_v = unigram_lm_fit(df, text_col, vocab_cap, cache_key,
                                         store=store,
@@ -778,13 +815,22 @@ def unigram_lm_scores(df: DataFrame, text_col: str = "text",
         scored = (toks.join(F.broadcast(vocab), "w", "left")
                   .withColumn("__t", F.lit(total_v)))
     else:
-        counts = toks.groupBy("w").agg(F.count("*").alias("__c"))
+        # the NULL-w rows explode_outer adds for token-less docs carry no
+        # evidence: they must not enter the vocabulary, the cap ordering
+        # or the corpus total (carry-path only; the default path has none)
+        fit_toks = toks.filter(F.col("w").isNotNull()) if carry else toks
+        counts = fit_toks.groupBy("w").agg(F.count("*").alias("__c"))
         vocab = (counts.orderBy(F.col("__c").desc(), F.col("w").asc())
                  .limit(vocab_cap))
         total = counts.agg(F.sum("__c").cast("double").alias("__t"))
         scored = toks.join(F.broadcast(vocab), "w", "left").crossJoin(total)
-    return (scored
-            .groupBy("id")
-            .agg(F.round(F.avg(-F.log(
-                F.coalesce(F.col("__c").cast("double"), F.lit(oov_count))
-                / F.col("__t"))), scale).alias("xent")))
+    nll = -F.log(F.coalesce(F.col("__c").cast("double"), F.lit(oov_count))
+                 / F.col("__t"))
+    if carry:
+        # avg ignores NULLs: a token-less doc's single NULL-w row yields
+        # xent NULL — exactly the left-join miss the separate-frame form
+        # produced for it
+        nll = F.when(F.col("w").isNotNull(), nll)
+    aggs = [F.first(n).alias(n) for n in (carry or ())]
+    aggs.append(F.round(F.avg(nll), scale).alias("xent"))
+    return scored.groupBy("id").agg(*aggs)
