@@ -1904,13 +1904,25 @@ def dp_lang_id(spark, sf_dir):
     # at any corpus size; explode_outer keeps token-less docs (xent
     # NULL), so coverage is identical to the old row-local lang frame
     # (equivalence pinned by test_unigram_carry_fusion and the oracle).
+    # The prediction rides as its LANG_ID_DOMAIN index, not the string:
+    # a string carry's first() buffer demotes the scoring aggregate to
+    # SortAggregate — sorting the whole exploded token stream — while
+    # the long-buffer form keeps HashAggregate (carry caveat in
+    # unigram_lm_scores); decoded right after the aggregate, before the
+    # spine joins, via element_at over the same duplicate-free domain
+    # literal (round-trip identity, values byte-identical).
+    from yupana_spark.datapipe.text import LANG_ID_DOMAIN
+    _dom = F.array(*[F.lit(c) for c in LANG_ID_DOMAIN])
     st, tok = _artifacts(), _fx_token(sf_dir, "documents")
     fused = unigram_lm_scores(
         docs, vocab_cap=1 << 20, cache_key=sf_dir, store=st,
         store_token=tok,
-        carry={"lang_pred": lang_id(F.col("text"))}) \
+        carry={"lang_code": F.array_position(_dom, lang_id(F.col("text")))}) \
         .withColumnRenamed("id", "doc_id") \
-        .select("doc_id", "lang_pred", "xent")
+        .select("doc_id",
+                F.element_at(_dom, F.col("lang_code").cast("int"))
+                .alias("lang_pred"),
+                "xent")
     toked = _bpe_toked(spark, sf_dir)
     bpe = toked.select(
         "doc_id",

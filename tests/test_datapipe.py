@@ -1580,6 +1580,41 @@ def test_unigram_carry_fusion(spark):
         unigram_lm_scores(df, carry={"w": F.lit(1)})
 
 
+def test_lang_id_domain_carry_roundtrip(spark):
+    """dp_lang_id carries the prediction as its LANG_ID_DOMAIN index (a
+    long — keeps the scoring aggregate on HashAggregate; a string carry
+    demotes it to SortAggregate over the exploded token stream).  Pin
+    (a) the domain is duplicate-free (round-trip identity precondition),
+    (b) encode->carry->decode reproduces lang_id's strings exactly on
+    every domain value incl. the und/zh/NULL-text edges, and (c) the
+    fused physical plan has NO SortAggregate."""
+    from pyspark.sql import functions as F
+
+    from yupana_spark.datapipe.text import (LANG_ID_DOMAIN, lang_id,
+                                            unigram_lm_scores)
+
+    assert len(LANG_ID_DOMAIN) == len(set(LANG_ID_DOMAIN))
+
+    rows = [(1, "the cat of a hat it is"), (2, "le chat est pour la"),
+            (3, "el que de la es"), (4, "der und die das ist"),
+            (5, "你好世界"), (6, "zzz qqq"), (7, ""), (8, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dom = F.array(*[F.lit(c) for c in LANG_ID_DOMAIN])
+
+    fused = (unigram_lm_scores(
+        df, carry={"lang_code": F.array_position(dom, lang_id(F.col("text")))})
+        .select("id", F.element_at(dom, F.col("lang_code").cast("int"))
+                .alias("lang_pred"), "xent"))
+    got = {r["id"]: r["lang_pred"] for r in fused.collect()}
+    want = {r["doc_id"]: r["lang_pred"] for r in df.select(
+        "doc_id", lang_id(F.col("text")).alias("lang_pred")).collect()}
+    assert got == want
+    assert set(want.values()) >= {"en", "fr", "es", "de", "zh", "und"}
+
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
+
+
 def test_avi_frame_features_end_to_end(spark):
     """AVI/Motion-JPEG frame sampling through the real Spark mapInPandas
     path: per-frame rows whose pixel sums the local demux+decode reproduces

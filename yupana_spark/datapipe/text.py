@@ -441,6 +441,15 @@ def lang_scores(col: Column) -> Dict[str, Column]:
     return out
 
 
+# the CLOSED set of values lang_id can return: the stopword languages
+# plus the 'und' fallback and the CJK override.  Callers that need the
+# prediction as a compact integer (e.g. to keep it out of string
+# aggregate buffers — see unigram_lm_scores' carry caveat) encode with
+# array_position over this list and decode with element_at; round-trip
+# identity holds because the list is duplicate-free.
+LANG_ID_DOMAIN = sorted(_STOPWORDS) + ["und", "zh"]
+
+
 def lang_id(col: Column) -> Column:
     """argmax language with deterministic tie-break (alphabetical); 'und'
     when nothing matches.  CJK detection via unicode-range n-grams.
@@ -786,6 +795,16 @@ def unigram_lm_scores(df: DataFrame, text_col: str = "text",
     exchange, one sort pair and one join: the motivating case is
     dp_lang_id's lang spine (see ``__spark_entry__``).  Default ``None``
     leaves every existing plan byte-identical.
+
+    CAVEAT — carry NUMERIC columns, not strings: the carried value comes
+    back via ``first()``, and a string-buffer declarative aggregate
+    cannot use HashAggregate, so one string carry demotes the WHOLE
+    scoring aggregate to SortAggregate — which sorts the full exploded
+    token stream per partition before aggregating (measured: the Sort
+    node sits under the partial aggregate).  A carry with an enumerable
+    domain should be encoded to its domain index (``array_position``
+    over the domain literal) and decoded after the aggregate
+    (``element_at``) — see ``LANG_ID_DOMAIN`` and dp_lang_id.
     """
     if carry:
         bad = {n for n in carry} & {"id", "w", "xent", "__c", "__t",
