@@ -1891,58 +1891,57 @@ def dp_lang_id(spark, sf_dir):
     verdict, TRUE for every doc by construction — a broken merge table,
     encoder or marker handling flips rows and breaks the hash."""
     from yupana_spark.datapipe.bpe import bpe_roundtrip_ok
-    from yupana_spark.datapipe.text import lang_id, unigram_lm_scores
+    from yupana_spark.datapipe.text import lang_id
 
     docs = _docs(spark, sf_dir, fan_out=True)
     # vocab_cap deliberately above any fixture vocabulary (the oracle
     # models the UNCAPPED formula; the cap/OOV scale path is pinned by
-    # test_unigram_lm_scores instead).  The lang spine is FUSED into the
-    # scoring aggregate (r17, guide §2.2): lang_id rides the xent
-    # partial-aggregate shuffle as a carried constant-per-doc column
-    # instead of shuffling its own (doc_id, lang_pred) frame into a
-    # sort-merge join — one exchange, one sort pair and one join fewer
-    # at any corpus size; explode_outer keeps token-less docs (xent
-    # NULL), so coverage is identical to the old row-local lang frame
-    # (equivalence pinned by test_unigram_carry_fusion and the oracle).
+    # test_unigram_lm_scores instead).  BOTH LM scores and the lang
+    # spine are FUSED into one scoring aggregate (r17, guide §2.2):
+    # ppx.fused_lm_scores explodes the per-doc concat(tokens, pairs)
+    # stream once, attaches the bounded LM frames by broadcast, and one
+    # groupBy(doc_id) computes xent AND big_xent as conditional
+    # averages, with lang_id riding the same shuffle as a carried
+    # constant-per-doc column — one corpus scan/tokenize instead of
+    # two, one exchange instead of two, and no doc_id score join, at
+    # any corpus size (above the LM volume gate it falls back to the
+    # audited separate-frame shape; equivalence pinned by
+    # test_fused_lm_scores and the oracle).  CCNet provenance of the
+    # bigram side unchanged (r7 stretch ask #9 / r9 #8): interpolated
+    # bigram LM fit ONCE on the src0 "clean reference" slice, lam/alpha
+    # binary-exact literals, docs with < 2 words stay NULL.
     # The prediction rides as its LANG_ID_DOMAIN index, not the string:
     # a string carry's first() buffer demotes the scoring aggregate to
-    # SortAggregate — sorting the whole exploded token stream — while
-    # the long-buffer form keeps HashAggregate (carry caveat in
-    # unigram_lm_scores); decoded right after the aggregate, before the
-    # spine joins, via element_at over the same duplicate-free domain
-    # literal (round-trip identity, values byte-identical).
+    # SortAggregate — sorting the whole exploded stream — while the
+    # long-buffer form keeps HashAggregate (carry caveat in
+    # unigram_lm_scores); decoded right after the aggregate via
+    # element_at over the same duplicate-free domain literal
+    # (round-trip identity, values byte-identical).
+    from yupana_spark.datapipe.ppx import bigram_lm_fit, fused_lm_scores
     from yupana_spark.datapipe.text import LANG_ID_DOMAIN
     _dom = F.array(*[F.lit(c) for c in LANG_ID_DOMAIN])
     st, tok = _artifacts(), _fx_token(sf_dir, "documents")
-    fused = unigram_lm_scores(
-        docs, vocab_cap=1 << 20, cache_key=sf_dir, store=st,
+    ppx_art = bigram_lm_fit(docs.filter(F.col("source") == "src0"),
+                            cache_key=f"{sf_dir}:src0", store=st,
+                            store_token=tok)
+    fused = fused_lm_scores(
+        docs, ppx_art, vocab_cap=1 << 20, cache_key=sf_dir, store=st,
         store_token=tok,
         carry={"lang_code": F.array_position(_dom, lang_id(F.col("text")))}) \
         .withColumnRenamed("id", "doc_id") \
         .select("doc_id",
                 F.element_at(_dom, F.col("lang_code").cast("int"))
                 .alias("lang_pred"),
-                "xent")
+                "xent", "big_xent")
     toked = _bpe_toked(spark, sf_dir)
     bpe = toked.select(
         "doc_id",
         bpe_roundtrip_ok(F.col("__w"), F.col("__t")).alias("bpe_roundtrip"))
-    # CCNet perplexity (r7 stretch ask #9 / r9 #8): interpolated bigram
-    # LM fit ONCE on the src0 "clean reference" slice (train-once
-    # artifact like every fit), every doc scored — big_xent is a VALUE
-    # column the oracle recomputes from the same formula (binary-exact
-    # lam=0.75/alpha=0.5 literals, identical expression shape).  Docs
-    # with < 2 words stay NULL (no bigram evidence), full coverage via
-    # the left join like xent.
-    from yupana_spark.datapipe.ppx import bigram_lm_fit, bigram_xent_scores
-
-    ppx_art = bigram_lm_fit(docs.filter(F.col("source") == "src0"),
-                            cache_key=f"{sf_dir}:src0", store=st,
-                            store_token=tok)
-    bx = bigram_xent_scores(docs, ppx_art) \
-        .withColumnRenamed("id", "doc_id")
+    # explicit column order: the driver hash is schema-order-strict and
+    # big_xent historically sits AFTER bpe_roundtrip
     out = (fused.join(bpe, "doc_id", "left")
-           .join(bx, "doc_id", "left"))
+           .select("doc_id", "lang_pred", "xent", "bpe_roundtrip",
+                   "big_xent"))
     # CCNet head/middle/tail bucketing (Wenzek et al. 2020 §3.3) over
     # the PREDICTED language — per-lang tercile cutoffs of big_xent,
     # every cutoff and label recomputed by the oracle (quantile_cont on
@@ -1957,12 +1956,14 @@ def dp_lang_id(spark, sf_dir):
     ckey = (spark.sparkContext.applicationId, sf_dir)
     cuts = _PPX_CUTS.get(ckey)
     if cuts is None:
-        # one-time fit lineage: the cheap row-local lang frame, NOT the
-        # fused spine — deriving cutoffs through the unigram explode
-        # would re-score the corpus just to group big_xent by language
-        lang = docs.select("doc_id",
-                           lang_id(F.col("text")).alias("lang_pred"))
-        cuts = (ppx_cutoffs(lang.join(bx, "doc_id", "left"),
+        # one-time fit lineage: the fused frame already carries
+        # (lang_pred, big_xent) from its single corpus scan, so the fit
+        # executes ONE scan where the pre-r17 lang ⋈ bx form took two;
+        # lang_pred is the decoded carry (round-trip identity with the
+        # raw lang_id string — pinned), big_xent bit-identical (fused
+        # scorer equivalence), so the percentile inputs — and therefore
+        # the rounded cutoffs — are exactly the old ones
+        cuts = (ppx_cutoffs(fused.select("lang_pred", "big_xent"),
                             "big_xent", ("lang_pred",))
                 .localCheckpoint(eager=True))
         _PPX_CUTS[ckey] = cuts

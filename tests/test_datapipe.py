@@ -1615,6 +1615,99 @@ def test_lang_id_domain_carry_roundtrip(spark):
     assert "SortAggregate" not in plan
 
 
+def test_fused_lm_scores(spark):
+    """ppx.fused_lm_scores (r17) must reproduce EXACTLY the separate
+    composition it replaces — unigram_lm_scores(carry=...) left-joined
+    with bigram_xent_scores — on every edge row: token-less docs (empty /
+    whitespace / NULL text → both scores NULL), 1-token docs (xent only),
+    exactly-2-token docs, OOV-heavy docs.  Both gate paths (fused and
+    forced fallback) must agree, the no-carry column set must be
+    (id, xent, big_xent), internal-name collisions must be refused, and
+    the long-carry physical plan must stay on HashAggregate with no
+    SortMergeJoin (the whole point of the fusion)."""
+    from pyspark.sql import functions as F
+
+    from yupana_spark.datapipe.ppx import (bigram_lm_fit,
+                                           bigram_xent_scores,
+                                           fused_lm_scores)
+    from yupana_spark.datapipe.text import (LANG_ID_DOMAIN, lang_id,
+                                            unigram_lm_scores)
+
+    rows = [(1, "the cat sat on the mat", "src0"),
+            (2, "le chat est la", "src0"),
+            (3, "", "src1"), (4, "   \t  ", "src1"), (5, None, "src1"),
+            (6, "zyx", "src1"),                      # 1 token: xent only
+            (7, "the cat", "src0"),                  # exactly 2 tokens
+            (8, "the the the unknown zz yy", "src1")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    art = bigram_lm_fit(df.filter(F.col("source") == "src0"))
+
+    # the separate composition (the pre-fusion dp_lang_id shape)
+    sep = (unigram_lm_scores(df, carry={"lang_pred": lang_id(F.col("text"))})
+           .join(bigram_xent_scores(df, art), "id", "left"))
+    sep_rows = {r["id"]: (r["lang_pred"], r["xent"], r["big_xent"])
+                for r in sep.collect()}
+    assert set(sep_rows) == {1, 2, 3, 4, 5, 6, 7, 8}
+    assert sep_rows[3][1:] == (None, None) and sep_rows[5][1:] == (None, None)
+    assert sep_rows[6][1] is not None and sep_rows[6][2] is None
+
+    fus = fused_lm_scores(df, art,
+                          carry={"lang_pred": lang_id(F.col("text"))})
+    assert fus.columns == ["id", "lang_pred", "xent", "big_xent"]
+    fus_rows = {r["id"]: (r["lang_pred"], r["xent"], r["big_xent"])
+                for r in fus.collect()}
+    assert fus_rows == sep_rows
+
+    # forced fallback (gate 0) is the separate composition: same values,
+    # same columns
+    fb = fused_lm_scores(df, art, vocab_gate=0,
+                         carry={"lang_pred": lang_id(F.col("text"))})
+    assert fb.columns == ["id", "lang_pred", "xent", "big_xent"]
+    assert {r["id"]: (r["lang_pred"], r["xent"], r["big_xent"])
+            for r in fb.collect()} == sep_rows
+
+    # no-carry form
+    nc = fused_lm_scores(df, art)
+    assert nc.columns == ["id", "xent", "big_xent"]
+    for r in nc.collect():
+        assert (r["xent"], r["big_xent"]) == sep_rows[r["id"]][1:]
+
+    # BINDING vocab cap on the inline-fit path: the fused stream's pair
+    # and NULL rows must not leak into the capped vocabulary or corpus
+    # total, so capped xents equal the separate scorer's exactly on
+    # every doc it scores (fused additionally keeps token-less docs
+    # with xent NULL — the carry-composition coverage, pinned above)
+    capped_sep = {r["id"]: r["xent"]
+                  for r in unigram_lm_scores(df, vocab_cap=2).collect()}
+    capped_fus = {r["id"]: r["xent"]
+                  for r in fused_lm_scores(df, art, vocab_cap=2).collect()}
+    assert {i: x for i, x in capped_fus.items()
+            if i in capped_sep} == capped_sep
+    assert {i for i, x in capped_fus.items()
+            if i not in capped_sep} == {3, 4, 5}
+    assert all(capped_fus[i] is None for i in (3, 4, 5))
+
+    # collision with the fused internals is refused, not shadowed
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        fused_lm_scores(df, art, carry={"hb": F.lit(1)})
+
+    # the dp_lang_id long-domain carry: values round-trip AND the plan
+    # keeps HashAggregate (no string-buffer SortAggregate demotion), no
+    # doc_id SortMergeJoin, LM frames attached by broadcast
+    dom = F.array(*[F.lit(c) for c in LANG_ID_DOMAIN])
+    fus_l = fused_lm_scores(
+        df, art,
+        carry={"lang_code": F.array_position(dom, lang_id(F.col("text")))})
+    got_l = {r["id"]: (LANG_ID_DOMAIN[int(r["lang_code"]) - 1],
+                       r["xent"], r["big_xent"]) for r in fus_l.collect()}
+    assert got_l == sep_rows
+    plan = fus_l._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_avi_frame_features_end_to_end(spark):
     """AVI/Motion-JPEG frame sampling through the real Spark mapInPandas
     path: per-frame rows whose pixel sums the local demux+decode reproduces

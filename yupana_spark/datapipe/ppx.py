@@ -183,6 +183,129 @@ def bigram_xent_scores(df: DataFrame, art, text_col: str = "text",
             .agg(F.round(F.avg(-F.log(p)), scale).alias("big_xent")))
 
 
+def fused_lm_scores(df: DataFrame, art, text_col: str = "text",
+                    id_col: str = "doc_id", vocab_cap: int = 1 << 16,
+                    oov_count: float = 0.5, lam: float = 0.75,
+                    alpha: float = 0.5, scale: int = 4,
+                    cache_key: Optional[str] = None, store=None,
+                    store_token: Optional[str] = None,
+                    carry: Optional[dict] = None,
+                    vocab_gate: Optional[int] = VOCAB_GATE) -> DataFrame:
+    """(id, *carry, xent, big_xent) — the unigram cross-entropy
+    (``text.unigram_lm_scores``) and the bigram cross-entropy
+    (:func:`bigram_xent_scores`) of every document from ONE corpus scan
+    and ONE aggregate (r17, guide §2.2 — shuffle fewer frames).
+
+    Separately, the two scorers each lower+split+explode the full text
+    (tokens vs adjacent pairs) and meet in a doc_id sort-merge join of
+    two aggregate outputs.  Fused, one Generate explodes the per-doc
+    ``concat(tokens, pairs)`` stream (each element a struct tagged by
+    which key is non-NULL: ``w`` for a token, ``hb``/``h`` for a pair),
+    the bounded LM frames — the capped unigram vocab, the capped bigram
+    LM — attach via broadcast hash joins on that one stream, and a
+    single groupBy(id) computes both averages as conditional aggregates
+    (``avg`` ignores the other kind's NULLs).  Net: one corpus
+    scan/tokenize instead of two, one exchange instead of two, and no
+    doc_id join — at any corpus size.
+
+    VALUE EQUIVALENCE (oracle-critical): each doc is one input row, so
+    its exploded rows stay in one task, in array order — tokens first,
+    then pairs, each sub-sequence in exactly the order the separate
+    scorers accumulate; the conditional ``when`` guards reproduce each
+    scorer's row set precisely (token-less docs keep xent NULL via the
+    ``explode_outer`` NULL row; <2-word docs keep big_xent NULL as an
+    empty avg — the old left-join misses).  The nll/p expressions are
+    the scorers' own shapes, so every double is bit-identical before
+    the shared ``round(·, scale)``.
+
+    SCALE GATE: the fusion holds only while the LM frames broadcast
+    (the bounded-artifact posture — caps are fit-time constants, so
+    this is corpus-size independent).  Above ``vocab_gate`` the bigram
+    joins must shuffle by gram hash, where token rows (hb NULL) would
+    skew into one partition — so the call falls back to EXACTLY the
+    separate-frame composition (``unigram_lm_scores(carry=...)``
+    left-joined with :func:`bigram_xent_scores`), the already-audited
+    above-gate shape.  Same columns, same values, either path.
+    """
+    from .text import unigram_lm_fit, unigram_lm_scores, words
+
+    uni, big, n_total, v_total = art[:4]
+    n_uni, n_big = (art[4], art[5]) if len(art) >= 6 else (None, None)
+    small = False
+    if vocab_gate is not None:
+        if n_uni is not None and n_big is not None:
+            small = n_uni <= vocab_gate and n_big <= vocab_gate
+        else:
+            small = (uni.limit(vocab_gate + 1).count() <= vocab_gate
+                     and big.limit(vocab_gate + 1).count() <= vocab_gate)
+    if not small:
+        u = unigram_lm_scores(df, text_col, id_col, vocab_cap, oov_count,
+                              scale, cache_key, store, store_token, carry)
+        b = bigram_xent_scores(df, art, text_col, id_col, lam, alpha,
+                               scale, vocab_gate)
+        return u.join(b, "id", "left")
+
+    names = list(carry or ())
+    bad = set(names) & {"id", "w", "hb", "h", "xent", "big_xent",
+                        "__c", "__t", "__ws", "m", "c_u"}
+    if bad:
+        raise ValueError(f"carry names collide with internals: {bad}")
+    # own Project under the Generate: carry expressions and the token
+    # array evaluate once per input row (ExtractGenerator alias caveat —
+    # see unigram_lm_scores)
+    pre = df.select(F.col(id_col).alias("id"),
+                    *[c.alias(n) for n, c in (carry or {}).items()],
+                    words(F.lower(F.col(text_col))).alias("__ws"))
+    ws = F.col("__ws")
+    tok_s = F.transform(ws, lambda w: F.struct(
+        w.alias("w"),
+        F.lit(None).cast("bigint").alias("hb"),
+        F.lit(None).cast("bigint").alias("h")))
+    pair_s = F.transform(_pairs(ws), lambda p: F.struct(
+        F.lit(None).cast("string").alias("w"),
+        F.xxhash64(p["w1"], p["w2"]).alias("hb"),
+        F.xxhash64(p["w2"]).alias("h")))
+    # NULL text: words() is NULL, so concat propagates NULL and
+    # explode_outer emits the same single NULL row a NULL token array
+    # produces — xent and big_xent both stay NULL, like the old forms
+    rows = (pre.select("id", *names,
+                       F.explode_outer(F.concat(tok_s, pair_s)).alias("g"))
+            .select("id", *names, "g.w", "g.hb", "g.h"))
+    if cache_key is not None:
+        vocab, total_v = unigram_lm_fit(df, text_col, vocab_cap, cache_key,
+                                        store=store,
+                                        store_token=store_token)
+        scored = (rows.join(F.broadcast(vocab), "w", "left")
+                  .withColumn("__t", F.lit(total_v)))
+    else:
+        # inline fit over a clean token lineage (no pair/NULL rows, like
+        # the no-carry unigram path); the broadcast subplan reuses the
+        # scan, the total rides the single-row crossJoin
+        toks = df.select(F.explode(words(F.lower(F.col(text_col))))
+                         .alias("w"))
+        counts = toks.groupBy("w").agg(F.count("*").alias("__c"))
+        vocab = (counts.orderBy(F.col("__c").desc(), F.col("w").asc())
+                 .limit(vocab_cap))
+        total = counts.agg(F.sum("__c").cast("double").alias("__t"))
+        scored = (rows.join(F.broadcast(vocab), "w", "left")
+                  .crossJoin(total))
+    scored = (scored.join(F.broadcast(big), "hb", "left")
+              .join(F.broadcast(uni), "h", "left"))
+    nll_u = -F.log(F.coalesce(F.col("__c").cast("double"),
+                              F.lit(float(oov_count))) / F.col("__t"))
+    denom = F.lit(n_total + alpha * (v_total + 1.0))
+    p = (F.lit(float(lam)) * F.coalesce(F.col("m"), F.lit(0.0))
+         + F.lit(1.0 - float(lam))
+         * ((F.coalesce(F.col("c_u").cast("double"), F.lit(0.0))
+             + F.lit(float(alpha))) / denom))
+    aggs = [F.first(n).alias(n) for n in names]
+    aggs.append(F.round(F.avg(F.when(F.col("w").isNotNull(), nll_u)),
+                        scale).alias("xent"))
+    aggs.append(F.round(F.avg(F.when(F.col("hb").isNotNull(), -F.log(p))),
+                        scale).alias("big_xent"))
+    return scored.groupBy("id").agg(*aggs)
+
+
 def ppx_cutoffs(scores: DataFrame, value_col: str = "big_xent",
                 group_cols=("lang",), n_buckets: int = 3,
                 approx_accuracy: Optional[int] = None,
