@@ -267,6 +267,15 @@ def corpus_preprocess(df: DataFrame, text_col: str = "text",
     typed placeholders, ``text.scrub_pii``) to the raw text before any
     other stage — see the inline comment for why entry-side is the only
     placement that can work against the normalized output text.
+    Known limitation (ADVICE r16): the scrub applies to the CORPUS text
+    only, not to ``eval_docs`` — a decontamination n-gram fingerprint
+    that spans an email/IP in a benchmark doc no longer matches the
+    anonymized corpus text, so a contaminated span overlapping scrubbed
+    PII can survive the cut.  Callers who need the symmetric behavior
+    should pre-scrub the benchmark frame themselves
+    (``eval_docs.withColumn(text_col, scrub_pii(...))``) — the recipe
+    does not do it implicitly because eval sets are reference data that
+    other tooling matches byte-for-byte against published benchmarks.
 
     Near-dup clusters are resolved over the docs whose ``corpus_keep``
     reasons are empty — the FineWeb/RefinedWeb order (dedup among
