@@ -129,6 +129,69 @@ def profile_langid(spark):
                                                             "ppx_bucket"))
 
 
+def profile_textstats(spark):
+    """Arm-level decomposition of dp_text_stats: the relational arms
+    (fused es/dc starts, corpus line dedup, fp dup frame) timed against
+    the row-local base-scan families and the FULL entry.  The base-scan
+    probe re-stages the entry's expensive row-local columns through the
+    same library calls — an approximation for attribution, not the
+    entry's exact select list (which also carries c4/line-shape/bm25 and
+    the keep signals)."""
+    import __spark_entry__ as ent
+    from pyspark.sql import functions as F
+    from yupana_spark.datapipe.dedup import (cut_starts_fused,
+                                             duplicated_line_stats)
+    from yupana_spark.datapipe.retrieval import _words_safe
+    from yupana_spark.datapipe.text import (ngram_char_frac_cols,
+                                            quality_metrics,
+                                            repetition_stats, scrub_pii)
+    from yupana_spark.datapipe.text import words as _words
+
+    print("== dp_text_stats arms ==")
+    # populate the es-index/bm25/fp memos exactly as the bench does
+    _noop(ent.queries()["dp_text_stats"](spark, SF_DIR))
+    docs = ent._docs(spark, SF_DIR, fan_out=True)
+    did = F.col("doc_id")
+    staged = docs.withColumn("__bw", _words_safe(F.col("text")))
+    esk = (spark.sparkContext.applicationId, SF_DIR)
+    esi = ent._ES_INDEX[esk]
+    ess = lambda: cut_starts_fused(staged, staged.filter(did % 97 == 0),
+                                   n=8, dup_index=esi, words_col="__bw")
+    lined = docs.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), " spark ", "\n").alias("text"))
+    lstats = lambda: duplicated_line_stats(lined, rebuild=False)
+
+    def dupf():
+        fpd = ent._fp_index(spark, SF_DIR)[0]
+        return (fpd.join(fpd.groupBy("fp").agg(F.min("doc_id")
+                                               .alias("__k")), "fp")
+                .select("doc_id",
+                        (F.col("doc_id") != F.col("__k"))
+                        .alias("is_duplicate")))
+
+    def baseish():
+        m = quality_metrics(F.col("text"))
+        st = (docs.withColumn("__lw", _words(F.lower(F.col("text"))))
+              .withColumn("__bw", _words_safe(F.col("text")))
+              .withColumn("__scrubv", scrub_pii(F.col("text"))))
+        rep = repetition_stats(F.col("__lw"), as_words=True)
+        return st.select(
+            "doc_id", m["n_words"], m["alpha_ratio"], m["stopword_ratio"],
+            rep["dup_word_ratio"], rep["dup_trigram_ratio"],
+            F.md5("__scrubv"),
+            *ngram_char_frac_cols(F.col("__lw"), F.length(F.col("text")),
+                                  [(2, "top", "top2_char_frac"),
+                                   (5, "dup", "dup5_char_frac")]))
+
+    timeit("starts fused (es+dc)", ess)
+    timeit("line dedup (lstats)", lstats)
+    timeit("fp dup frame", dupf)
+    timeit("base-scan families (approx)", baseish)
+    timeit("FULL bundle",
+           lambda: ent.queries()["dp_text_stats"](spark, SF_DIR))
+
+
 def profile_headline(spark):
     import __spark_entry__ as ent
 
@@ -142,13 +205,16 @@ def profile_headline(spark):
 def main():
     from yupana_spark.session import get_spark
 
-    which = set(sys.argv[1:]) or {"neardup", "langid", "headline"}
+    which = set(sys.argv[1:]) or {"neardup", "langid", "textstats",
+                                  "headline"}
     spark = get_spark("arm-profile")
     spark.sparkContext.setLogLevel("ERROR")
     if "neardup" in which:
         profile_neardup(spark)
     if "langid" in which:
         profile_langid(spark)
+    if "textstats" in which:
+        profile_textstats(spark)
     if "headline" in which:
         profile_headline(spark)
 
