@@ -9,7 +9,9 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tools"))
 
-from bench_baseline import BANDS_FILE, check_bands  # noqa: E402
+from bench_baseline import (BANDS_FILE, SWING_MIN_S,  # noqa: E402
+                            UNSTABLE_MIN_QUERIES, check_bands,
+                            check_instability)
 
 BANDS = {
     "tolerance": 0.4,
@@ -69,6 +71,92 @@ def test_fast_control_never_flags():
     duck = {"q_a": 0.05, "q_b": 0.3, "q_c": 1.0}
     _b, control, drift = check_bands({}, duck, BANDS)
     assert control == {} and drift is False
+
+
+def test_quiet_floor_jitter_is_not_instability():
+    """The measured quiet-run shape (r17 resumed session, load1 0.15,
+    control ON bands, round-best total): seven sub-0.4 s floor entries
+    doubled between passes — ~0.2 s absolute scheduling jitter — while
+    every real-work entry was stable.  The spread-only rule flagged this
+    run; the swing-qualified rule must not."""
+    passes = {
+        # floor entries: spread > 2x, swing ~0.15-0.25 s (pure jitter)
+        "q_day_rollup": [0.22, 0.385, 0.45],
+        "q_lag_window": [0.10, 0.149, 0.33],
+        "q_link_two_hop": [0.13, 0.20, 0.30],
+        "q_yql_text": [0.09, 0.149, 0.27],
+        "q_tpch_q1": [0.21, 0.315, 0.44],
+        "q_related_items": [0.16, 0.283, 0.42],
+        "dp_ann_bruteforce": [0.08, 0.124, 0.19],
+        # real-work entries: stable
+        "dp_text_stats": [2.32, 2.40, 2.69],
+        "dp_lang_id": [0.45, 0.525, 0.66],
+        "dp_neardup_scale": [1.60, 1.655, 1.78],
+    }
+    unstable, n, detail = check_instability(passes)
+    assert unstable is False and n == 0 and detail == {}
+
+
+def test_jvm_contention_swings_flag_instability():
+    """The contended-window shape (OPTIMIZATION_r17.md specimens):
+    queries swing multi-x by absolute seconds while the single-process
+    control sits in band — dp_embed_neardup spreads 8.5x/44x, heavy
+    entries gaining whole seconds between passes."""
+    passes = {
+        "dp_embed_neardup": [0.4, 1.7, 3.4],     # the 8.5x specimen
+        "dp_text_stats": [2.3, 4.9, 5.6],
+        "dp_neardup_scale": [1.7, 3.2, 4.4],
+        "q_agg_stats": [0.3, 0.7, 1.1],
+        "q_day_rollup": [0.25, 0.3, 0.35],       # not every query swings
+    }
+    unstable, n, detail = check_instability(passes)
+    assert unstable is True and n >= UNSTABLE_MIN_QUERIES
+    assert "dp_embed_neardup" in detail
+    assert detail["dp_embed_neardup"]["swing_s"] == 3.0
+
+
+def test_stable_regression_is_not_instability():
+    """A genuine regression is STABLY slow: big absolute times, tiny
+    spreads — never unstable (it must surface as a band breach, not be
+    excused as environment)."""
+    passes = {
+        "dp_text_stats": [4.8, 4.9, 5.0],
+        "dp_lang_id": [2.0, 2.05, 2.1],
+        "dp_neardup_scale": [3.3, 3.4, 3.5],
+    }
+    unstable, n, _d = check_instability(passes)
+    assert unstable is False and n == 0
+
+
+def test_instability_needs_both_spread_and_swing():
+    """Boundary: a big swing at low spread (3.0 -> 3.9 s) is load drift
+    inside tolerance, not contention; a big spread under the absolute
+    floor is jitter.  Only the conjunction qualifies."""
+    big_swing_low_spread = {"a": [3.0, 3.5, 3.9]}   # spread 1.3, swing 0.9
+    big_spread_low_swing = {"b": [0.05, 0.1, 0.2]}  # spread 4, swing 0.15
+    both = {"c": [0.3, 0.9, 1.2]}                   # spread 4, swing 0.9
+    assert check_instability(big_swing_low_spread)[1] == 0
+    assert check_instability(big_spread_low_swing)[1] == 0
+    assert check_instability(both)[1] == 1
+    # the qualifying swing must exceed the absolute floor strictly
+    at_floor = {"d": [0.1, 0.2, 0.1 + SWING_MIN_S]}
+    assert check_instability(at_floor)[1] == 0
+
+
+def test_single_huge_swing_flags_the_run():
+    """The measured r17 calibration specimen: a run at load1 0.13 with
+    the control in band swung dp_embed_neardup 0.4 -> 5.1 s (spread 10x,
+    swing 4.75 s) while only one other query qualified — mid-run
+    contention touching one heavy query must still flag the record."""
+    passes = {
+        "dp_embed_neardup": [0.38, 0.732, 5.13],
+        "q_related_items": [0.25, 0.366, 0.673],
+        "dp_text_stats": [3.33, 3.341, 3.35],    # stably elevated
+        "q_day_rollup": [0.65, 0.714, 0.84],
+    }
+    unstable, n, detail = check_instability(passes)
+    assert n == 2 and unstable is True
+    assert detail["dp_embed_neardup"]["swing_s"] > 4
 
 
 def test_checked_in_bands_carry_the_control():

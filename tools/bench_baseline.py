@@ -85,6 +85,77 @@ EXTRAS = ["dp_neardup_scale"]
 BANDS_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "bench_bands.json")
 
+#: Pass-spread instability rule (r17, recalibrated same round): a query is
+#: contention-suspect only when its max/min pass spread exceeds SPREAD_MIN
+#: *and* its absolute swing (max - min seconds) exceeds SWING_MIN_S.  The
+#: first r17 calibration counted spread alone (>=5 queries above 2.0x) —
+#: then two genuinely quiet runs (load1 0.15-3.7 decaying, control ON its
+#: bands, round-best totals) flagged 6-7/21 queries: every one a sub-0.4 s
+#: scheduling-floor entry whose ~0.1-0.3 s absolute jitter doubles it, and
+#: every real-work entry stable (spreads 1.0-1.5).  Floor jitter is
+#: bounded in SECONDS (the job-submission constant), while BURSTY
+#: contention moves passes by absolute seconds — so the absolute
+#: qualifier separates the regimes where the ratio alone cannot.  The
+#: count threshold drops to 3 because the qualified signal is strict:
+#: measured quiet runs score 0 qualified queries.  Calibration
+#: experiments (r17 resumed session, OPTIMIZATION_r17.md): (a) a
+#: load1-0.13 run with the control in band swung dp_embed_neardup
+#: 0.38->5.13 s — the bursty mode this rule exists for (caught via
+#: BIG_SWING_S); (b) a deliberate STEADY-contention run (24 spin
+#: processes, load1 16) measured every query uniformly ~1.5x with
+#: spreads 1.1-1.9 and 0 qualified — steady load does not swing passes,
+#: and is already labeled by the `noisy` load guard.  The detection
+#: lattice is therefore: steady external load -> `noisy`; host-wide
+#: throttling -> `control_drift`; bursty JVM-side contention -> this
+#: flag; steady JVM-only inflation under a quiet load average remains
+#: detectable only by a same-window A/B (docs/scale.md).
+SPREAD_MIN = 2.0
+SWING_MIN_S = 0.4
+UNSTABLE_MIN_QUERIES = 3
+#: A single query swinging by this many ABSOLUTE seconds (at qualifying
+#: spread) marks the run unstable by itself: warm quiet-host passes never
+#: move any entry whole seconds (measured quiet maxima: ~0.4-0.5 s swings
+#: on the 1.6-2.7 s entries at spreads < 1.5), while the calibration
+#: specimen below swung a 0.4 s query to 5.1 s (swing 4.75 s) in an
+#: otherwise-quiet-looking run (load1 0.13, control in band) — mid-run
+#: contention touching one heavy query is still contention.
+BIG_SWING_S = 2.0
+
+
+def check_instability(passes: dict) -> tuple:
+    """Label a run unstable from per-query pass lists (r17).
+
+    ``passes``: {query: [pass seconds, ...]} — every timed spark pass,
+    COMPARE and EXTRAS alike.  A genuine regression is STABLY slow; the
+    asymmetric contention episode (spark elevated while the single-process
+    DuckDB control sits in band) swings the SAME query multi-x between
+    interleaved passes by absolute seconds.  A query qualifies when
+    max/min > SPREAD_MIN *and* max-min > SWING_MIN_S (sub-floor jitter
+    doubles a 0.15 s query without meaning anything); the run is unstable
+    when >= UNSTABLE_MIN_QUERIES qualify, OR when any single query's
+    swing exceeds BIG_SWING_S — whole seconds of pass-to-pass movement on
+    one query is contention even if the window spared the others.
+    Advisory: band/breach accounting is unchanged — an unstable record
+    says "medians are upper bounds, re-run".  Returns (unstable,
+    n_qualified, detail) where detail maps each qualifying query to its
+    spread and swing.  Pure function, unit-tested in
+    tests/test_bench_bands.py with this round's measured quiet- and
+    contended-run shapes."""
+    detail = {}
+    big = False
+    for name, ss in passes.items():
+        if not ss:
+            continue
+        mx, mn = max(ss), min(ss)
+        spread = mx / max(mn, 1e-9)
+        swing = mx - mn
+        if spread > SPREAD_MIN and swing > SWING_MIN_S:
+            detail[name] = {"spread": round(spread, 2),
+                            "swing_s": round(swing, 3)}
+            big = big or swing > BIG_SWING_S
+    n = len(detail)
+    return n >= UNSTABLE_MIN_QUERIES or big, n, detail
+
 
 def check_bands(spark_medians: dict, duck_medians: dict, bands: dict):
     """Band check with a co-measured CONTROL (r17, judge r16 #1).
@@ -172,6 +243,7 @@ def main() -> None:
     from statistics import median as _median
 
     rows = []
+    all_passes = {}
     for name in COMPARE:
         if name not in oracles:
             continue
@@ -195,6 +267,7 @@ def main() -> None:
         # elevated while the single-process control sits in band) swings
         # the same query multi-x between interleaved passes.
         spread = max(ss) / max(min(ss), 1e-9)
+        all_passes[name] = list(ss)
         rows.append((name, t_spark, t_duck, ratio, spread))
         print(f"{name:24s} spark {t_spark:7.3f}s  duck {t_duck:7.3f}s  "
               f"ratio {ratio:6.2f}x  spread {spread:4.1f}x")
@@ -211,6 +284,7 @@ def main() -> None:
             _noop(qs[name](spark, SF_DIR))
             ss.append(time.time() - t0)
         t_spark = _median(ss)
+        all_passes[name] = list(ss)
         extra_rows.append((name, t_spark,
                            max(ss) / max(min(ss), 1e-9)))
         print(f"{name:24s} spark {t_spark:7.3f}s  (spark-only, "
@@ -253,20 +327,17 @@ def main() -> None:
     # spark-side instability (r17): the ASYMMETRIC episode — spark
     # elevated while the single-process DuckDB control sits in band —
     # cannot be labeled by the control, but it shows as multi-x swings
-    # of the SAME query between interleaved passes (a genuine regression
-    # is stably slow).  Advisory: breach accounting is unchanged, but an
-    # unstable run says "re-run before believing the spark medians".
-    # calibration (r17, this host): two contended runs measured 4 and 7
-    # queries above 2.0x spread with median spread ~1.7, while quiet-run
-    # passes sit near 1.0-1.3 — 5-of-20 above 2.0x separates the regimes
-    spreads = [sp for *_x, sp in rows] + [sp for _n, _s, sp in extra_rows]
-    n_unstable = sum(1 for sp in spreads if sp > 2.0)
-    unstable = n_unstable >= 5
+    # of the SAME query between interleaved passes BY ABSOLUTE SECONDS
+    # (a genuine regression is stably slow; sub-floor scheduling jitter
+    # doubles a 0.15 s query on a perfectly quiet host).  Rule and
+    # calibration: see check_instability / SWING_MIN_S above.
+    unstable, n_unstable, unstable_detail = check_instability(all_passes)
     if unstable:
-        print(f"UNSTABLE RUN: {n_unstable}/{len(spreads)} queries swung "
-              ">2x between interleaved passes while the DuckDB control "
-              "stayed put — JVM-side host contention. Medians from this "
-              "run are upper bounds; re-run before acting on breaches.")
+        print(f"UNSTABLE RUN: {n_unstable}/{len(all_passes)} queries "
+              f"swung >{SPREAD_MIN:.0f}x AND >{SWING_MIN_S}s between "
+              "interleaved passes while the DuckDB control stayed put — "
+              "JVM-side host contention. Medians from this run are upper "
+              "bounds; re-run before acting on breaches.")
     # one machine-readable record (the bench.py posture) so runs are
     # diffable across rounds without re-parsing the table
     print(json.dumps({
@@ -280,14 +351,19 @@ def main() -> None:
         "control_breaches": control,
         "unstable": unstable,
         "n_unstable_queries": n_unstable,
+        "unstable_queries": unstable_detail,
         # on drift the spark breaches are ENVIRONMENT, not regression —
         # band_breaches stays the regression-accounting field
         "band_breaches": {} if drift else breaches,
         "breaches_environment": breaches if drift else {},
         "queries": {n: {"spark_s": round(s, 3), "duck_s": round(d, 3),
-                        "ratio": round(r, 2), "spread": round(sp, 2)}
+                        "ratio": round(r, 2), "spread": round(sp, 2),
+                        "swing_s": round(max(all_passes[n])
+                                         - min(all_passes[n]), 3)}
                     for n, s, d, r, sp in rows},
-        "spark_only": {n: {"spark_s": round(s, 3), "spread": round(sp, 2)}
+        "spark_only": {n: {"spark_s": round(s, 3), "spread": round(sp, 2),
+                           "swing_s": round(max(all_passes[n])
+                                            - min(all_passes[n]), 3)}
                        for n, s, sp in extra_rows}}))
 
 
