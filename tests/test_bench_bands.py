@@ -11,7 +11,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
 
 from bench_baseline import (BANDS_FILE, SWING_MIN_S,  # noqa: E402
                             UNSTABLE_MIN_QUERIES, check_bands,
-                            check_instability)
+                            check_canary, check_instability)
 
 BANDS = {
     "tolerance": 0.4,
@@ -157,6 +157,40 @@ def test_single_huge_swing_flags_the_run():
     unstable, n, detail = check_instability(passes)
     assert n == 2 and unstable is True
     assert detail["dp_embed_neardup"]["swing_s"] > 4
+
+
+CANARY_BANDS = {"canary_s": 0.55, "canary_tolerance": 0.5}
+
+
+def test_canary_quiet_host_not_inflated():
+    """On-pin (and faster-than-pin) canaries never flag — above-only."""
+    infl, flagged = check_canary([0.52, 0.58], CANARY_BANDS)
+    assert flagged is False and infl == 1.05
+    infl, flagged = check_canary([0.3, 0.35], CANARY_BANDS)
+    assert flagged is False  # a faster host is a better host
+
+
+def test_canary_steady_jvm_inflation_flags():
+    """The steady JVM-only mode (docs/scale.md: every query uniformly
+    ~1.5-2x at load1 0.02, control in band, spreads low): the
+    repo-independent canary runs the same factor slow and labels it."""
+    infl, flagged = check_canary([0.95, 1.05], CANARY_BANDS)
+    assert flagged is True and infl == 1.91
+
+
+def test_canary_compares_the_worst_leg():
+    """The helper is list-shaped (experiments may measure several legs)
+    and compares the WORST one.  The shipped protocol measures a single
+    START leg — an end-of-run leg was built and REJECTED on measurement:
+    it tracked the run's own JVM heap shrink/re-expand churn (end passes
+    0.8-6.6 s vs fresh 0.73-0.78 s), not the host."""
+    infl, flagged = check_canary([0.54, 1.1], CANARY_BANDS)
+    assert flagged is True and infl == 2.0
+
+
+def test_canary_without_pin_is_silent():
+    assert check_canary([0.9, 1.0], {}) == (None, False)
+    assert check_canary([], CANARY_BANDS) == (None, False)
 
 
 def test_checked_in_bands_carry_the_control():
