@@ -368,13 +368,18 @@ def main() -> None:
           f"(median-of-{PASSES}, load {load1:.1f})")
     import json
 
+    # load the pinned bands ONCE for both the band check and the canary
+    # check (ADVICE r17: check_canary used to re-open BANDS_FILE without
+    # closing the handle)
+    bands = {}
+    if os.path.exists(BANDS_FILE):
+        with open(BANDS_FILE) as f:
+            bands = json.load(f)
     # band check with the co-measured DuckDB control (r17, judge r16 #1):
     # spark breaches surface regressions; a breaching CONTROL surfaces a
     # host throttling episode and reclassifies the run as environment
     breaches, control, drift = {}, {}, False
-    if os.path.exists(BANDS_FILE):
-        with open(BANDS_FILE) as f:
-            bands = json.load(f)
+    if bands:
         medians = {n: s for n, s, _d, _r, _sp in rows}
         medians.update({n: s for n, s, _sp in extra_rows})
         duck_medians = {n: d for n, _s, d, _r, _sp in rows}
@@ -403,9 +408,7 @@ def main() -> None:
     # doubles a 0.15 s query on a perfectly quiet host).  Rule and
     # calibration: see check_instability / SWING_MIN_S above.
     unstable, n_unstable, unstable_detail = check_instability(all_passes)
-    jvm_inflation, jvm_inflated = check_canary(
-        [canary_start],
-        json.load(open(BANDS_FILE)) if os.path.exists(BANDS_FILE) else {})
+    jvm_inflation, jvm_inflated = check_canary([canary_start], bands)
     if jvm_inflated:
         print(f"JVM INFLATED: the repo-independent canary ran "
               f"{jvm_inflation}x its pinned quiet-host median "
@@ -414,11 +417,25 @@ def main() -> None:
               "code. Adjudicate spark breaches against it before calling "
               "them regressions.")
     if unstable:
-        print(f"UNSTABLE RUN: {n_unstable}/{len(all_passes)} queries "
-              f"swung >{SPREAD_MIN:.0f}x AND >{SWING_MIN_S}s between "
-              "interleaved passes while the DuckDB control stayed put — "
-              "JVM-side host contention. Medians from this run are upper "
-              "bounds; re-run before acting on breaches.")
+        big_hits = {n: d for n, d in unstable_detail.items()
+                    if d["swing_s"] > BIG_SWING_S}
+        if n_unstable < UNSTABLE_MIN_QUERIES and big_hits:
+            # the BIG_SWING_S single-query path set the flag (ADVICE r17:
+            # the count-rule message misread as "N queries" with N as low
+            # as 1) — name the query and its swing instead
+            culprit = max(big_hits, key=lambda n: big_hits[n]["swing_s"])
+            print(f"UNSTABLE RUN: {culprit} swung "
+                  f"{big_hits[culprit]['swing_s']}s "
+                  f"(>{BIG_SWING_S}s) between interleaved passes while "
+                  "the DuckDB control stayed put — JVM-side host "
+                  "contention touched it mid-run. Medians from this run "
+                  "are upper bounds; re-run before acting on breaches.")
+        else:
+            print(f"UNSTABLE RUN: {n_unstable}/{len(all_passes)} queries "
+                  f"swung >{SPREAD_MIN:.0f}x AND >{SWING_MIN_S}s between "
+                  "interleaved passes while the DuckDB control stayed put "
+                  "— JVM-side host contention. Medians from this run are "
+                  "upper bounds; re-run before acting on breaches.")
     # one machine-readable record (the bench.py posture) so runs are
     # diffable across rounds without re-parsing the table
     print(json.dumps({
@@ -433,7 +450,9 @@ def main() -> None:
         "unstable": unstable,
         "n_unstable_queries": n_unstable,
         "unstable_queries": unstable_detail,
-        "canary_s": round(canary_start, 3),
+        # named canary_start_s, NOT canary_s (ADVICE r17): canary_s is the
+        # bench_bands.json PIN's key; the record field is the measurement
+        "canary_start_s": round(canary_start, 3),
         "jvm_inflation": jvm_inflation,
         "jvm_inflated": jvm_inflated,
         # on drift the spark breaches are ENVIRONMENT, not regression —
