@@ -461,6 +461,67 @@ def test_minhash_rung3_gate_large_path(docs_with_dups):
         arts.unpersist()
 
 
+def test_minhash_gate_small_precomputed(docs_with_dups):
+    """r18: a precomputed ``gate_small`` decision replaces the per-call
+    rung-3 volume probe with identical answers on BOTH strategy paths.
+
+    Pins (a) ``minhash_gate_small`` prices this small corpus as
+    broadcast-shaped (True), (b) ``gate_small=True`` yields the same
+    pairs as the probe path while CONSTRUCTION registers no cache entry
+    and runs no job (the probe path persists + counts the screened set
+    at construction time), and (c) ``gate_small=False`` flips the
+    verify joins to the merge shape with unchanged pairs — the decision
+    changes the physical strategy, never the answer."""
+    import contextlib
+    import io
+    import re as _re
+
+    from yupana_spark.datapipe.dedup import (band_explode,
+                                             minhash_artifacts,
+                                             minhash_dedup_pairs,
+                                             minhash_gate_small)
+
+    arts = minhash_artifacts(docs_with_dups).persist()
+    try:
+        banded = band_explode(arts, 32, 8, "sig")
+        assert minhash_gate_small(arts, banded, threshold=0.7) is True
+        as_set = lambda df: {(r["id_a"], r["id_b"], r["jaccard"])
+                             for r in df.collect()}
+        probe = as_set(minhash_dedup_pairs(docs_with_dups, threshold=0.7,
+                                           artifacts=arts, banded=banded))
+        sc = docs_with_dups.sparkSession.sparkContext
+        jsc = sc._jsc.sc()
+        n_rdds = jsc.getPersistentRDDs().size()
+        n_jobs = sc.statusTracker().getJobIdsForGroup(None)
+        small = minhash_dedup_pairs(docs_with_dups, threshold=0.7,
+                                    artifacts=arts, banded=banded,
+                                    gate_small=True)
+        # construction was pure plan-building: no probe persist, no
+        # driver-blocking count/avg job ahead of the caller's action
+        assert jsc.getPersistentRDDs().size() == n_rdds
+        assert len(sc.statusTracker().getJobIdsForGroup(None)) \
+            == len(n_jobs)
+        large = minhash_dedup_pairs(docs_with_dups, threshold=0.7,
+                                    artifacts=arts, banded=banded,
+                                    gate_small=False)
+        assert as_set(small) == probe
+        assert as_set(large) == probe
+        assert (0, 10001, 1.0) in probe
+
+        def plan_of(df):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            return buf.getvalue()
+
+        p_small = plan_of(small)
+        assert "BroadcastHashJoin" in p_small
+        assert not _re.search("SortMergeJoin|ShuffledHashJoin", p_small)
+        assert _re.search("SortMergeJoin|ShuffledHashJoin", plan_of(large))
+    finally:
+        arts.unpersist()
+
+
 def test_minhash_cross_pairs_gate_large_path(spark):
     """Same gate contract for the cross-corpus ladder: pair_gate=0 forces
     the shuffle-hash shape with unchanged pairs."""

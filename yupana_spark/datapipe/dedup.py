@@ -968,9 +968,92 @@ PAIR_GATE = 100_000
 HALF_BROADCAST_RAW_BYTES = 32 << 20
 
 
+def _band_screen_pairs(banded_a: DataFrame, banded_b: DataFrame,
+                       num_hashes: int, bands: int, threshold: float,
+                       est_margin: float, self_join: bool) -> DataFrame:
+    """Rung 1+2 FUSED: the band-collision equi-join with the debiased
+    signature-estimate screen evaluated on the collision rows themselves
+    (see ``minhash_dedup_pairs`` for the estimator's derivation).  The
+    one shared construction behind the self ladder, the cross ladder and
+    the one-time volume-gate probe (:func:`minhash_gate_small`) — the
+    three must screen identically or the gate decision would be priced
+    on a different pair set than the ladder verifies."""
+    r = num_hashes // bands
+    bl, br = banded_a.alias("bl"), banded_b.alias("br")
+    agree = F.size(F.filter(
+        F.zip_with(F.col("bl.sig"), F.col("br.sig"),
+                   lambda x, y: x == y), lambda v: v))
+    est = (agree - F.lit(r)) / F.lit(float(num_hashes - r))
+    cond = ((F.col("bl.band") == F.col("br.band"))
+            & (F.col("bl.bhash") == F.col("br.bhash")))
+    if self_join:
+        cond = cond & (F.col("bl.id") < F.col("br.id"))
+    return (bl.join(br, cond)
+            .filter(est >= threshold - est_margin)
+            .select(F.col("bl.id").alias("id_a"),
+                    F.col("br.id").alias("id_b")))
+
+
+def _gate_probe(sighs_a: DataFrame, screened: DataFrame,
+                pair_gate: int) -> tuple:
+    """The bounded rung-3 volume probe: (small, screened_persisted).
+
+    ``screened`` comes back PERSISTED (recomputable MEMORY_AND_DISK —
+    see the lineage note in ``_rung3_exact``): the bounded count
+    materializes the partitions it scans, so a caller that goes on to
+    verify the same pair set does not re-execute the band join."""
+    from pyspark import StorageLevel
+
+    screened = screened.persist(StorageLevel.MEMORY_AND_DISK)
+    n = screened.limit(pair_gate + 1).count()
+    small = n <= pair_gate
+    if small and n > 0:
+        # bytes-aware HALF bound (r15): the broadcast collect's real
+        # cost is pairs x |hs| array bytes, not the pair count — a
+        # count-only gate let a ~160 MB raw / ~1 GB serialized half
+        # frame through.  One BOUNDED avg (first 4096 artifact rows)
+        # prices the row — a sampled estimate is plenty for a
+        # strategy gate and never full-scans the artifact frame.
+        avg_hs = sighs_a.select("hs").limit(4096).select(
+            F.avg(F.size("hs"))).first()[0] or 0.0
+        small = n * (avg_hs * 8 + 64) <= HALF_BROADCAST_RAW_BYTES
+    return small, screened
+
+
+def minhash_gate_small(sighs: DataFrame, banded: DataFrame,
+                       threshold: float = 0.7, num_hashes: int = 32,
+                       bands: int = 8, est_margin: float = 0.15,
+                       pair_gate: int = PAIR_GATE,
+                       dedupe: bool = True) -> bool:
+    """ONE-TIME rung-3 join-strategy decision for
+    ``minhash_dedup_pairs(gate_small=...)`` over a materialized band
+    index: True when the screened pair set fits the broadcast shape
+    (count and half-frame bytes both under the r15 bounds).
+
+    The decision is a pure function of the immutable corpus + band
+    layout + threshold — the same class of fact as the signature index
+    itself — so production computes it ONCE at ingest (with the index
+    artifacts) instead of re-running the bounded probe's count job and
+    the per-row bytes estimate on every query: the per-call probe in
+    ``_rung3_exact`` costs two driver-blocking actions (a full
+    band-join execution behind a ``limit().count()`` plus the sampled
+    ``avg(size(hs))``) on the query's critical path.  Runs the probe
+    over the SAME screened construction the ladder uses
+    (``_band_screen_pairs`` + the ladder's pair-distinct) and releases
+    the probe's cache entry before returning."""
+    screened = _band_screen_pairs(banded, banded, num_hashes, bands,
+                                  threshold, est_margin, self_join=True)
+    if dedupe:
+        screened = screened.distinct()
+    small, screened = _gate_probe(sighs, screened, pair_gate)
+    screened.unpersist()
+    return small
+
+
 def _rung3_exact(sighs_a: DataFrame, sighs_b: DataFrame,
                  screened: DataFrame, threshold: float,
-                 pair_gate: Optional[int]) -> DataFrame:
+                 pair_gate: Optional[int],
+                 gate_small: Optional[bool] = None) -> DataFrame:
     """Rung 3 of the near-dup ladder: exact Jaccard over the hashed
     shingle arrays, restricted to the screened candidate pairs.
 
@@ -1000,9 +1083,17 @@ def _rung3_exact(sighs_a: DataFrame, sighs_b: DataFrame,
     shape (for callers that independently bound the pair set).  The gate
     count itself is bounded (``limit(gate+1).count()``) and runs over a
     checkpointed pair set so the band join is never re-executed for it.
+    ``gate_small`` (r18) takes a PRECOMPUTED decision
+    (:func:`minhash_gate_small` — computed once at ingest with the band
+    index): the probe's two driver-blocking actions leave the per-query
+    critical path, the pair set stays un-persisted (it is referenced
+    exactly once below), and the band join executes inside the caller's
+    one action where it overlaps the sibling pipelines.
     """
     small = True
-    if pair_gate is not None:
+    if gate_small is not None:
+        small = gate_small
+    elif pair_gate is not None:
         # persist (recomputable lineage), NOT localCheckpoint: a pair set
         # above the gate is potentially huge, and pinning it with
         # non-recomputable lineage would fail the whole job on a single
@@ -1010,21 +1101,7 @@ def _rung3_exact(sighs_a: DataFrame, sighs_b: DataFrame,
         # bounded count materializes the partitions it scans, so the band
         # join is not re-executed for the gate probe, and any partition
         # the probe skipped is cached on first touch by the verify join.
-        from pyspark import StorageLevel
-
-        screened = screened.persist(StorageLevel.MEMORY_AND_DISK)
-        n = screened.limit(pair_gate + 1).count()
-        small = n <= pair_gate
-        if small and n > 0:
-            # bytes-aware HALF bound (r15): the broadcast collect's real
-            # cost is pairs x |hs| array bytes, not the pair count — a
-            # count-only gate let a ~160 MB raw / ~1 GB serialized half
-            # frame through.  One BOUNDED avg (first 4096 artifact rows)
-            # prices the row — a sampled estimate is plenty for a
-            # strategy gate and never full-scans the artifact frame.
-            avg_hs = sighs_a.select("hs").limit(4096).select(
-                F.avg(F.size("hs"))).first()[0] or 0.0
-            small = n * (avg_hs * 8 + 64) <= HALF_BROADCAST_RAW_BYTES
+        small, screened = _gate_probe(sighs_a, screened, pair_gate)
     ha = sighs_a.select("id", "hs").alias("ha")
     hb = sighs_b.select("id", "hs").alias("hb")
     scr = F.broadcast(screened) if small else screened.hint("merge")
@@ -1045,7 +1122,8 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         artifacts: Optional[DataFrame] = None,
                         dedupe: bool = True,
                         banded: Optional[DataFrame] = None,
-                        pair_gate: Optional[int] = PAIR_GATE) -> DataFrame:
+                        pair_gate: Optional[int] = PAIR_GATE,
+                        gate_small: Optional[bool] = None) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard >= threshold.
 
     Three-rung verification ladder (each rung orders of magnitude cheaper
@@ -1085,35 +1163,28 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
         # no re-join of candidates against the signature frame, and the
         # pair-distinct runs on the (orders of magnitude smaller) screened
         # set instead of the raw collision set
-        r = num_hashes // bands
         if banded is None:
             banded = band_explode(sighs, num_hashes, bands, "sig")
         # else: a caller-materialized band frame (the banded explode is a
         # pure function of the signature index — production materializes
         # it WITH the index; must carry (id, sig, band, bhash) built by
         # band_explode with the same layout)
-        bl, br = banded.alias("bl"), banded.alias("br")
-        agree = F.size(F.filter(
-            F.zip_with(F.col("bl.sig"), F.col("br.sig"),
-                       lambda x, y: x == y), lambda v: v))
-        est = (agree - F.lit(r)) / F.lit(float(num_hashes - r))
         # dedupe=False (for consumers that pair-distinct downstream — the
         # completeness verdicts do) skips this shuffle: a pair colliding
         # in several bands just reruns the cheap rung-3 compare per
         # collision (~1.3x rows at the default band layout)
-        screened = (bl.join(br, (F.col("bl.band") == F.col("br.band"))
-                    & (F.col("bl.bhash") == F.col("br.bhash"))
-                    & (F.col("bl.id") < F.col("br.id")))
-                    .filter(est >= threshold - est_margin)
-                    .select(F.col("bl.id").alias("id_a"),
-                            F.col("br.id").alias("id_b")))
+        screened = _band_screen_pairs(banded, banded, num_hashes, bands,
+                                      threshold, est_margin,
+                                      self_join=True)
         if dedupe:
             screened = screened.distinct()
         # rung 3: exact verify over the screened survivors — broadcast vs
         # shuffle-hash chosen by the _rung3_exact volume gate (screened
         # volume tracks TRUE dup volume, which at crawl scale is
-        # unbounded; a forced broadcast there would OOM)
-        out = _rung3_exact(sighs, sighs, screened, threshold, pair_gate)
+        # unbounded; a forced broadcast there would OOM), or by a
+        # caller-precomputed ingest-time ``gate_small`` decision
+        out = _rung3_exact(sighs, sighs, screened, threshold, pair_gate,
+                           gate_small=gate_small)
         if own_artifacts:
             # materialize while sighs is pinned, then release the pin; the
             # result is small (verified pairs only).  With CALLER-managed
@@ -1292,7 +1363,8 @@ def minhash_cross_pairs(docs: DataFrame, ref: DataFrame,
                         artifacts_a: Optional[DataFrame] = None,
                         artifacts_b: Optional[DataFrame] = None,
                         banded_a: Optional[DataFrame] = None,
-                        banded_b: Optional[DataFrame] = None) -> DataFrame:
+                        banded_b: Optional[DataFrame] = None,
+                        gate_small: Optional[bool] = None) -> DataFrame:
     """Near-dup pairs BETWEEN two corpora: ``id_a`` from ``docs``, ``id_b``
     from ``ref`` (id spaces independent — no ordering relation).
 
@@ -1312,7 +1384,6 @@ def minhash_cross_pairs(docs: DataFrame, ref: DataFrame,
     ``banded_a``/``banded_b`` additionally reuse a caller-materialized
     band frame (``band_explode`` layout — e.g. filters of ONE shared
     banded index), skipping the per-call band explode too."""
-    r = num_hashes // bands
     if (artifacts_a is None) != (artifacts_b is None):
         raise ValueError(
             "minhash_cross_pairs: pass artifacts_a and artifacts_b "
@@ -1326,20 +1397,14 @@ def minhash_cross_pairs(docs: DataFrame, ref: DataFrame,
         a, b = artifacts_a, artifacts_b
     try:
         ba = (banded_a if banded_a is not None
-              else band_explode(a, num_hashes, bands, "sig")).alias("ba")
+              else band_explode(a, num_hashes, bands, "sig"))
         bb = (banded_b if banded_b is not None
-              else band_explode(b, num_hashes, bands, "sig")).alias("bb")
-        agree = F.size(F.filter(
-            F.zip_with(F.col("ba.sig"), F.col("bb.sig"),
-                       lambda x, y: x == y), lambda v: v))
-        est = (agree - F.lit(r)) / F.lit(float(num_hashes - r))
-        screened = (ba.join(bb, (F.col("ba.band") == F.col("bb.band"))
-                            & (F.col("ba.bhash") == F.col("bb.bhash")))
-                    .filter(est >= threshold - est_margin)
-                    .select(F.col("ba.id").alias("id_a"),
-                            F.col("bb.id").alias("id_b"))
-                    .distinct())
-        out = _rung3_exact(a, b, screened, threshold, pair_gate)
+              else band_explode(b, num_hashes, bands, "sig"))
+        screened = _band_screen_pairs(ba, bb, num_hashes, bands,
+                                      threshold, est_margin,
+                                      self_join=False).distinct()
+        out = _rung3_exact(a, b, screened, threshold, pair_gate,
+                           gate_small=gate_small)
         if own:
             out = out.localCheckpoint(eager=True)
     finally:
@@ -1867,6 +1932,40 @@ def _normalize_cells(cells: DataFrame, vec_col: str,
         F.col("v" if "v" in c else vec_col).alias("v"), "cell")
 
 
+#: cells per task past the core count (one task then holds roughly
+#: CELLS_PER_TASK x 125 vectors -> ~0.5-1 s of Gram work at the
+#: ivf_assignment contract cell size — good task granularity at any N)
+CELLS_PER_TASK = 16
+
+
+def _cell_repartition(cells: DataFrame, n: Optional[int] = None,
+                      n_centroids: int = 16) -> DataFrame:
+    """Explicit hash-repartition of an (id, v, cell) frame by ``cell``
+    ahead of a per-cell Python kernel (guide §2.5/§4 interaction): AQE's
+    byte-based partition coalescing prices the exchange by its (tiny)
+    shuffle bytes and is blind to the Python-side O(m²·d) Gram work per
+    cell — measured at the fixture it coalesced the IVF verify to ONE
+    task (0.42 s single-threaded Python while 31 cores idled, r18 stage
+    timeline).  A user-specified key repartition is exempt from AQE
+    coalescing.
+
+    Partition count: one CELL per task up to the core count, then
+    ``CELLS_PER_TASK`` cells per task — data-proportional at scale
+    (cells grow ~n/125 by the ivf_assignment contract) and never wider
+    than the cell count (r18 A/B at 32 cores: p=cores spawned 32 Python
+    workers for 16 cells and lost 3.6% to worker fan-out; p=#cells won
+    1.38x min over the AQE 1-task shape).  ``groupBy("cell")``
+    downstream reuses the hash partitioning, so this adds no second
+    exchange; AQE skew handling loses nothing (it never applied to
+    non-join exchanges)."""
+    sc = cells.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    # ~125 vectors/cell is ivf_assignment's documented sizing contract
+    k_est = max(n_centroids, (n // 125) if n else 0, 1)
+    p = min(k_est, max(cores, k_est // CELLS_PER_TASK))
+    return cells.repartition(p, "cell")
+
+
 def embedding_neardup_pairs_ivf(df: DataFrame, vec_col: str = "embedding",
                                 id_col: str = "vec_id",
                                 threshold: float = 0.45,
@@ -1942,7 +2041,8 @@ def embedding_neardup_pairs_ivf(df: DataFrame, vec_col: str = "embedding",
 
     # a pair sharing several cells is emitted once per shared cell with the
     # identical rounded cos — dropDuplicates on the ids is exact
-    out = cells.groupBy("cell").applyInPandas(verify_cell, out_schema)
+    out = (_cell_repartition(cells, n=n, n_centroids=n_centroids)
+           .groupBy("cell").applyInPandas(verify_cell, out_schema))
     return out.dropDuplicates(["id_a", "id_b"]) if dedupe else out
 
 
@@ -2020,7 +2120,8 @@ def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
         return pd.DataFrame({"id": ids, "cluster": int(key[0]),
                              "rep": rep, "keep": ids == rep})
 
-    return src.groupBy("cell").applyInPandas(dedup_cell, out_schema)
+    return (_cell_repartition(src, n=n, n_centroids=n_centroids)
+            .groupBy("cell").applyInPandas(dedup_cell, out_schema))
 
 
 def sampled_exact_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
