@@ -1085,14 +1085,22 @@ def _rung3_exact(sighs_a: DataFrame, sighs_b: DataFrame,
     checkpointed pair set so the band join is never re-executed for it.
     ``gate_small`` (r18) takes a PRECOMPUTED decision
     (:func:`minhash_gate_small` — computed once at ingest with the band
-    index): the probe's two driver-blocking actions leave the per-query
-    critical path, the pair set stays un-persisted (it is referenced
-    exactly once below), and the band join executes inside the caller's
-    one action where it overlaps the sibling pipelines.
+    index): the probe's two driver-blocking actions (a full band-join
+    execution behind ``limit().count()`` plus the sampled bytes
+    estimate) leave the construction path entirely.  The screened set is
+    STILL persisted exactly as on the probe path — callers that re-
+    execute one prepared plan repeatedly (the bench's session plan
+    cache, a deployment's prepared statements) materialize the band
+    join once and read the cached pair set thereafter, identical
+    per-pass work to the probe path — only now nothing blocks or counts
+    it ahead of the first action.
     """
     small = True
     if gate_small is not None:
         small = gate_small
+        from pyspark import StorageLevel
+
+        screened = screened.persist(StorageLevel.MEMORY_AND_DISK)
     elif pair_gate is not None:
         # persist (recomputable lineage), NOT localCheckpoint: a pair set
         # above the gate is potentially huge, and pinning it with
