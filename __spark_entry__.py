@@ -1500,6 +1500,16 @@ def _events_dp(spark, sf_dir):
 _FIXTURE_COUNTS: dict = {}
 
 
+def _persist_narrow(df):
+    """MEMORY_AND_DISK persist for a narrow multi-consumer frame inside a
+    bundle's one action (the corpus_preprocess verdict-frame posture:
+    recomputable lineage, spills instead of OOMing).  Module-level so
+    measurement harnesses can toggle it for a valid A/B."""
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def _fixture_count(spark, sf_dir, table, df) -> int:
     """Row count of an immutable fixture table, one count job per session —
     the sampled-oracle helpers need n to size their deterministic sample."""
@@ -3089,6 +3099,14 @@ def dp_ann_approx(spark, sf_dir):
                                                  pq_fit, pq_topk,
                                                  sq8_encode, sq8_topk)
 
+    # this entry is rebuilt per call (uncached: eager index builds are
+    # the timed work) and r18 adds two narrow per-construction persists —
+    # drop py4j refs to the PREVIOUS construction's frames so the
+    # ContextCleaner reaps their cache entries (the dp_neardup_scale
+    # pattern; repeated passes otherwise accumulate dead blocks)
+    import gc
+
+    gc.collect()
     emb = _emb(spark, sf_dir)
     qv = _query_vec(spark, sf_dir)
     n_emb = _fixture_count(spark, sf_dir, "embeddings", emb)
@@ -3195,10 +3213,22 @@ def dp_ann_approx(spark, sf_dir):
                                              semantic_dedup)
 
     sd_th = 0.45
-    sd = semantic_dedup(emb, threshold=sd_th, cells=idx["ivf"])
-    pairs = embedding_neardup_pairs_ivf(
+    # NARROW persists on the two Python-kernel outputs (r18; the
+    # corpus_preprocess verdict-frame posture): sd feeds four consumers
+    # (conservation agg, dropped, the supported-map join, kept) and
+    # pairs three (edges twice via the union, maximality), and a
+    # FlatMapGroupsInPandas subtree re-executes per consumer — the r18
+    # t10 stage timeline measured FIVE concurrent ~10 s re-runs of the
+    # per-cell Gram kernels in one pass.  Both frames are narrow (4 /
+    # 2 columns, no vectors), lineage stays recomputable, and the
+    # kernels still execute live on every fresh construction — this
+    # shares one execution across the verdict's consumers, it caches
+    # nothing across runs.
+    sd = _persist_narrow(semantic_dedup(emb, threshold=sd_th,
+                                        cells=idx["ivf"]))
+    pairs = _persist_narrow(embedding_neardup_pairs_ivf(
         emb, threshold=sd_th, cells=idx["ivf"],
-        dedupe=False).select("id_a", "id_b")
+        dedupe=False).select("id_a", "id_b"))
     comp = sd.groupBy("rep").agg(
         F.sum(F.col("keep").cast("int")).alias("__k"),
         F.min("id").alias("__mn"))
