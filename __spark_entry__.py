@@ -169,7 +169,8 @@ def _prepared(fn):
     each prepared plan executes under the posture its own volume gate chose."""
     import functools
 
-    _GATED = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    _GATED = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions",
+              "spark.sql.adaptive.coalescePartitions.parallelismFirst")
 
     @functools.wraps(fn)
     def wrap(spark, sf_dir):

@@ -85,6 +85,22 @@ def tune_for_volume(spark: SparkSession, nbytes: int) -> None:
             spark.conf.set("spark.sql.adaptive.enabled", "true")
             spark.conf.set("spark.sql.shuffle.partitions",
                            str(max(cpus // 2, 8)))
+            # full posture = compute-bound work (datapipe pipelines, real
+            # scale): AQE coalescing must keep reduce parallelism at the
+            # core count, not shrink to the byte-derived minimum — the
+            # r18 10x stage timelines measured a 400k-row band self-join
+            # coalesced to ONE task (3.9 s serial while 31 cores idled)
+            # and the rung-3 verify to two, because narrow-row exchanges
+            # under-price their downstream per-row compute (zip_with
+            # screens, jaccard over ~200-long arrays).  parallelismFirst
+            # floors coalescing at defaultParallelism (measured 1.39x on
+            # dp_neardup_scale at 10x, 4/4 pairs; neutral at fixture
+            # volumes where the per-stage data is sub-MB).  The
+            # latency-first false stays the SMALL-input posture (set at
+            # session init; the small branch above turns AQE off anyway).
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "true")
     except Exception:  # noqa: BLE001 — tuning must never fail a query
         pass
 
